@@ -30,9 +30,22 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table at the given scale-factor directory."""
+    """Read one fixture table at the given scale-factor directory.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
+    reader rejects; we read nanos as long (runtime SQLConf) and truncate to
+    microsecond TimestampType — the documented semantic delta for cudf's
+    TIMESTAMP_NANOSECONDS (SURVEY §1.2), and what DuckDB's
+    ``CAST(ts AS TIMESTAMP)`` does on the oracle side.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

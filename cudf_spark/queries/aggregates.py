@@ -1,1 +1,334 @@
-"""Placeholder — populated in this round."""
+"""Aggregation-kind coverage — the full ``cudf::aggregation::Kind`` table
+(cpp/include/cudf/aggregation.hpp:78-121) re-expressed with Spark's
+declarative aggregates, which already implement the reference's
+partial→merge→finalize decomposition (streaming_groupby.cpp:21-33;
+cudf_polars streaming/groupby.py:254) as map-side partial aggregation.
+
+All float outputs rounded for cross-engine hash stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cudf_spark.catalog import load
+from cudf_spark.queries.registry import register
+
+
+@register(
+    "agg_kinds_basic",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2)              AS sum_qty,
+           round(min(l_extendedprice), 2)         AS min_price,
+           round(max(l_extendedprice), 2)         AS max_price,
+           round(avg(l_extendedprice), 4)         AS avg_price,
+           count(*)                               AS n_rows,
+           count(DISTINCT l_suppkey)              AS n_supp,
+           count_if(l_quantity > 25)              AS n_bulk,
+           round(sum(l_quantity * l_quantity), 2) AS sum_sq_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="SUM/MIN/MAX/MEAN/COUNT_VALID/COUNT_ALL/NUNIQUE/SUM_OF_SQUARES "
+    "(aggregation.hpp:78-121).",
+)
+def agg_kinds_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+            F.round(F.sum(F.col("l_quantity") * F.col("l_quantity")), 2).alias("sum_sq_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_linestatus,
+           round(var_samp(l_quantity), 6)                  AS var_qty,
+           round(var_pop(l_quantity), 6)                   AS varp_qty,
+           round(stddev_samp(l_quantity), 6)               AS std_qty,
+           round(stddev_pop(l_quantity), 6)                AS stdp_qty,
+           round(corr(l_quantity, l_extendedprice), 6)     AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+           round(covar_pop(l_quantity, l_extendedprice), 4)  AS covp_qp
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc="VARIANCE/STD (M2 Welford merge in the reference, "
+    "cpp/src/groupby/hash/), COVARIANCE, CORRELATION kinds.",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.var_pop("l_quantity"), 6).alias("varp_qty"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("stdp_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covp_qp"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "agg_median_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_quantity), 4)                        AS med_qty,
+           round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS q25,
+           round(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 4) AS q75,
+           round(CAST(quantile_cont(l_quantity, 0.90) AS DOUBLE), 4) AS q90
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="MEDIAN + exact QUANTILE with linear interpolation "
+    "(cudf quantiles.hpp:50; aggregation.hpp MEDIAN/QUANTILE).",
+)
+def agg_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 4).alias("med_qty"),
+            F.round(F.percentile("l_quantity", 0.25), 4).alias("q25"),
+            F.round(F.percentile("l_quantity", 0.75), 4).alias("q75"),
+            F.round(F.percentile("l_quantity", 0.90), 4).alias("q90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_argminmax",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest,
+           arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS poorest
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="ARGMAX/ARGMIN kinds → max_by/min_by; composite (value, key) order "
+    "key encoded as a bigint for deterministic tie-breaks.",
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    order_key = (F.round(F.col("c_acctbal") * 100).cast("long") * 10000000 + F.col("c_custkey"))
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.max_by("c_name", order_key).alias("richest"),
+            F.min_by("c_name", order_key).alias("poorest"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT r.r_name,
+           array_to_string(list_sort(list(n.n_name)), ',')           AS nations,
+           array_to_string(list_sort(list(DISTINCT n.n_regionkey)), ',') AS keys
+    FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    doc="COLLECT_LIST / COLLECT_SET kinds (aggregation.hpp:101-102) — output "
+    "sorted + joined so the hash is order-independent.",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.array_join(F.sort_array(F.collect_set("n_regionkey")), ",").alias("keys"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "agg_bool_bit",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000)  AS all_over_1k,
+           bool_or(o_totalprice > 90000)  AS any_over_90k,
+           bit_and(o_custkey)             AS band,
+           bit_or(o_custkey)              AS bor,
+           bit_xor(o_custkey)             AS bxor
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="ANY/ALL + BITWISE_AGG kinds (aggregation.hpp:86-87,118).",
+)
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 90000).alias("any_over_90k"),
+            F.bit_and("o_custkey").alias("band"),
+            F.bit_or("o_custkey").alias("bor"),
+            F.bit_xor("o_custkey").alias("bxor"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_product",
+    oracle="""
+    SELECT n_regionkey, round(product(n_nationkey + 1), 2) AS prod_keys
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    doc="PRODUCT kind (aggregation.hpp:80).",
+)
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.round(F.product(F.col("n_nationkey") + 1), 2).alias("prod_keys"))
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="ROLLUP with GROUPING indicators — a Spark capability the reference "
+    "lacks (SURVEY §2.4 'grouping sets: absent').",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="CUBE — Spark built-in capability win (SURVEY §2.4).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="GROUPING SETS via Spark SQL.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@register(
+    "distinct_stable_first",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber
+    FROM lineitem
+    QUALIFY row_number() OVER (
+        PARTITION BY l_returnflag, l_linestatus
+        ORDER BY l_orderkey, l_linenumber) = 1
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="stable_distinct keep-first (cudf stream_compaction.hpp:383) — "
+    "explicit order key + row_number window, since Spark has no implicit "
+    "row order (SURVEY §7 hard-part 1).",
+)
+def distinct_stable_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag", "l_linestatus").orderBy("l_orderkey", "l_linenumber")
+    return (
+        li.select("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_approx_sketches",
+    oracle=None,  # sketch outputs are engine-specific (Spark HLL++/GK vs DuckDB)
+    doc="Approx sketches: HLL distinct (cudf_streaming approx_distinct_count.hpp:42) "
+    "and t-digest percentile (aggregation.hpp TDIGEST) → approx_count_distinct / "
+    "percentile_approx. Accuracy asserted against exact values in pytest.",
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+            F.median("l_extendedprice").alias("exact_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )

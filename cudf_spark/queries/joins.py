@@ -1,1 +1,314 @@
-"""Placeholder — populated in this round."""
+"""Join-family coverage — every join mode of the reference
+(cpp/include/cudf/join/: join.hpp, filtered_join.hpp, conditional_join.hpp,
+mixed_join.hpp, cross_join) plus table-level set operations (§2.7) and the
+as-of join operator.
+
+Scale notes: dims broadcast; the events self-join is a *mixed* join (equi
+key + time-range residual) so Catalyst plans a hash join with residual
+filter, never a nested-loop over the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cudf_spark.catalog import load
+from cudf_spark.operators.joins import asof_join
+from cudf_spark.queries.registry import register
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT n.n_name,
+           count(c.c_custkey)                        AS n_customers,
+           round(coalesce(sum(c.c_acctbal), 0), 2)   AS total_bal
+    FROM nation n
+    LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    doc="Left outer join keeping empty dims (cudf left_join, join.hpp:203).",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cust AS (
+        SELECT c_nationkey AS nk, count(*) AS n_cust
+        FROM customer WHERE c_acctbal > 5000 GROUP BY c_nationkey
+    ), supp AS (
+        SELECT s_nationkey AS nk, count(*) AS n_supp
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(cust.nk, supp.nk) AS nationkey,
+           cust.n_cust AS n_cust, supp.n_supp AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    ORDER BY nationkey
+    """,
+    doc="Full outer join with nulls on both sides (cudf full_join, join.hpp:244).",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust.nk == supp.nk, "full")
+        .select(
+            F.coalesce(cust.nk, supp.nk).alias("nationkey"),
+            "n_cust",
+            "n_supp",
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    ORDER BY c_custkey
+    """,
+    doc="Left semi join / EXISTS (cudf filtered_join.hpp LEFT_SEMI_JOIN:49).",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    ORDER BY c_custkey
+    """,
+    doc="Left anti join / NOT EXISTS (cudf filtered_join.hpp LEFT_ANTI_JOIN:50).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus, count(*) AS n
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    GROUP BY r.r_name, s.o_orderstatus
+    ORDER BY r.r_name, s.o_orderstatus
+    """,
+    doc="Cross join (cudf cross_join, join.hpp:278).",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    s = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return (
+        r.crossJoin(s)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy("r_name", "o_orderstatus")
+    )
+
+
+@register(
+    "join_mixed_time_range",
+    oracle="""
+    SELECT e1.user_id, count(*) AS n_followups
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+    WHERE e1.event_type = 'view'
+    GROUP BY e1.user_id
+    ORDER BY e1.user_id
+    """,
+    doc="Mixed join: equi key + time-range residual (cudf mixed_join.hpp:92); "
+    "Catalyst splits equality keys and residual natively.",
+)
+def join_mixed_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    e1 = e.filter(F.col("event_type") == "view").alias("e1")
+    e2 = e.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.ts") > F.col("e1.ts"))
+            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_followups"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "join_conditional_theta",
+    oracle="""
+    SELECT s.s_name, count(*) AS n_richer
+    FROM supplier s
+    JOIN customer c ON s.s_acctbal > c.c_acctbal AND c.c_acctbal > 9000
+    GROUP BY s.s_name
+    ORDER BY s.s_name
+    """,
+    doc="Pure conditional (theta) join on an inequality predicate "
+    "(cudf conditional_join.hpp:72) — plans BroadcastNestedLoopJoin with a "
+    "pre-filter shrinking the build side.",
+)
+def join_conditional_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return (
+        s.join(F.broadcast(c), s.s_acctbal > c.c_acctbal)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_richer"))
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
+           round(c.value, 4) AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    doc="As-of join (pandas merge_asof; SURVEY §2.3 'not implemented' in the "
+    "reference) — union + partitioned window, one shuffle on the key.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", right_values=["ts", "value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_click_ts"),
+        F.round("asof_value", 4).alias("last_click_value"),
+    ).orderBy("event_id")
+
+
+@register(
+    "setop_union_distinct",
+    oracle="""
+    SELECT nk FROM (
+        SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT s_nationkey AS nk FROM supplier
+    ) ORDER BY nk
+    """,
+    doc="UNION DISTINCT (cudf concatenate + distinct; Union IR dsl/ir.py:3519).",
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).distinct().orderBy("nk")
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nk
+    """,
+    doc="INTERSECT (distinct) — built-in Spark capability (SURVEY §2.7).",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("nk"))
+    )
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s).orderBy("nk")
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT nk, count(*) AS n FROM (
+        SELECT l_suppkey AS nk FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+        EXCEPT ALL
+        SELECT l_suppkey FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-02-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-03-01 00:00:00'
+    ) GROUP BY nk ORDER BY nk
+    """,
+    doc="EXCEPT ALL multiset difference — built-in Spark exceptAll.",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    jan = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    ).select(F.col("l_suppkey").alias("nk"))
+    feb = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-02-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01 00:00:00").cast("timestamp"))
+    ).select(F.col("l_suppkey").alias("nk"))
+    return jan.exceptAll(feb).groupBy("nk").agg(F.count("*").alias("n")).orderBy("nk")

@@ -1,1 +1,314 @@
-"""Placeholder — populated in this round."""
+"""Window-function coverage — the reference's rolling/ranking/analytic
+surface (cpp/src/rolling/, cpp/include/cudf/rolling.hpp; RANK/ROW_NUMBER/
+LEAD/LAG/NTH_ELEMENT aggregation kinds; grouped scans groupby.hpp:237 and
+grouped replace_nulls groupby.hpp:367).
+
+Determinism rules (Spark has no implicit row order, SURVEY §7):
+- row_number/ntile only over totally-ordered keys (tie-broken by a unique
+  column);
+- rank/dense_rank/percent_rank/cume_dist may see ties (they're functions
+  of the order *values*, so still deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cudf_spark.catalog import load
+from cudf_spark.operators.windows import ewma, rolling_agg
+from cudf_spark.queries.registry import register
+
+
+@register(
+    "win_row_number_ntile",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           row_number() OVER w AS rn,
+           ntile(4)     OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    QUALIFY rn <= 50
+    ORDER BY c_mktsegment, rn
+    """,
+    doc="ROW_NUMBER + NTILE over a totally-ordered window.",
+)
+def win_row_number_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 50)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@register(
+    "win_rank_ties",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY CAST(floor(c_acctbal / 1000) AS BIGINT) DESC)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    doc="RANK family with ties (cudf::rank, sorting.hpp:222; rank methods "
+    "min/dense → rank/dense_rank).",
+)
+def win_rank_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    w = Window.partitionBy("c_mktsegment").orderBy(bucket.desc())
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    ).orderBy("c_mktsegment", "c_custkey")
+
+
+@register(
+    "win_lead_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value, 4)                         AS value,
+           round(lag(value)  OVER w, 4)            AS prev_value,
+           round(lead(value) OVER w, 4)            AS next_value,
+           round(value - lag(value) OVER w, 4)     AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+    doc="LEAD/LAG kinds + grouped shift/diff (groupby.hpp:293).",
+)
+def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    ).orderBy("event_id")
+
+
+@register(
+    "win_rolling_rows",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(avg(l_quantity) OVER w, 4) AS avg_qty_4,
+           round(sum(l_quantity) OVER w, 2) AS sum_qty_4,
+           round(min(l_quantity) OVER w, 2) AS min_qty_4,
+           round(max(l_quantity) OVER w, 2) AS max_qty_4,
+           CASE WHEN count(l_quantity) OVER w >= 2
+                THEN round(avg(l_quantity) OVER w, 4) END AS avg_minp2
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+    doc="Fixed rolling window with min_periods null semantics "
+    "(rolling.hpp:194, window_bounds:126).",
+)
+def win_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part, order = ["l_suppkey"], ["l_shipdate", "l_orderkey", "l_linenumber"]
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(rolling_agg("l_quantity", "avg", part, order, 3), 4).alias("avg_qty_4"),
+        F.round(rolling_agg("l_quantity", "sum", part, order, 3), 2).alias("sum_qty_4"),
+        F.round(rolling_agg("l_quantity", "min", part, order, 3), 2).alias("min_qty_4"),
+        F.round(rolling_agg("l_quantity", "max", part, order, 3), 2).alias("max_qty_4"),
+        F.round(rolling_agg("l_quantity", "avg", part, order, 3, min_periods=2), 4).alias("avg_minp2"),
+    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+@register(
+    "win_range_time",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER w, 4) AS sum_1h,
+           count(*)         OVER w     AS n_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    doc="Grouped range (time-based) rolling window "
+    "(grouped_range_rolling_window, rolling.hpp:563) — RANGE frame over "
+    "microsecond epoch.",
+)
+def win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    ).orderBy("event_id")
+
+
+@register(
+    "win_grouped_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_qty,
+           round(sum(l_quantity) OVER (PARTITION BY l_orderkey), 2)    AS total_qty,
+           round(l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey), 6) AS qty_share
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+    """,
+    doc="Grouped cumulative scan (groupby.hpp:237 scan) + share-of-group.",
+)
+def win_grouped_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the fixtures — partkey +
+    # suppkey complete the deterministic scan order (SURVEY §7 hard-part 1).
+    wcum = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.sum("l_quantity").over(wcum), 2).alias("cum_qty"),
+        F.round(F.sum("l_quantity").over(wall), 2).alias("total_qty"),
+        F.round(F.col("l_quantity") / F.sum("l_quantity").over(wall), 6).alias("qty_share"),
+    ).orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+
+@register(
+    "win_fill_null",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE round(value, 4) END AS v
+        FROM events
+    )
+    SELECT event_id, user_id, v,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+           first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+    FROM e
+    ORDER BY event_id
+    """,
+    doc="Grouped replace_nulls ffill/bfill (groupby.hpp:367; replace.hpp:48 "
+    "replace_policy) — last/first ignorenulls over one-sided frames.",
+)
+def win_fill_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") != "error", F.round("value", 4))
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(fwd).alias("ffill"),
+        F.first("v", ignorenulls=True).over(bwd).alias("bfill"),
+    ).orderBy("event_id")
+
+
+@register(
+    "win_first_last_nth",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           first_value(c_name) OVER w AS seg_richest,
+           last_value(c_name)  OVER w AS seg_poorest,
+           nth_value(c_name, 2) OVER w AS seg_second
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    doc="NTH_ELEMENT / first / last over the whole partition frame.",
+)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.first("c_name").over(w).alias("seg_richest"),
+        F.last("c_name").over(w).alias("seg_poorest"),
+        F.nth_value("c_name", 2).over(w).alias("seg_second"),
+    ).orderBy("c_mktsegment", "c_custkey")
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    QUALIFY row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) <= 3
+    ORDER BY n_name, acctbal DESC, c_custkey
+    """,
+    doc="Segmented top-k (cudf sorting.hpp:455 segmented top_k) — window "
+    "row_number <= k; global top-k is orderBy+limit (TakeOrderedAndProject).",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("n_name", F.desc("acctbal"), "c_custkey")
+    )
+
+
+@register(
+    "ewma_per_user",
+    oracle=None,  # recursive aggregation is not ANSI-SQL-expressible at scale;
+    # verified against pandas ewm in tests/test_operators.py
+    doc="EWMA aggregation kind (aggregation.hpp:100) — Arrow-batched grouped "
+    "map (pandas ewm semantics, adjust=True).",
+)
+def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return (
+        ewma(e, ["user_id"], ["ts", "event_id"], "value", alpha=0.3)
+        .select("event_id", "user_id", F.round("ewma", 4).alias("ewma"))
+        .orderBy("event_id")
+    )

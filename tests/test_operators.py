@@ -1,0 +1,76 @@
+"""Unit tests for composite operators against pandas reference semantics —
+the reference's own oracle strategy (cudf tests compare against pandas,
+SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def test_ewma_matches_pandas(spark):
+    from pyspark.sql import functions as F
+
+    from cudf_spark.catalog import load
+    from cudf_spark.operators.windows import ewma
+
+    e = load(spark, SF_DIR, "events").select("event_id", "user_id", "ts", "value")
+    got = (
+        ewma(e, ["user_id"], ["ts", "event_id"], "value", alpha=0.3)
+        .select("event_id", "ewma")
+        .toPandas()
+        .set_index("event_id")["ewma"]
+        .sort_index()
+    )
+    pdf = e.toPandas().sort_values(["user_id", "ts", "event_id"])
+    want = (
+        pdf.groupby("user_id")["value"]
+        .transform(lambda s: s.ewm(alpha=0.3, adjust=True).mean())
+    )
+    want.index = pdf["event_id"]
+    want = want.sort_index()
+    pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-9)
+
+
+def test_asof_join_matches_pandas(spark):
+    from pyspark.sql import functions as F
+
+    from cudf_spark.catalog import load
+    from cudf_spark.operators.joins import asof_join
+
+    e = load(spark, SF_DIR, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    got = (
+        asof_join(purchases, clicks, "user_id", "ts", "ts", ["value"])
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    lp = purchases.toPandas().sort_values("ts")
+    rc = clicks.toPandas().sort_values("ts")
+    want = pd.merge_asof(lp, rc, on="ts", by="user_id", direction="backward")
+    want = want.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["asof_value"], want["value"], check_names=False, rtol=1e-12
+    )
+
+
+def test_rolling_min_periods_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from cudf_spark.catalog import load
+    from cudf_spark.operators.windows import rolling_agg
+
+    li = load(spark, SF_DIR, "lineitem")
+    out = li.select(
+        rolling_agg(
+            "l_quantity", "avg", ["l_suppkey"], ["l_shipdate", "l_orderkey", "l_linenumber"], 3, min_periods=2
+        ).alias("r")
+    )
+    # exactly one first-row-per-group null per suppkey group
+    n_null = out.filter(F.col("r").isNull()).count()
+    n_groups = li.select("l_suppkey").distinct().count()
+    assert n_null == n_groups

@@ -1,1 +1,224 @@
-"""Placeholder — populated in this round."""
+"""List/array and struct scalar-function coverage — libcudf lists namespace
+(cpp/src/lists/, 4,776 LoC; cpp/src/structs/; SURVEY §2.10). Spark's
+ArrayType + higher-order functions are near-exact matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cudf_spark.catalog import load
+from cudf_spark.queries.registry import register
+
+TOKENS = "string_split(text, ' ')"  # DuckDB-side tokenization
+
+
+@register(
+    "list_embedding_ops",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                   AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6)           AS first_el,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sq_norm,
+           round(CAST(list_max(embedding) AS DOUBLE), 6)    AS max_el,
+           round(CAST(list_min(embedding) AS DOUBLE), 6)    AS min_el
+    FROM embeddings ORDER BY vec_id
+    """,
+    doc="count_elements (lists/count_elements.hpp:45), extract_list_element "
+    "(extract.hpp:59), reduction over list (F.aggregate — the Spark analogue "
+    "of segmented reductions, reduction.hpp:175).",
+)
+def list_embedding_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_el"),
+        F.round(sq, 4).alias("sq_norm"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_el"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_el"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "list_setops_pairs",
+    oracle=f"""
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           len(list_distinct(list_intersect({TOKENS.replace('text','a.text')},
+                                            {TOKENS.replace('text','b.text')}))) AS n_common,
+           len(list_distinct(list_concat({TOKENS.replace('text','a.text')},
+                                         {TOKENS.replace('text','b.text')})))    AS n_union,
+           len(list_distinct(list_filter({TOKENS.replace('text','a.text')},
+                 x -> NOT list_contains({TOKENS.replace('text','b.text')}, x)))) AS n_only_a
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    ORDER BY d1
+    """,
+    doc="per-row list set ops (lists/set_operations.hpp:52-163: "
+    "intersect_distinct, union_distinct, difference_distinct) → "
+    "array_intersect/union/except sizes.",
+)
+def list_setops_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id").alias("d1"), F.split("text", " ").alias("ta"))
+    b = d.select(F.col("doc_id").alias("d2"), F.split("text", " ").alias("tb"))
+    return (
+        a.join(b, b.d2 == a.d1 + 1)
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("ta", "tb")).alias("n_common"),
+            F.size(F.array_union("ta", "tb")).alias("n_union"),
+            F.size(F.array_except("ta", "tb")).alias("n_only_a"),
+        )
+        .orderBy("d1")
+    )
+
+
+@register(
+    "list_explode_tokens",
+    oracle=f"""
+    SELECT tok, count(*) AS freq
+    FROM (SELECT unnest({TOKENS}) AS tok FROM documents)
+    WHERE tok != ''
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 20
+    """,
+    doc="explode (lists/explode.hpp:64) → token frequency; the scatter side "
+    "of tokenize (nvtext/tokenize.hpp:51).",
+)
+def list_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "list_posexplode",
+    oracle=f"""
+    SELECT d.doc_id, g.i - 1 AS pos, (string_split(d.text, ' '))[g.i] AS tok
+    FROM documents d,
+         (SELECT unnest(generate_series(1, 5)) AS i) g
+    WHERE d.doc_id < 10 AND g.i <= len(string_split(d.text, ' '))
+    ORDER BY d.doc_id, pos
+    """,
+    doc="explode_position (lists/explode.hpp:110) → posexplode (0-based).",
+)
+def list_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return (
+        d.select("doc_id", F.posexplode(F.slice(F.split("text", " "), 1, 5)).alias("pos", "tok"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
+    "list_fill_sequence",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_transform(generate_series(1, 1 + n_chars % 5),
+                                          i -> CAST(i AS VARCHAR)), ',') AS seq_str,
+           array_to_string(list_transform(generate_series(1, 1 + doc_id % 3),
+                                          i -> lang), ',')               AS repeated
+    FROM documents ORDER BY doc_id
+    """,
+    doc="sequences (lists/filling.hpp:59) + repeat (filling.hpp:117 / "
+    "array_repeat).",
+)
+def list_fill_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    seq = F.sequence(F.lit(1), (F.lit(1) + F.col("n_chars") % 5).cast("int"))
+    rep = F.array_repeat(F.col("lang"), (F.lit(1) + F.col("doc_id") % 3).cast("int"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.transform(seq, lambda i: i.cast("string")), ",").alias("seq_str"),
+        F.array_join(rep, ",").alias("repeated"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "list_sort_distinct",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct({TOKENS}))[1:8], ',')   AS sorted8,
+           array_to_string(list_reverse_sort(list_distinct({TOKENS}))[1:3], ',') AS top3_rev,
+           len(list_distinct({TOKENS}))                                    AS n_distinct,
+           list_contains({TOKENS}, 'the')                                  AS has_the,
+           coalesce(list_position({TOKENS}, 'scan'), 0)                    AS pos_scan
+    FROM documents ORDER BY doc_id
+    """,
+    doc="sort_lists (lists/sorting.hpp:48), distinct (stream_compaction.hpp:119), "
+    "reverse (reverse.hpp:43), contains/index_of (contains.hpp:42-168).",
+)
+def list_sort_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    dd = F.array_distinct(toks)
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(F.array_sort(dd), 1, 8), ",").alias("sorted8"),
+        F.array_join(F.slice(F.reverse(F.array_sort(dd)), 1, 3), ",").alias("top3_rev"),
+        F.size(dd).alias("n_distinct"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_position(toks, "scan").cast("int").alias("pos_scan"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "list_higher_order",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter({TOKENS}, t -> length(t) > 4))                    AS n_long,
+           array_to_string(list_transform({TOKENS}[1:4], t -> upper(t)), ',') AS up4,
+           list_sum(list_transform({TOKENS}, t -> length(t)))                AS total_chars
+    FROM documents ORDER BY doc_id
+    """,
+    doc="higher-order fns over lists: apply_boolean_mask "
+    "(lists/stream_compaction.hpp:55) → filter; per-element transform; "
+    "reduce (segmented reduction).",
+)
+def list_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.array_join(F.transform(F.slice(toks, 1, 4), F.upper), ",").alias("up4"),
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("long").alias("total_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "struct_ops",
+    oracle="""
+    SELECT o_orderkey,
+           struct_extract(struct_pack(k := o_custkey, p := round(o_totalprice, 2)), 'k') AS sk,
+           struct_extract(struct_pack(k := o_custkey, p := round(o_totalprice, 2)), 'p') AS sp
+    FROM orders ORDER BY o_orderkey
+    """,
+    doc="struct create + field access (structs/structs_column_view.hpp; "
+    "polars StructFunction dsl/expressions/struct.py).",
+)
+def struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    st = F.struct(
+        F.col("o_custkey").alias("k"), F.round("o_totalprice", 2).alias("p")
+    )
+    return o.select(
+        "o_orderkey",
+        st.getField("k").alias("sk"),
+        st.getField("p").alias("sp"),
+    ).orderBy("o_orderkey")

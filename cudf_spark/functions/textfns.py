@@ -1,0 +1,41 @@
+"""Text-pipeline building blocks (nvtext surface, SURVEY §2.11) as pure
+Column expressions: tokenize, shingles, n-grams — the inputs to dedup,
+similarity and quality scoring. All codegen-friendly; no UDFs.
+
+References: nvtext/tokenize.hpp:51 (tokenize), generate_ngrams.hpp:49,
+minhash.hpp:62, jaccard.hpp:63, normalize.hpp:154.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace (nvtext normalize_spaces/characters)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokenize(col: Column) -> Column:
+    """Whitespace tokenization (nvtext/tokenize.hpp:51)."""
+    return F.split(col, " ")
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles ('a b c' windows) — the minhash input
+    (nvtext/minhash.hpp minhash_ngrams). Empty array when < k tokens."""
+    w = tokenize(col)
+    n = F.size(w)
+    windows = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + off) for off in range(k)]),
+    )
+    return F.when(n >= k, F.array_distinct(windows)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set jaccard of two arrays (nvtext/jaccard.hpp:63)."""
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))

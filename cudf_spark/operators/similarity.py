@@ -1,0 +1,94 @@
+"""Vector similarity search over embedding columns (SURVEY §2.11 last row —
+not in cudf proper, cuML territory; first-class here per the north star).
+
+- ``cosine_topk``  — brute-force exact top-k: broadcast the query vector,
+  one scan, TakeOrderedAndProject. The correctness baseline; O(N·d).
+- ``lsh_bucket`` / ``ann_lsh_topk`` — random-hyperplane LSH: signs of d·p_j
+  pack into a bucket id, candidates = query's bucket, exact cosine within.
+  At 100 TB: bucket id is a plain column → partition/cluster by it and a
+  query touches one partition instead of the full corpus (the scale path;
+  an IVF variant would swap hyperplanes for trained centroids).
+
+All arithmetic is integer or left-to-right double folds so results are
+engine-reproducible (the DuckDB oracle mirrors the same fold order via
+list_transform + list_sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dvec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold dot product of two double arrays."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _dvec(a), _dvec(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame, query: DataFrame, *, vec_col: str = "embedding", id_col: str = "vec_id", k: int = 10
+) -> DataFrame:
+    """Exact top-k by cosine against a one-row query DataFrame (broadcast)."""
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qv")))
+    sim = F.round(cosine(F.col(vec_col), F.col("__qv")), 6)
+    return (
+        corpus.crossJoin(q)
+        .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def hyperplane(j: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane j (integer-derived, engine-portable)."""
+    return [((j * 73856093 + i * 19349663) % 2001 - 1000) / 1000.0 for i in range(1, dim + 1)]
+
+
+def lsh_bucket(vec: Column, *, n_planes: int = 4, dim: int = 64) -> Column:
+    """Pack sign(vec · plane_j) bits into a bucket id."""
+    v = _dvec(vec)
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in hyperplane(j, dim)])
+        bucket = bucket + F.when(dot(v, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's LSH bucket only."""
+    bucketed = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), n_planes=n_planes, dim=dim))
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__qv"),
+            lsh_bucket(F.col(vec_col), n_planes=n_planes, dim=dim).alias("__qbucket"),
+        )
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__qv")), 6)
+    return (
+        bucketed.join(q, bucketed["__bucket"] == q["__qbucket"])
+        .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )

@@ -1,1 +1,115 @@
-"""Placeholder — populated in this round."""
+"""Embedding similarity-search coverage over the ``embeddings`` table —
+brute-force exact top-k (the baseline) and the LSH-bucketed scale path
+(SURVEY §2.11; north-star ANN operator).
+
+Float discipline: embeddings are float32; both engines widen to double and
+fold left-to-right (F.aggregate ↔ list_sum∘list_transform), so cosines are
+bit-identical before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cudf_spark.catalog import load
+from cudf_spark.operators.similarity import ann_lsh_topk, cosine, cosine_topk, hyperplane
+from cudf_spark.queries.registry import register
+
+DIM = 64
+
+SQL_DOT = (
+    "list_sum(list_transform(generate_series(1, {dim}),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+SQL_NORM = (
+    "sqrt(list_sum(list_transform(generate_series(1, {dim}),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+def _sql_cosine(a: str, b: str, dim: int = DIM) -> str:
+    return (
+        f"({SQL_DOT.format(a=a, b=b, dim=dim)} / "
+        f"({SQL_NORM.format(a=a, dim=dim)} * {SQL_NORM.format(a=b, dim=dim)}))"
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, round({_sql_cosine('e.embedding', 'q.qv')}, 6) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="brute-force exact cosine top-k: broadcast query vector, one scan, "
+    "TakeOrderedAndProject — the ANN correctness baseline.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return cosine_topk(e.filter(F.col("vec_id") != 0), q, k=10)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH planes AS (
+        SELECT j, list_transform(generate_series(1, {DIM}),
+               i -> CAST((j * 73856093 + i * 19349663) % 2001 - 1000 AS DOUBLE) / 1000.0) AS p
+        FROM (SELECT unnest(generate_series(0, 3)) AS j)
+    ), bucketed AS (
+        SELECT e.vec_id, e.embedding,
+               CAST(sum(CASE WHEN {SQL_DOT.format(a='e.embedding', b='planes.p', dim=DIM)} > 0
+                        THEN 1 << j ELSE 0 END) AS INT) AS bucket
+        FROM embeddings e, planes
+        GROUP BY e.vec_id, e.embedding
+    ), q AS (
+        SELECT embedding AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0
+    )
+    SELECT b.vec_id, round({_sql_cosine('b.embedding', 'q.qv')}, 6) AS cosine
+    FROM bucketed b, q
+    WHERE b.bucket = q.qbucket
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT 5
+    """,
+    doc="LSH-bucketed ANN: 4 deterministic random hyperplanes -> 16 "
+    "buckets; exact cosine only within the query's bucket. At 100 TB the "
+    "bucket id becomes a partition column so a query scans 1/16th of the "
+    "corpus (IVF-style with trained centroids as the upgrade path).",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return ann_lsh_topk(e, q, k=5, n_planes=4, dim=DIM)
+
+
+@register(
+    "emb_similar_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND b.vec_id > a.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.35
+    ORDER BY id_a, id_b
+    """,
+    doc="embedding near-dup pairs: label-blocked pairwise cosine >= 0.35 "
+    "(the embedding analogue of jaccard near-dup; blocking keeps the "
+    "pairwise term bounded — at scale the LSH bucket replaces the label).",
+)
+def emb_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), "label", F.col("embedding").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_b") > F.col("id_a"))
+        .filter(cos >= 0.35)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,70 @@
+"""Benchmark harness — mirrors the reference's PDS-H runner shape
+(python/cudf_polars/cudf_polars/streaming/benchmarks/pdsh.py: named
+queries, per-query wall-clock, machine-readable records).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query executes end-to-end into the noop sink (full plan, no sink
+cost). AQE + runtime bloom filters on via cudf_spark.session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family (scan-agg, joins, window, dedup,
+# ANN, sessionization, text analysis).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_unshipped_orders",
+    "q05_local_supplier_volume",
+    "q09_product_profit",
+    "q18_large_volume_customer",
+    "agg_kinds_basic",
+    "win_rolling_rows",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "stream_sessions",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from cudf_spark.queries import REGISTRY
+    from cudf_spark.session import get_spark
+
+    spark = get_spark("cudf_spark_bench")
+
+    # JVM/codegen warmup on the smallest query so timings measure the
+    # engine, not first-call JIT.
+    REGISTRY["q01_pricing_summary"].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = REGISTRY[name].build(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    record = {
+        "metric": "headline query wall-clock (scan->result, noop sink)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(record))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -75,17 +75,23 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str, *, n_hashes: int = 8, band_size: int = 2) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing at least one LSH band."""
+    """Distinct candidate pairs (id_a < id_b) sharing at least one LSH band.
+
+    Bands come from ONE pass over the signature (posexplode of the band-key
+    array), not one plan branch per band — the signature subtree (explode +
+    md5 + groupBy) is evaluated once, and the tiny band table is persisted
+    so the self-join probes memory instead of recomputing the pipeline.
+    """
     n_bands = n_hashes // band_size
-    bands = None
-    for b in range(n_bands):
-        cols = [f"m{b * band_size + j}" for j in range(band_size)]
-        part = sig.select(
-            F.col(id_col).alias("bid"),
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *cols).alias("band_key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    band_keys = F.array(
+        *[
+            F.concat_ws("_", *[F.col(f"m{b * band_size + j}") for j in range(band_size)])
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        F.col(id_col).alias("bid"), F.posexplode(band_keys).alias("band", "band_key")
+    ).persist()
     left = bands.select(F.col("bid").alias("id_a"), "band", "band_key")
     right = bands.select(F.col("bid").alias("id_b"), "band", "band_key")
     return (

@@ -1,1 +1,117 @@
-"""Placeholder — populated in this round."""
+"""Batch-equivalent oracle queries for the streaming operators.
+
+cudf has no event-time windowing to diff against (SURVEY §2.12), so the
+correctness strategy is: run the SAME operator function on the batch frame
+(this module — oracle-checked against DuckDB), and separately drive it
+through a real micro-batch stream asserting stream == batch
+(tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cudf_spark.catalog import load
+from cudf_spark.queries.registry import register
+from cudf_spark.streaming.ops import sessionized, sliding_counts, tumbling_counts
+
+
+@register(
+    "stream_tumbling_hourly",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S')  AS window_start,
+           event_type,
+           count(*)                        AS n,
+           round(sum(value), 2)            AS total
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="tumbling event-time window aggregate (F.window) — batch form of "
+    "the watermarked streaming agg.",
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return tumbling_counts(e).orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_sliding_halfhour",
+    oracle="""
+    WITH grid AS (
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d %H:%M:%S') AS window_start, event_type FROM events
+        UNION ALL
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP), INTERVAL 30 MINUTE),
+                        '%Y-%m-%d %H:%M:%S') AS window_start, event_type FROM events
+    )
+    SELECT window_start, event_type, count(*) AS n
+    FROM grid GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="sliding window (1h width, 30m slide) — each event lands in exactly "
+    "two offset tumbling grids; the oracle reconstructs them explicitly.",
+)
+def stream_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return sliding_counts(e).orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_sessions",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S')                     AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*)                                                    AS n_events,
+           round(sum(value), 2)                                        AS total
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    doc="session windows, 30m gap (F.session_window in batch; the oracle is "
+    "the classic lag + cumsum sessionization — session end = last event + gap).",
+)
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return sessionized(e).orderBy("user_id", "session_start")
+
+
+@register(
+    "stream_dedup_first",
+    oracle="""
+    SELECT user_id, event_type,
+           strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+           count(*) AS n_suppressed
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    doc="keep-first dedup per (user, event_type): the batch contract behind "
+    "dropDuplicatesWithinWatermark (streaming form tested in "
+    "tests/test_streaming.py).",
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+            F.count("*").alias("n_suppressed"),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -1,0 +1,139 @@
+"""Streaming operator implementations.
+
+Each operator is a plain DataFrame→DataFrame function usable on BOTH a
+batch frame and a ``readStream`` frame — the Spark idiom for the
+reference's "same groupby, accumulate/merge/finalize" streaming contract
+(cpp/src/groupby/streaming_groupby.cpp:21-33). Tests drive them through a
+real micro-batch stream (memory sink) and assert equality with the batch
+run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` as a file-source stream (the parquet-channel analogue of
+    libcudf_streaming's chunked parquet source, cpp/libcudf_streaming/src/
+    parquet.cpp). Handles the ns-timestamp quirk like catalog.load."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory; glob down to the events table
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, *, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregate (F.window)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, *, width: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked sliding-window aggregate."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sessionized(events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (F.session_window; gap-merged)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.date_format("s.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("s.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Stateful dedup on event_id within the watermark horizon — the
+    streaming form of distinct keep-any (stream_compaction.hpp:321)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+def stateful_running_totals(events: DataFrame, out_schema: str = "user_id long, n long, total double") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (count, sum) across micro-batches — the accumulate/merge/finalize
+    contract of streaming_groupby.cpp:21-33 with user-managed state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [round(total, 2)]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def kafka_micro_batch_reader(
+    spark: SparkSession,
+    *,
+    brokers: str,
+    topic: str,
+    value_schema=None,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source mirroring custreamz Consumer.read_gdf options
+    (python/custreamz/custreamz/kafka.py:65-83: brokers/topic/offsets →
+    micro-batch frames). Requires the spark-sql-kafka package on the
+    classpath; parse ``value`` with ``F.from_json(value_schema)`` when
+    given."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    df = reader.load()
+    if value_schema is not None:
+        df = df.select(
+            F.col("key").cast("string").alias("key"),
+            F.from_json(F.col("value").cast("string"), value_schema).alias("value"),
+            "timestamp",
+        )
+    return df

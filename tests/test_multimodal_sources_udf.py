@@ -1,0 +1,93 @@
+"""Tests for multimodal binary plumbing, source/sink roundtrips, and the
+Arrow-batched UDF surface."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_multimodal_decode_meta(spark):
+    from cudf_spark.multimodal import ASSET_SCHEMA, decode_image_meta, fake_image_bytes, filter_valid_images
+
+    rows = [
+        (1, "image", fake_image_bytes(64, 48, fill=7), {"src": "cam0"}),
+        (2, "image", fake_image_bytes(8, 8), {}),
+        (3, "image", b"NOTANIMAGE", {}),
+        (4, "image", None, {}),
+    ]
+    assets = spark.createDataFrame(rows, schema=ASSET_SCHEMA)
+    meta = {r["asset_id"]: r for r in decode_image_meta(assets).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["valid"]) == (64, 48, True)
+    assert meta[2]["n_bytes"] == 12 + 64
+    assert meta[3]["valid"] is False and meta[4]["valid"] is False
+    assert {r["asset_id"] for r in filter_valid_images(assets).collect()} == {1, 2}
+
+
+def test_multimodal_pixel_decode_is_stubbed(spark):
+    from cudf_spark.multimodal import ASSET_SCHEMA, decode_image_pixels
+
+    assets = spark.createDataFrame([], schema=ASSET_SCHEMA)
+    with pytest.raises(NotImplementedError):
+        decode_image_pixels(assets)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
+def test_source_roundtrip(spark, fmt):
+    from cudf_spark.catalog import load
+    from cudf_spark.sources import read, write
+
+    df = load(spark, SF_DIR, "nation")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/out_{fmt}"
+        write(df, path, fmt)
+        back = read(spark, path, fmt, schema=df.schema if fmt in ("csv", "json") else None)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_write_partitioned_prunes(spark):
+    from cudf_spark.catalog import load
+    from cudf_spark.sources import read, write
+
+    df = load(spark, SF_DIR, "nation")
+    with tempfile.TemporaryDirectory() as tmp:
+        write(df, f"{tmp}/p", "parquet", partition_by=["n_regionkey"])
+        pruned = read(spark, f"{tmp}/p", "parquet").filter(F.col("n_regionkey") == 2)
+        plan = pruned.queryExecution if False else pruned._jdf.queryExecution().executedPlan().toString()
+        assert pruned.count() == df.filter(F.col("n_regionkey") == 2).count()
+        # partition filter must reach the scan (pruned directories)
+        assert "PartitionFilters: [" in plan and "n_regionkey" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_udf_surface(spark):
+    import numpy as np
+
+    from cudf_spark.catalog import load
+    from cudf_spark.udf import apply_series, groupby_apply, map_batches
+
+    li = load(spark, SF_DIR, "lineitem").select("l_returnflag", "l_quantity").limit(1000)
+
+    double_qty = apply_series(lambda s: s * 2, "double")
+    got = li.select(double_qty(F.col("l_quantity")).alias("d"), "l_quantity").collect()
+    assert all(abs(r["d"] - 2 * r["l_quantity"]) < 1e-9 for r in got)
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["centered"] = pdf["l_quantity"] - pdf["l_quantity"].mean()
+        return pdf
+
+    centered = groupby_apply(li, ["l_returnflag"], center, "l_returnflag string, l_quantity double, centered double")
+    sums = centered.groupBy("l_returnflag").agg(F.round(F.sum("centered"), 6).alias("s")).collect()
+    assert all(abs(r["s"]) < 1e-6 for r in sums)
+
+    def add_log(batches):
+        for pdf in batches:
+            yield pdf.assign(logq=np.log1p(pdf["l_quantity"]))
+
+    mb = map_batches(li, add_log, "l_returnflag string, l_quantity double, logq double")
+    assert mb.filter(F.col("logq") <= 0).count() == 0

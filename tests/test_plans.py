@@ -48,12 +48,13 @@ def test_q03_global_topk_is_take_ordered(spark):
 
 
 def test_whole_stage_codegen_everywhere(spark):
-    # AQE prints the final (codegen'd) plan only after execution
+    # AQE prints the final plan only after execution; whole-stage-codegen
+    # spans show as "*(n) " operator prefixes in plan text
     for name in ["q01_pricing_summary", "agg_kinds_basic", "win_grouped_scan"]:
         df = REGISTRY[name].build(spark, SF_DIR)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "WholeStageCodegen" in plan, name
+        assert "*(1)" in plan, name
 
 
 def test_mixed_join_is_not_nested_loop(spark):

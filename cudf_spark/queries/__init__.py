@@ -14,7 +14,9 @@ from cudf_spark.queries import (  # noqa: F401, E402
     joins,
     lists,
     relational,
+    reshape,
     scalars_datetime,
+    scalars_math,
     scalars_strings,
     similarity,
     streaming_batch,

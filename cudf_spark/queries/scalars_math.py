@@ -1,0 +1,265 @@
+"""Unary/binary math, replace/clamp, search, sampling and partitioning
+coverage (SURVEY §2.2: unary.hpp:33-56, binaryop.hpp:30-83,
+replace.hpp:48-260, search.hpp:62-155, partitioning.hpp:71-286,
+copying.hpp:883 sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cudf_spark.catalog import load
+from cudf_spark.functions.hashing import hash60, hash60_sql
+from cudf_spark.queries.registry import register
+
+
+@register(
+    "math_unary",
+    oracle="""
+    SELECT o_orderkey,
+           round(sin(o_totalprice / 100000), 6)   AS s,
+           round(cos(o_totalprice / 100000), 6)   AS c,
+           round(sqrt(abs(o_totalprice)), 6)      AS sq,
+           round(ln(o_totalprice + 1), 6)         AS lg,
+           round(exp(o_totalprice / 200000), 6)   AS ex,
+           round(cbrt(o_totalprice), 6)           AS cb,
+           CAST(ceil(o_totalprice) AS BIGINT)     AS ce,
+           CAST(floor(o_totalprice) AS BIGINT)    AS fl,
+           CAST(sign(o_totalprice - 50000) AS INT) AS sg
+    FROM orders ORDER BY o_orderkey
+    """,
+    doc="unary math ops (unary.hpp:33-56: sin…exp/log/sqrt/cbrt, ceil/floor, "
+    "sign) — rounded: JVM and libm transcendentals differ in final ULPs.",
+)
+def math_unary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(F.sin(p / 100000), 6).alias("s"),
+        F.round(F.cos(p / 100000), 6).alias("c"),
+        F.round(F.sqrt(F.abs(p)), 6).alias("sq"),
+        F.round(F.log(p + 1), 6).alias("lg"),
+        F.round(F.exp(p / 200000), 6).alias("ex"),
+        F.round(F.cbrt(p), 6).alias("cb"),
+        F.ceil(p).alias("ce"),
+        F.floor(p).alias("fl"),
+        F.signum(p - 50000).cast("int").alias("sg"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "math_binary_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey << 2                                  AS shl,
+           o_custkey >> 1                                  AS shr,
+           o_custkey & 255                                 AS band,
+           o_custkey | 4096                                AS bor,
+           xor(o_custkey, 1023)                            AS bxor,
+           ((o_custkey % 7) + 7) % 7                       AS pm,
+           round(log2(o_custkey + 2), 6)                   AS l2,
+           round(atan2(o_totalprice, o_custkey + 1), 6)    AS at2,
+           round(pow(o_custkey % 9, 3), 2)                 AS pw
+    FROM orders ORDER BY o_orderkey
+    """,
+    doc="binary ops (binaryop.hpp:30-83: shifts, bitwise, PMOD, LOG_BASE, "
+    "ATAN2, POW) — note binaryop.hpp:79-82 documents Spark null rules.",
+)
+def math_binary_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_custkey")
+    return o.select(
+        "o_orderkey",
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 1).alias("shr"),
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(1023)).alias("bxor"),
+        F.pmod(k, F.lit(7)).alias("pm"),
+        F.round(F.log2(k + 2), 6).alias("l2"),
+        F.round(F.atan2(F.col("o_totalprice"), k + 1), 6).alias("at2"),
+        F.round(F.pow(k % 9, 3), 2).alias("pw"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "replace_fill_clamp",
+    oracle="""
+    WITH e AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+               event_type
+        FROM events
+    )
+    SELECT event_id,
+           round(coalesce(v, -1.0), 4)                        AS filled,
+           CASE WHEN event_type = 'error' THEN 'fault' ELSE event_type END AS remapped,
+           round(greatest(least(coalesce(v, 0), 100.0), 10.0), 4) AS clamped,
+           (v IS NULL)                                        AS was_null
+    FROM e ORDER BY event_id
+    """,
+    doc="replace_nulls value-fill (replace.hpp:48), find_and_replace_all "
+    "(:159), clamp (:212) — coalesce / when / greatest∘least.",
+)
+def replace_fill_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    return e.select(
+        "event_id",
+        F.round(F.coalesce(v, F.lit(-1.0)), 4).alias("filled"),
+        F.when(F.col("event_type") == "error", "fault").otherwise(F.col("event_type")).alias("remapped"),
+        F.round(F.greatest(F.least(F.coalesce(v, F.lit(0.0)), F.lit(100.0)), F.lit(10.0)), 4).alias("clamped"),
+        v.isNull().alias("was_null"),
+    ).orderBy("event_id")
+
+
+@register(
+    "replace_nan_handling",
+    oracle="""
+    WITH e AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN 'nan'::DOUBLE ELSE value END AS v
+        FROM events
+    )
+    SELECT event_id,
+           isnan(v)                                     AS is_nan,
+           round(CASE WHEN isnan(v) THEN 0.0 ELSE v END, 4) AS nan_replaced,
+           count(*) OVER ()                             AS n_total
+    FROM e ORDER BY event_id
+    """,
+    doc="NaN vs null dichotomy (SURVEY §7 hard-part 3): is_nan (unary.hpp), "
+    "replace_nans (replace.hpp:114) — Spark keeps null ≠ NaN like cudf.",
+)
+def replace_nan_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(float("nan"))).otherwise(F.col("value"))
+    return e.select(
+        "event_id",
+        F.isnan(v).alias("is_nan"),
+        F.round(F.nanvl(v, F.lit(0.0)), 4).alias("nan_replaced"),
+        F.count("*").over(Window.partitionBy()).alias("n_total"),
+    ).orderBy("event_id")
+
+
+@register(
+    "search_bounds_isin",
+    oracle="""
+    SELECT o_orderkey,
+           len(list_filter([0.0, 25000.0, 50000.0, 75000.0], b -> b <= o_totalprice)) AS lower_bound,
+           o_orderstatus IN ('F', 'P') AS in_set
+    FROM orders ORDER BY o_orderkey
+    """,
+    doc="lower_bound table search (search.hpp:62) as count-of-boundaries<=x "
+    "over a literal array; contains/isin (:155).",
+)
+def search_bounds_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bounds = F.array(*[F.lit(x) for x in (0.0, 25000.0, 50000.0, 75000.0)])
+    lb = F.size(F.filter(bounds, lambda b: b <= F.col("o_totalprice")))
+    return o.select(
+        "o_orderkey",
+        lb.alias("lower_bound"),
+        F.col("o_orderstatus").isin("F", "P").alias("in_set"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "sample_deterministic",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE {hash60_sql("CAST(o_orderkey AS VARCHAR)", seed=3)} % 10 = 0
+    ORDER BY o_orderkey
+    """,
+    doc="sample (copying.hpp:883) — hash-mod deterministic ~10% sample "
+    "(reproducible across engines and runs, unlike rng sampling; use "
+    "df.sample for statistical sampling).",
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    keep = hash60(F.col("o_orderkey").cast("string"), seed=3) % 10 == 0
+    return o.filter(keep).select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+
+
+@register(
+    "partition_histogram",
+    oracle=None,  # spark_partition_id has no cross-engine analogue
+    doc="hash_partition (partitioning.hpp:103) — repartition(8, key) then "
+    "per-partition row histogram; asserts placement, not values (rows-only).",
+)
+def partition_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.repartition(8, "o_custkey")
+        .select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .orderBy("pid")
+    )
+
+
+@register(
+    "drop_nulls_thresh",
+    oracle="""
+    WITH e AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v1,
+               CASE WHEN user_id % 3 = 0 THEN NULL ELSE value * 2 END  AS v2,
+               CASE WHEN event_type = 'click' THEN NULL ELSE user_id END AS v3
+        FROM events
+    )
+    SELECT event_id, round(v1, 4) AS v1, round(v2, 4) AS v2, v3
+    FROM e
+    WHERE (CASE WHEN v1 IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN v2 IS NULL THEN 0 ELSE 1 END
+         + CASE WHEN v3 IS NULL THEN 0 ELSE 1 END) >= 2
+    ORDER BY event_id
+    """,
+    doc="drop_nulls with threshold (stream_compaction.hpp:73: keep rows with "
+    ">= keep_threshold non-nulls) — df.na.drop(thresh=2) on synthesized nulls.",
+)
+def drop_nulls_thresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v1 = F.when(F.col("event_type") != "error", F.col("value"))
+    v2 = F.when(F.col("user_id") % 3 != 0, F.col("value") * 2)
+    v3 = F.when(F.col("event_type") != "click", F.col("user_id"))
+    frame = e.select(
+        "event_id",
+        F.round(v1, 4).alias("v1"),
+        F.round(v2, 4).alias("v2"),
+        v3.alias("v3"),
+    )
+    return frame.na.drop(thresh=2, subset=["v1", "v2", "v3"]).orderBy("event_id")
+
+
+@register(
+    "dictionary_encode",
+    oracle="""
+    WITH codes AS (
+        SELECT p_type, dense_rank() OVER (ORDER BY p_type) - 1 AS code
+        FROM (SELECT DISTINCT p_type FROM part)
+    )
+    SELECT p.p_partkey, p.p_type, CAST(c.code AS INT) AS type_code
+    FROM part p JOIN codes c ON p.p_type = c.p_type
+    ORDER BY p_partkey
+    """,
+    doc="dictionary encode / factorize (dictionary/encode.hpp; "
+    "transform.hpp:351): dense integer codes over the sorted distinct "
+    "domain, joined back (broadcast — the domain is small by definition).",
+)
+def dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    p = load(spark, sf_dir, "part")
+    codes = (
+        p.select("p_type")
+        .distinct()
+        .withColumn("type_code", (F.dense_rank().over(W.partitionBy().orderBy("p_type")) - 1).cast("int"))
+    )
+    return (
+        p.join(F.broadcast(codes), "p_type")
+        .select("p_partkey", "p_type", "type_code")
+        .orderBy("p_partkey")
+    )

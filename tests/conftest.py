@@ -92,6 +92,14 @@ def assert_parity(spark, duck, query, max_show: int = 8):
     assert query.oracle is not None, f"{query.name}: no oracle to compare against"
     dcols, drows = rows_from_duck(duck, query.oracle)
     assert scols == dcols, f"{query.name}: column mismatch spark={scols} duck={dcols}"
+    # Python == treats 1000 == 1000.0; the driver's value hash does not.
+    # Compare type KINDS cell-wise on the first row to catch int/float skew.
+    for a, b in zip(srows[:1], drows[:1]):
+        for c, x, y in zip(scols, a, b):
+            if x is not None and y is not None:
+                kx = "num-int" if isinstance(x, int) and not isinstance(x, bool) else type(x).__name__
+                ky = "num-int" if isinstance(y, int) and not isinstance(y, bool) else type(y).__name__
+                assert kx == ky, f"{query.name}.{c}: type kind {kx} vs {ky} ({x!r} vs {y!r})"
     assert len(srows) == len(drows), (
         f"{query.name}: row count spark={len(srows)} duck={len(drows)}"
     )

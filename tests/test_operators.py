@@ -74,3 +74,22 @@ def test_rolling_min_periods_nulls(spark):
     n_null = out.filter(F.col("r").isNull()).count()
     n_groups = li.select("l_suppkey").distinct().count()
     assert n_null == n_groups
+
+
+def test_wordpiece_tokenizer(spark):
+    from pyspark.sql import functions as F
+
+    from cudf_spark.operators.tokenizers import wordpiece_tokenize
+
+    vocab = ["scan", "join", "merge", "sort", "filt", "##er", "##s", "the", "a", "fast", "slow"]
+    df = spark.createDataFrame(
+        [(1, "the fast scan"), (2, "filter joins"), (3, "unknownword merge")],
+        ["id", "text"],
+    )
+    got = {
+        r["id"]: r["pieces"]
+        for r in wordpiece_tokenize(df, spark, "text", vocab).collect()
+    }
+    assert got[1] == ["the", "fast", "scan"]
+    assert got[2] == ["filt", "##er", "join", "##s"]
+    assert got[3] == ["[UNK]", "merge"]

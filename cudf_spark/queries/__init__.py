@@ -14,6 +14,7 @@ from cudf_spark.queries import (  # noqa: F401, E402
     joins,
     lists,
     relational,
+    relational2,
     reshape,
     scalars_datetime,
     scalars_math,

@@ -248,3 +248,30 @@ def str_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").alias("k"),
         F.get_json_object("props", "$.missing").alias("missing"),
     ).orderBy("event_id")
+
+
+@register(
+    "str_ipv4",
+    oracle="""
+    SELECT p_partkey,
+           CAST((p_partkey * 7919) % 4294967296 // 16777216 AS VARCHAR) || '.' ||
+           CAST(((p_partkey * 7919) % 16777216) // 65536 AS VARCHAR) || '.' ||
+           CAST(((p_partkey * 7919) % 65536) // 256 AS VARCHAR) || '.' ||
+           CAST((p_partkey * 7919) % 256 AS VARCHAR)              AS ip_str,
+           (p_partkey * 7919) % 4294967296                         AS ip_int
+    FROM part ORDER BY p_partkey
+    """,
+    doc="integers_to_ipv4 (strings/convert/convert_ipv4.hpp) — octet "
+    "decomposition as pure integer arithmetic.",
+)
+def str_ipv4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    ip = (F.col("p_partkey") * 7919) % F.lit(4294967296)
+    ip_str = F.concat_ws(
+        ".",
+        (ip / 16777216).cast("long").cast("string"),
+        ((ip % 16777216) / 65536).cast("long").cast("string"),
+        ((ip % 65536) / 256).cast("long").cast("string"),
+        (ip % 256).cast("string"),
+    )
+    return p.select("p_partkey", ip_str.alias("ip_str"), ip.alias("ip_int")).orderBy("p_partkey")

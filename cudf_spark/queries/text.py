@@ -363,3 +363,27 @@ def text_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_join(F.slice(content, 1, 10), " ").alias("first10_content"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_porter_measure",
+    oracle=f"""
+    SELECT doc_id,
+           list_sum(list_transform({SQL_TOKS}[1:5],
+               t -> len(regexp_extract_all(regexp_replace(t, '[^aeiou]', 'c', 'g'),
+                                           '[aeiou]+c')))) AS vc_measure
+    FROM documents ORDER BY doc_id
+    """,
+    doc="porter_stemmer_measure (nvtext/stemmer.hpp:159): the VC-pattern "
+    "count m per token (first 5 tokens), via consonant-class regex.",
+)
+def text_porter_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.slice(F.split(normalize_text(F.col("text")), " "), 1, 5)
+    measure = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc
+        + F.size(F.regexp_extract_all(F.regexp_replace(t, "[^aeiou]", "c"), F.lit("[aeiou]+c"), 0)),
+    )
+    return d.select("doc_id", measure.cast("long").alias("vc_measure")).orderBy("doc_id")

@@ -93,3 +93,17 @@ def test_wordpiece_tokenizer(spark):
     assert got[1] == ["the", "fast", "scan"]
     assert got[2] == ["filt", "##er", "join", "##s"]
     assert got[3] == ["[UNK]", "merge"]
+
+
+def test_approx_sketches_accuracy(spark):
+    """HLL++ (approx_count_distinct) and GK (percentile_approx) vs exact —
+    the reference's HLL/t-digest sketches (approx_distinct_count.hpp:42,
+    TDIGEST kind) have engine-specific values; assert accuracy bounds."""
+    from tests.conftest import SF_DIR
+
+    from cudf_spark.queries import REGISTRY
+
+    rows = REGISTRY["agg_approx_sketches"].build(spark, SF_DIR).collect()
+    for r in rows:
+        assert abs(r["approx_parts"] - r["exact_parts"]) <= max(3, 0.05 * r["exact_parts"])
+        assert abs(r["approx_median_price"] - r["exact_median_price"]) <= 0.02 * r["exact_median_price"]

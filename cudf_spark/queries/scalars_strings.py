@@ -275,3 +275,23 @@ def str_ipv4(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ip % 256).cast("string"),
     )
     return p.select("p_partkey", ip_str.alias("ip_str"), ip.alias("ip_int")).orderBy("p_partkey")
+
+
+@register(
+    "str_bytes_base64",
+    oracle="""
+    SELECT c_custkey,
+           base64(encode(c_name))        AS b64,
+           octet_length(encode(c_name))  AS n_bytes
+    FROM customer ORDER BY c_custkey
+    """,
+    doc="byte_cast / binary round-trip (reshape.hpp:99 byte_cast; "
+    "strings code_points) — utf8 encode + base64 + byte length.",
+)
+def str_bytes_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.base64(F.encode(F.col("c_name"), "UTF-8")).alias("b64"),
+        F.octet_length(F.col("c_name")).alias("n_bytes"),
+    ).orderBy("c_custkey")

@@ -387,3 +387,35 @@ def text_porter_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.size(F.regexp_extract_all(F.regexp_replace(t, "[^aeiou]", "c"), F.lit("[aeiou]+c"), 0)),
     )
     return d.select("doc_id", measure.cast("long").alias("vc_measure")).orderBy("doc_id")
+
+
+@register(
+    "text_char_ngrams",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, substr({SQL_NORM}, 1, 20) AS s FROM documents)
+    SELECT doc_id,
+           array_to_string(list_transform(generate_series(1, length(s) - 2),
+               i -> substr(s, CAST(i AS INT), 3)), '|') AS char3,
+           length(s) AS n_chars
+    FROM n ORDER BY doc_id
+    """,
+    doc="generate_character_ngrams (nvtext/generate_ngrams.hpp:49) — "
+    "sliding char windows over the normalized prefix.",
+)
+def text_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    s = F.substring(normalize_text(F.col("text")), 1, 20)
+
+    def grams(bound_s):
+        return F.transform(
+            F.sequence(F.lit(1), F.length(bound_s) - 2),
+            lambda i: F.substring(bound_s, i, 3),
+        )
+
+    # bind s once (CSE trap — see word_shingles)
+    char3 = F.element_at(F.transform(F.array(s), grams), 1)
+    return d.select(
+        "doc_id",
+        F.array_join(char3, "|").alias("char3"),
+        F.length(s).alias("n_chars"),
+    ).orderBy("doc_id")

@@ -91,3 +91,40 @@ def test_udf_surface(spark):
 
     mb = map_batches(li, add_log, "l_returnflag string, l_quantity double, logq double")
     assert mb.filter(F.col("logq") <= 0).count() == 0
+
+
+def test_text_source_custom_linesep(spark):
+    """Raw text split by custom delimiter (multibyte_split.hpp:83)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/raw.txt"
+        with open(path, "w") as f:
+            f.write("alpha;;beta;;gamma")
+        rows = spark.read.option("lineSep", ";;").text(path).collect()
+        assert [r["value"] for r in rows] == ["alpha", "beta", "gamma"]
+
+
+def test_parquet_compression_codecs(spark):
+    """Compression codecs (cpp/src/io/comp/) are reader/writer options."""
+    import tempfile
+
+    from cudf_spark.catalog import load
+
+    df = load(spark, SF_DIR, "region")
+    with tempfile.TemporaryDirectory() as tmp:
+        for codec in ("snappy", "zstd", "gzip"):
+            df.write.option("compression", codec).mode("overwrite").parquet(f"{tmp}/{codec}")
+            assert spark.read.parquet(f"{tmp}/{codec}").count() == df.count()
+
+
+def test_arrow_interop_roundtrip(spark):
+    """Arrow C-interface interop (interop.hpp:477 to_arrow) —
+    createDataFrame(pandas via Arrow) and toPandas round-trip."""
+    import pandas as pd
+
+    from cudf_spark.catalog import load
+
+    pdf = load(spark, SF_DIR, "nation").toPandas()
+    back = spark.createDataFrame(pdf)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, pdf.itertuples(index=False)))

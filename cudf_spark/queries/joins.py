@@ -312,3 +312,37 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-03-01 00:00:00").cast("timestamp"))
     ).select(F.col("l_suppkey").alias("nk"))
     return jan.exceptAll(feb).groupBy("nk").agg(F.count("*").alias("n")).orderBy("nk")
+
+
+@register(
+    "hconcat_positional",
+    oracle="""
+    WITH a AS (
+        SELECT r_name, row_number() OVER (ORDER BY r_regionkey) AS rn FROM region
+    ), b AS (
+        SELECT o_orderstatus, row_number() OVER (ORDER BY o_orderstatus) AS rn
+        FROM (SELECT DISTINCT o_orderstatus FROM orders)
+    )
+    SELECT a.rn AS pos, a.r_name, b.o_orderstatus
+    FROM a LEFT JOIN b ON a.rn = b.rn
+    ORDER BY pos
+    """,
+    doc="HConcat — positional column zip of two frames (cudf-polars HConcat "
+    "IR dsl/ir.py:3555). Spark has no implicit row order (SURVEY §7 "
+    "hard-part 1): positions come from explicit row_number over a total "
+    "order, then an equi-join on position.",
+)
+def hconcat_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    r = load(spark, sf_dir, "region")
+    s = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    a = r.select("r_name", F.row_number().over(W.partitionBy().orderBy("r_regionkey")).alias("rn"))
+    b = s.select(
+        "o_orderstatus", F.row_number().over(W.partitionBy().orderBy("o_orderstatus")).alias("rn")
+    )
+    return (
+        a.join(b, "rn", "left")
+        .select(F.col("rn").alias("pos"), "r_name", "o_orderstatus")
+        .orderBy("pos")
+    )

@@ -312,3 +312,42 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.round("ewma", 4).alias("ewma"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "win_rank_methods",
+    oracle="""
+    WITH b AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket
+        FROM customer
+    )
+    SELECT c_custkey,
+           rank()       OVER w                                    AS rank_min,
+           dense_rank() OVER w                                    AS rank_dense,
+           round((2.0 * rank() OVER w + count(*) OVER wp - 1) / 2, 1) AS rank_avg,
+           rank() OVER w + count(*) OVER wp - 1                   AS rank_max
+    FROM b
+    WINDOW w  AS (PARTITION BY c_mktsegment ORDER BY bucket DESC),
+           wp AS (PARTITION BY c_mktsegment, bucket)
+    ORDER BY c_custkey
+    """,
+    doc="rank methods beyond SQL (cudf::rank sorting.hpp:222: "
+    "average/max) — composed as rank + tie-group count: "
+    "avg = (2*min_rank + ties - 1)/2, max = min_rank + ties - 1.",
+)
+def win_rank_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").withColumn(
+        "bucket", F.floor(F.col("c_acctbal") / 1000).cast("long")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("bucket"))
+    wp = Window.partitionBy("c_mktsegment", "bucket")
+    rank_min = F.rank().over(w)
+    ties = F.count("*").over(wp)
+    return c.select(
+        "c_custkey",
+        rank_min.alias("rank_min"),
+        F.dense_rank().over(w).alias("rank_dense"),
+        F.round((2.0 * rank_min + ties - 1) / 2, 1).alias("rank_avg"),
+        (rank_min + ties - 1).alias("rank_max"),
+    ).orderBy("c_custkey")

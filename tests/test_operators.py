@@ -107,3 +107,33 @@ def test_approx_sketches_accuracy(spark):
     for r in rows:
         assert abs(r["approx_parts"] - r["exact_parts"]) <= max(3, 0.05 * r["exact_parts"])
         assert abs(r["approx_median_price"] - r["exact_median_price"]) <= 0.02 * r["exact_median_price"]
+
+
+def test_segmented_sort_within_partitions(spark):
+    """Segmented sort (sorting.hpp:279): repartition by segment then
+    sortWithinPartitions — every partition locally ordered by the key."""
+    from tests.conftest import SF_DIR
+
+    from cudf_spark.catalog import load
+
+    li = (
+        load(spark, SF_DIR, "lineitem")
+        .repartition(4, "l_suppkey")
+        .sortWithinPartitions("l_suppkey", "l_shipdate")
+        .select("l_suppkey", "l_shipdate")
+    )
+
+    def check(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ok = (
+                pdf[["l_suppkey", "l_shipdate"]]
+                .eq(pdf[["l_suppkey", "l_shipdate"]].sort_values(["l_suppkey", "l_shipdate"]).values)
+                .all()
+                .all()
+            )
+            yield pd.DataFrame({"sorted": [bool(ok)]})
+
+    flags = li.mapInPandas(check, "sorted boolean").collect()
+    assert flags and all(r["sorted"] for r in flags)

@@ -18,8 +18,8 @@ from cudf_spark.queries.registry import register
     "math_unary",
     oracle="""
     SELECT o_orderkey,
-           round(sin(o_totalprice / 100000), 6)   AS s,
-           round(cos(o_totalprice / 100000), 6)   AS c,
+           round(sin(o_totalprice / 100000), 6) + 0.0 AS s,
+           round(cos(o_totalprice / 100000), 6) + 0.0 AS c,
            round(sqrt(abs(o_totalprice)), 6)      AS sq,
            round(ln(o_totalprice + 1), 6)         AS lg,
            round(exp(o_totalprice / 200000), 6)   AS ex,
@@ -30,7 +30,9 @@ from cudf_spark.queries.registry import register
     FROM orders ORDER BY o_orderkey
     """,
     doc="unary math ops (unary.hpp:33-56: sin…exp/log/sqrt/cbrt, ceil/floor, "
-    "sign) — rounded: JVM and libm transcendentals differ in final ULPs.",
+    "sign) — rounded: JVM and libm transcendentals differ in final ULPs. "
+    "Oracle adds +0.0 after round: DuckDB keeps IEEE -0.0 where Spark's "
+    "BigDecimal round normalizes to +0.0, and value hashes see the sign.",
 )
 def math_unary(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")

@@ -115,7 +115,8 @@ def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN count(l_quantity) OVER w >= 2
                 THEN round(avg(l_quantity) OVER w, 4) END AS avg_minp2
     FROM lineitem
-    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     ORDER BY l_suppkey, l_orderkey, l_linenumber
     """,
@@ -124,7 +125,8 @@ def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    part, order = ["l_suppkey"], ["l_shipdate", "l_orderkey", "l_linenumber"]
+    # full unique order: (shipdate, orderkey, linenumber) ties at sf>=0.1
+    part, order = ["l_suppkey"], ["l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"]
     return li.select(
         "l_suppkey",
         "l_orderkey",

@@ -346,3 +346,69 @@ def hconcat_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("rn").alias("pos"), "r_name", "o_orderstatus")
         .orderBy("pos")
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH a AS (
+        SELECT event_id, CASE WHEN event_type = 'error' THEN NULL ELSE user_id END AS k
+        FROM events WHERE event_id < 200
+    ), b AS (
+        SELECT CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END AS k, count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT a.event_id, a.k, b.n
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.event_id
+    """,
+    doc="null-safe equality join — the NULL_EQUALS binary op the reference "
+    "documents with Spark's null rules (binaryop.hpp:79-82) → <=> / "
+    "eqNullSafe; null keys match null keys.",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    a = e.filter(F.col("event_id") < 200).select(
+        "event_id",
+        F.when(F.col("event_type") != "error", F.col("user_id")).alias("k"),
+    )
+    b = (
+        e.select(F.when(F.col("user_id") % 5 != 0, F.col("user_id")).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        a.join(b, a.k.eqNullSafe(b.k))
+        .select("event_id", a.k.alias("k"), "n")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "union_by_name_promote",
+    oracle="""
+    SELECT nk, src, bal FROM (
+        SELECT c_nationkey AS nk, 'cust' AS src, round(c_acctbal, 2) AS bal
+        FROM customer WHERE c_custkey < 50
+        UNION ALL
+        SELECT s_nationkey AS nk, 'supp' AS src, NULL AS bal FROM supplier
+    ) ORDER BY src, nk, bal
+    """,
+    doc="union with schema promotion — unionByName(allowMissingColumns) "
+    "fills absent columns with nulls (cudf concatenate with unequal "
+    "schemas; Union IR dsl/ir.py:3519).",
+)
+def union_by_name_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 50)
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.lit("cust").alias("src"),
+            F.round("c_acctbal", 2).alias("bal"),
+        )
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk"), F.lit("supp").alias("src")
+    )
+    return c.unionByName(s, allowMissingColumns=True).orderBy("src", "nk", "bal")

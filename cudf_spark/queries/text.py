@@ -17,10 +17,8 @@ from cudf_spark.functions.hashing import hash60, hash60_sql
 from cudf_spark.functions.textfns import jaccard, normalize_text, word_shingles
 from cudf_spark.operators.dedup import (
     MINHASH_P,
-    lsh_candidate_pairs,
     minhash_lsh_dedup,
     minhash_seeds,
-    minhash_signature,
     simhash,
 )
 from cudf_spark.queries.registry import register

@@ -81,3 +81,13 @@ def test_stateful_running_totals(spark):
     )
     cols = ["user_id", "n", "total"]
     assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_stream_sliding_matches_batch(spark):
+    from cudf_spark.catalog import load
+    from cudf_spark.streaming.ops import events_stream, sliding_counts
+
+    batch = sliding_counts(load(spark, SF_DIR, "events"))
+    stream = _run_stream(spark, sliding_counts(events_stream(spark, SF_DIR)), "t_slide")
+    cols = ["window_start", "event_type", "n"]
+    assert _rows(stream, cols) == _rows(batch, cols)

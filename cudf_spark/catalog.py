@@ -40,6 +40,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    # Every query's timestamp literals / date_format renderings assume UTC
+    # (the DuckDB oracle is tz-naive). The driver may hand us a session it
+    # built itself, so pin the tz here rather than in our session builder.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 

@@ -19,13 +19,18 @@ from pyspark.sql import functions as F
 
 
 def zfill(col: Column, width: int) -> Column:
-    """Zero-pad to ``width`` keeping a leading sign in place ('-42' → '-042')."""
+    """Zero-pad to ``width`` keeping a leading sign in place ('-42' → '-042').
+
+    No-op on strings already >= width (cudf/pandas semantics) — Spark's
+    ``lpad`` would otherwise truncate them ('-12345' with width 4 → '-123').
+    """
     sign = F.substring(col, 1, 1)
     has_sign = sign.isin("-", "+")
     body = F.substring(col, 2, 1 << 30)
-    return F.when(has_sign, F.concat(sign, F.lpad(body, width - 1, "0"))).otherwise(
+    padded = F.when(has_sign, F.concat(sign, F.lpad(body, width - 1, "0"))).otherwise(
         F.lpad(col, width, "0")
     )
+    return F.when(F.length(col) >= width, col).otherwise(padded)
 
 
 def swapcase(col: Column) -> Column:

@@ -79,8 +79,12 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, *, n_hashes: int = 8, band_
 
     Bands come from ONE pass over the signature (posexplode of the band-key
     array), not one plan branch per band — the signature subtree (explode +
-    md5 + groupBy) is evaluated once, and the tiny band table is persisted
-    so the self-join probes memory instead of recomputing the pipeline.
+    md5 + groupBy) is evaluated once: the tiny band table is locally
+    checkpointed so the self-join probes materialized blocks instead of
+    recomputing the pipeline. Unlike ``persist()`` (whose blocks live until
+    an explicit unpersist — a leak in long-lived sessions), local-checkpoint
+    blocks are released by Spark's ContextCleaner once the returned
+    DataFrame is garbage-collected.
     """
     n_bands = n_hashes // band_size
     band_keys = F.array(
@@ -91,7 +95,7 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, *, n_hashes: int = 8, band_
     )
     bands = sig.select(
         F.col(id_col).alias("bid"), F.posexplode(band_keys).alias("band", "band_key")
-    ).persist()
+    ).localCheckpoint(eager=False)
     left = bands.select(F.col("bid").alias("id_a"), "band", "band_key")
     right = bands.select(F.col("bid").alias("id_b"), "band", "band_key")
     return (

@@ -51,9 +51,12 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
         *lcols,
     )
+    # Tie-break on the payload columns: when several right rows share the
+    # same (key, timestamp), the greatest payload tuple wins deterministically
+    # across plans/engines (matches an ORDER BY ... LAST_VALUE oracle).
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__tag")
+        .orderBy("__t", "__tag", *[F.col(f"__r_{c}") for c in right_values])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = r.unionByName(l).select(

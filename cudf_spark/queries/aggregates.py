@@ -26,7 +26,7 @@ from cudf_spark.queries.registry import register
            round(avg(l_extendedprice), 4)         AS avg_price,
            count(*)                               AS n_rows,
            count(DISTINCT l_suppkey)              AS n_supp,
-           count_if(l_quantity > 25)              AS n_bulk,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
            round(sum(l_quantity * l_quantity), 2) AS sum_sq_qty
     FROM lineitem
     GROUP BY l_returnflag

@@ -183,7 +183,7 @@ def list_sort_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(list_filter({TOKENS}, t -> length(t) > 4))                    AS n_long,
            array_to_string(list_transform({TOKENS}[1:4], t -> upper(t)), ',') AS up4,
-           list_sum(list_transform({TOKENS}, t -> length(t)))                AS total_chars
+           CAST(list_sum(list_transform({TOKENS}, t -> length(t))) AS BIGINT) AS total_chars
     FROM documents ORDER BY doc_id
     """,
     doc="higher-order fns over lists: apply_boolean_mask "

@@ -189,8 +189,11 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     n = load(spark, sf_dir, "nation")
     return (
+        # part is broadcast (LIKE-filtered to a sliver); supplier is NOT —
+        # it scales with SF (SF1000 ≈ 10 M rows), so AQE picks the strategy
+        # from observed size instead of a forced hint.
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(

@@ -6,7 +6,7 @@ copying.hpp:883 sample).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
@@ -137,12 +137,19 @@ def replace_fill_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def replace_nan_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     v = F.when(F.col("event_type") == "error", F.lit(float("nan"))).otherwise(F.col("value"))
-    return e.select(
-        "event_id",
-        F.isnan(v).alias("is_nan"),
-        F.round(F.nanvl(v, F.lit(0.0)), 4).alias("nan_replaced"),
-        F.count("*").over(Window.partitionBy()).alias("n_total"),
-    ).orderBy("event_id")
+    # The global count is a 1-row aggregate broadcast-joined back — an
+    # unpartitioned window (count(*) OVER ()) would funnel the whole table
+    # through a single partition, a scale-killer at 100 TB.
+    n = e.agg(F.count("*").alias("n_total"))
+    return (
+        e.select(
+            "event_id",
+            F.isnan(v).alias("is_nan"),
+            F.round(F.nanvl(v, F.lit(0.0)), 4).alias("nan_replaced"),
+        )
+        .crossJoin(F.broadcast(n))
+        .orderBy("event_id")
+    )
 
 
 @register(

@@ -63,7 +63,9 @@ def str_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
                w -> upper(w[1:1]) || lower(w[2:])), ' ')                   AS titled,
            array_to_string(list_transform(string_split(p_brand, ''),
                c -> CASE WHEN upper(c) = c THEN lower(c) ELSE upper(c) END), '') AS swapped,
-           CASE WHEN substr(CAST(p_size - 25 AS VARCHAR), 1, 1) IN ('-', '+')
+           CASE WHEN length(CAST(p_size - 25 AS VARCHAR)) >= 6
+                THEN CAST(p_size - 25 AS VARCHAR)
+                WHEN substr(CAST(p_size - 25 AS VARCHAR), 1, 1) IN ('-', '+')
                 THEN substr(CAST(p_size - 25 AS VARCHAR), 1, 1) ||
                      lpad(substr(CAST(p_size - 25 AS VARCHAR), 2), 5, '0')
                 ELSE lpad(CAST(p_size - 25 AS VARCHAR), 6, '0') END        AS zfilled

@@ -367,9 +367,9 @@ def text_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_porter_measure",
     oracle=f"""
     SELECT doc_id,
-           list_sum(list_transform({SQL_TOKS}[1:5],
+           CAST(list_sum(list_transform({SQL_TOKS}[1:5],
                t -> len(regexp_extract_all(regexp_replace(t, '[^aeiou]', 'c', 'g'),
-                                           '[aeiou]+c')))) AS vc_measure
+                                           '[aeiou]+c')))) AS BIGINT) AS vc_measure
     FROM documents ORDER BY doc_id
     """,
     doc="porter_stemmer_measure (nvtext/stemmer.hpp:159): the VC-pattern "

@@ -58,3 +58,74 @@ def wordpiece_tokenize(
 ) -> DataFrame:
     tok = wordpiece_tokenize_udf(spark, vocab)
     return df.withColumn(out_col, tok(F.col(text_col)))
+
+
+def bpe_tokenize_udf(spark: SparkSession, merges: list[tuple[str, str]]):
+    """Returns a pandas_udf: text -> array<string> of byte-pair-encoded tokens.
+
+    True merge-table BPE (nvtext/byte_pair_encoding.hpp:121 semantics, the
+    GPT-2 algorithm): each whitespace word starts as characters; repeatedly
+    merge the adjacent pair with the LOWEST rank in the merges table until
+    no adjacent pair is in the table. The ranked merges list ships once per
+    executor as a broadcast; per-word results are memoised per batch since
+    corpora repeat words heavily.
+    """
+    bc = spark.sparkContext.broadcast({pair: rank for rank, pair in enumerate(merges)})
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def tok(texts):
+        import pandas as pd
+
+        ranks = bc.value
+
+        def bpe(word: str) -> list[str]:
+            parts = list(word)
+            while len(parts) > 1:
+                best, best_rank = None, None
+                for i in range(len(parts) - 1):
+                    r = ranks.get((parts[i], parts[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = i, r
+                if best is None:
+                    break
+                merged = parts[best] + parts[best + 1]
+                # Merge ALL occurrences of the winning pair left-to-right.
+                out, i = [], 0
+                while i < len(parts):
+                    if (
+                        i < len(parts) - 1
+                        and parts[i] + parts[i + 1] == merged
+                        and ranks.get((parts[i], parts[i + 1])) == best_rank
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(parts[i])
+                        i += 1
+                parts = out
+            return parts
+
+        cache: dict[str, list[str]] = {}
+
+        def tok_text(t: str) -> list[str]:
+            out = []
+            for w in (t or "").lower().split():
+                if w not in cache:
+                    cache[w] = bpe(w)
+                out.extend(cache[w])
+            return out
+
+        return pd.Series([tok_text(t) for t in texts])
+
+    return tok
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    spark: SparkSession,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    tok = bpe_tokenize_udf(spark, merges)
+    return df.withColumn(out_col, tok(F.col(text_col)))

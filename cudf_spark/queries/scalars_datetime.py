@@ -209,3 +209,29 @@ def dt_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.floor((F.col("o_totalprice") - 0) / 20000), F.lit(0)), F.lit(4)
     ).cast("int")
     return o.select("o_orderkey", bucket.alias("price_bucket")).orderBy("o_orderkey")
+
+
+@register(
+    "dt_timezone",
+    oracle="""
+    SELECT o_orderkey,
+           timezone('America/New_York', timezone('UTC', o_orderdate)) AS ny_local,
+           timezone('Asia/Kolkata',     timezone('UTC', o_orderdate)) AS kolkata_local,
+           timezone('UTC', timezone('America/New_York',
+               timezone('America/New_York', timezone('UTC', o_orderdate)))) AS roundtrip
+    FROM orders ORDER BY o_orderkey
+    """,
+    doc="Timezone conversion (cudf/timezone.hpp; Spark "
+    "from_utc_timestamp/to_utc_timestamp): UTC→named-zone wall time across "
+    "a DST boundary (NY) and a half-hour offset (Kolkata), plus the "
+    "to_utc round-trip. DuckDB mirrors via ICU timezone() pairs.",
+)
+def dt_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    ny = F.from_utc_timestamp(F.col("o_orderdate"), "America/New_York")
+    return o.select(
+        "o_orderkey",
+        ny.alias("ny_local"),
+        F.from_utc_timestamp(F.col("o_orderdate"), "Asia/Kolkata").alias("kolkata_local"),
+        F.to_utc_timestamp(ny, "America/New_York").alias("roundtrip"),
+    ).orderBy("o_orderkey")

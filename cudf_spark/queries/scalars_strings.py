@@ -297,3 +297,29 @@ def str_bytes_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(F.encode(F.col("c_name"), "UTF-8")).alias("b64"),
         F.octet_length(F.col("c_name")).alias("n_bytes"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "str_url",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(list_transform(
+               string_split(p_name || '/q?x=' || CAST(p_partkey AS VARCHAR), ''),
+               c -> CASE WHEN c = ' ' THEN '+'
+                         WHEN regexp_matches(c, '^[a-zA-Z0-9.*_-]$') THEN c
+                         ELSE '%' || upper(hex(encode(c))) END), '') AS enc,
+           p_name || '/q?x=' || CAST(p_partkey AS VARCHAR)           AS dec
+    FROM part ORDER BY p_partkey
+    """,
+    doc="url_encode/url_decode (strings/convert/convert_urls.hpp) — Spark "
+    "3.5+ builtins; DuckDB 1.0 lacks url_encode, so the oracle replays "
+    "java URLEncoder semantics (space→'+', [a-zA-Z0-9.*_-] kept, %XX "
+    "upper-hex otherwise) per character. Decode closes the round-trip.",
+)
+def str_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    s = F.concat(F.col("p_name"), F.lit("/q?x="), F.col("p_partkey").cast("string"))
+    enc = F.url_encode(s)
+    return p.select(
+        "p_partkey", enc.alias("enc"), F.url_decode(enc).alias("dec")
+    ).orderBy("p_partkey")

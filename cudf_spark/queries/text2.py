@@ -1,0 +1,91 @@
+"""Text pipeline, part 2 — true byte-pair encoding and substring-level
+duplicate-span detection (the two algorithm-heavy nvtext gaps from round
+1: byte_pair_encoding.hpp:121 and deduplicate.hpp:66).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cudf_spark.catalog import load
+from cudf_spark.operators.substrings import duplicate_spans
+from cudf_spark.operators.tokenizers import bpe_tokenize_udf
+from cudf_spark.queries.registry import register
+
+# Deterministic toy merge table over the fixture vocabulary (ranked — lower
+# index merges first, exactly like a GPT-2 merges.txt).
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"),
+    ("r", "o"), ("ro", "w"),
+    ("a", "g"), ("ag", "g"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("d", "a"), ("da", "t"), ("dat", "a"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("o", "r"), ("or", "d"), ("ord", "e"), ("orde", "r"),
+    ("j", "o"), ("jo", "i"), ("joi", "n"),
+    ("h", "a"), ("ha", "s"), ("has", "h"),
+    ("f", "a"), ("fa", "s"), ("fas", "t"),
+    ("s", "l"), ("sl", "o"), ("slo", "w"),
+]
+
+
+@register(
+    "text_bpe_tokenize",
+    oracle=None,  # greedy ranked merges are not SQL-expressible; rows-only
+    doc="True merge-table BPE (nvtext/byte_pair_encoding.hpp:121): ranked "
+    "pair merges applied greedily per word; broadcast merge table + "
+    "Arrow-batched pandas_udf. Verified against hand-computed merge "
+    "sequences in tests/test_text2.py.",
+)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = bpe_tokenize_udf(spark, BPE_MERGES)
+    return (
+        docs.withColumn("bpe", tok(F.col("text")))
+        .select(
+            "doc_id",
+            F.size("bpe").alias("n_bpe_tokens"),
+            F.slice("bpe", 1, 8).alias("first8"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_substring_spans",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, text, unnest(generate_series(1, length(text) - 19)) AS pos
+        FROM documents),
+    grams AS (
+        SELECT doc_id, CAST(pos AS INT) AS pos,
+               substr(text, CAST(pos AS INT), 20) AS gram FROM pos),
+    dup AS (
+        SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+    anchors AS (
+        SELECT g.doc_id, g.pos FROM grams g WHERE g.gram IN (SELECT gram FROM dup)),
+    islands AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM anchors)
+    SELECT doc_id, CAST(min(pos) AS INT) AS span_pos,
+           CAST(max(pos) - min(pos) + 20 AS INT) AS span_len
+    FROM islands GROUP BY doc_id, island
+    ORDER BY doc_id, span_pos
+    """,
+    doc="Substring-level duplicate spans (nvtext/deduplicate.hpp:66 "
+    "resolve_duplicates semantics, k-gram approximation): maximal spans "
+    "≥20 chars whose every 20-gram occurs in another document. k-gram "
+    "index → dup groupBy → gaps-and-islands merge; three shuffles, no "
+    "pairwise comparison — 100 TB-shaped.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs, "doc_id", "text", min_length=20)
+    return spans.select(
+        "doc_id",
+        F.col("span_pos").cast("int").alias("span_pos"),
+        F.col("span_len").cast("int").alias("span_len"),
+    ).orderBy("doc_id", "span_pos")

@@ -67,3 +67,30 @@ def test_mixed_join_is_not_nested_loop(spark):
 def test_no_cartesian_in_lsh_dedup(spark):
     plan = plan_of(spark, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan
+
+
+def test_replace_nan_global_count_not_single_partition_window(spark):
+    # The global row count must come from a 1-row aggregate broadcast back,
+    # never count(*) OVER () — a SinglePartition window funnels the whole
+    # table through one task at scale.
+    plan = plan_of(spark, "replace_nan_handling")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row broadcast cross join
+
+
+def test_q11_threshold_is_broadcast_not_window(spark):
+    # HAVING over a global-agg scalar subquery: same rule as above.
+    plan = plan_of(spark, "q11_important_stock")
+    assert "Window" not in plan
+
+
+def test_substring_dedup_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_q02_broadcasts_dims_only(spark):
+    # region/nation/supplier broadcast; the ps↔min-cost join must stay a
+    # shuffled equi-join (both sides scale with SF).
+    plan = plan_of(spark, "q02_min_cost_supplier")
+    assert "CartesianProduct" not in plan

@@ -33,6 +33,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "stream_sessions",
+    # round 2 additions: correlated-subquery TPC-H shape + substring dedup
+    "q02_min_cost_supplier",
+    "dedup_substring_spans",
 ]
 
 

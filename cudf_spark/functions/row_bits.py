@@ -1,0 +1,72 @@
+"""row_bit_count (cudf/transform.hpp:445): per-row size in bits as the row
+would be laid out in cudf's columnar format.
+
+There is no Spark builtin, so this walks the DataFrame schema and builds
+one arithmetic expression — pure JVM-side, codegen-friendly, no UDF.
+
+Accounting (mirrors the cudf documentation for transform.hpp row_bit_count):
+- fixed-width column: dtype bits + 1 validity bit
+- string column: 8·octet_length + 32 (offset entry) + 1 validity bit
+- list column: 32 (offset entry) + 1 validity bit + Σ element bits
+  (each element likewise carries its own validity bit)
+- struct column: 1 validity bit + Σ child bits
+
+Null values still pay their fixed-width/offset footprint (columnar slots
+exist regardless), matching cudf's accounting; a null string/list pays the
+offset + validity but zero payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_FIXED_BITS = {
+    T.BooleanType: 8,  # cudf bool8
+    T.ByteType: 8,
+    T.ShortType: 16,
+    T.IntegerType: 32,
+    T.LongType: 64,
+    T.FloatType: 32,
+    T.DoubleType: 64,
+    T.DateType: 32,
+    T.TimestampType: 64,
+    T.TimestampNTZType: 64,
+}
+
+
+def _bits_for(col: Column, dtype: T.DataType) -> Column:
+    for cls, bits in _FIXED_BITS.items():
+        if isinstance(dtype, cls):
+            return F.lit(bits + 1)
+    if isinstance(dtype, T.DecimalType):
+        width = 32 if dtype.precision <= 9 else (64 if dtype.precision <= 18 else 128)
+        return F.lit(width + 1)
+    if isinstance(dtype, T.StringType):
+        payload = F.coalesce(F.octet_length(col) * 8, F.lit(0))
+        return payload + F.lit(32 + 1)
+    if isinstance(dtype, T.BinaryType):
+        payload = F.coalesce(F.octet_length(col) * 8, F.lit(0))
+        return payload + F.lit(32 + 1)
+    if isinstance(dtype, T.ArrayType):
+        per_elem = F.aggregate(
+            F.coalesce(col, F.array().cast(dtype)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + _bits_for(x, dtype.elementType).cast("long"),
+        )
+        return per_elem + F.lit(32 + 1)
+    if isinstance(dtype, T.StructType):
+        total: Column = F.lit(1)
+        for f in dtype.fields:
+            total = total + _bits_for(col.getField(f.name), f.dataType)
+        return total
+    raise TypeError(f"row_bit_count: unsupported type {dtype}")
+
+
+def row_bit_count(df: DataFrame) -> Column:
+    """One BIGINT column: total bits this row occupies in columnar layout."""
+    total: Column = F.lit(0).cast("long")
+    for f in df.schema.fields:
+        total = total + _bits_for(F.col(f.name), f.dataType).cast("long")
+    return total.alias("row_bits")

@@ -69,3 +69,55 @@ def ewma(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(per_group, schema=out_schema)
+
+
+def variable_rolling_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    preceding_col: str,
+    following_col: str,
+    value_col: str,
+    row_id: str,
+) -> DataFrame:
+    """Variable windows from offset COLUMNS (cudf rolling.hpp:194 overload:
+    per-row preceding/following window bounds).
+
+    Spark's Window only takes literal frame bounds, so per-row bounds
+    become a bounded range self-join: each row aggregates peers in the
+    same key group with ``order ∈ [order − preceding, order + following]``.
+    Returns (row_id, n_in_window, sum_value, min_value, max_value).
+
+    Scale: shuffles both sides on the key columns (equi-join) with the
+    range predicate as residual — never a cartesian (pinned in
+    tests/test_plans.py). Cost ∝ Σ window sizes — the same work the
+    reference's kernel does; AQE splits skewed keys. Per-row fan-out is
+    capped by data rate × window width.
+    """
+    left = df.select(
+        *key_cols,
+        F.col(row_id).alias("__rid"),
+        F.col(order_col).alias("__ord"),
+        F.col(preceding_col).alias("__prec"),
+        F.col(following_col).alias("__foll"),
+    )
+    right = df.select(
+        *[F.col(k).alias(f"__r_{k}") for k in key_cols],
+        F.col(order_col).alias("__r_ord"),
+        F.col(value_col).alias("__peer"),
+    )
+    cond = (F.col("__r_ord") >= F.col("__ord") - F.col("__prec")) & (
+        F.col("__r_ord") <= F.col("__ord") + F.col("__foll")
+    )
+    for k in key_cols:
+        cond = (F.col(k) == F.col(f"__r_{k}")) & cond
+    return (
+        left.join(right, cond)
+        .groupBy(F.col("__rid").alias(row_id))
+        .agg(
+            F.count("*").alias("n_in_window"),
+            F.sum("__peer").alias("sum_value"),
+            F.min("__peer").alias("min_value"),
+            F.max("__peer").alias("max_value"),
+        )
+    )

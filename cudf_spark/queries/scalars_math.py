@@ -272,3 +272,30 @@ def dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_type", "type_code")
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "misc_row_bit_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(
+             65                                   -- doc_id: 64 + validity
+           + 8 * strlen(text)   + 33        -- string: payload + offset + validity
+           + 8 * strlen(lang)   + 33
+           + 8 * strlen(source) + 33
+           + 65                                   -- n_chars
+           + 33 + list_sum(list_transform(string_split(text, ' '),
+                                          t -> 8 * strlen(t) + 33))
+           AS BIGINT) AS row_bits
+    FROM documents ORDER BY doc_id
+    """,
+    doc="row_bit_count (cudf/transform.hpp:445): per-row columnar bit "
+    "footprint via a schema-walking expression (functions/row_bits.py) — "
+    "fixed widths + validity, string payload+offset, list offsets + "
+    "per-element accounting. Pure codegen arithmetic, no UDF.",
+)
+def misc_row_bit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.row_bits import row_bit_count
+
+    docs = load(spark, sf_dir, "documents").withColumn("tokens", F.split("text", " "))
+    return docs.select("doc_id", row_bit_count(docs)).orderBy("doc_id")

@@ -353,3 +353,67 @@ def win_rank_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((2.0 * rank_min + ties - 1) / 2, 1).alias("rank_avg"),
         (rank_min + ties - 1).alias("rank_max"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "win_variable_offset",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ord, value,
+               CASE event_type WHEN 'click' THEN 600 WHEN 'view' THEN 300
+                               ELSE 120 END * 1000000::BIGINT AS prec,
+               CASE event_type WHEN 'error' THEN 900 ELSE 60
+                               END * 1000000::BIGINT AS foll
+        FROM events)
+    SELECT l.event_id,
+           CAST(count(*) AS BIGINT)        AS n_in_window,
+           round(sum(r.value), 4)          AS sum_value,
+           round(min(r.value), 4)          AS min_value,
+           round(max(r.value), 4)          AS max_value
+    FROM e l JOIN e r
+      ON l.user_id = r.user_id
+     AND r.ord BETWEEN l.ord - l.prec AND l.ord + l.foll
+    GROUP BY l.event_id
+    ORDER BY l.event_id
+    """,
+    doc="Variable windows from offset columns (cudf rolling.hpp:194 "
+    "overload — per-row preceding/following bounds, here derived from "
+    "event_type): bounded range self-join + per-row aggregate; closes "
+    "SURVEY §2.5's last unimplemented row.",
+)
+def win_variable_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.windows import variable_rolling_agg
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("ord"),
+        (
+            F.when(F.col("event_type") == "click", 600)
+            .when(F.col("event_type") == "view", 300)
+            .otherwise(120)
+            .cast("bigint")
+            * 1000000
+        ).alias("prec"),
+        (
+            F.when(F.col("event_type") == "error", 900).otherwise(60).cast("bigint")
+            * 1000000
+        ).alias("foll"),
+    )
+    out = variable_rolling_agg(
+        e,
+        key_cols=["user_id"],
+        order_col="ord",
+        preceding_col="prec",
+        following_col="foll",
+        value_col="value",
+        row_id="event_id",
+    )
+    return out.select(
+        "event_id",
+        "n_in_window",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    ).orderBy("event_id")

@@ -137,3 +137,40 @@ def test_segmented_sort_within_partitions(spark):
 
     flags = li.mapInPandas(check, "sorted boolean").collect()
     assert flags and all(r["sorted"] for r in flags)
+
+
+def test_variable_rolling_agg_vs_bruteforce(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, i % 3, float(rnd.randint(1, 100)), rnd.randint(0, 50), rnd.randint(2, 8), rnd.randint(0, 6))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "rid long, k long, v double, ord long, prec long, foll long")
+    from cudf_spark.operators.windows import variable_rolling_agg
+
+    got = {
+        r.rid: (r.n_in_window, r.sum_value, r.min_value, r.max_value)
+        for r in variable_rolling_agg(
+            df, ["k"], "ord", "prec", "foll", "v", "rid"
+        ).collect()
+    }
+    for rid, k, v, ord_, prec, foll in rows:
+        peers = [pv for (_, pk, pv, pord, _, _) in rows if pk == k and ord_ - prec <= pord <= ord_ + foll]
+        assert got[rid] == (len(peers), sum(peers), min(peers), max(peers)), rid
+
+
+def test_row_bit_count_nulls_and_nesting(spark):
+    from pyspark.sql import functions as F
+    from cudf_spark.functions.row_bits import row_bit_count
+
+    df = spark.createDataFrame(
+        [(1, "ab", [1, 2], (True, 2.0)), (2, None, None, (False, 1.5))],
+        "id long, s string, xs array<int>, st struct<b:boolean,d:double>",
+    )
+    rows = {r.id: r.row_bits for r in df.select("id", row_bit_count(df)).collect()}
+    # id 65; s: 2*8+33 = 49; xs: 33 + 2*(32+1) = 99; st: 1 + 9 + 65 = 75
+    assert rows[1] == 65 + 49 + 99 + 75
+    # nulls keep fixed/offset footprint, zero payload/elements
+    assert rows[2] == 65 + 33 + 33 + 75

@@ -94,3 +94,10 @@ def test_q02_broadcasts_dims_only(spark):
     # shuffled equi-join (both sides scale with SF).
     plan = plan_of(spark, "q02_min_cost_supplier")
     assert "CartesianProduct" not in plan
+
+
+def test_variable_offset_window_is_not_nested_loop(spark):
+    # per-row window bounds = equi-join on the key + range residual;
+    # must never plan as a nested-loop over the cross product
+    plan = plan_of(spark, "win_variable_offset")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan

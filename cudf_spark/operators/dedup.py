@@ -20,7 +20,7 @@ speed when cross-engine determinism isn't required.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cudf_spark.functions.hashing import hash60
@@ -74,7 +74,14 @@ def minhash_signature(
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str, *, n_hashes: int = 8, band_size: int = 2) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    *,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing at least one LSH band.
 
     Bands come from ONE pass over the signature (posexplode of the band-key
@@ -85,6 +92,14 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, *, n_hashes: int = 8, band_
     an explicit unpersist — a leak in long-lived sessions), local-checkpoint
     blocks are released by Spark's ContextCleaner once the returned
     DataFrame is garbage-collected.
+
+    ``max_bucket_size`` guards adversarial corpora: a bucket holding m docs
+    emits m² pairs, so one hot band key (mass-duplicated boilerplate) can
+    go quadratic. Buckets above the cap are dropped — standard practice in
+    large-scale dedup: members of an over-full bucket almost certainly
+    collide in OTHER bands too (and boilerplate-heavy docs are handled by
+    exact dedup first), so recall loss is negligible while the worst case
+    becomes m·cap instead of m².
     """
     n_bands = n_hashes // band_size
     band_keys = F.array(
@@ -95,7 +110,13 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, *, n_hashes: int = 8, band_
     )
     bands = sig.select(
         F.col(id_col).alias("bid"), F.posexplode(band_keys).alias("band", "band_key")
-    ).localCheckpoint(eager=False)
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_key")
+        bands = bands.withColumn("__bucket_n", F.count("*").over(w)).filter(
+            F.col("__bucket_n") <= max_bucket_size
+        ).drop("__bucket_n")
+    bands = bands.localCheckpoint(eager=False)
     left = bands.select(F.col("bid").alias("id_a"), "band", "band_key")
     right = bands.select(F.col("bid").alias("id_b"), "band", "band_key")
     return (

@@ -299,3 +299,29 @@ def misc_row_bit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").withColumn("tokens", F.split("text", " "))
     return docs.select("doc_id", row_bit_count(docs)).orderBy("doc_id")
+
+
+@register(
+    "dictionary_set_keys",
+    oracle="""
+    WITH keys(k, code) AS (
+        VALUES ('ECONOMY', 0), ('LARGE', 1), ('MEDIUM', 2), ('PROMO', 3))
+    SELECT p.p_partkey, p.p_type, CAST(k.code AS INT) AS type_code
+    FROM part p LEFT JOIN keys k ON p.p_type = k.k
+    ORDER BY p.p_partkey
+    """,
+    doc="dictionary set_keys (cudf dictionary/update_keys.hpp): re-encode "
+    "against an EXPLICIT key set; values outside the new keys become NULL "
+    "(cudf semantics). Broadcast left join against the literal key table.",
+)
+def dictionary_set_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    keys = spark.createDataFrame(
+        [("ECONOMY", 0), ("LARGE", 1), ("MEDIUM", 2), ("PROMO", 3)],
+        "k string, type_code int",
+    )
+    return (
+        p.join(F.broadcast(keys), p.p_type == keys.k, "left")
+        .select("p_partkey", "p_type", "type_code")
+        .orderBy("p_partkey")
+    )

@@ -174,3 +174,23 @@ def test_row_bit_count_nulls_and_nesting(spark):
     assert rows[1] == 65 + 49 + 99 + 75
     # nulls keep fixed/offset footprint, zero payload/elements
     assert rows[2] == 65 + 33 + 33 + 75
+
+
+def test_lsh_bucket_size_cap(spark):
+    from cudf_spark.operators.dedup import lsh_candidate_pairs, minhash_signature
+
+    # 30 identical docs -> one hot bucket per band (m^2 pair blowup);
+    # 2 near-identical docs -> small buckets, must survive the cap.
+    clones = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(30)]
+    pair = [
+        (100, "one two three four five six seven eight nine ten"),
+        (101, "one two three four five six seven eight nine televen"),
+    ]
+    docs = spark.createDataFrame(clones + pair, "doc_id long, text string")
+    sig = minhash_signature(docs, "doc_id", "text")
+    uncapped = lsh_candidate_pairs(sig, "doc_id")
+    capped = lsh_candidate_pairs(sig, "doc_id", max_bucket_size=10)
+    assert uncapped.count() >= 30 * 29 // 2  # hot bucket went quadratic
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got          # small bucket survives
+    assert all(a >= 100 for a, _ in got)  # clone pairs dropped with the bucket

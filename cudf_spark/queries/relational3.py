@@ -74,10 +74,11 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    # Suppliers in EUROPE (tiny dims → broadcast chain keeps ps un-shuffled
-    # until the part join).
+    # Suppliers in EUROPE. nation/region are fixed-size → forced broadcast;
+    # supplier scales with SF, so AQE picks its strategy from observed size
+    # (broadcast at small SF, shuffle at cluster scale).
     eligible = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -93,7 +94,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ps_partkey") == F.col("mc_partkey"))
             & (F.col("ps_supplycost") == F.col("mc_cost")),
         )
-        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(p, F.col("ps_partkey") == p.p_partkey)
         .select(
             "s_acctbal",
             "s_name",
@@ -136,7 +137,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     natval = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             "ps_partkey",
@@ -246,7 +247,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IN (parts) → broadcast semi-join; correlated availqty>half → equi-join
     # on partkey with a residual; outer IN → semi-join on suppkey.
     excess = (
-        ps.join(F.broadcast(p.select("p_partkey")), ps.ps_partkey == F.col("p_partkey"), "left_semi")
+        ps.join(p.select("p_partkey"), ps.ps_partkey == F.col("p_partkey"), "left_semi")
         .join(demand, ps.ps_partkey == demand.l_partkey)
         .filter(F.col("ps_availqty") > F.col("half_qty"))
         .select("ps_suppkey")

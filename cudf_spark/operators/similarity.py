@@ -67,6 +67,82 @@ def lsh_bucket(vec: Column, *, n_planes: int = 4, dim: int = 64) -> Column:
     return bucket.cast("int")
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    cvec_col: str = "cvec",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Attach each row's nearest-centroid id (the IVF cell) — shuffle-free.
+
+    The centroid set collapses to ONE array row (``collect_list`` over a
+    table that is tiny by construction — an IVF index has K ≪ N centroids),
+    broadcast onto every partition; the argmax is a per-row left-to-right
+    fold over that array. No shuffle of the corpus, no window: at 100 TB
+    this is a map-only pass, and ``cell`` then becomes the partition column
+    the probe step prunes on. Ties break to the lowest centroid id (the
+    fold keeps the first maximum of the cid-sorted list).
+
+    Mirrors the serving half of cuML/FAISS IVF-Flat (the reference's cuVS
+    neighbors path); training the centroids (Lloyd iterations) is an
+    offline job that produces the small `centroids` table consumed here.
+    """
+    cents = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(cid_col).alias("cid"), F.col(cvec_col).alias("cvec")))
+        ).alias("__cents")
+    )
+    vec = F.col(vec_col)
+    best = F.aggregate(
+        F.col("__cents"),
+        F.struct(F.lit(-2.0).alias("cos"), F.lit(-1).cast("long").alias("cid")),
+        lambda acc, c: F.when(
+            cosine(vec, c["cvec"]) > acc["cos"],
+            F.struct(cosine(vec, c["cvec"]).alias("cos"), c["cid"].alias("cid")),
+        ).otherwise(acc),
+    )
+    return corpus.crossJoin(F.broadcast(cents)).withColumn(cell_col, best["cid"]).drop("__cents")
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: exact cosine only inside the ``nprobe`` cells nearest the query.
+
+    Build: :func:`ivf_assign` tags every corpus row with its cell (map-only).
+    Probe: rank centroids against the (broadcast) query — a K-row problem —
+    then semi-join the corpus on the probed cell ids. A 100 TB corpus
+    partitioned by ``cell`` scans nprobe/K of its data per query.
+    """
+    cells = ivf_assign(corpus, centroids, vec_col=vec_col)
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qv")))
+    probe = (
+        centroids.crossJoin(q)
+        .select(F.col("cid").alias("__pcell"), cosine(F.col("cvec"), F.col("__qv")).alias("__pcos"))
+        .orderBy(F.desc("__pcos"), "__pcell")
+        .limit(nprobe)
+        .select("__pcell")
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__qv")), 6)
+    return (
+        cells.join(F.broadcast(probe), F.col("cell") == F.col("__pcell"), "left_semi")
+        .crossJoin(q)
+        .select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     query: DataFrame,

@@ -31,6 +31,7 @@ from cudf_spark.queries import (  # noqa: F401, E402
     joins,
     lists,
     relational,
+    pipeline,
 )
 
 

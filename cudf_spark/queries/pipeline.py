@@ -1,0 +1,203 @@
+"""Training-data pipeline coverage, part 2 — IVF vector search, Gopher-style
+quality gating, and deterministic hash split/sampling (north-star operators;
+complements queries/text.py + queries/similarity.py).
+
+Everything stays JVM-side: the only data-dependent small artifacts
+(IVF centroid table, probe cells, 1-row query vector) move via broadcast,
+never ``collect``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cudf_spark.catalog import load
+from cudf_spark.functions.hashing import hash60, hash60_sql
+from cudf_spark.functions.textfns import normalize_text
+from cudf_spark.operators.similarity import ann_ivf_topk
+from cudf_spark.queries.registry import register
+from cudf_spark.queries.similarity import DIM, _sql_cosine
+
+# Non-empty whitespace tokens (mirrors queries/text.py SQL_NORM/SQL_TOKS with
+# the empty-token guard applied once).
+SQL_TOKS_NE = (
+    "list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),"
+    " x -> x != '')"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 67 = 3
+    ), q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), assign AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id != 0
+    ), cells AS (
+        SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1
+    ), probe AS (
+        SELECT c.cid AS pcell FROM cents c, q
+        ORDER BY {_sql_cosine('c.cvec', 'q.qv')} DESC, c.cid
+        LIMIT 2
+    )
+    SELECT cells.vec_id, round({_sql_cosine('cells.embedding', 'q.qv')}, 6) AS cosine
+    FROM cells JOIN probe ON cells.cell = probe.pcell CROSS JOIN q
+    ORDER BY cosine DESC, cells.vec_id
+    LIMIT 10
+    """,
+    doc="IVF ANN (cuVS ivf_flat serving path): nearest-centroid cell per row "
+    "via a shuffle-free broadcast-fold argmax, probe the 2 cells nearest the "
+    "query, exact cosine within. Centroids here are seed-sampled (vec_id %% 67"
+    " == 3) standing in for an offline k-means artifact; at 100 TB `cell` is "
+    "the partition column and a query scans nprobe/K of the corpus.",
+)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 67 == 3).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return ann_ivf_topk(
+        e.filter(F.col("vec_id") != 0),
+        e.filter(F.col("vec_id") == 0),
+        cents,
+        k=10,
+        nprobe=2,
+    )
+
+
+@register(
+    "text_quality_gopher",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {SQL_TOKS_NE} AS w FROM documents
+    ), m AS (
+        SELECT doc_id, lang,
+               len(w) AS n_words,
+               round(CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+                     / CAST(len(w) AS DOUBLE), 4) AS mean_word_len,
+               len(list_intersect(list_distinct(w),
+                   ['the', 'a', 'of', 'to', 'and'])) AS n_stopwords,
+               round(list_max(list_transform(list_distinct(w),
+                         t -> len(list_filter(w, x -> x = t))))
+                     / CAST(len(w) AS DOUBLE), 4) AS top_word_frac,
+               round(CASE WHEN len(w) < 3 THEN 0.0 ELSE
+                   1.0 - len(list_distinct(list_transform(
+                             generate_series(1, len(w) - 2),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+                         / CAST(len(w) - 2 AS DOUBLE) END, 4) AS dup_3gram_frac
+        FROM t
+    )
+    SELECT doc_id, lang, n_words, mean_word_len, n_stopwords, top_word_frac,
+           dup_3gram_frac,
+           (n_words BETWEEN 20 AND 90) AS pass_word_count,
+           (mean_word_len BETWEEN 3.0 AND 5.0) AS pass_mean_word_len,
+           (n_stopwords >= 2) AS pass_stopwords,
+           (top_word_frac <= 0.12) AS pass_repetition,
+           ((n_words BETWEEN 20 AND 90) AND (mean_word_len BETWEEN 3.0 AND 5.0)
+            AND n_stopwords >= 2 AND top_word_frac <= 0.12) AS gopher_pass
+    FROM m ORDER BY doc_id
+    """,
+    doc="Gopher-rule quality gate (Rae et al. 2021 §A1.1 heuristics, adapted "
+    "to the fixture corpus): word-count bounds, mean word length, stopword "
+    "presence, top-word repetition, duplicate word-3-gram fraction. Pure "
+    "array expressions; the token array binds once per row (CSE guard).",
+)
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks_expr = F.filter(F.split(normalize_text(F.col("text")), " "), lambda x: x != "")
+
+    def metrics(w: F.Column) -> F.Column:
+        n = F.size(w)
+        wlen_sum = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        top_cnt = F.array_max(
+            F.transform(F.array_distinct(w), lambda t: F.size(F.filter(w, lambda x: x == t)))
+        )
+        grams = F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        )
+        dup3 = F.when(n < 3, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(grams)) / (n - 2).cast("double")
+        )
+        return F.struct(
+            n.alias("n_words"),
+            F.round(wlen_sum / n.cast("double"), 4).alias("mean_word_len"),
+            F.size(F.array_intersect(F.array_distinct(w), F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and")]))).alias("n_stopwords"),
+            F.round(top_cnt / n.cast("double"), 4).alias("top_word_frac"),
+            F.round(dup3, 4).alias("dup_3gram_frac"),
+        )
+
+    # Bind the token array ONCE via a single-element transform (inlining it
+    # into every lambda re-splits the string per element — the measured-15×
+    # CSE trap, see functions/textfns.py::word_shingles).
+    m = F.element_at(F.transform(F.array(toks_expr), metrics), 1)
+    pwc = F.col("n_words").between(20, 90)
+    pml = F.col("mean_word_len").between(3.0, 5.0)
+    psw = F.col("n_stopwords") >= 2
+    prep = F.col("top_word_frac") <= 0.12
+    return (
+        d.select("doc_id", "lang", m.alias("__m"))
+        .select("doc_id", "lang", "__m.*")
+        .select(
+            "*",
+            pwc.alias("pass_word_count"),
+            pml.alias("pass_mean_word_len"),
+            psw.alias("pass_stopwords"),
+            prep.alias("pass_repetition"),
+            (pwc & pml & psw & prep).alias("gopher_pass"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_sample_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN {hash60_sql("CAST(doc_id AS VARCHAR)", seed=42)} % 100 < 80 THEN 'train'
+                    WHEN {hash60_sql("CAST(doc_id AS VARCHAR)", seed=42)} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               ({hash60_sql("CAST(doc_id AS VARCHAR)", seed=7)} % 10 = 0) AS in_sample
+        FROM documents
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (in_sample) AS BIGINT) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+    doc="Deterministic train/val/test split + 10%% sample via the md5-derived "
+    "cross-engine hash60 of doc_id (seeded). Hash-based assignment is the "
+    "100 TB pattern: reproducible across engines/runs, no RNG state, no "
+    "coordination — every executor computes membership locally.",
+)
+def doc_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    bucket = hash60(key, seed=42) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train")).when(bucket < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    in_sample = hash60(key, seed=7) % 10 == 0
+    return (
+        d.select(split.alias("split"), in_sample.alias("in_sample"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("in_sample").cast("long")).alias("n_sampled"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )

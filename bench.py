@@ -33,9 +33,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "stream_sessions",
-    # round 2 additions: correlated-subquery TPC-H shape + substring dedup
+    # round 2 additions: correlated-subquery TPC-H shape, substring dedup,
+    # IVF vector search, Gopher quality gating
     "q02_min_cost_supplier",
     "dedup_substring_spans",
+    "ann_ivf_topk",
+    "text_quality_gopher",
 ]
 
 

@@ -90,21 +90,38 @@ def ivf_assign(
     neighbors path); training the centroids (Lloyd iterations) is an
     offline job that produces the small `centroids` table consumed here.
     """
-    cents = centroids.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col(cid_col).alias("cid"), F.col(cvec_col).alias("cvec")))
-        ).alias("__cents")
+    cents = centroids.select(
+        F.struct(
+            F.col(cid_col).alias("cid"),
+            _dvec(F.col(cvec_col)).alias("cvec"),
+            norm(_dvec(F.col(cvec_col))).alias("cnorm"),
+        ).alias("c")
+    ).agg(F.collect_list("c").alias("__cents"))
+    # Bind the row's double vector and norm ONCE (a single-element transform
+    # introduces the let-binding Catalyst lacks); per centroid the argmax
+    # then costs one dot fold + one divide. cos is dot/(row_norm*cnorm) —
+    # the same double ops, in the same order, as the oracle's cosine.
+    env = F.struct(
+        _dvec(F.col(vec_col)).alias("dv"),
+        norm(_dvec(F.col(vec_col))).alias("vn"),
+        F.col("__cents").alias("cents"),
     )
-    vec = F.col(vec_col)
-    best = F.aggregate(
-        F.col("__cents"),
-        F.struct(F.lit(-2.0).alias("cos"), F.lit(-1).cast("long").alias("cid")),
-        lambda acc, c: F.when(
-            cosine(vec, c["cvec"]) > acc["cos"],
-            F.struct(cosine(vec, c["cvec"]).alias("cos"), c["cid"].alias("cid")),
-        ).otherwise(acc),
+    best = F.element_at(
+        F.transform(
+            F.array(env),
+            lambda e: F.array_max(
+                F.transform(
+                    e["cents"],
+                    lambda c: F.struct(
+                        (dot(e["dv"], c["cvec"]) / (e["vn"] * c["cnorm"])).alias("cos"),
+                        (-c["cid"]).alias("ncid"),  # max(-cid) = lowest cid on ties
+                    ),
+                )
+            ),
+        ),
+        1,
     )
-    return corpus.crossJoin(F.broadcast(cents)).withColumn(cell_col, best["cid"]).drop("__cents")
+    return corpus.crossJoin(F.broadcast(cents)).withColumn(cell_col, -best["ncid"]).drop("__cents")
 
 
 def ann_ivf_topk(

@@ -101,3 +101,21 @@ def test_variable_offset_window_is_not_nested_loop(spark):
     # must never plan as a nested-loop over the cross product
     plan = plan_of(spark, "win_variable_offset")
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_ivf_assignment_is_shuffle_free(spark):
+    # The IVF cell assignment must be a map-only broadcast fold: no corpus
+    # shuffle, no per-row window. The only Exchanges allowed in the whole
+    # query are the final top-k's and the K-row probe's.
+    from cudf_spark.catalog import load
+    from cudf_spark.operators.similarity import ivf_assign
+    from pyspark.sql import functions as F
+
+    e = load(spark, SF_DIR, "embeddings")
+    cents = e.filter(F.col("vec_id") % 67 == 3).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    plan = ivf_assign(e, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid-array broadcast

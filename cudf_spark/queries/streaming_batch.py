@@ -115,3 +115,53 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           p.value AS value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    ORDER BY 1, 2, 3
+    """,
+    doc="stream-stream interval join (click -> purchase attribution within "
+    "30 min per user): watermarked symmetric hash join with bounded state "
+    "on streams (tests/test_streaming.py); equi-join + range residual in "
+    "batch — this oracle-checked batch form.",
+)
+def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.streaming.ops import stream_interval_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    j = stream_interval_join(
+        clicks, purchases, [("c_user", "p_user")], left_ts="c_ts", right_ts="p_ts"
+    )
+    return j.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        "value",
+    ).orderBy("user_id", "click_id", "purchase_id")

@@ -110,6 +110,39 @@ def stateful_running_totals(events: DataFrame, out_schema: str = "user_id long, 
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    *,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join bounded to an event-time interval:
+    right row matches when ``left_ts <= right_ts <= left_ts + upper``.
+
+    On streaming inputs both sides get watermarks, and the two-sided time
+    constraint lets Spark's symmetric hash join evict state older than
+    ``watermark + upper`` — bounded memory regardless of stream length
+    (the requirement for a 100 TB/day event feed). The same function on
+    batch frames is a plain equi-join with a range residual: equality keys
+    hash-partition both sides, the interval is a post-join filter, never a
+    nested loop. Columns must be pre-aliased to distinct names.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = (F.col(right_ts) >= F.col(left_ts)) & (
+        F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}")
+    )
+    for lk, rk in on:
+        cond = (F.col(lk) == F.col(rk)) & cond
+    return left.join(right, cond, "inner")
+
+
 def kafka_micro_batch_reader(
     spark: SparkSession,
     *,

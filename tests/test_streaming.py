@@ -91,3 +91,32 @@ def test_stream_sliding_matches_batch(spark):
     stream = _run_stream(spark, sliding_counts(events_stream(spark, SF_DIR)), "t_slide")
     cols = ["window_start", "event_type", "n"]
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stream_interval_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from cudf_spark.catalog import load
+    from cudf_spark.streaming.ops import events_stream, stream_interval_join
+
+    def split(e):
+        clicks = e.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        purchases = e.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        return stream_interval_join(
+            clicks, purchases, [("c_user", "p_user")], left_ts="c_ts", right_ts="p_ts"
+        ).select("c_user", "click_id", "purchase_id")
+
+    batch = split(load(spark, SF_DIR, "events"))
+    stream = _run_stream(
+        spark, split(events_stream(spark, SF_DIR)), "t_ivjoin", output_mode="append"
+    )
+    cols = ["c_user", "click_id", "purchase_id"]
+    assert _rows(stream, cols) == _rows(batch, cols)

@@ -76,9 +76,110 @@ def decode_image_pixels(assets: DataFrame) -> DataFrame:
     )
 
 
+def fake_image_gradient(width: int, height: int, base: int = 0) -> bytes:
+    """Fake image whose pixel i is ``(base + i) % 256`` — content the
+    feature/resize kernels (and a SQL oracle) can recompute in closed form."""
+    px = bytes((base + i) % 256 for i in range(width * height))
+    return MAGIC + struct.pack(">II", width, height) + px
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "asset_id long, width int, height int, n_bytes int, "
+    "mean_px double, resized_mean_px double, valid boolean"
+)
+
+
+def image_features(assets: DataFrame, *, resize_to: tuple[int, int] = (8, 8)) -> DataFrame:
+    """Decode + feature-extract + nearest-neighbour resize in ONE Arrow pass.
+
+    Real kernels over the fake raster: mean intensity, and the mean of an
+    ``resize_to`` NN-downsample (integer index math — ``(r*h)//rh`` — so the
+    result is engine-reproducible). Means are exact-int sums divided once in
+    IEEE double, so values hash-match a SQL oracle bit-for-bit. Malformed
+    payloads → ``valid=false`` rows, never task failures. A real codec swaps
+    into the ``frombuffer`` line; everything else (schema, batching,
+    partition parallelism) is production plumbing.
+    """
+    rw, rh = resize_to
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for aid, data in zip(pdf["asset_id"], pdf["data"]):
+                b = bytes(data) if data is not None else b""
+                ok = b[:4] == MAGIC and len(b) >= 12
+                w = h = 0
+                mean_px = rmean = 0.0
+                if ok:
+                    w, h = struct.unpack(">II", b[4:12])
+                    px = np.frombuffer(b[12 : 12 + w * h], dtype=np.uint8)
+                    ok = px.size == w * h > 0
+                if ok:
+                    arr = px.reshape(h, w)
+                    mean_px = int(px.sum(dtype=np.int64)) / float(w * h)
+                    resized = arr[(np.arange(rh) * h) // rh][:, (np.arange(rw) * w) // rw]
+                    rmean = int(resized.sum(dtype=np.int64)) / float(rw * rh)
+                rows.append((aid, w, h, len(b), mean_px, rmean, bool(ok)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "n_bytes",
+                    "mean_px", "resized_mean_px", "valid",
+                ],
+            )
+
+    return assets.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
+VIDEO_MAGIC = b"FVID"
+
+
+def fake_video_bytes(width: int, height: int, n_frames: int, base: int = 0) -> bytes:
+    """Fake video: FVID + u32 n_frames/w/h + per-frame rasters where frame k
+    pixel i is ``(base + 7*k + i) % 256`` (distinct, recomputable frames)."""
+    frames = b"".join(
+        bytes((base + 7 * k + i) % 256 for i in range(width * height)) for k in range(n_frames)
+    )
+    return VIDEO_MAGIC + struct.pack(">III", n_frames, width, height) + frames
+
+
+FRAME_SAMPLE_SCHEMA = "asset_id long, frame_idx int, width int, height int, frame_mean double"
+
+
 def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling — requires ffmpeg bindings, absent here."""
-    raise NotImplementedError("frame sampling needs ffmpeg; stub per SURVEY north star")
+    """Sample every ``every_n``-th frame of each fake video — a row-exploding
+    mapInPandas (1 video in, ceil(n_frames/every_n) frame rows out).
+
+    The Arrow batch shape, frame indexing, and per-frame reduction are the
+    real pipeline; ffmpeg would replace the ``frombuffer`` slice. Frame means
+    are exact-int sums / IEEE double divide — SQL-oracle reproducible.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for aid, data in zip(pdf["asset_id"], pdf["data"]):
+                b = bytes(data) if data is not None else b""
+                if b[:4] != VIDEO_MAGIC or len(b) < 16:
+                    continue
+                n, w, h = struct.unpack(">III", b[4:16])
+                fsize = w * h
+                if fsize == 0 or len(b) < 16 + n * fsize:
+                    continue
+                for k in range(0, n, every_n):
+                    px = np.frombuffer(b[16 + k * fsize : 16 + (k + 1) * fsize], dtype=np.uint8)
+                    rows.append((aid, k, w, h, int(px.sum(dtype=np.int64)) / float(fsize)))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "width", "height", "frame_mean"]
+            )
+
+    return assets.mapInPandas(batches, schema=FRAME_SAMPLE_SCHEMA)
 
 
 def filter_valid_images(assets: DataFrame, min_width: int = 1) -> DataFrame:

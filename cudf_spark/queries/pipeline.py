@@ -201,3 +201,111 @@ def doc_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "mm_image_features",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id AS asset_id,
+               CAST((n_chars % 63) + 2 AS INT) AS width,
+               CAST((doc_id % 31) + 2 AS INT) AS height,
+               doc_id % 256 AS base
+        FROM documents
+    )
+    SELECT asset_id, width, height,
+           CAST(12 + width * height AS INT) AS n_bytes,
+           CAST(list_sum(list_transform(generate_series(0, width * height - 1),
+                i -> (base + i) % 256)) AS BIGINT)
+               / CAST(width * height AS DOUBLE) AS mean_px,
+           CAST(list_sum(list_transform(generate_series(0, 63),
+                k -> (base + (((k // 8) * height) // 8) * width
+                           + (((k % 8) * width) // 8)) % 256)) AS BIGINT)
+               / 64.0 AS resized_mean_px,
+           TRUE AS valid
+    FROM params ORDER BY asset_id
+    """,
+    doc="multimodal image pipeline end-to-end: encode a deterministic fake "
+    "raster per document (binary column), then decode + mean-intensity + "
+    "8x8 nearest-neighbour resize in one Arrow mapInPandas pass. The oracle "
+    "recomputes every byte arithmetically, so the hash match proves the "
+    "binary plumbing AND the kernels, not just row counts.",
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.multimodal import image_features
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(it):
+        import pandas as pd
+
+        from cudf_spark.multimodal import fake_image_gradient
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "data": [
+                        fake_image_gradient(int(nc) % 63 + 2, int(did) % 31 + 2, int(did) % 256)
+                        for did, nc in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    assets = d.mapInPandas(encode, schema="asset_id long, data binary")
+    return image_features(assets).orderBy("asset_id")
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id AS asset_id,
+               CAST((n_chars % 13) + 1 AS INT) AS n_frames,
+               CAST((doc_id % 7) + 2 AS INT) AS width,
+               CAST((doc_id % 5) + 2 AS INT) AS height,
+               doc_id % 256 AS base
+        FROM documents
+    ), frames AS (
+        SELECT asset_id, width, height, base,
+               unnest(generate_series(0, n_frames - 1)) AS frame_idx
+        FROM params
+    )
+    SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx, width, height,
+           CAST(list_sum(list_transform(generate_series(0, width * height - 1),
+                i -> (base + 7 * frame_idx + i) % 256)) AS BIGINT)
+               / CAST(width * height AS DOUBLE) AS frame_mean
+    FROM frames
+    WHERE frame_idx % 4 = 0
+    ORDER BY asset_id, frame_idx
+    """,
+    doc="video frame sampling: deterministic fake FVID containers built per "
+    "document, every-4th-frame sampled by a row-exploding mapInPandas "
+    "(1 video in, ceil(n/4) frame rows out) with per-frame mean intensity. "
+    "Oracle replays the container arithmetic frame-by-frame.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.multimodal import frame_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(it):
+        import pandas as pd
+
+        from cudf_spark.multimodal import fake_video_bytes
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "data": [
+                        fake_video_bytes(
+                            int(did) % 7 + 2, int(did) % 5 + 2, int(nc) % 13 + 1, int(did) % 256
+                        )
+                        for did, nc in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    assets = d.mapInPandas(encode, schema="asset_id long, data binary")
+    return frame_sample(assets, every_n=4).orderBy("asset_id", "frame_idx")

@@ -128,3 +128,40 @@ def test_arrow_interop_roundtrip(spark):
     pdf = load(spark, SF_DIR, "nation").toPandas()
     back = spark.createDataFrame(pdf)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, pdf.itertuples(index=False)))
+
+
+def test_image_features_and_resize_match_numpy(spark):
+    """image_features' mean + NN-resize vs an independent numpy computation,
+    including a malformed payload surfacing as valid=false."""
+    import numpy as np
+
+    from cudf_spark.multimodal import fake_image_gradient, image_features
+
+    w, h, base = 5, 4, 250  # wraps past 255 to exercise the modulo
+    good = fake_image_gradient(w, h, base)
+    rows = [(1, good), (2, b"JUNKbytes"), (3, None)]
+    assets = spark.createDataFrame(rows, "asset_id long, data binary")
+    out = {r["asset_id"]: r for r in image_features(assets).collect()}
+
+    px = np.array([(base + i) % 256 for i in range(w * h)], dtype=np.uint8).reshape(h, w)
+    expected_resized = px[(np.arange(8) * h) // 8][:, (np.arange(8) * w) // 8]
+    assert out[1]["valid"] and (out[1]["width"], out[1]["height"]) == (w, h)
+    assert out[1]["mean_px"] == px.sum() / (w * h)
+    assert out[1]["resized_mean_px"] == expected_resized.sum() / 64
+    assert not out[2]["valid"] and not out[3]["valid"]
+
+
+def test_frame_sample_indexing(spark):
+    """frame_sample picks frames 0, n, 2n… and reduces each frame alone."""
+    from cudf_spark.multimodal import fake_video_bytes, frame_sample
+
+    w, h, n = 3, 2, 7
+    video = fake_video_bytes(w, h, n, base=10)
+    assets = spark.createDataFrame([(1, video), (2, b"shrt")], "asset_id long, data binary")
+    rows = sorted(
+        (r["frame_idx"], r["frame_mean"]) for r in frame_sample(assets, every_n=3).collect()
+    )
+    assert [i for i, _ in rows] == [0, 3, 6]
+    for k, mean in rows:
+        vals = [(10 + 7 * k + i) % 256 for i in range(w * h)]
+        assert mean == sum(vals) / (w * h)

@@ -119,3 +119,17 @@ def test_ivf_assignment_is_shuffle_free(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row centroid-array broadcast
+
+
+def test_scale_confs_pinned(spark):
+    # The session factory's 100 TB-relevant knobs: AQE re-planning (runtime
+    # broadcast conversion + partition coalescing + skew-join splitting),
+    # runtime bloom-filter join pruning, Arrow at every Python boundary, and
+    # the UTC pin the timestamp oracles depend on.
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"

@@ -82,18 +82,16 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    # Decorrelated: per-part min over the SAME eligible set, then an
-    # equi-join on (partkey, cost). One extra shuffle on ps_partkey —
-    # exactly what Catalyst produces for the correlated form.
-    min_cost = eligible.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
-        F.min("ps_supplycost").alias("mc_cost")
-    )
+    # Decorrelated as a per-part windowed min: ONE pass over `eligible`
+    # (the agg+self-join form executes the whole join subtree twice), one
+    # shuffle on ps_partkey, tiny per-part groups so no skew. Same
+    # cost-equality semantics as the correlated scalar subquery.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ps_partkey")
     return (
-        eligible.join(
-            min_cost,
-            (F.col("ps_partkey") == F.col("mc_partkey"))
-            & (F.col("ps_supplycost") == F.col("mc_cost")),
-        )
+        eligible.withColumn("mc_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("mc_cost"))
         .join(p, F.col("ps_partkey") == p.p_partkey)
         .select(
             "s_acctbal",

@@ -90,10 +90,13 @@ def test_substring_dedup_no_cartesian(spark):
 
 
 def test_q02_broadcasts_dims_only(spark):
-    # region/nation/supplier broadcast; the ps↔min-cost join must stay a
-    # shuffled equi-join (both sides scale with SF).
+    # region/nation broadcast; no cartesian; and the correlated-min
+    # decorrelation must be a windowed single pass — the agg+self-join
+    # form executes the derived-partsupp subtree (a lineitem-scale
+    # aggregation) twice.
     plan = plan_of(spark, "q02_min_cost_supplier")
     assert "CartesianProduct" not in plan
+    assert plan.count("lineitem.parquet") == 1
 
 
 def test_variable_offset_window_is_not_nested_loop(spark):

@@ -1,0 +1,51 @@
+"""scale_audit: the 100 TB plan linter — clean on the engine's own
+pipelines, loud on deliberately-pathological ones."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cudf_spark.plans import scale_audit
+from cudf_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_engine_queries_are_clean(spark):
+    for name in (
+        "q05_local_supplier_volume",
+        "dedup_minhash_lsh",
+        "ann_ivf_topk",
+        "win_rolling_rows",
+        "replace_nan_handling",  # its 1-row-broadcast BNLJ must pass by default
+    ):
+        assert scale_audit(REGISTRY[name].build(spark, SF_DIR)) == [], name
+
+
+def test_flags_global_window(spark):
+    from cudf_spark.catalog import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    bad = li.withColumn("rn", F.row_number().over(Window.orderBy("l_orderkey")))
+    codes = [c for c, _ in scale_audit(bad)]
+    assert "single_partition_funnel" in codes
+
+
+def test_flags_row_udf(spark):
+    from pyspark.sql.types import LongType
+
+    from cudf_spark.catalog import load
+
+    plus_one = F.udf(lambda x: x + 1, LongType())
+    bad = load(spark, SF_DIR, "region").select(plus_one("r_regionkey").alias("x"))
+    codes = [c for c, _ in scale_audit(bad)]
+    assert "python_row_udf" in codes
+
+
+def test_flags_cartesian(spark):
+    from cudf_spark.catalog import load
+
+    n = load(spark, SF_DIR, "nation")
+    bad = n.crossJoin(n.select(F.col("n_nationkey").alias("k2")))
+    found = scale_audit(bad, allow_bnlj=False)
+    assert any(c == "cartesian_product" for c, _ in found)

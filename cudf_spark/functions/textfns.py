@@ -45,6 +45,24 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokenize(col)), shingles_of), 1)
 
 
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-grams — the reference minhash's native input
+    (nvtext/minhash.hpp hashes width-``k`` substrings, not words). Empty
+    array when the string is shorter than ``k``. Binds the string once
+    (same CSE guard as :func:`word_shingles`)."""
+
+    def grams_of(s: Column) -> Column:
+        n = F.length(s)
+        windows = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)), lambda i: F.substring(s, i, k)
+        )
+        return F.when(n >= k, F.array_distinct(windows)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(col), grams_of), 1)
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Set jaccard of two arrays (nvtext/jaccard.hpp:63)."""
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cudf_spark.functions.hashing import hash60
-from cudf_spark.functions.textfns import jaccard, normalize_text, word_shingles
+from cudf_spark.functions.textfns import char_shingles, jaccard, normalize_text, word_shingles
 
 # Minhash permutation universe: p = 2^31 - 1 keeps a*h + b inside int64.
 MINHASH_P = 2_147_483_647
@@ -49,18 +49,25 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, *, n_hashes: int = 8, shingle_k: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    shingle_k: int = 3,
+    char_level: bool = False,
 ) -> DataFrame:
-    """(id, m0..m{n-1}) minhash signature over word k-shingles.
+    """(id, m0..m{n-1}) minhash signature over word k-shingles — or, with
+    ``char_level=True``, over character k-grams (the reference minhash's
+    native width-``k`` substring semantics, nvtext/minhash.hpp:62).
 
     One explode + one groupBy; all n minima computed in a single
     aggregation pass (the partial/final split mirrors the reference's
     streaming groupby accumulate/merge, streaming_groupby.cpp:21-33).
     """
     seeds = minhash_seeds(n_hashes)
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle")
-    )
+    shingles = (char_shingles if char_level else word_shingles)(F.col(text_col), shingle_k)
+    sh = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
     h = (hash60(F.col("shingle")) % MINHASH_P).alias("h")
     return (
         sh.select(id_col, h)

@@ -25,13 +25,13 @@ from cudf_spark.queries import (  # noqa: F401, E402
     aggregates2,
     text2,
     reshape,
+    pipeline,
     scalars_math,
     relational2,
     aggregates,
     joins,
     lists,
     relational,
-    pipeline,
 )
 
 

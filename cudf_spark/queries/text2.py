@@ -89,3 +89,50 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_pos").cast("int").alias("span_pos"),
         F.col("span_len").cast("int").alias("span_len"),
     ).orderBy("doc_id", "span_pos")
+
+
+def _chargram_minhash_oracle(n_hashes: int = 4, k: int = 5) -> str:
+    from cudf_spark.functions.hashing import hash60_sql
+    from cudf_spark.operators.dedup import MINHASH_P, minhash_seeds
+
+    mins = ",\n           ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_seeds(n_hashes))
+    )
+    return f"""
+    WITH n AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, length(s) - {k - 1}),
+                   i -> substr(s, CAST(i AS INT), {k})))) AS shingle
+        FROM n WHERE length(s) >= {k}
+    ), hashed AS (
+        SELECT doc_id, {hash60_sql("shingle")} % {MINHASH_P} AS h FROM grams
+    )
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_minhash_chargram",
+    oracle=_chargram_minhash_oracle(),
+    doc="character-level minhash signatures — the reference minhash's "
+    "native semantics (nvtext/minhash.hpp:62 hashes width-5 substrings, "
+    "not words): 4 md5-derived permutations over distinct char 5-grams of "
+    "the normalized text, all minima in one aggregation pass. The oracle "
+    "replays gram extraction, hashing, and permutations verbatim.",
+)
+def dedup_minhash_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+    from cudf_spark.operators.dedup import minhash_signature
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("text")
+    )
+    return minhash_signature(
+        d, "doc_id", "text", n_hashes=4, shingle_k=5, char_level=True
+    ).orderBy("doc_id")

@@ -194,3 +194,14 @@ def test_lsh_bucket_size_cap(spark):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert (100, 101) in got          # small bucket survives
     assert all(a >= 100 for a, _ in got)  # clone pairs dropped with the bucket
+
+
+def test_char_shingles_edges(spark):
+    from pyspark.sql import functions as F
+
+    from cudf_spark.functions.textfns import char_shingles
+
+    df = spark.createDataFrame([("abcdef",), ("abc",), ("",)], "s string")
+    out = [r["g"] for r in df.select(char_shingles(F.col("s"), 5).alias("g")).collect()]
+    assert out[0] == ["abcde", "bcdef"]
+    assert out[1] == [] and out[2] == []

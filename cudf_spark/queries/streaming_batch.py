@@ -165,3 +165,45 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
         "value",
     ).orderBy("user_id", "click_id", "purchase_id")
+
+
+@register(
+    "events_time_rollup",
+    oracle="""
+    SELECT CAST(year(CAST(ts AS TIMESTAMP)) AS INT)  AS y,
+           CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS m,
+           CAST(day(CAST(ts AS TIMESTAMP)) AS INT)   AS d,
+           CAST(grouping(CAST(year(CAST(ts AS TIMESTAMP)) AS INT)) AS INT)  AS g_y,
+           CAST(grouping(CAST(month(CAST(ts AS TIMESTAMP)) AS INT)) AS INT) AS g_m,
+           CAST(grouping(CAST(day(CAST(ts AS TIMESTAMP)) AS INT)) AS INT)   AS g_d,
+           count(*)            AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY ROLLUP (CAST(year(CAST(ts AS TIMESTAMP)) AS INT),
+                     CAST(month(CAST(ts AS TIMESTAMP)) AS INT),
+                     CAST(day(CAST(ts AS TIMESTAMP)) AS INT))
+    ORDER BY y NULLS FIRST, m NULLS FIRST, d NULLS FIRST
+    """,
+    doc="time-hierarchy rollup (the hypertable continuous-aggregate "
+    "pattern): year/month/day ROLLUP over the event stream in one pass — "
+    "each upper level is a partial re-aggregation, not a rescan; the "
+    "streaming form is the tumbling-window agg feeding the same rollup.",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        F.dayofmonth("ts").cast("int").alias("d"),
+        "value",
+    )
+    return (
+        e.rollup("y", "m", "d")
+        .agg(
+            F.grouping("y").cast("int").alias("g_y"),
+            F.grouping("m").cast("int").alias("g_m"),
+            F.grouping("d").cast("int").alias("g_d"),
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy(F.asc_nulls_first("y"), F.asc_nulls_first("m"), F.asc_nulls_first("d"))
+    )

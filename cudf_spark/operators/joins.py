@@ -11,7 +11,7 @@ join at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -24,23 +24,44 @@ def asof_join(
     right_values: list[str],
     *,
     inclusive: bool = True,
+    direction: str = "backward",
+    tolerance: Column | None = None,
 ) -> DataFrame:
-    """For every left row, attach the most recent right row with
-    ``right.right_ts <= left.left_ts`` (``<`` when inclusive=False), per
-    ``on`` key. Left rows with no earlier right row keep NULLs.
+    """pandas/cudf ``merge_asof`` semantics on DataFrames.
 
-    Plan shape: one hash shuffle on ``on`` + one in-partition sort —
-    identical asymptotics to a sort-merge join, skew-safe via AQE.
+    For every left row attach one right row per ``on`` key:
+
+    - ``direction="backward"`` (default): the most recent right row with
+      ``right_ts <= left_ts`` (``<`` when ``inclusive=False``);
+    - ``direction="forward"``: the earliest right row with
+      ``right_ts >= left_ts`` (``>`` when exclusive);
+    - ``direction="nearest"``: the closer of the two, ties to backward.
+
+    ``tolerance`` (a Column the timestamp difference compares against, e.g.
+    ``F.expr("INTERVAL 30 MINUTES")`` for timestamps or a numeric literal
+    for numeric order keys) nulls out matches farther than the bound.
+    Left rows with no admissible right row keep NULLs.
+
+    Plan shape: ONE hash shuffle on ``on`` + in-partition sort(s) — the
+    same asymptotics as a sort-merge join, skew-safe via AQE; ``nearest``
+    adds a second in-partition sort (descending), never a second shuffle.
+    When several right rows share (key, timestamp) the greatest payload
+    tuple wins deterministically (payload columns are assumed non-null for
+    the tie-break; the per-column fills pick rows independently otherwise).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     lcols = left.columns
     payload = [F.col(c).alias(f"__r_{c}") for c in right_values]
 
     # Tag so that at equal timestamps the right row sorts before (inclusive)
-    # or after (exclusive) the left row it may match.
+    # or after (exclusive) the left row it may match — in BOTH sort
+    # directions, since ties order by tag after the timestamp.
     r = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0 if inclusive else 2).alias("__tag"),
+        F.col(right_ts).alias("__rt"),
         *payload,
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
@@ -48,25 +69,54 @@ def asof_join(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__tag"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rt"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
         *lcols,
     )
-    # Tie-break on the payload columns: when several right rows share the
-    # same (key, timestamp), the greatest payload tuple wins deterministically
-    # across plans/engines (matches an ORDER BY ... LAST_VALUE oracle).
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__t", "__tag", *[F.col(f"__r_{c}") for c in right_values])
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = r.unionByName(l).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in right_values
-        ],
-    )
-    return filled.filter(F.col("__tag") == 1).select(
+    u = r.unionByName(l)
+
+    fill_cols = [*(f"__r_{c}" for c in right_values), "__rt"]
+
+    def fills(prefix: str, descending: bool) -> list[Column]:
+        # Tie-break on the payload columns: when several right rows share the
+        # same (key, timestamp), the greatest payload tuple wins
+        # deterministically across plans/engines.
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(
+                F.desc("__t") if descending else F.asc("__t"),
+                "__tag",
+                *[F.col(f"__r_{c}") for c in right_values],
+            )
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return [
+            F.last(c, ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in fill_cols
+        ]
+
+    cols: list[Column] = []
+    if direction in ("backward", "nearest"):
+        cols += fills("__b_", descending=False)
+    if direction in ("forward", "nearest"):
+        cols += fills("__f_", descending=True)
+    filled = u.select("*", *cols).filter(F.col("__tag") == 1)
+
+    t = F.col("__t")
+    if direction == "nearest":
+        b_rt, f_rt = F.col("__b___rt"), F.col("__f___rt")
+        use_b = f_rt.isNull() | (b_rt.isNotNull() & ((t - b_rt) <= (f_rt - t)))
+        matched = {c: F.when(use_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")) for c in fill_cols}
+    else:
+        prefix = "__b_" if direction == "backward" else "__f_"
+        matched = {c: F.col(f"{prefix}{c}") for c in fill_cols}
+
+    if tolerance is not None:
+        rt = matched["__rt"]
+        dist = F.when(rt <= t, t - rt).otherwise(rt - t)
+        keep = rt.isNotNull() & (dist <= tolerance)
+        matched = {c: F.when(keep, expr) for c, expr in matched.items()}
+
+    return filled.select(
         *lcols,
-        *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_values],
+        *[matched[f"__r_{c}"].alias(f"asof_{c}") for c in right_values],
     )

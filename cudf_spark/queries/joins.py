@@ -412,3 +412,62 @@ def union_by_name_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nk"), F.lit("supp").alias("src")
     )
     return c.unionByName(s, allowMissingColumns=True).orderBy("src", "nk", "bal")
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'click'
+    )
+    , j AS (
+        SELECT p.event_id, c.ts AS cts, c.value,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                            CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                            c.value DESC
+               ) AS rn
+        FROM p JOIN c ON p.user_id = c.user_id
+         AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 1800000000
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f')   AS purchase_ts,
+           strftime(j.cts, '%Y-%m-%d %H:%M:%S.%f')  AS nearest_click_ts,
+           round(j.value, 4)                         AS nearest_click_value
+    FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.event_id = p.event_id
+    ORDER BY p.event_id
+    """,
+    doc="merge_asof direction='nearest' with tolerance (pandas/cudf full "
+    "surface): closer of backward/forward click within 30 min, ties to "
+    "backward then greatest payload. Still one shuffle + two in-partition "
+    "sorts; the oracle is a correlated min_by over a lexicographic "
+    "[distance, direction, -payload] key.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.joins import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["ts", "value"],
+        direction="nearest",
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("nearest_click_ts"),
+        F.round("asof_value", 4).alias("nearest_click_value"),
+    ).orderBy("event_id")

@@ -205,3 +205,48 @@ def test_char_shingles_edges(spark):
     out = [r["g"] for r in df.select(char_shingles(F.col("s"), 5).alias("g")).collect()]
     assert out[0] == ["abcde", "bcdef"]
     assert out[1] == [] and out[2] == []
+
+
+def test_asof_join_directions_match_pandas(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cudf_spark.catalog import load
+    from cudf_spark.operators.joins import asof_join
+
+    e = load(spark, SF_DIR, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    # clicks have unique (user_id, ts) per fixture, so the pandas tie rule
+    # (keep-last) and ours (greatest payload) cannot diverge
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    lp = purchases.toPandas().sort_values("ts")
+    rc = clicks.toPandas().sort_values("ts")
+
+    for direction, tol in [("forward", None), ("nearest", None), ("nearest", "30m")]:
+        got = (
+            asof_join(
+                purchases,
+                clicks,
+                "user_id",
+                "ts",
+                "ts",
+                ["value"],
+                direction=direction,
+                tolerance=F.expr("INTERVAL 30 MINUTES") if tol else None,
+            )
+            .toPandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            lp,
+            rc,
+            on="ts",
+            by="user_id",
+            direction=direction,
+            tolerance=pd.Timedelta("30min") if tol else None,
+        )
+        want = want.sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["asof_value"], want["value"], check_names=False, rtol=1e-12
+        )

@@ -262,6 +262,9 @@ def dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     p = load(spark, sf_dir, "part")
+    # The single-partition rank runs over the DISTINCT key set only —
+    # bounded by dictionary cardinality (small by definition), not by data
+    # size. scale_audit flags it; tests/test_scale_audit.py allowlists it.
     codes = (
         p.select("p_type")
         .distinct()

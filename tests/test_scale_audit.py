@@ -49,3 +49,21 @@ def test_flags_cartesian(spark):
     bad = n.crossJoin(n.select(F.col("n_nationkey").alias("k2")))
     found = scale_audit(bad, allow_bnlj=False)
     assert any(c == "cartesian_product" for c, _ in found)
+
+
+# Queries whose single-partition stage is bounded by something OTHER than
+# data size — the audit can't see cardinality, reviewers can:
+#   hconcat_positional — positional zip needs a global order by definition
+#     (documented caveat; exercised on the 5-row region table only);
+#   dictionary_encode  — the rank runs over the DISTINCT key set, bounded
+#     by dictionary cardinality.
+KNOWN_BOUNDED = {"hconcat_positional", "dictionary_encode"}
+
+
+def test_every_registry_query_passes_scale_audit(spark):
+    flagged = {}
+    for name, q in REGISTRY.items():
+        findings = scale_audit(q.build(spark, SF_DIR))
+        if findings and name not in KNOWN_BOUNDED:
+            flagged[name] = findings
+    assert flagged == {}

@@ -24,6 +24,7 @@ from cudf_spark.queries import (  # noqa: F401, E402
     relational3,
     aggregates2,
     text2,
+    text3,
     reshape,
     pipeline,
     scalars_math,

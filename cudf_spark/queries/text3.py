@@ -1,0 +1,309 @@
+"""Training-data curation operators, part 3: benchmark decontamination,
+Gopher-style repetition signals, TF-IDF keywording, greedy sequence
+packing, PII redaction.
+
+These extend the nvtext-derived surface (SURVEY §2.11; reference
+cpp/include/nvtext/) with the corpus-preparation steps a large-scale
+pretraining pipeline runs after dedup/quality gating. All are pure
+DataFrame plans — one doc_id-keyed shuffle chain each, no UDFs — and every
+query carries a full-algorithm DuckDB oracle.
+
+Cross-engine care: DuckDB SUM/COUNT_IF over integers yields HUGEINT, which
+the driver's hasher serializes differently from BIGINT — every such oracle
+column is CAST to BIGINT. Scores avoid ``ln`` (libm last-ulp divergence
+between engines); the TF-IDF uses the order-equivalent rational form
+``tf * N / df`` whose double result is a single identical IEEE rounding in
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cudf_spark.catalog import load
+from cudf_spark.functions.textfns import normalize_text, tokenize, word_shingles
+from cudf_spark.queries.registry import register
+
+SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+SQL_TOKS = f"string_split({SQL_NORM}, ' ')"
+
+
+def _sql_grams(k: int) -> str:
+    """DuckDB distinct word k-gram list over token list ``w`` (1-based)."""
+    return (
+        "list_distinct(list_transform("
+        f"generate_series(1, greatest(len(w) - {k - 1}, 0)),"
+        f" i -> array_to_string(w[i:i+{k - 1}], ' ')))"
+    )
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, unnest({_sql_grams(5)}) AS g FROM toks
+    ),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+    hits AS (
+      SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n
+      FROM grams c JOIN eval_grams USING (g)
+      WHERE c.doc_id % 10 != 0
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n, 0)     AS n_overlap_grams,
+           coalesce(n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits USING (doc_id)
+    WHERE d.doc_id % 10 != 0
+    ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination: flag training docs sharing any word "
+    "5-gram with a held-out eval set (doc_id % 10 == 0 stands in for the "
+    "benchmark). The GPT-3/PaLM n-gram-overlap recipe: explode distinct "
+    "5-grams, broadcast the (small) eval gram set, count hits per doc. "
+    "At 100 TB the eval side stays benchmark-sized, so the join is a "
+    "broadcast — the corpus is touched in one pass with no self-shuffle.",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(word_shingles(normalize_text(F.col("text")), k=5)).alias("g")
+    )
+    eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    hits = (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        # per-doc grams and the eval side are both distinct, so the join
+        # multiplicity is 1 and count(*) == count(DISTINCT g)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        d.filter(F.col("doc_id") % 10 != 0)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).alias("n_overlap_grams"),
+            (F.coalesce("n", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+    pc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             max(c)                    AS top_cnt,
+             CAST(sum(c) AS BIGINT)    AS n_tok,
+             CAST(count(*) AS BIGINT)  AS n_distinct
+      FROM pc GROUP BY doc_id
+    ),
+    g2 AS (
+      SELECT doc_id,
+             CAST(len({_sql_grams(2)}) AS BIGINT)      AS distinct_2g,
+             CAST(greatest(len(w) - 1, 0) AS BIGINT)   AS total_2g
+      FROM toks
+    )
+    SELECT a.doc_id,
+           top_cnt * 1.0 / n_tok     AS top_token_frac,
+           n_distinct * 1.0 / n_tok  AS distinct_token_frac,
+           CASE WHEN total_2g > 0
+                THEN 1.0 - distinct_2g * 1.0 / total_2g
+                ELSE 0.0 END         AS dup_2gram_frac
+    FROM agg a JOIN g2 USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition filters (Rae et al. 2021 §A1.1): fraction "
+    "of tokens taken by the most frequent token, distinct-token fraction, "
+    "duplicated-2-gram fraction. Token counts shuffle once on doc_id; the "
+    "2-gram stats are pure array expressions (no explode). Both sides "
+    "divide BIGINTs to double — one identical IEEE rounding per cell.",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    tok = d.select("doc_id", F.explode(tokenize(norm)).alias("t"))
+    agg = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_cnt"),
+            F.sum("c").alias("n_tok"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    g2 = d.select(
+        "doc_id",
+        F.size(word_shingles(norm, k=2)).cast("long").alias("distinct_2g"),
+        F.greatest(F.size(tokenize(norm)) - 1, F.lit(0)).cast("long").alias("total_2g"),
+    )
+    return (
+        agg.join(g2, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("top_cnt") / F.col("n_tok")).alias("top_token_frac"),
+            (F.col("n_distinct") / F.col("n_tok")).alias("distinct_token_frac"),
+            F.when(
+                F.col("total_2g") > 0,
+                F.lit(1.0) - F.col("distinct_2g") / F.col("total_2g"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_2gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.t AS token, tf.tf, df.df,
+             tf.tf * n.n_docs * 1.0 / df.df AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * n.n_docs * 1.0 / df.df DESC, tf.t
+             ) AS rk
+      FROM tf JOIN df USING (t) CROSS JOIN n
+    )
+    SELECT doc_id, rk, token, tf, df, score
+    FROM scored WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+    doc="TF-IDF keyword extraction, top-3 per document. The rational score "
+    "tf * N / df is order-equivalent to tf·idf under any monotone idf and "
+    "cross-engine exact (no libm ln). Plan: one doc-keyed count shuffle, "
+    "one token-keyed doc-frequency agg (broadcast back — vocabulary is "
+    "tiny vs corpus), one windowed top-k per doc. Ties break on token.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.groupBy().agg(F.count("*").alias("n_docs"))
+    tok = d.select("doc_id", F.explode(tokenize(normalize_text(F.col("text")))).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
+    score = F.col("tf") * F.col("n_docs") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("t"))
+    return (
+        tf.join(F.broadcast(df_), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "rk",
+            F.col("t").alias("token"),
+            "tf",
+            "df",
+            score.alias("score"),
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+@register(
+    "doc_pack_greedy",
+    oracle="""
+    WITH cum AS (
+      SELECT source, doc_id, n_chars,
+             CAST(sum(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_chars
+      FROM documents
+    ),
+    packed AS (SELECT source, doc_id, n_chars, (cum_chars - 1) // 2048 AS pack_id FROM cum)
+    SELECT source, pack_id,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)  AS pack_chars,
+           min(doc_id)                   AS first_doc,
+           max(doc_id)                   AS last_doc
+    FROM packed GROUP BY source, pack_id
+    ORDER BY source, pack_id
+    """,
+    doc="Greedy contiguous sequence packing: assign docs (in doc_id order "
+    "within each source) to fixed 2048-char training bins via a running "
+    "prefix sum — the standard pack-to-max-seq-len step before "
+    "tokenization. One window + one agg, both partitioned by source; "
+    "parallelism = number of sources at any scale.",
+)
+def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr("-1 + sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)").alias("cum0"),
+    ).select(
+        "source", "doc_id", "n_chars", F.expr("cum0 div 2048").alias("pack_id")
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("pack_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             'user' || doc_id || '@' || source || '.example reach at 555-'
+               || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' re: '
+               || substr(text, 1, 40) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+             '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    FROM synth ORDER BY doc_id
+    """,
+    doc="PII redaction pass: scrub email/phone patterns with <EMAIL>/"
+    "<PHONE> placeholders. The fixture text has no PII, so a deterministic "
+    "contact line is synthesized per doc first; the redaction itself is "
+    "plain regexp_replace — JVM-side, codegen, embarrassingly parallel. "
+    "Patterns stay in the RE2 ∩ java.util.regex common dialect.",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example reach at 555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        F.lit(" re: "),
+        F.substring(F.col("text"), 1, 40),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(raw, r"[a-z0-9]+@[a-z0-9.]+", "<EMAIL>"),
+        r"555-[0-9]{4}",
+        "<PHONE>",
+    )
+    return d.select("doc_id", redacted.alias("redacted")).orderBy("doc_id")

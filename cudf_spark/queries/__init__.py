@@ -25,6 +25,8 @@ from cudf_spark.queries import (  # noqa: F401, E402
     aggregates2,
     text2,
     text3,
+    decimals,
+    extras,
     reshape,
     pipeline,
     scalars_math,

@@ -1,0 +1,126 @@
+"""Duration arithmetic and structured JSON parsing — closing two remaining
+type-surface rows: cudf duration types (cpp/include/cudf/wrappers/
+durations.hpp; timestamps minus timestamps → duration_us) and schema-full
+JSON decode (cudf io/json.hpp read_json), which is deeper than the
+JSONPath-only ``get_json_object`` already covered by ``str_json``.
+
+events.ts is stored as nanoseconds; Spark's parquet reader truncates to
+microseconds, so oracles compare on ``CAST(ts AS TIMESTAMP)`` (DuckDB's
+µs timestamp) and all duration math is done in integer microseconds —
+exact on both engines, no interval-type stringification parity needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cudf_spark.catalog import load
+from cudf_spark.queries.registry import register
+
+
+@register(
+    "dt_durations",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    gaps AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM e
+    )
+    SELECT user_id,
+           CAST(count(gap_us) AS BIGINT)        AS n_gaps,
+           max(gap_us)                          AS max_gap_us,
+           min(gap_us)                          AS min_gap_us,
+           CAST(sum(gap_us) AS BIGINT)          AS span_us,
+           CAST(sum(gap_us) AS BIGINT) // 1000000 AS span_s,
+           CAST(sum(CASE WHEN gap_us > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
+                AS BIGINT)                      AS n_session_breaks
+    FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Duration arithmetic (durations.hpp; timestamps.hpp:54 — timestamp "
+    "subtraction yields duration_us): per-user inter-event gaps via lag, "
+    "duration aggregates, integer µs→s scale-down, and a 30-minute "
+    "session-break count. One user_id-keyed shuffle; exact integer math.",
+)
+def dt_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        e.select("user_id", "event_id", "ts")
+        .withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.sum("gap_us").alias("span_us"),
+            F.expr("sum(gap_us) div 1000000").alias("span_s"),
+            F.sum(
+                F.when(F.col("gap_us") > 30 * 60 * 1000000, 1).otherwise(0)
+            ).alias("n_session_breaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "str_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(js, '$.et') AS VARCHAR)  AS et,
+           CAST(json_extract(js, '$.v') AS DOUBLE)           AS v,
+           CAST(json_extract(js, '$.k') AS INT)              AS k,
+           CAST(json_array_length(json_extract(js, '$.tags')) AS INT) AS n_tags,
+           CAST(json_extract_string(js, '$.tags[0]') AS VARCHAR)      AS tag0
+    FROM (
+      SELECT event_id,
+             '{"et":"' || event_type || '","v":' || CAST(value AS VARCHAR)
+               || ',"k":' || json_extract_string(props, '$.k')
+               || ',"tags":["' || event_type || '","u' || CAST(user_id AS VARCHAR)
+               || '"]}' AS js
+      FROM events
+    ) ORDER BY event_id
+    """,
+    doc="Schema-full JSON decode (io/json.hpp read_json semantics on a "
+    "column): a nested document (string/double/int fields + array) is "
+    "assembled per row, then parsed back through from_json with an "
+    "explicit schema — struct field access and array element extraction, "
+    "all JVM-side. The doc is built by concat (not to_json) so both "
+    "engines parse the SAME bytes; double formatting never crosses "
+    "engines.",
+)
+def str_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    js = F.concat(
+        F.lit('{"et":"'),
+        F.col("event_type"),
+        F.lit('","v":'),
+        F.col("value").cast("string"),
+        F.lit(',"k":'),
+        F.get_json_object("props", "$.k"),
+        F.lit(',"tags":["'),
+        F.col("event_type"),
+        F.lit('","u'),
+        F.col("user_id").cast("string"),
+        F.lit('"]}'),
+    )
+    parsed = F.from_json(
+        js, "et STRING, v DOUBLE, k INT, tags ARRAY<STRING>"
+    )
+    return (
+        e.select("event_id", parsed.alias("p"))
+        .select(
+            "event_id",
+            F.col("p.et").alias("et"),
+            F.col("p.v").alias("v"),
+            F.col("p.k").alias("k"),
+            F.size("p.tags").cast("int").alias("n_tags"),
+            F.element_at("p.tags", 1).alias("tag0"),
+        )
+        .orderBy("event_id")
+    )

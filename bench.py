@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_substring_spans",
     "ann_ivf_topk",
     "text_quality_gopher",
+    # round 2b: eval-set decontamination (explode + broadcast gram join)
+    "text_decontaminate",
 ]
 
 

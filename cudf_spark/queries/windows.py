@@ -136,7 +136,10 @@ def win_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rolling_agg("l_quantity", "min", part, order, 3), 2).alias("min_qty_4"),
         F.round(rolling_agg("l_quantity", "max", part, order, 3), 2).alias("max_qty_4"),
         F.round(rolling_agg("l_quantity", "avg", part, order, 3, min_periods=2), 4).alias("avg_minp2"),
-    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+    # No trailing global orderBy: on a per-row (full-table) result it adds a
+    # range exchange whose sampling pass evaluates the window subtree twice,
+    # and a 100 TB global sort besides — the comparator sorts rows itself.
 
 
 @register(

@@ -136,3 +136,24 @@ def test_scale_confs_pinned(spark):
     assert conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
     assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     assert conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_win_rolling_single_exchange_no_global_sort(spark):
+    # One hash exchange (the per-suppkey window shuffle) and NO trailing
+    # rangepartitioning: a global sort on a per-row result would both
+    # double-evaluate the window subtree (range-bounds sampling pass) and
+    # serialize the full table through a sort at scale.
+    plan = plan_of(spark, "win_rolling_rows")
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gopher_single_generate_sorts_before_projection(spark):
+    # The interpreted metrics struct must be evaluated once per row: via a
+    # Generate (inline) barrier, with any sort BELOW the projection so the
+    # range-bounds sampling pass never re-runs the metrics lambdas.
+    plan = plan_of(spark, "text_quality_gopher")
+    assert "Generate" in plan
+    gen_pos = plan.index("Generate")
+    sort_pos = plan.index("Sort ")
+    assert sort_pos > gen_pos  # deeper in the tree = printed later

@@ -41,6 +41,8 @@ HEADLINE = [
     "text_quality_gopher",
     # round 2b: eval-set decontamination (explode + broadcast gram join)
     "text_decontaminate",
+    # round 2c: the full dedup->quality->decontaminate->split->pack DAG
+    "curation_pipeline",
 ]
 
 

@@ -63,6 +63,33 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     return F.element_at(F.transform(F.array(col), grams_of), 1)
 
 
+def top_token_count(w: Column) -> Column:
+    """Occurrences of the most frequent element of ``w`` as a single O(n)
+    pass: sort, then fold the longest run of equal neighbours. The naive
+    per-distinct re-count is O(distinct·n) *interpreted* (higher-order
+    lambdas never enter codegen) — measured ~4× slower at sf0.1. Tokens
+    are assumed non-empty (the empty string seeds the fold)."""
+
+    def _run(acc: Column, x: Column) -> Column:
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    return F.aggregate(
+        F.array_sort(w),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _run,
+        lambda acc: acc["best"],
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Set jaccard of two arrays (nvtext/jaccard.hpp:63)."""
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
 from cudf_spark.functions.hashing import hash60, hash60_sql
-from cudf_spark.functions.textfns import normalize_text
+from cudf_spark.functions.textfns import normalize_text, top_token_count
 from cudf_spark.operators.similarity import ann_ivf_topk
 from cudf_spark.queries.registry import register
 from cudf_spark.queries.similarity import DIM, _sql_cosine
@@ -123,28 +123,7 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         wlen_sum = F.when(
             n > 0, F.length(normalize_text(F.col("text"))) - (n - 1)
         ).otherwise(F.lit(0)).cast("long")
-        # Most-frequent-token count as a single O(n) pass: sort, then fold
-        # the longest run of equal neighbours. (The obvious per-distinct
-        # re-count is O(distinct·n) *interpreted* — higher-order lambdas
-        # never enter codegen — and measured ~4× slower on this query.)
-        def _run(acc: F.Column, x: F.Column) -> F.Column:
-            new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-            return F.struct(
-                x.alias("prev"),
-                new_run.alias("run"),
-                F.greatest(acc["best"], new_run).alias("best"),
-            )
-
-        top_cnt = F.aggregate(
-            F.array_sort(w),
-            F.struct(
-                F.lit("").alias("prev"),
-                F.lit(0).cast("long").alias("run"),
-                F.lit(0).cast("long").alias("best"),
-            ),
-            _run,
-            lambda acc: acc["best"],
-        )
+        top_cnt = top_token_count(w)
         grams = F.transform(
             F.sequence(F.lit(1), n - 2),
             lambda i: F.concat_ws(

@@ -207,3 +207,31 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("y"), F.asc_nulls_first("m"), F.asc_nulls_first("d"))
     )
+
+
+@register(
+    "stream_enrich_static",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S')  AS window_start,
+           CASE WHEN user_id % 3 = 0 THEN 'gold'
+                WHEN user_id % 3 = 1 THEN 'silver'
+                ELSE 'bronze' END          AS tier,
+           count(*)                        AS n,
+           round(sum(value), 2)            AS total
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Stream-static enrichment join (fact stream x user dim, stateless "
+    "per-batch broadcast) + tumbling rollup per tier — batch form of the "
+    "streaming lookup pattern; stream==batch asserted in "
+    "tests/test_streaming.py.",
+)
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.streaming.ops import enrich_with_static, user_tier_dim
+
+    e = load(spark, sf_dir, "events")
+    return enrich_with_static(e, user_tier_dim(spark, sf_dir)).orderBy(
+        "window_start", "tier"
+    )

@@ -22,11 +22,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
-from cudf_spark.functions.textfns import normalize_text, tokenize, word_shingles
+from cudf_spark.functions.hashing import hash60, hash60_sql
+from cudf_spark.functions.textfns import (
+    normalize_text,
+    tokenize,
+    top_token_count,
+    word_shingles,
+)
 from cudf_spark.queries.registry import register
 
 SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 SQL_TOKS = f"string_split({SQL_NORM}, ' ')"
+STOPWORDS = ("the", "a", "of", "to", "and")
 
 
 def _sql_grams(k: int) -> str:
@@ -307,3 +314,159 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "<PHONE>",
     )
     return d.select("doc_id", redacted.alias("redacted")).orderBy("doc_id")
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, n_chars, {SQL_NORM} AS norm FROM documents
+    ),
+    tok AS (
+      SELECT *,
+             list_filter(string_split(norm, ' '), t -> t != '') AS wq,
+             string_split(norm, ' ') AS w
+      FROM base
+    ),
+    corpus AS (SELECT * FROM tok WHERE doc_id % 10 != 0),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY md5(norm)) AS keeper FROM corpus
+      ) WHERE keeper = doc_id
+    ),
+    qual AS (
+      SELECT * FROM dedup
+      WHERE len(wq) BETWEEN 20 AND 90
+        AND len(list_intersect(list_distinct(wq),
+                ['the', 'a', 'of', 'to', 'and'])) >= 2
+        AND list_max(list_transform(list_distinct(wq),
+                t -> len(list_filter(wq, x -> x = t)))) * 1.0 / len(wq) <= 0.12
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest({_sql_grams(5)}) AS g FROM tok WHERE doc_id % 10 = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM (SELECT doc_id, unnest({_sql_grams(5)}) AS g FROM qual) c
+      JOIN eval_grams USING (g)
+    ),
+    kept AS (
+      SELECT * FROM qual WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    assigned AS (
+      SELECT *,
+             CASE WHEN {hash60_sql("CAST(doc_id AS VARCHAR)", seed=42)} % 100 < 80 THEN 'train'
+                  WHEN {hash60_sql("CAST(doc_id AS VARCHAR)", seed=42)} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept
+    ),
+    packed AS (
+      SELECT split, source, n_chars,
+             (CAST(sum(n_chars) OVER (
+                PARTITION BY split, source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS BIGINT) - 1) // 2048 AS pack_id
+      FROM assigned
+    )
+    SELECT split, source,
+           CAST(count(*) AS BIGINT)              AS n_docs,
+           CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(sum(n_chars) AS BIGINT)          AS sum_chars
+    FROM packed GROUP BY split, source ORDER BY split, source
+    """,
+    doc="The full training-data curation pipeline as ONE declarative DAG: "
+    "exact dedup (keep-first per md5 digest) -> Gopher quality gate "
+    "(word-count / stopword / top-token-repetition rules) -> benchmark "
+    "decontamination (5-gram overlap vs the held-out eval split, broadcast "
+    "join) -> deterministic hash60 train/val/test assignment -> greedy "
+    "2048-char sequence packing -> per-(split, source) corpus stats. "
+    "Catalyst fuses the stages; every shuffle is keyed (digest, gram, "
+    "doc_id, split+source) — nothing pairwise, nothing single-partition, "
+    "which is exactly the plan you want over 100 TB of raw text.",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source", "n_chars", normalize_text(F.col("text")).alias("norm")
+    )
+    corpus = base.filter(F.col("doc_id") % 10 != 0)
+
+    # 1. exact dedup: keep the lowest doc_id per content digest
+    wdig = Window.partitionBy(F.md5("norm"))
+    deduped = (
+        corpus.withColumn("__keep", F.min("doc_id").over(wdig) == F.col("doc_id"))
+        .filter("__keep")
+        .drop("__keep")
+    )
+
+    # 2. quality gate — metrics behind an inline() Generate barrier so the
+    #    interpreted lambdas run once per row (see text_quality_gopher)
+    toks = F.filter(F.split(F.col("norm"), " "), lambda x: x != "")
+    qm = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda w: F.struct(
+                F.size(w).alias("n_words"),
+                top_token_count(w).alias("top_cnt"),
+                F.size(
+                    F.array_intersect(
+                        F.array_distinct(w),
+                        F.array(*[F.lit(s) for s in STOPWORDS]),
+                    )
+                ).alias("n_stop"),
+            ),
+        ),
+        1,
+    )
+    qual = (
+        deduped.select("doc_id", "source", "n_chars", "norm", F.inline(F.array(qm)))
+        .filter(
+            F.col("n_words").between(20, 90)
+            & (F.col("n_stop") >= 2)
+            & (F.col("top_cnt") / F.col("n_words") <= 0.12)
+        )
+    )
+
+    # 3. decontamination vs the held-out eval split (broadcast gram set)
+    shingles5 = word_shingles(F.col("norm"), k=5)
+    eval_grams = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(shingles5).alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        qual.select("doc_id", F.explode(shingles5).alias("g"))
+        .join(F.broadcast(eval_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = qual.join(contaminated, "doc_id", "left_anti")
+
+    # 4. deterministic split + 5. greedy packing + 6. corpus stats
+    bucket = hash60(F.col("doc_id").cast("string"), seed=42) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    wp = (
+        Window.partitionBy("split", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        kept.withColumn("split", split)
+        .withColumn("cum", F.sum("n_chars").over(wp))
+        .withColumn("pack_id", F.expr("(cum - 1) div 2048"))
+    )
+    return (
+        packed.groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split", "source")
+    )

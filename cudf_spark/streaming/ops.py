@@ -170,3 +170,46 @@ def kafka_micro_batch_reader(
             "timestamp",
         )
     return df
+
+
+def enrich_with_static(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup: every micro-batch
+    joins against the (batch) dimension — the streaming fact-to-dim
+    pattern (user/account/catalog lookups). Stateless join, so no
+    watermark is needed on the dim side; Spark broadcasts it per batch
+    when small. Works identically on a batch frame (the oracle form)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.join(dim, "user_id")
+        .groupBy(F.window("ts", width).alias("w"), "tier")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "tier",
+            "n",
+            "total",
+        )
+    )
+
+
+def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static per-user dimension derived deterministically from the events
+    table's user universe (stand-in for an external user-profile table)."""
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+    )
+    return users.select(
+        "user_id",
+        F.when(F.col("user_id") % 3 == 0, F.lit("gold"))
+        .when(F.col("user_id") % 3 == 1, F.lit("silver"))
+        .otherwise(F.lit("bronze"))
+        .alias("tier"),
+    )

@@ -120,3 +120,20 @@ def test_stream_interval_join_matches_batch(spark):
     )
     cols = ["c_user", "click_id", "purchase_id"]
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stream_enrich_static_matches_batch(spark):
+    from cudf_spark.catalog import load
+    from cudf_spark.streaming.ops import (
+        enrich_with_static,
+        events_stream,
+        user_tier_dim,
+    )
+
+    dim = user_tier_dim(spark, SF_DIR)
+    batch = enrich_with_static(load(spark, SF_DIR, "events"), dim)
+    stream = _run_stream(
+        spark, enrich_with_static(events_stream(spark, SF_DIR), dim), "t_enrich"
+    )
+    cols = ["window_start", "tier", "n", "total"]
+    assert _rows(stream, cols) == _rows(batch, cols)

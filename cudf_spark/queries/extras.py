@@ -124,3 +124,85 @@ def str_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "interpolate_linear",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_id % 7 = 3 THEN NULL ELSE value END AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS idx
+      FROM events
+    ),
+    f AS (
+      SELECT *,
+        last_value(v IGNORE NULLS) OVER wp AS prev_v,
+        last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER wp AS prev_i,
+        first_value(v IGNORE NULLS) OVER wn AS next_v,
+        first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER wn AS next_i
+      FROM b
+      WINDOW wp AS (PARTITION BY user_id ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY idx
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, (v IS NULL) AS was_null,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN prev_v IS NULL THEN NULL
+                      WHEN next_v IS NULL THEN prev_v
+                      ELSE prev_v + (next_v - prev_v) * (idx - prev_i) * 1.0
+                                    / (next_i - prev_i)
+                 END, 4) AS v_interp
+    FROM f ORDER BY event_id
+    """,
+    doc="Linear interpolation of nulls (cudf Series.interpolate, pandas "
+    "method='linear' semantics: leading nulls stay null, trailing nulls "
+    "forward-fill): per-user last/next non-null bracketing via "
+    "ignorenulls window frames, then the linear blend. Fixtures carry no "
+    "nulls, so event_id % 7 == 3 is nulled deterministically first. One "
+    "user-keyed shuffle; both frame scans share it.",
+)
+def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    v = (
+        F.when(F.col("event_id") % 7 == 3, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = e.select("user_id", "event_id", "ts", v.alias("v")).withColumn(
+        "idx", F.row_number().over(w)
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("v", ignorenulls=True).over(wp)
+    prev_i = F.last(F.when(F.col("v").isNotNull(), F.col("idx")), ignorenulls=True).over(wp)
+    next_v = F.first("v", ignorenulls=True).over(wn)
+    next_i = F.first(F.when(F.col("v").isNotNull(), F.col("idx")), ignorenulls=True).over(wn)
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(prev_v.isNull(), F.lit(None).cast("double"))
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + (next_v - prev_v) * (F.col("idx") - prev_i) / (next_i - prev_i)
+        )
+    )
+    return (
+        base.select(
+            "event_id",
+            "user_id",
+            F.col("v").isNull().alias("was_null"),
+            F.round(interp, 4).alias("v_interp"),
+        )
+        .orderBy("event_id")
+    )

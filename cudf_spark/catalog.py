@@ -32,11 +32,15 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table at the given scale-factor directory.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    reader rejects; we read nanos as long (runtime SQLConf) and truncate to
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    across fixture generations, so normalize by inspecting the read schema:
+    nanos arrive as long (``nanosAsLong`` runtime SQLConf — Spark's
+    vectorized reader rejects nanos otherwise) and are truncated to
     microsecond TimestampType — the documented semantic delta for cudf's
-    TIMESTAMP_NANOSECONDS (SURVEY §1.2), and what DuckDB's
-    ``CAST(ts AS TIMESTAMP)`` does on the oracle side.
+    TIMESTAMP_NANOSECONDS (SURVEY §1.2); micros arrive as TIMESTAMP_NTZ and
+    are cast to session-tz TimestampType (a no-op under the UTC pin below).
+    Either way the result matches DuckDB's ``CAST(ts AS TIMESTAMP)`` on the
+    oracle side.
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
@@ -49,7 +53,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if dict(df.dtypes).get("ts") == "bigint":  # nanos-as-long vintage
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -11,31 +11,108 @@ from cudf_spark.queries.registry import REGISTRY, Query, register  # noqa: F401
 # Import for registration side effects.
 #
 # ORDER MATTERS: the driver's correctness gate checks ~50 queries per round
-# in registration order, so families without a driver-green row yet are
-# front-loaded; already-confirmed families (r01: aggregates/joins/lists/
-# relational/relational2 head) rotate to the back.
+# in registration order.  Module import order is too coarse (several modules
+# mix driver-green and never-checked queries), so after importing everything
+# the registry is explicitly reordered: queries with no green CORRECTNESS
+# row across r01+r02 come first, then the two stale r01 hash-fails whose
+# oracle-CAST fix (commit 010229e) needs a driver re-check, then everything
+# already proven green.
 from cudf_spark.queries import (  # noqa: F401, E402
-    windows,
-    text,
-    scalars_strings,
-    scalars_datetime,
-    similarity,
-    streaming_batch,
-    relational3,
+    aggregates,
     aggregates2,
-    text2,
-    text3,
     decimals,
     extras,
-    reshape,
-    pipeline,
-    scalars_math,
-    relational2,
-    aggregates,
     joins,
     lists,
+    pipeline,
     relational,
+    relational2,
+    relational3,
+    reshape,
+    scalars_datetime,
+    scalars_math,
+    scalars_strings,
+    similarity,
+    streaming_batch,
+    text,
+    text2,
+    text3,
+    windows,
 )
+
+# Round-3 check window: 48 queries with no CORRECTNESS row in r01/r02, in
+# family order, followed by the two r01 HUGEINT hash-fails (fix committed,
+# never re-checked).  Names listed explicitly so the priority survives any
+# module re-organisation; a stale name here is a hard error at import time.
+_ROUND3_PRIORITY = [
+    # streaming tail (r02 checked the first four streaming queries only)
+    "stream_interval_join",
+    "events_time_rollup",
+    "stream_enrich_static",
+    # TPC-H tail
+    "q02_min_cost_supplier",
+    "q11_important_stock",
+    "q12_shipping_priority_class",
+    "q17_small_quantity_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    # aggregates2 / curation / text
+    "agg_quantile_modes",
+    "text_bpe_tokenize",
+    "dedup_substring_spans",
+    "dedup_minhash_chargram",
+    "text_decontaminate",
+    "text_repetition_signals",
+    "text_tfidf_topk",
+    "doc_pack_greedy",
+    "text_redact_pii",
+    "curation_pipeline",
+    "text_quality_gopher",
+    "doc_sample_split",
+    # decimals / datetime / string extras
+    "decimal_fixed_point",
+    "dt_durations",
+    "str_json_struct",
+    "interpolate_linear",
+    # reshape
+    "reshape_pivot",
+    "reshape_melt",
+    "reshape_crosstab",
+    "reshape_one_hot",
+    "reshape_transpose",
+    "reshape_interleave",
+    "reshape_tile",
+    # similarity / multimodal
+    "ann_ivf_topk",
+    "mm_image_features",
+    "mm_frame_sample",
+    # scalar math family
+    "math_unary",
+    "math_binary_bitwise",
+    "replace_fill_clamp",
+    "replace_nan_handling",
+    "search_bounds_isin",
+    "sample_deterministic",
+    "partition_histogram",
+    "drop_nulls_thresh",
+    "dictionary_encode",
+    "misc_row_bit_count",
+    "dictionary_set_keys",
+    "join_asof_nearest",
+    # stale r01 hash-fails — oracle CAST fix committed in 010229e
+    "agg_kinds_basic",
+    "list_higher_order",
+]
+
+_missing = [n for n in _ROUND3_PRIORITY if n not in REGISTRY]
+if _missing:  # pragma: no cover - registration bug guard
+    raise RuntimeError(f"priority list names unknown queries: {_missing}")
+
+_rest = [n for n in REGISTRY if n not in set(_ROUND3_PRIORITY)]
+_ordered = {n: REGISTRY[n] for n in [*_ROUND3_PRIORITY, *_rest]}
+REGISTRY.clear()
+REGISTRY.update(_ordered)
 
 
 def queries_dict():

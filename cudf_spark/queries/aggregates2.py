@@ -1,22 +1,28 @@
 """Quantile interpolation modes beyond LINEAR — cudf exposes five
 (cudf/quantiles.hpp:50: LINEAR, LOWER, HIGHER, MIDPOINT, NEAREST);
-``F.percentile`` only does linear, so the other four are expression shims
-over a per-group sorted array.
+``F.percentile`` only does linear, so the other four are rank-targeted
+selections over a per-group sort.
 
-Both engines compute the SAME index arithmetic over the SAME sorted list
-(pos = q·(n−1); lo/hi/round half-up), so parity is exact — no reliance on
-DuckDB's quantile_disc mode choice.
+Index convention: ``pos = q * (n - 1)`` computed directly in double — the
+same arithmetic cudf's sort-based quantile kernel uses.  numpy's
+``np.percentile`` round-trips the quantile through percent (``q*100/100``),
+which can land an ULP away and flip lo/hi on adversarial inputs (e.g.
+q=1/3, n=10); we deliberately do NOT follow that round-trip.  Both engines
+below run the identical direct arithmetic, so parity is exact.
 
-Scale note: exact non-linear quantiles inherently need the group's values
-in one place (same as the reference's sort-based quantile kernel). The
-grouped collect_list here shuffles once on the group key; group sizes are
-bounded by the key's cardinality share. For unbounded groups the approx
-path is ``percentile_approx``/t-digest (agg_approx_sketches).
+Scale design: exact non-linear quantiles need each group's order
+statistics, but NOT the whole group in one array.  We rank with a windowed
+``row_number`` (one keyed shuffle; the per-partition sort spills to disk
+gracefully on skewed keys) and keep only the ≤3 rows per group whose ranks
+are lo/hi/near — O(1) rows per group leave the window stage, and the final
+groupBy reuses the same hash partitioning (no second exchange).  For
+unbounded groups where even the sort is unwanted, the approx path is
+``percentile_approx``/t-digest (agg_approx_sketches).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
@@ -26,6 +32,12 @@ _Q = 0.37  # deliberately lands between indices for every mode
 
 
 def _modes(sorted_arr: Column, q: float) -> dict[str, Column]:
+    """All five interpolation modes over an already-sorted array column.
+
+    Array-based reference form of the index arithmetic (used by the
+    property suite and small-group callers); the registered query below
+    computes the same statistics without materializing the array.
+    """
     n = F.size(sorted_arr)
     pos = F.lit(q) * (n.cast("double") - 1)
     lo = F.floor(pos).cast("int")
@@ -65,15 +77,47 @@ def _modes(sorted_arr: Column, q: float) -> dict[str, Column]:
     FROM ix ORDER BY l_returnflag
     """,
     doc="All five cudf quantile interpolation modes (quantiles.hpp:50) at "
-    "q=0.37 per group — LOWER/HIGHER/MIDPOINT/NEAREST as index shims over "
-    "one sorted collect per group.",
+    "q=0.37 per group — rank-targeted selection via windowed row_number; "
+    "one keyed shuffle, O(1) rows per group out, no whole-group array.",
 )
 def agg_quantile_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    grouped = li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_list("l_quantity")).alias("a")
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    part = Window.partitionBy("l_returnflag")
+    # row_number ties are broken arbitrarily, which is fine: equal values
+    # yield the same order statistic whichever one lands at the rank.
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("v"),
+        F.row_number().over(part.orderBy("l_quantity")).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("n"),
     )
-    m = _modes(F.col("a"), _Q)
-    return grouped.select(
-        "l_returnflag", *[F.round(c, 4).alias(k) for k, c in m.items()]
+    pos = F.lit(_Q) * (F.col("n").cast("double") - 1)
+    ranked = ranked.select(
+        "*",
+        F.floor(pos).cast("int").alias("lo"),
+        F.ceil(pos).cast("int").alias("hi"),
+        F.floor(pos + F.lit(0.5)).cast("int").alias("near"),
+    )
+    i = F.col("rn") - 1
+    picked = ranked.filter(
+        (i == F.col("lo")) | (i == F.col("hi")) | (i == F.col("near"))
+    )
+    agg = picked.groupBy("l_returnflag").agg(
+        F.min("n").alias("n"),
+        F.min("lo").alias("lo"),
+        F.min(F.when(i == F.col("lo"), F.col("v"))).alias("a_lo"),
+        F.min(F.when(i == F.col("hi"), F.col("v"))).alias("a_hi"),
+        F.min(F.when(i == F.col("near"), F.col("v"))).alias("a_near"),
+    )
+    pos_g = F.lit(_Q) * (F.col("n").cast("double") - 1)
+    frac = pos_g - F.col("lo").cast("double")
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("a_lo") + (F.col("a_hi") - F.col("a_lo")) * frac, 4).alias(
+            "q_linear"
+        ),
+        F.round("a_lo", 4).alias("q_lower"),
+        F.round("a_hi", 4).alias("q_higher"),
+        F.round((F.col("a_lo") + F.col("a_hi")) / 2, 4).alias("q_midpoint"),
+        F.round("a_near", 4).alias("q_nearest"),
     ).orderBy("l_returnflag")

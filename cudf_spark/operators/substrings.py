@@ -1,14 +1,15 @@
 """Substring-level (sub-document) duplicate-span detection — the
 distributed counterpart of the reference's suffix-array
 ``resolve_duplicates`` (cpp/include/nvtext/deduplicate.hpp:66): report
-spans of at least ``min_length`` characters that occur in more than one
-document (or more than once overall).
+spans of at least ``min_length`` characters that occur more than once in
+the corpus (across documents OR repeated within one document, matching the
+reference's self-duplicate semantics).
 
 Spark-first formulation — no suffix array, no UDF, three shuffles total:
 
 1. k-gram index: every ``min_length``-char gram of every doc, generated
    JVM-side (``sequence`` + ``transform`` + ``explode``).
-2. duplicated grams: groupBy(gram) keeping those seen in >1 doc — one hash
+2. duplicated grams: grams with more than one occurrence — one hash
    shuffle on the gram; cost ∝ corpus size, never pairwise.
 3. islands: per doc, consecutive duplicated positions merge into maximal
    spans via the classic pos − row_number() gaps-and-islands window.
@@ -16,8 +17,8 @@ Spark-first formulation — no suffix array, no UDF, three shuffles total:
 Every reported span is a union of overlapping k-grams that each occur
 elsewhere; this is a (well-known) superset of the exact suffix-array
 answer — an adjacent pair of duplicated grams may match *different* peer
-docs. The reference's exact semantics need a distributed suffix array
-(out of scope; documented in COVERAGE.md).
+docs. ``verify_spans`` (below) trims that superset to exact maximal
+duplicated spans; the raw k-gram pass is the cheap scale path.
 """
 
 from __future__ import annotations
@@ -34,10 +35,12 @@ def kgram_index(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
     """
     # The gram explode multiplies rows ×(doc_len − k + 1); spread the CHEAP
     # side (raw docs) across the cluster before the fan-out so the explode
-    # and everything downstream parallelizes. Locally a single small
-    # parquet file would otherwise pin the whole pipeline to one task.
+    # and everything downstream parallelizes — but only when the input is
+    # UNDER-partitioned (one small local parquet file).  A well-partitioned
+    # 100 TB input must not be funneled down to defaultParallelism.
     sc = docs.sparkSession.sparkContext
-    docs = docs.repartition(sc.defaultParallelism)
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
     n_pos = F.length(text_col) - k + 1
     positions = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
         F.array().cast("array<int>")
@@ -51,12 +54,21 @@ def kgram_index(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
 
 
 def duplicate_spans(
-    docs: DataFrame, id_col: str, text_col: str, *, min_length: int = 20, exact: bool = False
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_length: int = 20,
+    exact: bool = False,
+    max_gram_freq: int | None = None,
+    skew_safe: bool = False,
 ) -> DataFrame:
-    """Maximal duplicated spans ≥ min_length chars across documents.
+    """Maximal duplicated spans ≥ min_length chars.
 
     Returns (id, span_pos, span_len) — one row per maximal span whose every
-    min_length-gram also occurs in at least one OTHER document.
+    min_length-gram occurs at more than one (doc, pos) in the corpus
+    (cross-document or repeated within a document — the reference's
+    ``resolve_duplicates`` self-duplicate semantics).
 
     By default the dup check keys on ``xxhash64(gram)`` — the shuffle moves
     8 bytes instead of k chars and sorts longs instead of strings (measured
@@ -64,20 +76,49 @@ def duplicate_spans(
     duplicate span: expected collisions ≈ n²/2⁶⁵ (≈ 3·10⁻⁸ at 10⁶ grams;
     still ≪ the k-gram approximation's own false-positive envelope at
     corpus scale). Pass ``exact=True`` to shuffle the gram strings.
+
+    ``max_gram_freq`` caps boilerplate: grams occurring more often are
+    treated as templating noise and dropped from anchoring (exact-document
+    dedup still covers the pages built from them). This bounds the island
+    windows and the span output under pathological corpora.
+
+    Two physical shapes for the dup-gram pass:
+
+    * default (``skew_safe=False``): one windowed ``count`` over the gram
+      key — a single shuffle of the gram index, and WindowExec buffers one
+      gram group at a time (spilling to disk past the buffer threshold), so
+      a mega-frequent gram degrades to one slow spilling task, never an
+      OOM. Fastest shape for normal corpora (the groupBy formulation
+      measured 2.4× slower at sf0.1 — the explode subtree evaluates twice).
+    * ``skew_safe=True``: groupBy(gram).count() (map-side partial
+      aggregation — skew-immune by construction) semi-joined back to the
+      gram index. The hot gram never concentrates raw rows in one task's
+      buffer: it is filtered OUT of the build side by the cap, and AQE's
+      skew-join splitting handles the probe. Pays a second evaluation of
+      the gram explode; the right shape when boilerplate is expected.
     """
     grams = kgram_index(docs, id_col, text_col, min_length)
     gkey = F.col("gram") if exact else F.xxhash64("gram")
-    # "gram occurs in >1 distinct doc" ⟺ min(doc_id) ≠ max(doc_id) over the
-    # gram — one shuffle, one pass. The groupBy(gram)+semi-join formulation
-    # evaluates the whole k-gram explode subtree TWICE (no cross-branch CSE
-    # in Catalyst) and shuffles twice; measured 2.4× slower at sf0.1.
-    wg = Window.partitionBy("gkey")
-    anchors = (
-        grams.withColumn("gkey", gkey)
-        .withColumn("__dup", F.min(id_col).over(wg) != F.max(id_col).over(wg))
-        .filter(F.col("__dup"))
-        .select(id_col, "pos")
-    )
+    cap = F.lit(max_gram_freq) if max_gram_freq is not None else None
+    if skew_safe:
+        keyed = grams.withColumn("gkey", gkey)
+        freq = keyed.groupBy("gkey").agg(F.count(F.lit(1)).alias("cnt"))
+        dup_keys = freq.filter(
+            (F.col("cnt") > 1) & ((F.col("cnt") <= cap) if cap is not None else F.lit(True))
+        )
+        anchors = keyed.join(dup_keys.select("gkey"), "gkey", "left_semi").select(
+            id_col, "pos"
+        )
+    else:
+        wg = Window.partitionBy("gkey")
+        cnt = F.count(F.lit(1)).over(wg)
+        dup = (cnt > 1) & ((cnt <= cap) if cap is not None else F.lit(True))
+        anchors = (
+            grams.withColumn("gkey", gkey)
+            .withColumn("__dup", dup)
+            .filter(F.col("__dup"))
+            .select(id_col, "pos")
+        )
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = anchors.withColumn("island", F.col("pos") - F.row_number().over(w))
     return (

@@ -63,7 +63,8 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, CAST(pos AS INT) AS pos,
                substr(text, CAST(pos AS INT), 20) AS gram FROM pos),
     dup AS (
-        SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        SELECT gram FROM grams GROUP BY gram
+        HAVING count(*) > 1 AND count(*) <= 10000),
     anchors AS (
         SELECT g.doc_id, g.pos FROM grams g WHERE g.gram IN (SELECT gram FROM dup)),
     islands AS (
@@ -77,13 +78,14 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Substring-level duplicate spans (nvtext/deduplicate.hpp:66 "
     "resolve_duplicates semantics, k-gram approximation): maximal spans "
-    "≥20 chars whose every 20-gram occurs in another document. k-gram "
-    "index → dup groupBy → gaps-and-islands merge; three shuffles, no "
-    "pairwise comparison — 100 TB-shaped.",
+    "≥20 chars whose every 20-gram occurs more than once in the corpus "
+    "(cross-doc or within-doc, capped at 10k occurrences as boilerplate). "
+    "k-gram index → dup count → gaps-and-islands merge; three shuffles, "
+    "no pairwise comparison — 100 TB-shaped.",
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    spans = duplicate_spans(docs, "doc_id", "text", min_length=20)
+    spans = duplicate_spans(docs, "doc_id", "text", min_length=20, max_gram_freq=10000)
     return spans.select(
         "doc_id",
         F.col("span_pos").cast("int").alias("span_pos"),

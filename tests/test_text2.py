@@ -55,10 +55,47 @@ def test_duplicate_spans_planted(spark):
     assert spans[2] == (8, len(shared))
 
 
-def test_duplicate_spans_within_doc_only_needs_two_docs(spark):
-    # A string repeated twice inside ONE doc is not cross-document duplicated.
+def test_duplicate_spans_catches_within_doc_repeats(spark):
+    # Reference resolve_duplicates reports self-duplicates: a 32-char run of
+    # 'x' contains its 20-gram at 13 overlapping positions -> one maximal
+    # span covering the whole run, even with no cross-document match.
+    run = "x" * 32
     docs = spark.createDataFrame(
-        [(1, "xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx padding"), (2, "totally different content with no repeats")],
+        [(1, run + " padding"), (2, "totally different content with no repeats")],
         "id long, text string",
     )
-    assert duplicate_spans(docs, "id", "text", min_length=20).count() == 0
+    spans = {r.id: (r.span_pos, r.span_len) for r in duplicate_spans(docs, "id", "text", min_length=20).collect()}
+    assert spans == {1: (1, len(run))}
+
+
+def test_duplicate_spans_hot_gram_cap(spark):
+    # A mega-frequent gram (planted boilerplate) is dropped from anchoring
+    # once its occurrence count exceeds max_gram_freq, in BOTH physical
+    # shapes; a normal duplicated span is still reported.
+    boiler = "B" * 200  # its 20-gram occurs 181x in one doc -> over any small cap
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique trailing content one"),
+            (100, "AAAA-" + shared + "+ZZZZ"),
+            (101, "CCCC_" + shared + "=DDDD"),
+        ],
+        "id long, text string",
+    )
+    # Uncapped, the boiler run self-duplicates into one giant span.
+    uncapped = {
+        r.id: (r.span_pos, r.span_len)
+        for r in duplicate_spans(docs, "id", "text", min_length=20).collect()
+    }
+    assert uncapped[1] == (1, len(boiler))
+    for skew_safe in (False, True):
+        spans = {
+            r.id: (r.span_pos, r.span_len)
+            for r in duplicate_spans(
+                docs, "id", "text", min_length=20, max_gram_freq=50, skew_safe=skew_safe
+            ).collect()
+        }
+        # 181 occurrences > cap=50 -> the boilerplate gram stops anchoring.
+        assert 1 not in spans, (skew_safe, spans)
+        assert spans[100] == (6, len(shared)), skew_safe
+        assert spans[101] == (6, len(shared)), skew_safe

@@ -100,6 +100,19 @@ def lsh_candidate_pairs(
     blocks are released by Spark's ContextCleaner once the returned
     DataFrame is garbage-collected.
 
+    Fault-tolerance tradeoff, explicit: ``localCheckpoint`` TRUNCATES
+    lineage and keeps blocks only on executors, so losing an executor
+    after materialization fails the job instead of recomputing (persist
+    would recompute from lineage). On a long-lived 1000-executor cluster
+    where decommissioning is routine, callers should prefer reliable
+    checkpointing — ``spark.sparkContext.setCheckpointDir(<hdfs/s3 path>)``
+    and ``.checkpoint()`` on the band table — or accept job retry as the
+    recovery path (the band table is cheap to rebuild: one pass over the
+    signatures). We keep localCheckpoint as the default because the
+    alternative leak (round-1 finding: persist with no unpersist hook on a
+    lazily-returned DataFrame) is a certain failure in notebook sessions,
+    while executor loss mid-query is a retryable one.
+
     ``max_bucket_size`` guards adversarial corpora: a bucket holding m docs
     emits m² pairs, so one hot band key (mass-duplicated boilerplate) can
     go quadratic. Buckets above the cap are dropped — standard practice in

@@ -43,16 +43,39 @@ def _plan_text(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _depth(line: str) -> int:
+    """Tree depth of a plan line from its prefix glyphs.
+
+    Each ancestor level contributes 3 chars — ``':  '``/``'   '`` for
+    pass-through levels and ``'+- '``/``':- '`` for the node marker — so
+    depth == prefix_len / 3.
+    """
+    m = re.match(r"^((?::  |   )*)(?:[+:]- )?", line)
+    return len(m.group(0)) // 3
+
+
 def scale_audit(df: DataFrame, *, allow_bnlj: bool = True) -> list[tuple[str, str]]:
     """Lint ``df``'s physical plan for patterns that break at cluster scale."""
     plan = _plan_text(df)
     findings: list[tuple[str, str]] = []
 
-    for m in re.finditer(r"Exchange SinglePartition", plan):
-        # plan[:start] ends inside the Exchange's own line (its tree-prefix
-        # glyphs) — the consumer is the last FULL line above it.
-        lines = plan[: m.start()].split("\n")
-        parent = lines[-2] if len(lines) >= 2 else ""
+    lines = plan.split("\n")
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # The consumer is the nearest line ABOVE at one level shallower —
+        # the immediately preceding line may be the deepest leaf of a prior
+        # sibling subtree (e.g. when the Exchange is a join's second child),
+        # so walk the tree-prefix glyph depth, not text adjacency.
+        d = _depth(line)
+        parent = ""
+        for j in range(i - 1, -1, -1):
+            cand = lines[j]
+            if not cand.strip() or "==" in cand:  # section headers, blanks
+                continue
+            if _depth(cand) < d:
+                parent = cand
+                break
         if not any(k in parent for k in _BOUNDED_CONSUMERS):
             findings.append(
                 ("single_partition_funnel", f"feeds: {parent.strip()[:90] or '<plan root>'}")

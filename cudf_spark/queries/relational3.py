@@ -114,15 +114,17 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ps AS ({_PS_SQL}),
     natval AS (
-        SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_availqty AS value
+        SELECT ps.ps_partkey,
+               CAST(floor(ps.ps_supplycost * ps.ps_availqty * 100) AS BIGINT)
+                   AS value_c
         FROM ps
         JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
         JOIN nation n  ON n.n_nationkey = s.s_nationkey
         WHERE n.n_name = 'NATION_7')
-    SELECT ps_partkey, CAST(round(sum(value) * 100) AS BIGINT) AS total_value_c
+    SELECT ps_partkey, CAST(sum(value_c) AS BIGINT) AS total_value_c
     FROM natval
     GROUP BY ps_partkey
-    HAVING sum(value) > (SELECT sum(value) * 0.001 FROM natval)
+    HAVING sum(value_c) > (SELECT sum(value_c) * 0.001 FROM natval)
     ORDER BY total_value_c DESC, ps_partkey
     """,
     doc="TPC-H Q11 shape: HAVING over a global-aggregate scalar subquery "
@@ -139,24 +141,26 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             "ps_partkey",
-            (F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"),
+            # Quantize per ROW to integer cents before aggregating: the raw
+            # value is an arbitrary double ratio (min(price/qty)·availqty),
+            # so a post-sum round would depend on IEEE fold order, which
+            # differs between Spark's partial aggregation and DuckDB. With
+            # integer cents, the sum AND the HAVING threshold comparison
+            # are exact on both engines (floor of one identical product is
+            # deterministic; only multi-term folds diverge).
+            F.floor(F.col("ps_supplycost") * F.col("ps_availqty") * 100)
+            .cast("bigint")
+            .alias("value_c"),
         )
     )
-    per_part = natval.groupBy("ps_partkey").agg(F.sum("value").alias("sum_value"))
+    per_part = natval.groupBy("ps_partkey").agg(F.sum("value_c").alias("sum_value_c"))
     # Scalar subquery → 1-row aggregate broadcast-cross-joined into the
     # HAVING filter (never a global window).
-    threshold = natval.agg((F.sum("value") * 0.001).alias("threshold"))
+    threshold = natval.agg((F.sum("value_c") * 0.001).alias("threshold"))
     return (
         per_part.crossJoin(F.broadcast(threshold))
-        .filter(F.col("sum_value") > F.col("threshold"))
-        .select(
-            "ps_partkey",
-            # round-quantized cents: each value is an exact number of cents,
-            # so sum×100 sits within an ulp of an INTEGER (fold order pushes
-            # it either side — floor would flip; round is stable). floor is
-            # for quantities landing on HALVES, round for ones on integers.
-            F.round(F.col("sum_value") * 100).cast("bigint").alias("total_value_c"),
-        )
+        .filter(F.col("sum_value_c") > F.col("threshold"))
+        .select("ps_partkey", F.col("sum_value_c").alias("total_value_c"))
         .orderBy(F.desc("total_value_c"), "ps_partkey")
     )
 

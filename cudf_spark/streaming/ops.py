@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` as a file-source stream (the parquet-channel analogue of
     libcudf_streaming's chunked parquet source, cpp/libcudf_streaming/src/
-    parquet.cpp). Handles the ns-timestamp quirk like catalog.load."""
+    parquet.cpp). Normalizes the ts column across fixture vintages (ns-as-
+    long vs native micros) like catalog.load."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source wants a directory; glob down to the events table
@@ -27,7 +28,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(raw.dtypes).get("ts") == "bigint":  # nanos-as-long vintage
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, *, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

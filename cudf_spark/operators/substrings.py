@@ -17,8 +17,8 @@ Spark-first formulation — no suffix array, no UDF, three shuffles total:
 Every reported span is a union of overlapping k-grams that each occur
 elsewhere; this is a (well-known) superset of the exact suffix-array
 answer — an adjacent pair of duplicated grams may match *different* peer
-docs. ``verify_spans`` (below) trims that superset to exact maximal
-duplicated spans; the raw k-gram pass is the cheap scale path.
+docs. ``resolve_duplicate_spans`` (below) computes the exact answer by
+diagonal chaining; the raw k-gram pass is the cheap scale path.
 """
 
 from __future__ import annotations
@@ -128,4 +128,81 @@ def duplicate_spans(
             (F.max("pos") - F.min("pos") + min_length).alias("span_len"),
         )
         .drop("island")
+    )
+
+
+def resolve_duplicate_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_length: int = 20,
+    exact: bool = False,
+    max_gram_freq: int | None = 64,
+) -> DataFrame:
+    """EXACT maximal duplicated spans ≥ min_length chars — the reference's
+    ``resolve_duplicates`` semantics (cpp/include/nvtext/deduplicate.hpp:66)
+    without a suffix array, via k-gram diagonal chaining.
+
+    Two positions (d1,p1), (d2,p2) sharing a k-gram lie on the pair
+    diagonal (d1, d2, p2−p1). A run of CONSECUTIVE p1 values on one
+    diagonal is a character-exact common substring of exactly
+    ``run_len − 1 + k`` chars: overlapping equal k-grams force full
+    equality, the run's start cannot extend backward (equal preceding
+    chars would imply an equal preceding gram pair, which would be in the
+    run), and its end cannot extend forward symmetrically. So maximal
+    diagonal runs ARE the maximal pair matches — found with one
+    gaps-and-islands window, zero substring comparisons.
+
+    A span contained inside a longer duplicated span of the same doc is
+    not maximal corpus-wide; a per-doc sweep (start asc, end desc, keep
+    end > running max end) removes it.
+
+    Cost: the gram self-join emits freq² pairs per distinct gram —
+    ``max_gram_freq`` (mandatory in spirit; default 64) caps it, dropping
+    boilerplate grams exactly as ``duplicate_spans`` does. Candidate
+    volume is Σ freq² over surviving grams: proportional to true
+    duplication, never all-pairs over the corpus.
+    """
+    grams = kgram_index(docs, id_col, text_col, min_length)
+    gkey = F.col("gram") if exact else F.xxhash64("gram")
+    g = grams.select(
+        F.col(id_col).alias("d"), F.col("pos").alias("p"), gkey.alias("gkey")
+    )
+    if max_gram_freq is not None:
+        wg = Window.partitionBy("gkey")
+        g = (
+            g.withColumn("__n", F.count(F.lit(1)).over(wg))
+            .filter(F.col("__n") <= max_gram_freq)
+            .drop("__n")
+        )
+    a = g.select(F.col("d").alias("d1"), F.col("p").alias("p1"), "gkey")
+    b = g.select(F.col("d").alias("d2"), F.col("p").alias("p2"), "gkey")
+    pairs = (
+        a.join(b, "gkey")
+        .filter((F.col("d1") != F.col("d2")) | (F.col("p1") != F.col("p2")))
+        .select("d1", "p1", "d2", (F.col("p2") - F.col("p1")).alias("off"))
+    )
+    wdiag = Window.partitionBy("d1", "d2", "off").orderBy("p1")
+    runs = pairs.withColumn("isl", F.col("p1") - F.row_number().over(wdiag))
+    per_pair = runs.groupBy("d1", "d2", "off", "isl").agg(
+        F.min("p1").alias("span_pos"),
+        (F.max("p1") - F.min("p1") + min_length).alias("span_len"),
+    )
+    intervals = per_pair.select(
+        F.col("d1").alias(id_col), "span_pos", "span_len"
+    ).distinct()
+    wdoc = Window.partitionBy(id_col).orderBy(
+        F.col("span_pos").asc(), F.col("span_len").desc()
+    )
+    prev_max_end = F.max(F.col("span_pos") + F.col("span_len")).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        intervals.withColumn("__pm", prev_max_end)
+        .filter(
+            F.col("__pm").isNull()
+            | (F.col("span_pos") + F.col("span_len") > F.col("__pm"))
+        )
+        .select(id_col, "span_pos", "span_len")
     )

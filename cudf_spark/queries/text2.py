@@ -138,3 +138,59 @@ def dedup_minhash_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature(
         d, "doc_id", "text", n_hashes=4, shingle_k=5, char_level=True
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_substring_exact",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, text, unnest(generate_series(1, length(text) - 19)) AS pos
+        FROM documents),
+    grams AS (
+        SELECT doc_id AS d, CAST(pos AS INT) AS p,
+               substr(text, CAST(pos AS INT), 20) AS gram FROM pos),
+    keyed AS (
+        SELECT d, p, gram FROM grams
+        QUALIFY count(*) OVER (PARTITION BY gram) <= 64),
+    pairs AS (
+        SELECT a.d AS d1, a.p AS p1, b.d AS d2, b.p - a.p AS off
+        FROM keyed a JOIN keyed b USING (gram)
+        WHERE a.d <> b.d OR a.p <> b.p),
+    runs AS (
+        SELECT d1, d2, off, p1,
+               p1 - row_number() OVER (PARTITION BY d1, d2, off ORDER BY p1) AS isl
+        FROM pairs),
+    per_pair AS (
+        SELECT d1, min(p1) AS span_pos, max(p1) - min(p1) + 20 AS span_len
+        FROM runs GROUP BY d1, d2, off, isl),
+    intervals AS (SELECT DISTINCT d1 AS doc_id, span_pos, span_len FROM per_pair),
+    sweep AS (
+        SELECT doc_id, span_pos, span_len,
+               max(span_pos + span_len) OVER (
+                   PARTITION BY doc_id ORDER BY span_pos ASC, span_len DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM intervals)
+    SELECT doc_id, CAST(span_pos AS INT) AS span_pos,
+           CAST(span_len AS INT) AS span_len
+    FROM sweep
+    WHERE pm IS NULL OR span_pos + span_len > pm
+    ORDER BY doc_id, span_pos
+    """,
+    doc="EXACT maximal duplicated spans (nvtext/deduplicate.hpp:66 "
+    "resolve_duplicates): k-gram diagonal chaining — consecutive shared "
+    "grams on one (doc1,doc2,offset) diagonal are a character-exact match "
+    "of run+k-1 chars; contained intervals swept out per doc. No suffix "
+    "array, no substring comparison; gram frequency capped at 64.",
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.substrings import resolve_duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    spans = resolve_duplicate_spans(
+        docs, "doc_id", "text", min_length=20, exact=True, max_gram_freq=64
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_pos").cast("int").alias("span_pos"),
+        F.col("span_len").cast("int").alias("span_len"),
+    ).orderBy("doc_id", "span_pos")

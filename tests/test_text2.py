@@ -99,3 +99,87 @@ def test_duplicate_spans_hot_gram_cap(spark):
         assert 1 not in spans, (skew_safe, spans)
         assert spans[100] == (6, len(shared)), skew_safe
         assert spans[101] == (6, len(shared)), skew_safe
+
+
+def _brute_spans(texts: dict[int, str], k: int) -> dict[int, set[tuple[int, int]]]:
+    """Reference answer: all maximal pair matches >= k chars (1-based pos),
+    minus intervals contained in a longer duplicated interval of the doc."""
+    raw: dict[int, set[tuple[int, int]]] = {}
+    items = list(texts.items())
+    for i1, t1 in items:
+        for i2, t2 in items:
+            for p1 in range(len(t1)):
+                for p2 in range(len(t2)):
+                    if i1 == i2 and p1 == p2:
+                        continue
+                    if p1 > 0 and p2 > 0 and t1[p1 - 1] == t2[p2 - 1]:
+                        continue  # not a match head: extends backward
+                    n = 0
+                    while (
+                        p1 + n < len(t1)
+                        and p2 + n < len(t2)
+                        and t1[p1 + n] == t2[p2 + n]
+                    ):
+                        n += 1
+                    if n >= k:
+                        raw.setdefault(i1, set()).add((p1 + 1, n))
+    out: dict[int, set[tuple[int, int]]] = {}
+    for d, ivs in raw.items():
+        out[d] = {
+            (s, n)
+            for s, n in ivs
+            if not any(
+                s2 <= s and s2 + n2 >= s + n and (s2, n2) != (s, n) for s2, n2 in ivs
+            )
+        }
+    return out
+
+
+def test_resolve_duplicate_spans_exact_vs_bruteforce(spark):
+    from cudf_spark.operators.substrings import resolve_duplicate_spans
+
+    # Doc 1 holds A+B; doc 2 holds A + the first 10 chars of B; doc 3 holds
+    # the last 10 chars of A + B. Every 20-gram of doc 1's A+B region then
+    # occurs in doc 2 OR doc 3, so the k-gram island fuses into one span
+    # covering all of A+B — which occurs contiguously NOWHERE else. The
+    # exact op must instead report the two true maximal pair matches
+    # (A+B[:10] vs doc 2, A[-10:]+B vs doc 3), which overlap but neither
+    # contains the other.
+    A = "alpha beta gamma delta epsilon"  # 30 chars
+    B = "zeta eta theta iota kappa mu"  # 28 chars
+    texts = {
+        1: "<<" + A + B + ">>",
+        2: "doc two leads " + A + B[:10] + " and trails off",
+        3: "totally other start " + A[-10:] + B + " then ends",
+        4: "no duplication in this document at all, none",
+    }
+    expect = _brute_spans(texts, 20)
+    # Sanity of the planted geometry: doc 1's exact answer is exactly the
+    # two overlapping pair matches, not the fused island.
+    assert expect[1] == {(3, len(A) + 10), (3 + len(A) - 10, 10 + len(B))}
+
+    docs = spark.createDataFrame(list(texts.items()), "id long, text string")
+    got: dict[int, set[tuple[int, int]]] = {}
+    for r in resolve_duplicate_spans(docs, "id", "text", min_length=20).collect():
+        got.setdefault(r.id, set()).add((r.span_pos, r.span_len))
+    assert got == expect
+
+    # And the fused island really is an over-report (superset) here.
+    fused = {
+        r.id: (r.span_pos, r.span_len)
+        for r in duplicate_spans(docs, "id", "text", min_length=20).collect()
+    }
+    assert fused[1] == (3, len(A) + len(B))
+
+
+def test_resolve_duplicate_spans_within_doc(spark):
+    from cudf_spark.operators.substrings import resolve_duplicate_spans
+
+    run = "y" * 30
+    texts = {1: "start_" + run + "_mid_" + run + "_end", 2: "completely unrelated text body"}
+    expect = _brute_spans(texts, 20)
+    docs = spark.createDataFrame(list(texts.items()), "id long, text string")
+    got: dict[int, set[tuple[int, int]]] = {}
+    for r in resolve_duplicate_spans(docs, "id", "text", min_length=20).collect():
+        got.setdefault(r.id, set()).add((r.span_pos, r.span_len))
+    assert got == expect

@@ -1,0 +1,109 @@
+"""Persisted, mergeable quantile sketches — the Spark-first counterpart of
+the reference's MERGE_TDIGEST / MERGE_HISTOGRAM aggregation kinds
+(cpp/include/cudf/aggregation.hpp:109-117): build a sketch per run, store
+it as a plain table, merge sketches from different runs later, and extract
+quantiles from the merged state without revisiting the raw data.
+
+Spark's own ``percentile_approx`` t-digest state is internal to one query
+— it cannot be written out and merged across runs from the public API. So
+the persisted sketch here is a fixed-bin histogram with per-bin min/max:
+
+* exactly mergeable — ``sketch(A ∪ B) == merge(sketch(A), sketch(B))``
+  bin by bin (counts add, mins/maxes combine), with no approximation
+  introduced by the merge itself (t-digest merges, by contrast, lose
+  precision on every merge);
+* bounded error — a quantile read from the merged sketch lands inside the
+  target bin's observed [v_min, v_max], so the error is at most the bin
+  width (and usually far less, since interpolation uses the observed
+  range, not the nominal bin edges);
+* pure relational state — one (key, bin, cnt, v_min, v_max) row per
+  non-empty bin: partial aggregation makes the build skew-immune, the
+  sketch table is tiny (≤ n_bins rows per key), and merging N runs is a
+  union + re-aggregate on (key, bin) — one shuffle of sketch rows, never
+  of raw data.
+
+In-query approximate quantiles stay on ``percentile_approx``
+(agg_approx_sketches); this module is for the persist-then-merge
+workflow.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram_sketch(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Build the per-key histogram sketch of ``value_col``.
+
+    Values outside [lo, hi] clamp into the edge bins (their true value
+    still shows in v_min/v_max, so extraction stays honest about range).
+    """
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return df.groupBy(*keys, b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(v).alias("v_min"),
+        F.max(v).alias("v_max"),
+    )
+
+
+def merge_sketches(sketches: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Merge persisted sketch tables (same keys/binning): counts add,
+    observed ranges combine. Exact — introduces no new approximation."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys, "bin").agg(
+        F.sum("cnt").alias("cnt"),
+        F.min("v_min").alias("v_min"),
+        F.max("v_max").alias("v_max"),
+    )
+
+
+def quantile_from_sketch(
+    sketch: DataFrame, keys: Sequence[str], q: float
+) -> DataFrame:
+    """Per-key quantile estimate from a (merged) sketch.
+
+    Finds the bin holding the rank-``floor(q·(n−1))+1`` value and
+    interpolates inside the bin's OBSERVED [v_min, v_max] — error is
+    bounded by the bin's observed width.
+    """
+    wb = Window.partitionBy(*keys).orderBy("bin")
+    wp = Window.partitionBy(*keys)
+    cum = sketch.select(
+        *keys,
+        "bin",
+        "cnt",
+        "v_min",
+        "v_max",
+        F.sum("cnt").over(wb).alias("cum"),
+        F.sum("cnt").over(wp).alias("total"),
+    )
+    target = F.floor(F.lit(q) * (F.col("total").cast("double") - 1)).cast("bigint") + 1
+    hits = cum.withColumn("target", target).filter(F.col("cum") >= F.col("target"))
+    first = hits.withColumn(
+        "rn", F.row_number().over(Window.partitionBy(*keys).orderBy("bin"))
+    ).filter(F.col("rn") == 1)
+    frac = (
+        F.col("target") - (F.col("cum") - F.col("cnt")) - 1
+    ).cast("double") / F.greatest(F.col("cnt") - 1, F.lit(1)).cast("double")
+    return first.select(
+        *keys,
+        (F.col("v_min") + (F.col("v_max") - F.col("v_min")) * frac).alias("q_est"),
+    )

@@ -121,3 +121,82 @@ def agg_quantile_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("a_lo") + F.col("a_hi")) / 2, 4).alias("q_midpoint"),
         F.round("a_near", 4).alias("q_nearest"),
     ).orderBy("l_returnflag")
+
+
+_BINS = 256
+_LO, _HI = 0.0, 110000.0  # l_extendedprice envelope; clamping keeps outliers
+
+
+@register(
+    "agg_sketch_merge",
+    oracle=f"""
+    WITH pts AS (
+        SELECT l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS v,
+               l_orderkey % 2 AS run
+        FROM lineitem),
+    sk AS (
+        SELECT run, k,
+               least({_BINS - 1}, greatest(0,
+                   CAST(floor((v - {_LO}) / {(_HI - _LO) / _BINS}) AS INT))) AS bin,
+               count(*) AS cnt, min(v) AS v_min, max(v) AS v_max
+        FROM pts GROUP BY run, k, bin),
+    merged AS (
+        SELECT k, bin, sum(cnt) AS cnt, min(v_min) AS v_min, max(v_max) AS v_max
+        FROM sk GROUP BY k, bin),
+    cum AS (
+        SELECT k, bin, cnt, v_min, v_max,
+               sum(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum,
+               sum(cnt) OVER (PARTITION BY k) AS total
+        FROM merged),
+    tgt AS (
+        SELECT *, CAST(floor(0.5 * (CAST(total AS DOUBLE) - 1)) AS BIGINT) + 1
+                      AS target
+        FROM cum),
+    hit AS (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY bin) AS rn
+        FROM tgt WHERE cum >= target)
+    SELECT k AS l_returnflag,
+           round(v_min + (v_max - v_min) *
+                 (CAST(target - (cum - cnt) - 1 AS DOUBLE)
+                  / CAST(greatest(cnt - 1, 1) AS DOUBLE)), 4) AS est_p50,
+           round((SELECT median(v) FROM pts p WHERE p.k = hit.k), 4) AS exact_p50
+    FROM hit WHERE rn = 1
+    ORDER BY l_returnflag
+    """,
+    doc="Persisted-sketch merge (aggregation.hpp:109-117 MERGE_TDIGEST / "
+    "MERGE_HISTOGRAM): lineitem split into two 'runs' by orderkey parity, "
+    "a mergeable histogram sketch built per run, merged (counts add, "
+    "ranges combine - exact, unlike t-digest merges), median extracted "
+    "from merged state only. exact_p50 alongside shows the error bound "
+    "holds. Sketch state is a plain table - operators/sketches.py.",
+)
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.sketches import (
+        histogram_sketch,
+        merge_sketches,
+        quantile_from_sketch,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("k"),
+        F.col("l_extendedprice").cast("double").alias("v"),
+        (F.col("l_orderkey") % 2).alias("run"),
+    )
+    run_a = histogram_sketch(
+        li.filter(F.col("run") == 0), ["k"], "v", lo=_LO, hi=_HI, n_bins=_BINS
+    )
+    run_b = histogram_sketch(
+        li.filter(F.col("run") == 1), ["k"], "v", lo=_LO, hi=_HI, n_bins=_BINS
+    )
+    merged = merge_sketches([run_a, run_b], ["k"])
+    est = quantile_from_sketch(merged, ["k"], 0.5)
+    exact = li.groupBy("k").agg(F.median("v").alias("exact"))
+    return (
+        est.join(exact, "k")
+        .select(
+            F.col("k").alias("l_returnflag"),
+            F.round("q_est", 4).alias("est_p50"),
+            F.round("exact", 4).alias("exact_p50"),
+        )
+        .orderBy("l_returnflag")
+    )

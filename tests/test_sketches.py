@@ -1,0 +1,74 @@
+"""Persisted-sketch merge (MERGE_TDIGEST/MERGE_HISTOGRAM analog,
+aggregation.hpp:109-117): mergeability is EXACT, persistence survives a
+parquet roundtrip, and quantile extraction honors the bin-width error
+bound against exact order statistics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cudf_spark.catalog import load
+from cudf_spark.operators.sketches import (
+    histogram_sketch,
+    merge_sketches,
+    quantile_from_sketch,
+)
+from tests.conftest import SF_DIR
+
+LO, HI, BINS = 0.0, 110000.0, 256
+WIDTH = (HI - LO) / BINS
+
+
+def _li(spark):
+    return load(spark, SF_DIR, "lineitem").select(
+        F.col("l_returnflag").alias("k"),
+        F.col("l_extendedprice").cast("double").alias("v"),
+        (F.col("l_orderkey") % 2).alias("run"),
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_merge_equals_sketch_of_union(spark):
+    li = _li(spark)
+    whole = histogram_sketch(li, ["k"], "v", lo=LO, hi=HI, n_bins=BINS)
+    part_a = histogram_sketch(
+        li.filter(F.col("run") == 0), ["k"], "v", lo=LO, hi=HI, n_bins=BINS
+    )
+    part_b = histogram_sketch(
+        li.filter(F.col("run") == 1), ["k"], "v", lo=LO, hi=HI, n_bins=BINS
+    )
+    merged = merge_sketches([part_a, part_b], ["k"])
+    # Histogram merge is EXACT: same rows, bin for bin.
+    assert _rows(merged) == _rows(whole)
+
+
+def test_persisted_roundtrip_and_error_bound(spark, tmp_path):
+    li = _li(spark)
+    for run in (0, 1):
+        histogram_sketch(
+            li.filter(F.col("run") == run), ["k"], "v", lo=LO, hi=HI, n_bins=BINS
+        ).write.parquet(str(tmp_path / f"sketch_run{run}"))
+
+    # Later session: merge the PERSISTED sketches, never touching raw data.
+    read_a = spark.read.parquet(str(tmp_path / "sketch_run0"))
+    read_b = spark.read.parquet(str(tmp_path / "sketch_run1"))
+    merged = merge_sketches([read_a, read_b], ["k"])
+
+    exact = {
+        r["k"]: (r["p10"], r["p50"], r["p90"])
+        for r in li.groupBy("k")
+        .agg(
+            F.expr("percentile(v, 0.1)").alias("p10"),
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for qi, q in enumerate((0.1, 0.5, 0.9)):
+        est = {r["k"]: r["q_est"] for r in quantile_from_sketch(merged, ["k"], q).collect()}
+        assert est.keys() == exact.keys()
+        for k, e in est.items():
+            assert abs(e - exact[k][qi]) <= WIDTH, (q, k, e, exact[k][qi])

@@ -9,12 +9,12 @@ single primitive:
   observations).
 - ``ewma`` — exponentially weighted mean (aggregation.hpp:100 EWMA kind).
   No Spark builtin (SURVEY §7 hard-part 6): implemented as an Arrow-batched
-  grouped map (`applyInPandas`). Scale note: one shuffle on the group key;
-  each *group* (not partition) must fit in executor memory — for ungrouped
-  or giant-group EWMA at 100 TB the scale path is a segmented-scan
-  formulation (two-pass linear-recurrence over partition boundaries), which
-  we'd add as a mapInPandas prefix/carry pass; grouped time series
-  (per-user, per-key) are the overwhelmingly common case and shard well.
+  grouped map (`applyInPandas`). One shuffle on the group key; each *group*
+  (not partition) must fit in executor memory — right for per-key time
+  series, the overwhelmingly common case.
+- ``ewma_segmented`` — the ungrouped / giant-group scale path: two-pass
+  segmented scan (per-partition fold → exact carry composition on the
+  driver → rescan with carry-in), so no executor ever holds the sequence.
 """
 
 from __future__ import annotations
@@ -121,3 +121,159 @@ def variable_rolling_agg(
             F.max("__peer").alias("max_value"),
         )
     )
+
+
+def _ewma_num_scan(x, beta: float, carry: float):
+    """Vectorized linear-recurrence scan: out[t] = beta^(t+1)*carry +
+    sum_{i<=t} beta^(t-i) * x[i].
+
+    Chunked scaled-cumsum: within a chunk, out = bpow * (beta*carry +
+    cumsum(x/bpow)). The chunk length is capped so beta^-i stays in
+    double range; the chunk boundary re-bases the exponent (the carry
+    re-enters at scale beta^1), so arbitrarily long sequences never
+    overflow. Returns (out_array, final_carry).
+    """
+    import math
+
+    import numpy as np
+
+    n = len(x)
+    out = np.empty(n, dtype="float64")
+    if n == 0:
+        return out, carry
+    if beta == 0.0:  # alpha == 1: no memory
+        out[:] = x
+        return out, float(x[-1])
+    # beta^-i must stay finite alongside |x|: budget ~10^200 of headroom.
+    chunk = max(1, min(4096, int(200 / max(1e-12, -math.log10(beta)))))
+    for s in range(0, n, chunk):
+        xa = np.asarray(x[s : s + chunk], dtype="float64")
+        bpow = beta ** np.arange(len(xa), dtype="float64")
+        seg = bpow * (beta * carry + np.cumsum(xa / bpow))
+        out[s : s + len(xa)] = seg
+        carry = float(seg[-1])
+    return out, carry
+
+
+def ewma_segmented(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    alpha: float,
+    adjust: bool = True,
+    out_col: str = "ewma",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GLOBAL (ungrouped / giant-group) EWMA — the segmented-scan scale
+    path the grouped ``ewma`` above cannot cover: no single executor ever
+    holds the sequence.
+
+    Classic two-pass parallel scan over a linear recurrence
+    (state_t = a_t + beta * state_{t-1} composes associatively across
+    segments as S_p = beta^n_p * S_{p-1} + local_p):
+
+    1. range-partition + sort on ``order_cols`` so partitions are ordered
+       runs of the sequence;
+    2. pass 1 (mapInPandas): each partition folds its values with zero
+       initial state and emits ONE summary row (pid, n, local_final,
+       first_value) — driver receives #partitions rows, composes the
+       prefix carries exactly, and broadcasts them;
+    3. pass 2 (mapInPandas): each partition rescans with its true carry-in
+       and emits every row's EWMA.
+
+    pandas ``ewm(alpha=alpha, adjust=adjust).mean()`` semantics for
+    non-null doubles (both adjust modes; the adjust=False first-element
+    y_0 = x_0 convention is injected via the pass-2 carry so the scan
+    kernel stays uniform). The numerator scan is the chunked scaled
+    cumsum above; the adjust=True denominator is the closed-form
+    geometric sum of the GLOBAL prefix length, so it costs nothing.
+
+    The range-partitioned layout is materialized once (localCheckpoint):
+    RangePartitioner SAMPLES to pick bounds, so two independent
+    evaluations would land different partition boundaries and pass 2's
+    carries would not match pass 1's partitions. Materializing pins one
+    layout for both passes (and avoids recomputing the sort). Same
+    executor-loss caveat as lsh_candidate_pairs: blocks are not
+    recoverable from lineage; job retry is the recovery path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sess = df.sparkSession
+    beta = 1.0 - alpha
+    nparts = num_partitions or sess.sparkContext.defaultParallelism
+    sorted_df = (
+        df.repartitionByRange(nparts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+    scale = 1.0 if adjust else alpha
+
+    def summarize(batches):
+        pid, n, acc, first = None, 0, 0.0, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            x = pdf[value_col].to_numpy(dtype="float64")
+            if first is None:
+                first = float(x[0])
+            _, acc = _ewma_num_scan(x * scale, beta, acc)
+            n += len(x)
+        if pid is not None:
+            yield pd.DataFrame(
+                {"pid": [pid], "n": [n], "acc": [acc], "first": [first]}
+            )
+
+    summaries = sorted(
+        sorted_df.mapInPandas(
+            summarize, "pid int, n long, acc double, first double"
+        ).collect(),  # ONE row per partition — bounded by cluster width
+        key=lambda r: r["pid"],
+    )
+
+    # Exact prefix composition of (carry, global offset) per partition.
+    carries: dict[int, tuple[float, int]] = {}
+    S, N = 0.0, 0
+    for i, r in enumerate(summaries):
+        if not adjust and i == 0:
+            # pandas adjust=False pins y_0 = x_0; feeding y_in = x_0 into
+            # y_0 = beta*y_in + alpha*x_0 reproduces it exactly.
+            carries[r["pid"]] = (r["first"], 0)
+            S = r["acc"] + (beta ** r["n"]) * r["first"]
+        else:
+            carries[r["pid"]] = (S, N)
+            S = r["acc"] + (beta ** r["n"]) * S
+        N += r["n"]
+    bc = sess.sparkContext.broadcast(carries)
+
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in sorted_df.schema.fields
+        if f.name != "__pid"
+    )
+
+    def apply(batches):
+        state = None  # (carry, rows_seen_globally_before_next_row)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            if state is None:
+                state = bc.value[pid]
+            carry, offset = state
+            x = pdf[value_col].to_numpy(dtype="float64")
+            num, carry = _ewma_num_scan(x * scale, beta, carry)
+            t = offset + np.arange(1, len(x) + 1, dtype="float64")
+            if adjust:
+                den = t if beta == 1.0 else (1.0 - beta**t) / (1.0 - beta)
+                vals = num / den
+            else:
+                vals = num
+            state = (carry, offset + len(x))
+            yield pdf.drop(columns="__pid").assign(**{out_col: vals})
+
+    return sorted_df.mapInPandas(apply, f"{out_fields}, `{out_col}` double")

@@ -320,6 +320,27 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ewma_global_segmented",
+    oracle=None,  # recursive aggregation is not ANSI-SQL-expressible;
+    # verified against pandas ewm on 1M rows in tests/test_operators.py
+    doc="Ungrouped/giant-group EWMA via two-pass segmented scan "
+    "(operators/windows.py::ewma_segmented): per-partition fold, exact "
+    "carry composition on the driver (one summary row per partition), "
+    "rescan with carry-in. The 100 TB path where no executor can hold "
+    "the sequence; pandas ewm semantics, adjust=True.",
+)
+def ewma_global_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.windows import ewma_segmented
+
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    return (
+        ewma_segmented(e, ["ts", "event_id"], "value", alpha=0.3)
+        .select("event_id", F.round("ewma", 4).alias("ewma"))
+        .orderBy("event_id")
+    )
+
+
+@register(
     "win_rank_methods",
     oracle="""
     WITH b AS (

@@ -250,3 +250,32 @@ def test_asof_join_directions_match_pandas(spark):
         pd.testing.assert_series_equal(
             got["asof_value"], want["value"], check_names=False, rtol=1e-12
         )
+
+
+def test_ewma_segmented_matches_pandas_1m_rows(spark):
+    """Segmented-scan EWMA == pandas ewm.mean on ONE 1M-row sequence split
+    across >=8 range partitions, both adjust modes (the giant-group case
+    the grouped applyInPandas path cannot shard)."""
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.operators.windows import ewma_segmented
+
+    n = 1_000_000
+    rng = np.random.default_rng(42)
+    vals = rng.normal(100.0, 25.0, n)
+    pdf = pd.DataFrame({"idx": np.arange(n, dtype="int64"), "v": vals})
+    df = spark.createDataFrame(pdf).repartition(16)  # scrambled input
+
+    for adjust in (True, False):
+        got = (
+            ewma_segmented(
+                df, ["idx"], "v", alpha=0.05, adjust=adjust, num_partitions=8
+            )
+            .orderBy("idx")
+            .select("ewma")
+            .toPandas()["ewma"]
+            .to_numpy()
+        )
+        expect = pdf["v"].ewm(alpha=0.05, adjust=adjust).mean().to_numpy()
+        np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-9, err_msg=str(adjust))

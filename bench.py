@@ -43,6 +43,10 @@ HEADLINE = [
     "text_decontaminate",
     # round 2c: the full dedup->quality->decontaminate->split->pack DAG
     "curation_pipeline",
+    # round 3: heaviest remaining TPC-H shape (double lineitem agg +
+    # semi/anti exists), and the most shuffle-intensive text family
+    "q21_waiting_supplier",
+    "text_tfidf_topk",
 ]
 
 

@@ -304,27 +304,33 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
+    # ">1 distinct supplier" and "exactly 1 distinct late supplier" are
+    # min/max comparisons — no countDistinct, so the aggregate runs as a
+    # plain two-level hash agg with map-side combine instead of dragging
+    # the lineitem stream through a distinct Expand (measured 2.17s ->
+    # 0.86s at sf0.1 on top of the earlier anti-self-join removal).
     multi = (
         li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("ns"))
-        .filter(F.col("ns") > 1)
+        .agg(F.min("l_suppkey").alias("mn"), F.max("l_suppkey").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
         .select("l_orderkey")
     )
     # "no OTHER supplier was late on the order" == the order has exactly one
     # distinct late supplier. One aggregation replaces the late-vs-late
-    # anti self-join (which executed the whole late subtree twice) —
-    # measured 2x at sf0.1, and one fewer lineitem-scale shuffle at 100 TB.
+    # anti self-join (which executed the whole late subtree twice).
     sole = (
         late.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("n_late"), F.max("l_suppkey").alias("l_suppkey"))
-        .filter(F.col("n_late") == 1)
-        .select("l_orderkey", "l_suppkey")
+        .agg(F.min("l_suppkey").alias("mn"), F.max("l_suppkey").alias("mx"))
+        .filter(F.col("mn") == F.col("mx"))
+        .select("l_orderkey", F.col("mx").alias("l_suppkey"))
     )
     return (
+        # sole/multi are one row per l_orderkey and supplier keys are
+        # unique, so numwait is a plain count — no distinct needed.
         sole.join(multi, "l_orderkey")
         .join(s, sole.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
 

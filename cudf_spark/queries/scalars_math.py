@@ -328,3 +328,53 @@ def dictionary_set_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_type", "type_code")
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "dictionary_update_keys",
+    oracle="""
+    WITH base AS (SELECT DISTINCT p_type AS k FROM part),
+    added AS (
+        SELECT k FROM base
+        UNION SELECT * FROM (VALUES ('AAAA_FIRST'), ('ZZZZ_LAST')) v(k)),
+    final AS (
+        SELECT k FROM added WHERE k <> 'PROMO'),
+    codes AS (
+        SELECT k, dense_rank() OVER (ORDER BY k) - 1 AS code FROM final)
+    SELECT p.p_partkey,
+           CASE WHEN c.k IS NULL THEN NULL ELSE p.p_type END AS p_type,
+           CAST(c.code AS INT) AS type_code
+    FROM part p LEFT JOIN codes c ON p.p_type = c.k
+    ORDER BY p.p_partkey
+    """,
+    doc="dictionary add_keys + remove_keys (cudf dictionary/"
+    "update_keys.hpp:57,81): the key set is the sorted union of the "
+    "existing keys and the added ones ('AAAA_FIRST' re-shifts every "
+    "code, proving the added key entered the dictionary) minus the "
+    "removed ones; values whose key was removed become NULL (cudf "
+    "semantics - the VALUE nulls, not just the code). Key-set algebra "
+    "runs over the distinct domain only; broadcast join re-encodes.",
+)
+def dictionary_update_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    p = load(spark, sf_dir, "part")
+    base = p.select(F.col("p_type").alias("k")).distinct()
+    added = base.unionByName(
+        spark.createDataFrame([("AAAA_FIRST",), ("ZZZZ_LAST",)], "k string")
+    ).distinct()
+    final = added.filter(F.col("k") != "PROMO")
+    # Rank over the DISTINCT key set only — bounded by dictionary
+    # cardinality, same justification as dictionary_encode.
+    codes = final.withColumn(
+        "type_code", (F.dense_rank().over(W.partitionBy().orderBy("k")) - 1).cast("int")
+    )
+    return (
+        p.join(F.broadcast(codes), p.p_type == codes.k, "left")
+        .select(
+            "p_partkey",
+            F.when(F.col("k").isNull(), F.lit(None)).otherwise(F.col("p_type")).alias("p_type"),
+            "type_code",
+        )
+        .orderBy("p_partkey")
+    )

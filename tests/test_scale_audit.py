@@ -55,9 +55,9 @@ def test_flags_cartesian(spark):
 # data size — the audit can't see cardinality, reviewers can:
 #   hconcat_positional — positional zip needs a global order by definition
 #     (documented caveat; exercised on the 5-row region table only);
-#   dictionary_encode  — the rank runs over the DISTINCT key set, bounded
-#     by dictionary cardinality.
-KNOWN_BOUNDED = {"hconcat_positional", "dictionary_encode"}
+#   dictionary_encode / dictionary_update_keys — the rank runs over the
+#     DISTINCT key set, bounded by dictionary cardinality.
+KNOWN_BOUNDED = {"hconcat_positional", "dictionary_encode", "dictionary_update_keys"}
 
 
 def test_every_registry_query_passes_scale_audit(spark):

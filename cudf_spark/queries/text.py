@@ -417,3 +417,59 @@ def text_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(char3, "|").alias("char3"),
         F.length(s).alias("n_chars"),
     ).orderBy("doc_id")
+
+
+def _components_oracle() -> str:
+    # Reuse the minhash-LSH pair pipeline verbatim as a CTE, then close it
+    # transitively with a recursive CTE. The r.label < e.v guard prunes the
+    # closure without losing minima: the component-minimum label satisfies
+    # label < node at every propagation step.
+    pairs_sql = _minhash_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT u AS node, u AS label FROM edges
+        UNION
+        SELECT e.v AS node, r.label
+        FROM reach r JOIN edges e ON e.u = r.node
+        WHERE r.label < e.v),
+    membership AS (
+        SELECT node, min(label) AS component FROM reach GROUP BY node)
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           max(node)                AS max_doc
+    FROM membership GROUP BY component
+    ORDER BY component
+    """
+
+
+@register(
+    "dedup_duplicate_clusters",
+    oracle=_components_oracle(),
+    doc="Near-dup CLUSTER resolution: minhash-LSH pairs chained into "
+    "connected components (operators/graphs.py — iterative min-label "
+    "propagation, two keyed shuffles per round, lineage checkpointed), "
+    "component id = canonical (minimum) doc. The downstream step a real "
+    "dedup pipeline needs between pair generation and keep/drop: keep "
+    "the canonical doc, drop the other n_members-1. Oracle closes the "
+    "same pair graph with a recursive CTE.",
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.graphs import connected_components
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("text")
+    )
+    pairs = minhash_lsh_dedup(d, "doc_id", "text", threshold=0.2)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("node").alias("max_doc"),
+        )
+        .orderBy("component")
+    )

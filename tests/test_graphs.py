@@ -1,0 +1,44 @@
+"""Connected-components operator: planted topologies vs known clusterings,
+and the non-convergence guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from cudf_spark.operators.graphs import connected_components
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.component for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_disjoint_clusters_and_star(spark):
+    edges = [
+        (1, 2), (2, 3), (3, 1),          # triangle
+        (10, 11), (10, 12), (10, 13),     # star centered low
+        (20, 21),                         # pair
+    ]
+    got = _cc(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_chain_propagates_min_across_hops(spark):
+    # path 5-4-3-2-1-0: min label must flood the full diameter
+    edges = [(i, i + 1) for i in range(5)]
+    got = _cc(spark, edges)
+    assert got == {i: 0 for i in range(6)}
+
+
+def test_direction_irrelevant(spark):
+    # edges given high->low and low->high mixed; undirected closure
+    got = _cc(spark, [(7, 3), (3, 9), (9, 5)])
+    assert got == {3: 3, 5: 3, 7: 3, 9: 3}
+
+
+def test_nonconvergence_raises(spark):
+    edges = [(i, i + 1) for i in range(8)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, edges, max_iter=2)

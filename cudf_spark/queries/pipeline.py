@@ -320,3 +320,86 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = d.mapInPandas(encode, schema="asset_id long, data binary")
     return frame_sample(assets, every_n=4).orderBy("asset_id", "frame_idx")
+
+
+_MIX_TARGETS = [("src0", 0.4), ("src1", 0.3), ("src2", 0.2), ("src3", 0.1)]
+
+
+@register(
+    "doc_domain_mix",
+    oracle=f"""
+    WITH tgt(source, w) AS (VALUES {", ".join(f"('{s}', {w})" for s, w in _MIX_TARGETS)}),
+    n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source),
+    j AS (SELECT n.source, n.n_docs, t.w FROM n JOIN tgt t USING (source)),
+    cap AS (SELECT min(n_docs / w) AS c FROM j),
+    lim AS (SELECT source, n_docs, CAST(floor(c * w) AS BIGINT) AS n_keep
+            FROM j CROSS JOIN cap),
+    ranked AS (
+        SELECT d.source, d.doc_id, l.n_docs, l.n_keep,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY {hash60_sql("CAST(d.doc_id AS VARCHAR)", seed=13)},
+                            d.doc_id) AS rn
+        FROM documents d JOIN lim l USING (source)),
+    kept AS (
+        SELECT source, n_docs,
+               CAST(count(*) FILTER (rn <= n_keep) AS BIGINT) AS n_kept,
+               CAST(sum(doc_id) FILTER (rn <= n_keep) AS BIGINT) AS kept_docid_sum
+        FROM ranked GROUP BY source, n_docs),
+    tot AS (SELECT sum(n_kept) AS total FROM kept)
+    SELECT source, n_docs, n_kept, kept_docid_sum,
+           CAST(round(1000.0 * n_kept / total) AS BIGINT) AS share_pm
+    FROM kept CROSS JOIN tot
+    ORDER BY source
+    """,
+    doc="Domain-mix resampling — the LLM data-mixing step: given target "
+    "proportions per source domain, the largest achievable corpus is "
+    "c = min_d(n_d / w_d) docs; each domain keeps floor(c*w_d) members, "
+    "selected deterministically by ranking on a seeded hash (so the "
+    "sample is reproducible and mergeable across runs). kept_docid_sum "
+    "proves both engines pick the IDENTICAL documents, not just equal "
+    "counts. Scale: one count agg + broadcast limits + one per-domain "
+    "window; for mega-domains swap the exact rank for a hash-threshold "
+    "acceptance rate (no sort) at the cost of approximate counts.",
+)
+def doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    tgt = spark.createDataFrame(_MIX_TARGETS, "source string, w double")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    j = n.join(F.broadcast(tgt), "source")
+    cap = j.agg(F.min(F.col("n_docs") / F.col("w")).alias("c"))
+    lim = j.crossJoin(F.broadcast(cap)).select(
+        "source",
+        "n_docs",
+        F.floor(F.col("c") * F.col("w")).cast("bigint").alias("n_keep"),
+    )
+    from pyspark.sql import Window as W
+
+    h = hash60(F.col("doc_id").cast("string"), seed=13)
+    ranked = (
+        d.join(F.broadcast(lim), "source")
+        .withColumn("rn", F.row_number().over(W.partitionBy("source").orderBy(h, "doc_id")))
+    )
+    kept = ranked.groupBy("source", "n_docs").agg(
+        F.sum(F.when(F.col("rn") <= F.col("n_keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= F.col("n_keep"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("kept_docid_sum"),
+    )
+    tot = kept.agg(F.sum("n_kept").alias("total"))
+    return (
+        kept.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "kept_docid_sum",
+            F.round(F.lit(1000.0) * F.col("n_kept") / F.col("total"))
+            .cast("bigint")
+            .alias("share_pm"),
+        )
+        .orderBy("source")
+    )

@@ -47,6 +47,9 @@ HEADLINE = [
     # semi/anti exists), and the most shuffle-intensive text family
     "q21_waiting_supplier",
     "text_tfidf_topk",
+    # round 3b: persisted-sketch merge and iterative cluster resolution
+    "agg_sketch_merge",
+    "dedup_duplicate_clusters",
 ]
 
 
@@ -65,12 +68,22 @@ def main() -> None:
     # run pays one-off Python plan construction + whole-stage codegen
     # compilation, which amortizes to zero on a long-lived cluster; the
     # data-path work (scan/shuffle/agg) is identical in both runs.
+    # Iterative queries (connected components) execute their rounds
+    # EAGERLY during build(), so build must sit inside the timer for them;
+    # for everything else build is one-off Python plan construction that
+    # amortizes to zero on a long-lived cluster and stays outside.
+    iterative = {"dedup_duplicate_clusters"}
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = None
         for _ in range(2):
-            df = REGISTRY[name].build(spark, sf_dir)
-            t0 = time.perf_counter()
+            if name in iterative:
+                t0 = time.perf_counter()
+                df = REGISTRY[name].build(spark, sf_dir)
+            else:
+                df = REGISTRY[name].build(spark, sf_dir)
+                t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
             best = elapsed if best is None else min(best, elapsed)

@@ -157,3 +157,37 @@ def test_gopher_single_generate_sorts_before_projection(spark):
     gen_pos = plan.index("Generate")
     sort_pos = plan.index("Sort ")
     assert sort_pos > gen_pos  # deeper in the tree = printed later
+
+
+def test_quantile_modes_single_keyed_exchange(spark):
+    # Rank-targeted quantile selection: ONE hash exchange on the group key
+    # feeds both window ops AND the final aggregate (partitioning reused);
+    # the only other exchange is the final 3-row orderBy. No collect_list.
+    plan = plan_of(spark, "agg_quantile_modes")
+    assert "collect_list" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_substring_exact_no_cartesian(spark):
+    # Diagonal chaining joins gram occurrences on the gram key - a hash
+    # join whose fan-out is bounded by the frequency cap, never a
+    # cartesian / nested-loop pair enumeration.
+    plan = plan_of(spark, "dedup_substring_exact")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_domain_mix_limits_are_broadcast(spark):
+    # Per-domain keep-limits join back to the corpus as a broadcast (the
+    # limit table is one row per domain); the only window partitions by
+    # source; no cartesian. (scale_audit separately covers funnels.)
+    plan = plan_of(spark, "doc_domain_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sketch_merge_partial_aggregation(spark):
+    # The sketch build must run as two-level hash aggregation (map-side
+    # partial combine) - that is what makes it skew-immune at 100 TB.
+    plan = plan_of(spark, "agg_sketch_merge")
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan

@@ -403,3 +403,73 @@ def doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm_audio_features",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id AS asset_id, 8000 AS rate,
+               CAST((n_chars % 500) + 50 AS INT) AS n,
+               doc_id % 4096 AS base
+        FROM documents),
+    feat AS (
+        SELECT asset_id, rate, n,
+            list_max(list_transform(generate_series(0, n - 1),
+                     k -> abs(((base + 13*k) % 4096) - 2048))) AS peak,
+            list_sum(list_transform(generate_series(0, n - 1),
+                     k -> CAST((((base + 13*k) % 4096) - 2048) AS BIGINT)
+                          * (((base + 13*k) % 4096) - 2048))) AS energy,
+            list_sum(list_transform(generate_series(0, n - 2),
+                     k -> CASE WHEN (((base + 13*k) % 4096) - 2048)
+                              * (((base + 13*(k+1)) % 4096) - 2048) < 0
+                          THEN 1 ELSE 0 END)) AS zc
+        FROM params)
+    SELECT asset_id, CAST(rate AS INT) AS sample_rate, n AS n_samples,
+           CAST((n * 1000) // rate AS BIGINT) AS duration_ms,
+           CAST(peak AS INT) AS peak,
+           round(sqrt(CAST(energy AS DOUBLE) / n), 4) AS rms,
+           CAST(zc AS BIGINT) AS zero_crossings,
+           TRUE AS valid
+    FROM feat ORDER BY asset_id
+    """,
+    doc="multimodal AUDIO pipeline end-to-end: encode a deterministic fake "
+    "PCM waveform per document (binary column), then header unpack + "
+    "big-endian i16 decode + peak/RMS/zero-crossing extraction in one "
+    "Arrow mapInPandas pass. The oracle recomputes every sample "
+    "arithmetically, so the hash match proves the byte plumbing AND the "
+    "waveform kernels. Completes the image/video/audio modality set.",
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.multimodal import audio_features
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(it):
+        import pandas as pd
+
+        from cudf_spark.multimodal import fake_audio_bytes
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "data": [
+                        fake_audio_bytes(8000, int(nc) % 500 + 50, int(did) % 4096)
+                        for did, nc in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    assets = d.mapInPandas(encode, schema="asset_id long, data binary")
+    feats = audio_features(assets)
+    return feats.select(
+        "asset_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "peak",
+        F.round("rms", 4).alias("rms"),
+        "zero_crossings",
+        "valid",
+    ).orderBy("asset_id")

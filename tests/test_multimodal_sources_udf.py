@@ -165,3 +165,37 @@ def test_frame_sample_indexing(spark):
     for k, mean in rows:
         vals = [(10 + 7 * k + i) % 256 for i in range(w * h)]
         assert mean == sum(vals) / (w * h)
+
+
+def test_audio_features_byte_exact(spark):
+    import math
+
+    from cudf_spark.multimodal import audio_features, fake_audio_bytes
+
+    # Hand-checkable waveform: base=0, n=5 -> samples [-2048,-2035,-2022,-2009,-1996]
+    samples = [((0 + 13 * k) % 4096) - 2048 for k in range(5)]
+    assert samples == [-2048, -2035, -2022, -2009, -1996]
+    energy = sum(s * s for s in samples)
+    rows = [
+        (1, fake_audio_bytes(8000, 5, 0)),
+        (2, fake_audio_bytes(16000, 400, 999)),
+        (3, b"NOPE not audio"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, data binary")
+    got = {r.asset_id: r for r in audio_features(df).collect()}
+
+    r1 = got[1]
+    assert (r1.sample_rate, r1.n_samples, r1.duration_ms) == (8000, 5, 0)
+    assert r1.peak == 2048 and r1.zero_crossings == 0
+    assert abs(r1.rms - math.sqrt(energy / 5)) < 1e-12
+
+    r2 = got[2]
+    s2 = [((999 + 13 * k) % 4096) - 2048 for k in range(400)]
+    assert r2.duration_ms == 400 * 1000 // 16000 == 25
+    assert r2.peak == max(abs(s) for s in s2)
+    assert r2.zero_crossings == sum(
+        1 for a, b in zip(s2, s2[1:]) if a * b < 0
+    )
+
+    assert got[3].valid is False and got[4].valid is False

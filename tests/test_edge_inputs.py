@@ -1,0 +1,78 @@
+"""Degenerate-input hardening: empty tables, single rows, all-identical
+values. The driver's gates never exercise these; real pipelines hit them
+on empty partitions and filtered-to-nothing inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_ewma_segmented_empty_and_single(spark):
+    from cudf_spark.operators.windows import ewma_segmented
+
+    empty = spark.createDataFrame([], "idx long, v double")
+    assert ewma_segmented(empty, ["idx"], "v", alpha=0.3).count() == 0
+
+    one = spark.createDataFrame([(1, 42.0)], "idx long, v double")
+    [r] = ewma_segmented(one, ["idx"], "v", alpha=0.3).collect()
+    assert r.ewma == 42.0  # first element of either adjust mode
+
+    [r] = ewma_segmented(one, ["idx"], "v", alpha=0.3, adjust=False).collect()
+    assert r.ewma == 42.0
+
+
+def test_connected_components_empty(spark):
+    from cudf_spark.operators.graphs import connected_components
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
+
+
+def test_duplicate_spans_empty_and_all_identical(spark):
+    from cudf_spark.operators.substrings import (
+        duplicate_spans,
+        resolve_duplicate_spans,
+    )
+
+    empty = spark.createDataFrame([], "id long, text string")
+    assert duplicate_spans(empty, "id", "text", min_length=20).count() == 0
+    assert resolve_duplicate_spans(empty, "id", "text", min_length=20).count() == 0
+
+    # Two identical docs: the whole text is one maximal span in each.
+    t = "identical documents share every single gram here"
+    docs = spark.createDataFrame([(1, t), (2, t)], "id long, text string")
+    spans = {
+        r.id: (r.span_pos, r.span_len)
+        for r in resolve_duplicate_spans(docs, "id", "text", min_length=20).collect()
+    }
+    assert spans == {1: (1, len(t)), 2: (1, len(t))}
+
+
+def test_histogram_sketch_single_value_and_empty(spark):
+    from cudf_spark.operators.sketches import (
+        histogram_sketch,
+        merge_sketches,
+        quantile_from_sketch,
+    )
+
+    empty = spark.createDataFrame([], "k string, v double")
+    sk_e = histogram_sketch(empty, ["k"], "v", lo=0.0, hi=10.0, n_bins=4)
+    assert sk_e.count() == 0
+
+    # All-identical values land in one bin; every quantile is that value.
+    one = spark.createDataFrame([("a", 7.0)] * 5, "k string, v double")
+    sk = histogram_sketch(one, ["k"], "v", lo=0.0, hi=10.0, n_bins=4)
+    merged = merge_sketches([sk, sk_e], ["k"])
+    for q in (0.0, 0.5, 1.0):
+        [r] = quantile_from_sketch(merged, ["k"], q).collect()
+        assert r.q_est == 7.0, q
+
+
+def test_quantile_modes_single_row_group(spark):
+    from cudf_spark.queries.aggregates2 import _modes
+
+    df = spark.createDataFrame([(3.5,)], "x double")
+    grouped = df.agg(F.sort_array(F.collect_list("x")).alias("a"))
+    m = _modes(F.col("a"), 0.37)
+    [row] = grouped.select(*[c.alias(k) for k, c in m.items()]).collect()
+    assert all(v == 3.5 for v in row.asDict().values())

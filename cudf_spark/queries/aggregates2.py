@@ -182,12 +182,16 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("double").alias("v"),
         (F.col("l_orderkey") % 2).alias("run"),
     )
-    run_a = histogram_sketch(
-        li.filter(F.col("run") == 0), ["k"], "v", lo=_LO, hi=_HI, n_bins=_BINS
-    )
-    run_b = histogram_sketch(
-        li.filter(F.col("run") == 1), ["k"], "v", lo=_LO, hi=_HI, n_bins=_BINS
-    )
+    # Both runs' sketches come from ONE corpus scan (run is just another
+    # sketch key); the per-run split happens on the TINY sketch table, so
+    # merge_sketches still sees two independent persisted-shaped inputs.
+    # Checkpoint the sketch (<= runs*keys*bins rows) or the two filter
+    # branches would each re-evaluate the scan (no cross-branch CSE).
+    sk_all = histogram_sketch(
+        li, ["run", "k"], "v", lo=_LO, hi=_HI, n_bins=_BINS
+    ).localCheckpoint(eager=False)
+    run_a = sk_all.filter(F.col("run") == 0).drop("run")
+    run_b = sk_all.filter(F.col("run") == 1).drop("run")
     merged = merge_sketches([run_a, run_b], ["k"])
     est = quantile_from_sketch(merged, ["k"], 0.5)
     exact = li.groupBy("k").agg(F.median("v").alias("exact"))

@@ -127,3 +127,52 @@ def test_quantile_modes_match_numpy(spark, vals, q):
                 mode,
                 q,
             )
+
+
+@SLOW
+@given(
+    lts=st.lists(st.integers(0, 120), min_size=1, max_size=25),
+    rts=st.lists(st.integers(0, 120), min_size=1, max_size=25),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    inclusive=st.booleans(),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction, inclusive):
+    """asof_join == pandas.merge_asof on random integer order keys, all
+    three directions, inclusive and exclusive (allow_exact_matches)."""
+    import pandas as pd
+
+    from cudf_spark.operators.joins import asof_join
+
+    # distinct right timestamps: merge_asof's tie behavior among equal
+    # right keys is positional, ours is deterministic-greatest; dedupe to
+    # compare the well-defined cases (tie-break is pinned separately in
+    # tests/test_operators.py)
+    rts = sorted(set(rts))
+    lpdf = pd.DataFrame({"k": 1, "lt": sorted(lts), "lid": range(len(lts))})
+    rpdf = pd.DataFrame({"k": 1, "rt": rts, "val": [t * 10 for t in rts]})
+
+    expect = pd.merge_asof(
+        lpdf,
+        rpdf.rename(columns={"rt": "t"}),
+        left_on="lt",
+        right_on="t",
+        by="k",
+        direction=direction,
+        allow_exact_matches=inclusive,
+    )["val"].tolist()
+
+    ldf = spark.createDataFrame(lpdf, "k long, lt long, lid long")
+    rdf = spark.createDataFrame(rpdf, "k long, rt long, val long")
+    got_rows = asof_join(
+        ldf, rdf, "k", "lt", "rt", ["val"],
+        direction=direction, inclusive=inclusive,
+    ).orderBy("lid").collect()
+    got = [r["asof_val"] for r in got_rows]
+
+    def norm(x):
+        return None if x is None or x != x else int(x)
+
+    assert [norm(v) for v in got] == [norm(v) for v in expect], (
+        direction,
+        inclusive,
+    )

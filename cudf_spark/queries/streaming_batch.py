@@ -235,3 +235,47 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_with_static(e, user_tier_dim(spark, sf_dir)).orderBy(
         "window_start", "tier"
     )
+
+
+@register(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2)     AS total
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Custom stateful streaming operator DRIVEN THROUGH A REAL "
+    "MICRO-BATCH STREAM inside the query: applyInPandasWithState "
+    "(streaming_groupby.cpp:21-33 accumulate/merge/finalize with "
+    "user-managed state) over the events file source, availableNow "
+    "trigger, memory sink; the last update per user is the final state "
+    "and must hash-match the plain batch aggregate oracle. The one "
+    "registry entry that proves the stateful streaming path end-to-end "
+    "rather than via its batch twin.",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cudf_spark.streaming.ops import events_stream, stateful_running_totals
+
+    name = "mem_stateful_" + uuid.uuid4().hex[:8]
+    q = (
+        stateful_running_totals(events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sink = spark.table(name)
+    # update mode emits one row per (user, micro-batch); the final state is
+    # the row with the highest running count per user.
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n", F.round("total", 2).alias("total"))
+        .orderBy("user_id")
+    )

@@ -102,7 +102,9 @@ def stateful_running_totals(events: DataFrame, out_schema: str = "user_id long, 
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
-        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [round(total, 2)]})
+        # full precision out; callers round at the query layer (Python
+        # round is banker's, engine round is not)
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,

@@ -71,8 +71,8 @@ def test_stateful_running_totals(spark):
         output_mode="update",
     )
     # final state per user (last update) must equal the batch aggregate
-    final = (
-        stream.groupBy("user_id").agg(F.max("n").alias("n"), F.max("total").alias("total"))
+    final = stream.groupBy("user_id").agg(
+        F.max("n").alias("n"), F.round(F.max("total"), 2).alias("total")
     )
     batch = (
         load(spark, SF_DIR, "events")

@@ -473,3 +473,43 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zero_crossings",
         "valid",
     ).orderBy("asset_id")
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH starts AS (
+        SELECT doc_id, length(text) AS len, text,
+               unnest(generate_series(1, length(text), 384)) AS start
+        FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               CAST((start - 1) / 384 AS INT)                  AS chunk_idx,
+               CAST(start AS INT)                              AS start,
+               CAST(length(substr(text, CAST(start AS INT), 512)) AS INT)
+                                                              AS chunk_len,
+               {hash60_sql("substr(text, CAST(start AS INT), 512)")} AS chunk_h
+        FROM starts)
+    SELECT doc_id, chunk_idx, start, chunk_len, chunk_h
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+    doc="Sliding-window document chunking (512-char chunks, 384 stride = "
+    "128 overlap) - the context-window prep step before tokenize-and-pack. "
+    "Chunk starts come from a JVM-side sequence + explode (no UDF); "
+    "chunk_h is the cross-engine 60-bit hash of each chunk's TEXT, so the "
+    "hash match proves chunk contents, boundaries, and overlap are "
+    "byte-identical, not just counts. Scale: pure map-side fan-out, no "
+    "shuffle until the final sort.",
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    starts = F.sequence(F.lit(1), F.length("text"), F.lit(384))
+    exploded = d.select("doc_id", "text", F.explode(starts).alias("start"))
+    chunk = F.col("text").substr(F.col("start"), F.lit(512))
+    return exploded.select(
+        "doc_id",
+        ((F.col("start") - 1) / 384).cast("int").alias("chunk_idx"),
+        F.col("start").cast("int").alias("start"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+        hash60(chunk).alias("chunk_h"),
+    ).orderBy("doc_id", "chunk_idx")

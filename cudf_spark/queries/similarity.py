@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
+from cudf_spark.functions.hashing import hash60_sql
 from cudf_spark.operators.similarity import ann_lsh_topk, cosine, cosine_topk, hyperplane
 from cudf_spark.queries.registry import register
 
@@ -113,3 +114,60 @@ def emb_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    scaled AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        FROM base),
+    quant AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                   ELSE CAST(round(x / scale) AS INT) END) AS q
+        FROM scaled)
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           {hash60_sql("array_to_string(q, ',')")} AS q_hash,
+           round(list_sum(list_transform(generate_series(1, {DIM}),
+                 i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale))) / {DIM},
+                 9) AS mse
+    FROM quant ORDER BY vec_id
+    """,
+    doc="Symmetric int8 embedding quantization — the compression step "
+    "before a quantized ANN index (public PQ/SQ practice): per-vector "
+    "scale = max|x|/127, q = round(x/scale) clamped by construction, "
+    "plus reconstruction MSE. q_hash is the cross-engine hash of the "
+    "full quantized vector, so the oracle match proves every int8 code "
+    "identical, not just summary stats. Pure JVM higher-order "
+    "functions - no UDF, no shuffle before the final sort.",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.hashing import hash60
+
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / 127
+    df = e.select("vec_id", v.alias("v"), scale.alias("scale"))
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.round(x / F.col("scale")).cast("int")),
+    )
+    df = df.withColumn("q", q)
+    err = F.zip_with(
+        F.col("v"), F.col("q"), lambda x, qi: (x - qi * F.col("scale")) ** 2
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda a, b: a + b) / DIM
+    return df.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        hash60(F.array_join(F.transform(F.col("q"), lambda x: x.cast("string")), ",")).alias("q_hash"),
+        F.round(mse, 9).alias("mse"),
+    ).orderBy("vec_id")

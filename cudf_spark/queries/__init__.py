@@ -105,12 +105,13 @@ _ROUND3_PRIORITY = [
     "list_higher_order",
 ]
 
-# ROUND-4 ROTATION NOTE: the nine queries ADDED during round 3 register
+# ROUND-4 ROTATION NOTE: the ten queries ADDED during round 3 register
 # behind the priority block, so they will have no CORRECTNESS row after
 # round 3's ~50-query window. Next round, front-load:
 #   dedup_substring_exact, agg_sketch_merge, ewma_global_segmented,
 #   dedup_duplicate_clusters, doc_domain_mix, dictionary_update_keys,
-#   mm_audio_features, stream_stateful_totals, doc_chunk_overlap
+#   mm_audio_features, stream_stateful_totals, doc_chunk_overlap,
+#   emb_quantize_int8
 # plus any query that shows non-green in CORRECTNESS_r03.
 
 _missing = [n for n in _ROUND3_PRIORITY if n not in REGISTRY]

@@ -105,21 +105,66 @@ _ROUND3_PRIORITY = [
     "list_higher_order",
 ]
 
-# ROUND-4 ROTATION NOTE: the ten queries ADDED during round 3 register
-# behind the priority block, so they will have no CORRECTNESS row after
-# round 3's ~50-query window. Next round, front-load:
-#   dedup_substring_exact, agg_sketch_merge, ewma_global_segmented,
-#   dedup_duplicate_clusters, doc_domain_mix, dictionary_update_keys,
-#   mm_audio_features, stream_stateful_totals, doc_chunk_overlap,
-#   emb_quantize_int8
-# plus any query that shows non-green in CORRECTNESS_r03.
-
 _missing = [n for n in _ROUND3_PRIORITY if n not in REGISTRY]
 if _missing:  # pragma: no cover - registration bug guard
     raise RuntimeError(f"priority list names unknown queries: {_missing}")
 
-_rest = [n for n in REGISTRY if n not in set(_ROUND3_PRIORITY)]
-_ordered = {n: REGISTRY[n] for n in [*_ROUND3_PRIORITY, *_rest]}
+
+def _rotation_from_driver_records(records_dir: str) -> list[str] | None:
+    """SELF-MAINTAINING rotation for round 4 onward.
+
+    Once CORRECTNESS_r03.json exists (the driver commits it at the end of
+    round 3), order the registry straight from the driver's own records:
+
+    1. checked-but-not-green — a red row on record needs the re-check most;
+    2. never-checked — no row yet, in registration order;
+    3. green — already proven, lowest priority for the ~50-query window.
+
+    Returns None while only r01/r02 exist, so round 3 keeps the hand-
+    curated list above (which pins the judge-requested 48 + 2 exactly
+    into the window; the dynamic split would order the two stale fails
+    after 58 never-checked names and push them out).
+    """
+    import glob
+    import json
+    import os
+
+    paths = sorted(glob.glob(os.path.join(records_dir, "CORRECTNESS_r*.json")))
+    if not any(
+        os.path.basename(p) >= "CORRECTNESS_r03.json" for p in paths
+    ):
+        return None
+    checked: set[str] = set()
+    green: set[str] = set()
+    for path in paths:
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):  # pragma: no cover - tolerate junk
+            continue
+        for name, row in data.items():
+            checked.add(name)
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
+            ):
+                green.add(name)
+    reg = list(REGISTRY)
+    red = [n for n in reg if n in checked and n not in green]
+    never = [n for n in reg if n not in checked]
+    rest = [n for n in reg if n in green]
+    return [*red, *never, *rest]
+
+
+import os as _os  # noqa: E402
+
+_repo_root = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+_order = _rotation_from_driver_records(_repo_root) or [
+    *_ROUND3_PRIORITY,
+    *[n for n in REGISTRY if n not in set(_ROUND3_PRIORITY)],
+]
+_ordered = {n: REGISTRY[n] for n in _order}
 REGISTRY.clear()
 REGISTRY.update(_ordered)
 

@@ -1,0 +1,57 @@
+"""Check-window rotation: round 3 uses the hand-curated priority list;
+from round 4 on (CORRECTNESS_r03.json present) the order derives from the
+driver's own records — red rows first, never-checked next, green last."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+from cudf_spark.queries import (
+    REGISTRY,
+    _ROUND3_PRIORITY,
+    _repo_root,
+    _rotation_from_driver_records,
+)
+
+ROUND3_NEW = {
+    "dedup_substring_exact",
+    "agg_sketch_merge",
+    "ewma_global_segmented",
+    "dedup_duplicate_clusters",
+    "doc_domain_mix",
+    "dictionary_update_keys",
+    "mm_audio_features",
+    "stream_stateful_totals",
+    "doc_chunk_overlap",
+    "emb_quantize_int8",
+}
+
+
+def test_round3_manual_order_active():
+    # While only r01/r02 records exist, the judge-requested 48 + 2 fill the
+    # ~50-query window exactly.
+    assert list(REGISTRY)[:50] == _ROUND3_PRIORITY
+    assert _rotation_from_driver_records(_repo_root) is None
+
+
+def test_round4_dynamic_rotation(tmp_path):
+    for src in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        shutil.copy(f"{_repo_root}/{src}", tmp_path)
+    r03 = {
+        n: {"hash_match": True, "err": None, "spark_rows": 5}
+        for n in _ROUND3_PRIORITY
+    }
+    r03["q17_small_quantity_revenue"] = {
+        "hash_match": False,
+        "err": None,
+        "spark_rows": 5,
+    }
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(r03))
+
+    order = _rotation_from_driver_records(str(tmp_path))
+    assert order is not None and set(order) == set(REGISTRY)
+    # the red row re-checks first; the never-checked round-3 additions all
+    # land inside the next slots, ahead of every green query
+    assert order[0] == "q17_small_quantity_revenue"
+    assert ROUND3_NEW.issubset(set(order[1 : 1 + len(ROUND3_NEW) + 1]))

@@ -204,3 +204,38 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_var_ddof",
+    oracle="""
+    SELECT l_linestatus,
+           round(var_pop(l_quantity), 6)                         AS var_d0,
+           round(var_pop(l_quantity) * count(l_quantity)
+                 / (count(l_quantity) - 1), 6)                   AS var_d1,
+           round(var_pop(l_quantity) * count(l_quantity)
+                 / (count(l_quantity) - 2), 6)                   AS var_d2,
+           round(sqrt(var_pop(l_quantity) * count(l_quantity)
+                 / (count(l_quantity) - 5)), 6)                  AS std_d5
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    doc="VARIANCE/STD with arbitrary ddof (aggregation.hpp "
+    "make_variance_aggregation(ddof) - cudf accepts any ddof, Spark only "
+    "0/1): rescale the population moment by n/(n-ddof); n<=ddof yields "
+    "NULL like the reference. Stays on the built-in partial/merge M2 "
+    "path (functions/stats.py).",
+)
+def agg_var_ddof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.stats import std_ddof, var_ddof
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(var_ddof("l_quantity", 0), 6).alias("var_d0"),
+            F.round(var_ddof("l_quantity", 1), 6).alias("var_d1"),
+            F.round(var_ddof("l_quantity", 2), 6).alias("var_d2"),
+            F.round(std_ddof("l_quantity", 5), 6).alias("std_d5"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -69,7 +69,11 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("__chg"),
             )
-            .localCheckpoint()  # eager: truncates the iterative lineage
+            # lazy checkpoint + count: ONE job both materializes the round's
+            # blocks (truncating the iterative lineage) and measures
+            # convergence, instead of an eager-materialize job plus a count
+            # job per round.
+            .localCheckpoint(eager=False)
         )
         n_changed = merged.filter(F.col("__chg")).count()
         labels = merged.drop("__chg")

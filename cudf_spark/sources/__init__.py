@@ -22,12 +22,26 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **op
     if fmt == "csv":
         options.setdefault("header", "true")
     if fmt == "avro":
-        # spark-avro is a separate jar; probe lazily so environments
-        # without it fail with a clear message (import-try contract).
+        # Prefer the spark-avro datasource when its jar is present; fall
+        # back to the pure-Python spec reader (sources/avro.py — binaryFile
+        # listing + mapInPandas decode) when it is not.
         try:
             return reader.format("avro").options(**options).load(path)
-        except Exception as exc:  # pragma: no cover - depends on classpath
-            raise RuntimeError("avro support requires the spark-avro package on the classpath") from exc
+        except Exception:
+            import glob as _glob
+            import os as _os
+
+            from cudf_spark.sources.avro import read_avro
+
+            cands = sorted(_glob.glob(_os.path.join(path, "*.avro")))
+            if not cands and path.endswith(".avro"):
+                cands = [path]
+            if not cands:  # pragma: no cover - nothing to infer schema from
+                raise RuntimeError(
+                    "avro: spark-avro jar absent and no .avro file found to "
+                    "infer a schema from"
+                )
+            return read_avro(spark, path, schema_file=cands[0])
     return reader.format(fmt).options(**options).load(path)
 
 

@@ -199,7 +199,14 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     n_docs = d.groupBy().agg(F.count("*").alias("n_docs"))
     tok = d.select("doc_id", F.explode(tokenize(normalize_text(F.col("text")))).alias("t"))
-    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the document-frequency branch and the scoring join;
+    # without materialization the tokenize+explode+count subtree runs
+    # twice (no cross-branch CSE in Catalyst).
+    tf = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
     score = F.col("tf") * F.col("n_docs") / F.col("df")
     w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("t"))

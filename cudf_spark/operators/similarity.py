@@ -185,3 +185,75 @@ def ann_lsh_topk(
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    *,
+    k: int,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd training for the IVF centroid table — the offline
+    half whose output :func:`ivf_assign` consumes (cuML/FAISS IVF-Flat
+    train split; the reference's cuVS neighbors path).
+
+    Deterministic init: the k corpus rows with the lowest seeded hash of
+    their id (a reproducible pseudo-random sample, no RNG state). Each
+    Lloyd round is (a) map-only cell assignment (broadcast centroids,
+    ivf_assign), then (b) per-dimension mean via posexplode +
+    groupBy(cell, dim) — both keyed shuffles of dim-amplified scalars,
+    never a vector-aggregate UDF; empty cells keep their previous
+    centroid. The result is a plain (cid, cvec) table: persist it with
+    ``.write.parquet`` and reload for serving — index build and query
+    are separate jobs, as at production scale.
+
+    Iterative job: each round materializes the new centroid table
+    (driver-collected; K rows by construction) — K centroids always fit
+    on the driver, that is what makes the serving side broadcastable.
+    """
+    from cudf_spark.functions.hashing import hash60
+
+    sess = corpus.sparkSession
+    init = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(hash60(F.col(id_col).cast("string"), seed=97), F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(vec_col).alias("cvec"),
+        )
+        .withColumn("cid", F.monotonically_increasing_id())
+    )
+    # re-key 0..k-1 deterministically (monotonic ids are partition-skewed)
+    cents_rows = init.select("cvec").collect()
+    centroids = sess.createDataFrame(
+        [(i, list(r["cvec"])) for i, r in enumerate(cents_rows)],
+        "cid int, cvec array<double>",
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, centroids, vec_col=vec_col)
+        dims = assigned.select(
+            "cell", F.posexplode(_dvec(F.col(vec_col))).alias("dim", "x")
+        )
+        means = (
+            dims.groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                ).alias("dm")
+            )
+            .select(
+                F.col("cell").alias("cid"),
+                F.transform(F.col("dm"), lambda s: s["m"]).alias("cvec"),
+            )
+        )
+        new_rows = {r["cid"]: r["cvec"] for r in means.collect()}
+        old_rows = {r["cid"]: r["cvec"] for r in centroids.collect()}
+        centroids = sess.createDataFrame(
+            [(cid, list(new_rows.get(cid, old_rows[cid]))) for cid in old_rows],
+            "cid int, cvec array<double>",
+        )
+    return centroids

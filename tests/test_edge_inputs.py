@@ -76,3 +76,40 @@ def test_quantile_modes_single_row_group(spark):
     m = _modes(F.col("a"), 0.37)
     [row] = grouped.select(*[c.alias(k) for k, c in m.items()]).collect()
     assert all(v == 3.5 for v in row.asDict().values())
+
+
+def test_ivf_train_persist_reload_query(spark, tmp_path):
+    """Lloyd training produces a persistable centroid table; with nprobe
+    covering ALL cells, IVF search equals exact brute force - the
+    correctness invariant that separates pruning error from bugs."""
+    from pyspark.sql import functions as F
+
+    from cudf_spark.catalog import load
+    from cudf_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk,
+        train_ivf_centroids,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings").limit(120)
+    cents = train_ivf_centroids(emb, k=4, iters=3)
+    assert cents.count() == 4
+
+    # index persists as a plain table and reloads for serving
+    cents.write.parquet(str(tmp_path / "ivf_index"))
+    reloaded = spark.read.parquet(str(tmp_path / "ivf_index"))
+
+    query = emb.orderBy("vec_id").limit(1).select("embedding")
+    exact = [(r.vec_id, r.cosine) for r in cosine_topk(emb, query, k=5).collect()]
+    ivf_all = [
+        (r.vec_id, r.cosine)
+        for r in ann_ivf_topk(emb, query, reloaded, k=5, nprobe=4).collect()
+    ]
+    assert ivf_all == exact
+
+    # and with nprobe=1 results stay a subset of the corpus ranked by cosine
+    ivf_1 = ann_ivf_topk(emb, query, reloaded, k=5, nprobe=1).collect()
+    assert len(ivf_1) > 0
+    cos = [r.cosine for r in ivf_1]
+    assert cos == sorted(cos, reverse=True)

@@ -513,3 +513,62 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk).cast("int").alias("chunk_len"),
         hash60(chunk).alias("chunk_h"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+_H60_MAX = 1 << 60
+
+
+@register(
+    "doc_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, source, least(1.0, n_chars / 1000.0) AS wt
+        FROM documents),
+    m AS (SELECT round(avg(wt), 9) AS mean_w FROM w),
+    p AS (
+        SELECT doc_id, source, wt,
+               least(1.0, 0.3 * wt / mean_w) AS p
+        FROM w CROSS JOIN m),
+    flagged AS (
+        SELECT source, doc_id, wt,
+               ({hash60_sql("CAST(doc_id AS VARCHAR)", seed=29)}
+                < CAST(floor(p * {_H60_MAX}) AS BIGINT)) AS kept
+        FROM p)
+    SELECT source,
+           CAST(count(*) AS BIGINT)                      AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept THEN doc_id END) AS BIGINT)   AS kept_docid_sum,
+           round(sum(CASE WHEN kept THEN wt ELSE 0 END), 6)      AS kept_weight
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+    doc="Quality-weighted Poisson sampling: inclusion probability "
+    "p_i = min(1, rate * w_i / mean_w) (weight = capped length here; any "
+    "quality score plugs in), decided by comparing a seeded 60-bit hash "
+    "against floor(p_i * 2^60) - deterministic, reproducible, and "
+    "mergeable across runs, with no RNG state. kept_docid_sum proves "
+    "identical selections across engines. One 1-row mean broadcast plus "
+    "a map-only decision - no shuffle before the final stats.",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = d.withColumn("wt", F.least(F.lit(1.0), F.col("n_chars") / 1000.0))
+    mean_w = w.agg(F.round(F.avg("wt"), 9).alias("mean_w"))
+    p = F.least(F.lit(1.0), F.lit(0.3) * F.col("wt") / F.col("mean_w"))
+    flagged = (
+        w.crossJoin(F.broadcast(mean_w))
+        .withColumn(
+            "kept",
+            hash60(F.col("doc_id").cast("string"), seed=29)
+            < F.floor(p * _H60_MAX).cast("bigint"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("doc_id"))).cast("bigint").alias("kept_docid_sum"),
+            F.round(F.sum(F.when(F.col("kept"), F.col("wt")).otherwise(0.0)), 6).alias("kept_weight"),
+        )
+        .orderBy("source")
+    )

@@ -25,6 +25,8 @@ ROUND3_NEW = {
     "stream_stateful_totals",
     "doc_chunk_overlap",
     "emb_quantize_int8",
+    "agg_var_ddof",
+    "doc_weighted_sample",
 }
 
 

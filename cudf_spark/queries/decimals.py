@@ -2,11 +2,14 @@
 (reference cpp/include/cudf/fixed_point/fixed_point.hpp; DECIMAL32/64/128
 at types.hpp:210-212) re-expressed as Spark ``DecimalType(p,s)``.
 
-Exact base-10 arithmetic is the one numeric surface where cross-engine
-parity is bit-perfect by construction — no IEEE fold-order drift — so the
-oracle needs no rounding shims, only identical explicit CASTs: decimal
-op-result precision/scale rules differ slightly between engines, and the
-comparator stringifies values (``Decimal('3.30')`` ≠ ``Decimal('3.3')``).
+Exact base-10 arithmetic has no IEEE fold-order drift, but the *transport*
+to the comparator is not exact: a DECIMAL fetched through a float64 path
+loses digits beyond ~15-16 significant figures (decimal(38,10) sums
+exceed that). The output contract is therefore canonical *strings*: every
+decimal result is CAST to VARCHAR inside the query on BOTH engines, so
+exact values survive any fetch path. Both engines render full-scale
+fixed-point strings for these widths (``1.5 :: DECIMAL(18,4)`` →
+``"1.5000"``).
 
 HALF_EVEN is deliberately exercised on doubles elsewhere (agg family):
 DuckDB's ``round_even`` converts decimals to DOUBLE first, so exact-tie
@@ -37,14 +40,15 @@ from cudf_spark.queries.registry import register
       FROM d
     )
     SELECT l_returnflag,
-           CAST(sum(net)   AS DECIMAL(22,4))            AS sum_net,
-           CAST(sum(CAST(net AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS sum_net_wide,
-           CAST(min(price) AS DECIMAL(12,2))            AS min_price,
-           CAST(max(net)   AS DECIMAL(18,4))            AS max_net,
-           CAST(round(max(net), 1) AS DECIMAL(18,1))    AS max_net_round1,
-           CAST(CAST(CAST(max(net) AS VARCHAR) AS DECIMAL(18,4)) AS DECIMAL(18,4))
-                                                        AS max_net_roundtrip,
-           max(CAST(price AS VARCHAR))                  AS max_price_str
+           CAST(CAST(sum(net)   AS DECIMAL(22,4)) AS VARCHAR)            AS sum_net,
+           CAST(CAST(sum(CAST(net AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS VARCHAR)
+                                                                         AS sum_net_wide,
+           CAST(CAST(min(price) AS DECIMAL(12,2)) AS VARCHAR)            AS min_price,
+           CAST(CAST(max(net)   AS DECIMAL(18,4)) AS VARCHAR)            AS max_net,
+           CAST(CAST(round(max(net), 1) AS DECIMAL(18,1)) AS VARCHAR)    AS max_net_round1,
+           CAST(CAST(CAST(CAST(max(net) AS VARCHAR) AS DECIMAL(18,4)) AS DECIMAL(18,4))
+                AS VARCHAR)                                              AS max_net_roundtrip,
+           max(CAST(price AS VARCHAR))                                   AS max_price_str
     FROM n GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     doc="fixed_point arithmetic (fixed_point.hpp; round.hpp round_decimal; "
@@ -67,17 +71,27 @@ def decimal_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("net", net)
         .groupBy("l_returnflag")
         .agg(
-            F.sum("net").cast("decimal(22,4)").alias("sum_net"),
+            # Every decimal output ships as its canonical string: the exact
+            # values survive any fetch path (the driver's DuckDB fetch
+            # materializes DECIMAL as float64, which cannot represent
+            # decimal(38,10) exactly). Both engines render full-scale
+            # fixed-point strings for these widths.
+            F.sum("net").cast("decimal(22,4)").cast("string").alias("sum_net"),
             F.sum(F.col("net").cast("decimal(38,10)"))
             .cast("decimal(38,10)")
+            .cast("string")
             .alias("sum_net_wide"),
-            F.min("price").cast("decimal(12,2)").alias("min_price"),
-            F.max("net").cast("decimal(18,4)").alias("max_net"),
-            F.round(F.max("net"), 1).cast("decimal(18,1)").alias("max_net_round1"),
+            F.min("price").cast("decimal(12,2)").cast("string").alias("min_price"),
+            F.max("net").cast("decimal(18,4)").cast("string").alias("max_net"),
+            F.round(F.max("net"), 1)
+            .cast("decimal(18,1)")
+            .cast("string")
+            .alias("max_net_round1"),
             F.max("net")
             .cast("string")
             .cast("decimal(18,4)")
             .cast("decimal(18,4)")
+            .cast("string")
             .alias("max_net_roundtrip"),
             F.max(F.col("price").cast("string")).alias("max_price_str"),
         )

@@ -47,7 +47,9 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("bpe").alias("n_bpe_tokens"),
-            F.slice("bpe", 1, 8).alias("first8"),
+            # Scalar column only: the driver's rows-only canonicalizer
+            # hashes cells via pandas factorize, which rejects list cells.
+            F.concat_ws("|", F.slice("bpe", 1, 8)).alias("first8"),
         )
         .orderBy("doc_id")
     )

@@ -30,11 +30,28 @@ ROUND3_NEW = {
 }
 
 
-def test_round3_manual_order_active():
-    # While only r01/r02 records exist, the judge-requested 48 + 2 fill the
-    # ~50-query window exactly.
-    assert list(REGISTRY)[:50] == _ROUND3_PRIORITY
-    assert _rotation_from_driver_records(_repo_root) is None
+def test_rotation_mode_matches_driver_records():
+    # While only r01/r02 records exist the hand-curated round-3 window is
+    # active; once the driver writes CORRECTNESS_r03.json the registry
+    # switches to the dynamic rotation (red rows first, never-checked next).
+    import os
+
+    if os.path.exists(f"{_repo_root}/CORRECTNESS_r03.json"):
+        order = _rotation_from_driver_records(_repo_root)
+        assert order is not None and set(order) == set(REGISTRY)
+        checked: set[str] = set()
+        for i in range(1, 4):
+            path = f"{_repo_root}/CORRECTNESS_r0{i}.json"
+            if os.path.exists(path):
+                with open(path) as fh:
+                    checked.update(json.load(fh))
+        never = [q for q in REGISTRY if q not in checked]
+        # every never-checked query sits ahead of the green tail
+        n_front = len([q for q in order if q in never])
+        assert set(order[: len(never) + 4]).issuperset(never) or n_front == 0
+    else:
+        assert list(REGISTRY)[:50] == _ROUND3_PRIORITY
+        assert _rotation_from_driver_records(_repo_root) is None
 
 
 def test_round4_dynamic_rotation(tmp_path):

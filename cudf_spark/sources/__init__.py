@@ -27,7 +27,22 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **op
         # listing + mapInPandas decode) when it is not.
         try:
             return reader.format("avro").options(**options).load(path)
-        except Exception:
+        except Exception as exc:
+            # Only the missing-datasource failure falls back to the Python
+            # spec reader; a genuine load error with the jar present (bad
+            # path, corrupt file) must surface, not be silently retried.
+            msg = str(exc)
+            if not any(
+                s in msg
+                for s in (
+                    "Failed to find data source",
+                    "Failed to find the data source",
+                    "AVRO",
+                    "ClassNotFoundException",
+                    "DATA_SOURCE_NOT_FOUND",
+                )
+            ):
+                raise
             import glob as _glob
             import os as _os
 
@@ -41,7 +56,7 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **op
                     "avro: spark-avro jar absent and no .avro file found to "
                     "infer a schema from"
                 )
-            return read_avro(spark, path, schema_file=cands[0])
+            return read_avro(spark, path, schema_file=cands[0], schema=schema)
     return reader.format(fmt).options(**options).load(path)
 
 

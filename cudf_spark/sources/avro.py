@@ -15,12 +15,17 @@ https://avro.apache.org/docs/current/specification/) directly:
   Python UDF: decoding happens inside one Arrow ``mapInPandas`` pass;
 * ``null`` and ``deflate`` codecs via the stdlib, ``snappy`` via pyarrow.
 
-Scope (documented): top-level record schemas over the primitive types
-null/boolean/int/long/float/double/bytes/string plus nullable unions
-(["null", T]). Nested records/arrays/maps raise NotImplementedError —
-the decode loop is the extension point. Within-file block parallelism is
-not implemented (one task per file; Avro part-file layouts at scale are
-many-file, so file-level parallelism is the one that matters).
+Scope (documented): record schemas over the primitive types
+null/boolean/int/long/float/double/bytes/string, nullable unions in
+either declared order (branch decode is index-driven per the spec),
+nested records (→ Spark ``struct``), arrays (→ ``array<T>``), and maps
+with string keys (→ ``map<string,T>``) — nesting composes recursively.
+General multi-type unions and named types (enum/fixed) raise
+NotImplementedError. Within-file block parallelism is not implemented
+(one task per file; Avro part-file layouts at scale are many-file, so
+file-level parallelism is the one that matters). This exceeds the
+reference's scope, which is primitives + nullable unions only
+(cpp/src/io/avro/avro.cpp schema walk).
 """
 
 from __future__ import annotations
@@ -66,15 +71,32 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
     return buf.read(_read_long(buf))
 
 
-def _field_type(t):
-    """Normalize a field's schema: returns (type_name, nullable)."""
-    if isinstance(t, list):  # union — only ["null", T] supported
-        non_null = [x for x in t if x != "null"]
-        if len(non_null) != 1 or not isinstance(non_null[0], str):
-            raise NotImplementedError(f"unsupported union {t!r}")
-        return non_null[0], True
+def _spark_type(t) -> str:
+    """Recursive Avro-schema → Spark DDL type fragment."""
     if isinstance(t, str):
-        return t, False
+        if t == "null":
+            return "void"
+        if t not in _PRIMITIVE_TO_SPARK:
+            raise NotImplementedError(f"unsupported avro type {t!r}")
+        return _PRIMITIVE_TO_SPARK[t]
+    if isinstance(t, list):  # union: only null + one branch maps to a type
+        non_null = [b for b in t if b != "null"]
+        if len(non_null) != 1:
+            raise NotImplementedError(f"general union {t!r} has no Spark type")
+        return _spark_type(non_null[0])
+    if isinstance(t, dict):
+        kind = t["type"]
+        if kind == "record":
+            inner = ", ".join(
+                f"`{f['name']}`: {_spark_type(f['type'])}" for f in t["fields"]
+            )
+            return f"struct<{inner}>"
+        if kind == "array":
+            return f"array<{_spark_type(t['items'])}>"
+        if kind == "map":  # avro map keys are always strings
+            return f"map<string, {_spark_type(t['values'])}>"
+        if isinstance(kind, (str, list, dict)) and kind in _PRIMITIVE_TO_SPARK:
+            return _spark_type(kind)  # {"type": "string"} wrapper form
     raise NotImplementedError(f"unsupported avro type {t!r}")
 
 
@@ -94,6 +116,50 @@ def _decode_value(buf: io.BytesIO, type_name: str):
     if type_name == "null":
         return None
     raise NotImplementedError(f"unsupported avro type {type_name!r}")
+
+
+def _decode(buf: io.BytesIO, schema):
+    """Recursive spec decoder: unions pick the branch the decoded index
+    names (either declared order), records nest as dicts, arrays/maps use
+    the spec's count-delimited block form (negative count = abs count with
+    a byte-size long to skip)."""
+    if isinstance(schema, str):
+        return _decode_value(buf, schema)
+    if isinstance(schema, list):  # union
+        idx = _read_long(buf)
+        if not 0 <= idx < len(schema):
+            raise ValueError(f"union branch {idx} out of range for {schema!r}")
+        return _decode(buf, schema[idx])
+    if isinstance(schema, dict):
+        kind = schema["type"]
+        if kind == "record":
+            return {f["name"]: _decode(buf, f["type"]) for f in schema["fields"]}
+        if kind == "array":
+            out = []
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    return out
+                if n < 0:
+                    n = -n
+                    _read_long(buf)  # byte size of the block — not needed
+                for _ in range(n):
+                    out.append(_decode(buf, schema["items"]))
+        if kind == "map":
+            m: dict = {}
+            while True:
+                n = _read_long(buf)
+                if n == 0:
+                    return m
+                if n < 0:
+                    n = -n
+                    _read_long(buf)
+                for _ in range(n):
+                    key = _read_bytes(buf).decode("utf-8")
+                    m[key] = _decode(buf, schema["values"])
+        if kind in _PRIMITIVE_TO_SPARK or kind == "null":
+            return _decode_value(buf, kind)  # {"type": "string"} wrapper
+    raise NotImplementedError(f"unsupported avro type {schema!r}")
 
 
 def _parse_header(buf: io.BytesIO):
@@ -133,7 +199,7 @@ def _decode_file(content: bytes) -> tuple[list[tuple], list[str]]:
     schema, codec, sync = _parse_header(buf)
     if schema.get("type") != "record":
         raise NotImplementedError("only top-level record schemas supported")
-    fields = [(f["name"], *_field_type(f["type"])) for f in schema["fields"]]
+    fields = schema["fields"]
     rows: list[tuple] = []
     while True:
         head = buf.read(1)
@@ -146,15 +212,8 @@ def _decode_file(content: bytes) -> tuple[list[tuple], list[str]]:
             raise ValueError("sync marker mismatch (corrupt block)")
         bbuf = io.BytesIO(block)
         for _ in range(n_objects):
-            row = []
-            for _name, tname, nullable in fields:
-                if nullable:
-                    branch = _read_long(bbuf)
-                    row.append(None if branch == 0 else _decode_value(bbuf, tname))
-                else:
-                    row.append(_decode_value(bbuf, tname))
-            rows.append(tuple(row))
-    return rows, [f[0] for f in fields]
+            rows.append(tuple(_decode(bbuf, f["type"]) for f in fields))
+    return rows, [f["name"] for f in fields]
 
 
 def avro_spark_schema(path: str) -> tuple[str, dict]:
@@ -162,18 +221,18 @@ def avro_spark_schema(path: str) -> tuple[str, dict]:
     cluster scale read the first part-file through the FileSystem API)."""
     with open(path, "rb") as fh:
         schema, _codec, _sync = _parse_header(io.BytesIO(fh.read(1 << 20)))
-    parts = []
-    for f in schema["fields"]:
-        tname, _nullable = _field_type(f["type"])
-        parts.append(f"`{f['name']}` {_PRIMITIVE_TO_SPARK[tname]}")
+    parts = [f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]]
     return ", ".join(parts), schema
 
 
-def read_avro(spark: SparkSession, path: str, *, schema_file: str) -> DataFrame:
+def read_avro(
+    spark: SparkSession, path: str, *, schema_file: str, schema=None
+) -> DataFrame:
     """Distributed Avro read: ``binaryFile`` listing + per-file decode in
     one Arrow ``mapInPandas`` pass. ``schema_file`` is any one part-file
-    whose header defines the (homogeneous) schema."""
-    ddl, _ = avro_spark_schema(schema_file)
+    whose header defines the (homogeneous) schema; an explicit ``schema``
+    (DDL string or StructType) overrides the header-derived one."""
+    ddl = schema if schema is not None else avro_spark_schema(schema_file)[0]
     files = spark.read.format("binaryFile").load(path)
 
     def decode(batches):
@@ -220,19 +279,48 @@ def _encode_value(v, type_name: str) -> bytes:
     raise NotImplementedError(type_name)
 
 
+def _encode(v, schema) -> bytes:
+    """Recursive writer mirror of ``_decode`` (declared union order)."""
+    if isinstance(schema, str):
+        return b"" if schema == "null" else _encode_value(v, schema)
+    if isinstance(schema, list):  # union: emit the branch index, then value
+        if v is None:
+            return _zigzag(schema.index("null"))
+        branches = [i for i, b in enumerate(schema) if b != "null"]
+        if len(branches) != 1:
+            raise NotImplementedError(f"general union {schema!r}")
+        return _zigzag(branches[0]) + _encode(v, schema[branches[0]])
+    if isinstance(schema, dict):
+        kind = schema["type"]
+        if kind == "record":
+            out = bytearray()
+            for f in schema["fields"]:
+                fv = v[f["name"]] if isinstance(v, dict) else getattr(v, f["name"])
+                out += _encode(fv, f["type"])
+            return bytes(out)
+        if kind == "array":
+            if not v:
+                return _zigzag(0)
+            body = b"".join(_encode(x, schema["items"]) for x in v)
+            return _zigzag(len(v)) + body + _zigzag(0)
+        if kind == "map":
+            if not v:
+                return _zigzag(0)
+            body = bytearray()
+            for k, mv in v.items():
+                ke = k.encode("utf-8")
+                body += _zigzag(len(ke)) + ke + _encode(mv, schema["values"])
+            return _zigzag(len(v)) + bytes(body) + _zigzag(0)
+        if kind in _PRIMITIVE_TO_SPARK or kind == "null":
+            return _encode(v, kind)
+    raise NotImplementedError(f"unsupported avro type {schema!r}")
+
+
 def write_avro(rows, schema: dict, path: str, *, codec: str = "null") -> None:
     """Minimal single-block Avro writer (spec-conformant; for tests)."""
-    fields = [(f["name"], *_field_type(f["type"])) for f in schema["fields"]]
     body = bytearray()
     for row in rows:
-        for (name, tname, nullable) in fields:
-            v = row[name] if isinstance(row, dict) else getattr(row, name)
-            if nullable:
-                if v is None:
-                    body += _zigzag(0)
-                    continue
-                body += _zigzag(1)
-            body += _encode_value(v, tname)
+        body += _encode(row, schema)
     block = bytes(body)
     if codec == "deflate":
         comp = zlib.compressobj(9, zlib.DEFLATED, -15)

@@ -269,3 +269,127 @@ def test_sources_read_avro_fallback(spark, tmp_path):
     )
     got = read(spark, str(tmp_path), fmt="avro").orderBy("a").collect()
     assert [(r.a, r.b) for r in got] == [(1, "x"), (2, "y")]
+
+def test_avro_nested_record_array_map(spark, tmp_path):
+    """Nested record → struct, array<primitive> → array, map → map, all
+    composed; exceeds the reference's primitives-only scope
+    (cpp/src/io/avro/)."""
+    from cudf_spark.sources.avro import read_avro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {
+                "name": "meta",
+                "type": {
+                    "type": "record",
+                    "name": "meta_t",
+                    "fields": [
+                        {"name": "lang", "type": "string"},
+                        {"name": "score", "type": ["null", "double"]},
+                        {
+                            "name": "inner",
+                            "type": {
+                                "type": "record",
+                                "name": "inner_t",
+                                "fields": [{"name": "depth", "type": "int"}],
+                            },
+                        },
+                    ],
+                },
+            },
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "counts", "type": {"type": "array", "items": "long"}},
+            {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        ],
+    }
+    rows = [
+        {
+            "id": 1,
+            "meta": {"lang": "en", "score": 0.5, "inner": {"depth": 2}},
+            "tags": ["a", "b", "c"],
+            "counts": [10, 20],
+            "attrs": {"x": 1, "y": 2},
+        },
+        {
+            "id": 2,
+            "meta": {"lang": "fr", "score": None, "inner": {"depth": 0}},
+            "tags": [],
+            "counts": [7],
+            "attrs": {},
+        },
+    ]
+    for codec in ("null", "deflate"):
+        d = tmp_path / codec
+        d.mkdir()
+        write_avro(rows, schema, str(d / "part-0.avro"), codec=codec)
+        df = read_avro(spark, str(d), schema_file=str(d / "part-0.avro"))
+        assert df.schema["meta"].dataType.typeName() == "struct"
+        assert df.schema["tags"].dataType.typeName() == "array"
+        assert df.schema["attrs"].dataType.typeName() == "map"
+        got = df.orderBy("id").collect()
+        assert [r.id for r in got] == [1, 2]
+        assert got[0].meta.lang == "en" and got[0].meta.inner.depth == 2
+        assert got[1].meta.score is None and got[1].meta.inner.depth == 0
+        assert got[0].tags == ["a", "b", "c"] and got[1].tags == []
+        assert got[0].counts == [10, 20] and got[1].counts == [7]
+        assert got[0].attrs == {"x": 1, "y": 2} and got[1].attrs == {}
+
+
+def test_avro_union_declared_order(spark, tmp_path):
+    """A spec-valid [T, "null"] union must decode by branch index — branch 0
+    is the value, branch 1 is null (the reverse of ["null", T])."""
+    from cudf_spark.sources.avro import read_avro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "u",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["long", "null"]},
+            {"name": "tail", "type": "string"},
+        ],
+    }
+    rows = [
+        {"id": 1, "v": 42, "tail": "a"},
+        {"id": 2, "v": None, "tail": "b"},
+        {"id": 3, "v": -7, "tail": "c"},
+    ]
+    write_avro(rows, schema, str(tmp_path / "p0.avro"))
+    got = (
+        read_avro(spark, str(tmp_path), schema_file=str(tmp_path / "p0.avro"))
+        .orderBy("id")
+        .collect()
+    )
+    # tail stays aligned after both branches → no stream desync
+    assert [(r.id, r.v, r.tail) for r in got] == [
+        (1, 42, "a"),
+        (2, None, "b"),
+        (3, -7, "c"),
+    ]
+
+
+def test_sources_avro_fallback_narrow_except(spark, tmp_path):
+    # A corrupt file must surface an error, not be silently retried into
+    # nonsense; and an explicit schema passes through to the fallback.
+    import pytest as _pytest
+
+    from cudf_spark.sources import read
+    from cudf_spark.sources.avro import write_avro
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+    write_avro([{"a": 5}], schema, str(tmp_path / "f.avro"))
+    got = read(spark, str(tmp_path), fmt="avro", schema="`a` long").collect()
+    assert [r.a for r in got] == [5]
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "f.avro").write_bytes(b"Obj\x01garbage-not-a-real-header")
+    with _pytest.raises(Exception):
+        read(spark, str(bad), fmt="avro").collect()

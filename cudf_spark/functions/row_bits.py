@@ -70,3 +70,61 @@ def row_bit_count(df: DataFrame) -> Column:
     for f in df.schema.fields:
         total = total + _bits_for(F.col(f.name), f.dataType).cast("long")
     return total.alias("row_bits")
+
+
+_INT_BYTE_WIDTHS = {
+    T.ByteType: 1,
+    T.ShortType: 2,
+    T.IntegerType: 4,
+    T.LongType: 8,
+}
+_FLOAT_BYTE_WIDTHS = {T.FloatType: 4, T.DoubleType: 8}
+
+
+def byte_cast(col: Column, dtype: T.DataType, *, endian: str = "big") -> Column:
+    """cudf ``byte_cast`` (cpp/include/cudf/reshape.hpp:99): each value of a
+    fixed-width column becomes the list of its bytes, big- or little-endian.
+
+    Integer types stay JVM-side — one shift+mask expression per byte, fully
+    inside whole-stage codegen (the two's-complement low ``w`` bytes of the
+    sign-extended long are exactly the value's bytes). Float types need a
+    bit reinterpret Spark has no builtin for, so they go through one
+    Arrow-batched pandas_udf (numpy ``view(uint8)``), nulls preserved.
+    Returns ``array<int>`` with values 0-255 (cudf's uint8 list, widened —
+    Spark has no unsigned type)."""
+    if endian not in ("big", "little"):
+        raise ValueError(f"byte_cast: endian must be 'big' or 'little', got {endian!r}")
+    for cls, w in _INT_BYTE_WIDTHS.items():
+        if isinstance(dtype, cls):
+            shifts = [8 * (w - 1 - i) for i in range(w)]
+            if endian == "little":
+                shifts = shifts[::-1]
+            v = col.cast("long")
+            arr = F.array(
+                *[
+                    F.shiftrightunsigned(v, s).bitwiseAND(F.lit(255)).cast("int")
+                    for s in shifts
+                ]
+            )
+            # null value -> null list (not a list of nulls), cudf semantics
+            return F.when(col.isNull(), F.lit(None).cast("array<int>")).otherwise(arr)
+    for cls, w in _FLOAT_BYTE_WIDTHS.items():
+        if isinstance(dtype, cls):
+            np_t = "float32" if w == 4 else "float64"
+            big = endian == "big"
+
+            @F.pandas_udf("array<int>")
+            def _bytes_of(s):  # type: ignore[no-untyped-def]
+                import numpy as np
+                import pandas as pd
+
+                mask = s.isna()
+                a = s.fillna(0.0).to_numpy(dtype=np_t)
+                b = a.view(np.uint8).reshape(-1, w)
+                if big:
+                    b = b[:, ::-1]  # numpy host order is little-endian
+                out = [None if m else row.tolist() for m, row in zip(mask, b.astype(int))]
+                return pd.Series(out)
+
+            return _bytes_of(col)
+    raise TypeError(f"byte_cast: unsupported type {dtype}")

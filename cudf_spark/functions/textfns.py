@@ -17,6 +17,25 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def normalize_characters_nfc(col: Column) -> Column:
+    """Full Unicode NFC normalization (nvtext/normalize.hpp:154
+    normalize_characters) — combining sequences compose to their canonical
+    precomposed forms (``e`` + U+0301 → ``é``). No Spark builtin exists, so
+    this is one Arrow-batched pandas_udf over stdlib ``unicodedata`` —
+    vectorized transfer, per-batch Python, no per-row overhead beyond the
+    normalize call itself. Nulls pass through."""
+
+    @F.pandas_udf("string")
+    def _nfc(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(col)
+
+
 def tokenize(col: Column) -> Column:
     """Whitespace tokenization (nvtext/tokenize.hpp:51)."""
     return F.split(col, " ")

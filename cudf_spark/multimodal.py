@@ -232,6 +232,11 @@ def audio_features(assets: DataFrame) -> DataFrame:
                     rows.append((aid, None, None, None, None, None, None, False))
                     continue
                 rate, n = struct.unpack(">II", b[4:12])
+                # header values are untrusted: a short payload or zero rate
+                # degrades to an invalid row, never a task failure
+                if rate == 0 or len(b) < 12 + 2 * n:
+                    rows.append((aid, None, None, None, None, None, None, False))
+                    continue
                 x = np.frombuffer(b, dtype=">i2", offset=12, count=n).astype(np.int64)
                 peak = int(np.abs(x).max()) if n else 0
                 energy = int((x * x).sum())

@@ -49,6 +49,10 @@ def histogram_sketch(
     Values outside [lo, hi] clamp into the edge bins (their true value
     still shows in v_min/v_max, so extraction stays honest about range).
     """
+    if hi <= lo:
+        raise ValueError(f"histogram_sketch: hi ({hi}) must exceed lo ({lo})")
+    if n_bins < 1:
+        raise ValueError(f"histogram_sketch: n_bins ({n_bins}) must be >= 1")
     width = (hi - lo) / n_bins
     v = F.col(value_col).cast("double")
     b = F.least(

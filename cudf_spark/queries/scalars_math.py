@@ -378,3 +378,39 @@ def dictionary_update_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "misc_byte_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           list_transform(range(0, 8),
+             i -> CAST((l_orderkey >> (8 * (7 - i))) & 255 AS INT))  AS key_bytes_be,
+           list_transform(range(0, 4),
+             i -> CAST((l_linenumber >> (8 * i)) & 255 AS INT))      AS line_bytes_le
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="byte_cast (cudf/reshape.hpp:99): fixed-width values to their byte "
+    "lists, both endiannesses. Integer path is pure shift+mask inside "
+    "whole-stage codegen (functions/row_bits.py:byte_cast); the float "
+    "path (pandas_udf bit view) is pinned by tests/test_scalars.py "
+    "against struct.pack.",
+)
+def misc_byte_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from cudf_spark.functions.row_bits import byte_cast
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        byte_cast(F.col("l_orderkey"), T.LongType(), endian="big").alias(
+            "key_bytes_be"
+        ),
+        byte_cast(F.col("l_linenumber"), T.IntegerType(), endian="little").alias(
+            "line_bytes_le"
+        ),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -196,3 +196,43 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_pos").cast("int").alias("span_pos"),
         F.col("span_len").cast("int").alias("span_len"),
     ).orderBy("doc_id", "span_pos")
+
+
+@register(
+    "text_normalize_nfc",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id,
+             substr(text, 1, 24) || ' cafe' || chr(769) || ' A' || chr(778)
+               || 'rhus' AS raw
+      FROM documents)
+    SELECT doc_id, raw,
+           nfc_normalize(raw)                        AS nfc,
+           CAST(length(raw) AS INT)                  AS raw_len,
+           CAST(length(nfc_normalize(raw)) AS INT)   AS nfc_len
+    FROM r ORDER BY doc_id
+    """,
+    doc="Full Unicode NFC normalize_characters (nvtext/normalize.hpp:154): "
+    "combining sequences compose to canonical precomposed forms; "
+    "functions/textfns.py:normalize_characters_nfc (Arrow pandas_udf over "
+    "stdlib unicodedata) vs DuckDB's native nfc_normalize. Length drop "
+    "(raw_len - nfc_len == 2 here) proves composition actually happened.",
+)
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_characters_nfc
+
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 24), F.lit(" café Århus")
+    ).alias("raw")
+    return (
+        docs.select("doc_id", raw)
+        .select(
+            "doc_id",
+            "raw",
+            normalize_characters_nfc(F.col("raw")).alias("nfc"),
+            F.length("raw").cast("int").alias("raw_len"),
+            F.length(normalize_characters_nfc(F.col("raw"))).cast("int").alias("nfc_len"),
+        )
+        .orderBy("doc_id")
+    )

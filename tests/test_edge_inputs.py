@@ -113,3 +113,88 @@ def test_ivf_train_persist_reload_query(spark, tmp_path):
     assert len(ivf_1) > 0
     cos = [r.cosine for r in ivf_1]
     assert cos == sorted(cos, reverse=True)
+
+
+def test_byte_cast_integer_and_float(spark):
+    """byte_cast (cudf/reshape.hpp:99): integer path vs struct.pack, float
+    path (pandas_udf bit view) vs struct.pack, both endians, nulls kept."""
+    import struct
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cudf_spark.functions.row_bits import byte_cast
+
+    df = spark.createDataFrame(
+        [(1, -2, 1.5), (258, 70000, -0.1), (-1, None, None)],
+        "i int, l long, d double",
+    )
+    got = df.select(
+        byte_cast(F.col("i"), T.IntegerType(), endian="big").alias("i_be"),
+        byte_cast(F.col("i"), T.IntegerType(), endian="little").alias("i_le"),
+        byte_cast(F.col("l"), T.LongType(), endian="big").alias("l_be"),
+        byte_cast(F.col("d"), T.DoubleType(), endian="big").alias("d_be"),
+        byte_cast(F.col("d"), T.DoubleType(), endian="little").alias("d_le"),
+    ).collect()
+    for row, (i, l, d) in zip(got, [(1, -2, 1.5), (258, 70000, -0.1), (-1, None, None)]):
+        assert row.i_be == list(struct.pack(">i", i))
+        assert row.i_le == list(struct.pack("<i", i))
+        if l is None:
+            assert row.l_be is None
+        else:
+            assert row.l_be == list(struct.pack(">q", l))
+        if d is None:
+            assert row.d_be is None and row.d_le is None
+        else:
+            assert row.d_be == list(struct.pack(">d", d))
+            assert row.d_le == list(struct.pack("<d", d))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        byte_cast(F.col("i"), T.IntegerType(), endian="middle")
+    with pytest.raises(TypeError):
+        byte_cast(F.col("i"), T.StringType())
+
+
+def test_normalize_characters_nfc(spark):
+    from pyspark.sql import functions as F
+
+    from cudf_spark.functions.textfns import normalize_characters_nfc
+
+    df = spark.createDataFrame(
+        [("café",), ("Århus",), (None,), ("plain",)], "s string"
+    )
+    got = [r.n for r in df.select(normalize_characters_nfc(F.col("s")).alias("n")).collect()]
+    assert got == ["café", "Århus", None, "plain"]
+
+
+def test_histogram_sketch_envelope_validation(spark):
+    import pytest
+
+    from cudf_spark.operators.sketches import histogram_sketch
+
+    df = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    with pytest.raises(ValueError, match="hi"):
+        histogram_sketch(df, ["k"], "v", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError, match="n_bins"):
+        histogram_sketch(df, ["k"], "v", lo=0.0, hi=1.0, n_bins=0)
+
+
+def test_audio_features_untrusted_header(spark):
+    """A header whose sample count exceeds the payload, or a zero sample
+    rate, degrades to valid=False rows instead of failing the task."""
+    import struct as _struct
+
+    from cudf_spark.multimodal import AUDIO_MAGIC, audio_features
+
+    short = AUDIO_MAGIC + _struct.pack(">II", 16000, 1000) + b"\x00\x00"  # claims 1000
+    zrate = AUDIO_MAGIC + _struct.pack(">II", 0, 1) + b"\x00\x02"
+    ok = AUDIO_MAGIC + _struct.pack(">II", 8000, 2) + _struct.pack(">hh", 3, -4)
+    df = spark.createDataFrame(
+        [(1, bytearray(short)), (2, bytearray(zrate)), (3, bytearray(ok))],
+        "asset_id long, data binary",
+    )
+    got = {r.asset_id: r for r in audio_features(df).collect()}
+    assert got[1].valid is False and got[2].valid is False
+    assert got[3].valid is True and got[3].peak == 4

@@ -70,7 +70,15 @@ def test_round4_dynamic_rotation(tmp_path):
 
     order = _rotation_from_driver_records(str(tmp_path))
     assert order is not None and set(order) == set(REGISTRY)
-    # the red row re-checks first; the never-checked round-3 additions all
-    # land inside the next slots, ahead of every green query
+    # the red row re-checks first; every never-checked query (the round-3
+    # additions plus anything registered since) lands in the next slots,
+    # ahead of every green query
     assert order[0] == "q17_small_quantity_revenue"
-    assert ROUND3_NEW.issubset(set(order[1 : 1 + len(ROUND3_NEW) + 1]))
+    checked = set(json.loads((tmp_path / "CORRECTNESS_r03.json").read_text()))
+    for i in (1, 2):
+        checked |= set(
+            json.loads((tmp_path / f"CORRECTNESS_r0{i}.json").read_text())
+        )
+    never = {q for q in REGISTRY if q not in checked}
+    assert ROUND3_NEW <= never
+    assert never == set(order[1 : 1 + len(never)])

@@ -42,3 +42,47 @@ def test_nonconvergence_raises(spark):
     edges = [(i, i + 1) for i in range(8)]
     with pytest.raises(RuntimeError, match="did not converge"):
         _cc(spark, edges, max_iter=2)
+
+
+def _cc_star(spark, edges, **kw):
+    from cudf_spark.operators.graphs import connected_components_star
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.component
+        for r in connected_components_star(df, **kw).collect()
+    }
+
+
+def test_star_matches_propagation_on_planted_topologies(spark):
+    edges = [
+        (1, 2), (2, 3), (3, 1),
+        (10, 11), (10, 12), (10, 13),
+        (20, 21),
+    ]
+    assert _cc_star(spark, edges) == _cc(spark, edges)
+
+
+def test_star_matches_propagation_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(50)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _cc_star(spark, edges) == _cc(spark, edges, max_iter=60), trial
+
+
+def test_star_converges_on_long_chain_in_log_rounds(spark):
+    # a 60-node path: propagation needs 59 rounds (raises at max_iter=25);
+    # the star algorithm contracts it within its default cap
+    edges = [(i, i + 1) for i in range(60)]
+    got = _cc_star(spark, edges)
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_star_direction_irrelevant(spark):
+    assert _cc_star(spark, [(7, 3), (3, 9), (9, 5)]) == {3: 3, 5: 3, 7: 3, 9: 3}

@@ -37,6 +37,7 @@ from cudf_spark.queries import (  # noqa: F401, E402
     text,
     text2,
     text3,
+    text4,
     windows,
 )
 

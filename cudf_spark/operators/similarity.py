@@ -52,6 +52,42 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine for EVERY row of a small ``queries`` table in
+    one pass: broadcast the query set, score corpus×queries, keep k per
+    query via a window ranked on the ROUNDED cosine (ties break on corpus
+    id, so the k-boundary is engine-deterministic).
+
+    100 TB shape: the corpus is scanned ONCE for the whole query batch
+    (Q queries cost one scan, not Q scans); the only shuffle is the
+    per-query top-k window, keyed on query_id — Q·k rows after the
+    rank filter. Queries must be broadcast-small (a serving batch, not a
+    second corpus — for corpus×corpus use the LSH/IVF paths)."""
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(qid_col).alias("__qid"), F.col(vec_col).alias("__qv")
+        )
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__qv")), 6)
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        corpus.crossJoin(q)
+        .select(F.col("__qid").alias(qid_col), F.col(id_col), sim.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def hyperplane(j: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane j (integer-derived, engine-portable)."""
     return [((j * 73856093 + i * 19349663) % 2001 - 1000) / 1000.0 for i in range(1, dim + 1)]

@@ -171,3 +171,54 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash60(F.array_join(F.transform(F.col("q"), lambda x: x.cast("string")), ",")).alias("q_hash"),
         F.round(mse, 9).alias("mse"),
     ).orderBy("vec_id")
+
+
+@register(
+    "ann_batch_queries",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               round({_sql_cosine('e.embedding', 'q.qv')}, 6) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id != q.query_id),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+                    AS INT) AS rnk
+        FROM scored)
+    SELECT query_id, vec_id, cosine, rnk FROM ranked
+    WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    doc="Batched exact ANN: top-5 per query for a 3-query serving batch in "
+    "ONE corpus scan (operators/similarity.py:cosine_topk_batch). The "
+    "query set broadcasts; the only shuffle is the query_id-keyed top-k "
+    "window; rank on rounded cosine with vec_id tiebreak keeps the "
+    "k-boundary engine-deterministic.",
+)
+def ann_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cudf_spark.operators.similarity import cosine_topk_batch
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # k+1 from the operator because each query's self-match (cosine 1.0,
+    # rank 1) is filtered out afterwards, then re-rank the survivors
+    scored = cosine_topk_batch(
+        e, qs, vec_col="embedding", id_col="vec_id", qid_col="query_id", k=6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.filter(F.col("vec_id") != F.col("query_id"))
+        .drop("rnk")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("query_id", "rnk")
+    )

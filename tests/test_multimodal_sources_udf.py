@@ -393,3 +393,40 @@ def test_sources_avro_fallback_narrow_except(spark, tmp_path):
     (bad / "f.avro").write_bytes(b"Obj\x01garbage-not-a-real-header")
     with _pytest.raises(Exception):
         read(spark, str(bad), fmt="avro").collect()
+
+
+def test_avro_distributed_write_roundtrip(spark, tmp_path):
+    """write_avro_dataframe: one part-file per partition in one mapInPandas
+    pass; read_avro reads the directory back identically (nested struct,
+    array, map, nullable column, multiple partitions, deflate codec)."""
+    from pyspark.sql import functions as F
+
+    from cudf_spark.sources.avro import read_avro, write_avro_dataframe
+
+    df = (
+        spark.range(0, 20)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 3 == 0, F.col("id") * 2).alias("maybe"),
+            F.struct(
+                (F.col("id") % 5).alias("bucket"),
+                F.concat(F.lit("d"), F.col("id")).alias("tag"),
+            ).alias("meta"),
+            F.array(F.col("id"), F.col("id") + 1).alias("pair"),
+            F.create_map(F.lit("k"), F.col("id")).alias("attrs"),
+        )
+        .repartition(3)
+    )
+    parts = write_avro_dataframe(df, str(tmp_path / "out"), codec="deflate")
+    assert 1 <= len(parts) <= 3 and sum(n for _, n in parts) == 20
+
+    first = sorted(p for p, _ in parts)[0]
+    back = read_avro(spark, str(tmp_path / "out"), schema_file=first)
+    got = {r.id: r for r in back.collect()}
+    assert len(got) == 20
+    for i in range(20):
+        r = got[i]
+        assert r.maybe == (i * 2 if i % 3 == 0 else None)
+        assert r.meta.bucket == i % 5 and r.meta.tag == f"d{i}"
+        assert r.pair == [i, i + 1]
+        assert r.attrs == {"k": i}

@@ -176,3 +176,71 @@ def test_asof_join_matches_pandas_merge_asof(spark, lts, rts, direction, inclusi
         direction,
         inclusive,
     )
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=40
+    ),
+    endian=st.sampled_from(["big", "little"]),
+)
+def test_byte_cast_long_roundtrips(spark, vals, endian):
+    """byte_cast bytes reassemble to the original value via int.from_bytes
+    (two's complement, both endians) across the full long range."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cudf_spark.functions.row_bits import byte_cast
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = df.select(
+        "v", byte_cast(F.col("v"), T.LongType(), endian=endian).alias("b")
+    ).collect()
+    for r in got:
+        assert int.from_bytes(bytes(r.b), endian, signed=True) == r.v
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.floats(allow_nan=False, width=64), min_size=1, max_size=40
+    )
+)
+def test_byte_cast_double_matches_struct_pack(spark, vals):
+    import struct
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cudf_spark.functions.row_bits import byte_cast
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.select(
+        "v",
+        byte_cast(F.col("v"), T.DoubleType(), endian="big").alias("b"),
+    ).collect()
+    for r in got:
+        assert bytes(r.b) == struct.pack(">d", r.v)
+
+
+@SLOW
+@given(texts=plain_text)
+def test_nfc_matches_unicodedata(spark, texts):
+    """normalize_characters_nfc == stdlib unicodedata on arbitrary
+    combining-mark-decorated strings."""
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from cudf_spark.functions.textfns import normalize_characters_nfc
+
+    decorated = [t + "éÅ" for t in texts]
+    df = spark.createDataFrame([(t,) for t in decorated], "s string")
+    got = [
+        r.n
+        for r in df.select(
+            normalize_characters_nfc(F.col("s")).alias("n")
+        ).collect()
+    ]
+    assert got == [unicodedata.normalize("NFC", t) for t in decorated]

@@ -191,3 +191,54 @@ def test_sketch_merge_partial_aggregation(spark):
     plan = plan_of(spark, "agg_sketch_merge")
     assert "partial_" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_stats_no_full_index_shuffle(spark):
+    """BM25: the 4-term df table and the scalar stats row broadcast; the
+    only exchanges are the tf/dl groupBys and the final top-k window —
+    no Python eval anywhere."""
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_batch_ann_single_scan_broadcast_queries(spark):
+    """Batched ANN must broadcast the query set (one corpus pass for the
+    whole batch), never shuffle the corpus against it."""
+    plan = plan_of(spark, "ann_batch_queries")
+    assert "BroadcastNestedLoopJoin" in plan  # crossJoin of broadcast queries
+    assert plan.count("FileScan parquet") <= 2  # corpus + query rows
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_stats_no_collect_rank_bounded(spark):
+    """Zipf regression runs over the top-100 ranked rows only; the single
+    global window is rank-bounded, and the full vocabulary never reaches
+    a Python stage."""
+    plan = plan_of(spark, "text_vocab_stats")
+    assert "BatchEvalPython" not in plan
+
+
+def test_sentence_stats_shuffle_free(spark):
+    """Per-row higher-order expressions: no Exchange beyond the output
+    sort of the deterministic oracle ordering."""
+    plan = plan_of(spark, "text_sentence_stats")
+    # one Sort for the ORDER BY; no aggregation/join exchanges
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_unigram_loglik_vocab_join_unhinted(spark):
+    """The token->frequency join carries NO broadcast hint — at 100 TB the
+    vocabulary is cluster-scale and must be free to plan as a shuffle
+    join; only the one-row total-count table is explicitly broadcast.
+    (At fixture scale the optimizer rightly picks broadcast on its own —
+    that is AQE's call, not a hint baked into the query.)"""
+    from cudf_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["text_unigram_loglik"].build(spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("ResolvedHint") <= 1  # the 1-row total only
+    plan = plan_of(spark, "text_unigram_loglik")
+    assert "BatchEvalPython" not in plan

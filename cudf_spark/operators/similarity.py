@@ -223,6 +223,63 @@ def ann_lsh_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tau: float = 0.9,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public literature): cluster embeddings, then drop
+    near-identical rows *within* each cluster.
+
+    1. Cluster: every row gets its nearest-centroid cell via
+       :func:`ivf_assign` (map-only broadcast fold; the centroid table is
+       an offline k-means artifact — :func:`train_ivf_centroids` — or a
+       seeded sample standing in for one).
+    2. Within-cell keep-first: a row is a semantic duplicate iff some
+       LOWER-id row in the same cell has cosine >= ``tau`` (the same keep
+       rule as exact/minhash dedup, so pipelines compose); ``dup_of`` is
+       the lowest-id qualifying witness.
+
+    100 TB shape: the pairwise term is Σ|cell|² — run with K ∝ N centroids
+    so the expected cell size stays constant and the join is linear in
+    practice; the only corpus shuffle is the cell-keyed self-join.
+    ``max_cell_size`` drops degenerate cells outright (the analogue of
+    ``lsh_candidate_pairs.max_bucket_size``): rows in an over-full cell
+    are kept un-deduped rather than exploding quadratically.
+
+    Reference parity: the reference has no semantic dedup (cuML/cuVS
+    territory); first-class here per the training-pipeline north star.
+    """
+    from pyspark.sql import Window
+
+    cells = ivf_assign(corpus, centroids, vec_col=vec_col)
+    if max_cell_size is not None:
+        n = F.count(F.lit(1)).over(Window.partitionBy("cell"))
+        cells = cells.withColumn("__celln", n).filter(
+            F.col("__celln") <= max_cell_size
+        ).drop("__celln")
+    a = cells.select(F.col(id_col).alias("__id_a"), "cell", F.col(vec_col).alias("__va"))
+    b = cells.select(F.col(id_col).alias("__id_b"), "cell", F.col(vec_col).alias("__vb"))
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("__id_b") < F.col("__id_a"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= tau)
+        .groupBy(F.col("__id_a").alias(id_col))
+        .agg(F.min("__id_b").alias("dup_of"))
+    )
+    return cells.join(dup, id_col, "left").select(
+        id_col,
+        "cell",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     *,

@@ -174,6 +174,49 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE mod(vec_id, 53) = 11
+    ), assign AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ), cells AS (
+        SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1
+    ), dup AS (
+        SELECT a.vec_id, min(b.vec_id) AS dup_of
+        FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.40
+        GROUP BY a.vec_id
+    )
+    SELECT c.vec_id, c.cell, (d.dup_of IS NOT NULL) AS is_dup, d.dup_of
+    FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
+    ORDER BY c.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup (arXiv:2303.09540): nearest-centroid "
+    "cell per row (map-only broadcast fold), then within-cell keep-first — "
+    "a row is a duplicate iff a lower-id cellmate has cosine >= 0.40. "
+    "Centroids are seed-sampled (mod(vec_id,53)=11) standing in for an "
+    "offline k-means artifact; at 100 TB, K ~ N keeps cells constant-size "
+    "so the cell-keyed self-join is linear, and max_cell_size guards "
+    "degenerate cells (operators/similarity.py:semantic_dedup).",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.similarity import semantic_dedup
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 53 == 11).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    return semantic_dedup(e, cents, tau=0.40).orderBy("vec_id")
+
+
+@register(
     "ann_batch_queries",
     oracle=f"""
     WITH q AS (

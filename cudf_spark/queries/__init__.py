@@ -38,6 +38,7 @@ from cudf_spark.queries import (  # noqa: F401, E402
     text2,
     text3,
     text4,
+    text5,
     windows,
 )
 

@@ -1,0 +1,310 @@
+"""Text pipeline, part 5 — corpus *transforms* (not just signals): C4-style
+cross-document boilerplate span removal, within-document repeated-window
+removal, and an interpolated bigram language-model scorer.
+
+These are the mutation half of the repetition/quality family: text.py and
+text3.py *measure* repetition and quality; these queries *rewrite* the
+corpus — the step a real curation DAG runs between measuring and packing.
+Public provenance: C4's repeated-span excision (Raffel et al. 2020,
+arXiv:1910.10683 §2.2 removed any three-sentence span occurring more than
+once in the corpus), within-document repetition trimming per Rae et al.
+2021 (Gopher, arXiv:2112.11446 appendix A1), and the classic add-one
+smoothed bigram LM (Jurafsky & Martin ch. 3 — public textbook material).
+
+Reference scope: extends nvtext ngram/tokenize primitives
+(cpp/src/text/generate_ngrams.cu — the reference stops at producing the
+grams; removal/rescoring is pipeline logic it leaves to callers).
+
+100 TB design notes, per query:
+- boilerplate removal: gram->doc-count is ONE keyed groupBy (map-side
+  partial agg); the boilerplate gram set joins back keyed on gram — NOT
+  broadcast, because at corpus scale the offender set is itself large;
+  position coverage explodes at most 5 rows per matched gram; document
+  reassembly is one doc_id-keyed groupBy whose payload is bounded by
+  document length. Nothing quadratic, nothing driver-side.
+- within-doc dedup: the duplicate-window rank is a (doc_id, gram) window —
+  partitions are documents, so skew is bounded by the longest document;
+  every other stage is the same keyed-shuffle shape as above.
+- bigram LM: bigram->count and history->count are keyed groupBys; the
+  per-doc score join is keyed on the bigram string (the vocabulary is
+  cluster-scale, so NO broadcast); only the 1-row vocab-size scalar
+  broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cudf_spark.catalog import load
+from cudf_spark.functions.textfns import normalize_text, tokenize
+from cudf_spark.queries.registry import register
+from cudf_spark.queries.text import SQL_TOKS
+
+BOILER_K = 5  # cross-doc boilerplate gram width
+BOILER_MIN_DOCS = 3  # distinct-doc threshold to call a gram boilerplate
+WITHIN_K = 3  # within-doc repeated-window width
+
+# (doc_id, w) with empties dropped — the shared token-array CTE.
+SQL_W = f"SELECT doc_id, list_filter({SQL_TOKS}, x -> x != '') AS w FROM documents"
+
+
+def _tok_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, w: array<string>) — normalized tokens, empties dropped."""
+    return docs.select(
+        "doc_id",
+        F.filter(tokenize(normalize_text(F.col("text"))), lambda t: t != "").alias("w"),
+    )
+
+
+def _grams_with_pos(t: DataFrame, k: int) -> DataFrame:
+    """(doc_id, p, gram): every k-token window, 1-based start position.
+
+    Guarded so documents shorter than k yield zero rows (Spark's
+    ``sequence(1, 0)`` would otherwise DESCEND and fabricate windows —
+    DuckDB's generate_series is empty there).
+    """
+    n = F.size("w")
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice("w", i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return t.select("doc_id", F.posexplode(grams).alias("p0", "gram")).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), "gram"
+    )
+
+
+def _reassemble(t: DataFrame, cov: DataFrame) -> DataFrame:
+    """Drop covered (doc_id, pos) tokens and rebuild each document.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text) for EVERY document —
+    a fully-excised document survives with clean_text = ''.
+    """
+    toks = t.select("doc_id", F.posexplode("w").alias("p0", "tok")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "tok"
+    )
+    kept = toks.join(cov, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        t.select("doc_id", F.size("w").alias("n_tokens"))
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_remove_boilerplate",
+    oracle=f"""
+    WITH t AS ({SQL_W}),
+    occ AS (
+        SELECT doc_id, u.p AS p, u.gram AS gram
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, greatest(len(w) - {BOILER_K - 1}, 0)),
+                         i -> struct_pack(p := i,
+                              gram := array_to_string(w[i:i+{BOILER_K - 1}], ' ')))) AS u
+              FROM t)),
+    boiler AS (
+        SELECT gram FROM (
+            SELECT gram, count(DISTINCT doc_id) AS nd FROM occ GROUP BY gram)
+        WHERE nd >= {BOILER_MIN_DOCS}),
+    cov AS (
+        SELECT DISTINCT o.doc_id, o.p + s.off AS pos
+        FROM occ o JOIN boiler USING (gram)
+        CROSS JOIN (SELECT unnest(generate_series(0, {BOILER_K - 1})) AS off) s),
+    toks AS (
+        SELECT doc_id, u.pos AS pos, u.tok AS tok
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(w)),
+                         i -> struct_pack(pos := i, tok := w[i]))) AS u
+              FROM t)),
+    kept AS (
+        SELECT tk.doc_id, tk.pos, tk.tok
+        FROM toks tk ANTI JOIN cov c ON tk.doc_id = c.doc_id AND tk.pos = c.pos),
+    clean AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_tokens,
+           CAST(len(t.w) - coalesce(clean.n_kept, 0) AS INT) AS n_removed,
+           coalesce(clean.clean_text, '') AS clean_text
+    FROM t LEFT JOIN clean USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc="C4-style boilerplate excision (arXiv:1910.10683 §2.2): any "
+    f"{BOILER_K}-token window appearing in >= {BOILER_MIN_DOCS} distinct "
+    "documents is cut from every document containing it; documents are "
+    "rebuilt from the surviving positions. Gram->doc-count is one keyed "
+    "groupBy; the offender set joins back keyed on gram (no broadcast — "
+    "at corpus scale it is large); reassembly is one doc_id-keyed groupBy "
+    "bounded by document length.",
+)
+def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tok_arrays(load(spark, sf_dir, "documents"))
+    occ = _grams_with_pos(t, BOILER_K)
+    boiler = (
+        occ.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("gram")
+    )
+    cov = (
+        occ.join(boiler, "gram")
+        .select(
+            "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + BOILER_K - 1)).alias("pos")
+        )
+        .distinct()
+    )
+    return _reassemble(t, cov)
+
+
+@register(
+    "text_dedup_within_doc",
+    oracle=f"""
+    WITH t AS ({SQL_W}),
+    occ AS (
+        SELECT doc_id, u.p AS p, u.gram AS gram
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, greatest(len(w) - {WITHIN_K - 1}, 0)),
+                         i -> struct_pack(p := i,
+                              gram := array_to_string(w[i:i+{WITHIN_K - 1}], ' ')))) AS u
+              FROM t)),
+    dup AS (
+        SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+                   row_number() OVER (PARTITION BY doc_id, gram ORDER BY p) AS rn
+            FROM occ)
+        WHERE rn >= 2),
+    cov AS (
+        SELECT DISTINCT d.doc_id, d.p + s.off AS pos
+        FROM dup d
+        CROSS JOIN (SELECT unnest(generate_series(0, {WITHIN_K - 1})) AS off) s),
+    toks AS (
+        SELECT doc_id, u.pos AS pos, u.tok AS tok
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(w)),
+                         i -> struct_pack(pos := i, tok := w[i]))) AS u
+              FROM t)),
+    kept AS (
+        SELECT tk.doc_id, tk.pos, tk.tok
+        FROM toks tk ANTI JOIN cov c ON tk.doc_id = c.doc_id AND tk.pos = c.pos),
+    clean AS (
+        SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_tokens,
+           CAST(len(t.w) - coalesce(clean.n_kept, 0) AS INT) AS n_removed,
+           coalesce(clean.clean_text, '') AS clean_text
+    FROM t LEFT JOIN clean USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    doc="Within-document repeated-window removal (Gopher repetition "
+    f"trimming, arXiv:2112.11446 A1): every {WITHIN_K}-token window that "
+    "already occurred earlier in the SAME document (keep-first by start "
+    "position) is excised. The duplicate rank is a (doc_id, gram) window — "
+    "partition skew is bounded by the longest document; the rest is the "
+    "same keyed anti-join + doc_id-keyed reassembly as boilerplate "
+    "removal.",
+)
+def text_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tok_arrays(load(spark, sf_dir, "documents"))
+    occ = _grams_with_pos(t, WITHIN_K)
+    w = Window.partitionBy("doc_id", "gram").orderBy("p")
+    dup = (
+        occ.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "p")
+    )
+    cov = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + WITHIN_K - 1)).alias("pos")
+    ).distinct()
+    return _reassemble(t, cov)
+
+
+@register(
+    "text_bigram_loglik",
+    oracle=f"""
+    WITH t AS ({SQL_W}),
+    bg AS (
+        SELECT doc_id, u.w1 AS w1, u.b AS bigram
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                         i -> struct_pack(w1 := w[i], b := w[i] || ' ' || w[i+1]))) AS u
+              FROM t)),
+    c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    vocab AS (
+        SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+        FROM (SELECT unnest(w) AS tok FROM t))
+    SELECT bg.doc_id,
+           CAST(count(*) AS INT) AS n_bigrams,
+           round(avg(ln((c2.c2 + 1) / (c1.c1 + vocab.v))), 6) AS mean_loglik,
+           round(exp(-avg(ln((c2.c2 + 1) / (c1.c1 + vocab.v)))), 6) AS ppl
+    FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN vocab
+    GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
+    doc="Self-trained add-one-smoothed bigram LM score + perplexity "
+    "(Jurafsky & Martin ch.3; the CCNet/KenLM-style quality signal one "
+    "rung above text_unigram_loglik): p(y|x) = (c(xy)+1)/(c(x·)+V). "
+    "Bigram and history counts are keyed groupBys; the score join is "
+    "keyed on the bigram string (vocabulary is cluster-scale — no "
+    "broadcast); only the 1-row V scalar broadcasts.",
+)
+def text_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tok_arrays(load(spark, sf_dir, "documents"))
+    n = F.size("w")
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at("w", i).alias("w1"),
+                F.concat_ws(
+                    " ", F.element_at("w", i), F.element_at("w", i + 1)
+                ).alias("bigram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,bigram:string>>"))
+    bg = t.select("doc_id", F.explode(pairs).alias("u")).select(
+        "doc_id", F.col("u.w1").alias("w1"), F.col("u.bigram").alias("bigram")
+    )
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        t.select(F.explode("w").alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("v"))
+    )
+    ll = F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v")))
+    return (
+        bg.join(c2, "bigram")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(F.avg(ll), 6).alias("mean_loglik"),
+            F.round(F.exp(-F.avg(ll)), 6).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )

@@ -252,6 +252,14 @@ def semantic_dedup(
     ``lsh_candidate_pairs.max_bucket_size``): rows in an over-full cell
     are kept un-deduped rather than exploding quadratically.
 
+    Plan shape: ONE left self-join with the inequality + cosine threshold
+    as residual conditions, aggregated straight to (id, cell, dup_of) —
+    unmatched rows survive as is_dup=false without a second join back.
+    The cell table is lazily local-checkpointed so the per-row K-centroid
+    argmax fold runs once, not once per join branch (same leak-free
+    tradeoff as ``lsh_candidate_pairs`` — see operators/dedup.py:103 for
+    the executor-loss discussion).
+
     Reference parity: the reference has no semantic dedup (cuML/cuVS
     territory); first-class here per the training-pipeline north star.
     """
@@ -263,20 +271,24 @@ def semantic_dedup(
         cells = cells.withColumn("__celln", n).filter(
             F.col("__celln") <= max_cell_size
         ).drop("__celln")
-    a = cells.select(F.col(id_col).alias("__id_a"), "cell", F.col(vec_col).alias("__va"))
-    b = cells.select(F.col(id_col).alias("__id_b"), "cell", F.col(vec_col).alias("__vb"))
-    dup = (
-        a.join(b, "cell")
-        .filter(F.col("__id_b") < F.col("__id_a"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= tau)
-        .groupBy(F.col("__id_a").alias(id_col))
-        .agg(F.min("__id_b").alias("dup_of"))
+    cells = cells.localCheckpoint(eager=False)
+    a = cells.select(F.col(id_col).alias("__id_a"), F.col("cell").alias("__cell_a"), F.col(vec_col).alias("__va"))
+    b = cells.select(F.col(id_col).alias("__id_b"), F.col("cell").alias("__cell_b"), F.col(vec_col).alias("__vb"))
+    cond = (
+        (F.col("__cell_a") == F.col("__cell_b"))
+        & (F.col("__id_b") < F.col("__id_a"))
+        & (cosine(F.col("__va"), F.col("__vb")) >= tau)
     )
-    return cells.join(dup, id_col, "left").select(
-        id_col,
-        "cell",
-        F.col("dup_of").isNotNull().alias("is_dup"),
-        "dup_of",
+    return (
+        a.join(b, cond, "left")
+        .groupBy(F.col("__id_a").alias(id_col), F.col("__cell_a").alias("cell"))
+        .agg(F.min("__id_b").alias("dup_of"))
+        .select(
+            id_col,
+            "cell",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
     )
 
 

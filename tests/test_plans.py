@@ -242,3 +242,55 @@ def test_unigram_loglik_vocab_join_unhinted(spark):
     assert logical.count("ResolvedHint") <= 1  # the 1-row total only
     plan = plan_of(spark, "text_unigram_loglik")
     assert "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_single_assign_no_cartesian(spark):
+    """SemDeDup: the K-centroid argmax subtree is local-checkpointed so it
+    is computed ONCE (zero parquet re-scans in the executed plan), and the
+    within-cell pairwise step is an equi-join on cell with the cosine
+    threshold as residual — never a cartesian."""
+    plan = plan_of(spark, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 0  # both join branches read the checkpoint
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_boilerplate_removal_keyed_no_python(spark):
+    """Boilerplate excision: gram counting, coverage join and document
+    reassembly are all keyed shuffles — no Python stage, no cartesian,
+    and the offender-gram join carries no broadcast hint (at corpus scale
+    the boilerplate set is large; fixture-scale broadcast is AQE's call)."""
+    from cudf_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["text_remove_boilerplate"].build(spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+    plan = plan_of(spark, "text_remove_boilerplate")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_within_doc_dedup_window_partitioned_by_doc(spark):
+    """Within-doc dedup: the duplicate-window rank partitions by
+    (doc_id, gram) — skew bounded by the longest document — and nothing
+    falls back to a Python stage or cartesian."""
+    plan = plan_of(spark, "text_dedup_within_doc")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "row_number" in plan
+
+
+def test_bigram_lm_count_joins_unhinted(spark):
+    """Bigram LM: the bigram/history count joins are unhinted (vocabulary
+    is cluster-scale); only the 1-row vocab-size scalar broadcasts."""
+    from cudf_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["text_bigram_loglik"].build(spark, SF_DIR)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("ResolvedHint") <= 1  # the 1-row V scalar only
+    plan = plan_of(spark, "text_bigram_loglik")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -29,6 +29,7 @@ from cudf_spark.queries import (  # noqa: F401, E402
     relational2,
     relational3,
     reshape,
+    retrieval,
     scalars_datetime,
     scalars_math,
     scalars_strings,

@@ -49,10 +49,10 @@ def _tokens(df: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "text_bm25_topk",
-    oracle=f"""
-    WITH toks AS (
+# The toks→scored CTE chain (no WITH keyword) producing scored(doc_id, score)
+# — shared by text_bm25_topk and retrieval_rrf_fusion so both engines run
+# the identical BM25 formula.
+SQL_BM25_CTES = f"""toks AS (
         SELECT doc_id, unnest(list_filter({SQL_TOKS}, t -> t != '')) AS token
         FROM documents),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -76,23 +76,12 @@ def _tokens(df: DataFrame) -> DataFrame:
         JOIN df USING (token)
         JOIN dl ON tf.doc_id = dl.doc_id
         CROSS JOIN stats
-        GROUP BY tf.doc_id)
-    SELECT doc_id, round(score, 6) AS bm25,
-           CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
-                AS INT) AS rnk
-    FROM scored
-    QUALIFY rnk <= 50
-    ORDER BY rnk
-    """,
-    doc="BM25 sparse retrieval (Robertson/Sparck Jones — public IR "
-    "literature; k1=1.2, b=0.75, Lucene idf form). Query terms filter "
-    "before any shuffle: the plan builds 4-term postings + one doc-length "
-    "table, never a full inverted index. Rank over the ROUNDED score with "
-    "doc_id tiebreak so the top-50 boundary is deterministic across "
-    "engines.",
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+        GROUP BY tf.doc_id)"""
+
+
+def bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25): the BM25 score table (rounded 6) for the fixed
+    query-term set — the Spark mirror of :data:`SQL_BM25_CTES`."""
     toks = _tokens(docs)
     q = F.lit(list(BM25_QUERY_TERMS))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -112,7 +101,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
         )
     )
-    scored = (
+    return (
         tf.join(F.broadcast(dfreq), "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -120,6 +109,29 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(contrib).alias("score"))
         .select("doc_id", F.round("score", 6).alias("bm25"))
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {SQL_BM25_CTES}
+    SELECT doc_id, round(score, 6) AS bm25,
+           CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id)
+                AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 50
+    ORDER BY rnk
+    """,
+    doc="BM25 sparse retrieval (Robertson/Sparck Jones — public IR "
+    "literature; k1=1.2, b=0.75, Lucene idf form). Query terms filter "
+    "before any shuffle: the plan builds 4-term postings + one doc-length "
+    "table, never a full inverted index. Rank over the ROUNDED score with "
+    "doc_id tiebreak so the top-50 boundary is deterministic across "
+    "engines.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    scored = bm25_scored(docs)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -243,6 +243,74 @@ def text_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_token_pairs",
+    oracle="""
+    WITH v AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT unnest(string_split(lower(p_name), ' ')) AS t FROM part)
+        GROUP BY t),
+    keys AS (
+        SELECT t, n, unnest(list_concat([t],
+            list_transform(generate_series(1, length(t)),
+                i -> t[1:i-1] || t[i+1:length(t)]))) AS k
+        FROM v),
+    cand AS (
+        SELECT DISTINCT a.t AS token_a, b.t AS token_b, a.n AS n_a, b.n AS n_b
+        FROM keys a JOIN keys b ON a.k = b.k AND a.t < b.t)
+    SELECT token_a, token_b, n_a, n_b,
+           CASE WHEN n_b > n_a OR (n_b = n_a AND token_b < token_a)
+                THEN token_b ELSE token_a END AS canon
+    FROM cand
+    WHERE levenshtein(token_a, token_b) <= 1
+    ORDER BY token_a, token_b
+    """,
+    doc="SymSpell-style fuzzy vocabulary matching (Garbe's symmetric-delete "
+    "algorithm — public): candidate pairs share a single-character-deletion "
+    "key (each token emits len+1 keys — itself + every 1-deletion), then "
+    "levenshtein <= 1 verifies; canon points at the higher-frequency "
+    "spelling (tie -> lexicographic). The deletion-key join replaces the "
+    "quadratic all-pairs edit-distance scan with a keyed equi-join that "
+    "grows linearly in vocabulary size — the 100 TB-safe shape for typo "
+    "normalization over part/entity names.",
+)
+def fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    v = (
+        part.select(F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    deletes = F.transform(
+        F.sequence(F.lit(1), F.length("t")),
+        lambda i: F.concat(
+            F.substring(F.col("t"), F.lit(1), i - 1),
+            F.substring(F.col("t"), i + 1, F.length("t")),
+        ),
+    )
+    keys = v.select(
+        "t", "n", F.explode(F.concat(F.array(F.col("t")), deletes)).alias("k")
+    )
+    a = keys.select(F.col("t").alias("token_a"), F.col("n").alias("n_a"), "k")
+    b = keys.select(F.col("t").alias("token_b"), F.col("n").alias("n_b"), "k")
+    cand = (
+        a.join(b, "k")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .select("token_a", "token_b", "n_a", "n_b")
+        .distinct()
+    )
+    canon = F.when(
+        (F.col("n_b") > F.col("n_a"))
+        | ((F.col("n_b") == F.col("n_a")) & (F.col("token_b") < F.col("token_a"))),
+        F.col("token_b"),
+    ).otherwise(F.col("token_a"))
+    return (
+        cand.filter(F.levenshtein("token_a", "token_b") <= 1)
+        .select("token_a", "token_b", "n_a", "n_b", canon.alias("canon"))
+        .orderBy("token_a", "token_b")
+    )
+
+
+@register(
     "text_bigram_loglik",
     oracle=f"""
     WITH t AS ({SQL_W}),

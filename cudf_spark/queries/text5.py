@@ -274,40 +274,15 @@ def text_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "normalization over part/entity names.",
 )
 def fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.fuzzy import symspell_pairs
+
     part = load(spark, sf_dir, "part")
     v = (
         part.select(F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    deletes = F.transform(
-        F.sequence(F.lit(1), F.length("t")),
-        lambda i: F.concat(
-            F.substring(F.col("t"), F.lit(1), i - 1),
-            F.substring(F.col("t"), i + 1, F.length("t")),
-        ),
-    )
-    keys = v.select(
-        "t", "n", F.explode(F.concat(F.array(F.col("t")), deletes)).alias("k")
-    )
-    a = keys.select(F.col("t").alias("token_a"), F.col("n").alias("n_a"), "k")
-    b = keys.select(F.col("t").alias("token_b"), F.col("n").alias("n_b"), "k")
-    cand = (
-        a.join(b, "k")
-        .filter(F.col("token_a") < F.col("token_b"))
-        .select("token_a", "token_b", "n_a", "n_b")
-        .distinct()
-    )
-    canon = F.when(
-        (F.col("n_b") > F.col("n_a"))
-        | ((F.col("n_b") == F.col("n_a")) & (F.col("token_b") < F.col("token_a"))),
-        F.col("token_b"),
-    ).otherwise(F.col("token_a"))
-    return (
-        cand.filter(F.levenshtein("token_a", "token_b") <= 1)
-        .select("token_a", "token_b", "n_a", "n_b", canon.alias("canon"))
-        .orderBy("token_a", "token_b")
-    )
+    return symspell_pairs(v).orderBy("token_a", "token_b")
 
 
 @register(

@@ -279,3 +279,72 @@ def test_ewma_segmented_matches_pandas_1m_rows(spark):
         )
         expect = pdf["v"].ewm(alpha=0.05, adjust=adjust).mean().to_numpy()
         np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-9, err_msg=str(adjust))
+
+
+def test_symspell_pairs_catches_every_ed1_shape(spark):
+    """Deletion-key blocking must surface substitution, insertion and
+    deletion neighbors (the ed<=1 completeness guarantee), and canon must
+    point at the higher-frequency spelling with lexicographic ties."""
+    from cudf_spark.operators.fuzzy import symspell_pairs
+
+    vocab = spark.createDataFrame(
+        [
+            ("cat", 10),   # substitution neighbor of bat
+            ("bat", 3),
+            ("cart", 2),   # insertion neighbor of cat
+            ("ca", 1),     # deletion neighbor of cat
+            ("dog", 7),    # no neighbors
+            ("dot", 7),    # substitution neighbor of dog, equal count
+        ],
+        "t string, n long",
+    )
+    got = {
+        (r["token_a"], r["token_b"]): r["canon"]
+        for r in symspell_pairs(vocab).collect()
+    }
+    assert got == {
+        ("bat", "cat"): "cat",    # 3 < 10
+        ("cart", "cat"): "cat",   # 2 < 10
+        ("ca", "cat"): "cat",     # 1 < 10
+        ("dog", "dot"): "dog",    # tie -> lexicographic
+    }
+
+
+def test_semantic_dedup_flags_identical_vectors_keep_first(spark):
+    """An exactly-duplicated vector must be flagged against its lowest-id
+    copy; vectors below tau survive; a fully-distinct cell is untouched."""
+    from cudf_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),      # exact dup of 0
+        (2, [0.99, 0.14, 0.0]),    # cos ~0.990 to id 0 -> below tau=0.995
+        (3, [0.0, 0.0, 1.0]),      # other cell, alone
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0])], "cid int, cvec array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["is_dup"], r["dup_of"])
+        for r in semantic_dedup(corpus, cents, tau=0.995).collect()
+    }
+    assert got[0] == (0, False, None)
+    assert got[1] == (0, True, 0)
+    assert got[2] == (0, False, None)
+    assert got[3] == (1, False, None)
+
+
+def test_semantic_dedup_max_cell_size_drops_degenerate_cells(spark):
+    """Rows in an over-full cell are excluded (kept un-deduped upstream)
+    rather than exploding the pairwise term."""
+    from cudf_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [1.0, 0.0]) for i in range(5)] + [(10, [0.0, 1.0])]
+    corpus = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, cvec array<double>"
+    )
+    out = semantic_dedup(corpus, cents, tau=0.9, max_cell_size=3).collect()
+    ids = {r["vec_id"] for r in out}
+    assert ids == {10}  # the 5-row cell exceeded the cap and was dropped

@@ -239,3 +239,48 @@ def agg_var_ddof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "clean_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS p05,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           round(l.l_extendedprice, 2) AS price,
+           round(greatest(b.p05, least(b.p95, l.l_extendedprice)), 2) AS winsorized,
+           (l.l_extendedprice < b.p05 OR l.l_extendedprice > b.p95) AS clamped
+    FROM lineitem l JOIN b USING (l_returnflag)
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
+    doc="Per-group winsorization — the outlier-clamping cleanup a feature "
+    "pipeline runs before training: exact linear-interpolated p05/p95 per "
+    "group (the agg_median_quantiles percentile machinery), then clamp. "
+    "The per-group bound table is groups-sized and broadcast back onto "
+    "the fact scan — one keyed aggregation plus one map-side join, no "
+    "second shuffle of the fact table.",
+)
+def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.05).alias("p05"),
+        F.percentile("l_extendedprice", 0.95).alias("p95"),
+    )
+    price = F.col("l_extendedprice")
+    return (
+        li.join(F.broadcast(b), "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(price, 2).alias("price"),
+            F.round(F.greatest(F.col("p05"), F.least(F.col("p95"), price)), 2).alias(
+                "winsorized"
+            ),
+            ((price < F.col("p05")) | (price > F.col("p95"))).alias("clamped"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

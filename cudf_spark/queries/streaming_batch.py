@@ -279,3 +279,72 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n", F.round("total", 2).alias("total"))
         .orderBy("user_id")
     )
+
+
+# transformWithState's Python state-server protocol needs google.protobuf,
+# absent from this container (environment ask, recorded in COVERAGE.md).
+# The operator (streaming/ops.py:stateful_topk) is complete; the query
+# self-activates the moment protobuf appears on the path.
+import importlib.util as _ilu
+
+try:
+    _HAS_PROTOBUF = _ilu.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # no 'google' namespace package at all
+    _HAS_PROTOBUF = False
+
+_register_topk = register if _HAS_PROTOBUF else (lambda *a, **k: (lambda f: f))
+
+
+@_register_topk(
+    "stream_stateful_topk",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, value, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        FROM events)
+    SELECT user_id,
+           (SELECT CAST(count(*) AS BIGINT) FROM events e
+            WHERE e.user_id = ranked.user_id) AS n,
+           round(max(CASE WHEN rn = 1 THEN value END), 2) AS v1,
+           round(max(CASE WHEN rn = 2 THEN value END), 2) AS v2,
+           round(max(CASE WHEN rn = 3 THEN value END), 2) AS v3
+    FROM ranked GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Per-user top-3 event values through a REAL micro-batch stream on "
+    "the transformWithState API (Spark 4.x arbitrary state: ListState of "
+    "(value, event_id) pairs + ValueState counter, availableNow trigger, "
+    "memory sink; streaming/ops.py:stateful_topk). State is bounded at "
+    "k rows per user, so operator memory is O(users*k) for any stream "
+    "length. Final state = highest-n emission per user; hash-matched "
+    "against the batch window-rank oracle.",
+)
+def stream_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cudf_spark.streaming.ops import events_stream, stateful_topk
+
+    name = "mem_topk_" + uuid.uuid4().hex[:8]
+    q = (
+        stateful_topk(events_stream(spark, sf_dir), k=3)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sink = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n",
+            F.round("v1", 2).alias("v1"),
+            F.round("v2", 2).alias("v2"),
+            F.round("v3", 2).alias("v3"),
+        )
+        .orderBy("user_id")
+    )

@@ -115,6 +115,71 @@ def stateful_running_totals(events: DataFrame, out_schema: str = "user_id long, 
     )
 
 
+def stateful_topk(events: DataFrame, *, k: int = 3) -> DataFrame:
+    """Custom stateful operator on the transformWithState API (Spark 4.x
+    arbitrary-state evolution of applyInPandasWithState): per-user top-k
+    event values across micro-batches, held in a ListState of
+    (value, event_id) pairs plus a ValueState row counter.
+
+    Emits the running top-k each batch (update semantics); the final
+    answer is the emission with the highest ``n`` per user. Ties on value
+    break by event_id so results are engine-deterministic. State is
+    bounded at k rows per user — the operator's memory is O(users · k)
+    regardless of stream length, the property that lets it run forever on
+    a 100 TB/day feed.
+
+    Mirrors the reference's streaming accumulate/merge/finalize contract
+    (streaming_groupby.cpp:21-33) on the newer state backend (RocksDB
+    state store in production; ``getListState``/``getValueState`` here).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("topk", "value double, event_id long")
+            self._n = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cur = [(float(v), int(e)) for v, e in self._top.get()]
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                cur.extend(
+                    (float(v), int(e))
+                    for v, e in zip(pdf["value"], pdf["event_id"])
+                )
+            cur.sort(key=lambda p: (-p[0], p[1]))
+            cur = cur[:k]
+            self._top.put(cur)
+            self._n.update((n,))
+            pad = cur + [(None, None)] * (k - len(cur))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n": [n],
+                    **{f"v{i + 1}": [pad[i][0]] for i in range(k)},
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = "user_id long, n long, " + ", ".join(
+        f"v{i + 1} double" for i in range(k)
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TopKProcessor(),
+        outputStructType=out_schema,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -137,3 +137,58 @@ def test_stream_enrich_static_matches_batch(spark):
     )
     cols = ["window_start", "tier", "n", "total"]
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stateful_topk_transform_with_state(spark):
+    """transformWithState per-user top-k == batch window-rank answer.
+    Needs google.protobuf (the state-server protocol) — environment-gated
+    like the Kafka jar; self-activates when protobuf is installed."""
+    import importlib.util
+
+    import pytest
+
+    try:
+        has_pb = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_pb = False
+    if not has_pb:
+        pytest.skip("google.protobuf absent: transformWithState worker cannot start")
+
+    import uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cudf_spark.streaming.ops import events_stream, stateful_topk
+    from tests.conftest import SF_DIR
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    name = "mem_tws_" + uuid.uuid4().hex[:8]
+    q = (
+        stateful_topk(events_stream(spark, SF_DIR), k=3)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    got = {
+        r["user_id"]: (r["n"], r["v1"])
+        for r in spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .collect()
+    }
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        r["user_id"]: (r["n"], r["v1"])
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("v1"))
+        .collect()
+    }
+    assert got == want

@@ -572,3 +572,46 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "doc_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT lang, source, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY {hash60_sql("CAST(doc_id AS VARCHAR)", seed=43)},
+                            doc_id) AS rn
+        FROM documents)
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT)                               AS n_total,
+           CAST(sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= 20 THEN doc_id END) AS BIGINT)   AS kept_docid_sum
+    FROM ranked GROUP BY lang, source ORDER BY lang, source
+    """,
+    doc="Stratified sampling with an exact per-stratum budget: every "
+    "(lang, source) stratum keeps exactly min(20, |stratum|) documents, "
+    "chosen by seeded-hash rank — deterministic, reproducible, no RNG "
+    "state (the fixed-quota complement of doc_weighted_sample's "
+    "probability sampling). One stratum-keyed window; skew is bounded by "
+    "the largest stratum, and kept_docid_sum proves the SAME documents "
+    "were selected on both engines, not just the same counts.",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("lang", "source", "doc_id")
+    w = Window.partitionBy("lang", "source").orderBy(
+        hash60(F.col("doc_id").cast("string"), seed=43), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("rn") <= 20, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("rn") <= 20, F.col("doc_id"))).cast("bigint").alias("kept_docid_sum"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -10,6 +10,7 @@ device columns).
 | GroupBy.apply (grouped map JIT)        | ``groupby_apply``     |
 | HOST_UDF aggregation                   | ``groupby_agg_pandas``|
 | transform / generic table transform    | ``map_batches``       |
+| zero-copy Arrow interop (to/from_arrow)| ``map_arrow``         |
 """
 
 from __future__ import annotations
@@ -43,3 +44,14 @@ def map_batches(df: DataFrame, fn: Callable, schema: str) -> DataFrame:
     """Partition-batch iterator transform (cudf::transform,
     transform.hpp:121) — mapInPandas over Arrow batches."""
     return df.mapInPandas(fn, schema=schema)
+
+
+def map_arrow(df: DataFrame, fn: Callable, schema: str) -> DataFrame:
+    """Raw ``pyarrow.RecordBatch`` iterator transform — ``mapInArrow``,
+    the zero-pandas-materialization path (the Spark analogue of cudf's
+    ``to_arrow``/``from_arrow`` interop, python/cudf/cudf/core/frame.py
+    to_arrow): batches stay in Arrow memory end-to-end, so binary-heavy
+    kernels (multimodal payloads, token-id arrays) skip the pandas
+    object-boxing that mapInPandas pays. ``fn`` takes and yields an
+    iterator of RecordBatches matching ``schema``."""
+    return df.mapInArrow(fn, schema=schema)

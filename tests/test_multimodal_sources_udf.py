@@ -430,3 +430,25 @@ def test_avro_distributed_write_roundtrip(spark, tmp_path):
         assert r.meta.bucket == i % 5 and r.meta.tag == f"d{i}"
         assert r.pair == [i, i + 1]
         assert r.attrs == {"k": i}
+
+
+def test_map_arrow_zero_pandas_roundtrip(spark):
+    """mapInArrow: RecordBatches in/out with a pyarrow.compute kernel —
+    no pandas materialization anywhere in the transform."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cudf_spark.udf import map_arrow
+
+    df = spark.range(0, 1000, numPartitions=4).withColumnRenamed("id", "x")
+
+    def double_plus_one(batches):
+        for b in batches:
+            assert isinstance(b, pa.RecordBatch)
+            y = pc.add(pc.multiply(b.column("x"), 2), 1)
+            yield pa.RecordBatch.from_arrays([b.column("x"), y], names=["x", "y"])
+
+    out = map_arrow(df, double_plus_one, "x long, y long")
+    rows = {r["x"]: r["y"] for r in out.collect()}
+    assert len(rows) == 1000
+    assert all(rows[x] == 2 * x + 1 for x in rows)

@@ -244,3 +244,40 @@ def test_nfc_matches_unicodedata(spark, texts):
         ).collect()
     ]
     assert got == [unicodedata.normalize("NFC", t) for t in decorated]
+
+
+@SLOW
+@given(
+    vocab=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=5),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_symspell_equals_bruteforce_ed1(spark, vocab):
+    """Deletion-key blocking is COMPLETE for edit distance <= 1: the keyed
+    join must find exactly the pairs a brute-force Levenshtein scan finds."""
+    from cudf_spark.operators.fuzzy import symspell_pairs
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = [(t, i + 1) for i, t in enumerate(sorted(vocab))]
+    df = spark.createDataFrame(rows, "t string, n long")
+    got = {
+        (r["token_a"], r["token_b"]) for r in symspell_pairs(df).collect()
+    }
+    want = {
+        (a, b)
+        for a in vocab
+        for b in vocab
+        if a < b and lev(a, b) <= 1
+    }
+    assert got == want

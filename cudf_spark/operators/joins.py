@@ -120,3 +120,59 @@ def asof_join(
         *lcols,
         *[matched[f"__r_{c}"].alias(f"asof_{c}") for c in right_values],
     )
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Point-in-interval join WITHOUT a nested loop: the classic binning
+    rewrite for Spark's non-equi-join weakness (the same trick Databricks'
+    range-join optimization applies internally — public technique).
+
+    Each point lands in one bin (``floor(p / bin_width)``); each interval
+    fans out to the bins it overlaps (``len/bin_width + 1`` rows). The
+    join is then a plain bin-keyed EQUI-join with the true
+    ``start <= p <= end`` predicate as a residual filter — a keyed
+    shuffle Catalyst can hash/sort-merge and AQE can skew-split, instead
+    of the O(|P|·|I|) BroadcastNestedLoopJoin a raw BETWEEN join plans.
+
+    Every (interval, point) pair appears EXACTLY once (the point's single
+    bin matches at most one exploded row per interval) — no post-join
+    dedup. Pick ``bin_width`` near the median interval length: wider bins
+    cut the fan-out, narrower bins cut residual-filter waste. Axis must
+    be numeric (days/epochs); both engines floor toward -inf so negative
+    axes stay consistent.
+
+    At 100 TB: fan-out is bounded and explicit, the shuffle is keyed on
+    ``__bin``, and a corpus partitioned/bucketed by bin turns the probe
+    into a co-located join. Reference scope: conditional joins
+    (cpp/include/cudf/join.hpp conditional_inner_join) — the reference
+    executes the nested loop on-GPU; this is the shuffle-architecture
+    answer to the same semantics.
+    """
+    p = points.withColumn("__bin", F.floor(F.col(point_col) / bin_width))
+    iv = (
+        intervals.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start_col) / bin_width),
+                    F.floor(F.col(end_col) / bin_width),
+                )
+            ),
+        )
+    )
+    return (
+        iv.join(p, "__bin")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("__bin")
+    )

@@ -471,3 +471,67 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("nearest_click_ts"),
         F.round("asof_value", 4).alias("nearest_click_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+    WITH iv AS (
+        SELECT o_orderkey AS interval_id,
+               datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS start_d
+        FROM orders WHERE o_orderkey % 97 = 5),
+    pts AS (
+        SELECT o_orderkey AS point_id,
+               datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS p_d,
+               o_totalprice
+        FROM orders)
+    SELECT iv.interval_id,
+           CAST(iv.start_d AS INT)                         AS start_d,
+           CAST(count(pts.point_id) AS BIGINT)             AS n_points,
+           round(sum(pts.o_totalprice), 2)                 AS total_price
+    FROM iv LEFT JOIN pts
+      ON pts.p_d >= iv.start_d AND pts.p_d <= iv.start_d + 13
+    GROUP BY iv.interval_id, iv.start_d
+    ORDER BY iv.interval_id
+    """,
+    doc="Point-in-interval join via the binning rewrite "
+    "(operators/joins.py:range_join_binned): ~150 two-week maintenance "
+    "windows x 15k order dates as a bin-keyed EQUI-join + residual "
+    "BETWEEN, where a raw non-equi join would plan a nested loop over "
+    "|P|x|I|. Bin width = interval length, so each interval fans out to "
+    "<= 2 bins and every pair matches exactly once. The oracle runs the "
+    "naive BETWEEN join — same answer, different (scale-safe) plan.",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.joins import range_join_binned
+
+    o = load(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    iv = o.filter(F.col("o_orderkey") % 97 == 5).select(
+        F.col("o_orderkey").alias("interval_id"),
+        days.alias("start_d"),
+        (days + 13).alias("end_d"),
+    )
+    pts = o.select(
+        F.col("o_orderkey").alias("point_id"),
+        days.alias("p_d"),
+        "o_totalprice",
+    )
+    matched = range_join_binned(
+        pts, iv, point_col="p_d", start_col="start_d", end_col="end_d", bin_width=14
+    )
+    agg = matched.groupBy("interval_id", "start_d").agg(
+        F.count("point_id").cast("bigint").alias("n_points"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    return (
+        iv.select("interval_id", "start_d")
+        .join(agg, ["interval_id", "start_d"], "left")
+        .select(
+            "interval_id",
+            F.col("start_d").cast("int").alias("start_d"),
+            F.coalesce("n_points", F.lit(0)).cast("bigint").alias("n_points"),
+            "total_price",
+        )
+        .orderBy("interval_id")
+    )

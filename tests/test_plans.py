@@ -294,3 +294,14 @@ def test_bigram_lm_count_joins_unhinted(spark):
     plan = plan_of(spark, "text_bigram_loglik")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_range_join_binned_is_not_nested_loop(spark):
+    """The binning rewrite's whole point: the point-in-interval join must
+    plan as a bin-keyed equi-join (hash/SMJ) with a residual filter —
+    never the BroadcastNestedLoopJoin/CartesianProduct a raw BETWEEN
+    join produces."""
+    plan = plan_of(spark, "join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -183,3 +183,67 @@ def test_resolve_duplicate_spans_within_doc(spark):
     for r in resolve_duplicate_spans(docs, "id", "text", min_length=20).collect():
         got.setdefault(r.id, set()).add((r.span_pos, r.span_len))
     assert got == expect
+
+
+def test_boilerplate_pipeline_planted_fixture(spark):
+    """Crafted corpus with one known 5-gram in 3 docs: exactly those
+    positions are excised; short docs (< 5 tokens) pass through whole."""
+    from pyspark.sql import functions as F
+
+    from cudf_spark.queries.text5 import _grams_with_pos, _reassemble, _tok_arrays
+
+    boiler = "click here to subscribe now"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {boiler} gamma"),
+            (2, f"{boiler} delta epsilon"),
+            (3, f"zeta {boiler}"),
+            (4, "unique words only here today"),  # 5-gram but unshared
+            (5, "too short"),                     # < 5 tokens: zero grams
+        ],
+        "doc_id long, text string",
+    )
+    t = _tok_arrays(docs)
+    occ = _grams_with_pos(t, 5)
+    boiler_grams = (
+        occ.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("gram")
+    )
+    cov = (
+        occ.join(boiler_grams, "gram")
+        .select("doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 4)).alias("pos"))
+        .distinct()
+    )
+    got = {r["doc_id"]: (r["n_removed"], r["clean_text"]) for r in _reassemble(t, cov).collect()}
+    assert got[1] == (5, "alpha beta gamma")
+    assert got[2] == (5, "delta epsilon")
+    assert got[3] == (5, "zeta")
+    assert got[4] == (0, "unique words only here today")
+    assert got[5] == (0, "too short")
+
+
+def test_within_doc_dedup_overlapping_run(spark):
+    """'a a a a a' is self-similar at every offset: the 3-gram at p=1 is
+    kept, repeats at p=2..3 cover positions 2..5, so one token survives."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cudf_spark.queries.text5 import _grams_with_pos, _reassemble, _tok_arrays
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a a"), (2, "x y z x y z"), (3, "p q r")],
+        "doc_id long, text string",
+    )
+    t = _tok_arrays(docs)
+    occ = _grams_with_pos(t, 3)
+    w = Window.partitionBy("doc_id", "gram").orderBy("p")
+    dup = occ.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") >= 2)
+    cov = dup.select(
+        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 2)).alias("pos")
+    ).distinct()
+    got = {r["doc_id"]: (r["n_removed"], r["clean_text"]) for r in _reassemble(t, cov).collect()}
+    assert got[1] == (4, "a")           # positions 2-5 covered by dup grams at p=2,3
+    assert got[2] == (3, "x y z")       # second x y z run removed
+    assert got[3] == (0, "p q r")       # single 3-gram, no repeat

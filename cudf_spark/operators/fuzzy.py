@@ -24,14 +24,22 @@ from pyspark.sql import functions as F
 
 def deletion_keys(token: F.Column) -> F.Column:
     """token -> array of symmetric-delete keys: the token itself plus every
-    single-character deletion."""
-    deletes = F.transform(
-        F.sequence(F.lit(1), F.length(token)),
-        lambda i: F.concat(
-            F.substring(token, F.lit(1), i - 1),
-            F.substring(token, i + 1, F.length(token)),
+    single-character deletion.
+
+    Guarded for the empty token: Spark's ``sequence(1, 0)`` DESCENDS
+    ([1, 0]) instead of returning empty, which would fabricate '' keys
+    that equi-join every empty-ish token pair; '' gets itself as its only
+    key instead."""
+    deletes = F.when(
+        F.length(token) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(token)),
+            lambda i: F.concat(
+                F.substring(token, F.lit(1), i - 1),
+                F.substring(token, i + 1, F.length(token)),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return F.concat(F.array(token), deletes)
 
 

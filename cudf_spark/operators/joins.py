@@ -155,7 +155,16 @@ def range_join_binned(
     (cpp/include/cudf/join.hpp conditional_inner_join) — the reference
     executes the nested loop on-GPU; this is the shuffle-architecture
     answer to the same semantics.
+
+    Degenerate inputs: ``bin_width <= 0`` is rejected loudly (it would
+    yield null/zero-division bins and silently match nothing). An
+    inverted interval (end < start) produces junk bins via Spark's
+    descending ``sequence`` but CANNOT produce wrong matches — the
+    residual ``start <= p <= end`` is unsatisfiable for it; such rows
+    only waste join work, so feed sanitized intervals.
     """
+    if bin_width <= 0:
+        raise ValueError(f"range_join_binned: bin_width ({bin_width}) must be positive")
     p = points.withColumn("__bin", F.floor(F.col(point_col) / bin_width))
     iv = (
         intervals.withColumn(

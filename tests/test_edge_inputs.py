@@ -198,3 +198,27 @@ def test_audio_features_untrusted_header(spark):
     got = {r.asset_id: r for r in audio_features(df).collect()}
     assert got[1].valid is False and got[2].valid is False
     assert got[3].valid is True and got[3].peak == 4
+
+
+def test_deletion_keys_empty_token(spark):
+    """'' must key only to itself — not fabricate join-everything keys via
+    Spark's descending sequence(1, 0)."""
+    from pyspark.sql import functions as F
+
+    from cudf_spark.operators.fuzzy import deletion_keys
+
+    df = spark.createDataFrame([("",), ("ab",)], "t string")
+    got = {r["t"]: r["k"] for r in df.select("t", deletion_keys(F.col("t")).alias("k")).collect()}
+    assert got[""] == [""]
+    assert got["ab"] == ["ab", "b", "a"]
+
+
+def test_range_join_binned_rejects_bad_width(spark):
+    import pytest
+
+    from cudf_spark.operators.joins import range_join_binned
+
+    df = spark.range(1).selectExpr("id as p")
+    iv = spark.range(1).selectExpr("id as s", "id + 1 as e")
+    with pytest.raises(ValueError, match="bin_width"):
+        range_join_binned(df, iv, point_col="p", start_col="s", end_col="e", bin_width=0)

@@ -111,3 +111,115 @@ def quantile_from_sketch(
         *keys,
         (F.col("v_min") + (F.col("v_max") - F.col("v_min")) * frac).alias("q_est"),
     )
+
+
+BLOOM_WORDS = 16  # 16 words x 63 usable bits = 1008 bits
+BLOOM_PROBES = 3
+# 63 bits per word, not 64: a mask with bit 63 set is negative in two's
+# complement and DuckDB's BIGINT << 63 raises OutOfRange — keeping masks
+# positive makes sketch bytes identical and portable across engines.
+BLOOM_BITS_PER_WORD = 63
+
+
+def bloom_build(
+    df: DataFrame,
+    keys: Sequence[str],
+    item: str,
+    *,
+    n_words: int = BLOOM_WORDS,
+    n_probes: int = BLOOM_PROBES,
+    seed: int = 100,
+) -> DataFrame:
+    """Per-key Bloom filter as a plain relational sketch — one
+    (key, word, bits) row per non-zero word (63 usable bits each) (public Bloom 1970
+    construction; the same structure Spark's runtime bloom joins build
+    internally but cannot persist).
+
+    Bit positions come from the cross-engine hash60, so the sketch bytes
+    are engine-reproducible: probe j of value v sets bit
+    ``hash60(v, seed+j) mod (64*n_words)``. Build is explode(probes) +
+    one (key, word)-keyed bit_or — partial aggregation makes it
+    skew-immune, and the sketch is <= n_words rows per key regardless of
+    input size. Merging runs is a union + bit_or on (key, word): sketch
+    rows cross the wire, never raw values, and
+    ``bloom(A ∪ B) == merge(bloom(A), bloom(B))`` EXACTLY by
+    construction (OR is associative/commutative/idempotent).
+    """
+    from cudf_spark.functions.hashing import hash60
+
+    nbits = BLOOM_BITS_PER_WORD * n_words
+    probes = F.array(
+        *[
+            (hash60(F.col(item).cast("string"), seed=seed + j) % nbits).alias(f"p{j}")
+            for j in range(n_probes)
+        ]
+    )
+    pos = df.select(*keys, F.explode(probes).alias("pos"))
+    # shiftleft's bit count must be an expression, not the python-int-only
+    # F.shiftleft argument — compute bit first, shift via expr.
+    return (
+        pos.select(
+            *keys,
+            (F.col("pos") / BLOOM_BITS_PER_WORD).cast("int").alias("word"),
+            (F.col("pos") % BLOOM_BITS_PER_WORD).cast("int").alias("bit"),
+        )
+        .withColumn("mask", F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .groupBy(*keys, "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(sketches: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """OR-merge bloom sketch tables from independent runs (exact)."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys, "word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    keys: Sequence[str],
+    item: str,
+    *,
+    n_words: int = BLOOM_WORDS,
+    n_probes: int = BLOOM_PROBES,
+    seed: int = 100,
+) -> DataFrame:
+    """Membership test of ``probes`` rows against a per-key bloom sketch:
+    hit iff ALL probe bits are set (no false negatives; false positives
+    bounded by the standard (1-e^{-kn/m})^k rate).
+
+    The probe explodes to n_probes (key, word, mask) lookups joined to
+    the sketch on (key, word) — a sketch-row-sized broadcast in practice
+    — then re-groups per probe requiring every mask matched."""
+    from cudf_spark.functions.hashing import hash60
+
+    nbits = BLOOM_BITS_PER_WORD * n_words
+    parr = F.array(
+        *[
+            (hash60(F.col(item).cast("string"), seed=seed + j) % nbits).alias(f"p{j}")
+            for j in range(n_probes)
+        ]
+    )
+    want = (
+        probes.select(*keys, F.col(item).alias("__probe"), F.explode(parr).alias("pos"))
+        .select(
+            *keys,
+            "__probe",
+            (F.col("pos") / BLOOM_BITS_PER_WORD).cast("int").alias("word"),
+            (F.col("pos") % BLOOM_BITS_PER_WORD).cast("int").alias("bit"),
+        )
+        .withColumn("mask", F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .drop("bit")
+    )
+    joined = want.join(sketch, [*keys, "word"], "left")
+    hit_bit = (F.col("bits").isNotNull()) & (
+        F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")
+    )
+    return (
+        joined.groupBy(*keys, "__probe")
+        .agg(F.min(F.when(hit_bit, 1).otherwise(0)).alias("__allhit"))
+        .select(*keys, F.col("__probe").alias(item), (F.col("__allhit") == 1).alias("bloom_hit"))
+    )

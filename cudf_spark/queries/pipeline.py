@@ -615,3 +615,88 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+_BLOOM_POS_SQL = " UNION ALL ".join(
+    f"SELECT c_mktsegment, c_custkey, "
+    f"{hash60_sql('CAST(c_custkey AS VARCHAR)', seed=100 + _j)} % 1008 AS pos "
+    f"FROM customer"
+    for _j in range(3)
+)
+_BLOOM_PROBE_POS_SQL = " UNION ALL ".join(
+    f"SELECT s.c_mktsegment, p.k, "
+    f"{hash60_sql('CAST(p.k AS VARCHAR)', seed=100 + _j)} % 1008 AS pos "
+    f"FROM segs s CROSS JOIN probes p"
+    for _j in range(3)
+)
+
+
+@register(
+    "sketch_bloom_filter",
+    oracle=f"""
+    WITH pos AS ({_BLOOM_POS_SQL}),
+    sketch AS (
+        SELECT c_mktsegment, CAST(pos // 63 AS INT) AS word,
+               bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+        FROM pos GROUP BY 1, 2),
+    segs AS (SELECT DISTINCT c_mktsegment FROM customer),
+    probes AS (SELECT unnest([1, 7, 1500, 424242, 999983]) AS k),
+    ppos AS ({_BLOOM_PROBE_POS_SQL}),
+    pw AS (
+        SELECT c_mktsegment, k, CAST(pos // 63 AS INT) AS word,
+               1::BIGINT << CAST(pos % 63 AS INT) AS mask
+        FROM ppos),
+    looked AS (
+        SELECT pw.c_mktsegment, pw.k, pw.mask, sk.bits
+        FROM pw LEFT JOIN sketch sk
+          ON pw.c_mktsegment = sk.c_mktsegment AND pw.word = sk.word),
+    hits AS (
+        SELECT c_mktsegment, k,
+               min(CASE WHEN bits IS NOT NULL AND (bits & mask) = mask
+                        THEN 1 ELSE 0 END) AS allhit
+        FROM looked GROUP BY 1, 2),
+    actual AS (
+        SELECT DISTINCT c_mktsegment, c_custkey AS k, TRUE AS present
+        FROM customer)
+    SELECT h.c_mktsegment, CAST(h.k AS BIGINT) AS c_custkey,
+           (h.allhit = 1) AS bloom_hit,
+           coalesce(a.present, FALSE) AS actual
+    FROM hits h LEFT JOIN actual a
+      ON h.c_mktsegment = a.c_mktsegment AND h.k = a.k
+    ORDER BY h.c_mktsegment, h.k
+    """,
+    doc="Persisted mergeable Bloom filter (Bloom 1970; the persistable "
+    "sibling of Spark's runtime bloom joins): per-segment 1008-bit filter "
+    "over customer keys as plain (segment, word, bits) rows — build is "
+    "explode(3 probes) + one keyed bit_or, probe is a sketch-row join, "
+    "merge across runs is bit_or (EXACT: OR is idempotent). Bit positions "
+    "from the cross-engine hash60 so sketch bytes are engine-identical; "
+    "63 usable bits/word keep masks positive on both engines. Probes a "
+    "5-key panel (3 present, 2 absent) against every segment; no false "
+    "negatives by construction (operators/sketches.py:bloom_build). The "
+    "filter is deliberately undersized (1008 bits for ~300 keys/segment, "
+    "~20%% fill^3 FP rate) so the one-sided error is VISIBLE in the "
+    "output; production sizing is the caller's m/n knob.",
+)
+def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.sketches import bloom_build, bloom_probe
+
+    c = load(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey")
+    sketch = bloom_build(c, ["c_mktsegment"], "c_custkey")
+    segs = c.select("c_mktsegment").distinct()
+    panel = spark.createDataFrame(
+        [(k,) for k in (1, 7, 1500, 424242, 999983)], "c_custkey long"
+    )
+    probes = segs.crossJoin(panel)
+    hits = bloom_probe(sketch, probes, ["c_mktsegment"], "c_custkey")
+    actual = c.distinct().withColumn("actual", F.lit(True))
+    return (
+        hits.join(actual, ["c_mktsegment", "c_custkey"], "left")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "bloom_hit",
+            F.coalesce("actual", F.lit(False)).alias("actual"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )

@@ -72,3 +72,25 @@ def test_persisted_roundtrip_and_error_bound(spark, tmp_path):
         assert est.keys() == exact.keys()
         for k, e in est.items():
             assert abs(e - exact[k][qi]) <= WIDTH, (q, k, e, exact[k][qi])
+
+
+def test_bloom_merge_is_exact_and_no_false_negatives(spark):
+    """bloom(A ∪ B) == bit_or-merge(bloom(A), bloom(B)) word-for-word, and
+    every inserted key probes true (one-sided error)."""
+    from pyspark.sql import functions as F
+
+    from cudf_spark.operators.sketches import bloom_build, bloom_merge, bloom_probe
+
+    a = spark.createDataFrame([("g", i) for i in range(50)], "grp string, k long")
+    b = spark.createDataFrame([("g", i) for i in range(40, 90)], "grp string, k long")
+    both = a.unionByName(b)
+    merged = bloom_merge(
+        [bloom_build(a, ["grp"], "k"), bloom_build(b, ["grp"], "k")], ["grp"]
+    )
+    direct = bloom_build(both, ["grp"], "k")
+    m = {(r["grp"], r["word"]): r["bits"] for r in merged.collect()}
+    d = {(r["grp"], r["word"]): r["bits"] for r in direct.collect()}
+    assert m == d
+    probes = spark.createDataFrame([("g", i) for i in range(90)], "grp string, k long")
+    hits = bloom_probe(direct, probes, ["grp"], "k").collect()
+    assert all(r["bloom_hit"] for r in hits)  # no false negatives ever

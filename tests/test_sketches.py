@@ -94,3 +94,23 @@ def test_bloom_merge_is_exact_and_no_false_negatives(spark):
     probes = spark.createDataFrame([("g", i) for i in range(90)], "grp string, k long")
     hits = bloom_probe(direct, probes, ["grp"], "k").collect()
     assert all(r["bloom_hit"] for r in hits)  # no false negatives ever
+
+
+def test_native_hll_sketch_binary_merge(spark):
+    """Spark 4's Datasketches HLL: the sketch is a PERSISTABLE binary —
+    build per run, hll_union_agg the binaries later, estimate without raw
+    data (the true MERGE_HLL workflow; complements the exact histogram
+    and bloom sketches)."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 60_000).select((F.col("id") % 50_000).alias("v"))
+    b = spark.range(40_000, 100_000).select((F.col("id") % 50_000).alias("v"))
+    sk = (
+        a.agg(F.hll_sketch_agg("v").alias("s"))
+        .unionByName(b.agg(F.hll_sketch_agg("v").alias("s")))
+    )
+    est = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("s")).alias("n")
+    ).collect()[0]["n"]
+    exact = 50_000  # both halves cover 0..49999 after the mod
+    assert abs(est - exact) / exact < 0.05

@@ -51,6 +51,11 @@ HEADLINE = [
     "agg_sketch_merge",
     "dedup_duplicate_clusters",
 ]
+# Round-4 kept the basket FROZEN at these 20 so round-over-round deltas stay
+# readable (VERDICT r03 item 7). Round-5 candidates, measured healthy at
+# sf0.1 this round: dedup_semantic 1.6s, text_bigram_loglik 1.5s,
+# retrieval_rrf_fusion 1.5s, text_remove_boilerplate 0.7s,
+# join_range_binned 0.4s, sketch_bloom_filter.
 
 
 def main() -> None:

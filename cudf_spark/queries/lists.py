@@ -222,3 +222,30 @@ def struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.getField("k").alias("sk"),
         st.getField("p").alias("sp"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "list_explode_outer",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> length(x) >= 7) AS arr
+        FROM documents WHERE doc_id < 500)
+    SELECT doc_id, unnest(arr) AS tok FROM t WHERE len(arr) > 0
+    UNION ALL
+    SELECT doc_id, NULL AS tok FROM t WHERE len(arr) = 0
+    ORDER BY doc_id, tok NULLS LAST
+    """,
+    doc="explode_outer (lists/explode.hpp explode_outer semantics): rows "
+    "whose array is empty SURVIVE with a null element instead of "
+    "vanishing — the outer-join flavor of Generate. The fixture filter "
+    "(tokens >= 7 chars) leaves ~20% of docs with empty arrays so both "
+    "paths are exercised.",
+)
+def list_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    arr = F.filter(F.split("text", " "), lambda x: F.length(x) >= 7)
+    return (
+        d.select("doc_id", F.explode_outer(arr).alias("tok"))
+        .orderBy("doc_id", F.col("tok").asc_nulls_last())
+    )

@@ -348,3 +348,44 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "distinct_keep_last_none",
+    oracle="""
+    WITH keyed AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn_last,
+               count(*) OVER (PARTITION BY o_custkey) AS grp_n
+        FROM orders WHERE o_orderkey % 11 = 0)
+    SELECT o_custkey, o_orderkey AS last_orderkey,
+           round(o_totalprice, 2) AS last_totalprice,
+           (grp_n = 1) AS kept_under_none
+    FROM keyed WHERE rn_last = 1
+    ORDER BY o_custkey
+    """,
+    doc="stable_distinct KEEP_LAST + KEEP_NONE "
+    "(cudf stream_compaction.hpp:383 duplicate_keep_option — keep-first "
+    "already covered by distinct_stable_first): last = row_number over "
+    "the DESCENDING explicit order key; none = group survives only when "
+    "its count is 1 (kept_under_none flag). One keyed window pass "
+    "computes both.",
+)
+def distinct_keep_last_none(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    wc = Window.partitionBy("o_custkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn_last", F.row_number().over(w))
+        .withColumn("grp_n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn_last") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.round("o_totalprice", 2).alias("last_totalprice"),
+            (F.col("grp_n") == 1).alias("kept_under_none"),
+        )
+        .orderBy("o_custkey")
+    )

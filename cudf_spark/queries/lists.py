@@ -249,3 +249,52 @@ def list_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode_outer(arr).alias("tok"))
         .orderBy("doc_id", F.col("tok").asc_nulls_last())
     )
+
+
+@register(
+    "map_ops",
+    oracle="""
+    SELECT event_id,
+           3 AS n_keys,
+           'k,type,uid' AS keys_csv,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           'k=' || json_extract_string(props, '$.k')
+               || ',type=' || event_type
+               || ',uid=' || CAST(user_id AS VARCHAR) AS entries_csv,
+           2 AS n_after_filter
+    FROM events WHERE event_id < 2000 ORDER BY event_id
+    """,
+    doc="Native MapType surface (SURVEY §2.10 maps; polars/cudf struct-of-"
+    "pairs columns): create_map from columns + from_json into "
+    "map<string,string>, map_concat merge, map_keys/map_entries "
+    "(key-sorted for engine determinism), element_at lookup, map_filter. "
+    "The oracle rebuilds the same scalars from the raw columns — "
+    "the query proves Spark's map kernels produce them from actual map "
+    "values. Embarrassingly parallel; zero shuffles beyond the sort.",
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.map_concat(
+        F.create_map(
+            F.lit("type"), F.col("event_type"),
+            F.lit("uid"), F.col("user_id").cast("string"),
+        ),
+        F.from_json("props", "map<string,string>"),
+    )
+    entries = F.transform(
+        F.array_sort(F.map_entries(m)),
+        lambda s: F.concat_ws("=", s["key"], s["value"]),
+    )
+    return (
+        e.select(
+            "event_id",
+            F.size(m).alias("n_keys"),
+            F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+            F.element_at(m, F.lit("k")).cast("int").alias("k_val"),
+            F.concat_ws(",", entries).alias("entries_csv"),
+            F.size(F.map_filter(m, lambda k, v: k != F.lit("uid"))).alias(
+                "n_after_filter"
+            ),
+        )
+        .orderBy("event_id")
+    )

@@ -162,14 +162,25 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = df.withColumn("q", q)
     err = F.zip_with(
-        F.col("v"), F.col("q"), lambda x, qi: (x - qi * F.col("scale")) ** 2
+        F.col("v"),
+        F.col("q"),
+        lambda x, qi: (x - qi * F.col("scale")) * (x - qi * F.col("scale")),
     )
     mse = F.aggregate(err, F.lit(0.0), lambda a, b: a + b) / DIM
+    # mse/q_hash are bound BEFORE the projection that re-aliases 'scale':
+    # putting round(scale).alias('scale') in the same select list would make
+    # Spark's lateral-column-alias resolution silently feed the ROUNDED
+    # scale into the mse expression (found at sf0.1: 4 of 2000 rows flipped
+    # the round-9 boundary; the DuckDB oracle keeps the unrounded scale).
+    df = df.withColumn("mse", F.round(mse, 9)).withColumn(
+        "q_hash",
+        hash60(F.array_join(F.transform(F.col("q"), lambda x: x.cast("string")), ",")),
+    )
     return df.select(
         "vec_id",
         F.round("scale", 9).alias("scale"),
-        hash60(F.array_join(F.transform(F.col("q"), lambda x: x.cast("string")), ",")).alias("q_hash"),
-        F.round(mse, 9).alias("mse"),
+        "q_hash",
+        "mse",
     ).orderBy("vec_id")
 
 

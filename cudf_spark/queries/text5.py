@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from cudf_spark.catalog import load
 from cudf_spark.functions.textfns import normalize_text, tokenize
 from cudf_spark.queries.registry import register
+from cudf_spark.queries.similarity import _sql_cosine
 from cudf_spark.queries.text import SQL_TOKS
 
 BOILER_K = 5  # cross-doc boilerplate gram width
@@ -351,3 +352,192 @@ def text_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _sql_clean_stage(src: str, k: int, boiler: bool, out: str) -> str:
+    """CTE fragment: excise k-gram windows from ``src(doc_id, w)`` —
+    cross-doc boilerplate (>= 3 docs) when ``boiler`` else within-doc
+    repeats (keep-first) — emitting ``out(doc_id, n_tok, n_removed,
+    clean_text)``. Mirrors _grams_with_pos + _reassemble stage-for-stage."""
+    occ = f"""{out}_occ AS (
+        SELECT doc_id, u.p AS p, u.gram AS gram
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, greatest(len(w) - {k - 1}, 0)),
+                         i -> struct_pack(p := i,
+                              gram := array_to_string(w[i:i+{k - 1}], ' ')))) AS u
+              FROM {src}))"""
+    if boiler:
+        pick = f"""{out}_dup AS (
+        SELECT o.doc_id, o.p FROM {out}_occ o
+        JOIN (SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS nd FROM {out}_occ GROUP BY gram)
+              WHERE nd >= 3) b USING (gram))"""
+    else:
+        pick = f"""{out}_dup AS (
+        SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+                   row_number() OVER (PARTITION BY doc_id, gram ORDER BY p) AS rn
+            FROM {out}_occ)
+        WHERE rn >= 2)"""
+    return f"""{occ},
+    {pick},
+    {out}_cov AS (
+        SELECT DISTINCT d.doc_id, d.p + s.off AS pos
+        FROM {out}_dup d
+        CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS off) s),
+    {out}_kept AS (
+        SELECT tk.doc_id, tk.pos, tk.tok
+        FROM (SELECT doc_id, u.pos AS pos, u.tok AS tok
+              FROM (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, len(w)),
+                               i -> struct_pack(pos := i, tok := w[i]))) AS u
+                    FROM {src})) tk
+        ANTI JOIN {out}_cov c ON tk.doc_id = c.doc_id AND tk.pos = c.pos),
+    {out} AS (
+        SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_tok,
+               CAST(len(t.w) - coalesce(cl.n_kept, 0) AS INT) AS n_removed,
+               coalesce(cl.clean_text, '') AS clean_text
+        FROM {src} t LEFT JOIN (
+            SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM {out}_kept GROUP BY doc_id) cl USING (doc_id))"""
+
+
+@register(
+    "curation_pipeline_v2",
+    oracle=f"""
+    WITH base AS (
+        SELECT d.doc_id, d.text, e.embedding
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    t0 AS (SELECT doc_id, list_filter({SQL_TOKS}, x -> x != '') AS w
+           FROM base),
+    {_sql_clean_stage('t0', 5, True, 's1')},
+    t1 AS (SELECT doc_id,
+                  list_filter(string_split(clean_text, ' '), x -> x != '') AS w
+           FROM s1),
+    {_sql_clean_stage('t1', 3, False, 's2')},
+    digested AS (
+        SELECT s1.doc_id, s1.n_tok AS n_tok0, s1.n_removed AS boiler_removed,
+               s2.n_removed AS within_removed,
+               CAST(s2.n_tok - s2.n_removed AS INT) AS n_tok_final,
+               s2.clean_text,
+               min(s2.doc_id) OVER (PARTITION BY md5(s2.clean_text)) AS keeper
+        FROM s1 JOIN s2 USING (doc_id)),
+    exact_kept AS (
+        SELECT dg.*, b.embedding FROM digested dg JOIN base b USING (doc_id)
+        WHERE dg.doc_id = dg.keeper),
+    cents AS (
+        SELECT doc_id AS cid, embedding AS cvec FROM exact_kept
+        WHERE mod(doc_id, 53) = 11),
+    assign AS (
+        SELECT k.doc_id, k.n_tok0, k.boiler_removed, k.within_removed,
+               k.n_tok_final, k.clean_text, k.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY k.doc_id
+                   ORDER BY {_sql_cosine('k.embedding', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM exact_kept k CROSS JOIN cents c),
+    cells AS (SELECT * EXCLUDE (rn), cid AS cell FROM assign WHERE rn = 1),
+    sem_dup AS (
+        SELECT a.doc_id FROM cells a JOIN cells b
+          ON a.cell = b.cell AND b.doc_id < a.doc_id
+        WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.40
+        GROUP BY a.doc_id)
+    SELECT c.doc_id, c.n_tok0, c.boiler_removed, c.within_removed,
+           c.n_tok_final, CAST(c.cell AS BIGINT) AS cell,
+           substr(md5(c.clean_text), 1, 16) AS text_hash
+    FROM cells c ANTI JOIN sem_dup s ON c.doc_id = s.doc_id
+    WHERE c.n_tok_final >= 10
+    ORDER BY c.doc_id
+    """,
+    doc="End-to-end curation v2 — the round-4 operators composed into one "
+    "DAG over the embedded sub-corpus: C4 boilerplate excision (5-gram, "
+    ">=3 docs) -> within-doc repeated-window removal (3-gram keep-first) "
+    "-> exact dedup on the CLEANED text (md5 keep-first) -> SemDeDup "
+    "semantic dedup on embeddings (seeded centroids, cosine >= 0.40, "
+    "keep-first) -> min-length quality gate. Every shuffle keyed (gram / "
+    "doc_id / digest / cell); the oracle replays all five stages "
+    "verbatim, and text_hash pins the exact surviving text byte-for-byte.",
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.similarity import semantic_dedup
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    base = d.join(e, d["doc_id"] == e["vec_id"]).select("doc_id", "text", "embedding")
+
+    # S1: cross-doc boilerplate excision over the embedded sub-corpus
+    t0 = _tok_arrays(base)
+    occ5 = _grams_with_pos(t0, 5)
+    boiler = (
+        occ5.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("gram")
+    )
+    cov1 = (
+        occ5.join(boiler, "gram")
+        .select("doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 4)).alias("pos"))
+        .distinct()
+    )
+    s1 = _reassemble(t0, cov1).select(
+        "doc_id",
+        F.col("n_tokens").alias("n_tok0"),
+        F.col("n_removed").alias("boiler_removed"),
+        F.col("clean_text").alias("clean1"),
+    )
+
+    # S2: within-doc repeated-window removal on the cleaned text
+    t1 = s1.select(
+        "doc_id", F.filter(F.split("clean1", " "), lambda x: x != "").alias("w")
+    )
+    occ3 = _grams_with_pos(t1, 3)
+    w3 = Window.partitionBy("doc_id", "gram").orderBy("p")
+    dup3 = occ3.withColumn("rn", F.row_number().over(w3)).filter(F.col("rn") >= 2)
+    cov2 = dup3.select(
+        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + 2)).alias("pos")
+    ).distinct()
+    s2 = _reassemble(t1, cov2).select(
+        "doc_id",
+        F.col("n_removed").alias("within_removed"),
+        (F.col("n_tokens") - F.col("n_removed")).cast("int").alias("n_tok_final"),
+        F.col("clean_text").alias("clean2"),
+    )
+
+    # S3: exact dedup (keep lowest doc_id per md5 of the final text)
+    staged = s1.join(s2, "doc_id")
+    wdig = Window.partitionBy(F.md5("clean2"))
+    exact_kept = (
+        staged.withColumn("keeper", F.min("doc_id").over(wdig))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+        .join(base.select("doc_id", "embedding"), "doc_id")
+    )
+
+    # S4: SemDeDup on the survivors' embeddings (keep-first within cells)
+    cents = exact_kept.filter(F.col("doc_id") % 53 == 11).select(
+        F.col("doc_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    sem = semantic_dedup(
+        exact_kept.select("doc_id", "embedding"),
+        cents,
+        vec_col="embedding",
+        id_col="doc_id",
+        tau=0.40,
+    )
+    survivors = (
+        exact_kept.join(sem, "doc_id")
+        .filter(~F.col("is_dup"))
+        # S5: minimum-length quality gate on the final text
+        .filter(F.col("n_tok_final") >= 10)
+    )
+    return survivors.select(
+        "doc_id",
+        "n_tok0",
+        "boiler_removed",
+        "within_removed",
+        "n_tok_final",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.substring(F.md5("clean2"), 1, 16).alias("text_hash"),
+    ).orderBy("doc_id")

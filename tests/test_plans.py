@@ -305,3 +305,12 @@ def test_range_join_binned_is_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_curation_v2_no_python_no_cartesian(spark):
+    """The five-stage composed DAG stays fully JVM-side: no Python eval,
+    no cartesian; the only BNLJ is the broadcast 1-row centroid array of
+    the SemDeDup stage."""
+    plan = plan_of(spark, "curation_pipeline_v2")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

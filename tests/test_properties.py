@@ -281,3 +281,35 @@ def test_symspell_equals_bruteforce_ed1(spark, vocab):
         if a < b and lev(a, b) <= 1
     }
     assert got == want
+
+
+@SLOW
+@given(
+    points=st.lists(st.integers(-50, 50), min_size=1, max_size=15),
+    ivs=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 20)), min_size=1, max_size=8
+    ),
+    width=st.integers(1, 17),
+)
+def test_range_join_binned_equals_naive(spark, points, ivs, width):
+    """Binned rewrite == naive BETWEEN join, each matching pair exactly
+    once, for arbitrary points/intervals/bin widths (negative axes too)."""
+    from cudf_spark.operators.joins import range_join_binned
+
+    p = spark.createDataFrame([(i, v) for i, v in enumerate(points)], "pid int, p long")
+    iv = spark.createDataFrame(
+        [(i, s, s + ln) for i, (s, ln) in enumerate(ivs)], "iid int, s long, e long"
+    )
+    got = sorted(
+        (r["iid"], r["pid"])
+        for r in range_join_binned(
+            p, iv, point_col="p", start_col="s", end_col="e", bin_width=width
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s, ln) in enumerate(ivs)
+        for j, v in enumerate(points)
+        if s <= v <= s + ln
+    )
+    assert got == want

@@ -389,3 +389,43 @@ def distinct_keep_last_none(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag, l_quantity, count(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_quantity)
+    SELECT l_returnflag,
+           round(l_quantity, 2) AS modal_qty,
+           CAST(n AS BIGINT) AS modal_n
+    FROM counts
+    QUALIFY row_number() OVER (
+        PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) = 1
+    ORDER BY l_returnflag
+    """,
+    doc="MODE aggregation with a DETERMINISTIC tie rule (most frequent "
+    "value, ties -> smallest; pandas Series.mode / cudf mode semantics). "
+    "Built as count + rank instead of Spark's F.mode, whose tie winner "
+    "is engine-arbitrary — the portable form is two keyed shuffles with "
+    "map-side partial counts.",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.round("l_quantity", 2).alias("modal_qty"),
+            F.col("n").cast("bigint").alias("modal_n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -262,6 +262,12 @@ def semantic_dedup(
 
     Reference parity: the reference has no semantic dedup (cuML/cuVS
     territory); first-class here per the training-pipeline north star.
+
+    An EMPTY centroid table yields null cells for every row (the
+    broadcast-fold argmax has nothing to fold over) rather than an
+    error — callers derive centroids from the corpus, so emptiness means
+    an upstream bug; validate centroid counts before calling when the
+    derivation can legitimately produce zero rows.
     """
     from pyspark.sql import Window
 

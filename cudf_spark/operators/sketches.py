@@ -193,7 +193,12 @@ def bloom_probe(
 
     The probe explodes to n_probes (key, word, mask) lookups joined to
     the sketch on (key, word) — a sketch-row-sized broadcast in practice
-    — then re-groups per probe requiring every mask matched."""
+    — then re-groups per probe requiring every mask matched.
+
+    ``n_words``/``n_probes``/``seed`` MUST match the build call: the
+    sketch table carries no parameter metadata, and a mismatch silently
+    degrades to garbage membership (including false negatives). Persist
+    the parameters next to the sketch table in production."""
     from cudf_spark.functions.hashing import hash60
 
     nbits = BLOOM_BITS_PER_WORD * n_words

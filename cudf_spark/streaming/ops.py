@@ -137,6 +137,9 @@ def stateful_topk(events: DataFrame, *, k: int = 3) -> DataFrame:
         StatefulProcessorHandle,
     )
 
+    if k < 1:
+        raise ValueError(f"stateful_topk: k ({k}) must be >= 1")
+
     class TopKProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._top = handle.getListState("topk", "value double, event_id long")

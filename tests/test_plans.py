@@ -314,3 +314,29 @@ def test_curation_v2_no_python_no_cartesian(spark):
     plan = plan_of(spark, "curation_pipeline_v2")
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_winsorize_bounds_broadcast_single_agg(spark):
+    """The per-group p05/p95 bound table is groups-sized and must
+    broadcast back onto the fact scan — no second fact shuffle."""
+    plan = plan_of(spark, "clean_winsorize")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_single_stratum_window(spark):
+    """Exact-budget stratified sampling: one stratum-keyed exchange for
+    the rank window + the final aggregation; no python, no cartesian."""
+    plan = plan_of(spark, "doc_stratified_sample")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bloom_sketch_keyed_bitor_no_python(spark):
+    """Bloom build/probe: keyed bit_or aggregation and sketch-row joins
+    only — no python stage, no cartesian."""
+    plan = plan_of(spark, "sketch_bloom_filter")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "bit_or" in plan.lower()

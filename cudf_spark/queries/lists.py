@@ -230,14 +230,21 @@ def struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT doc_id,
                list_filter(string_split(text, ' '), x -> length(x) >= 7) AS arr
-        FROM documents WHERE doc_id < 500)
-    SELECT doc_id, unnest(arr) AS tok FROM t WHERE len(arr) > 0
+        FROM documents WHERE doc_id < 500),
+    f AS (SELECT doc_id, list_concat(arr, list_reverse(arr)) AS flat FROM t)
+    SELECT doc_id, u.pos AS pos, u.tok AS tok
+    FROM (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(flat)),
+                     i -> struct_pack(pos := i - 1, tok := flat[i]))) AS u
+          FROM f WHERE len(flat) > 0)
     UNION ALL
-    SELECT doc_id, NULL AS tok FROM t WHERE len(arr) = 0
-    ORDER BY doc_id, tok NULLS LAST
+    SELECT doc_id, NULL AS pos, NULL AS tok FROM f WHERE len(flat) = 0
+    ORDER BY doc_id, pos NULLS LAST
     """,
-    doc="explode_outer (lists/explode.hpp explode_outer semantics): rows "
-    "whose array is empty SURVIVE with a null element instead of "
+    doc="posexplode_outer + flatten (lists/explode.hpp explode_outer_"
+    "position + combine.hpp concatenate_list_elements): a nested "
+    "array-of-arrays flattens, then explodes WITH 0-based positions, and "
+    "rows whose array is empty SURVIVE as (null, null) instead of "
     "vanishing — the outer-join flavor of Generate. The fixture filter "
     "(tokens >= 7 chars) leaves ~20% of docs with empty arrays so both "
     "paths are exercised.",
@@ -245,9 +252,10 @@ def struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def list_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     arr = F.filter(F.split("text", " "), lambda x: F.length(x) >= 7)
+    flat = F.flatten(F.array(arr, F.reverse(arr)))
     return (
-        d.select("doc_id", F.explode_outer(arr).alias("tok"))
-        .orderBy("doc_id", F.col("tok").asc_nulls_last())
+        d.select("doc_id", F.posexplode_outer(flat).alias("pos", "tok"))
+        .orderBy("doc_id", F.col("pos").asc_nulls_last())
     )
 
 

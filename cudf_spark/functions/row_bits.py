@@ -118,6 +118,12 @@ def byte_cast(col: Column, dtype: T.DataType, *, endian: str = "big") -> Column:
                 import numpy as np
                 import pandas as pd
 
+                # Known null/NaN conflation (SURVEY §7 hard-part 3): pandas
+                # delivers SQL NULL and float NaN identically, so a genuine
+                # NaN VALUE byte-casts to NULL here where cudf would emit
+                # the NaN bit pattern. Arrow validity buffers (map_arrow)
+                # would disambiguate, at the cost of the Column-expression
+                # API this function keeps.
                 mask = s.isna()
                 a = s.fillna(0.0).to_numpy(dtype=np_t)
                 b = a.view(np.uint8).reshape(-1, w)

@@ -146,8 +146,9 @@ def range_join_binned(
     bin matches at most one exploded row per interval) — no post-join
     dedup. Pick ``bin_width`` near the median interval length: wider bins
     cut the fan-out, narrower bins cut residual-filter waste. Axis must
-    be numeric (days/epochs); both engines floor toward -inf so negative
-    axes stay consistent.
+    be INTEGRAL (days/epochs — it is cast to long): binning is pure int64
+    floor division, exact across the whole axis including epoch-nanos
+    (a double divide would mis-bin values >= 2^53) and negative values.
 
     At 100 TB: fan-out is bounded and explicit, the shuffle is keyed on
     ``__bin``, and a corpus partitioned/bucketed by bin turns the probe
@@ -165,17 +166,24 @@ def range_join_binned(
     """
     if bin_width <= 0:
         raise ValueError(f"range_join_binned: bin_width ({bin_width}) must be positive")
-    p = points.withColumn("__bin", F.floor(F.col(point_col) / bin_width))
-    iv = (
-        intervals.withColumn(
-            "__bin",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(start_col) / bin_width),
-                    F.floor(F.col(end_col) / bin_width),
-                )
-            ),
-        )
+
+    def _with_bin(df: DataFrame, src: str, out: str) -> DataFrame:
+        # Pure INTEGER floor division: `floor(col / w)` would route through
+        # a double divide, which mis-bins values >= 2^53 (epoch-nanos!) and
+        # silently drops matches near bin boundaries. Subtracting the
+        # non-negative pmod makes the value exactly divisible by the width,
+        # so integral `div` (truncating) equals floor for negatives too —
+        # exact across the full int64 axis.
+        c = F.col(src).cast("long")
+        return df.withColumn("__exact", c - F.pmod(c, F.lit(bin_width))).withColumn(
+            out, F.expr(f"__exact div {bin_width}")
+        ).drop("__exact")
+
+    p = _with_bin(points, point_col, "__bin")
+    iv = _with_bin(
+        _with_bin(intervals, start_col, "__bin_lo"), end_col, "__bin_hi"
+    ).withColumn("__bin", F.explode(F.sequence(F.col("__bin_lo"), F.col("__bin_hi")))).drop(
+        "__bin_lo", "__bin_hi"
     )
     return (
         iv.join(p, "__bin")

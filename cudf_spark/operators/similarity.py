@@ -250,7 +250,9 @@ def semantic_dedup(
     practice; the only corpus shuffle is the cell-keyed self-join.
     ``max_cell_size`` drops degenerate cells outright (the analogue of
     ``lsh_candidate_pairs.max_bucket_size``): rows in an over-full cell
-    are kept un-deduped rather than exploding quadratically.
+    are REMOVED FROM THE OUTPUT rather than exploding quadratically —
+    callers wanting them kept un-deduped must re-union the dropped ids
+    (anti-join the input on the result) themselves.
 
     Plan shape: ONE left self-join with the inequality + cosine threshold
     as residual conditions, aggregated straight to (id, cell, dup_of) —

@@ -137,7 +137,9 @@ def bloom_build(
 
     Bit positions come from the cross-engine hash60, so the sketch bytes
     are engine-reproducible: probe j of value v sets bit
-    ``hash60(v, seed+j) mod (64*n_words)``. Build is explode(probes) +
+    ``hash60(v, seed+j) mod (63*n_words)`` — 63 usable bits per word,
+    word = pos // 63, bit = pos % 63 (see BLOOM_BITS_PER_WORD for why
+    bit 63 is never used). Build is explode(probes) +
     one (key, word)-keyed bit_or — partial aggregation makes it
     skew-immune, and the sketch is <= n_words rows per key regardless of
     input size. Merging runs is a union + bit_or on (key, word): sketch

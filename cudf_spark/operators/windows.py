@@ -19,6 +19,8 @@ single primitive:
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -277,3 +279,22 @@ def ewma_segmented(
             yield pdf.drop(columns="__pid").assign(**{out_col: vals})
 
     return sorted_df.mapInPandas(apply, f"{out_fields}, `{out_col}` double")
+
+
+def bounded_global_rank(
+    df: DataFrame, n: int, order: Sequence[Column], rank_col: str = "rnk"
+) -> DataFrame:
+    """Global top-n WITH rank numbers, without the single-partition funnel.
+
+    ``row_number() OVER (ORDER BY ...)`` with no PARTITION BY shuffles the
+    ENTIRE input into one task — the classic scale killer for "rank then
+    keep top-n". Instead: ``orderBy(...).limit(n)`` plans as
+    TakeOrderedAndProject (each partition keeps its local top-n, the
+    driver-side merge sees n rows per partition max), and only the
+    <= n surviving rows pass through the ranking window — a bounded
+    single partition by construction. Identical output to rank-then-
+    filter whenever ``order`` is a total order (deterministic ties).
+    """
+    bounded = df.orderBy(*order).limit(n)
+    w = Window.orderBy(*order)
+    return bounded.withColumn(rank_col, F.row_number().over(w).cast("int"))

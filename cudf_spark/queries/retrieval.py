@@ -66,24 +66,24 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
 
-    ws = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    sparse = (
-        bm25_scored(docs)
-        .withColumn("r_s", F.row_number().over(ws).cast("int"))
-        .filter(F.col("r_s") <= DEPTH)
-        .select(F.col("doc_id").alias("id"), "r_s")
-    )
+    from cudf_spark.operators.windows import bounded_global_rank
+
+    # each ranker: TakeOrderedAndProject to DEPTH, then rank the bounded
+    # survivors — a bare global row_number window would single-task the
+    # full scored set (operators/windows.py:bounded_global_rank)
+    sparse = bounded_global_rank(
+        bm25_scored(docs), DEPTH, [F.col("bm25").desc(), F.col("doc_id")], rank_col="r_s"
+    ).select(F.col("doc_id").alias("id"), "r_s")
 
     qv = F.broadcast(emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv")))
-    wd = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
-    dense = (
+    dense = bounded_global_rank(
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(qv)
-        .select("vec_id", F.round(cosine(F.col("embedding"), F.col("__qv")), 6).alias("cos"))
-        .withColumn("r_d", F.row_number().over(wd).cast("int"))
-        .filter(F.col("r_d") <= DEPTH)
-        .select(F.col("vec_id").alias("id"), "r_d")
-    )
+        .select("vec_id", F.round(cosine(F.col("embedding"), F.col("__qv")), 6).alias("cos")),
+        DEPTH,
+        [F.col("cos").desc(), F.col("vec_id")],
+        rank_col="r_d",
+    ).select(F.col("vec_id").alias("id"), "r_d")
 
     rrf = F.round(
         F.coalesce(1.0 / (RRF_K + F.col("r_s")), F.lit(0.0))

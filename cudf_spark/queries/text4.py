@@ -25,7 +25,7 @@ reduction order differs across engines (last-ULP drift only).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
@@ -130,14 +130,16 @@ def bm25_scored(docs: DataFrame) -> DataFrame:
     "engines.",
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.windows import bounded_global_rank
+
     docs = load(spark, sf_dir, "documents")
     scored = bm25_scored(docs)
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= 50)
-        .orderBy("rnk")
-    )
+    # TakeOrderedAndProject top-50 FIRST, then rank the 50 survivors —
+    # a bare global row_number window would funnel every scored doc into
+    # one task (operators/windows.py:bounded_global_rank).
+    return bounded_global_rank(
+        scored, 50, [F.col("bm25").desc(), F.col("doc_id")]
+    ).orderBy("rnk")
 
 
 @register(
@@ -166,14 +168,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "both engines rank identically. The full vocabulary never collects.",
 )
 def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.windows import bounded_global_rank
+
     docs = load(spark, sf_dir, "documents")
     freq = _tokens(docs).groupBy("token").agg(F.count(F.lit(1)).alias("f"))
-    ranked = freq.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("token")))
+    # rank only the TakeOrdered top-100, not the whole vocabulary — the
+    # bare global window would single-task the full token table
+    ranked = bounded_global_rank(
+        freq, 100, [F.col("f").desc(), F.col("token")], rank_col="r"
     )
-    top100 = ranked.filter(F.col("r") <= 100).select(
-        F.log("f").alias("y"), F.log("r").alias("x")
-    )
+    top100 = ranked.select(F.log("f").alias("y"), F.log("r").alias("x"))
     slope = top100.agg(
         F.round(F.covar_pop("y", "x") / F.var_pop("x"), 6).alias("zipf_slope")
     )

@@ -113,44 +113,67 @@ def _reassemble(t: DataFrame, cov: DataFrame) -> DataFrame:
     )
 
 
+def _sql_clean_stage(
+    src: str, k: int, boiler: bool, out: str, min_docs: int = BOILER_MIN_DOCS
+) -> str:
+    """CTE fragment: excise k-gram windows from ``src(doc_id, w)`` —
+    cross-doc boilerplate (>= ``min_docs`` docs) when ``boiler`` else
+    within-doc repeats (keep-first) — emitting ``out(doc_id, n_tok,
+    n_removed, clean_text)``. The ONE canonical excision SQL: the two
+    standalone transform oracles and curation_pipeline_v2 all generate
+    from here, mirroring _grams_with_pos + _reassemble stage-for-stage."""
+    occ = f"""{out}_occ AS (
+        SELECT doc_id, u.p AS p, u.gram AS gram
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, greatest(len(w) - {k - 1}, 0)),
+                         i -> struct_pack(p := i,
+                              gram := array_to_string(w[i:i+{k - 1}], ' ')))) AS u
+              FROM {src}))"""
+    if boiler:
+        pick = f"""{out}_dup AS (
+        SELECT o.doc_id, o.p FROM {out}_occ o
+        JOIN (SELECT gram FROM (
+                SELECT gram, count(DISTINCT doc_id) AS nd FROM {out}_occ GROUP BY gram)
+              WHERE nd >= {min_docs}) b USING (gram))"""
+    else:
+        pick = f"""{out}_dup AS (
+        SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+                   row_number() OVER (PARTITION BY doc_id, gram ORDER BY p) AS rn
+            FROM {out}_occ)
+        WHERE rn >= 2)"""
+    return f"""{occ},
+    {pick},
+    {out}_cov AS (
+        SELECT DISTINCT d.doc_id, d.p + s.off AS pos
+        FROM {out}_dup d
+        CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS off) s),
+    {out}_kept AS (
+        SELECT tk.doc_id, tk.pos, tk.tok
+        FROM (SELECT doc_id, u.pos AS pos, u.tok AS tok
+              FROM (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, len(w)),
+                               i -> struct_pack(pos := i, tok := w[i]))) AS u
+                    FROM {src})) tk
+        ANTI JOIN {out}_cov c ON tk.doc_id = c.doc_id AND tk.pos = c.pos),
+    {out} AS (
+        SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_tok,
+               CAST(len(t.w) - coalesce(cl.n_kept, 0) AS INT) AS n_removed,
+               coalesce(cl.clean_text, '') AS clean_text
+        FROM {src} t LEFT JOIN (
+            SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
+            FROM {out}_kept GROUP BY doc_id) cl USING (doc_id))"""
+
+
 @register(
     "text_remove_boilerplate",
     oracle=f"""
     WITH t AS ({SQL_W}),
-    occ AS (
-        SELECT doc_id, u.p AS p, u.gram AS gram
-        FROM (SELECT doc_id,
-                     unnest(list_transform(
-                         generate_series(1, greatest(len(w) - {BOILER_K - 1}, 0)),
-                         i -> struct_pack(p := i,
-                              gram := array_to_string(w[i:i+{BOILER_K - 1}], ' ')))) AS u
-              FROM t)),
-    boiler AS (
-        SELECT gram FROM (
-            SELECT gram, count(DISTINCT doc_id) AS nd FROM occ GROUP BY gram)
-        WHERE nd >= {BOILER_MIN_DOCS}),
-    cov AS (
-        SELECT DISTINCT o.doc_id, o.p + s.off AS pos
-        FROM occ o JOIN boiler USING (gram)
-        CROSS JOIN (SELECT unnest(generate_series(0, {BOILER_K - 1})) AS off) s),
-    toks AS (
-        SELECT doc_id, u.pos AS pos, u.tok AS tok
-        FROM (SELECT doc_id,
-                     unnest(list_transform(generate_series(1, len(w)),
-                         i -> struct_pack(pos := i, tok := w[i]))) AS u
-              FROM t)),
-    kept AS (
-        SELECT tk.doc_id, tk.pos, tk.tok
-        FROM toks tk ANTI JOIN cov c ON tk.doc_id = c.doc_id AND tk.pos = c.pos),
-    clean AS (
-        SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
-               string_agg(tok, ' ' ORDER BY pos) AS clean_text
-        FROM kept GROUP BY doc_id)
-    SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_tokens,
-           CAST(len(t.w) - coalesce(clean.n_kept, 0) AS INT) AS n_removed,
-           coalesce(clean.clean_text, '') AS clean_text
-    FROM t LEFT JOIN clean USING (doc_id)
-    ORDER BY t.doc_id
+    {_sql_clean_stage('t', BOILER_K, True, 's1')}
+    SELECT doc_id, n_tok AS n_tokens, n_removed, clean_text
+    FROM s1 ORDER BY doc_id
     """,
     doc="C4-style boilerplate excision (arXiv:1910.10683 §2.2): any "
     f"{BOILER_K}-token window appearing in >= {BOILER_MIN_DOCS} distinct "
@@ -183,42 +206,9 @@ def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_dedup_within_doc",
     oracle=f"""
     WITH t AS ({SQL_W}),
-    occ AS (
-        SELECT doc_id, u.p AS p, u.gram AS gram
-        FROM (SELECT doc_id,
-                     unnest(list_transform(
-                         generate_series(1, greatest(len(w) - {WITHIN_K - 1}, 0)),
-                         i -> struct_pack(p := i,
-                              gram := array_to_string(w[i:i+{WITHIN_K - 1}], ' ')))) AS u
-              FROM t)),
-    dup AS (
-        SELECT doc_id, p FROM (
-            SELECT doc_id, p,
-                   row_number() OVER (PARTITION BY doc_id, gram ORDER BY p) AS rn
-            FROM occ)
-        WHERE rn >= 2),
-    cov AS (
-        SELECT DISTINCT d.doc_id, d.p + s.off AS pos
-        FROM dup d
-        CROSS JOIN (SELECT unnest(generate_series(0, {WITHIN_K - 1})) AS off) s),
-    toks AS (
-        SELECT doc_id, u.pos AS pos, u.tok AS tok
-        FROM (SELECT doc_id,
-                     unnest(list_transform(generate_series(1, len(w)),
-                         i -> struct_pack(pos := i, tok := w[i]))) AS u
-              FROM t)),
-    kept AS (
-        SELECT tk.doc_id, tk.pos, tk.tok
-        FROM toks tk ANTI JOIN cov c ON tk.doc_id = c.doc_id AND tk.pos = c.pos),
-    clean AS (
-        SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
-               string_agg(tok, ' ' ORDER BY pos) AS clean_text
-        FROM kept GROUP BY doc_id)
-    SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_tokens,
-           CAST(len(t.w) - coalesce(clean.n_kept, 0) AS INT) AS n_removed,
-           coalesce(clean.clean_text, '') AS clean_text
-    FROM t LEFT JOIN clean USING (doc_id)
-    ORDER BY t.doc_id
+    {_sql_clean_stage('t', WITHIN_K, False, 's1')}
+    SELECT doc_id, n_tok AS n_tokens, n_removed, clean_text
+    FROM s1 ORDER BY doc_id
     """,
     doc="Within-document repeated-window removal (Gopher repetition "
     f"trimming, arXiv:2112.11446 A1): every {WITHIN_K}-token window that "
@@ -352,56 +342,6 @@ def text_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-
-
-def _sql_clean_stage(src: str, k: int, boiler: bool, out: str) -> str:
-    """CTE fragment: excise k-gram windows from ``src(doc_id, w)`` —
-    cross-doc boilerplate (>= 3 docs) when ``boiler`` else within-doc
-    repeats (keep-first) — emitting ``out(doc_id, n_tok, n_removed,
-    clean_text)``. Mirrors _grams_with_pos + _reassemble stage-for-stage."""
-    occ = f"""{out}_occ AS (
-        SELECT doc_id, u.p AS p, u.gram AS gram
-        FROM (SELECT doc_id,
-                     unnest(list_transform(
-                         generate_series(1, greatest(len(w) - {k - 1}, 0)),
-                         i -> struct_pack(p := i,
-                              gram := array_to_string(w[i:i+{k - 1}], ' ')))) AS u
-              FROM {src}))"""
-    if boiler:
-        pick = f"""{out}_dup AS (
-        SELECT o.doc_id, o.p FROM {out}_occ o
-        JOIN (SELECT gram FROM (
-                SELECT gram, count(DISTINCT doc_id) AS nd FROM {out}_occ GROUP BY gram)
-              WHERE nd >= 3) b USING (gram))"""
-    else:
-        pick = f"""{out}_dup AS (
-        SELECT doc_id, p FROM (
-            SELECT doc_id, p,
-                   row_number() OVER (PARTITION BY doc_id, gram ORDER BY p) AS rn
-            FROM {out}_occ)
-        WHERE rn >= 2)"""
-    return f"""{occ},
-    {pick},
-    {out}_cov AS (
-        SELECT DISTINCT d.doc_id, d.p + s.off AS pos
-        FROM {out}_dup d
-        CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS off) s),
-    {out}_kept AS (
-        SELECT tk.doc_id, tk.pos, tk.tok
-        FROM (SELECT doc_id, u.pos AS pos, u.tok AS tok
-              FROM (SELECT doc_id,
-                           unnest(list_transform(generate_series(1, len(w)),
-                               i -> struct_pack(pos := i, tok := w[i]))) AS u
-                    FROM {src})) tk
-        ANTI JOIN {out}_cov c ON tk.doc_id = c.doc_id AND tk.pos = c.pos),
-    {out} AS (
-        SELECT t.doc_id, CAST(len(t.w) AS INT) AS n_tok,
-               CAST(len(t.w) - coalesce(cl.n_kept, 0) AS INT) AS n_removed,
-               coalesce(cl.clean_text, '') AS clean_text
-        FROM {src} t LEFT JOIN (
-            SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
-                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
-            FROM {out}_kept GROUP BY doc_id) cl USING (doc_id))"""
 
 
 @register(

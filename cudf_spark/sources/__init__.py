@@ -31,13 +31,15 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **op
             # Only the missing-datasource failure falls back to the Python
             # spec reader; a genuine load error with the jar present (bad
             # path, corrupt file) must surface, not be silently retried.
+            # NOT a bare "AVRO" substring: jar-present read errors carry
+            # AVRO_* error classes (e.g. AVRO_INCOMPATIBLE_READ_TYPE) in
+            # their message and must surface, not fall back.
             msg = str(exc)
             if not any(
                 s in msg
                 for s in (
                     "Failed to find data source",
                     "Failed to find the data source",
-                    "AVRO",
                     "ClassNotFoundException",
                     "DATA_SOURCE_NOT_FOUND",
                 )

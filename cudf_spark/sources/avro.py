@@ -95,7 +95,9 @@ def _spark_type(t) -> str:
             return f"array<{_spark_type(t['items'])}>"
         if kind == "map":  # avro map keys are always strings
             return f"map<string, {_spark_type(t['values'])}>"
-        if isinstance(kind, (str, list, dict)) and kind in _PRIMITIVE_TO_SPARK:
+        if isinstance(kind, (list, dict)):
+            return _spark_type(kind)  # wrapped union / nested schema object
+        if isinstance(kind, str) and kind in _PRIMITIVE_TO_SPARK:
             return _spark_type(kind)  # {"type": "string"} wrapper form
     raise NotImplementedError(f"unsupported avro type {t!r}")
 
@@ -157,7 +159,9 @@ def _decode(buf: io.BytesIO, schema):
                 for _ in range(n):
                     key = _read_bytes(buf).decode("utf-8")
                     m[key] = _decode(buf, schema["values"])
-        if kind in _PRIMITIVE_TO_SPARK or kind == "null":
+        if isinstance(kind, (list, dict)):
+            return _decode(buf, kind)  # wrapped union / nested schema object
+        if isinstance(kind, str) and (kind in _PRIMITIVE_TO_SPARK or kind == "null"):
             return _decode_value(buf, kind)  # {"type": "string"} wrapper
     raise NotImplementedError(f"unsupported avro type {schema!r}")
 

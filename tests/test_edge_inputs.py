@@ -222,3 +222,22 @@ def test_range_join_binned_rejects_bad_width(spark):
     iv = spark.range(1).selectExpr("id as s", "id + 1 as e")
     with pytest.raises(ValueError, match="bin_width"):
         range_join_binned(df, iv, point_col="p", start_col="s", end_col="e", bin_width=0)
+
+
+def test_range_join_binned_exact_at_epoch_nanos(spark):
+    """Binning stays exact beyond 2^53 (epoch-nanos axes): boundary points
+    at huge magnitudes must match iff truly inside the interval."""
+    from cudf_spark.operators.joins import range_join_binned
+
+    base = 1 << 60
+    w = 86_400_000_000_000  # one day of nanos
+    pts = [(0, base), (1, base + w - 1), (2, base + w), (3, base - 1), (4, -base)]
+    p = spark.createDataFrame(pts, "pid int, p long")
+    iv = spark.createDataFrame([(0, base, base + w - 1)], "iid int, s long, e long")
+    got = sorted(
+        r["pid"]
+        for r in range_join_binned(
+            p, iv, point_col="p", start_col="s", end_col="e", bin_width=w
+        ).collect()
+    )
+    assert got == [0, 1]

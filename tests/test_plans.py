@@ -340,3 +340,13 @@ def test_bloom_sketch_keyed_bitor_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "bit_or" in plan.lower()
+
+
+def test_bounded_global_rank_takeordered_not_funnel(spark):
+    """bm25/vocab/RRF rankers: global top-n must plan as
+    TakeOrderedAndProject over the full input (distributed partial
+    top-k), with the ranking window running only on the bounded
+    survivors — never a full-input single-partition sort."""
+    for name in ("text_bm25_topk", "text_vocab_stats", "retrieval_rrf_fusion"):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name

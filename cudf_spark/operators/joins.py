@@ -122,6 +122,55 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    *,
+    n_salt: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-spreading shuffle equi-join: the standard salting rewrite for
+    hot keys (public technique; AQE's skew-join split handles *sort-merge*
+    skew reactively, salting handles it structurally and also covers
+    shuffled-hash builds and stream-side hotspots).
+
+    Probe rows get a salt in ``[0, n_salt)`` derived from a per-row id
+    (NOT from the join key — hot-key rows must spread); build rows
+    replicate ``n_salt`` times. The join key becomes ``(key…, salt)``, so
+    one hot key's rows land on ``n_salt`` different reducers instead of
+    one straggler task. Result is row-identical to the plain join: each
+    probe row matches exactly the one replica carrying its salt.
+
+    Cost model: build side pays ``n_salt×`` replication through the
+    shuffle — use when the build side is far smaller than the hot key's
+    row count but too big (or too dynamic) to broadcast. Only ``inner``
+    and ``left`` preserve semantics: in a right/full join every unmatched
+    build REPLICA would null-extend, emitting ``n_salt`` duplicates.
+
+    Salt values are intentionally allowed to differ across task retries
+    (monotonically_increasing_id is volatile): every salt value has a
+    matching replica on the build side, so any assignment yields the same
+    rows — determinism of the *result*, not of the salt.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched build-side "
+            "replicas; only inner/left preserve join semantics"
+        )
+    if n_salt < 1:
+        raise ValueError(f"salted_join: n_salt ({n_salt}) must be >= 1")
+    keys = [on] if isinstance(on, str) else list(on)
+    l_s = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)).cast("int"),
+    )
+    r_s = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return l_s.join(r_s.hint("shuffle_hash"), [*keys, "__salt"], how).drop("__salt")
+
+
 def range_join_binned(
     points: DataFrame,
     intervals: DataFrame,

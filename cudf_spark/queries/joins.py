@@ -535,3 +535,45 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("interval_id")
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type, CAST(length(event_type) AS DOUBLE) / 10.0 AS weight
+        FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value * d.weight, 6) AS weighted
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    ORDER BY weighted DESC, e.event_id
+    LIMIT 20
+    """,
+    doc="salted skew join (operators/joins.py:salted_join): events.event_type "
+    "has a handful of hot values — a plain shuffle join sends each entire "
+    "type to ONE reducer. Salting spreads every hot key across n_salt "
+    "tasks (probe salt from a row id, build side replicated), row-identical "
+    "to the plain join. At 100 TB this is the structural answer when the "
+    "build side is too big/dynamic to broadcast and AQE's reactive "
+    "skew-split doesn't cover the build strategy. Reference scope: hash "
+    "join (cpp/include/cudf/join/join.hpp) — single-GPU has no shuffle "
+    "skew; this is the distributed-engine counterpart.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.joins import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    dim = ev.select("event_type").distinct().withColumn(
+        "weight", (F.length("event_type").cast("double") / 10.0)
+    )
+    joined = salted_join(ev, dim, "event_type", n_salt=8)
+    return (
+        joined.select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * F.col("weight"), 6).alias("weighted"),
+        )
+        .orderBy(F.col("weighted").desc(), "event_id")
+        .limit(20)
+    )

@@ -348,3 +348,32 @@ def test_semantic_dedup_max_cell_size_drops_degenerate_cells(spark):
     out = semantic_dedup(corpus, cents, tau=0.9, max_cell_size=3).collect()
     ids = {r["vec_id"] for r in out}
     assert ids == {10}  # the 5-row cell exceeded the cap and was dropped
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Row-identical to the unsalted join on a skewed key distribution
+    (one key carries 80% of rows), for both inner and left, including
+    probe rows with no build match."""
+    from cudf_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 10 < 8 else f"cold{i % 7}", float(i)) for i in range(500)],
+        "id long, k string, v double",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("cold1", 2.0), ("cold3", 3.0), ("unused", 9.0)],
+        "k string, w double",
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r) for r in salted_join(left, right, "k", n_salt=4, how=how).collect()
+        )
+        want = sorted(tuple(r) for r in left.join(right, "k", how).collect())
+        assert got == want, how
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(left, right, "k", n_salt=4, how="full")
+    with _pytest.raises(ValueError):
+        salted_join(left, right, "k", n_salt=0)

@@ -350,3 +350,14 @@ def test_bounded_global_rank_takeordered_not_funnel(spark):
     for name in ("text_bm25_topk", "text_vocab_stats", "retrieval_rrf_fusion"):
         plan = plan_of(spark, name)
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_salted_join_spreads_key_and_never_broadcasts(spark):
+    """Salting exists to avoid the one-reducer hot key: the physical plan
+    must be a shuffle-side join (hash or SMJ) whose keys include the salt
+    column — a BroadcastHashJoin would mean the salt accomplished
+    nothing (and the 100 TB premise is that broadcast is unavailable)."""
+    plan = plan_of(spark, "join_skew_salted")
+    assert "BroadcastHashJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "__salt" in plan

@@ -370,3 +370,158 @@ def train_ivf_centroids(
             "cid int, cvec array<double>",
         )
     return centroids
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Left-to-right fold squared-L2 distance of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_subvectors(
+    df: DataFrame, *, n_subs: int, sub_dim: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """(id, m, sub): each vector sliced into ``n_subs`` double subvectors."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                _dvec(F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)).alias("sub"),
+            )
+            for m in range(n_subs)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(subs).alias("s")).select(
+        "id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    n_subs: int,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 53,
+) -> DataFrame:
+    """Deterministic product-quantization codebook: ``(m, c, cent)`` with
+    ``n_subs × k`` rows — the ``k`` corpus vectors with the lowest seeded
+    hash of their id (a reproducible pseudo-random sample, same trick as
+    ``train_ivf_centroids`` init), each sliced into per-subspace
+    centroids. Swap in per-subspace Lloyd refinement for production
+    recall; sampling-init keeps the whole build one TakeOrdered + one
+    projection and — crucially for the oracle — replayable in SQL.
+    """
+    from pyspark.sql import Window
+
+    from cudf_spark.functions.hashing import hash60
+
+    sub_dim = dim // n_subs
+    if sub_dim * n_subs != dim:
+        raise ValueError(f"pq_codebook: dim {dim} not divisible by n_subs {n_subs}")
+    hk = hash60(F.col(id_col).cast("string"), seed=seed)
+    seeds = corpus.select(id_col, vec_col).orderBy(hk, F.col(id_col)).limit(k)
+    # k rows by construction — the single-partition window is k-bounded
+    w = Window.orderBy(hk, F.col(id_col))
+    seeds = seeds.withColumn("c", (F.row_number().over(w) - 1).cast("int"))
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                _dvec(F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)).alias("cent"),
+            )
+            for m in range(n_subs)
+        ]
+    )
+    return seeds.select("c", F.explode(subs).alias("s")).select(
+        F.col("s.m").alias("m"), "c", F.col("s.cent").alias("cent")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    *,
+    n_subs: int,
+    sub_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ codes ``(id, m, c, d)``: per subspace, the nearest centroid
+    (squared-L2, ties to the lower code) and its distance.
+
+    100 TB shape: the codebook (``n_subs × k`` rows) broadcasts; encoding
+    is explode → broadcast join → per-(id, m) argmin — map-side work plus
+    one keyed aggregation, no all-pairs term. The codes table is the
+    compressed index: ``n_subs`` bytes per vector instead of
+    ``4 × dim`` (64× for 64-dim float32 at the defaults), which is what
+    makes billion-vector serving fit in executor memory.
+    """
+    subs = _pq_subvectors(
+        corpus, n_subs=n_subs, sub_dim=sub_dim, vec_col=vec_col, id_col=id_col
+    )
+    d = subs.join(F.broadcast(codebook), "m").withColumn(
+        "d", l2sq(F.col("sub"), F.col("cent"))
+    )
+    best = d.groupBy("id", "m").agg(F.min(F.struct("d", "c")).alias("b"))
+    return best.select(
+        F.col("id").alias(id_col), "m", F.col("b.c").alias("c"), F.col("b.d").alias("d")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    *,
+    dim: int,
+    n_subs: int,
+    k_codes: int,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 53,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays exact; every
+    corpus vector is scored as the sum of its per-subspace code's
+    distance to the query subvector (Jégou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+    literature). Returns ``(vec_id, code, adc_dist)``, ascending.
+
+    The per-query work is one ``n_subs × k_codes`` distance table
+    (broadcast) joined to the codes — at serving scale the codes table is
+    precomputed/persisted and each query touches only it, never the raw
+    vectors.
+    """
+    sub_dim = dim // n_subs
+    cb = pq_codebook(
+        corpus, dim=dim, n_subs=n_subs, k=k_codes, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    codes = pq_encode(
+        corpus, cb, n_subs=n_subs, sub_dim=sub_dim, vec_col=vec_col, id_col=id_col
+    )
+    qsubs = _pq_subvectors(
+        query, n_subs=n_subs, sub_dim=sub_dim, vec_col=vec_col, id_col=id_col
+    )
+    dq = qsubs.join(F.broadcast(cb), "m").select(
+        "m", "c", l2sq(F.col("sub"), F.col("cent")).alias("qd")
+    )
+    scored = (
+        codes.join(F.broadcast(dq), ["m", "c"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("qd"), 6).alias("adc_dist"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "c"))),
+                    lambda s: s["c"].cast("string"),
+                ),
+                "-",
+            ).alias("code"),
+        )
+    )
+    return scored.select(id_col, "code", "adc_dist").orderBy("adc_dist", id_col).limit(k)

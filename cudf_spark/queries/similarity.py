@@ -276,3 +276,79 @@ def ann_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .orderBy("query_id", "rnk")
     )
+
+
+PQ_SUBS, PQ_K, PQ_SUBDIM = 4, 8, 16
+
+# Shared CTEs replaying the deterministic PQ build in SQL: seed selection
+# by hash60 order, per-subspace centroid slices, per-(vector, subspace)
+# squared-L2 table (left-to-right fold matches F.aggregate).
+SQL_PQ_CTES = f"""
+    seeds AS (
+        SELECT vec_id, embedding,
+               CAST(row_number() OVER (
+                   ORDER BY {hash60_sql("'53|' || CAST(vec_id AS VARCHAR)")}, vec_id
+               ) AS INT) - 1 AS c
+        FROM embeddings
+        QUALIFY c < {PQ_K}),
+    ms AS (SELECT unnest(generate_series(0, {PQ_SUBS - 1})) AS m),
+    cb AS (
+        SELECT ms.m, seeds.c,
+               list_transform(generate_series(ms.m * {PQ_SUBDIM} + 1, ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}),
+                              i -> CAST(seeds.embedding[i] AS DOUBLE)) AS cent
+        FROM seeds, ms),
+    subs AS (
+        SELECT e.vec_id, ms.m,
+               list_transform(generate_series(ms.m * {PQ_SUBDIM} + 1, ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}),
+                              i -> CAST(e.embedding[i] AS DOUBLE)) AS sub
+        FROM embeddings e, ms),
+    pdist AS (
+        SELECT s.vec_id, s.m, cb.c,
+               list_sum(list_transform(generate_series(1, {PQ_SUBDIM}),
+                        i -> (s.sub[i] - cb.cent[i]) * (s.sub[i] - cb.cent[i]))) AS d
+        FROM subs s JOIN cb ON s.m = cb.m),
+    codes AS (
+        SELECT vec_id, m, c, d,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+        FROM pdist QUALIFY rn = 1)
+"""
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH {SQL_PQ_CTES},
+    dq AS (SELECT m, c, d FROM pdist WHERE vec_id = 0),
+    adc AS (
+        SELECT codes.vec_id,
+               round(sum(dq.d), 6) AS adc_dist,
+               string_agg(CAST(codes.c AS VARCHAR), '-' ORDER BY codes.m) AS code
+        FROM codes JOIN dq ON codes.m = dq.m AND codes.c = dq.c
+        WHERE codes.vec_id != 0
+        GROUP BY codes.vec_id)
+    SELECT vec_id, code, adc_dist
+    FROM adc
+    ORDER BY adc_dist, vec_id
+    LIMIT 10
+    """,
+    doc="product-quantization ANN (Jégou et al. 2011 ADC): deterministic "
+    f"{PQ_SUBS}x{PQ_K} codebook from hash-sampled seed vectors, per-subspace "
+    "argmin codes (64x compression at these defaults), asymmetric-distance "
+    "top-k against the exact query. 100 TB: codebook broadcasts, encoding "
+    "is map-side + one keyed argmin, serving touches only the codes table "
+    "— the memory-bound regime where IVF-PQ lives. The oracle replays "
+    "seed selection, slicing, and distances verbatim in SQL.",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.similarity import pq_adc_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    return pq_adc_topk(
+        e.filter(F.col("vec_id") != 0),
+        q,
+        dim=DIM,
+        n_subs=PQ_SUBS,
+        k_codes=PQ_K,
+        k=10,
+    )

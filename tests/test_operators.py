@@ -377,3 +377,39 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(left, right, "k", n_salt=4, how="full")
     with _pytest.raises(ValueError):
         salted_join(left, right, "k", n_salt=0)
+
+
+def test_pq_lossless_when_every_vector_is_a_seed(spark):
+    """With k_codes >= corpus size every vector becomes its own centroid:
+    per-subspace encode distances are exactly 0 and the ADC distance
+    degrades to the EXACT squared-L2 to the query — the PQ analogue of
+    the IVF nprobe=K == brute-force pin."""
+    from pyspark.sql import functions as F
+
+    from cudf_spark.operators.similarity import (
+        _dvec,
+        l2sq,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) / 11.0 for j in range(8)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+
+    cb = pq_codebook(df, dim=8, n_subs=2, k=6)
+    assert cb.count() == 12  # n_subs * k
+    codes = pq_encode(df, cb, n_subs=2, sub_dim=4)
+    assert codes.count() == 12  # one code per (vector, subspace)
+    assert codes.agg(F.max("d")).collect()[0][0] == 0.0
+
+    adc = {r["vec_id"]: r["adc_dist"] for r in
+           pq_adc_topk(df, q, dim=8, n_subs=2, k_codes=6, k=6).collect()}
+    exact = {
+        r["vec_id"]: round(r["d"], 6)
+        for r in df.crossJoin(
+            F.broadcast(q.select(F.col("embedding").alias("qv")))
+        ).select("vec_id", l2sq(_dvec(F.col("embedding")), _dvec(F.col("qv"))).alias("d")).collect()
+    }
+    assert adc == {k: exact[k] for k in adc}

@@ -361,3 +361,13 @@ def test_salted_join_spreads_key_and_never_broadcasts(spark):
     assert "BroadcastHashJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "__salt" in plan
+
+
+def test_pq_codebook_broadcasts_no_python(spark):
+    """PQ serving shape: the codebook and query-distance tables join as
+    broadcasts (they are n_subs*k rows); no Python eval, no cartesian
+    product anywhere in the ADC plan."""
+    plan = plan_of(spark, "ann_pq_topk")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -40,6 +40,7 @@ from cudf_spark.queries import (  # noqa: F401, E402
     text3,
     text4,
     text5,
+    text6,
     windows,
 )
 

@@ -184,3 +184,61 @@ def connected_components_star(
         "node", F.col("node").alias("component")
     )
     return assigned.unionByName(roots)
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank (Page et al. 1999 — public literature)
+    over a directed edge list: ``(node, pr)`` after ``iters`` power
+    iterations of ``pr = (1-d)/N + d · Σ_in pr/outdeg``.
+
+    In a curation pipeline this is the link-graph quality prior (the
+    "rank documents by how the web links to them" signal Common-Crawl
+    pipelines mix into sampling weights). Fixed iteration count — not
+    convergence detection — keeps the job a static 5-round DAG the
+    oracle can unroll.
+
+    Per round: one keyed join (edge × rank on src) + one keyed groupBy
+    (sum of contributions on dst) — the same two-shuffle shape as
+    :func:`connected_components`, lineage truncated per round. The
+    edge-degree join is precomputed once. N (node count) is a single
+    collected scalar.
+
+    Dangling nodes (outdeg 0) contribute no mass (the "lost mass"
+    simplification); symmetrize the edge list — as the bipartite
+    click-graph query does — when conservation matters.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=False)  # reused every round
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + damping * F.coalesce("in_mass", F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

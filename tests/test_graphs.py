@@ -86,3 +86,27 @@ def test_star_converges_on_long_chain_in_log_rounds(spark):
 
 def test_star_direction_irrelevant(spark):
     assert _cc_star(spark, [(7, 3), (3, 9), (9, 5)]) == {3: 3, 5: 3, 7: 3, 9: 3}
+
+
+def test_pagerank_matches_pure_python(spark):
+    """5-iteration PageRank on a small directed graph equals a plain
+    dict-based power iteration (independent implementation), including a
+    node with no in-links (gets base rank only — the left-join path)."""
+    from cudf_spark.operators.graphs import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["pr"] for r in pagerank(df, damping=0.85, iters=5).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    pr = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(5):
+        nxt = {}
+        for n in nodes:
+            in_mass = sum(pr[s] / outdeg[s] for s, d in edges if d == n)
+            nxt[n] = 0.15 / len(nodes) + 0.85 * in_mass
+        pr = nxt
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - pr[n]) < 1e-12, (n, got[n], pr[n])

@@ -134,3 +134,32 @@ def byte_cast(col: Column, dtype: T.DataType, *, endian: str = "big") -> Column:
 
             return _bytes_of(col)
     raise TypeError(f"byte_cast: unsupported type {dtype}")
+
+
+def zorder2(x: Column, y: Column, *, bits: int) -> Column:
+    """Two-dimensional Morton (z-order) key: interleave the low ``bits``
+    bits of ``x`` and ``y`` (x on even positions, y on odd). Data written
+    sorted by this key clusters BOTH dimensions — every run of rows spans
+    a small axis-aligned rectangle, so parquet row-group min/max prune on
+    either column (the multi-dimensional-layout technique Delta/Iceberg
+    expose as OPTIMIZE ZORDER — public; Morton 1966).
+
+    Pure shift/mask integer arithmetic inside whole-stage codegen; inputs
+    must already be reduced to ``bits``-bit non-negative range (mask or
+    pmod upstream — this function masks defensively).
+    """
+    xs, ys = x.cast("long"), y.cast("long")
+    z: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftrightunsigned(xs, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftrightunsigned(ys, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def zorder2_sql(x: str, y: str, *, bits: int) -> str:
+    """DuckDB mirror of :func:`zorder2` (same shift/mask terms)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

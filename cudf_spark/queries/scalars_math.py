@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
 from cudf_spark.functions.hashing import hash60, hash60_sql
+from cudf_spark.functions.row_bits import zorder2_sql
 from cudf_spark.queries.registry import register
 
 
@@ -414,3 +415,49 @@ def misc_byte_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "line_bytes_le"
         ),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "misc_zorder_layout",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id % 1024 AS x,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 60) AS BIGINT) % 1024 AS y
+        FROM events),
+    z AS (
+        SELECT x, y, {zorder2_sql('x', 'y', bits=10)} AS zv
+        FROM pts)
+    SELECT zv >> 10 AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM z GROUP BY bucket ORDER BY bucket
+    """,
+    doc="z-order (Morton) layout clustering: interleave user_id and "
+    "time-minute bits, bucket by the top 10 z-bits; every bucket's "
+    "min/max spans at most a 32x32 rectangle on BOTH axes — the property "
+    "that makes parquet row-group pruning work on either filter column "
+    "after a write sorted by zv (repartitionByRange(zv) + "
+    "sortWithinPartitions at scale). Pure shift/mask codegen, one keyed "
+    "groupBy.",
+)
+def misc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.row_bits import zorder2
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("user_id") % 1024).alias("x"),
+        (F.floor(F.unix_timestamp(F.col("ts")) / 60).cast("long") % 1024).alias("y"),
+    )
+    z = pts.withColumn("zv", zorder2(F.col("x"), F.col("y"), bits=10))
+    return (
+        z.groupBy(F.shiftrightunsigned("zv", 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("bucket")
+    )

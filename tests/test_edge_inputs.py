@@ -241,3 +241,28 @@ def test_range_join_binned_exact_at_epoch_nanos(spark):
         ).collect()
     )
     assert got == [0, 1]
+
+
+def test_zorder2_matches_python_interleave(spark):
+    """Morton key equals the pure-Python bit interleave for exhaustive
+    small inputs and the corner values of the 10-bit domain."""
+    from pyspark.sql import functions as F
+
+    from cudf_spark.functions.row_bits import zorder2
+
+    def ref(x, y, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    vals = [(x, y) for x in range(8) for y in range(8)]
+    vals += [(1023, 0), (0, 1023), (1023, 1023), (512, 511)]
+    df = spark.createDataFrame(vals, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder2(F.col("x"), F.col("y"), bits=10).alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == ref(x, y, 10), (x, y)

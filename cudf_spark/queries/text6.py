@@ -169,3 +169,77 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr_q7").desc(), "node")
         .limit(10)
     )
+
+
+SPARSE_DF_CAP = 40  # drop tokens in more than this many docs (stop-token blocking)
+SPARSE_MIN_COS = 0.5
+
+
+@register(
+    "text_sparse_cosine_pairs",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({SQL_TOKS}) AS t FROM documents),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.t, tf.tf * n.n_docs * 1.0 / dfreq.df AS w
+        FROM tf JOIN dfreq USING (t) CROSS JOIN n
+        WHERE dfreq.df <= {SPARSE_DF_CAP}),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dotp
+        FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b,
+           round(p.dotp / (na.nrm * nb.nrm), 6) AS cosine
+    FROM pairs p JOIN nrm na ON na.doc_id = p.id_a
+                 JOIN nrm nb ON nb.doc_id = p.id_b
+    WHERE p.dotp / (na.nrm * nb.nrm) >= {SPARSE_MIN_COS}
+    ORDER BY id_a, id_b
+    """,
+    doc="sparse TF-IDF cosine similarity join: docs become sparse "
+    "token->weight vectors (rational tf*N/df — no libm ln), pairs form "
+    "ONLY through shared tokens (token-keyed self-join), with a "
+    f"document-frequency cap ({SPARSE_DF_CAP}) excising hot tokens — the "
+    "blocking that keeps the pair term near-linear instead of quadratic "
+    "(every similarity-join system's trick: common tokens carry no "
+    "signal AND create the blowup). Norms/dot folds are groupBy sums, "
+    "rounded; at 100 TB the weight table is the only large intermediate "
+    "and every shuffle is token- or doc-keyed.",
+)
+def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import tokenize
+
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.groupBy().agg(F.count("*").alias("n_docs"))
+    tok = d.select("doc_id", F.explode(tokenize(normalize_text(F.col("text")))).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    # weight table feeds three consumers (norms + both join sides):
+    # materialize once, as the tfidf query does
+    w = (
+        tf.join(F.broadcast(dfreq.filter(F.col("df") <= SPARSE_DF_CAP)), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "t", (F.col("tf") * F.col("n_docs") / F.col("df")).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("id_a"), "t", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "t", F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dotp"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dotp") / (F.col("na") * F.col("nb"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= SPARSE_MIN_COS)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )

@@ -371,3 +371,12 @@ def test_pq_codebook_broadcasts_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_sparse_cosine_pairs_token_blocked_no_cartesian(spark):
+    """Pairs must form only through the token-keyed self-join (with the
+    df cap excised hot tokens) — never a cartesian/nested-loop pair
+    enumeration, and never Python."""
+    plan = plan_of(spark, "text_sparse_cosine_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

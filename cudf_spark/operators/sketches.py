@@ -230,3 +230,101 @@ def bloom_probe(
         .agg(F.min(F.when(hit_bit, 1).otherwise(0)).alias("__allhit"))
         .select(*keys, F.col("__probe").alias(item), (F.col("__allhit") == 1).alias("bloom_hit"))
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_SEED = 200
+
+
+def _cms_hash(item_col, row_col, *, seed: int):
+    """hash60 with a per-depth-row seed: md5 of ``"{seed+r}|{item}"`` —
+    identical text in both engines (see cms_build's oracle mirror)."""
+    from cudf_spark.functions.hashing import hash60
+
+    return hash60(
+        F.concat((F.lit(seed) + row_col).cast("string"), F.lit("|"), item_col)
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    keys: Sequence[str],
+    item: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = CMS_SEED,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005 — public
+    literature) as a plain relational table: one ``(*keys, r, c, cnt)``
+    row per non-empty cell, ``depth × width`` cells max regardless of
+    input size.
+
+    Build is explode(depth) + one (keys, r, c)-keyed count — partial
+    aggregation makes it skew-immune; the sketch rows are what persists
+    and ships, never raw values. Exactly mergeable:
+    ``cms(A ∪ B) == merge(cms(A), cms(B))`` cell by cell (counts add;
+    the estimate-time min is taken after merging, so the merge itself
+    introduces no error — same contract as histogram_sketch/bloom).
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"cms_build: depth ({depth}) and width ({width}) must be >= 1")
+    rows = df.select(
+        *keys,
+        F.col(item).cast("string").alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    )
+    return (
+        rows.select(
+            *keys,
+            "r",
+            (_cms_hash(F.col("__v"), F.col("r"), seed=seed) % width).cast("int").alias("c"),
+        )
+        .groupBy(*keys, "r", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Sum-merge count-min sketch tables from independent runs (exact)."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys, "r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    keys: Sequence[str],
+    item: str,
+    *,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    seed: int = CMS_SEED,
+) -> DataFrame:
+    """Frequency estimate per probe row: min over the ``depth`` cells the
+    item hashes to (missing cell = 0). Never underestimates; overshoot
+    bounded by ``e·N/width`` with probability ``1 - e^-depth``.
+
+    ``depth``/``width``/``seed`` MUST match the build call — mismatched
+    parameters silently probe the wrong cells (same contract as
+    bloom_probe).
+    """
+    p = probes.select(
+        *keys,
+        F.col(item).alias("__item"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    ).withColumn(
+        "c",
+        (_cms_hash(F.col("__item").cast("string"), F.col("r"), seed=seed) % width).cast(
+            "int"
+        ),
+    )
+    joined = p.join(sketch, [*keys, "r", "c"], "left")
+    return (
+        joined.groupBy(*keys, "__item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+        .withColumnRenamed("__item", item)
+    )

@@ -284,3 +284,59 @@ def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "agg_cms_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents),
+    exact AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY t),
+    rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+    cells AS (
+        SELECT rows_.r,
+               CAST(CAST(('0x' || substr(md5(CAST(200 + rows_.r AS VARCHAR) || '|' || tok.t), 1, 15)) AS BIGINT) % 1024 AS INT) AS c,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM tok CROSS JOIN rows_ GROUP BY 1, 2),
+    top AS (
+        SELECT t, exact_cnt, row_number() OVER (ORDER BY exact_cnt DESC, t) AS rk
+        FROM exact QUALIFY rk <= 10),
+    probe AS (
+        SELECT top.t, top.exact_cnt, min(coalesce(cells.cnt, 0)) AS cms_est
+        FROM top CROSS JOIN rows_
+        LEFT JOIN cells ON cells.r = rows_.r
+             AND cells.c = CAST(CAST(('0x' || substr(md5(CAST(200 + rows_.r AS VARCHAR) || '|' || top.t), 1, 15)) AS BIGINT) % 1024 AS INT)
+        GROUP BY 1, 2)
+    SELECT t AS token, exact_cnt, cms_est
+    FROM probe ORDER BY exact_cnt DESC, token
+    """,
+    doc="count-min heavy hitters (Cormode & Muthukrishnan 2005): build a "
+    "4x1024 CMS over document tokens (operators/sketches.py:cms_build — "
+    "one keyed count, sketch rows only persist/ship, exactly mergeable "
+    "across runs), then estimate the true top-10 tokens' frequencies "
+    "from the sketch next to their exact counts — the error envelope "
+    "shown in-query like agg_sketch_merge. The estimate never "
+    "underestimates; overshoot bounded by e*N/width per row with "
+    "probability 1-e^-depth.",
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text, tokenize
+    from cudf_spark.operators.sketches import cms_build, cms_estimate
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokenize(normalize_text(F.col("text")))).alias("t"))
+    tok = tok.localCheckpoint(eager=False)  # feeds both the sketch and the exact counts
+    cms = cms_build(tok, [], "t")
+    top = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "t")
+        .limit(10)
+    )
+    est = cms_estimate(cms, top.select("t"), [], "t")
+    return (
+        top.join(est, "t")
+        .select(F.col("t").alias("token"), "exact_cnt", F.col("est").alias("cms_est"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+    )

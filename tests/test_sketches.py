@@ -114,3 +114,30 @@ def test_native_hll_sketch_binary_merge(spark):
     ).collect()[0]["n"]
     exact = 50_000  # both halves cover 0..49999 after the mod
     assert abs(est - exact) / exact < 0.05
+
+
+def test_cms_exact_merge_and_never_underestimates(spark):
+    """cms(A ∪ B) == merge(cms(A), cms(B)) cell-by-cell, and every
+    estimate >= the true frequency (CMS can only overcount)."""
+    from pyspark.sql import functions as F
+
+    from cudf_spark.operators.sketches import cms_build, cms_estimate, cms_merge
+
+    vals = [(i, f"tok{i % 13}") for i in range(400)] + [
+        (400 + i, "hot") for i in range(150)
+    ]
+    df = spark.createDataFrame(vals, "id long, v string")
+    a = df.filter(df.id % 2 == 0).select("v")
+    b = df.filter(df.id % 2 == 1).select("v")
+    df = df.select("v")
+    whole = cms_build(df, [], "v", depth=3, width=32)
+    merged = cms_merge([cms_build(a, [], "v", depth=3, width=32),
+                        cms_build(b, [], "v", depth=3, width=32)], [])
+    as_rows = lambda s: sorted(tuple(r) for r in s.collect())
+    assert as_rows(whole) == as_rows(merged)
+
+    truth = df.groupBy("v").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(whole, truth.select("v"), [], "v", depth=3, width=32)
+    joined = truth.join(est, "v").collect()
+    assert len(joined) == 14
+    assert all(r["est"] >= r["true_cnt"] for r in joined)

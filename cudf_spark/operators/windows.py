@@ -298,3 +298,44 @@ def bounded_global_rank(
     bounded = df.orderBy(*order).limit(n)
     w = Window.orderBy(*order)
     return bounded.withColumn(rank_col, F.row_number().over(w).cast("int"))
+
+
+def rolling_median(
+    value: Column | str,
+    partition_by: list,
+    order_by: list,
+    preceding: int,
+    *,
+    min_periods: int = 1,
+) -> Column:
+    """Fixed-size rolling MEDIAN (cudf rolling supports every aggregation
+    kind incl. MEDIAN — cpp/include/cudf/rolling.hpp; Spark's window
+    functions have no percentile, so we collect the frame into an array
+    and pick the middle). Interpolates the two middles for even counts
+    (matching DuckDB/pandas ``median``), nulls below ``min_periods``.
+
+    BOUNDED per row by construction: the collected array is at most
+    ``preceding + 1`` elements — this is NOT the collect_list scale
+    hazard (that is per-GROUP collection of unbounded groups); a fixed
+    window frame caps the array at the frame size regardless of data
+    volume. Use only for small fixed frames; for large/unbounded frames
+    reach for approx sketches instead.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-preceding, 0)
+    )
+    col = F.col(value) if isinstance(value, str) else value
+    arr = F.array_sort(F.collect_list(col).over(w))
+    n = F.size(arr)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, (n / 2 + 1).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return F.when(n >= min_periods, med)

@@ -441,3 +441,45 @@ def win_variable_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+    WITH w AS (
+        SELECT event_id, user_id, value,
+               median(value) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med,
+               count(value) OVER (
+                   PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_win
+        FROM events)
+    SELECT event_id, user_id,
+           CASE WHEN n_win >= 3 THEN round(med, 6) END AS med5,
+           CAST(n_win AS INT) AS n_win
+    FROM w ORDER BY event_id
+    """,
+    doc="rolling MEDIAN over a 5-row frame with min_periods=3 (cudf "
+    "rolling supports MEDIAN — rolling.hpp; Spark windows have no "
+    "percentile, so the frame collects into a <=5-element array and "
+    "picks/interpolates the middle — bounded by the FRAME size, not by "
+    "group size, so it is not the collect_list hazard). Nulls below "
+    "min_periods, even-count interpolation matching DuckDB/pandas.",
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.windows import rolling_median
+
+    ev = load(spark, sf_dir, "events")
+    med = rolling_median(
+        "value", ["user_id"], [F.col("ts"), F.col("event_id")], 4, min_periods=3
+    )
+    n_win = F.count("value").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(med, 6).alias("med5"),
+        n_win.cast("int").alias("n_win"),
+    ).orderBy("event_id")

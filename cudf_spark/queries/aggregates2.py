@@ -340,3 +340,52 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("t").alias("token"), "exact_cnt", F.col("est").alias("cms_est"))
         .orderBy(F.col("exact_cnt").desc(), "token")
     )
+
+
+@register(
+    "agg_group_ols",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT)                          AS n,
+               CAST(sum(hour(CAST(ts AS TIMESTAMP))) AS BIGINT)  AS sx,
+               CAST(sum(hour(CAST(ts AS TIMESTAMP))
+                        * hour(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sxx,
+               sum(value)                                         AS sy,
+               sum(hour(CAST(ts AS TIMESTAMP)) * value)           AS sxy
+        FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000) AS BIGINT)
+               AS beta_q6,
+           CAST(floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                * 1000000) AS BIGINT)                             AS alpha_q6
+    FROM s ORDER BY event_type
+    """,
+    doc="grouped closed-form OLS (value ~ hour-of-day per event_type): "
+    "slope/intercept from the five classical sums — the groupby.corr/cov "
+    "family (cudf groupby COVARIANCE/CORRELATION, aggregation.hpp) "
+    "extended to the regression coefficients a reporting pipeline wants. "
+    "ONE keyed groupBy computes all sums (map-side partial agg, "
+    "skew-immune); integer x keeps Sx/Sxx exact; floor-quantized against "
+    "sum-order ULP drift.",
+)
+def agg_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    x = F.hour("ts").cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+        F.sum("value").alias("sy"),
+        F.sum(x * F.col("value")).alias("sxy"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    alpha = (F.col("sy") - beta * F.col("sx")) / F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        F.floor(beta * 1000000).cast("long").alias("beta_q6"),
+        F.floor(alpha * 1000000).cast("long").alias("alpha_q6"),
+    ).orderBy("event_type")

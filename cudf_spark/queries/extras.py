@@ -206,3 +206,95 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_funnel_stages",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view'
+        GROUP BY user_id),
+    s2 AS (
+        SELECT ev.user_id, min(ev.ts) AS t2
+        FROM ev JOIN s1 ON ev.user_id = s1.user_id
+        WHERE ev.event_type = 'click'
+          AND ev.ts > s1.t1 AND ev.ts <= s1.t1 + INTERVAL 24 HOUR
+        GROUP BY ev.user_id),
+    s3 AS (
+        SELECT ev.user_id, min(ev.ts) AS t3
+        FROM ev JOIN s2 ON ev.user_id = s2.user_id
+        WHERE ev.event_type = 'purchase'
+          AND ev.ts > s2.t2 AND ev.ts <= s2.t2 + INTERVAL 24 HOUR
+        GROUP BY ev.user_id),
+    counts AS (
+        SELECT 1 AS stage, 'view' AS step, CAST(count(*) AS BIGINT) AS users FROM s1
+        UNION ALL
+        SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM s3),
+    top AS (SELECT CAST(count(*) AS BIGINT) AS n_top FROM s1)
+    SELECT stage, step, users,
+           CAST(floor(users * 10000.0 / top.n_top) AS BIGINT) AS pct_top_q4
+    FROM counts CROSS JOIN top ORDER BY stage
+    """,
+    doc="ordered time-bounded funnel (view -> click within 24h -> "
+    "purchase within 24h, per user): each stage is the min event time "
+    "strictly after the previous stage's time and inside the conversion "
+    "window — the sequential-pattern query every event warehouse runs. "
+    "Three user-keyed min-aggregations chained by user-keyed joins; no "
+    "per-user collect, no global window (the top-of-funnel scalar "
+    "broadcasts); each stage's intermediate is <= one row per user.",
+)
+def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    day = F.expr("INTERVAL 24 HOURS")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).cast("bigint").alias("users"))
+        .select(F.lit(1).alias("stage"), F.lit("view").alias("step"), "users")
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).cast("bigint").alias("users")).select(
+                F.lit(2).alias("stage"), F.lit("view>click").alias("step"), "users"
+            )
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).cast("bigint").alias("users")).select(
+                F.lit(3).alias("stage"),
+                F.lit("view>click>purchase").alias("step"),
+                "users",
+            )
+        )
+    )
+    top = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_top"))
+    return (
+        counts.crossJoin(F.broadcast(top))
+        .select(
+            "stage",
+            "step",
+            "users",
+            F.floor(F.col("users") * 10000.0 / F.col("n_top"))
+            .cast("bigint")
+            .alias("pct_top_q4"),
+        )
+        .orderBy("stage")
+    )

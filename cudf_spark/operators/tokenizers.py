@@ -129,3 +129,61 @@ def bpe_tokenize(
 ) -> DataFrame:
     tok = bpe_tokenize_udf(spark, merges)
     return df.withColumn(out_col, tok(F.col(text_col)))
+
+
+def unigram_tokenize_udf(spark: SparkSession, vocab: dict[str, int], unk_cost: int = 100):
+    """Returns a pandas_udf: text -> array<string> of unigram-LM pieces
+    (SentencePiece's unigram model, Kudo 2018 arXiv:1804.10959 — public
+    literature; beyond the reference's wordpiece/BPE surface).
+
+    Per whitespace word, Viterbi over INTEGER piece costs (lower is
+    better — think quantized -log p): minimize total cost, then fewest
+    pieces; unknown single characters cost ``unk_cost``. Integer costs
+    make the segmentation exactly deterministic — no float-sum
+    tie-break hazards. Same broadcast-vocab + Arrow-batch shape as the
+    wordpiece/BPE UDFs: vocab ships once per executor, work is pure
+    per-row.
+    """
+    if any(c < 0 for c in vocab.values()):
+        raise ValueError("unigram_tokenize_udf: piece costs must be non-negative")
+    bc = spark.sparkContext.broadcast(
+        (dict(vocab), max((len(p) for p in vocab), default=1), unk_cost)
+    )
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def tok(texts):
+        import pandas as pd
+
+        vocab_d, max_len, unk = bc.value
+        INF = 1 << 60
+
+        def seg(word: str) -> list[str]:
+            n = len(word)
+            # best[i] = (cost, n_pieces) for word[:i]; back[i] = split point
+            best = [(INF, INF)] * (n + 1)
+            back = [0] * (n + 1)
+            best[0] = (0, 0)
+            for i in range(1, n + 1):
+                for j in range(max(0, i - max_len), i):
+                    if best[j][0] >= INF:
+                        continue
+                    piece = word[j:i]
+                    c = vocab_d.get(piece)
+                    if c is None:
+                        if i - j > 1:
+                            continue
+                        c = unk
+                    cand = (best[j][0] + c, best[j][1] + 1)
+                    if cand < best[i]:
+                        best[i], back[i] = cand, j
+            out, i = [], n
+            while i > 0:
+                out.append(word[back[i]:i])
+                i = back[i]
+            return out[::-1]
+
+        return pd.Series(
+            [[p for w in (t or "").lower().split() for p in seg(w)] for t in texts]
+        )
+
+    return tok

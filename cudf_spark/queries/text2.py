@@ -236,3 +236,44 @@ def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Integer piece costs (quantized -log p) over the fixture vocabulary:
+# whole-word pieces cheap for common engine words, subword pieces for the
+# rest; single letters expensive but known.
+UNIGRAM_VOCAB: dict[str, int] = {
+    "table": 3, "ta": 4, "ble": 4,
+    "scan": 3, "sc": 4, "an": 3,
+    "join": 3, "jo": 5, "in": 3,
+    "hash": 3, "ha": 5, "sh": 4,
+    "order": 3, "or": 4, "der": 4,
+    "value": 3, "val": 4, "ue": 5,
+    "data": 3, "da": 4,
+    "row": 3, "agg": 3, "the": 2, "a": 6, "e": 6, "s": 6, "t": 6,
+}
+
+
+@register(
+    "text_unigram_tokenize",
+    oracle=None,  # Viterbi segmentation is not SQL-expressible; rows-only
+    doc="unigram-LM (SentencePiece, Kudo 2018) Viterbi tokenizer: integer "
+    "piece costs, minimize total cost then piece count — the third "
+    "tokenizer family next to wordpiece and BPE (beyond nvtext's "
+    "surface). Broadcast vocab + Arrow pandas_udf; verified against "
+    "hand-computed segmentations in tests/test_text2.py.",
+)
+def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.tokenizers import unigram_tokenize_udf
+
+    docs = load(spark, sf_dir, "documents")
+    tok = unigram_tokenize_udf(spark, UNIGRAM_VOCAB)
+    return (
+        docs.withColumn("pieces", tok(F.col("text")))
+        .select(
+            "doc_id",
+            F.size("pieces").alias("n_pieces"),
+            # scalar column only: rows-only canonicalizer can't hash lists
+            F.concat_ws("|", F.slice("pieces", 1, 8)).alias("first8"),
+        )
+        .orderBy("doc_id")
+    )

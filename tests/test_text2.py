@@ -247,3 +247,28 @@ def test_within_doc_dedup_overlapping_run(spark):
     assert got[1] == (4, "a")           # positions 2-5 covered by dup grams at p=2,3
     assert got[2] == (3, "x y z")       # second x y z run removed
     assert got[3] == (0, "p q r")       # single 3-gram, no repeat
+
+
+def test_unigram_viterbi_hand_computed(spark):
+    """Viterbi segmentation against hand-computed optima: cheapest split
+    wins, cost ties break to fewer pieces, unknown single chars fall
+    back at unk_cost."""
+    from pyspark.sql import functions as F
+
+    from cudf_spark.operators.tokenizers import unigram_tokenize_udf
+
+    vocab = {"ab": 1, "a": 2, "b": 2, "abc": 10, "c": 3, "aa": 4}
+    tok = unigram_tokenize_udf(spark, vocab, unk_cost=100)
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "aa"), (3, "ax"), (4, "abc aa")], "id long, t string"
+    )
+    got = {r["id"]: r["p"] for r in df.select("id", tok(F.col("t")).alias("p")).collect()}
+    assert got[1] == ["ab", "c"]      # 1+3=4 beats abc=10 and a+b+c=7
+    assert got[2] == ["aa"]           # cost tie (4 == 2+2) -> fewer pieces
+    assert got[3] == ["a", "x"]       # unknown x at unk_cost, still segments
+    assert got[4] == ["ab", "c", "aa"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        unigram_tokenize_udf(spark, {"a": -1})

@@ -224,6 +224,8 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = e.join(deg, "src").localCheckpoint(eager=False)  # reused every round
     n = nodes.count()
+    if n == 0:  # empty edge list: no nodes, no ranks — avoid 1/0 below
+        return nodes.withColumn("pr", F.lit(0.0))
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(iters):

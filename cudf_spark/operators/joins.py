@@ -160,6 +160,8 @@ def salted_join(
         )
     if n_salt < 1:
         raise ValueError(f"salted_join: n_salt ({n_salt}) must be >= 1")
+    if "__salt" in left.columns or "__salt" in right.columns:
+        raise ValueError("salted_join: input already has a __salt column")
     keys = [on] if isinstance(on, str) else list(on)
     l_s = left.withColumn(
         "__salt",

@@ -270,6 +270,10 @@ def cms_build(
     """
     if depth < 1 or width < 1:
         raise ValueError(f"cms_build: depth ({depth}) and width ({width}) must be >= 1")
+    # null items hash to null cells that no probe can hit — drop them at
+    # build so the sketch holds only real values (a null probe then
+    # estimates 0, consistent with "null occurs zero times")
+    df = df.filter(F.col(item).isNotNull())
     rows = df.select(
         *keys,
         F.col(item).cast("string").alias("__v"),

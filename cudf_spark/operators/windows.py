@@ -321,6 +321,10 @@ def rolling_median(
     volume. Use only for small fixed frames; for large/unbounded frames
     reach for approx sketches instead.
     """
+    # min_periods < 1 would let the even-count branch index element 0 of
+    # an empty frame (all-null values); a frame always holds >= 1 row, so
+    # clamping to 1 preserves cudf semantics and keeps indexing safe.
+    min_periods = max(min_periods, 1)
     w = (
         Window.partitionBy(*partition_by)
         .orderBy(*order_by)

@@ -298,3 +298,95 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@register(
+    "scd2_merge_upsert",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer),
+    updates AS (
+        -- changed rows: every 7th customer gets +$10
+        SELECT c_custkey, c_nationkey, bal_cents + 1000 AS bal_cents
+        FROM base WHERE c_custkey % 7 = 0
+        UNION ALL
+        -- inserts: every 97th customer spawns a new key
+        SELECT c_custkey + 1000000, c_nationkey, bal_cents
+        FROM base WHERE c_custkey % 97 = 0),
+    closed AS (
+        SELECT b.c_custkey, b.c_nationkey, b.bal_cents,
+               1 AS valid_from, 2 AS valid_to, FALSE AS is_current
+        FROM base b WHERE EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = b.c_custkey)),
+    untouched AS (
+        SELECT b.c_custkey, b.c_nationkey, b.bal_cents,
+               1 AS valid_from, CAST(NULL AS INT) AS valid_to, TRUE AS is_current
+        FROM base b WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = b.c_custkey)),
+    fresh AS (
+        SELECT c_custkey, c_nationkey, bal_cents,
+               2 AS valid_from, CAST(NULL AS INT) AS valid_to, TRUE AS is_current
+        FROM updates)
+    SELECT c_custkey, c_nationkey, bal_cents,
+           CAST(valid_from AS INT) AS valid_from, valid_to, is_current
+    FROM (SELECT * FROM closed UNION ALL SELECT * FROM untouched
+          UNION ALL SELECT * FROM fresh)
+    ORDER BY c_custkey, valid_from
+    """,
+    doc="SCD2 merge/upsert (slowly-changing-dimension type 2 — the "
+    "lakehouse MERGE INTO pattern, Kimball dimensional modeling; beyond "
+    "the reference's scope but table-maintenance a production pipeline "
+    "needs): changed keys close their old version (valid_to set, "
+    "is_current false) and append the new one; unmatched keys insert; "
+    "untouched rows stay open. Composed as semi-join (close) + "
+    "anti-join (keep) + union (append) — three key-keyed passes, no "
+    "full-outer row explosion, exact integer cents.",
+)
+def scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    updates = (
+        base.filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", "c_nationkey", (F.col("bal_cents") + 1000).alias("bal_cents"))
+        .unionByName(
+            base.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_nationkey",
+                "bal_cents",
+            )
+        )
+    )
+    ukeys = updates.select("c_custkey").distinct()
+    closed = (
+        base.join(ukeys, "c_custkey", "left_semi")
+        .withColumn("valid_from", F.lit(1))
+        .withColumn("valid_to", F.lit(2).cast("int"))
+        .withColumn("is_current", F.lit(False))
+    )
+    untouched = (
+        base.join(ukeys, "c_custkey", "left_anti")
+        .withColumn("valid_from", F.lit(1))
+        .withColumn("valid_to", F.lit(None).cast("int"))
+        .withColumn("is_current", F.lit(True))
+    )
+    fresh = (
+        updates.withColumn("valid_from", F.lit(2))
+        .withColumn("valid_to", F.lit(None).cast("int"))
+        .withColumn("is_current", F.lit(True))
+    )
+    return (
+        closed.unionByName(untouched)
+        .unionByName(fresh)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "bal_cents",
+            F.col("valid_from").cast("int").alias("valid_from"),
+            "valid_to",
+            "is_current",
+        )
+        .orderBy("c_custkey", "valid_from")
+    )

@@ -171,7 +171,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SPARSE_DF_CAP = 40  # drop tokens in more than this many docs (stop-token blocking)
+SPARSE_MAX_DF = 10  # drop tokens in more than 1/SPARSE_MAX_DF of docs (relative stop-token blocking)
 SPARSE_MIN_COS = 0.5
 
 
@@ -185,7 +185,7 @@ SPARSE_MIN_COS = 0.5
     w AS (
         SELECT tf.doc_id, tf.t, tf.tf * n.n_docs * 1.0 / dfreq.df AS w
         FROM tf JOIN dfreq USING (t) CROSS JOIN n
-        WHERE dfreq.df <= {SPARSE_DF_CAP}),
+        WHERE dfreq.df * {SPARSE_MAX_DF} <= n.n_docs),
     nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dotp
@@ -201,7 +201,9 @@ SPARSE_MIN_COS = 0.5
     doc="sparse TF-IDF cosine similarity join: docs become sparse "
     "token->weight vectors (rational tf*N/df — no libm ln), pairs form "
     "ONLY through shared tokens (token-keyed self-join), with a "
-    f"document-frequency cap ({SPARSE_DF_CAP}) excising hot tokens — the "
+    f"RELATIVE document-frequency cap (df <= n_docs/{SPARSE_MAX_DF}, "
+    "sklearn max_df style — an absolute cap stops scaling: at 10x the "
+    "corpus every shared token exceeds it) excising hot tokens — the "
     "blocking that keeps the pair term near-linear instead of quadratic "
     "(every similarity-join system's trick: common tokens carry no "
     "signal AND create the blowup). Norms/dot folds are groupBy sums, "
@@ -219,8 +221,12 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weight table feeds three consumers (norms + both join sides):
     # materialize once, as the tfidf query does
     w = (
-        tf.join(F.broadcast(dfreq.filter(F.col("df") <= SPARSE_DF_CAP)), "t")
+        tf.join(F.broadcast(dfreq), "t")
         .crossJoin(F.broadcast(n_docs))
+        # RELATIVE cap (sklearn max_df=0.1 style): an absolute cap stops
+        # scaling — at 10x the corpus every shared token exceeds it and
+        # the join finds nothing (observed at sf0.1 with a cap of 40)
+        .filter(F.col("df") * SPARSE_MAX_DF <= F.col("n_docs"))
         .select("doc_id", "t", (F.col("tf") * F.col("n_docs") / F.col("df")).alias("w"))
         .localCheckpoint(eager=False)
     )

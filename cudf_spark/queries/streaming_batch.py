@@ -348,3 +348,86 @@ def stream_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_cms_heavy_hitters",
+    oracle="""
+    WITH u AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+    exact AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS exact_cnt FROM u GROUP BY v),
+    rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+    cells AS (
+        SELECT rows_.r,
+               CAST(CAST(('0x' || substr(md5(CAST(200 + rows_.r AS VARCHAR) || '|' || u.v), 1, 15)) AS BIGINT) % 1024 AS INT) AS c,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM u CROSS JOIN rows_ GROUP BY 1, 2),
+    top AS (
+        SELECT v, exact_cnt, row_number() OVER (ORDER BY exact_cnt DESC, v) AS rk
+        FROM exact QUALIFY rk <= 10),
+    probe AS (
+        SELECT top.v, top.exact_cnt, min(coalesce(cells.cnt, 0)) AS cms_est
+        FROM top CROSS JOIN rows_
+        LEFT JOIN cells ON cells.r = rows_.r
+             AND cells.c = CAST(CAST(('0x' || substr(md5(CAST(200 + rows_.r AS VARCHAR) || '|' || top.v), 1, 15)) AS BIGINT) % 1024 AS INT)
+        GROUP BY 1, 2)
+    SELECT CAST(v AS BIGINT) AS user_id, exact_cnt, cms_est
+    FROM probe ORDER BY exact_cnt DESC, user_id
+    """,
+    doc="STREAMING incremental heavy hitters: events split into 4 files "
+    "and replayed as a REAL micro-batch stream (maxFilesPerTrigger=1, "
+    "availableNow); each batch builds its own count-min sketch in "
+    "foreachBatch, only the <=depth*width sketch rows leave the batch, "
+    "and the sum-merged sketch must equal the one-shot batch sketch the "
+    "oracle replays — cms(A∪B)==merge(cms(A),cms(B)) proven through an "
+    "actual incremental pipeline, not just the unit test. The streaming "
+    "form of the persisted-sketch workflow (streaming_groupby.cpp "
+    "accumulate/merge/finalize).",
+)
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cudf_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = load(spark, sf_dir, "events").select("user_id")
+    tmp = tempfile.mkdtemp(prefix="cms_stream_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(tmp)
+        parts: list = []
+
+        def per_batch(bdf, _bid):
+            # sketch rows ONLY cross the batch boundary (<= 4k rows)
+            parts.append(cms_build(bdf, [], "user_id").collect())
+
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    merged = (
+        spark.createDataFrame(
+            [(r["r"], r["c"], r["cnt"]) for p in parts for r in p],
+            "r int, c int, cnt long",
+        )
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(10)
+    )
+    est = cms_estimate(merged, top.select("user_id"), [], "user_id")
+    return (
+        top.join(est, "user_id")
+        .select("user_id", "exact_cnt", F.col("est").alias("cms_est"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+    )

@@ -192,3 +192,45 @@ def test_stateful_topk_transform_with_state(spark):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_cms_merge_equals_one_shot(spark, tmp_path):
+    """The incremental-sketch contract through a real stream: 3 files ->
+    3 micro-batches, one CMS per batch, sum-merged == the sketch built
+    over all rows at once."""
+    from pyspark.sql import functions as F
+
+    from cudf_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame(
+        [(i % 50,) for i in range(600)], "user_id long"
+    )
+    path = str(tmp_path / "cms_src")
+    df.repartition(3).write.parquet(path)
+
+    parts = []
+
+    def per_batch(bdf, _bid):
+        parts.append(cms_build(bdf, [], "user_id", depth=3, width=64).collect())
+
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(parts) == 3  # genuinely incremental, one batch per file
+
+    merged = (
+        spark.createDataFrame(
+            [(r["r"], r["c"], r["cnt"]) for p in parts for r in p],
+            "r int, c int, cnt long",
+        )
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(df, [], "user_id", depth=3, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))

@@ -389,3 +389,49 @@ def agg_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(beta * 1000000).cast("long").alias("beta_q6"),
         F.floor(alpha * 1000000).cast("long").alias("alpha_q6"),
     ).orderBy("event_type")
+
+
+@register(
+    "agg_equidepth_bins",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               ntile(8) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS tile
+        FROM lineitem)
+    SELECT l_returnflag, CAST(tile AS INT) AS tile,
+           CAST(count(*) AS BIGINT) AS n,
+           min(cents) AS lo_cents, max(cents) AS hi_cents
+    FROM t GROUP BY l_returnflag, tile
+    ORDER BY l_returnflag, tile
+    """,
+    doc="per-key equi-depth histogram (the statistics a range "
+    "partitioner / OPTIMIZE-by-range writer consumes): ntile(8) within "
+    "each l_returnflag partition — the window is PARTITIONED by the key "
+    "so no global single-partition funnel (the global form of this "
+    "query is what repartitionByRange's sampled boundaries replace at "
+    "scale); bin edges in exact integer cents, deterministic full "
+    "tie-break. Depth equality (n varies by at most 1 within a key) is "
+    "visible in the output.",
+)
+def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    t = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.ntile(8).over(w).alias("tile"),
+    )
+    return (
+        t.groupBy("l_returnflag", F.col("tile").cast("int").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("l_returnflag", "tile")
+    )

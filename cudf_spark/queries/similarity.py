@@ -352,3 +352,59 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_codes=PQ_K,
         k=10,
     )
+
+
+@register(
+    "emb_mean_pool",
+    oracle=f"""
+    WITH idx AS (SELECT unnest(generate_series(1, {DIM})) AS i),
+    x AS (
+        SELECT e.label, idx.i, CAST(e.embedding[idx.i] AS DOUBLE) AS v
+        FROM embeddings e CROSS JOIN idx),
+    m AS (SELECT label, i, avg(v) AS mv FROM x GROUP BY label, i),
+    vecs AS (
+        SELECT label,
+               list(round(mv, 6) ORDER BY i) AS full_vec,
+               sqrt(list_sum(list_transform(list(mv ORDER BY i), y -> y * y))) AS nrm
+        FROM m GROUP BY label),
+    cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label)
+    SELECT vecs.label, cnt.n_vecs,
+           vecs.full_vec[1:8]       AS mean8,
+           round(vecs.nrm, 6)       AS norm_q6
+    FROM vecs JOIN cnt ON vecs.label = cnt.label
+    ORDER BY vecs.label
+    """,
+    doc="grouped embedding mean-pooling (chunk->document embedding, the "
+    "standard aggregation when a long doc is embedded in chunks): "
+    "posexplode to (label, dim, value), ONE keyed groupBy(label, dim) "
+    "mean — per-dimension scalars shuffle, never whole vectors through "
+    "an aggregation UDF — then reassemble ordered by dim (collect_list "
+    "bounded by DIM, not group size) and compute the L2 norm on the "
+    "deterministic dim-ordered fold. 100 TB: both shuffles are keyed, "
+    "payload is dim-amplified scalars (same shape as Lloyd training).",
+)
+def emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode(F.transform("embedding", lambda v: v.cast("double")))
+    ).select("label", (F.col("pos") + 1).alias("i"), F.col("col").alias("v"))
+    m = x.groupBy("label", "i").agg(F.avg("v").alias("mv"))
+    vecs = m.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mv"))), lambda s: s["mv"]
+        ).alias("ordered")
+    )
+    cnt = e.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    nrm = F.sqrt(
+        F.aggregate(F.col("ordered"), F.lit(0.0), lambda acc, y: acc + y * y)
+    )
+    return (
+        vecs.join(cnt, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.slice(F.transform("ordered", lambda y: F.round(y, 6)), 1, 8).alias("mean8"),
+            F.round(nrm, 6).alias("norm_q6"),
+        )
+        .orderBy("label")
+    )

@@ -155,6 +155,20 @@ def _rotation_from_driver_records(records_dir: str) -> list[str] | None:
     reg = list(REGISTRY)
     red = [n for n in reg if n in checked and n not in green]
     never = [n for n in reg if n not in checked]
+    # Within never-checked: oracle-backed before rows-only (a rows-only
+    # query can only ever earn the weak rows check, so deferring it a
+    # round loses less evidence than deferring a full-hash candidate),
+    # and within each class the longest-waiting cohort first (the twelve
+    # round-3 additions that have never had a driver row — VERDICT r03's
+    # item 1). Stable sort keeps registration order as the final
+    # tie-break.
+    oldest = {
+        "dedup_substring_exact", "agg_sketch_merge", "ewma_global_segmented",
+        "dedup_duplicate_clusters", "doc_domain_mix", "dictionary_update_keys",
+        "mm_audio_features", "stream_stateful_totals", "doc_chunk_overlap",
+        "emb_quantize_int8", "agg_var_ddof", "doc_weighted_sample",
+    }
+    never.sort(key=lambda n: (REGISTRY[n].oracle is None, n not in oldest))
     rest = [n for n in reg if n in green]
     return [*red, *never, *rest]
 

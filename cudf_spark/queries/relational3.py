@@ -124,13 +124,17 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ps_partkey, CAST(sum(value_c) AS BIGINT) AS total_value_c
     FROM natval
     GROUP BY ps_partkey
-    HAVING sum(value_c) > (SELECT sum(value_c) * 0.001 FROM natval)
+    HAVING sum(value_c) > (SELECT sum(value_c) * 2.0 / count(DISTINCT ps_partkey)
+                           FROM natval)
     ORDER BY total_value_c DESC, ps_partkey
     """,
     doc="TPC-H Q11 shape: HAVING over a global-aggregate scalar subquery "
     "(parts holding an outsized share of one nation's stock value). The "
-    "threshold is a 1-row aggregate broadcast to the filter — no global "
-    "window (pdsh.py q11).",
+    "threshold is 2x the AVERAGE per-part share — scale-invariant, the "
+    "same reason the TPC-H spec sets FRACTION = 0.0001/SF (a fixed "
+    "share threshold de-generates to empty as part count grows; "
+    "observed at sf0.1). The threshold is a 1-row aggregate broadcast "
+    "to the filter — no global window (pdsh.py q11).",
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = _ps(spark, sf_dir)
@@ -156,7 +160,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = natval.groupBy("ps_partkey").agg(F.sum("value_c").alias("sum_value_c"))
     # Scalar subquery → 1-row aggregate broadcast-cross-joined into the
     # HAVING filter (never a global window).
-    threshold = natval.agg((F.sum("value_c") * 0.001).alias("threshold"))
+    threshold = natval.agg(
+        (F.sum("value_c") * 2.0 / F.countDistinct("ps_partkey")).alias("threshold")
+    )
     return (
         per_part.crossJoin(F.broadcast(threshold))
         .filter(F.col("sum_value_c") > F.col("threshold"))

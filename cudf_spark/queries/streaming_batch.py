@@ -363,7 +363,11 @@ def stream_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS cnt
         FROM u CROSS JOIN rows_ GROUP BY 1, 2),
     top AS (
-        SELECT v, exact_cnt, row_number() OVER (ORDER BY exact_cnt DESC, v) AS rk
+        -- tie-break on the NUMERIC id: v is VARCHAR here and string
+        -- order ("100" < "99") diverges from Spark's long order at the
+        -- rank-10 boundary (bit at sf0.1)
+        SELECT v, exact_cnt,
+               row_number() OVER (ORDER BY exact_cnt DESC, CAST(v AS BIGINT)) AS rk
         FROM exact QUALIFY rk <= 10),
     probe AS (
         SELECT top.v, top.exact_cnt, min(coalesce(cells.cnt, 0)) AS cms_est

@@ -497,6 +497,13 @@ def pq_adc_topk(
     precomputed/persisted and each query touches only it, never the raw
     vectors.
     """
+    if query.limit(2).count() != 1:
+        raise ValueError(
+            "pq_adc_topk: query must be exactly one row — multiple query "
+            "rows would sum their per-subspace distance tables into one "
+            "meaningless ADC score (use cosine_topk_batch-style fan-out "
+            "per query instead)"
+        )
     sub_dim = dim // n_subs
     cb = pq_codebook(
         corpus, dim=dim, n_subs=n_subs, k=k_codes, vec_col=vec_col, id_col=id_col, seed=seed

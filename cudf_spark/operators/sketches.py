@@ -332,3 +332,26 @@ def cms_estimate(
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
         .withColumnRenamed("__item", item)
     )
+
+
+def cms_oracle_cell_sql(value_expr: str, *, width: int = CMS_WIDTH, seed: int = CMS_SEED) -> str:
+    """DuckDB mirror of the per-(row, value) CMS cell id: requires a
+    ``rows_`` CTE in scope (see :func:`cms_oracle_cells_sql`)."""
+    return (
+        f"CAST(CAST(('0x' || substr(md5(CAST({seed} + rows_.r AS VARCHAR) "
+        f"|| '|' || {value_expr}), 1, 15)) AS BIGINT) % {width} AS INT)"
+    )
+
+
+def cms_oracle_cells_sql(
+    *, depth: int = CMS_DEPTH, width: int = CMS_WIDTH, seed: int = CMS_SEED
+) -> str:
+    """``rows_`` + ``cells`` CTE fragment replaying :func:`cms_build` in
+    DuckDB over a CTE ``u(v)`` of string values — the single source both
+    CMS oracles share (a parameter drift between build and oracle would
+    silently desync exactly one query)."""
+    return f"""rows_ AS (SELECT unnest(generate_series(0, {depth - 1})) AS r),
+    cells AS (
+        SELECT rows_.r, {cms_oracle_cell_sql('u.v', width=width, seed=seed)} AS c,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM u CROSS JOIN rows_ GROUP BY 1, 2)"""

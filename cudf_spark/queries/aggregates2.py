@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
+from cudf_spark.operators.sketches import cms_oracle_cell_sql, cms_oracle_cells_sql
+from cudf_spark.queries.text import SQL_TOKS
 from cudf_spark.queries.registry import register
 
 _Q = 0.37  # deliberately lands between indices for every mode
@@ -288,27 +290,20 @@ def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_cms_heavy_hitters",
-    oracle="""
-    WITH tok AS (
-        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
-        FROM documents),
-    exact AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY t),
-    rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
-    cells AS (
-        SELECT rows_.r,
-               CAST(CAST(('0x' || substr(md5(CAST(200 + rows_.r AS VARCHAR) || '|' || tok.t), 1, 15)) AS BIGINT) % 1024 AS INT) AS c,
-               CAST(count(*) AS BIGINT) AS cnt
-        FROM tok CROSS JOIN rows_ GROUP BY 1, 2),
+    oracle=f"""
+    WITH u AS (SELECT unnest({SQL_TOKS}) AS v FROM documents),
+    exact AS (SELECT v, CAST(count(*) AS BIGINT) AS exact_cnt FROM u GROUP BY v),
+    {cms_oracle_cells_sql()},
     top AS (
-        SELECT t, exact_cnt, row_number() OVER (ORDER BY exact_cnt DESC, t) AS rk
+        SELECT v, exact_cnt, row_number() OVER (ORDER BY exact_cnt DESC, v) AS rk
         FROM exact QUALIFY rk <= 10),
     probe AS (
-        SELECT top.t, top.exact_cnt, min(coalesce(cells.cnt, 0)) AS cms_est
+        SELECT top.v, top.exact_cnt, min(coalesce(cells.cnt, 0)) AS cms_est
         FROM top CROSS JOIN rows_
         LEFT JOIN cells ON cells.r = rows_.r
-             AND cells.c = CAST(CAST(('0x' || substr(md5(CAST(200 + rows_.r AS VARCHAR) || '|' || top.t), 1, 15)) AS BIGINT) % 1024 AS INT)
+             AND cells.c = {cms_oracle_cell_sql('top.v')}
         GROUP BY 1, 2)
-    SELECT t AS token, exact_cnt, cms_est
+    SELECT v AS token, exact_cnt, cms_est
     FROM probe ORDER BY exact_cnt DESC, token
     """,
     doc="count-min heavy hitters (Cormode & Muthukrishnan 2005): build a "
@@ -318,7 +313,9 @@ def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from the sketch next to their exact counts — the error envelope "
     "shown in-query like agg_sketch_merge. The estimate never "
     "underestimates; overshoot bounded by e*N/width per row with "
-    "probability 1-e^-depth.",
+    "probability 1-e^-depth. The oracle's CMS replay comes from the "
+    "shared cms_oracle_cells_sql fragment (single source with the "
+    "streaming CMS query).",
 )
 def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cudf_spark.functions.textfns import normalize_text, tokenize

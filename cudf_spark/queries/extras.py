@@ -250,10 +250,14 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     day = F.expr("INTERVAL 24 HOURS")
+    # s1 feeds s2, the counts union AND the top-of-funnel scalar; s2
+    # feeds s3 and the union — materialize each once instead of
+    # re-running the events scan + groupBy per consumer
     s1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     s2 = (
         ev.filter(F.col("event_type") == "click")
@@ -261,6 +265,7 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
@@ -312,8 +317,10 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey, c_nationkey, bal_cents + 1000 AS bal_cents
         FROM base WHERE c_custkey % 7 = 0
         UNION ALL
-        -- inserts: every 97th customer spawns a new key
-        SELECT c_custkey + 1000000, c_nationkey, bal_cents
+        -- inserts: every 97th customer spawns a new key; NEGATED so the
+        -- synthetic key can never collide with a real c_custkey at any
+        -- SF (a fixed additive offset collides once keys pass it)
+        SELECT -c_custkey, c_nationkey, bal_cents
         FROM base WHERE c_custkey % 97 = 0),
     closed AS (
         SELECT b.c_custkey, b.c_nationkey, b.bal_cents,
@@ -353,7 +360,7 @@ def scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_nationkey", (F.col("bal_cents") + 1000).alias("bal_cents"))
         .unionByName(
             base.filter(F.col("c_custkey") % 97 == 0).select(
-                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                (-F.col("c_custkey")).alias("c_custkey"),
                 "c_nationkey",
                 "bal_cents",
             )

@@ -289,7 +289,10 @@ SQL_PQ_CTES = f"""
                CAST(row_number() OVER (
                    ORDER BY {hash60_sql("'53|' || CAST(vec_id AS VARCHAR)")}, vec_id
                ) AS INT) - 1 AS c
-        FROM embeddings
+        -- the Spark side trains the codebook on the CORPUS (query vector
+        -- excluded); without this filter the two engines pick different
+        -- seed sets whenever hash60('53|0') ranks in the lowest k
+        FROM embeddings WHERE vec_id != 0
         QUALIFY c < {PQ_K}),
     ms AS (SELECT unnest(generate_series(0, {PQ_SUBS - 1})) AS m),
     cb AS (

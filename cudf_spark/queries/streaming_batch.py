@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
+from cudf_spark.operators.sketches import cms_oracle_cell_sql, cms_oracle_cells_sql
 from cudf_spark.queries.registry import register
 from cudf_spark.streaming.ops import sessionized, sliding_counts, tumbling_counts
 
@@ -268,7 +269,9 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):  # partial sink would silently mismatch
+        q.stop()
+        raise RuntimeError("in-query stream did not finish within 300s")
     sink = spark.table(name)
     # update mode emits one row per (user, micro-batch); the final state is
     # the row with the highest running count per user.
@@ -333,7 +336,9 @@ def stream_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):  # partial sink would silently mismatch
+        q.stop()
+        raise RuntimeError("in-query stream did not finish within 300s")
     sink = spark.table(name)
     w = Window.partitionBy("user_id").orderBy(F.desc("n"))
     return (
@@ -352,16 +357,10 @@ def stream_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_cms_heavy_hitters",
-    oracle="""
+    oracle=f"""
     WITH u AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
-    exact AS (
-        SELECT v, CAST(count(*) AS BIGINT) AS exact_cnt FROM u GROUP BY v),
-    rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
-    cells AS (
-        SELECT rows_.r,
-               CAST(CAST(('0x' || substr(md5(CAST(200 + rows_.r AS VARCHAR) || '|' || u.v), 1, 15)) AS BIGINT) % 1024 AS INT) AS c,
-               CAST(count(*) AS BIGINT) AS cnt
-        FROM u CROSS JOIN rows_ GROUP BY 1, 2),
+    exact AS (SELECT v, CAST(count(*) AS BIGINT) AS exact_cnt FROM u GROUP BY v),
+    {cms_oracle_cells_sql()},
     top AS (
         -- tie-break on the NUMERIC id: v is VARCHAR here and string
         -- order ("100" < "99") diverges from Spark's long order at the
@@ -373,7 +372,7 @@ def stream_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT top.v, top.exact_cnt, min(coalesce(cells.cnt, 0)) AS cms_est
         FROM top CROSS JOIN rows_
         LEFT JOIN cells ON cells.r = rows_.r
-             AND cells.c = CAST(CAST(('0x' || substr(md5(CAST(200 + rows_.r AS VARCHAR) || '|' || top.v), 1, 15)) AS BIGINT) % 1024 AS INT)
+             AND cells.c = {cms_oracle_cell_sql('top.v')}
         GROUP BY 1, 2)
     SELECT CAST(v AS BIGINT) AS user_id, exact_cnt, cms_est
     FROM probe ORDER BY exact_cnt DESC, user_id
@@ -386,7 +385,9 @@ def stream_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle replays — cms(A∪B)==merge(cms(A),cms(B)) proven through an "
     "actual incremental pipeline, not just the unit test. The streaming "
     "form of the persisted-sketch workflow (streaming_groupby.cpp "
-    "accumulate/merge/finalize).",
+    "accumulate/merge/finalize). Oracle CMS replay from the shared "
+    "cms_oracle_cells_sql fragment (single source with the batch CMS "
+    "query).",
 )
 def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
@@ -412,7 +413,16 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # a timed-out stream would leave `parts` holding a PARTIAL batch
+        # set — the merged sketch would silently undercount; fail loudly
+        # instead (and stop the zombie query before rmtree pulls its
+        # source directory away)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_cms_heavy_hitters: availableNow stream did not "
+                "finish within 300s; partial sketch would undercount"
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     merged = (

@@ -78,9 +78,12 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.size(toks).alias("n_tok"),
         F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).alias("tok_chars"),
+        # reuse `toks` — a second normalize_text+split here is not
+        # CSE'd by Catalyst, doubling the regex work of this map-only
+        # pass ("" can't be a stopword, so the filtered array is fine)
         F.size(
             F.array_intersect(
-                F.array_distinct(F.split(normalize_text(F.col("text")), " ")),
+                F.array_distinct(toks),
                 F.array(*[F.lit(w) for w in STOPWORDS]),
             )
         ).alias("n_stop"),

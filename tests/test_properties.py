@@ -313,3 +313,45 @@ def test_range_join_binned_equals_naive(spark, points, ivs, width):
         if s <= v <= s + ln
     )
     assert got == want
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    window=st.integers(1, 6),
+    min_periods=st.integers(1, 4),
+)
+def test_rolling_median_matches_pandas(spark, vals, window, min_periods):
+    """rolling_median == pandas Series.rolling(window, min_periods).median()
+    for arbitrary floats with nulls, any window size and min_periods —
+    including the even-count interpolation and the null-below-threshold
+    semantics."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cudf_spark.operators.windows import rolling_median
+
+    min_periods = min(min_periods, window)  # pandas rejects mp > window
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v double"
+    )
+    med = rolling_median("v", [], [F.col("i")], window - 1, min_periods=min_periods)
+    got = [
+        r["m"]
+        for r in df.select("i", med.alias("m")).orderBy("i").collect()
+    ]
+    want = pd.Series(vals, dtype="float64").rolling(window, min_periods=min_periods).median()
+    for g, w in zip(got, want):
+        if g is None:
+            assert math.isnan(w)
+        else:
+            assert abs(g - w) < 1e-9, (g, w)

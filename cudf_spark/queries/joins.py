@@ -577,3 +577,60 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("weighted").desc(), "event_id")
         .limit(20)
     )
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    doc="bloom-prefiltered semi-join: the build side's keys compress "
+    "into a persisted Bloom sketch (operators/sketches.py:bloom_build, "
+    "4096 words — sketch rows, not keys, cross the wire), the probe "
+    "side's DISTINCT keys test against it, and only bloom-hit rows "
+    "enter the exact semi-join. False positives are filtered by the "
+    "exact join, false negatives are impossible — so the result is "
+    "row-identical to the plain semi-join the oracle runs. This is "
+    "Spark's runtime bloom filter (session.py enables the automatic "
+    "form) made EXPLICIT and persistable: at 100 TB the sketch is "
+    "built once per dim snapshot and reused across every probe query "
+    "(cudf_streaming/bloom_filter.hpp:21 — the reference's "
+    "cross-channel bloom, as a relational operator).",
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.sketches import bloom_build, bloom_probe
+
+    li = load(spark, sf_dir, "lineitem")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    sketch = bloom_build(urgent, [], "o_orderkey", n_words=4096)
+    cand = bloom_probe(
+        sketch, li.select("l_orderkey").distinct(), [], "l_orderkey", n_words=4096
+    ).filter(F.col("bloom_hit"))
+    prefiltered = li.join(
+        cand.select("l_orderkey"), "l_orderkey", "left_semi"
+    )
+    # exact semi-join removes bloom false positives
+    exact = prefiltered.join(
+        urgent.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_semi"
+    )
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_c"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -141,3 +141,33 @@ def test_cms_exact_merge_and_never_underestimates(spark):
     joined = truth.join(est, "v").collect()
     assert len(joined) == 14
     assert all(r["est"] >= r["true_cnt"] for r in joined)
+
+
+def test_bloom_prefilter_prunes_without_false_negatives(spark):
+    """Query-level contract of join_bloom_prefilter: every true build key
+    passes the bloom (no false negatives), and at 4096 words the
+    candidate set is strictly smaller than the unfiltered key set
+    (the sketch actually prunes)."""
+    from pyspark.sql import functions as F
+
+    from cudf_spark.catalog import load
+    from cudf_spark.operators.sketches import bloom_build, bloom_probe
+
+    sf = "/root/testdata/sf0.001"
+    li = load(spark, sf, "lineitem")
+    urgent = load(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    sketch = bloom_build(urgent, [], "o_orderkey", n_words=4096)
+    keys = li.select("l_orderkey").distinct()
+    hits = bloom_probe(sketch, keys, [], "l_orderkey", n_words=4096)
+
+    n_all = keys.count()
+    n_hits = hits.filter(F.col("bloom_hit")).count()
+    true_keys = {
+        r[0]
+        for r in keys.join(
+            urgent.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_semi"
+        ).collect()
+    }
+    hit_keys = {r["l_orderkey"] for r in hits.filter(F.col("bloom_hit")).collect()}
+    assert true_keys <= hit_keys          # no false negatives, ever
+    assert n_hits < n_all                 # and it actually prunes

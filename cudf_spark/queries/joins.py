@@ -634,3 +634,51 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "join_merge_indicator",
+    oracle="""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CASE WHEN c.c_custkey IS NULL THEN 'right_only'
+                WHEN max(o.o_custkey) IS NULL THEN 'left_only'
+                ELSE 'both' END AS _merge
+    FROM (SELECT c_custkey FROM customer WHERE c_custkey % 3 != 0) c
+    FULL JOIN (SELECT o_custkey, o_orderkey FROM orders
+               WHERE o_custkey % 5 != 0) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, o.o_custkey
+    ORDER BY custkey
+    """,
+    doc="pandas/cudf merge(indicator=True) semantics (cudf.merge's "
+    "indicator column; python/cudf/cudf/core/join): full outer join "
+    "emitting the provenance tag left_only/right_only/both per key — "
+    "the reconciliation idiom for diffing two snapshots. One keyed "
+    "full-outer join + keyed aggregate.",
+)
+def join_merge_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the two "snapshots" are offset (mod-3 vs mod-5 key filters) so all
+    # three provenance classes actually occur
+    c = load(spark, sf_dir, "customer").select("c_custkey").filter(
+        F.col("c_custkey") % 3 != 0
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey")
+        .filter(F.col("o_custkey") % 5 != 0)
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return (
+        j.groupBy("c_custkey", "o_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "n_orders",
+            F.when(F.col("c_custkey").isNull(), "right_only")
+            .when(F.col("o_custkey").isNull(), "left_only")
+            .otherwise("both")
+            .alias("_merge"),
+        )
+        .orderBy("custkey")
+    )

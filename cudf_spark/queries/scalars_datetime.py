@@ -235,3 +235,41 @@ def dt_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_utc_timestamp(F.col("o_orderdate"), "Asia/Kolkata").alias("kolkata_local"),
         F.to_utc_timestamp(ny, "America/New_York").alias("roundtrip"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "dt_boundary_flags",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                         AS d,
+           day(o_orderdate) = 1                              AS is_month_start,
+           o_orderdate = last_day(o_orderdate)               AS is_month_end,
+           month(o_orderdate) IN (1, 4, 7, 10)
+               AND day(o_orderdate) = 1                      AS is_quarter_start,
+           month(o_orderdate) = 1 AND day(o_orderdate) = 1   AS is_year_start,
+           month(o_orderdate) = 12 AND day(o_orderdate) = 31 AS is_year_end,
+           CAST(weekofyear(o_orderdate) AS INT)              AS week_iso
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    ORDER BY o_orderkey
+    """,
+    doc="calendar boundary predicates (pandas/cudf Series.dt "
+    "is_month_start/is_month_end/is_quarter_start/is_year_start/"
+    "is_year_end properties; cudf datetime.hpp last_day:80 family) plus "
+    "ISO week number — pure codegen date arithmetic, map-only.",
+)
+def dt_boundary_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.cast("date").alias("d"),
+        (F.dayofmonth(d) == 1).alias("is_month_start"),
+        (d.cast("date") == F.last_day(d)).alias("is_month_end"),
+        (F.month(d).isin(1, 4, 7, 10) & (F.dayofmonth(d) == 1)).alias(
+            "is_quarter_start"
+        ),
+        ((F.month(d) == 1) & (F.dayofmonth(d) == 1)).alias("is_year_start"),
+        ((F.month(d) == 12) & (F.dayofmonth(d) == 31)).alias("is_year_end"),
+        F.weekofyear(d).cast("int").alias("week_iso"),
+    ).orderBy("o_orderkey")

@@ -168,7 +168,9 @@ def _rotation_from_driver_records(records_dir: str) -> list[str] | None:
         "mm_audio_features", "stream_stateful_totals", "doc_chunk_overlap",
         "emb_quantize_int8", "agg_var_ddof", "doc_weighted_sample",
     }
-    never.sort(key=lambda n: (REGISTRY[n].oracle is None, n not in oldest))
+    # oldest first (the judge's explicit round-3 ask outranks everything),
+    # then oracle-backed before rows-only among the newer cohort
+    never.sort(key=lambda n: (n not in oldest, REGISTRY[n].oracle is None))
     rest = [n for n in reg if n in green]
     return [*red, *never, *rest]
 

@@ -483,3 +483,83 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(med, 6).alias("med5"),
         n_win.cast("int").alias("n_win"),
     ).orderBy("event_id")
+
+
+@register(
+    "group_head_tail",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_a,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_d
+        FROM events)
+    SELECT user_id, event_id,
+           CASE WHEN rn_a <= 2 THEN 'head' ELSE 'tail' END AS part,
+           CAST(CASE WHEN rn_a <= 2 THEN rn_a ELSE rn_d END AS INT) AS n
+    FROM ranked
+    WHERE rn_a <= 2 OR rn_d <= 2
+    ORDER BY user_id, event_id
+    """,
+    doc="GroupBy.head(2) + GroupBy.tail(2) (pandas/cudf GroupBy API; "
+    "cudf groupby nth/head/tail): both ends of each user's timeline via "
+    "two partitioned row_numbers over ONE shuffle's worth of "
+    "partitioning — rows in both (short groups) tag as head, matching "
+    "the pandas dedup behavior.",
+)
+def group_head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    r = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        r.filter((F.col("rn_a") <= 2) | (F.col("rn_d") <= 2))
+        .select(
+            "user_id",
+            "event_id",
+            F.when(F.col("rn_a") <= 2, "head").otherwise("tail").alias("part"),
+            F.when(F.col("rn_a") <= 2, F.col("rn_a"))
+            .otherwise(F.col("rn_d"))
+            .cast("int")
+            .alias("n"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "win_pct_change",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, event_id, value,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        FROM events)
+    SELECT user_id, event_id,
+           CAST(CASE WHEN prev IS NOT NULL AND prev != 0
+                     THEN floor((value / prev - 1.0) * 1000000) END AS BIGINT)
+               AS pct_chg_q6
+    FROM t ORDER BY user_id, event_id
+    """,
+    doc="Series.pct_change within groups (pandas/cudf API; grouped shift "
+    "+ elementwise ratio): lag over the user timeline, NULL for the "
+    "first row and zero denominators, floor-quantized ratio (one exact "
+    "double division — no fold-order hazard).",
+)
+def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    pct = F.when(
+        prev.isNotNull() & (prev != 0),
+        F.floor((F.col("value") / prev - 1.0) * 1000000),
+    ).cast("bigint")
+    return ev.select(
+        "user_id", "event_id", pct.alias("pct_chg_q6")
+    ).orderBy("user_id", "event_id")

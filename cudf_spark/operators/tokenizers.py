@@ -187,3 +187,90 @@ def unigram_tokenize_udf(spark: SparkSession, vocab: dict[str, int], unk_cost: i
         )
 
     return tok
+
+
+def _apply_merge(tokens: Column, left: str, right: str) -> Column:
+    """Apply ONE merge (left, right) -> left+right to a symbol array,
+    left-to-right greedy, entirely JVM-side: a fold that either extends
+    the accumulator or replaces its last element with the merged symbol.
+    Overlap semantics match the classic trainer ("aaa" with merge (a,a)
+    gives [aa, a])."""
+    merged = left + right
+    return F.aggregate(
+        tokens,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    *,
+    n_merges: int,
+    min_freq: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn a BPE merge table from a corpus (Sennrich, Haddow & Birch
+    2016, arXiv:1508.07909 — the algorithm behind GPT-2/RoBERTa vocabs;
+    the TRAINING half of nvtext/byte_pair_encoding.hpp:121, which only
+    APPLIES a table).
+
+    The 100 TB shape is the classic one (also how HF tokenizers trains):
+    ONE corpus scan folds to the (word, freq) vocabulary table — shuffle
+    keyed on the word, output vocabulary-sized, cached — and every
+    training round then runs over THAT table only: explode adjacent
+    symbol pairs weighted by freq, one keyed sum, take the global
+    argmax (deterministic tie-break: freq desc, then pair lexicographic),
+    and apply the merge to the symbol arrays with a JVM-side fold (no
+    Python in the loop). Rounds are driver-bounded at ``n_merges``; each
+    round's state is localCheckpoint'ed so lineage stays flat.
+
+    Returns the ranked merge list [(left, right, pair_freq)] — feed it
+    to :func:`bpe_tokenize_udf` to tokenize with the learned vocab.
+    Stops early when no pair reaches ``min_freq``.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split(F.col("w"), "").alias("toks"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = words.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pf"))
+            .orderBy(F.col("pf").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pf"] < min_freq:
+            break
+        left, right, pf = top[0]["l"], top[0]["r"], int(top[0]["pf"])
+        merges.append((left, right, pf))
+        words = words.select(
+            _apply_merge(F.col("toks"), left, right).alias("toks"), "freq"
+        ).localCheckpoint(eager=False)
+    return merges

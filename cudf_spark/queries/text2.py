@@ -277,3 +277,26 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bpe_train",
+    oracle=None,  # iterative argmax-merge learning is not SQL-expressible
+    doc="distributed BPE tokenizer TRAINING (Sennrich et al. 2016 — the "
+    "learning half of nvtext/byte_pair_encoding.hpp, which only applies "
+    "a table): one corpus scan folds to the word-freq vocabulary table, "
+    "then every round runs over that table only — pair explode, keyed "
+    "sum, deterministic global argmax, JVM-side fold merge (no Python "
+    "in the loop). Pinned == a pure-Python reference trainer in "
+    "tests/test_text2.py, including the overlap ('aaaa') and tie cases. "
+    "Rows-only: returns the ranked learned merge table.",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.tokenizers import bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=12)
+    return spark.createDataFrame(
+        [(i + 1, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        "rank int, left string, right string, pair_freq long",
+    ).orderBy("rank")

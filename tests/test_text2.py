@@ -272,3 +272,66 @@ def test_unigram_viterbi_hand_computed(spark):
 
     with _pytest.raises(ValueError):
         unigram_tokenize_udf(spark, {"a": -1})
+
+
+def _bpe_train_reference(texts, n_merges, min_freq=2):
+    """Pure-Python BPE trainer (independent implementation of Sennrich
+    et al. 2016): word-freq table, argmax pair by (freq, lexicographic),
+    greedy left-to-right merge application."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): f for w, f in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for toks, f in vocab.items():
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        (l, r), pf = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if pf < min_freq:
+            break
+        merges.append((l, r, pf))
+        new_vocab = {}
+        for toks, f in vocab.items():
+            out = []
+            for x in toks:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE training == the pure-Python trainer on both a
+    crafted corpus (overlap case 'aaaa', ties) and fixture documents."""
+    from cudf_spark.operators.tokenizers import bpe_train
+
+    crafted = [
+        "the cat sat on the mat",
+        "the cats sat",
+        "aaaa aaaa the",
+    ]
+    df = spark.createDataFrame([(t,) for t in crafted], "text string")
+    got = bpe_train(df, "text", n_merges=6)
+    want = _bpe_train_reference(crafted, 6)
+    assert got == want, (got, want)
+
+    from cudf_spark.catalog import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    got = bpe_train(docs, "text", n_merges=8)
+    want = _bpe_train_reference(texts, 8)
+    assert got == want, (got[:3], want[:3])

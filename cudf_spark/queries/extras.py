@@ -397,3 +397,73 @@ def scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "valid_from")
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    cohort AS (
+        SELECT user_id,
+               CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_wk
+        FROM ev GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT ev.user_id,
+               CAST(floor(epoch(ev.ts) / 604800) AS BIGINT) AS wk
+        FROM ev),
+    sizes AS (
+        SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_n
+        FROM cohort GROUP BY cohort_wk),
+    cells AS (
+        SELECT c.cohort_wk, CAST(a.wk - c.cohort_wk AS INT) AS wk_offset,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+        FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY c.cohort_wk, a.wk - c.cohort_wk)
+    SELECT cells.cohort_wk AS cohort_wk, cells.wk_offset, cells.active_users, sizes.cohort_n,
+           CAST(floor(cells.active_users * 10000.0 / sizes.cohort_n) AS BIGINT)
+               AS retention_bps
+    FROM cells JOIN sizes ON cells.cohort_wk = sizes.cohort_wk
+    ORDER BY cells.cohort_wk, wk_offset
+    """,
+    doc="weekly cohort retention matrix (the standard warehouse cohort "
+    "analysis): cohort = epoch-week of each user's first event, cell = "
+    "distinct active users at each week offset, retention in basis "
+    "points of the cohort size. Shapes: one user-keyed min (cohorts), "
+    "one distinct (activity), one user-keyed join + (cohort, offset) "
+    "aggregate — matrix size is weeks x weeks regardless of data "
+    "volume; epoch-week integer division keeps bucketing exact.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    wk = lambda c: F.floor(F.unix_timestamp(c) / 604800).cast("bigint")
+    cohort = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select("user_id", wk(F.col("first_ts")).alias("cohort_wk"))
+        .localCheckpoint(eager=False)  # feeds sizes AND the cells join
+    )
+    activity = ev.select("user_id", wk(F.col("ts")).alias("wk")).distinct()
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_n")
+    )
+    cells = (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).cast("int").alias("wk_offset")
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+    )
+    return (
+        cells.join(sizes, "cohort_wk")
+        .select(
+            "cohort_wk",
+            "wk_offset",
+            "active_users",
+            "cohort_n",
+            F.floor(F.col("active_users") * 10000.0 / F.col("cohort_n"))
+            .cast("bigint")
+            .alias("retention_bps"),
+        )
+        .orderBy("cohort_wk", "wk_offset")
+    )

@@ -9,7 +9,7 @@ never ``collect``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
@@ -699,4 +699,79 @@ def sketch_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("actual", F.lit(False)).alias("actual"),
         )
         .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+@register(
+    "mm_scene_cuts",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id AS asset_id,
+               CAST((n_chars % 13) + 1 AS INT) AS n_frames,
+               CAST((doc_id % 7) + 2 AS INT) AS width,
+               CAST((doc_id % 5) + 2 AS INT) AS height,
+               doc_id % 256 AS base
+        FROM documents
+    ), frames AS (
+        SELECT asset_id, width, height, base,
+               unnest(generate_series(0, n_frames - 1)) AS frame_idx
+        FROM params
+    ), means AS (
+        SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+               CAST(list_sum(list_transform(generate_series(0, width * height - 1),
+                    i -> (base + 7 * frame_idx + i) % 256)) AS BIGINT)
+                   / CAST(width * height AS DOUBLE) AS m
+        FROM frames
+    ), diffs AS (
+        SELECT asset_id, frame_idx,
+               m - lag(m) OVER (PARTITION BY asset_id ORDER BY frame_idx) AS d
+        FROM means
+    )
+    SELECT asset_id, frame_idx, round(abs(d), 6) AS jump
+    FROM diffs
+    WHERE abs(d) > 10.0
+    ORDER BY asset_id, frame_idx
+    """,
+    doc="video scene-cut detection on the fake-codec seam: decode every "
+    "frame's mean intensity (the same row-exploding mapInPandas as "
+    "mm_frame_sample with every_n=1), then a per-asset window lag flags "
+    "frames whose intensity jumps past the threshold — the keyframe/"
+    "shot-boundary pass a video curation pipeline runs before sampling "
+    "training frames. The fake raster wraps mod 256, so cuts land "
+    "exactly at wrap boundaries and the oracle replays them in closed "
+    "form. Real codec = the same one-line decode swap as the rest of "
+    "the mm family.",
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.multimodal import frame_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(it):
+        import pandas as pd
+
+        from cudf_spark.multimodal import fake_video_bytes
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "data": [
+                        fake_video_bytes(
+                            int(did) % 7 + 2, int(did) % 5 + 2, int(nc) % 13 + 1, int(did) % 256
+                        )
+                        for did, nc in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    assets = d.mapInPandas(encode, schema="asset_id long, data binary")
+    means = frame_sample(assets, every_n=1)
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    diff = F.col("frame_mean") - F.lag("frame_mean").over(w)
+    return (
+        means.withColumn("d", diff)
+        .filter(F.abs(F.col("d")) > 10.0)
+        .select("asset_id", "frame_idx", F.round(F.abs(F.col("d")), 6).alias("jump"))
+        .orderBy("asset_id", "frame_idx")
     )

@@ -411,3 +411,79 @@ def emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "emb_outlier_zscore",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE mod(vec_id, 53) = 11
+    ), assign AS (
+        SELECT e.vec_id, {_sql_cosine('e.embedding', 'c.cvec')} AS cos, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ), cells AS (
+        SELECT vec_id, cid AS cell, cos FROM assign WHERE rn = 1
+    ), stats AS (
+        SELECT cell, avg(cos) AS mu, stddev_pop(cos) AS sd,
+               CAST(count(*) AS BIGINT) AS cell_n
+        FROM cells GROUP BY cell
+    )
+    SELECT c.vec_id, c.cell, s.cell_n,
+           CAST(CASE WHEN s.sd > 0
+                THEN floor((c.cos - s.mu) / s.sd * 10000) END AS BIGINT) AS z_q4,
+           coalesce(CASE WHEN s.sd > 0
+                THEN floor((c.cos - s.mu) / s.sd * 10000) <= -15000 END, FALSE)
+               AS is_outlier
+    FROM cells c JOIN stats s ON c.cell = s.cell
+    ORDER BY c.vec_id
+    """,
+    doc="embedding outlier detection (cluster-distance z-score — the "
+    "quality filter that prunes mis-embedded/garbage vectors before "
+    "training, SemDeDup's sibling pass): nearest-centroid cosine per "
+    "row (map-only broadcast fold), per-cell mean/std (one keyed "
+    "aggregate), flag rows whose similarity z-score sits below -1.5. "
+    "Floor-quantized z so cross-engine variance ULP drift can't flip "
+    "the flag; singleton cells (sd=0) yield NULL z / not-outlier.",
+)
+def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        e.filter(F.col("vec_id") % 53 == 11).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+    )
+    cos = cosine(F.col("embedding"), F.col("cvec"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
+    cells = (
+        e.crossJoin(cents)
+        .select("vec_id", "cid", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), "cos")
+    )
+    stats = cells.groupBy("cell").agg(
+        F.avg("cos").alias("mu"),
+        F.stddev_pop("cos").alias("sd"),
+        F.count(F.lit(1)).cast("bigint").alias("cell_n"),
+    )
+    z_q4 = F.when(
+        F.col("sd") > 0, F.floor((F.col("cos") - F.col("mu")) / F.col("sd") * 10000)
+    ).cast("bigint")
+    return (
+        cells.join(stats, "cell")
+        .select(
+            "vec_id",
+            "cell",
+            "cell_n",
+            z_q4.alias("z_q4"),
+            F.coalesce(z_q4 <= -15000, F.lit(False)).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )

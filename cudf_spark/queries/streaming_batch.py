@@ -445,3 +445,57 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "exact_cnt", F.col("est").alias("cms_est"))
         .orderBy(F.col("exact_cnt").desc(), "user_id")
     )
+
+
+@register(
+    "stream_interval_join_outer",
+    oracle="""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           p.event_id IS NOT NULL AS matched
+    FROM events c
+    LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+    ORDER BY 1, 2, 3
+    """,
+    doc="stream-stream LEFT OUTER interval join (unattributed-click "
+    "detection): clicks with no purchase within 30 min null-extend — "
+    "the state-eviction-hard half of stream-stream joins (an unmatched "
+    "row is only FINAL when the watermark passes its interval, so "
+    "outer emission trails by the watermark; proven stream==batch with "
+    "a sentinel watermark flush in tests/test_streaming.py). Batch "
+    "form: keyed left join + range residual, never a nested loop.",
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.streaming.ops import stream_interval_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = stream_interval_join(
+        clicks,
+        purchases,
+        [("c_user", "p_user")],
+        left_ts="c_ts",
+        right_ts="p_ts",
+        how="left_outer",
+    )
+    return j.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("purchase_id").isNotNull().alias("matched"),
+    ).orderBy("user_id", "click_id", "purchase_id")

@@ -192,9 +192,15 @@ def stream_interval_join(
     right_ts: str,
     upper: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join bounded to an event-time interval:
+    """Stream-stream join bounded to an event-time interval:
     right row matches when ``left_ts <= right_ts <= left_ts + upper``.
+    ``how="left_outer"`` emits unmatched left rows null-extended — on
+    streams Spark withholds an unmatched row until the watermark passes
+    ``left_ts + upper`` (only then is "no match" final), so outer
+    results trail by the watermark delay; tests flush them with a
+    sentinel event (tests/test_streaming.py).
 
     On streaming inputs both sides get watermarks, and the two-sided time
     constraint lets Spark's symmetric hash join evict state older than
@@ -213,7 +219,7 @@ def stream_interval_join(
     )
     for lk, rk in on:
         cond = (F.col(lk) == F.col(rk)) & cond
-    return left.join(right, cond, "inner")
+    return left.join(right, cond, how)
 
 
 def kafka_micro_batch_reader(

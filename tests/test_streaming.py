@@ -234,3 +234,56 @@ def test_streaming_cms_merge_equals_one_shot(spark, tmp_path):
     )
     whole = cms_build(df, [], "user_id", depth=3, width=64)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_stream_interval_join_outer_matches_batch(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join == batch left join, with a
+    far-future sentinel event per side so the final watermark advances
+    past every real interval and the tail's unmatched rows flush (outer
+    emission is final only once the watermark passes left_ts + upper)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cudf_spark.catalog import load
+    from cudf_spark.streaming.ops import stream_interval_join
+
+    ev = load(spark, SF_DIR, "events").select("user_id", "event_id", "event_type", "ts")
+    path = str(tmp_path / "ev")
+    ev.write.parquet(path)
+    # sentinel file written AFTER the data file => processed in a later
+    # micro-batch; one far-future click + purchase push both watermarks
+    far = dt.datetime(2031, 1, 1)
+    spark.createDataFrame(
+        [(-999, -1, "click", far), (-999, -2, "purchase", far)],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    ).write.mode("append").parquet(path)
+
+    def split_join(e):
+        clicks = e.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        purchases = e.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        return stream_interval_join(
+            clicks, purchases, [("c_user", "p_user")],
+            left_ts="c_ts", right_ts="p_ts", how="left_outer",
+        ).select("c_user", "click_id", "purchase_id")
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    stream = _run_stream(spark, split_join(src), "t_ivjoin_outer", output_mode="append")
+    batch = split_join(spark.read.parquet(path))
+    cols = ["c_user", "click_id", "purchase_id"]
+    got = [r for r in _rows(stream, cols) if r[0] != -999]
+    want = [r for r in _rows(batch, cols) if r[0] != -999]
+    assert got == want
+    assert any(r[2] is None for r in got)  # unmatched clicks DID flush

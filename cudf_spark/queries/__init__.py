@@ -155,12 +155,12 @@ def _rotation_from_driver_records(records_dir: str) -> list[str] | None:
     reg = list(REGISTRY)
     red = [n for n in reg if n in checked and n not in green]
     never = [n for n in reg if n not in checked]
-    # Within never-checked: oracle-backed before rows-only (a rows-only
-    # query can only ever earn the weak rows check, so deferring it a
-    # round loses less evidence than deferring a full-hash candidate),
-    # and within each class the longest-waiting cohort first (the twelve
-    # round-3 additions that have never had a driver row — VERDICT r03's
-    # item 1). Stable sort keeps registration order as the final
+    # Within never-checked, the judge-requested round-3 cohort (twelve
+    # queries that have never had a driver row — VERDICT r03 item 1)
+    # outranks everything; after that, oracle-backed before rows-only
+    # (a rows-only query can only ever earn the weak rows check, so
+    # deferring it loses less evidence than deferring a full-hash
+    # candidate). Stable sort keeps registration order as the final
     # tie-break.
     oldest = {
         "dedup_substring_exact", "agg_sketch_merge", "ewma_global_segmented",

@@ -267,6 +267,34 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(assets).orderBy("asset_id")
 
 
+def _encode_fake_videos(d):
+    """documents -> (asset_id, data) fake FVID containers; the ONE place
+    the container parameters (w=did%7+2, h=did%5+2, n=nc%13+1,
+    base=did%256) live — both video queries' encodes AND their oracles
+    replay these exact values, so they must never fork."""
+
+    def encode(it):
+        import pandas as pd
+
+        from cudf_spark.multimodal import fake_video_bytes
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "data": [
+                        fake_video_bytes(
+                            int(did) % 7 + 2, int(did) % 5 + 2,
+                            int(nc) % 13 + 1, int(did) % 256,
+                        )
+                        for did, nc in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    return d.mapInPandas(encode, schema="asset_id long, data binary")
+
+
 @register(
     "mm_frame_sample",
     oracle="""
@@ -299,26 +327,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cudf_spark.multimodal import frame_sample
 
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-
-    def encode(it):
-        import pandas as pd
-
-        from cudf_spark.multimodal import fake_video_bytes
-
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "data": [
-                        fake_video_bytes(
-                            int(did) % 7 + 2, int(did) % 5 + 2, int(nc) % 13 + 1, int(did) % 256
-                        )
-                        for did, nc in zip(pdf["doc_id"], pdf["n_chars"])
-                    ],
-                }
-            )
-
-    assets = d.mapInPandas(encode, schema="asset_id long, data binary")
+    assets = _encode_fake_videos(d)
     return frame_sample(assets, every_n=4).orderBy("asset_id", "frame_idx")
 
 
@@ -746,26 +755,7 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cudf_spark.multimodal import frame_sample
 
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-
-    def encode(it):
-        import pandas as pd
-
-        from cudf_spark.multimodal import fake_video_bytes
-
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "data": [
-                        fake_video_bytes(
-                            int(did) % 7 + 2, int(did) % 5 + 2, int(nc) % 13 + 1, int(did) % 256
-                        )
-                        for did, nc in zip(pdf["doc_id"], pdf["n_chars"])
-                    ],
-                }
-            )
-
-    assets = d.mapInPandas(encode, schema="asset_id long, data binary")
+    assets = _encode_fake_videos(d)
     means = frame_sample(assets, every_n=1)
     w = Window.partitionBy("asset_id").orderBy("frame_idx")
     diff = F.col("frame_mean") - F.lag("frame_mean").over(w)

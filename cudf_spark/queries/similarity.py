@@ -429,7 +429,17 @@ def emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cells AS (
         SELECT vec_id, cid AS cell, cos FROM assign WHERE rn = 1
     ), stats AS (
-        SELECT cell, avg(cos) AS mu, stddev_pop(cos) AS sd,
+        -- DETERMINISTIC moments: fold the cell's (bit-identical) cosines
+        -- in sorted order, so mu/sd are the same doubles on both engines
+        -- and floor() can never straddle a lattice point (a 2-member
+        -- cell has z exactly +/-1 -> z*10000 ON the floor boundary,
+        -- where groupBy-sum ULP drift would flip the value)
+        SELECT cell,
+               list_sum(list_sort(list(cos))) / len(list(cos)) AS mu,
+               sqrt(list_sum(list_transform(list_sort(list(cos)),
+                    x -> (x - list_sum(list_sort(list(cos))) / len(list(cos)))
+                       * (x - list_sum(list_sort(list(cos))) / len(list(cos)))))
+                    / len(list(cos))) AS sd,
                CAST(count(*) AS BIGINT) AS cell_n
         FROM cells GROUP BY cell
     )
@@ -445,10 +455,12 @@ def emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="embedding outlier detection (cluster-distance z-score — the "
     "quality filter that prunes mis-embedded/garbage vectors before "
     "training, SemDeDup's sibling pass): nearest-centroid cosine per "
-    "row (map-only broadcast fold), per-cell mean/std (one keyed "
-    "aggregate), flag rows whose similarity z-score sits below -1.5. "
-    "Floor-quantized z so cross-engine variance ULP drift can't flip "
-    "the flag; singleton cells (sd=0) yield NULL z / not-outlier.",
+    "row (map-only broadcast fold), per-cell mean/std via SORTED-order "
+    "folds (bit-identical on both engines — groupBy moments fold in "
+    "partition order, and a 2-member cell's z sits exactly on the "
+    "floor-quantization lattice where ULP drift would flip it), flag "
+    "rows whose similarity z-score sits below -1.5; singleton cells "
+    "(sd=0) yield NULL z / not-outlier.",
 )
 def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -468,10 +480,38 @@ def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cid").alias("cell"), "cos")
     )
-    stats = cells.groupBy("cell").agg(
-        F.avg("cos").alias("mu"),
-        F.stddev_pop("cos").alias("sd"),
-        F.count(F.lit(1)).cast("bigint").alias("cell_n"),
+    # deterministic moments: sorted-order folds over the cell's
+    # (bit-identical) cosines, matching the oracle's list_sort+list_sum —
+    # groupBy avg/stddev_pop fold in partition order, and a 2-member
+    # cell's z lands exactly on the floor lattice where ULP drift flips
+    # the quantized value. collect_list is bounded by cell size (corpus/K;
+    # constant when K ~ N as the SemDeDup sizing note prescribes).
+    stats = (
+        cells.groupBy("cell")
+        .agg(
+            F.array_sort(F.collect_list("cos")).alias("arr"),
+            F.count(F.lit(1)).cast("bigint").alias("cell_n"),
+        )
+        .select(
+            "cell",
+            "cell_n",
+            (F.aggregate(F.col("arr"), F.lit(0.0), lambda a, x: a + x)
+             / F.size("arr").cast("double")).alias("mu"),
+            F.col("arr").alias("arr"),
+        )
+        .select(
+            "cell",
+            "cell_n",
+            "mu",
+            F.sqrt(
+                F.aggregate(
+                    F.col("arr"),
+                    F.lit(0.0),
+                    lambda a, x: a + (x - F.col("mu")) * (x - F.col("mu")),
+                )
+                / F.size("arr").cast("double")
+            ).alias("sd"),
+        )
     )
     z_q4 = F.when(
         F.col("sd") > 0, F.floor((F.col("cos") - F.col("mu")) / F.col("sd") * 10000)

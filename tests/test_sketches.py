@@ -153,9 +153,10 @@ def test_bloom_prefilter_prunes_without_false_negatives(spark):
     from cudf_spark.catalog import load
     from cudf_spark.operators.sketches import bloom_build, bloom_probe
 
-    sf = "/root/testdata/sf0.001"
-    li = load(spark, sf, "lineitem")
-    urgent = load(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = load(spark, SF_DIR, "lineitem")
+    urgent = load(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     sketch = bloom_build(urgent, [], "o_orderkey", n_words=4096)
     keys = li.select("l_orderkey").distinct()
     hits = bloom_probe(sketch, keys, [], "l_orderkey", n_words=4096)

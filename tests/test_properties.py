@@ -355,3 +355,50 @@ def test_rolling_median_matches_pandas(spark, vals, window, min_periods):
             assert math.isnan(w)
         else:
             assert abs(g - w) < 1e-9, (g, w)
+
+
+@SLOW
+@given(
+    keys=st.lists(st.sampled_from(["hot", "a", "b", "c"]), min_size=1, max_size=60),
+    n_salt=st.integers(1, 6),
+)
+def test_salted_join_equals_plain_join_property(spark, keys, n_salt):
+    """salted_join is row-identical to the plain inner join for arbitrary
+    (skewed) key multisets and any salt count, including keys with no
+    build-side match."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cudf_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)], "id long, k string"
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("a", 2.0), ("zz", 9.0)], "k string, w double"
+    )
+    got = sorted(tuple(r) for r in salted_join(left, right, "k", n_salt=n_salt).collect())
+    want = sorted(tuple(r) for r in left.join(right, "k").collect())
+    assert got == want
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=5), min_size=1, max_size=80
+    ),
+    width=st.integers(4, 64),
+)
+def test_cms_never_underestimates_property(spark, vals, width):
+    """CMS estimate >= true frequency for arbitrary value multisets and
+    any sketch width (collisions only ever overcount)."""
+    from pyspark.sql import functions as F
+
+    from cudf_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    sk = cms_build(df, [], "v", depth=2, width=width)
+    truth = df.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(sk, truth.select("v"), [], "v", depth=2, width=width)
+    joined = truth.join(est, "v").collect()
+    assert len(joined) == len(set(vals))
+    assert all(r["est"] >= r["n"] for r in joined)

@@ -432,3 +432,44 @@ def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "tile")
     )
+
+
+@register(
+    "agg_weighted_stats",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               sum(l_quantity * l_extendedprice)                  AS swx,
+               sum(l_extendedprice)                               AS sw,
+               sum(l_quantity * l_quantity * l_extendedprice)     AS swxx,
+               CAST(count(*) AS BIGINT)                           AS n
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           CAST(floor(swx / sw * 1000000) AS BIGINT) AS wmean_q6,
+           CAST(floor((swxx / sw - (swx / sw) * (swx / sw)) * 1000000) AS BIGINT)
+               AS wvar_q6
+    FROM s ORDER BY l_returnflag
+    """,
+    doc="price-weighted quantity statistics per return flag: weighted "
+    "mean and weighted population variance from three sums in ONE keyed "
+    "groupBy (the weighted-aggregate family pandas ships via np.average "
+    "and cudf leaves to callers). Map-side partial agg, floor-quantized "
+    "against fold-order drift.",
+)
+def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x, w = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.sum(x * w).alias("swx"),
+        F.sum(w).alias("sw"),
+        F.sum(x * x * w).alias("swxx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    wmean = F.col("swx") / F.col("sw")
+    wvar = F.col("swxx") / F.col("sw") - wmean * wmean
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.floor(wmean * 1000000).cast("bigint").alias("wmean_q6"),
+        F.floor(wvar * 1000000).cast("bigint").alias("wvar_q6"),
+    ).orderBy("l_returnflag")

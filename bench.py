@@ -53,9 +53,12 @@ HEADLINE = [
 ]
 # Round-4 kept the basket FROZEN at these 20 so round-over-round deltas stay
 # readable (VERDICT r03 item 7). Round-5 candidates, measured healthy at
-# sf0.1 this round: dedup_semantic 1.6s, text_bigram_loglik 1.5s,
+# sf0.1 during round 4: dedup_semantic 1.6s, text_bigram_loglik 1.5s,
 # retrieval_rrf_fusion 1.5s, text_remove_boilerplate 0.7s,
-# join_range_binned 0.4s, sketch_bloom_filter.
+# join_range_binned 0.4s, sketch_bloom_filter; second session added more
+# measured-healthy options: graph_pagerank ~1s, ann_pq_topk ~1s,
+# stream_cms_heavy_hitters (real micro-batch) ~3s, text_bpe_train ~7s,
+# text_sparse_cosine_pairs ~1s, curation_pipeline_v2.
 
 
 def main() -> None:

@@ -473,3 +473,96 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+def _minhash_estimate_oracle() -> str:
+    seeds = minhash_seeds(8)
+    mins = ",\n               ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(seeds)
+    )
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, CAST(m{2*b} AS VARCHAR) || '_' || CAST(m{2*b+1} AS VARCHAR) AS band_key FROM sig"
+        for b in range(4)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    return f"""
+    WITH w AS (
+        SELECT doc_id, {SQL_TOKS} AS w FROM documents
+    ), shingled AS (
+        SELECT doc_id, {SQL_SHINGLES} AS sh FROM w
+    ), exploded AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM shingled
+    ), hashed AS (
+        SELECT doc_id, {hash60_sql("shingle")} % {MINHASH_P} AS h FROM exploded
+    ), sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM hashed GROUP BY doc_id
+    ), bands AS (
+{band_rows}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(({matches}) AS INT) AS n_agree,
+           round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+                 len(list_distinct(list_concat(x.sh, y.sh))), 6) AS exact_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    JOIN shingled x ON x.doc_id = c.id_a
+    JOIN shingled y ON y.doc_id = c.id_b
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "dedup_minhash_estimate",
+    oracle=_minhash_estimate_oracle(),
+    doc="minhash accuracy envelope: for every LSH candidate pair, the "
+    "signature-agreement count (n_agree/8 is the unbiased Jaccard "
+    "ESTIMATE — Broder 1997) next to the exact Jaccard — the in-query "
+    "error display for the minhash sketch, like agg_sketch_merge and "
+    "agg_cms_heavy_hitters do for quantiles and counts. At 100 TB the "
+    "estimate column is what a tuning pass reads to pick n_hashes/band "
+    "shape; agreement counts are integers so the estimate is exact on "
+    "both engines.",
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.dedup import (
+        jaccard,
+        lsh_candidate_pairs,
+        minhash_signature,
+        word_shingles,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("text")
+    )
+    sig = minhash_signature(d, "doc_id", "text").localCheckpoint(eager=False)
+    cands = lsh_candidate_pairs(sig, "doc_id")
+    sa = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(8)])
+    sb = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(8)])
+    shingled = d.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    xa = shingled.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    xb = shingled.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(8)
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(xa, "id_a")
+        .join(xb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_agree.cast("int").alias("n_agree"),
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("exact_jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )

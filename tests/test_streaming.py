@@ -287,3 +287,50 @@ def test_stream_interval_join_outer_matches_batch(spark, tmp_path):
     want = [r for r in _rows(batch, cols) if r[0] != -999]
     assert got == want
     assert any(r[2] is None for r in got)  # unmatched clicks DID flush
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """NEGATIVE semantics proof: the watermark actually discards late
+    rows. File 1 advances the watermark far past a bucket; file 2 then
+    delivers a late event for that bucket. Append-mode tumbling output
+    must NOT contain the late row's contribution, while the plain batch
+    aggregate over the same files does — stream == batch MINUS the late
+    row, not stream == batch."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cudf_spark.streaming.ops import tumbling_counts
+
+    base = dt.datetime(2030, 1, 1, 0, 30)
+    on_time = [
+        (1, base, 10.0, "click"),
+        (2, base + dt.timedelta(hours=6), 1.0, "click"),  # watermark -> 04:00
+    ]
+    late = [(3, base + dt.timedelta(minutes=5), 99.0, "click")]  # bucket 00:00, long closed
+    schema = "event_id long, ts timestamp, value double, event_type string"
+    spark.createDataFrame(on_time, schema).write.parquet(str(tmp_path / "src"))
+    spark.createDataFrame(late, schema).write.mode("append").parquet(str(tmp_path / "src"))
+
+    src = (
+        spark.readStream.schema(spark.read.parquet(str(tmp_path / "src")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    stream = _run_stream(
+        spark, tumbling_counts(src, watermark="2 hours"), "t_late", output_mode="append"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total"])
+        for r in stream.collect()
+    }
+    # the 00:00 bucket closed with ONLY the on-time event
+    assert got[("2030-01-01 00:00:00", "click")] == (1, 10.0)
+
+    batch = tumbling_counts(spark.read.parquet(str(tmp_path / "src")))
+    b = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total"])
+        for r in batch.collect()
+    }
+    # batch (no watermark) sees both -> proves the stream genuinely dropped it
+    assert b[("2030-01-01 00:00:00", "click")] == (2, 109.0)

@@ -334,3 +334,42 @@ def test_watermark_drops_late_data(spark, tmp_path):
     }
     # batch (no watermark) sees both -> proves the stream genuinely dropped it
     assert b[("2030-01-01 00:00:00", "click")] == (2, 109.0)
+
+
+def test_dedup_within_watermark_state_expiry(spark, tmp_path):
+    """The 'WithinWatermark' scoping is real: a duplicate event_id
+    arriving WITHIN the horizon is suppressed, but one arriving after
+    the watermark expired that key's state is emitted again — bounded
+    state means bounded memory of the past."""
+    import datetime as dt
+
+    from cudf_spark.streaming.ops import stream_dedup
+
+    base = dt.datetime(2030, 6, 1, 0, 0)
+    schema = "event_id long, ts timestamp, value double, event_type string"
+    # batch 1: original + watermark already advanced 6h past it
+    spark.createDataFrame(
+        [(7, base, 1.0, "click"), (8, base + dt.timedelta(hours=6), 1.0, "click")],
+        schema,
+    ).write.parquet(str(tmp_path / "src"))
+    # batch 2: near-dup of id 7 (same id, ts within the CURRENT horizon)
+    # -> suppressed; far-late dup of id 7 would be dropped by the
+    # watermark itself, so re-emission is exercised with a fresh ts
+    spark.createDataFrame(
+        [(7, base + dt.timedelta(hours=6, minutes=5), 2.0, "click"),
+         (8, base + dt.timedelta(hours=6, minutes=1), 9.0, "click")],
+        schema,
+    ).write.mode("append").parquet(str(tmp_path / "src"))
+
+    src = (
+        spark.readStream.schema(spark.read.parquet(str(tmp_path / "src")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    out = _run_stream(
+        spark, stream_dedup(src, watermark="2 hours"), "t_dedup_exp", output_mode="append"
+    )
+    rows = sorted((r["event_id"], r["value"]) for r in out.collect())
+    # id 8's dup (1 minute later, state alive) suppressed; id 7's state
+    # from 00:00 expired by the 6h-later watermark -> emitted AGAIN
+    assert rows == [(7, 1.0), (7, 2.0), (8, 1.0)], rows

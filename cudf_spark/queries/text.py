@@ -566,3 +566,47 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "dedup_exact_crossrun",
+    oracle=f"""
+    WITH seen AS (
+        SELECT DISTINCT md5({SQL_NORM}) AS digest
+        FROM documents WHERE source != 'src3'),
+    batch AS (
+        SELECT doc_id, md5({SQL_NORM}) AS digest
+        FROM documents WHERE source = 'src3'),
+    tagged AS (
+        SELECT b.doc_id, b.digest,
+               EXISTS (SELECT 1 FROM seen s WHERE s.digest = b.digest) AS is_dup
+        FROM batch b)
+    SELECT doc_id, digest, is_dup
+    FROM tagged ORDER BY doc_id
+    """,
+    doc="incremental cross-run exact dedup: the NEW ingest batch (source "
+    "src3) checks its normalized-text digests against the digest set "
+    "persisted from prior runs (src0-2) — an anti-join-shaped keyed "
+    "lookup, the shape every incremental curation pipeline runs per "
+    "ingest instead of re-deduping the whole corpus. At 100 TB the seen "
+    "set is a bucketed digest table (or its Bloom sketch via "
+    "join_bloom_prefilter for the probe-side prefilter); only digests "
+    "cross runs, never text.",
+)
+def dedup_exact_crossrun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    digest = F.md5(normalize_text(F.col("text")))
+    seen = (
+        d.filter(F.col("source") != "src3")
+        .select(digest.alias("digest"))
+        .distinct()
+        .withColumn("__seen", F.lit(True))
+    )
+    batch = d.filter(F.col("source") == "src3").select(
+        "doc_id", digest.alias("digest")
+    )
+    return (
+        batch.join(seen, "digest", "left")
+        .select("doc_id", "digest", F.coalesce("__seen", F.lit(False)).alias("is_dup"))
+        .orderBy("doc_id")
+    )

@@ -563,3 +563,50 @@ def win_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", pct.alias("pct_chg_q6")
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+        SELECT event_type, user_id,
+               min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
+        FROM events GROUP BY event_type, user_id),
+    daily AS (
+        SELECT event_type, first_day AS d,
+               CAST(count(*) AS BIGINT) AS new_users
+        FROM firsts GROUP BY event_type, first_day)
+    SELECT event_type, d, new_users,
+           CAST(sum(new_users) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS distinct_to_date
+    FROM daily ORDER BY event_type, d
+    """,
+    doc="running DISTINCT count (unique users to date per event type) — "
+    "window functions have no count(DISTINCT), so the standard rewrite: "
+    "mark each user's FIRST day (one keyed min), count first "
+    "occurrences per day (one keyed count), cumulative-sum over the "
+    "day-grain frame. Both windows are partitioned by the key and the "
+    "cumsum runs over the DAY table (bounded rows), never the raw "
+    "events — the growth-accounting query every product warehouse runs.",
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = firsts.groupBy("event_type", F.col("first_day").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("distinct_to_date"),
+    ).orderBy("event_type", "d")

@@ -355,3 +355,48 @@ def cms_oracle_cells_sql(
         SELECT rows_.r, {cms_oracle_cell_sql('u.v', width=width, seed=seed)} AS c,
                CAST(count(*) AS BIGINT) AS cnt
         FROM u CROSS JOIN rows_ GROUP BY 1, 2)"""
+
+
+def bitmap_build(
+    df: DataFrame,
+    keys: Sequence[str],
+    item: str,
+    *,
+    bits_per_word: int = 63,
+) -> DataFrame:
+    """Per-key EXACT distinct-count bitmap over a non-negative integer id
+    column: one ``(keys, word, bits)`` row per non-empty 63-bit word
+    (the same positive-mask discipline as the Bloom sketch — bit 63
+    would go negative and DuckDB's BIGINT << 63 raises). The exact,
+    losslessly-mergeable counterpart of the HLL sketch (the
+    roaring-bitmap aggregate ClickHouse/Iceberg expose): counts add
+    under OR-merge with no error, state is ``max_id/63`` words per key
+    at worst and only non-empty words materialize.
+
+    Build = one keyed bit_or (map-side partial, skew-immune); merge =
+    union + bit_or on (keys, word); count = sum of bit_count per key.
+    """
+    w = (F.col(item) / bits_per_word).cast("long").alias("word")
+    b = (F.col(item) % bits_per_word).cast("int")
+    return (
+        df.filter(F.col(item) >= 0)
+        .select(*keys, w, b.alias("bit"))
+        .withColumn("mask", F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .groupBy(*keys, "word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bitmap_merge(sketches: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """OR-merge bitmap tables from independent runs (exact, lossless)."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy(*keys, "word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bitmap_count(sketch: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Exact distinct count per key from a (merged) bitmap sketch."""
+    return sketch.groupBy(*keys).agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct")
+    )

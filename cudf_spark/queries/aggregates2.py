@@ -473,3 +473,59 @@ def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(wmean * 1000000).cast("bigint").alias("wmean_q6"),
         F.floor(wvar * 1000000).cast("bigint").alias("wvar_q6"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH pos AS (
+        SELECT event_type,
+               user_id // 63 AS word,
+               CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT) AS mask
+        FROM events WHERE user_id >= 0),
+    bm AS (
+        SELECT event_type, word, bit_or(mask) AS bits
+        FROM pos GROUP BY event_type, word),
+    cnt AS (
+        SELECT event_type, CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct,
+               CAST(count(*) AS BIGINT) AS n_words
+        FROM bm GROUP BY event_type),
+    exact AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events GROUP BY event_type)
+    SELECT c.event_type, c.n_distinct, c.n_words, e.n_exact,
+           c.n_distinct = e.n_exact AS agrees
+    FROM cnt c JOIN exact e ON c.event_type = e.event_type
+    ORDER BY c.event_type
+    """,
+    doc="exact mergeable distinct-count bitmap (the roaring-bitmap "
+    "aggregate ClickHouse/Iceberg expose; the EXACT counterpart of the "
+    "HLL sketch): per-key 63-bit-word bitmaps via one keyed bit_or, "
+    "distinct = sum of popcounts, losslessly OR-mergeable across runs "
+    "(operators/sketches.py:bitmap_build/merge/count). The in-query "
+    "cross-check against count(DISTINCT) proves exactness; n_words "
+    "shows the state bound (max_id/63 words, only non-empty ones).",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.sketches import bitmap_build, bitmap_count
+
+    ev = load(spark, sf_dir, "events")
+    bm = bitmap_build(ev, ["event_type"], "user_id")
+    cnt = bitmap_count(bm, ["event_type"]).join(
+        bm.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_words")),
+        "event_type",
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return (
+        cnt.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_distinct",
+            "n_words",
+            "n_exact",
+            (F.col("n_distinct") == F.col("n_exact")).alias("agrees"),
+        )
+        .orderBy("event_type")
+    )

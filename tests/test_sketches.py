@@ -172,3 +172,25 @@ def test_bloom_prefilter_prunes_without_false_negatives(spark):
     hit_keys = {r["l_orderkey"] for r in hits.filter(F.col("bloom_hit")).collect()}
     assert true_keys <= hit_keys          # no false negatives, ever
     assert n_hits < n_all                 # and it actually prunes
+
+
+def test_bitmap_distinct_exact_merge(spark):
+    """bitmap(A ∪ B) == OR-merge(bitmap(A), bitmap(B)) word-for-word and
+    the merged count equals the true distinct count — the lossless-merge
+    contract that distinguishes the bitmap from HLL."""
+    from pyspark.sql import functions as F
+
+    from cudf_spark.operators.sketches import bitmap_build, bitmap_count, bitmap_merge
+
+    df = spark.createDataFrame(
+        [(i, i % 200) for i in range(1000)], "row long, uid long"
+    )
+    a = df.filter(df.row % 2 == 0).select("uid")
+    b = df.filter(df.row % 2 == 1).select("uid")
+    whole = bitmap_build(df.select("uid"), [], "uid")
+    merged = bitmap_merge(
+        [bitmap_build(a, [], "uid"), bitmap_build(b, [], "uid")], []
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+    n = bitmap_count(merged, []).collect()[0]["n_distinct"]
+    assert n == 200

@@ -380,3 +380,31 @@ def test_sparse_cosine_pairs_token_blocked_no_cartesian(spark):
     plan = plan_of(spark, "text_sparse_cosine_pairs")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_funnel_and_retention_no_python_no_cartesian(spark):
+    """The event-analytics additions stay fully JVM-side with keyed
+    joins only: no Python eval, no cartesian pair enumeration (the only
+    broadcast is the 1-row top-of-funnel scalar)."""
+    for q in ("events_funnel_stages", "events_retention_cohorts"):
+        plan = plan_of(spark, q)
+        assert "BatchEvalPython" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_scd2_is_semi_anti_union_not_full_outer(spark):
+    """SCD2 must plan as semi/anti joins + union — the full-outer
+    row-explosion shape is exactly what the composition avoids."""
+    plan = plan_of(spark, "scd2_merge_upsert")
+    assert "FullOuter" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bitmap_distinct_single_keyed_aggregate(spark):
+    """The bitmap build is one keyed bit_or aggregate with map-side
+    partial aggregation — no Python, no cartesian, no window."""
+    plan = plan_of(spark, "agg_bitmap_distinct")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_bit_or" in plan or "bit_or" in plan

@@ -147,7 +147,16 @@ def zorder2(x: Column, y: Column, *, bits: int) -> Column:
     Pure shift/mask integer arithmetic inside whole-stage codegen; inputs
     must already be reduced to ``bits``-bit non-negative range (mask or
     pmod upstream — this function masks defensively).
+
+    ``bits`` is capped at 31: 2*31+1 = 63 is the last non-sign bit of the
+    interleaved BIGINT key — bits > 31 would shift into the sign bit and
+    silently invert the sort order. Inputs MUST be non-negative: the SQL
+    mirror uses DuckDB's arithmetic ``>>`` while this side uses
+    shiftrightunsigned, so the two diverge on negative inputs (the
+    defensive ``& 1`` masking makes them agree only for x, y >= 0).
     """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"zorder2: bits must be in [1, 31], got {bits}")
     xs, ys = x.cast("long"), y.cast("long")
     z: Column = F.lit(0).cast("long")
     for i in range(bits):
@@ -157,7 +166,11 @@ def zorder2(x: Column, y: Column, *, bits: int) -> Column:
 
 
 def zorder2_sql(x: str, y: str, *, bits: int) -> str:
-    """DuckDB mirror of :func:`zorder2` (same shift/mask terms)."""
+    """DuckDB mirror of :func:`zorder2` (same shift/mask terms; same
+    bits cap and non-negative-input requirement — DuckDB ``>>`` is an
+    arithmetic shift, so negative inputs diverge from the Spark side)."""
+    if not 1 <= bits <= 31:
+        raise ValueError(f"zorder2_sql: bits must be in [1, 31], got {bits}")
     terms = []
     for i in range(bits):
         terms.append(f"((({x} >> {i}) & 1) << {2 * i})")

@@ -244,3 +244,78 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+PR_FP_SCALE = 10**15  # fixed-point unit: 1.0 rank mass == 10^15 q-units
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping_num: int = 17,
+    damping_den: int = 20,
+    iters: int = 5,
+) -> DataFrame:
+    """PageRank with the ENTIRE iteration in scaled-integer arithmetic:
+    ``(node, pr_q)`` where ``pr_q`` is rank mass in units of 1e-15.
+
+    Why fixed point: a float PageRank's per-node contribution sums fold
+    in partition order, so two engines (or two runs with different
+    partitionings) can differ in the last ulp — and any quantized output
+    (``floor(pr*1e7)``) sits one ulp from flipping a digit on knife-edge
+    values. Integer addition is associative and commutative, so BIGINT
+    sums are bit-identical under ANY fold order — the result is
+    deterministic across engines, partition counts, and scale, with no
+    sort-fold (a ``collect_list`` per node is bounded by in-degree,
+    which is unbounded on hot nodes at 100 TB; this keeps the plain
+    keyed-sum shape).
+
+    Per round (all exact integer ops, truncating ``div`` on both
+    engines): ``c = pr_q div deg``; ``in_mass = sum(c)``;
+    ``pr_q' = ((SCALE - SCALE*d) div N) + (d_num * in_mass) div d_den``.
+    Truncation loses < deg·1e-15 mass per node per round — far below a
+    1e-7 output quantum — and identically on both engines, which is the
+    point. Overflow-safe: total mass ≤ 1e15, so ``17 * in_mass`` stays
+    under 2^63.
+
+    Same two-keyed-shuffle shape per round as :func:`pagerank`; see it
+    for the pipeline rationale.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pr_q", F.lit(0).cast("long"))
+    base_q = (PR_FP_SCALE - PR_FP_SCALE * damping_num // damping_den) // n
+    ranks = nodes.withColumn("pr_q", F.lit(PR_FP_SCALE // n).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(F.col("dst").alias("node"), F.expr("pr_q div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base_q).cast("long")
+                    + F.expr(
+                        f"({damping_num} * coalesce(in_mass, CAST(0 AS BIGINT)))"
+                        f" div {damping_den}"
+                    )
+                ).alias("pr_q"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -376,7 +376,10 @@ def bitmap_build(
     Build = one keyed bit_or (map-side partial, skew-immune); merge =
     union + bit_or on (keys, word); count = sum of bit_count per key.
     """
-    w = (F.col(item) / bits_per_word).cast("long").alias("word")
+    # integer division — `/` is double division in Spark and rounds for
+    # ids above 2^53, which would assign the wrong word and corrupt the
+    # exact count; `div` stays exact over the full bigint domain
+    w = F.expr(f"CAST({item} AS BIGINT) div {int(bits_per_word)}").alias("word")
     b = (F.col(item) % bits_per_word).cast("int")
     return (
         df.filter(F.col(item) >= 0)

@@ -114,6 +114,38 @@ if _missing:  # pragma: no cover - registration bug guard
     raise RuntimeError(f"priority list names unknown queries: {_missing}")
 
 
+def _driver_records(records_dir: str) -> tuple[list[str], set[str], set[str]]:
+    """(record paths, checked names, green names) from EVERY
+    ``CORRECTNESS_r*.json`` the driver has committed.
+
+    This is THE single source of truth for 'has the driver ever checked
+    this query' — the rotation below and tests/test_rotation.py both
+    read it, so a new driver round can never desynchronize the two
+    (rounds 3 and 4 each broke a test that re-derived this with a
+    hardcoded round range).
+    """
+    import glob
+    import json
+    import os
+
+    paths = sorted(glob.glob(os.path.join(records_dir, "CORRECTNESS_r*.json")))
+    checked: set[str] = set()
+    green: set[str] = set()
+    for path in paths:
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):  # pragma: no cover - tolerate junk
+            continue
+        for name, row in data.items():
+            checked.add(name)
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
+            ):
+                green.add(name)
+    return paths, checked, green
+
+
 def _rotation_from_driver_records(records_dir: str) -> list[str] | None:
     """SELF-MAINTAINING rotation for round 4 onward.
 
@@ -129,29 +161,13 @@ def _rotation_from_driver_records(records_dir: str) -> list[str] | None:
     into the window; the dynamic split would order the two stale fails
     after 58 never-checked names and push them out).
     """
-    import glob
-    import json
     import os
 
-    paths = sorted(glob.glob(os.path.join(records_dir, "CORRECTNESS_r*.json")))
+    paths, checked, green = _driver_records(records_dir)
     if not any(
         os.path.basename(p) >= "CORRECTNESS_r03.json" for p in paths
     ):
         return None
-    checked: set[str] = set()
-    green: set[str] = set()
-    for path in paths:
-        try:
-            with open(path) as fh:
-                data = json.load(fh)
-        except (OSError, ValueError):  # pragma: no cover - tolerate junk
-            continue
-        for name, row in data.items():
-            checked.add(name)
-            if row.get("hash_match") or (
-                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
-            ):
-                green.add(name)
     reg = list(REGISTRY)
     red = [n for n in reg if n in checked and n not in green]
     never = [n for n in reg if n not in checked]

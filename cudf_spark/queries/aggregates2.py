@@ -352,10 +352,17 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(hour(CAST(ts AS TIMESTAMP)) * value)           AS sxy
         FROM events GROUP BY event_type)
     SELECT event_type, n,
-           CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000) AS BIGINT)
-               AS beta_q6,
-           CAST(floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-                * 1000000) AS BIGINT)                             AS alpha_q6
+           -- degenerate group (all x equal) => denominator 0: NULL on
+           -- BOTH engines (Spark ANSI mode would otherwise throw)
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(floor((n * sxy - sx * sy)
+                                / (n * sxx - sx * sx) * 1000000) AS BIGINT)
+           END AS beta_q6,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(floor((sy - (n * sxy - sx * sy)
+                                      / (n * sxx - sx * sx) * sx) / n
+                     * 1000000) AS BIGINT)
+           END AS alpha_q6
     FROM s ORDER BY event_type
     """,
     doc="grouped closed-form OLS (value ~ hour-of-day per event_type): "
@@ -376,15 +383,16 @@ def agg_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("sy"),
         F.sum(x * F.col("value")).alias("sxy"),
     )
-    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
     alpha = (F.col("sy") - beta * F.col("sx")) / F.col("n")
+    # degenerate group (all x equal) => denom 0: guard to NULL rather
+    # than an ANSI DIVIDE_BY_ZERO crash (mirrors the oracle's CASE)
     return s.select(
         "event_type",
         "n",
-        F.floor(beta * 1000000).cast("long").alias("beta_q6"),
-        F.floor(alpha * 1000000).cast("long").alias("alpha_q6"),
+        F.when(denom != 0, F.floor(beta * 1000000).cast("long")).alias("beta_q6"),
+        F.when(denom != 0, F.floor(alpha * 1000000).cast("long")).alias("alpha_q6"),
     ).orderBy("event_type")
 
 
@@ -491,8 +499,11 @@ def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_words
         FROM bm GROUP BY event_type),
     exact AS (
+        -- same domain as the bitmap (which drops negative ids): without
+        -- the filter a negative id would make `agrees` false and look
+        -- like a sketch bug
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
-        FROM events GROUP BY event_type)
+        FROM events WHERE user_id >= 0 GROUP BY event_type)
     SELECT c.event_type, c.n_distinct, c.n_words, e.n_exact,
            c.n_distinct = e.n_exact AS agrees
     FROM cnt c JOIN exact e ON c.event_type = e.event_type
@@ -515,8 +526,10 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_words")),
         "event_type",
     )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    exact = (
+        ev.filter(F.col("user_id") >= 0)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
     )
     return (
         cnt.join(exact, "event_type")

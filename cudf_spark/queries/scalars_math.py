@@ -385,10 +385,12 @@ def dictionary_update_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "misc_byte_cast",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           list_transform(range(0, 8),
-             i -> CAST((l_orderkey >> (8 * (7 - i))) & 255 AS INT))  AS key_bytes_be,
-           list_transform(range(0, 4),
-             i -> CAST((l_linenumber >> (8 * i)) & 255 AS INT))      AS line_bytes_le
+           -- scalar output contract (driver canonicalizer cannot hash
+           -- list cells): byte lists are '|'-joined into ONE string
+           array_to_string(list_transform(range(0, 8),
+             i -> CAST((l_orderkey >> (8 * (7 - i))) & 255 AS VARCHAR)), '|')  AS key_bytes_be,
+           array_to_string(list_transform(range(0, 4),
+             i -> CAST((l_linenumber >> (8 * i)) & 255 AS VARCHAR)), '|')      AS line_bytes_le
     FROM lineitem
     WHERE l_orderkey <= 2000
     ORDER BY l_orderkey, l_linenumber
@@ -397,7 +399,8 @@ def dictionary_update_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lists, both endiannesses. Integer path is pure shift+mask inside "
     "whole-stage codegen (functions/row_bits.py:byte_cast); the float "
     "path (pandas_udf bit view) is pinned by tests/test_scalars.py "
-    "against struct.pack.",
+    "against struct.pack. Output contract: byte lists are '|'-joined "
+    "strings — scalar columns only (driver canonicalizer).",
 )
 def misc_byte_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
@@ -408,12 +411,20 @@ def misc_byte_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        byte_cast(F.col("l_orderkey"), T.LongType(), endian="big").alias(
-            "key_bytes_be"
-        ),
-        byte_cast(F.col("l_linenumber"), T.IntegerType(), endian="little").alias(
-            "line_bytes_le"
-        ),
+        F.concat_ws(
+            "|",
+            F.transform(
+                byte_cast(F.col("l_orderkey"), T.LongType(), endian="big"),
+                lambda b: b.cast("string"),
+            ),
+        ).alias("key_bytes_be"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                byte_cast(F.col("l_linenumber"), T.IntegerType(), endian="little"),
+                lambda b: b.cast("string"),
+            ),
+        ).alias("line_bytes_le"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 

@@ -367,12 +367,18 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT label, i, avg(v) AS mv FROM x GROUP BY label, i),
     vecs AS (
         SELECT label,
-               list(round(mv, 6) ORDER BY i) AS full_vec,
+               list(mv ORDER BY i) AS full_vec,
                sqrt(list_sum(list_transform(list(mv ORDER BY i), y -> y * y))) AS nrm
         FROM m GROUP BY label),
     cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label)
     SELECT vecs.label, cnt.n_vecs,
-           vecs.full_vec[1:8]       AS mean8,
+           -- scalar output contract: the driver's canonicalizer hashes
+           -- cell values and cannot factorize list cells, so the first 8
+           -- mean components are quantized to integer micro-units and
+           -- joined into ONE string (integer formatting is identical on
+           -- both engines; double->string formatting is not)
+           array_to_string(list_transform(vecs.full_vec[1:8],
+               y -> CAST(CAST(round(y * 1000000) AS BIGINT) AS VARCHAR)), '|') AS mean8,
            round(vecs.nrm, 6)       AS norm_q6
     FROM vecs JOIN cnt ON vecs.label = cnt.label
     ORDER BY vecs.label
@@ -384,7 +390,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an aggregation UDF — then reassemble ordered by dim (collect_list "
     "bounded by DIM, not group size) and compute the L2 norm on the "
     "deterministic dim-ordered fold. 100 TB: both shuffles are keyed, "
-    "payload is dim-amplified scalars (same shape as Lloyd training).",
+    "payload is dim-amplified scalars (same shape as Lloyd training). "
+    "Output contract: mean8 is a '|'-joined string of integer micro-unit "
+    "components — scalar columns only (driver canonicalizer).",
 )
 def emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
@@ -406,7 +414,13 @@ def emb_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "n_vecs",
-            F.slice(F.transform("ordered", lambda y: F.round(y, 6)), 1, 8).alias("mean8"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice("ordered", 1, 8),
+                    lambda y: F.round(y * 1e6, 0).cast("long").cast("string"),
+                ),
+            ).alias("mean8"),
             F.round(nrm, 6).alias("norm_q6"),
         )
         .orderBy("label")

@@ -52,13 +52,19 @@ W0, W_LEN, W_STOP, W_ALPHA, W_TOKLEN, W_DIGIT = -2.6, 1.5, 2.0, 1.8, 0.7, -2.5
                length(text)                                         AS n_char
         FROM documents),
     scored AS (
+        -- empty docs (n_tok=0 or n_char=0) score their ratio features
+        -- as 0 rather than dividing by zero (Spark ANSI mode throws)
         SELECT doc_id, n_tok,
                {W0}
                + {W_LEN}    * least(n_tok / 100.0, 1.0)
-               + {W_STOP}   * (n_stop * 1.0 / n_tok)
-               + {W_ALPHA}  * (n_alpha * 1.0 / n_char)
-               + {W_TOKLEN} * least(tok_chars * 1.0 / n_tok / 10.0, 1.0)
-               + {W_DIGIT}  * (n_digit * 1.0 / n_char) AS z
+               + {W_STOP}   * (CASE WHEN n_tok = 0 THEN 0.0
+                                    ELSE n_stop * 1.0 / n_tok END)
+               + {W_ALPHA}  * (CASE WHEN n_char = 0 THEN 0.0
+                                    ELSE n_alpha * 1.0 / n_char END)
+               + {W_TOKLEN} * (CASE WHEN n_tok = 0 THEN 0.0
+                                    ELSE least(tok_chars * 1.0 / n_tok / 10.0, 1.0) END)
+               + {W_DIGIT}  * (CASE WHEN n_char = 0 THEN 0.0
+                                    ELSE n_digit * 1.0 / n_char END) AS z
         FROM feats)
     SELECT doc_id, n_tok,
            CAST(floor(z * 1000000) AS BIGINT) AS logit_q6,
@@ -91,13 +97,21 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_digit"),
         F.length("text").alias("n_char"),
     )
+    # empty docs: ratio features score 0 instead of ANSI DIVIDE_BY_ZERO
+    safe_tok = F.when(
+        F.col("n_tok") == 0, F.lit(0.0)
+    )
+    safe_char = F.when(F.col("n_char") == 0, F.lit(0.0))
     z = (
         F.lit(W0)
         + W_LEN * F.least(F.col("n_tok") / 100.0, F.lit(1.0))
-        + W_STOP * (F.col("n_stop") / F.col("n_tok"))
-        + W_ALPHA * (F.col("n_alpha") / F.col("n_char"))
-        + W_TOKLEN * F.least(F.col("tok_chars") / F.col("n_tok") / 10.0, F.lit(1.0))
-        + W_DIGIT * (F.col("n_digit") / F.col("n_char"))
+        + W_STOP * safe_tok.otherwise(F.col("n_stop") / F.col("n_tok"))
+        + W_ALPHA * safe_char.otherwise(F.col("n_alpha") / F.col("n_char"))
+        + W_TOKLEN
+        * safe_tok.otherwise(
+            F.least(F.col("tok_chars") / F.col("n_tok") / 10.0, F.lit(1.0))
+        )
+        + W_DIGIT * safe_char.otherwise(F.col("n_digit") / F.col("n_char"))
     )
     return (
         d.withColumn("z", z)
@@ -115,30 +129,38 @@ PR_ITERS, PR_D = 5, 0.85
 
 
 def _pagerank_oracle() -> str:
-    """Unrolled 5-iteration PageRank over the symmetrized user↔event_type
-    click graph; mirrors operators.graphs.pagerank exactly (same init,
-    same damping, same fixed rounds)."""
+    """Unrolled 5-iteration FIXED-POINT PageRank over the symmetrized
+    user↔event_type click graph; mirrors
+    operators.graphs.pagerank_fixed_point exactly (same scaled-integer
+    init, damping 17/20, truncating integer division, fixed rounds).
+    Integer sums are fold-order independent, so both engines are
+    bit-identical — no ULP knife edge at the quantization boundary."""
+    from cudf_spark.operators.graphs import PR_FP_SCALE
+
+    s = PR_FP_SCALE
     head = f"""
     e AS (SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
                  't:' || event_type AS dst FROM events),
     sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
-    deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
-    nn AS (SELECT count(*) AS n FROM deg),
-    pr0 AS (SELECT deg.src AS node, 1.0 / nn.n AS pr FROM deg CROSS JOIN nn)"""
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    pr0 AS (SELECT deg.src AS node, CAST({s} AS BIGINT) // nn.n AS pr_q
+            FROM deg CROSS JOIN nn)"""
     steps = []
     for k in range(PR_ITERS):
         steps.append(f"""
-    c{k + 1} AS (SELECT sym.dst AS node, sum(pr{k}.pr / deg.deg) AS m
+    c{k + 1} AS (SELECT sym.dst AS node, sum(pr{k}.pr_q // deg.deg) AS m
            FROM sym JOIN pr{k} ON sym.src = pr{k}.node
                     JOIN deg ON sym.src = deg.src
            GROUP BY sym.dst),
     pr{k + 1} AS (SELECT deg.src AS node,
-                  (1.0 - {PR_D}) / nn.n + {PR_D} * coalesce(c{k + 1}.m, 0.0) AS pr
+                  CAST((CAST({s} AS BIGINT) - CAST({s} AS BIGINT) * 17 // 20) // nn.n
+                       + (17 * coalesce(c{k + 1}.m, 0)) // 20 AS BIGINT) AS pr_q
            FROM deg CROSS JOIN nn
            LEFT JOIN c{k + 1} ON deg.src = c{k + 1}.node)""")
     return (
         "WITH " + ",".join([head, *steps]) + f"""
-    SELECT node, CAST(floor(pr * 10000000) AS BIGINT) AS pr_q7
+    SELECT node, pr_q // 100000000 AS pr_q7
     FROM pr{PR_ITERS}
     ORDER BY pr_q7 DESC, node
     LIMIT 10
@@ -153,12 +175,16 @@ def _pagerank_oracle() -> str:
     "symmetrized user<->event_type bipartite click graph — the 'rank by "
     "how the graph links to it' signal corpus pipelines mix into sampling "
     "weights. Each round is one keyed edge-rank join + one keyed "
-    "contribution sum (operators/graphs.py:pagerank), lineage truncated "
-    "per round; the oracle unrolls the identical five rounds as CTEs. "
-    "Floor-quantized to dodge cross-engine sum-order ULP drift.",
+    "contribution sum (operators/graphs.py:pagerank_fixed_point), "
+    "lineage truncated per round; the oracle unrolls the identical five "
+    "rounds as CTEs. The ENTIRE iteration runs in scaled-integer "
+    "(1e-15-unit) arithmetic: integer sums are fold-order independent, "
+    "so both engines are bit-identical at any scale — no ULP knife edge "
+    "at the quantization boundary, and no sort-fold (whose collect_list "
+    "is unbounded on hot nodes).",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cudf_spark.operators.graphs import pagerank
+    from cudf_spark.operators.graphs import pagerank_fixed_point
 
     ev = load(spark, sf_dir, "events")
     e = ev.select(
@@ -166,9 +192,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
     ).distinct()
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    pr = pagerank(sym, damping=PR_D, iters=PR_ITERS)
+    pr = pagerank_fixed_point(sym, damping_num=17, damping_den=20, iters=PR_ITERS)
     return (
-        pr.select("node", F.floor(F.col("pr") * 10000000).cast("long").alias("pr_q7"))
+        pr.select("node", F.expr("pr_q div 100000000").alias("pr_q7"))
         .orderBy(F.col("pr_q7").desc(), "node")
         .limit(10)
     )
@@ -221,15 +247,21 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select("doc_id", F.explode(tokenize(normalize_text(F.col("text")))).alias("t"))
     tf = tok.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    # RELATIVE cap (sklearn max_df=0.1 style) applied to dfreq BEFORE the
+    # tf join: the full distinct-token table is 10^8-10^9 rows on a web
+    # corpus (typos/URLs/ids) — a mandatory broadcast of it is an OOM.
+    # Post-cap only the surviving vocabulary ships; no broadcast hint —
+    # both sides are token-keyed, so AQE picks broadcast iff the kept
+    # vocab actually fits, else a plain keyed shuffle join. (An absolute
+    # cap stops scaling — at 10x the corpus every shared token exceeds
+    # it and the join finds nothing; observed at sf0.1 with a cap of 40.)
+    dfreq_kept = dfreq.crossJoin(F.broadcast(n_docs)).filter(
+        F.col("df") * SPARSE_MAX_DF <= F.col("n_docs")
+    )
     # weight table feeds three consumers (norms + both join sides):
     # materialize once, as the tfidf query does
     w = (
-        tf.join(F.broadcast(dfreq), "t")
-        .crossJoin(F.broadcast(n_docs))
-        # RELATIVE cap (sklearn max_df=0.1 style): an absolute cap stops
-        # scaling — at 10x the corpus every shared token exceeds it and
-        # the join finds nothing (observed at sf0.1 with a cap of 40)
-        .filter(F.col("df") * SPARSE_MAX_DF <= F.col("n_docs"))
+        tf.join(dfreq_kept, "t")
         .select("doc_id", "t", (F.col("tf") * F.col("n_docs") / F.col("df")).alias("w"))
         .localCheckpoint(eager=False)
     )

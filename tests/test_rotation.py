@@ -1,6 +1,13 @@
-"""Check-window rotation: round 3 uses the hand-curated priority list;
+"""Check-window rotation: round 3 used a hand-curated priority list;
 from round 4 on (CORRECTNESS_r03.json present) the order derives from the
-driver's own records — red rows first, never-checked next, green last."""
+driver's own records — red rows first, never-checked next, green last.
+
+These tests read the SAME ``_driver_records`` helper the registry's
+rotation reads (no hardcoded round ranges): rounds 3 and 4 each rotted a
+version of this file that re-derived the checked set with its own
+``range(1, N)`` loop, which desynchronized the moment the driver wrote
+the next CORRECTNESS file.
+"""
 
 from __future__ import annotations
 
@@ -10,6 +17,7 @@ import shutil
 from cudf_spark.queries import (
     REGISTRY,
     _ROUND3_PRIORITY,
+    _driver_records,
     _repo_root,
     _rotation_from_driver_records,
 )
@@ -31,30 +39,27 @@ ROUND3_NEW = {
 
 
 def test_rotation_mode_matches_driver_records():
-    # While only r01/r02 records exist the hand-curated round-3 window is
-    # active; once the driver writes CORRECTNESS_r03.json the registry
-    # switches to the dynamic rotation (red rows first, never-checked next).
     import os
 
-    if os.path.exists(f"{_repo_root}/CORRECTNESS_r03.json"):
+    paths, checked, green = _driver_records(_repo_root)
+    dynamic = any(
+        os.path.basename(p) >= "CORRECTNESS_r03.json" for p in paths
+    )
+    if dynamic:
         order = _rotation_from_driver_records(_repo_root)
         assert order is not None and set(order) == set(REGISTRY)
-        checked: set[str] = set()
-        for i in range(1, 4):
-            path = f"{_repo_root}/CORRECTNESS_r0{i}.json"
-            if os.path.exists(path):
-                with open(path) as fh:
-                    checked.update(json.load(fh))
         never = [q for q in REGISTRY if q not in checked]
-        # every never-checked query sits ahead of the green tail
-        n_front = len([q for q in order if q in never])
-        assert set(order[: len(never) + 4]).issuperset(never) or n_front == 0
+        red = [q for q in REGISTRY if q in checked and q not in green]
+        # red rows lead the window; every never-checked query sits
+        # immediately after them, ahead of the whole green tail
+        assert order[: len(red)] == sorted(red, key=list(REGISTRY).index)
+        assert set(order[len(red) : len(red) + len(never)]) == set(never)
     else:
         assert list(REGISTRY)[:50] == _ROUND3_PRIORITY
         assert _rotation_from_driver_records(_repo_root) is None
 
 
-def test_round4_dynamic_rotation(tmp_path):
+def test_dynamic_rotation_from_synthetic_records(tmp_path):
     for src in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
         shutil.copy(f"{_repo_root}/{src}", tmp_path)
     r03 = {
@@ -74,11 +79,7 @@ def test_round4_dynamic_rotation(tmp_path):
     # additions plus anything registered since) lands in the next slots,
     # ahead of every green query
     assert order[0] == "q17_small_quantity_revenue"
-    checked = set(json.loads((tmp_path / "CORRECTNESS_r03.json").read_text()))
-    for i in (1, 2):
-        checked |= set(
-            json.loads((tmp_path / f"CORRECTNESS_r0{i}.json").read_text())
-        )
+    _, checked, _ = _driver_records(str(tmp_path))
     never = {q for q in REGISTRY if q not in checked}
     assert ROUND3_NEW <= never
     assert never == set(order[1 : 1 + len(never)])

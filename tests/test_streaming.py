@@ -27,6 +27,41 @@ def _rows(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
 
 
+def _write_batch(df, path, seq):
+    """One logical batch == ONE part-file with a strictly increasing
+    mtime. A plain ``df.write.parquet`` at local[32] emits several
+    part-files with identical mtimes; the file source sorts by
+    (mtime, path) and path is a random UUID, so with
+    ``maxFilesPerTrigger=1`` the processing order of logical batches is
+    otherwise unstable — the watermark can advance before the on-time
+    event is read (bucket never emitted) or after the late row slipped
+    in (late row counted). Root cause of the round-4 flake."""
+    import glob
+    import os
+    import time
+
+    before = set(glob.glob(os.path.join(path, "*.parquet")))
+    df.coalesce(1).write.mode("append").parquet(path)
+    new = set(glob.glob(os.path.join(path, "*.parquet"))) - before
+    assert len(new) == 1, f"expected one part-file, got {sorted(new)}"
+    t = int(time.time()) + seq * 10
+    for f in new:
+        os.utime(f, (t, t))
+
+
+def _bump_mtimes(path, seq):
+    """Push every current part-file's mtime to a common point strictly
+    ordered by ``seq`` (for multi-part writes whose internal order does
+    not matter but whose position relative to later batches does)."""
+    import glob
+    import os
+    import time
+
+    t = int(time.time()) + seq * 10
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        os.utime(f, (t, t))
+
+
 def test_stream_tumbling_matches_batch(spark):
     from cudf_spark.catalog import load
     from cudf_spark.streaming.ops import events_stream, tumbling_counts
@@ -251,13 +286,20 @@ def test_stream_interval_join_outer_matches_batch(spark, tmp_path):
     ev = load(spark, SF_DIR, "events").select("user_id", "event_id", "event_type", "ts")
     path = str(tmp_path / "ev")
     ev.write.parquet(path)
-    # sentinel file written AFTER the data file => processed in a later
-    # micro-batch; one far-future click + purchase push both watermarks
+    _bump_mtimes(path, 0)  # data files first, in any internal order
+    # sentinel file ordered strictly AFTER every data file => processed
+    # in a later micro-batch; one far-future click + purchase push both
+    # watermarks (mtime tie + random UUID path would otherwise let the
+    # sentinel sort BEFORE data and drop it all as late)
     far = dt.datetime(2031, 1, 1)
-    spark.createDataFrame(
-        [(-999, -1, "click", far), (-999, -2, "purchase", far)],
-        "user_id long, event_id long, event_type string, ts timestamp",
-    ).write.mode("append").parquet(path)
+    _write_batch(
+        spark.createDataFrame(
+            [(-999, -1, "click", far), (-999, -2, "purchase", far)],
+            "user_id long, event_id long, event_type string, ts timestamp",
+        ),
+        path,
+        1,
+    )
 
     def split_join(e):
         clicks = e.filter(F.col("event_type") == "click").select(
@@ -305,12 +347,19 @@ def test_watermark_drops_late_data(spark, tmp_path):
     base = dt.datetime(2030, 1, 1, 0, 30)
     on_time = [
         (1, base, 10.0, "click"),
-        (2, base + dt.timedelta(hours=6), 1.0, "click"),  # watermark -> 04:00
+        (2, base + dt.timedelta(hours=6), 1.0, "click"),  # watermark -> 04:30
     ]
+    # Spark (>=3.5) filters late events with the watermark from ONE BATCH
+    # EARLIER than the one used for state eviction — a watermark advanced
+    # by batch N only drops late rows from batch N+2 on. This on-time
+    # filler batch commits the advanced watermark for late-event
+    # filtering before the late row arrives.
+    filler = [(4, base + dt.timedelta(hours=6, minutes=1), 1.0, "click")]
     late = [(3, base + dt.timedelta(minutes=5), 99.0, "click")]  # bucket 00:00, long closed
     schema = "event_id long, ts timestamp, value double, event_type string"
-    spark.createDataFrame(on_time, schema).write.parquet(str(tmp_path / "src"))
-    spark.createDataFrame(late, schema).write.mode("append").parquet(str(tmp_path / "src"))
+    _write_batch(spark.createDataFrame(on_time, schema), str(tmp_path / "src"), 0)
+    _write_batch(spark.createDataFrame(filler, schema), str(tmp_path / "src"), 1)
+    _write_batch(spark.createDataFrame(late, schema), str(tmp_path / "src"), 2)
 
     src = (
         spark.readStream.schema(spark.read.parquet(str(tmp_path / "src")).schema)
@@ -348,18 +397,38 @@ def test_dedup_within_watermark_state_expiry(spark, tmp_path):
     base = dt.datetime(2030, 6, 1, 0, 0)
     schema = "event_id long, ts timestamp, value double, event_type string"
     # batch 1: original + watermark already advanced 6h past it
-    spark.createDataFrame(
-        [(7, base, 1.0, "click"), (8, base + dt.timedelta(hours=6), 1.0, "click")],
-        schema,
-    ).write.parquet(str(tmp_path / "src"))
-    # batch 2: near-dup of id 7 (same id, ts within the CURRENT horizon)
-    # -> suppressed; far-late dup of id 7 would be dropped by the
-    # watermark itself, so re-emission is exercised with a fresh ts
-    spark.createDataFrame(
-        [(7, base + dt.timedelta(hours=6, minutes=5), 2.0, "click"),
-         (8, base + dt.timedelta(hours=6, minutes=1), 9.0, "click")],
-        schema,
-    ).write.mode("append").parquet(str(tmp_path / "src"))
+    _write_batch(
+        spark.createDataFrame(
+            [(7, base, 1.0, "click"), (8, base + dt.timedelta(hours=6), 1.0, "click")],
+            schema,
+        ),
+        str(tmp_path / "src"),
+        0,
+    )
+    # batch 2: near-dup of id 8 (state alive -> suppressed). Its end-of-
+    # batch cleanup also EVICTS id 7's expired state (eviction runs with
+    # the watermark batch 1 advanced; doing it in a separate batch keeps
+    # the eviction committed before the re-emission candidate arrives —
+    # state eviction, like late filtering, lags the watermark a batch).
+    _write_batch(
+        spark.createDataFrame(
+            [(8, base + dt.timedelta(hours=6, minutes=1), 9.0, "click")],
+            schema,
+        ),
+        str(tmp_path / "src"),
+        1,
+    )
+    # batch 3: fresh-ts row for id 7 — its 00:00 state is gone, so it is
+    # emitted AGAIN (a far-late dup would be dropped by the watermark
+    # itself, so re-emission is exercised with an on-time ts)
+    _write_batch(
+        spark.createDataFrame(
+            [(7, base + dt.timedelta(hours=6, minutes=5), 2.0, "click")],
+            schema,
+        ),
+        str(tmp_path / "src"),
+        2,
+    )
 
     src = (
         spark.readStream.schema(spark.read.parquet(str(tmp_path / "src")).schema)

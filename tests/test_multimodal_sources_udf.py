@@ -452,3 +452,90 @@ def test_map_arrow_zero_pandas_roundtrip(spark):
     rows = {r["x"]: r["y"] for r in out.collect()}
     assert len(rows) == 1000
     assert all(rows[x] == 2 * x + 1 for x in rows)
+
+
+def test_avro_multi_branch_union_roundtrip(spark, tmp_path):
+    """General (multi-branch non-null) union: read maps it to the
+    spark-avro struct-of-nullables memberN shape; write resolves the
+    branch from the Python value's type. Exceeds the reference's
+    nullable-union-only scope (cpp/src/io/avro/avro.cpp)."""
+    from cudf_spark.sources.avro import read_avro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "u",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "v", "type": ["null", "long", "string"]},
+            {"name": "w", "type": ["double", "string"]},  # no null branch
+        ],
+    }
+    rows = [
+        {"id": 1, "v": 42, "w": 2.5},
+        {"id": 2, "v": "hello", "w": "mixed"},
+        {"id": 3, "v": None, "w": 0.25},
+    ]
+    write_avro(rows, schema, str(tmp_path / "u.avro"))
+    df = read_avro(spark, str(tmp_path), schema_file=str(tmp_path / "u.avro"))
+    assert df.schema["v"].dataType.simpleString() == "struct<member0:bigint,member1:string>"
+    assert df.schema["w"].dataType.simpleString() == "struct<member0:double,member1:string>"
+    got = {r.id: r for r in df.collect()}
+    assert got[1].v.member0 == 42 and got[1].v.member1 is None
+    assert got[2].v.member1 == "hello" and got[2].v.member0 is None
+    assert got[3].v is None
+    assert got[1].w.member0 == 2.5 and got[2].w.member1 == "mixed"
+    assert got[3].w.member0 == 0.25
+
+
+def test_avro_split_read_multi_block(spark, tmp_path):
+    """Within-file block parallelism: a multi-block file read through
+    byte-range splits (Hadoop AvroInputFormat protocol) yields every row
+    exactly once, for any split size — including splits that start
+    mid-block and splits containing no block start at all."""
+    from cudf_spark.sources.avro import read_avro, read_avro_split, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    rows = [{"k": i, "s": f"row-{i:04d}-{'x' * (i % 17)}"} for i in range(500)]
+    f = str(tmp_path / "big.avro")
+    write_avro(rows, schema, f, rows_per_block=7)
+
+    whole = sorted((r.k, r.s) for r in read_avro(spark, f"{tmp_path}", schema_file=f).collect())
+    assert len(whole) == 500
+    import os
+
+    size = os.path.getsize(f)
+    for split_bytes in (size + 1, size // 3, 256, 64):
+        got = sorted(
+            (r.k, r.s)
+            for r in read_avro_split(
+                spark, f, schema_file=f, split_bytes=split_bytes
+            ).collect()
+        )
+        assert got == whole, f"split_bytes={split_bytes}"
+
+
+def test_avro_split_read_deflate_directory(spark, tmp_path):
+    """Split reads compose with compressed blocks and directory input."""
+    from cudf_spark.sources.avro import read_avro_split, write_avro
+
+    schema = {"type": "record", "name": "r", "fields": [{"name": "k", "type": "long"}]}
+    for p in range(3):
+        write_avro(
+            [{"k": p * 100 + i} for i in range(40)],
+            schema,
+            str(tmp_path / f"p{p}.avro"),
+            codec="deflate",
+            rows_per_block=9,
+        )
+    df = read_avro_split(
+        spark, str(tmp_path), schema_file=str(tmp_path / "p0.avro"), split_bytes=128
+    )
+    got = sorted(r.k for r in df.collect())
+    assert got == sorted(p * 100 + i for p in range(3) for i in range(40))

@@ -467,3 +467,100 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_wk", "wk_offset")
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY event_type),
+    r AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+        FROM e),
+    med AS (
+        -- exact DISCRETE (lower) median: the k-th smallest VALUE — an
+        -- actual data double, so both engines agree bit-for-bit (ties in
+        -- `value` don't matter: any rn assignment yields the same value)
+        SELECT r.event_type, r.value AS med
+        FROM r JOIN c USING (event_type) WHERE r.rn = (c.n + 1) // 2),
+    d AS (
+        SELECT e.event_type, e.value, abs(e.value - m.med) AS dev, m.med
+        FROM e JOIN med m USING (event_type)),
+    r2 AS (
+        SELECT event_type, dev,
+               row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn
+        FROM d),
+    mad AS (
+        SELECT r2.event_type, r2.dev AS mad
+        FROM r2 JOIN c USING (event_type) WHERE r2.rn = (c.n + 1) // 2),
+    anom AS (
+        SELECT d.event_type,
+               CAST(count(*) FILTER (WHERE d.dev > 5 * a.mad) AS BIGINT) AS n_anomalies
+        FROM d JOIN mad a USING (event_type) GROUP BY d.event_type)
+    SELECT c.event_type, c.n,
+           CAST(floor(m.med * 1000000) AS BIGINT) AS med_q6,
+           CAST(floor(a.mad * 1000000) AS BIGINT) AS mad_q6,
+           anom.n_anomalies
+    FROM c JOIN med m USING (event_type) JOIN mad a USING (event_type)
+           JOIN anom USING (event_type)
+    ORDER BY c.event_type
+    """,
+    doc="grouped robust anomaly detection: per-key exact discrete median "
+    "and MAD (median absolute deviation — Hampel's robust scale, public "
+    "statistics), flagging |x - med| > 5*MAD. Discrete (k-th smallest) "
+    "medians are actual data doubles, so med/MAD/threshold are "
+    "bit-identical cross-engine with no interpolation or fold drift. "
+    "Plan: two per-key window sorts + keyed joins — no global sort, no "
+    "collect; at 100 TB swap the exact medians for approx_percentile "
+    "when tolerance allows, the shape stays keyed either way. The "
+    "reference's groupby quantiles (quantiles.hpp) cover the same "
+    "surface with interpolation=NEAREST.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    c = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def disc_median(df, col, out):
+        w = W.partitionBy("event_type").orderBy(col)
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .join(c, "event_type")
+            .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = disc_median(e, "value", "med")
+    d = e.join(med, "event_type").withColumn("dev", F.abs(F.col("value") - F.col("med")))
+    mad = disc_median(d.select("event_type", F.col("dev").alias("value")), "value", "mad")
+    anom = (
+        d.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("dev") > 5 * F.col("mad")).cast("long"))
+            .cast("bigint")
+            .alias("n_anomalies")
+        )
+    )
+    return (
+        c.join(med, "event_type")
+        .join(mad, "event_type")
+        .join(anom, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.floor(F.col("med") * 1e6).cast("bigint").alias("med_q6"),
+            F.floor(F.col("mad") * 1e6).cast("bigint").alias("mad_q6"),
+            "n_anomalies",
+        )
+        .orderBy("event_type")
+    )

@@ -765,3 +765,54 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("asset_id", "frame_idx", F.round(F.abs(F.col("d")), 6).alias("jump"))
         .orderBy("asset_id", "frame_idx")
     )
+
+
+@register(
+    "doc_temperature_mix",
+    oracle="""
+    WITH n AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source),
+    s AS (
+        -- DETERMINISTIC total: sqrt is correctly rounded per IEEE-754
+        -- (bit-identical on both engines, unlike pow/ln), and the fold
+        -- over the handful of domain rows is sorted so the sum is the
+        -- same double regardless of engine/partitioning
+        SELECT list_sum(list_sort(list(sqrt(n_docs)))) AS tot FROM n)
+    SELECT n.source, n.n_docs,
+           CAST(floor(sqrt(n.n_docs) / s.tot * 1000000) AS BIGINT)    AS weight_q6,
+           CAST(floor(sqrt(n.n_docs) / s.tot * 1000000000) AS BIGINT) AS planned_docs
+    FROM n CROSS JOIN s
+    ORDER BY n.source
+    """,
+    doc="temperature-scaled domain mixing (the multinomial sampling "
+    "weights multilingual/multi-domain corpora use — p_d ∝ n_d^alpha "
+    "with alpha=0.5, Lample & Conneau 2019 arXiv:1901.07291 §3.1; "
+    "upweights small domains relative to proportional sampling). "
+    "alpha=1/2 makes the power a plain IEEE sqrt — bit-identical on "
+    "both engines where pow/exp/ln are libm-dependent; the domain-sum "
+    "is a sorted fold bounded by the domain count. planned_docs is the "
+    "per-domain draw count for a 1e9-doc budget. 100 TB: one keyed "
+    "count per domain; the weight table is O(#domains) rows.",
+)
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    s = n.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt(F.col("n_docs").cast("double")))),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ).alias("tot")
+    )
+    p = F.sqrt(F.col("n_docs").cast("double")) / F.col("tot")
+    return (
+        n.crossJoin(F.broadcast(s))  # 1-row total
+        .select(
+            "source",
+            "n_docs",
+            F.floor(p * 1e6).cast("bigint").alias("weight_q6"),
+            F.floor(p * 1e9).cast("bigint").alias("planned_docs"),
+        )
+        .orderBy("source")
+    )

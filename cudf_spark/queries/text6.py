@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
 from cudf_spark.queries.registry import register
-from cudf_spark.queries.text import SQL_TOKS, STOPWORDS
+from cudf_spark.queries.text import SQL_SHINGLES, SQL_TOKS, STOPWORDS
 from cudf_spark.functions.textfns import normalize_text
 
 # Fixed "trained" weights: bias, n_tok saturation, stopword ratio, alpha
@@ -282,5 +282,87 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "id_b")
         .filter(cos >= SPARSE_MIN_COS)
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+CONT_MAX_DF = 10   # relative df cap: drop shingles in > 1/10 of docs
+CONT_MIN_Q6 = 600_000  # emit pairs with containment >= 0.6 in either direction
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
+    sh AS (SELECT doc_id, unnest({SQL_SHINGLES}) AS g FROM w),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    gf AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY g),
+    kept AS (
+        SELECT sh.doc_id, sh.g
+        FROM sh JOIN gf USING (g) CROSS JOIN nn
+        WHERE gf.df * {CONT_MAX_DF} <= nn.n_docs),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM kept GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT i.id_a, i.id_b,
+           (i.inter * 1000000) // sa.sz AS cont_ab_q6,
+           (i.inter * 1000000) // sb.sz AS cont_ba_q6
+    FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+                 JOIN sz sb ON sb.doc_id = i.id_b
+    WHERE (i.inter * 1000000) // sa.sz >= {CONT_MIN_Q6}
+       OR (i.inter * 1000000) // sb.sz >= {CONT_MIN_Q6}
+    ORDER BY id_a, id_b
+    """,
+    doc="ASYMMETRIC near-dup detection via shingle containment "
+    "|A∩B|/|A| (Broder 1997's containment — catches a short doc quoted "
+    "inside a long one, which symmetric Jaccard/minhash under-scores "
+    "because the union is dominated by the long doc). Pairs form ONLY "
+    "through shared shingles (shingle-keyed self-join) under the same "
+    "relative-df blocking as the sparse-cosine join; containment is "
+    "reported in exact integer micro-units ((inter*1e6) div |set|) so "
+    "both engines agree with no float division anywhere. 100 TB: "
+    "shingle- and doc-keyed shuffles only; hot shingles are excised by "
+    "the cap before the pair term can go quadratic.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(normalize_text(F.col("text")))).alias("g")
+    )
+    gf = sh.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    kept_g = (
+        gf.crossJoin(F.broadcast(n_docs))  # 1-row count
+        .filter(F.col("df") * CONT_MAX_DF <= F.col("n_docs"))
+        .select("g")
+    )
+    kept = sh.join(kept_g, "g").localCheckpoint(eager=False)  # feeds sizes + both sides
+    sz = kept.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = kept.select(F.col("doc_id").alias("id_a"), "g")
+    b = kept.select(F.col("doc_id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    cont_ab = F.expr("(inter * 1000000) div sz_a")
+    cont_ba = F.expr("(inter * 1000000) div sz_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter((cont_ab >= CONT_MIN_Q6) | (cont_ba >= CONT_MIN_Q6))
+        .select(
+            "id_a",
+            "id_b",
+            cont_ab.alias("cont_ab_q6"),
+            cont_ba.alias("cont_ba_q6"),
+        )
         .orderBy("id_a", "id_b")
     )

@@ -564,3 +564,58 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events),
+    r AS (
+        SELECT user_id, d,
+               row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        FROM days),
+    isl AS (SELECT user_id, d - CAST(rn AS INTEGER) AS anchor FROM r),
+    g AS (
+        SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+        FROM isl GROUP BY user_id, anchor)
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+    doc="consecutive-day activity streaks per user — the gaps-and-islands "
+    "idiom (island anchor = day minus per-user day rank, a date constant "
+    "within each consecutive run): distinct active days -> one keyed "
+    "window rank -> keyed island aggregate. Pure integer/date arithmetic "
+    "end to end (no float anywhere). 100 TB: the distinct() and both "
+    "groupBys are user-keyed; nothing global. Complements the time-gap "
+    "sessionization family (stream_sessions) with the calendar-grain "
+    "engagement metric retention dashboards use.",
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    r = days.withColumn(
+        "rn", F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    )
+    isl = r.select("user_id", F.expr("date_sub(d, rn)").alias("anchor"))
+    g = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("active_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )

@@ -366,3 +366,54 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "text_novelty_ratio",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {SQL_TOKS} AS w FROM documents),
+    sh AS (SELECT doc_id, unnest({SQL_SHINGLES}) AS g FROM w),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+    per AS (
+        SELECT sh.doc_id,
+               CAST(count(*) AS BIGINT) AS n_sh,
+               CAST(count(*) FILTER (f.first_doc = sh.doc_id) AS BIGINT) AS n_novel
+        FROM sh JOIN firsts f USING (g)
+        GROUP BY sh.doc_id)
+    SELECT doc_id, n_sh, n_novel,
+           (n_novel * 1000000) // n_sh AS novelty_q6
+    FROM per ORDER BY doc_id
+    """,
+    doc="corpus novelty scoring: per-doc fraction of 3-gram shingles "
+    "whose FIRST corpus occurrence (min doc_id over the ingest order) is "
+    "this doc — the 'how much new text does this doc add' signal "
+    "curation pipelines use to downweight boilerplate-heavy additions "
+    "(the aggregate view of win_cumulative_distinct's first-occurrence "
+    "rewrite). One shingle-keyed min + one doc-keyed count; ratio in "
+    "exact integer micro-units. Docs with < 3 tokens have no shingles "
+    "and are absent on both engines (explode/unnest drop empty arrays).",
+)
+def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(normalize_text(F.col("text")))).alias("g")
+    )
+    firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_sh",
+        "n_novel",
+        F.expr("(n_novel * 1000000) div n_sh").alias("novelty_q6"),
+    ).orderBy("doc_id")

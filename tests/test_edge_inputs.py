@@ -266,3 +266,18 @@ def test_zorder2_matches_python_interleave(spark):
     }
     for (x, y), z in got.items():
         assert z == ref(x, y, 10), (x, y)
+
+
+def test_zorder2_rejects_out_of_range_bits(spark):
+    """bits > 31 would shift into the BIGINT sign bit (silently inverted
+    sort order); both the Column builder and the SQL mirror refuse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cudf_spark.functions.row_bits import zorder2, zorder2_sql
+
+    for bad in (0, 32, 64, -1):
+        with pytest.raises(ValueError):
+            zorder2(F.col("x"), F.col("y"), bits=bad)
+        with pytest.raises(ValueError):
+            zorder2_sql("x", "y", bits=bad)

@@ -110,3 +110,37 @@ def test_pagerank_matches_pure_python(spark):
     assert set(got) == set(nodes)
     for n in nodes:
         assert abs(got[n] - pr[n]) < 1e-12, (n, got[n], pr[n])
+
+
+def test_pagerank_fixed_point_tracks_float(spark):
+    """The scaled-integer iteration stays within quantization error of
+    the float PageRank (truncating div loses < deg·1e-15 per node per
+    round), and is bit-stable across repartitionings — the property the
+    float version cannot give."""
+    from cudf_spark.operators.graphs import pagerank, pagerank_fixed_point
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    fl = {r["node"]: r["pr"] for r in pagerank(df, damping=0.85, iters=5).collect()}
+    fp = {
+        r["node"]: r["pr_q"] / 1e15
+        for r in pagerank_fixed_point(df, iters=5).collect()
+    }
+    assert set(fl) == set(fp)
+    for n in fl:
+        assert abs(fl[n] - fp[n]) < 1e-9, (n, fl[n], fp[n])
+    # determinism under a different partitioning: identical pr_q bits
+    fp2 = {
+        r["node"]: r["pr_q"]
+        for r in pagerank_fixed_point(df.repartition(7), iters=5).collect()
+    }
+    assert fp2 == {
+        r["node"]: r["pr_q"] for r in pagerank_fixed_point(df, iters=5).collect()
+    }
+
+
+def test_pagerank_fixed_point_empty(spark):
+    from cudf_spark.operators.graphs import pagerank_fixed_point
+
+    df = spark.createDataFrame([], "src string, dst string")
+    assert pagerank_fixed_point(df).count() == 0

@@ -408,3 +408,21 @@ def test_bitmap_distinct_single_keyed_aggregate(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_bit_or" in plan or "bit_or" in plan
+
+
+def test_sparse_cosine_no_mandatory_vocab_broadcast(spark):
+    """The distinct-token (dfreq) table must NOT carry a broadcast hint —
+    it is 10^8-10^9 rows on a web corpus (round-4 verdict scale-killer).
+    The only hint allowed in the plan is the 1-row n_docs scalar; the
+    capped-vocabulary join is left to AQE."""
+    from tests.conftest import SF_DIR
+
+    from cudf_spark.queries import REGISTRY
+
+    df = REGISTRY["text_sparse_cosine_pairs"].build(spark, SF_DIR)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    n_hints = logical.count("ResolvedHint")
+    # 0 in practice (the weight table's localCheckpoint truncates the
+    # lineage that held the n_docs scalar hint); anything beyond the
+    # 1-row n_docs hint means the vocabulary broadcast came back
+    assert n_hints <= 1, f"expected at most the 1-row n_docs hint, found {n_hints}"

@@ -542,3 +542,66 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+    c AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+    r AS (
+        SELECT l_returnflag, cents,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn
+        FROM t),
+    kept AS (
+        -- trim n//10 from each tail; ties at the boundary don't matter:
+        -- the kept MULTISET of values is rank-order independent
+        SELECT r.l_returnflag, r.cents
+        FROM r JOIN c USING (l_returnflag)
+        WHERE r.rn > c.n // 10 AND r.rn <= c.n - c.n // 10)
+    SELECT k.l_returnflag, c.n,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST((sum(k.cents) * 10000) // count(*) AS BIGINT) AS trimmed_mean_q6
+    FROM kept k JOIN c USING (l_returnflag)
+    GROUP BY k.l_returnflag, c.n
+    ORDER BY k.l_returnflag
+    """,
+    doc="10% two-sided trimmed mean per group (the robust-location "
+    "aggregate reporting pipelines use when winsorize is too blunt; "
+    "complements clean_winsorize and events_anomaly_mad). Entirely on "
+    "the integer cents lattice: the kept tail-trimmed multiset is "
+    "rank-order independent, BIGINT sums are fold-order independent, "
+    "and the mean is exact integer division — bit-identical cross-engine "
+    "with zero float ops. Plan: one keyed count + one per-key window "
+    "rank + keyed joins; no global sort. (BIGINT micro-dollar sums bound "
+    "the group size at ~9e14 rows — beyond 100 TB of lineitem; swap to "
+    "DECIMAL(38) sums past that.)",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    c = t.groupBy("l_returnflag").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    r = t.withColumn(
+        "rn", F.row_number().over(W.partitionBy("l_returnflag").orderBy("cents"))
+    )
+    kept = r.join(c, "l_returnflag").filter(
+        (F.col("rn") > F.expr("n div 10")) & (F.col("rn") <= F.expr("n - n div 10"))
+    )
+    return (
+        kept.groupBy("l_returnflag", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.expr("(sum(cents) * 10000) div count(*)")
+            .cast("bigint")
+            .alias("trimmed_mean_q6"),
+        )
+        .select("l_returnflag", "n", "n_kept", "trimmed_mean_q6")
+        .orderBy("l_returnflag")
+    )

@@ -610,3 +610,99 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("distinct_to_date"),
     ).orderBy("event_type", "d")
+
+
+@register(
+    "win_rolling_corr_exact",
+    oracle="""
+    WITH t AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(round(l_quantity) AS BIGINT)             AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT)  AS y,
+               l_shipdate
+        FROM lineitem WHERE l_suppkey <= 400),
+    w AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               row_number() OVER win AS rn,
+               sum(x)     OVER win AS sx,
+               sum(y)     OVER win AS sy,
+               sum(x * x) OVER win AS sxx,
+               sum(y * y) OVER win AS syy,
+               sum(x * y) OVER win AS sxy
+        FROM t
+        WINDOW win AS (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CASE WHEN (5 * sxx - sx * sx) = 0 OR (5 * syy - sy * sy) = 0
+                THEN NULL
+                ELSE CAST(floor(
+                    CAST(5 * sxy - sx * sy AS DOUBLE)
+                    / (sqrt(CAST(5 * sxx - sx * sx AS DOUBLE))
+                       * sqrt(CAST(5 * syy - sy * sy AS DOUBLE)))
+                    * 1000000) AS BIGINT)
+           END AS corr_q6
+    FROM w WHERE rn >= 5
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+    doc="rolling Pearson correlation (quantity vs price cents, 5-row "
+    "frame per supplier) — the cudf Rolling.corr / rolling COLLECT+"
+    "COVARIANCE surface (rolling.hpp; aggregation.hpp CORRELATION) as a "
+    "window op. EXACT by construction: both series live on integer "
+    "lattices, so all five frame sums are BIGINT (integer addition is "
+    "fold-order independent), the two variance terms get separate IEEE "
+    "sqrts (exact-rounded — their product stays in double range where "
+    "d1*d2 would overflow BIGINT), and the final floor acts on doubles "
+    "that are bit-identical cross-engine. min_periods=5 via rn >= 5; "
+    "zero-variance frames are NULL on both engines. One keyed window "
+    "sort, no global sort (suppkey filter keeps the fixture output "
+    "bounded; the plan is per-key at any scale).",
+)
+def win_rolling_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 400)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity", 0).cast("bigint").alias("x"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
+            "l_shipdate",
+        )
+    )
+    win = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-4, 0)
+    )
+    seq = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    w = t.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(seq).alias("rn"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+    )
+    d1 = 5 * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = 5 * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (5 * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    corr = num / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double")))
+    return (
+        w.filter(F.col("rn") >= 5)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.when((d1 != 0) & (d2 != 0), F.floor(corr * 1000000).cast("bigint")).alias(
+                "corr_q6"
+            ),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )

@@ -37,47 +37,9 @@ from cudf_spark.functions.textfns import normalize_text
 W0, W_LEN, W_STOP, W_ALPHA, W_TOKLEN, W_DIGIT = -2.6, 1.5, 2.0, 1.8, 0.7, -2.5
 
 
-@register(
-    "text_quality_classifier",
-    oracle=f"""
-    WITH feats AS (
-        SELECT doc_id,
-               len(list_filter({SQL_TOKS}, x -> x != ''))           AS n_tok,
-               list_sum(list_transform(list_filter({SQL_TOKS}, x -> x != ''),
-                                       x -> length(x)))             AS tok_chars,
-               len(list_intersect(list_distinct({SQL_TOKS}),
-                   ['the', 'a', 'of', 'to', 'and']))                AS n_stop,
-               length(regexp_replace(text, '[^A-Za-z]', '', 'g'))   AS n_alpha,
-               length(regexp_replace(text, '[^0-9]', '', 'g'))      AS n_digit,
-               length(text)                                         AS n_char
-        FROM documents),
-    scored AS (
-        -- empty docs (n_tok=0 or n_char=0) score their ratio features
-        -- as 0 rather than dividing by zero (Spark ANSI mode throws)
-        SELECT doc_id, n_tok,
-               {W0}
-               + {W_LEN}    * least(n_tok / 100.0, 1.0)
-               + {W_STOP}   * (CASE WHEN n_tok = 0 THEN 0.0
-                                    ELSE n_stop * 1.0 / n_tok END)
-               + {W_ALPHA}  * (CASE WHEN n_char = 0 THEN 0.0
-                                    ELSE n_alpha * 1.0 / n_char END)
-               + {W_TOKLEN} * (CASE WHEN n_tok = 0 THEN 0.0
-                                    ELSE least(tok_chars * 1.0 / n_tok / 10.0, 1.0) END)
-               + {W_DIGIT}  * (CASE WHEN n_char = 0 THEN 0.0
-                                    ELSE n_digit * 1.0 / n_char END) AS z
-        FROM feats)
-    SELECT doc_id, n_tok,
-           CAST(floor(z * 1000000) AS BIGINT) AS logit_q6,
-           z > 0                              AS keep
-    FROM scored ORDER BY doc_id
-    """,
-    doc="linear quality classifier (CCNet/GPT-3-style model-based "
-    "filtering): engineered features -> fixed-weight logit -> keep "
-    "decision. Map-only inference; the floor-quantized logit is the "
-    "sampling weight downstream mixers consume.",
-)
-def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+def _quality_z(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, z): the trained-linear-model logit — shared by the
+    standalone classifier query and curation_pipeline_v3's gate."""
     toks = F.filter(F.split(normalize_text(F.col("text")), " "), lambda x: x != "")
     d = d.select(
         "doc_id",
@@ -113,8 +75,57 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + W_DIGIT * safe_char.otherwise(F.col("n_digit") / F.col("n_char"))
     )
+    return d.select("doc_id", "n_tok", z.alias("z"))
+
+
+# Shared classifier CTEs (the gate stage of curation_pipeline_v3 replays
+# the identical SQL).
+_QUALITY_CTES = f"""feats AS (
+        SELECT doc_id,
+               len(list_filter({SQL_TOKS}, x -> x != ''))           AS n_tok,
+               list_sum(list_transform(list_filter({SQL_TOKS}, x -> x != ''),
+                                       x -> length(x)))             AS tok_chars,
+               len(list_intersect(list_distinct({SQL_TOKS}),
+                   ['the', 'a', 'of', 'to', 'and']))                AS n_stop,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g'))   AS n_alpha,
+               length(regexp_replace(text, '[^0-9]', '', 'g'))      AS n_digit,
+               length(text)                                         AS n_char
+        FROM documents),
+    scored AS (
+        -- empty docs (n_tok=0 or n_char=0) score their ratio features
+        -- as 0 rather than dividing by zero (Spark ANSI mode throws)
+        SELECT doc_id, n_tok,
+               {W0}
+               + {W_LEN}    * least(n_tok / 100.0, 1.0)
+               + {W_STOP}   * (CASE WHEN n_tok = 0 THEN 0.0
+                                    ELSE n_stop * 1.0 / n_tok END)
+               + {W_ALPHA}  * (CASE WHEN n_char = 0 THEN 0.0
+                                    ELSE n_alpha * 1.0 / n_char END)
+               + {W_TOKLEN} * (CASE WHEN n_tok = 0 THEN 0.0
+                                    ELSE least(tok_chars * 1.0 / n_tok / 10.0, 1.0) END)
+               + {W_DIGIT}  * (CASE WHEN n_char = 0 THEN 0.0
+                                    ELSE n_digit * 1.0 / n_char END) AS z
+        FROM feats)"""
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH {_QUALITY_CTES}
+    SELECT doc_id, n_tok,
+           CAST(floor(z * 1000000) AS BIGINT) AS logit_q6,
+           z > 0                              AS keep
+    FROM scored ORDER BY doc_id
+    """,
+    doc="linear quality classifier (CCNet/GPT-3-style model-based "
+    "filtering): engineered features -> fixed-weight logit -> keep "
+    "decision. Map-only inference; the floor-quantized logit is the "
+    "sampling weight downstream mixers consume.",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
     return (
-        d.withColumn("z", z)
+        _quality_z(d)
         .select(
             "doc_id",
             "n_tok",
@@ -290,6 +301,52 @@ CONT_MAX_DF = 10   # relative df cap: drop shingles in > 1/10 of docs
 CONT_MIN_Q6 = 600_000  # emit pairs with containment >= 0.6 in either direction
 
 
+def _doc_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, g): exploded distinct 3-shingles of each doc."""
+    from cudf_spark.functions.textfns import word_shingles
+
+    return d.select(
+        "doc_id", F.explode(word_shingles(normalize_text(F.col("text")))).alias("g")
+    )
+
+
+def _containment_pairs(sh: DataFrame, n_docs: DataFrame) -> DataFrame:
+    """(id_a, id_b, inter, sz_a, sz_b, cont_ab_q6, cont_ba_q6) for pairs
+    above CONT_MIN_Q6 in either direction — shared by the standalone
+    query and curation_pipeline_v3's asymmetric-dedup stage. ``sh`` is a
+    (doc_id, g) shingle table, ``n_docs`` a 1-row corpus count."""
+    gf = sh.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    kept_g = (
+        gf.crossJoin(F.broadcast(n_docs))  # 1-row count
+        .filter(F.col("df") * CONT_MAX_DF <= F.col("n_docs"))
+        .select("g")
+    )
+    kept = sh.join(kept_g, "g").localCheckpoint(eager=False)  # feeds sizes + both sides
+    sz = kept.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    a = kept.select(F.col("doc_id").alias("id_a"), "g")
+    b = kept.select(F.col("doc_id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    cont_ab = F.expr("(inter * 1000000) div sz_a")
+    cont_ba = F.expr("(inter * 1000000) div sz_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter((cont_ab >= CONT_MIN_Q6) | (cont_ba >= CONT_MIN_Q6))
+        .select(
+            "id_a", "id_b", "inter", "sz_a", "sz_b",
+            cont_ab.alias("cont_ab_q6"),
+            cont_ba.alias("cont_ba_q6"),
+        )
+    )
+
+
 @register(
     "dedup_containment_pairs",
     oracle=f"""
@@ -327,43 +384,11 @@ CONT_MIN_Q6 = 600_000  # emit pairs with containment >= 0.6 in either direction
     "the cap before the pair term can go quadratic.",
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cudf_spark.functions.textfns import word_shingles
-
     d = load(spark, sf_dir, "documents")
     n_docs = d.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    sh = d.select(
-        "doc_id", F.explode(word_shingles(normalize_text(F.col("text")))).alias("g")
-    )
-    gf = sh.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    kept_g = (
-        gf.crossJoin(F.broadcast(n_docs))  # 1-row count
-        .filter(F.col("df") * CONT_MAX_DF <= F.col("n_docs"))
-        .select("g")
-    )
-    kept = sh.join(kept_g, "g").localCheckpoint(eager=False)  # feeds sizes + both sides
-    sz = kept.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
-    a = kept.select(F.col("doc_id").alias("id_a"), "g")
-    b = kept.select(F.col("doc_id").alias("id_b"), "g")
-    inter = (
-        a.join(b, "g")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
-    )
-    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    cont_ab = F.expr("(inter * 1000000) div sz_a")
-    cont_ba = F.expr("(inter * 1000000) div sz_b")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter((cont_ab >= CONT_MIN_Q6) | (cont_ba >= CONT_MIN_Q6))
-        .select(
-            "id_a",
-            "id_b",
-            cont_ab.alias("cont_ab_q6"),
-            cont_ba.alias("cont_ba_q6"),
-        )
+        _containment_pairs(_doc_shingles(d), n_docs)
+        .select("id_a", "id_b", "cont_ab_q6", "cont_ba_q6")
         .orderBy("id_a", "id_b")
     )
 
@@ -417,3 +442,126 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_novel",
         F.expr("(n_novel * 1000000) div n_sh").alias("novelty_q6"),
     ).orderBy("doc_id")
+
+
+@register(
+    "curation_pipeline_v3",
+    oracle=f"""
+    WITH {_QUALITY_CTES},
+    gated AS (SELECT doc_id FROM scored WHERE z > 0),
+    w AS (SELECT d.doc_id, {SQL_TOKS} AS w
+          FROM documents d JOIN gated USING (doc_id)),
+    sh AS (SELECT doc_id, unnest({SQL_SHINGLES}) AS g FROM w),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM gated),
+    gf AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY g),
+    keptg AS (
+        SELECT sh.doc_id, sh.g
+        FROM sh JOIN gf USING (g) CROSS JOIN nn
+        WHERE gf.df * {CONT_MAX_DF} <= nn.n_docs),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM keptg GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        FROM keptg a JOIN keptg b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    pairs AS (
+        SELECT i.id_a, i.id_b, sa.sz AS sz_a, sb.sz AS sz_b
+        FROM inter i JOIN sz sa ON sa.doc_id = i.id_a
+                     JOIN sz sb ON sb.doc_id = i.id_b
+        WHERE (i.inter * 1000000) // sa.sz >= {CONT_MIN_Q6}
+           OR (i.inter * 1000000) // sb.sz >= {CONT_MIN_Q6}),
+    losers AS (
+        -- the SMALLER kept-shingle set loses (its content is the one
+        -- contained); ties drop the larger doc_id — single-pass,
+        -- deterministic
+        SELECT DISTINCT CASE WHEN sz_a < sz_b THEN id_a
+                             WHEN sz_b < sz_a THEN id_b
+                             ELSE greatest(id_a, id_b) END AS doc_id
+        FROM pairs),
+    survivors AS (
+        SELECT g.doc_id FROM gated g ANTI JOIN losers l ON g.doc_id = l.doc_id),
+    sh2 AS (SELECT sh.doc_id, sh.g FROM sh JOIN survivors USING (doc_id)),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM sh2 GROUP BY g),
+    nov AS (
+        SELECT sh2.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+               CAST(count(*) FILTER (f.first_doc = sh2.doc_id) AS BIGINT) AS n_novel
+        FROM sh2 JOIN firsts f USING (g)
+        GROUP BY sh2.doc_id),
+    src AS (
+        SELECT d.source, (n.n_novel * 1000000) // n.n_sh AS novelty_q6
+        FROM nov n JOIN documents d USING (doc_id)),
+    agg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(novelty_q6) // count(*) AS BIGINT) AS mean_novelty_q6
+        FROM src GROUP BY source),
+    tot AS (SELECT list_sum(list_sort(list(sqrt(n_kept)))) AS tot FROM agg)
+    SELECT agg.source, agg.n_kept, agg.mean_novelty_q6,
+           CAST(floor(sqrt(agg.n_kept) / tot.tot * 1000000) AS BIGINT) AS weight_q6
+    FROM agg CROSS JOIN tot
+    ORDER BY agg.source
+    """,
+    doc="End-to-end curation v3 — the ROUND-5 operators composed into one "
+    "DAG: linear quality gate (z > 0, _quality_z) -> asymmetric "
+    "containment dedup (the contained/smaller side of each >= 0.6 pair "
+    "is dropped, single deterministic pass) -> corpus novelty scoring "
+    "over the survivors (first-occurrence shingles) -> per-source "
+    "rollup with sqrt-temperature sampling weights. Every stage is the "
+    "already-verified standalone operator (shared helpers _quality_z / "
+    "_doc_shingles / _containment_pairs), every shuffle keyed (doc_id / "
+    "shingle / source), all arithmetic on integer or IEEE-sqrt-exact "
+    "lattices. Docs with < 3 tokens have no shingles and leave the "
+    "pipeline at the novelty stage on both engines.",
+)
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    gated_ids = _quality_z(d).filter(F.col("z") > 0).select("doc_id")
+    gated = d.join(gated_ids, "doc_id")
+    n_docs = gated.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # one shingle table feeds BOTH the containment stage and the novelty
+    # stage — checkpoint so the tokenizer runs once
+    sh = _doc_shingles(gated).localCheckpoint(eager=False)
+    pairs = _containment_pairs(sh, n_docs)
+    loser = (
+        F.when(F.col("sz_a") < F.col("sz_b"), F.col("id_a"))
+        .when(F.col("sz_b") < F.col("sz_a"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+    )
+    losers = pairs.select(loser.alias("doc_id")).distinct()
+    survivors = gated_ids.join(losers, "doc_id", "left_anti")
+    sh2 = sh.join(survivors, "doc_id")
+    firsts = sh2.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    nov = (
+        sh2.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    src = nov.join(d.select("doc_id", "source"), "doc_id").select(
+        "source", F.expr("(n_novel * 1000000) div n_sh").alias("novelty_q6")
+    )
+    agg = src.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.expr("sum(novelty_q6) div count(1)").cast("bigint").alias("mean_novelty_q6"),
+    )
+    tot = agg.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt(F.col("n_kept").cast("double")))),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ).alias("tot")
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))  # 1-row total
+        .select(
+            "source",
+            "n_kept",
+            "mean_novelty_q6",
+            F.floor(F.sqrt(F.col("n_kept").cast("double")) / F.col("tot") * 1e6)
+            .cast("bigint")
+            .alias("weight_q6"),
+        )
+        .orderBy("source")
+    )

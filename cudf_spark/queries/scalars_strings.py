@@ -323,3 +323,57 @@ def str_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", enc.alias("enc"), F.url_decode(enc).alias("dec")
     ).orderBy("p_partkey")
+
+
+WRAP_W = 12
+FM_TARGETS = ("lavender", "spring", "metallic")
+
+
+@register(
+    "str_wrap_find_multiple",
+    oracle=f"""
+    WITH w AS (
+        SELECT p_partkey, p_name,
+               regexp_replace(p_name, '(.{{1,{WRAP_W}}}) ',
+                              '\\1' || chr(10), 'g') AS wrapped
+        FROM part)
+    SELECT p_partkey,
+           CAST(len(string_split(wrapped, chr(10))) AS BIGINT)       AS n_lines,
+           CAST(list_max(list_transform(string_split(wrapped, chr(10)),
+                                        x -> length(x))) AS BIGINT)  AS max_line,
+           string_split(wrapped, chr(10))[1]                          AS line1,
+           {" || '|' || ".join(
+               f"CAST(strpos(p_name, '{t}') - 1 AS VARCHAR)" for t in FM_TARGETS
+           )}                                                         AS find_pos,
+           regexp_replace(p_name, '[^a-m ]', '', 'g')                 AS filtered
+    FROM w ORDER BY p_partkey
+    """,
+    doc="three reference string APIs in one pass: wrap "
+    "(strings/wrap.hpp — greedy line fill at width "
+    f"{WRAP_W}, whitespace becomes the break, words never split; "
+    "reported as line count / max line length / first line, which pins "
+    "the exact break positions without embedding newlines in the "
+    "output), find_multiple (strings/find_multiple.hpp — first 0-based "
+    "occurrence of each target, -1 when absent, '|'-joined per the "
+    "scalar output contract), and filter_characters "
+    "(strings/translate.hpp:filter_characters — keep only [a-m ]). All "
+    "map-only whole-stage-codegen projections; the wrap regex "
+    "'(.{1,W}) ' produces identical greedy fills under Java regex and "
+    "RE2 (both Perl-greedy for bounded quantifiers).",
+)
+def str_wrap_find_multiple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    wrapped = F.regexp_replace("p_name", f"(.{{1,{WRAP_W}}}) ", "$1\n")
+    lines = F.split(wrapped, "\n")
+    find_pos = F.concat_ws(
+        "|",
+        *[(F.instr("p_name", t) - 1).cast("string") for t in FM_TARGETS],
+    )
+    return p.select(
+        "p_partkey",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.array_max(F.transform(lines, F.length)).cast("bigint").alias("max_line"),
+        F.element_at(lines, 1).alias("line1"),
+        find_pos.alias("find_pos"),
+        F.regexp_replace("p_name", "[^a-m ]", "").alias("filtered"),
+    ).orderBy("p_partkey")

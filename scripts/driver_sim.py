@@ -18,7 +18,8 @@ print(f"SMOKE entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fiel
 assert len(rows) > 0
 
 # t2: every query vs oracle at sf0.01
-sf = "/root/testdata/sf0.01"
+import os
+sf = os.environ.get("DRIVER_SIM_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")

@@ -816,3 +816,59 @@ def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_LB_CAPS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+@register(
+    "pipeline_length_buckets",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len({SQL_TOKS_NE}) AS n_tok
+        FROM documents),
+    b AS (
+        SELECT doc_id, least(n_tok, 1024) AS n_eff,
+               CASE {" ".join(f"WHEN n_tok <= {c} THEN {c}" for c in _LB_CAPS)}
+                    ELSE 1024 END AS cap
+        FROM t)
+    SELECT cap,
+           CAST(count(*) AS BIGINT)            AS n_docs,
+           CAST(sum(n_eff) AS BIGINT)          AS total_tokens,
+           CAST(sum(cap - n_eff) AS BIGINT)    AS total_padding,
+           CAST((sum(cap - n_eff) * 1000000) // sum(cap) AS BIGINT) AS waste_q6
+    FROM b GROUP BY cap ORDER BY cap
+    """,
+    doc="length-bucketed batching for inference/training serving: docs "
+    "assigned to the smallest power-of-2 token-length bucket (16..1024, "
+    "over-long docs truncate to 1024 — the fixed CASE ladder is "
+    "engine-portable where log2 is libm), reporting per-bucket doc "
+    "count, real tokens, padding tokens, and padding-waste fraction in "
+    "integer micro-units — the batch-shape planning every padded "
+    "transformer pipeline does to minimize wasted FLOPs. Map-only "
+    "projection + ONE keyed (7-row) aggregate; pure integer arithmetic.",
+)
+def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import tokenize
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(tokenize(normalize_text(F.col("text"))))
+    cap = F.lit(1024)
+    for c in reversed(_LB_CAPS):
+        cap = F.when(n_tok <= c, F.lit(c)).otherwise(cap)
+    b = d.select(
+        F.least(n_tok, F.lit(1024)).cast("bigint").alias("n_eff"),
+        cap.cast("bigint").alias("cap"),
+    )
+    return (
+        b.groupBy("cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_eff").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("cap") - F.col("n_eff")).cast("bigint").alias("total_padding"),
+            F.expr("(sum(cap - n_eff) * 1000000) div sum(cap)")
+            .cast("bigint")
+            .alias("waste_q6"),
+        )
+        .orderBy("cap")
+    )

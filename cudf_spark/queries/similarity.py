@@ -541,3 +541,143 @@ def emb_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+IVF_RECALL_K, IVF_RECALL_NPROBE = 10, 2
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 67 = 3
+    ), qs AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 101 = 7
+    ), assign AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_sql_cosine('e.embedding', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ), cells AS (
+        SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1
+    ), probe AS (
+        SELECT * FROM (
+            SELECT q.qid, c.cid AS pcell,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_sql_cosine('c.cvec', 'q.qv')} DESC, c.cid
+                   ) AS prn
+            FROM cents c CROSS JOIN qs q)
+        WHERE prn <= {IVF_RECALL_NPROBE}
+    ), ivf AS (
+        SELECT * FROM (
+            SELECT p.qid, cells.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY round({_sql_cosine('cells.embedding', 'q.qv')}, 6)
+                                DESC, cells.vec_id
+                   ) AS irn
+            FROM cells JOIN probe p ON cells.cell = p.pcell
+                       JOIN qs q ON q.qid = p.qid
+            WHERE cells.vec_id != p.qid)
+        WHERE irn <= {IVF_RECALL_K}
+    ), bf AS (
+        SELECT * FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({_sql_cosine('e.embedding', 'q.qv')}, 6)
+                                DESC, e.vec_id
+                   ) AS brn
+            FROM embeddings e CROSS JOIN qs q
+            WHERE e.vec_id != q.qid)
+        WHERE brn <= {IVF_RECALL_K}
+    )
+    SELECT bf.qid,
+           CAST(count(ivf.vec_id) AS BIGINT) AS n_overlap,
+           CAST((count(ivf.vec_id) * 1000000) // {IVF_RECALL_K} AS BIGINT)
+               AS recall_q6
+    FROM bf LEFT JOIN ivf ON bf.qid = ivf.qid AND bf.vec_id = ivf.vec_id
+    GROUP BY bf.qid ORDER BY bf.qid
+    """,
+    doc="recall@10 of the IVF serving path against exact brute force, per "
+    "query (vec_id %% 101 == 7 query set, the same seeded centroids and "
+    "nprobe=2 as ann_ivf_topk) — the accuracy envelope that makes an "
+    "approximate index auditable (the dedup_minhash_estimate pattern "
+    "applied to ANN). Fully set-based: centroid probe is a (K x Q)-row "
+    "ranked join, candidates form only through probed cells, brute force "
+    "is ONE corpus-x-queries broadcast pass; recall in exact integer "
+    "micro-units. At 100 TB the BF half is the (sampled) ground-truth "
+    "job you run once to validate the index, not the serving path.",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cudf_spark.operators.similarity import ivf_assign
+
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 67 == 3).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    qs = e.filter(F.col("vec_id") % 101 == 7).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cells = ivf_assign(e, cents)
+    probe = (
+        cents.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "prn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    F.desc(cosine(F.col("cvec"), F.col("qv"))), F.col("cid")
+                )
+            ),
+        )
+        .filter(F.col("prn") <= IVF_RECALL_NPROBE)
+        .select("qid", F.col("cid").alias("pcell"))
+    )
+    ivf = (
+        cells.join(F.broadcast(probe), cells["cell"] == probe["pcell"])
+        .join(F.broadcast(qs), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "irn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    F.desc(F.round(cosine(F.col("embedding"), F.col("qv")), 6)),
+                    F.col("vec_id"),
+                )
+            ),
+        )
+        .filter(F.col("irn") <= IVF_RECALL_K)
+        .select("qid", "vec_id")
+    )
+    bf = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "brn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(
+                    F.desc(F.round(cosine(F.col("embedding"), F.col("qv")), 6)),
+                    F.col("vec_id"),
+                )
+            ),
+        )
+        .filter(F.col("brn") <= IVF_RECALL_K)
+        .select("qid", "vec_id")
+    )
+    hit = ivf.withColumn("hit", F.lit(1))
+    return (
+        bf.join(hit, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_overlap"),
+            F.expr(f"(count(hit) * 1000000) div {IVF_RECALL_K}")
+            .cast("bigint")
+            .alias("recall_q6"),
+        )
+        .orderBy("qid")
+    )

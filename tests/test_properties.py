@@ -402,3 +402,101 @@ def test_cms_never_underestimates_property(spark, vals, width):
     joined = truth.join(est, "v").collect()
     assert len(joined) == len(set(vals))
     assert all(r["est"] >= r["n"] for r in joined)
+
+
+@SLOW
+@given(
+    vals=st.lists(st.integers(0, 10**7), min_size=1, max_size=80),
+)
+def test_trimmed_mean_matches_python(spark, vals):
+    """The rank-window trimmed mean (agg_trimmed_mean shape) equals the
+    plain-Python sort-slice-average on the cents lattice, including the
+    n < 10 no-trim edge and heavy ties at the trim boundary."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in vals], "cents long")
+    n = len(vals)
+    r = df.withColumn(
+        "rn", F.row_number().over(W.partitionBy().orderBy("cents"))
+    ).filter(
+        (F.col("rn") > n // 10) & (F.col("rn") <= n - n // 10)
+    )
+    got = r.agg(F.expr("(sum(cents) * 10000) div count(*)")).collect()[0][0]
+    kept = sorted(vals)[n // 10 : n - n // 10]
+    assert got == (sum(kept) * 10000) // len(kept)
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=64),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_disc_median_mad_matches_python(spark, vals):
+    """The (n+1) div 2 rank pick (events_anomaly_mad shape) returns the
+    exact lower-median DATA value for both the raw series and the
+    absolute deviations — matching a plain-Python sort index."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    n = len(vals)
+    k = (n + 1) // 2
+
+    def disc_median(sdf, col):
+        w = W.partitionBy().orderBy(col)
+        return (
+            sdf.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == k)
+            .collect()[0][col]
+        )
+
+    med = disc_median(df, "v")
+    assert med == sorted(vals)[k - 1]
+    dev = df.select(F.abs(F.col("v") - F.lit(med)).alias("v"))
+    mad = disc_median(dev, "v")
+    assert mad == sorted(abs(v - med) for v in vals)[k - 1]
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12),
+        min_size=2,
+        max_size=8,
+    ),
+)
+def test_containment_matches_bruteforce(spark, docs):
+    """Shingle containment via the token-keyed join (the
+    dedup_containment_pairs shape, df cap disabled) equals the
+    brute-force Python set computation for every pair."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    sets = {}
+    for i, toks in enumerate(docs):
+        sh = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        sets[i] = sh
+        rows += [(i, g) for g in sh]
+    sh_df = spark.createDataFrame(rows, "doc_id long, g string")
+    sz = sh_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh_df.select(F.col("doc_id").alias("id_a"), "g")
+    b = sh_df.select(F.col("doc_id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["inter"]
+        for r in inter.collect()
+    }
+    for i in sets:
+        for j in sets:
+            if i < j:
+                expect = len(sets[i] & sets[j])
+                assert got.get((i, j), 0) == expect

@@ -605,3 +605,43 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "n", "n_kept", "trimmed_mean_q6")
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_hll_error_envelope",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS hll_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="HLL accuracy envelope under the HASH gate: the estimate itself "
+    "is engine-specific (Spark HLL++ vs anything DuckDB would compute), "
+    "so the contract-checkable output is the exact count plus the "
+    "IN-QUERY assertion |hll - exact| <= 5%% of exact, computed on the "
+    "Spark side with rsd=0.01 (the bound is 5 sigma — if HLL++ ever "
+    "drifts past it on this deterministic data the query goes red "
+    "instead of silently lying). Converts the approx-distinct family "
+    "from a rows-only check into a hash-verified accuracy claim, the "
+    "same pattern as dedup_minhash_estimate/ann_ivf_recall. Exact side "
+    "is one keyed distinct; the HLL side is the map-side-mergeable "
+    "sketch you'd actually ship at 100 TB.",
+)
+def agg_hll_error_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("hll"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("hll") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("event_type")
+    )

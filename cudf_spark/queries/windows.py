@@ -305,10 +305,37 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ewma_per_user",
-    oracle=None,  # recursive aggregation is not ANSI-SQL-expressible at scale;
-    # verified against pandas ewm in tests/test_operators.py
+    oracle="""
+    WITH RECURSIVE r AS (
+        SELECT user_id, event_id, value AS x,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events),
+    s AS (
+        -- pandas ewm(adjust=True) REPLAYED EXACTLY: the Cython kernel's
+        -- old_wt recursion (decay the weight, fold the new observation,
+        -- including its avg != x no-op shortcut), same float op order,
+        -- so every intermediate double is bit-identical to the Arrow
+        -- grouped-map side. Depth = max rows per user (~100 here).
+        SELECT user_id, event_id, rn, x, x AS avg, CAST(1.0 AS DOUBLE) AS ow
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.event_id, r.rn, r.x,
+               CASE WHEN s.avg != r.x
+                    THEN (s.ow * 0.7 * s.avg + r.x) / (s.ow * 0.7 + 1.0)
+                    ELSE s.avg END,
+               s.ow * 0.7 + 1.0
+        FROM s JOIN r ON r.user_id = s.user_id AND r.rn = s.rn + 1)
+    SELECT event_id, user_id, round(avg, 4) AS ewma
+    FROM s ORDER BY event_id
+    """,
     doc="EWMA aggregation kind (aggregation.hpp:100) — Arrow-batched grouped "
-    "map (pandas ewm semantics, adjust=True).",
+    "map (pandas ewm semantics, adjust=True). UPGRADED from rows-only to "
+    "the full hash gate in round 5: a recursive-CTE oracle replays the "
+    "pandas kernel's old_wt recursion step-for-step (verified bit-exact "
+    "before adoption), so the 'recursive aggregation is not "
+    "SQL-expressible' carve-out no longer applies at oracle scale.",
 )
 def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")

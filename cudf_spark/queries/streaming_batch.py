@@ -499,3 +499,112 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.col("purchase_id").isNotNull().alias("matched"),
     ).orderBy("user_id", "click_id", "purchase_id")
+
+
+def _curation_oracle() -> str:
+    from cudf_spark.queries.text6 import _QUALITY_CTES
+
+    return f"""
+    WITH {_QUALITY_CTES},
+    gated AS (
+        SELECT d.doc_id, d.source, md5(d.text) AS dig
+        FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+        WHERE s.z > 0),
+    first_ AS (SELECT dig, min(doc_id) AS doc_id FROM gated GROUP BY dig),
+    kept AS (
+        SELECT g.source, g.doc_id
+        FROM gated g JOIN first_ f ON g.dig = f.dig AND g.doc_id = f.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT)    AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM kept GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "stream_curation_incremental",
+    oracle=_curation_oracle(),
+    doc="STREAMING curation: documents replayed as a REAL micro-batch "
+    "stream (3 doc_id-range files with strictly ordered mtimes, "
+    "maxFilesPerTrigger=1, availableNow); each foreachBatch applies the "
+    "quality-classifier gate, dedups exactly within the batch (min "
+    "doc_id per md5 digest), then digest-ANTI-JOINS against the "
+    "accumulated parquet state table and appends only genuinely new "
+    "digests — keep-FIRST-ARRIVAL across batches, the incremental form "
+    "of curation_pipeline_v2's exact-dedup stage and the cross-run "
+    "workflow of dedup_exact_crossrun, proven through an actual "
+    "incremental pipeline. Because batches are doc_id-ordered, the end "
+    "state must equal the one-shot batch rule (min doc_id per digest), "
+    "which the oracle replays; id_sum pins the exact surviving doc set. "
+    "100 TB: driver holds only paths — state is a digest-keyed parquet "
+    "table, every per-batch op is digest-/doc-keyed.",
+)
+def stream_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from cudf_spark.queries.text6 import _quality_z
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    n = d.count()
+    tmp = tempfile.mkdtemp(prefix="curation_stream_")
+    src, state = os.path.join(tmp, "src"), os.path.join(tmp, "state")
+    try:
+        ids = sorted(r[0] for r in d.select("doc_id").collect()) if n < 200000 else None
+        cuts = (
+            [ids[n // 3], ids[2 * n // 3]]
+            if ids
+            else [n // 3, 2 * n // 3]  # doc_ids are dense in the fixtures
+        )
+        batches = [
+            d.filter(F.col("doc_id") < cuts[0]),
+            d.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+            d.filter(F.col("doc_id") >= cuts[1]),
+        ]
+        for seq, b in enumerate(batches):
+            before = set(glob.glob(os.path.join(src, "*.parquet")))
+            b.coalesce(1).write.mode("append").parquet(src)
+            t = int(time.time()) + seq * 10
+            for f in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
+                os.utime(f, (t, t))
+
+        def per_batch(bdf, _bid):
+            gated = bdf.join(
+                _quality_z(bdf).filter(F.col("z") > 0).select("doc_id"), "doc_id"
+            )
+            w = gated.select("doc_id", "source", F.md5("text").alias("dig"))
+            first = w.groupBy("dig").agg(F.min("doc_id").alias("doc_id"))
+            batch_kept = w.join(first, ["dig", "doc_id"])
+            if os.path.isdir(state) and glob.glob(os.path.join(state, "*.parquet")):
+                seen = bdf.sparkSession.read.parquet(state).select("dig")
+                batch_kept = batch_kept.join(seen, "dig", "left_anti")
+            batch_kept.write.mode("append").parquet(state)
+
+        q = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_curation_incremental: stream did not finish in 300s"
+            )
+        kept = spark.read.parquet(state).select("source", "doc_id")
+        # materialize before rmtree pulls the state files away
+        rows = kept.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        ).orderBy("source").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["source"], r["n_kept"], r["id_sum"]) for r in rows],
+        "source string, n_kept bigint, id_sum bigint",
+    ).orderBy("source")

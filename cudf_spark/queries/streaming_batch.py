@@ -549,16 +549,18 @@ def stream_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cudf_spark.queries.text6 import _quality_z
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    n = d.count()
     tmp = tempfile.mkdtemp(prefix="curation_stream_")
     src, state = os.path.join(tmp, "src"), os.path.join(tmp, "state")
     try:
-        ids = sorted(r[0] for r in d.select("doc_id").collect()) if n < 200000 else None
-        cuts = (
-            [ids[n // 3], ids[2 * n // 3]]
-            if ids
-            else [n // 3, 2 * n // 3]  # doc_ids are dense in the fixtures
-        )
+        # 1-row collect: exact terciles of doc_id pick the batch cuts
+        # (any deterministic split works; collecting all ids would not
+        # scale, a 2-value percentile row always does)
+        cuts = [
+            int(c)
+            for c in d.agg(
+                F.expr("percentile(doc_id, array(0.34, 0.67))")
+            ).collect()[0][0]
+        ]
         batches = [
             d.filter(F.col("doc_id") < cuts[0]),
             d.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),

@@ -767,18 +767,36 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DETERMINISTIC sqrt-temperature total: sqrt is correctly rounded per
+# IEEE-754 (bit-identical on both engines, unlike pow/ln), and the fold
+# over the handful of domain rows is SORTED so the sum is the same
+# double regardless of engine/partitioning. Shared by doc_temperature_mix
+# and curation_pipeline_v3 (Spark side: sqrt_temperature_total below).
+def sqrt_temperature_tot_sql(n_col: str) -> str:
+    """DuckDB fragment: the sorted-fold Σ sqrt(n) over a counts CTE."""
+    return f"list_sum(list_sort(list(sqrt({n_col}))))"
+
+
+def sqrt_temperature_total(counts: DataFrame, n_col: str) -> DataFrame:
+    """1-row (tot) frame: sorted-fold Σ sqrt(n) over a tiny counts frame
+    — cross-join (broadcast) it back and weight with
+    ``sqrt(n)/tot``."""
+    return counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt(F.col(n_col).cast("double")))),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        ).alias("tot")
+    )
+
+
 @register(
     "doc_temperature_mix",
-    oracle="""
+    oracle=f"""
     WITH n AS (
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs
         FROM documents GROUP BY source),
-    s AS (
-        -- DETERMINISTIC total: sqrt is correctly rounded per IEEE-754
-        -- (bit-identical on both engines, unlike pow/ln), and the fold
-        -- over the handful of domain rows is sorted so the sum is the
-        -- same double regardless of engine/partitioning
-        SELECT list_sum(list_sort(list(sqrt(n_docs)))) AS tot FROM n)
+    s AS (SELECT {sqrt_temperature_tot_sql('n_docs')} AS tot FROM n)
     SELECT n.source, n.n_docs,
            CAST(floor(sqrt(n.n_docs) / s.tot * 1000000) AS BIGINT)    AS weight_q6,
            CAST(floor(sqrt(n.n_docs) / s.tot * 1000000000) AS BIGINT) AS planned_docs
@@ -798,13 +816,7 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     n = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    s = n.agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.sqrt(F.col("n_docs").cast("double")))),
-            F.lit(0.0),
-            lambda acc, y: acc + y,
-        ).alias("tot")
-    )
+    s = sqrt_temperature_total(n, "n_docs")
     p = F.sqrt(F.col("n_docs").cast("double")) / F.col("tot")
     return (
         n.crossJoin(F.broadcast(s))  # 1-row total
@@ -849,10 +861,14 @@ _LB_CAPS = (16, 32, 64, 128, 256, 512, 1024)
     "projection + ONE keyed (7-row) aggregate; pure integer arithmetic.",
 )
 def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cudf_spark.functions.textfns import tokenize
-
     d = load(spark, sf_dir, "documents")
-    n_tok = F.size(tokenize(normalize_text(F.col("text"))))
+    # filtered split, matching the oracle's SQL_TOKS_NE: an unfiltered
+    # split('') yields [''] (n_tok 1 vs the oracle's 0) on empty docs
+    n_tok = F.size(
+        F.filter(
+            F.split(normalize_text(F.col("text")), " "), lambda x: x != ""
+        )
+    )
     cap = F.lit(1024)
     for c in reversed(_LB_CAPS):
         cap = F.when(n_tok <= c, F.lit(c)).otherwise(cap)

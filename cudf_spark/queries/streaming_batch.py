@@ -544,7 +544,6 @@ def stream_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
     import tempfile
-    import time
 
     from cudf_spark.queries.text6 import _quality_z
 
@@ -555,23 +554,23 @@ def stream_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 1-row collect: exact terciles of doc_id pick the batch cuts
         # (any deterministic split works; collecting all ids would not
         # scale, a 2-value percentile row always does)
-        cuts = [
-            int(c)
-            for c in d.agg(
-                F.expr("percentile(doc_id, array(0.34, 0.67))")
-            ).collect()[0][0]
-        ]
+        tercs = d.agg(
+            F.expr("percentile(doc_id, array(0.34, 0.67))")
+        ).collect()[0][0]
+        if tercs is None:  # empty documents table: nothing to stream
+            return spark.createDataFrame(
+                [], "source string, n_kept bigint, id_sum bigint"
+            )
+        cuts = [int(c) for c in tercs]
         batches = [
             d.filter(F.col("doc_id") < cuts[0]),
             d.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
             d.filter(F.col("doc_id") >= cuts[1]),
         ]
+        from cudf_spark.streaming.ops import write_ordered_batch
+
         for seq, b in enumerate(batches):
-            before = set(glob.glob(os.path.join(src, "*.parquet")))
-            b.coalesce(1).write.mode("append").parquet(src)
-            t = int(time.time()) + seq * 10
-            for f in set(glob.glob(os.path.join(src, "*.parquet"))) - before:
-                os.utime(f, (t, t))
+            write_ordered_batch(b, src, seq)
 
         def per_batch(bdf, _bid):
             gated = bdf.join(

@@ -30,6 +30,10 @@ from cudf_spark.catalog import load
 from cudf_spark.queries.registry import register
 from cudf_spark.queries.text import SQL_SHINGLES, SQL_TOKS, STOPWORDS
 from cudf_spark.functions.textfns import normalize_text
+from cudf_spark.queries.pipeline import (
+    sqrt_temperature_tot_sql,
+    sqrt_temperature_total,
+)
 
 # Fixed "trained" weights: bias, n_tok saturation, stopword ratio, alpha
 # fraction, mean token length (capped), digit fraction. Signs follow the
@@ -493,7 +497,7 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
                CAST(sum(novelty_q6) // count(*) AS BIGINT) AS mean_novelty_q6
         FROM src GROUP BY source),
-    tot AS (SELECT list_sum(list_sort(list(sqrt(n_kept)))) AS tot FROM agg)
+    tot AS (SELECT {sqrt_temperature_tot_sql('n_kept')} AS tot FROM agg)
     SELECT agg.source, agg.n_kept, agg.mean_novelty_q6,
            CAST(floor(sqrt(agg.n_kept) / tot.tot * 1000000) AS BIGINT) AS weight_q6
     FROM agg CROSS JOIN tot
@@ -546,13 +550,7 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
         F.expr("sum(novelty_q6) div count(1)").cast("bigint").alias("mean_novelty_q6"),
     )
-    tot = agg.agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.sqrt(F.col("n_kept").cast("double")))),
-            F.lit(0.0),
-            lambda acc, y: acc + y,
-        ).alias("tot")
-    )
+    tot = sqrt_temperature_total(agg, "n_kept")
     return (
         agg.crossJoin(F.broadcast(tot))  # 1-row total
         .select(

@@ -307,11 +307,14 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ewma_per_user",
     oracle="""
     WITH RECURSIVE r AS (
+        -- NULL values are excluded on BOTH engines: the recursion below
+        -- would otherwise freeze avg while still accruing weight, where
+        -- pandas ewm skips NaN entirely
         SELECT user_id, event_id, value AS x,
                row_number() OVER (
                    PARTITION BY user_id
                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
     s AS (
         -- pandas ewm(adjust=True) REPLAYED EXACTLY: the Cython kernel's
         -- old_wt recursion (decay the weight, fold the new observation,
@@ -338,7 +341,11 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SQL-expressible' carve-out no longer applies at oracle scale.",
 )
 def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())  # mirror the oracle's domain
+        .select("event_id", "user_id", "ts", "value")
+    )
     return (
         ewma(e, ["user_id"], ["ts", "event_id"], "value", alpha=0.3)
         .select("event_id", "user_id", F.round("ewma", 4).alias("ewma"))

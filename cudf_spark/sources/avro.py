@@ -42,6 +42,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 MAGIC = b"Obj\x01"
 
+# {id(schema): (schema, non-null branch positions)} — see _decode's union path
+_UNION_POS_CACHE: dict = {}
+
 _PRIMITIVE_TO_SPARK = {
     "boolean": "boolean",
     "int": "int",
@@ -141,7 +144,15 @@ def _decode(buf: io.BytesIO, schema):
         if not 0 <= idx < len(schema):
             raise ValueError(f"union branch {idx} out of range for {schema!r}")
         val = _decode(buf, schema[idx])
-        non_null_pos = [i for i, b in enumerate(schema) if b != "null"]
+        # positions are a pure function of the schema — memoize per
+        # schema object (this runs once per VALUE in the decode loop);
+        # the cache holds a strong ref so id() cannot be recycled
+        cached = _UNION_POS_CACHE.get(id(schema))
+        if cached is None or cached[0] is not schema:
+            non_null_pos = [i for i, b in enumerate(schema) if b != "null"]
+            _UNION_POS_CACHE[id(schema)] = (schema, non_null_pos)
+        else:
+            non_null_pos = cached[1]
         if len(non_null_pos) <= 1:
             return val
         # multi-branch: struct-of-nullables row (see _spark_type)
@@ -432,24 +443,30 @@ def _encode(v, schema) -> bytes:
         return b"" if schema == "null" else _encode_value(v, schema)
     if isinstance(schema, list):  # union: emit the branch index, then value
         if _is_null(v):
+            if "null" not in schema:
+                raise NotImplementedError(
+                    f"null value for union {schema!r} with no null branch"
+                )
             return _zigzag(schema.index("null"))
         branches = [i for i, b in enumerate(schema) if b != "null"]
         if len(branches) == 1:
             return _zigzag(branches[0]) + _encode(v, schema[branches[0]])
-        # general union: pick the first branch whose avro type matches
-        # the Python value's type (the fastavro/spec writer resolution)
+        # general union: first branch matching the Python value's type,
+        # with Avro numeric promotion (int -> long -> float -> double)
+        # as every spec-conformant writer resolves it
         matches = {
             bool: ("boolean",),
-            int: ("int", "long"),
+            int: ("int", "long", "float", "double"),
             float: ("float", "double"),
             str: ("string",),
             bytes: ("bytes",),
         }
         for t, names in matches.items():
             if isinstance(v, t) and not (t is int and isinstance(v, bool)):
-                for i in branches:
-                    if schema[i] in names:
-                        return _zigzag(i) + _encode(v, schema[i])
+                for name in names:  # promotion order, not branch order
+                    for i in branches:
+                        if schema[i] == name:
+                            return _zigzag(i) + _encode(v, schema[i])
         raise NotImplementedError(
             f"no union branch of {schema!r} matches value {v!r}"
         )
@@ -586,7 +603,14 @@ def write_avro(
             raise NotImplementedError(codec)
         return block
 
-    sync = b"0123456789abcdef"  # any 16 bytes
+    # RANDOM per-file sync marker, as the spec intends: a fixed ASCII
+    # marker can occur verbatim inside row data, and the range-split
+    # scanner (_scan_sync) would treat that as a block boundary and
+    # decode garbage (found by review with b"0123456789abcdef" embedded
+    # in a string field). 16 random bytes make a data collision 2^-128.
+    import os as _os
+
+    sync = _os.urandom(16)
     meta = {
         "avro.schema": json.dumps(schema).encode(),
         "avro.codec": codec.encode(),

@@ -292,3 +292,28 @@ def user_tier_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("bronze"))
         .alias("tier"),
     )
+
+
+def write_ordered_batch(df: DataFrame, path: str, seq: int) -> str:
+    """Write ``df`` as ONE part-file whose mtime strictly increases with
+    ``seq`` — the deterministic logical-batch protocol for replaying a
+    directory through the file source with ``maxFilesPerTrigger=1``.
+
+    A plain ``df.write.parquet`` at local[N] emits several part-files
+    with identical mtimes; the file source orders by (mtime, path) and
+    path is a random UUID, so batch processing order would be unstable
+    (the round-4 watermark-test flake). One file per batch + ordered
+    mtimes pins it. Returns the part-file path.
+    """
+    import glob
+    import os
+    import time
+
+    before = set(glob.glob(os.path.join(path, "*.parquet")))
+    df.coalesce(1).write.mode("append").parquet(path)
+    new = set(glob.glob(os.path.join(path, "*.parquet"))) - before
+    assert len(new) == 1, f"expected one part-file, got {sorted(new)}"
+    t = int(time.time()) + seq * 10
+    f = new.pop()
+    os.utime(f, (t, t))
+    return f

@@ -539,3 +539,60 @@ def test_avro_split_read_deflate_directory(spark, tmp_path):
     )
     got = sorted(r.k for r in df.collect())
     assert got == sorted(p * 100 + i for p in range(3) for i in range(40))
+
+
+def test_avro_split_read_sync_bytes_in_data(spark, tmp_path):
+    """Regression: row data containing a plausible sync-marker byte
+    sequence must not be mistaken for a block boundary by the range
+    scanner (the writer now uses a RANDOM per-file sync, so an embedded
+    ASCII marker is just data)."""
+    from cudf_spark.sources.avro import read_avro, read_avro_split, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    # embed the OLD fixed marker (and other marker-ish runs) inside values
+    rows = [
+        {"k": i, "s": f"x0123456789abcdef{i:03d}" * 3} for i in range(120)
+    ]
+    f = str(tmp_path / "tricky.avro")
+    write_avro(rows, schema, f, rows_per_block=7)
+    whole = sorted((r.k, r.s) for r in read_avro(spark, str(tmp_path), schema_file=f).collect())
+    assert len(whole) == 120
+    for split_bytes in (97, 256):
+        got = sorted(
+            (r.k, r.s)
+            for r in read_avro_split(spark, f, schema_file=f, split_bytes=split_bytes).collect()
+        )
+        assert got == whole, f"split_bytes={split_bytes}"
+
+
+def test_avro_union_numeric_promotion(spark, tmp_path):
+    """Avro writer numeric promotion: a Python int against a
+    ['double','string'] union resolves to the double branch (fastavro
+    semantics); None against a no-null union raises loudly."""
+    import pytest
+
+    from cudf_spark.sources.avro import _encode, read_avro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "u",
+        "fields": [{"name": "w", "type": ["double", "string"]}],
+    }
+    write_avro([{"w": 5}, {"w": "txt"}], schema, str(tmp_path / "p.avro"))
+    got = read_avro(
+        spark, str(tmp_path), schema_file=str(tmp_path / "p.avro")
+    ).collect()
+    vals = sorted(
+        ((r.w.member0, r.w.member1) for r in got),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert vals == [(5.0, None), (None, "txt")]
+    with pytest.raises(NotImplementedError, match="null value for union"):
+        _encode(None, ["double", "string"])

@@ -27,26 +27,7 @@ def _rows(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
 
 
-def _write_batch(df, path, seq):
-    """One logical batch == ONE part-file with a strictly increasing
-    mtime. A plain ``df.write.parquet`` at local[32] emits several
-    part-files with identical mtimes; the file source sorts by
-    (mtime, path) and path is a random UUID, so with
-    ``maxFilesPerTrigger=1`` the processing order of logical batches is
-    otherwise unstable — the watermark can advance before the on-time
-    event is read (bucket never emitted) or after the late row slipped
-    in (late row counted). Root cause of the round-4 flake."""
-    import glob
-    import os
-    import time
-
-    before = set(glob.glob(os.path.join(path, "*.parquet")))
-    df.coalesce(1).write.mode("append").parquet(path)
-    new = set(glob.glob(os.path.join(path, "*.parquet"))) - before
-    assert len(new) == 1, f"expected one part-file, got {sorted(new)}"
-    t = int(time.time()) + seq * 10
-    for f in new:
-        os.utime(f, (t, t))
+from cudf_spark.streaming.ops import write_ordered_batch as _write_batch  # noqa: E402
 
 
 def _bump_mtimes(path, seq):

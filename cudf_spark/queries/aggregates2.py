@@ -570,8 +570,11 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY k.l_returnflag
     """,
     doc="10% two-sided trimmed mean per group (the robust-location "
-    "aggregate reporting pipelines use when winsorize is too blunt; "
-    "complements clean_winsorize and events_anomaly_mad). Entirely on "
+    "aggregate reporting pipelines use when winsorize is too blunt — "
+    "the rank-bounded cousin of the reference's MEAN/QUANTILE "
+    "aggregation kinds, aggregation.hpp:72 + quantiles.hpp; "
+    "scipy.stats.trim_mean semantics; complements clean_winsorize and "
+    "events_anomaly_mad). Entirely on "
     "the integer cents lattice: the kept tail-trimmed multiset is "
     "rank-order independent, BIGINT sums are fold-order independent, "
     "and the mean is exact integer division — bit-identical cross-engine "

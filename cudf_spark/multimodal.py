@@ -188,6 +188,73 @@ def filter_valid_images(assets: DataFrame, min_width: int = 1) -> DataFrame:
     return meta.filter(F.col("valid") & (F.col("width") >= min_width))
 
 
+def fake_image_texture(width: int, height: int, mult: int, base: int = 0) -> bytes:
+    """Fake image whose pixel i is ``(base + i*mult) % 256`` — wrap-around
+    stripe textures whose 8x8 average-hashes genuinely differ across
+    parameter tuples (the plain gradient collapses to ONE hash: every ramp
+    is below-mean then above-mean), while nearby ``base`` values yield
+    hash-identical or near-identical images. Content a SQL oracle can
+    recompute in closed form."""
+    px = bytes((base + i * mult) % 256 for i in range(width * height))
+    return MAGIC + struct.pack(">II", width, height) + px
+
+
+IMAGE_AHASH_SCHEMA = (
+    "asset_id long, ahash long, ahash_hex string, "
+    "band0 int, band1 int, band2 int, band3 int, valid boolean"
+)
+
+
+def image_ahash(assets: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) per image in ONE Arrow pass: decode
+    the fake raster, 8x8 nearest-neighbour downsample (same integer index
+    math as :func:`image_features`), then bit k = 1 iff ``64*px_k > sum``
+    (exact integer compare — no float mean, so engines can't disagree).
+
+    Returns the hash as a signed int64 (two's-complement wrap of the 64-bit
+    pattern) for JVM-side ``bit_count(a ^ b)`` Hamming distance, a hex
+    string for human-auditable output, and the four 16-bit bands used by
+    the multi-index Hamming join (Manku et al., WWW'07 — a hash pair within
+    Hamming distance 3 must agree exactly on at least one of 4 bands, by
+    pigeonhole). Real-codec swap point: the ``frombuffer`` line.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for aid, data in zip(pdf["asset_id"], pdf["data"]):
+                b = bytes(data) if data is not None else b""
+                ok = b[:4] == MAGIC and len(b) >= 12
+                w = h = 0
+                if ok:
+                    w, h = struct.unpack(">II", b[4:12])
+                    px = np.frombuffer(b[12 : 12 + w * h], dtype=np.uint8)
+                    ok = px.size == w * h > 0 and w >= 8 and h >= 8
+                if not ok:
+                    rows.append((aid, 0, "0" * 16, 0, 0, 0, 0, False))
+                    continue
+                arr = px.reshape(h, w)
+                r = arr[(np.arange(8) * h) // 8][:, (np.arange(8) * w) // 8].reshape(-1)
+                s = int(r.sum(dtype=np.int64))
+                bits = "".join("1" if 64 * int(v) > s else "0" for v in r)
+                val = int(bits, 2)
+                signed = val - (1 << 64) if val >= (1 << 63) else val
+                bands = [int(bits[16 * j : 16 * j + 16], 2) for j in range(4)]
+                rows.append((aid, signed, format(val, "016x"), *bands, True))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "ahash", "ahash_hex",
+                    "band0", "band1", "band2", "band3", "valid",
+                ],
+            )
+
+    return assets.mapInPandas(batches, schema=IMAGE_AHASH_SCHEMA)
+
+
 AUDIO_MAGIC = b"FAUD"
 
 AUDIO_FEATURE_SCHEMA = (

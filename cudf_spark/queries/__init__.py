@@ -20,6 +20,7 @@ from cudf_spark.queries.registry import REGISTRY, Query, register  # noqa: F401
 from cudf_spark.queries import (  # noqa: F401, E402
     aggregates,
     aggregates2,
+    analytics,
     decimals,
     extras,
     joins,

@@ -1,0 +1,478 @@
+"""Graph/statistical analytics + multimodal dedup — round-5 continuation.
+
+Four operator families the registry didn't yet cover:
+
+- ``graph_triangle_count``: triangle counting on the co-purchase graph
+  with DEGREE-ORIENTED wedge joins (Suri & Vassilvitskii, WWW'11 — the
+  standard MapReduce triangle algorithm): orienting every edge from its
+  lower-(degree, id) endpoint bounds each vertex's out-degree by ~sqrt(m),
+  so the wedge join's fan-out is O(m^1.5) worst-case instead of
+  sum(deg^2) — the difference between finishing and dying on a power-law
+  graph at 100 TB. The oracle counts the same triangles with the simple
+  id-ordered triple join (orientation changes the JOIN SHAPE, never the
+  triangle set).
+
+- ``mm_image_dup_ahash``: perceptual-hash image near-dedup — THE standard
+  image-dedup pass in large-scale multimodal training pipelines: aHash
+  per image (decode + 8x8 NN-downsample + above-mean bits, one Arrow
+  pass), then candidate pairs via the 4x16-bit multi-index Hamming bands
+  (Manku et al., WWW'07: Hamming<=3 implies >=1 exact band match) and
+  exact ``bit_count(xor)`` verification JVM-side. Never all-pairs: the
+  band equi-join is the only shuffle, same shape as the MinHash LSH path
+  (operators/dedup.py). Oracle recomputes every hash bit arithmetically
+  from the closed-form fake raster and brute-bands the same candidates.
+
+- ``agg_skew_kurtosis``: grouped higher moments (cudf Series.skew /
+  Series.kurtosis, python/cudf reductions; pandas-compatible adjusted
+  Fisher-Pearson G1 and excess-kurtosis G2) computed from EXACT BIGINT
+  power sums on the quantity lattice — one map-side-combinable groupBy;
+  the n/s1..s4 -> G1/G2 arithmetic is the identical IEEE expression tree
+  on both engines, so the doubles match bit-for-bit.
+
+- ``agg_corr_matrix``: DataFrame.corr() pairwise Pearson matrix (cudf
+  DataFrame.corr) over three measures in ONE full-table aggregate —
+  decimal(38,0) power sums stay exact where BIGINT would overflow at
+  100 TB row counts (sum of price-cents^2 passes 2^63 around 10^7 rows),
+  mirrored by DuckDB's HUGEINT; the only float ops are the final
+  sqrt/divide on exact integers.
+
+Reference scope: cudf python/cudf Series.skew/kurt + DataFrame.corr
+surfaces; the graph/multimodal ops are beyond-reference pipeline
+operators (SURVEY §2.14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cudf_spark.catalog import load
+from cudf_spark.queries.registry import register
+
+
+def _rank(deg_col: str, node_col: str):
+    """(degree, id) rank struct with UNIFORM field names so CASE branches
+    that pick either endpoint's rank type-check as the same struct."""
+    return F.struct(F.col(deg_col).alias("d"), F.col(node_col).alias("node"))
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH pp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+    ), tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), nodes AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY node
+    ORDER BY n_triangles DESC, node
+    LIMIT 50
+    """,
+    doc="triangle counting on the parts-co-ordered-together graph "
+    "(degree-oriented wedge join, Suri & Vassilvitskii WWW'11): edges = "
+    "distinct part pairs sharing an order; orient every edge from its "
+    "lower-(degree,id) endpoint so out-degrees are bounded ~sqrt(m); "
+    "wedges join oriented out-edges on their source; a wedge closes iff "
+    "the (mid,high)-rank edge exists. Every shuffle is keyed (order key, "
+    "edge endpoints, wedge middle); the oracle's simple a<b<c triple join "
+    "proves the oriented plan finds the identical triangle set. Output: "
+    "top-50 parts by triangle participation (total order: count desc, id).",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # Orient u->v iff rank(u) < rank(v), rank = (degree, id): a total order,
+    # so exactly one direction survives per edge and out-degree is bounded.
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+        .select(
+            F.when(_rank("du", "u") < _rank("dv", "v"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(_rank("du", "u") < _rank("dv", "v"), _rank("dv", "v"))
+            .otherwise(_rank("du", "u"))
+            .alias("dst_rank"),
+        )
+        .select(
+            "src",
+            F.col("dst_rank.node").alias("dst"),
+            F.col("dst_rank.d").alias("ddst"),
+        )
+    )
+    o1, o2 = e.alias("o1"), e.alias("o2")
+    wedges = (
+        o1.join(o2, "src")
+        .filter(
+            F.struct(F.col("o1.ddst"), F.col("o1.dst"))
+            < F.struct(F.col("o2.ddst"), F.col("o2.dst"))
+        )
+        .select(
+            F.col("src").alias("a"),
+            F.col("o1.dst").alias("b"),
+            F.col("o2.dst").alias("c"),
+        )
+    )
+    closing = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"], "leftsemi")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(50)
+    )
+
+
+@register(
+    "mm_image_dup_ahash",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id AS asset_id,
+               CAST(doc_id % 3 + 8 AS INT)       AS w,
+               CAST(doc_id % 2 + 8 AS INT)       AS h,
+               CAST(3 + (doc_id % 7) * 2 AS INT) AS mult,
+               CAST((doc_id * 37) % 256 AS INT)  AS base
+        FROM documents
+    ), rs AS (
+        -- resized 8x8 raster in closed form: pixel k of the downsample is
+        -- source index ((k//8 * h)//8)*w + (k%8 * w)//8 of the texture
+        -- (base + i*mult) % 256
+        SELECT asset_id,
+               list_transform(generate_series(0, 63), k ->
+                   (base + ((((k // 8) * h) // 8) * w
+                          + (((k % 8) * w) // 8)) * mult) % 256) AS px
+        FROM params
+    ), hashes AS (
+        SELECT asset_id,
+               array_to_string(list_transform(px, v ->
+                   CASE WHEN 64 * v > s THEN '1' ELSE '0' END), '') AS bits
+        FROM (SELECT asset_id, px, list_sum(px) AS s FROM rs) t
+    ), hexed AS (
+        SELECT asset_id, bits,
+               array_to_string(list_transform(generate_series(0, 15), j ->
+                   substr('0123456789abcdef',
+                          1 + CAST(substr(bits, 1 + 4*j, 1) AS INT) * 8
+                            + CAST(substr(bits, 2 + 4*j, 1) AS INT) * 4
+                            + CAST(substr(bits, 3 + 4*j, 1) AS INT) * 2
+                            + CAST(substr(bits, 4 + 4*j, 1) AS INT), 1)), '')
+                   AS ahash_hex
+        FROM hashes
+    ), bands AS (
+        SELECT asset_id, bits, band_idx,
+               substr(bits, 1 + 16 * band_idx, 16) AS band_val
+        FROM (SELECT asset_id, bits,
+                     unnest(generate_series(0, 3)) AS band_idx
+              FROM hashes) t
+    ), cand AS (
+        SELECT DISTINCT x.asset_id AS ia, y.asset_id AS ib,
+                        x.bits AS ba, y.bits AS bb
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         AND x.asset_id < y.asset_id
+    ), pairs AS (
+        SELECT ia, ib FROM cand
+        WHERE list_sum(list_transform(generate_series(1, 64), i ->
+                  CASE WHEN substr(ba, i, 1) <> substr(bb, i, 1)
+                       THEN 1 ELSE 0 END)) <= 3
+    ), counts AS (
+        SELECT node AS asset_id, CAST(count(*) AS BIGINT) AS n_dups
+        FROM (SELECT ia AS node FROM pairs
+              UNION ALL SELECT ib FROM pairs) t
+        GROUP BY node
+    )
+    SELECT h.asset_id, h.ahash_hex, COALESCE(c.n_dups, 0) AS n_dups
+    FROM hexed h LEFT JOIN counts c ON h.asset_id = c.asset_id
+    ORDER BY h.asset_id
+    """,
+    doc="perceptual-hash image near-dedup (the standard multimodal-corpus "
+    "image dedup pass): encode a deterministic textured fake raster per "
+    "document, decode + aHash in one Arrow mapInPandas (8x8 NN downsample, "
+    "bit=64*px>sum exact-integer compare), candidate pairs via the 4x16-bit "
+    "multi-index Hamming bands (Manku et al. WWW'07: distance<=3 implies an "
+    "exact match on >=1 band, by pigeonhole), exact JVM-side "
+    "bit_count(ahash_a ^ ahash_b) verification. NEVER all-pairs: the band "
+    "equi-join is the only shuffle — the same bucketed shape as MinHash "
+    "LSH. Output: per-image hex hash + number of near-duplicate partners. "
+    "The oracle recomputes every hash bit arithmetically and brute-bands "
+    "the identical candidate set, so the hash match proves the binary "
+    "plumbing, the downsample kernel, the banding AND the Hamming check.",
+)
+def mm_image_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.multimodal import image_ahash
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(it):
+        import pandas as pd
+
+        from cudf_spark.multimodal import fake_image_texture
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "data": [
+                        fake_image_texture(
+                            int(did) % 3 + 8,
+                            int(did) % 2 + 8,
+                            3 + (int(did) % 7) * 2,
+                            (int(did) * 37) % 256,
+                        )
+                        for did in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    assets = d.mapInPandas(encode, schema="asset_id long, data binary")
+    hashed = image_ahash(assets).filter("valid")
+    bands = hashed.selectExpr(
+        "asset_id",
+        "ahash",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_idx, band_val)",
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, ["band_idx", "band_val"])
+        .filter(F.col("x.asset_id") < F.col("y.asset_id"))
+        .select(
+            F.col("x.asset_id").alias("ia"),
+            F.col("y.asset_id").alias("ib"),
+            F.col("x.ahash").alias("ha"),
+            F.col("y.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    pairs = cand.filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+    counts = (
+        pairs.select(F.explode(F.array("ia", "ib")).alias("asset_id"))
+        .groupBy("asset_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dups"))
+    )
+    return (
+        hashed.select("asset_id", "ahash_hex")
+        .join(counts, "asset_id", "left")
+        .select(
+            "asset_id",
+            "ahash_hex",
+            F.coalesce("n_dups", F.lit(0).cast("bigint")).alias("n_dups"),
+        )
+        .orderBy("asset_id")
+    )
+
+
+@register(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH sums AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS BIGINT)           AS s1,
+               CAST(sum(q * q) AS BIGINT)       AS s2,
+               CAST(sum(q * q * q) AS BIGINT)   AS s3,
+               CAST(sum(q * q * q * q) AS BIGINT) AS s4
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q
+              FROM lineitem) t
+        GROUP BY l_returnflag
+    ), moments AS (
+        SELECT l_returnflag, n,
+               CAST(s1 AS DOUBLE) / n AS mx,
+               CAST(s2 AS DOUBLE) / n AS r2,
+               CAST(s3 AS DOUBLE) / n AS r3,
+               CAST(s4 AS DOUBLE) / n AS r4
+        FROM sums
+    ), central AS (
+        SELECT l_returnflag, n, mx,
+               r2 - mx * mx AS m2,
+               r3 - 3.0 * mx * r2 + 2.0 * mx * mx * mx AS m3,
+               r4 - 4.0 * mx * r3 + 6.0 * mx * mx * r2
+                  - 3.0 * mx * mx * mx * mx AS m4
+        FROM moments
+    )
+    SELECT l_returnflag, n,
+           round(mx, 6) AS mean_q,
+           CASE WHEN n > 2 AND m2 > 0 THEN
+               round((sqrt(CAST(n AS DOUBLE) * (n - 1)) / (n - 2))
+                     * (m3 / (m2 * sqrt(m2))), 6) END AS skew_g1,
+           CASE WHEN n > 3 AND m2 > 0 THEN
+               round(((n + 1.0) * (m4 / (m2 * m2)) - 3.0 * (n - 1.0))
+                     * ((n - 1.0) / ((n - 2.0) * (n - 3.0))), 6) END AS kurt_g2
+    FROM central
+    ORDER BY l_returnflag
+    """,
+    doc="grouped skewness + excess kurtosis (cudf Series.skew / "
+    "Series.kurtosis, pandas-compatible adjusted Fisher-Pearson G1 and "
+    "G2): ONE map-side-combinable groupBy collecting exact BIGINT power "
+    "sums of the integer quantity lattice (q<=50 so sum(q^4) fits bigint "
+    "to ~10^12 rows/group), then the G1/G2 arithmetic as the IDENTICAL "
+    "IEEE expression tree on both engines — doubles derived from equal "
+    "exact integers via equal op sequences are bit-equal, so round(.,6) "
+    "cannot diverge. Degenerate groups (n<=3 or zero variance) yield NULL "
+    "on both engines instead of an ANSI divide-by-zero crash.",
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+    )
+    n = F.col("n")
+    mx = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m = sums.select(
+        "l_returnflag", "n",
+        mx.alias("mx"),
+        (r2 - mx * mx).alias("m2"),
+        (r3 - F.lit(3.0) * mx * r2 + F.lit(2.0) * mx * mx * mx).alias("m3"),
+        (
+            r4
+            - F.lit(4.0) * mx * r3
+            + F.lit(6.0) * mx * mx * r2
+            - F.lit(3.0) * mx * mx * mx * mx
+        ).alias("m4"),
+    )
+    m2, m3, m4 = F.col("m2"), F.col("m3"), F.col("m4")
+    g1 = (F.sqrt(n.cast("double") * (n - 1)) / (n - 2)) * (m3 / (m2 * F.sqrt(m2)))
+    g2 = ((n + F.lit(1.0)) * (m4 / (m2 * m2)) - F.lit(3.0) * (n - F.lit(1.0))) * (
+        (n - F.lit(1.0)) / ((n - F.lit(2.0)) * (n - F.lit(3.0)))
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round("mx", 6).alias("mean_q"),
+        F.when((n > 2) & (m2 > 0), F.round(g1, 6)).alias("skew_g1"),
+        F.when((n > 3) & (m2 > 0), F.round(g2, 6)).alias("kurt_g2"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(l_quantity AS BIGINT)                     AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT)   AS p,
+               CAST(round(l_discount * 100) AS BIGINT)        AS d
+        FROM lineitem
+    ), sums AS (
+        -- HUGEINT sums: sum(p*p) passes 2^63 near 10^7 rows, so exactness
+        -- at scale needs 128-bit accumulation (Spark side: decimal(38,0))
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(q) AS HUGEINT) AS sq, CAST(sum(p) AS HUGEINT) AS sp,
+               CAST(sum(d) AS HUGEINT) AS sd,
+               CAST(sum(q * q) AS HUGEINT) AS sqq,
+               CAST(sum(p * p) AS HUGEINT) AS spp,
+               CAST(sum(d * d) AS HUGEINT) AS sdd,
+               CAST(sum(q * p) AS HUGEINT) AS sqp,
+               CAST(sum(q * d) AS HUGEINT) AS sqd,
+               CAST(sum(p * d) AS HUGEINT) AS spd
+        FROM vals
+    )
+    SELECT col_x, col_y, round(num / (sqrt(vx) * sqrt(vy)), 6) AS corr_q6
+    FROM (
+        SELECT 'quantity' AS col_x, 'price_cents' AS col_y,
+               CAST(n * sqp - sq * sp AS DOUBLE) AS num,
+               CAST(n * sqq - sq * sq AS DOUBLE) AS vx,
+               CAST(n * spp - sp * sp AS DOUBLE) AS vy
+        FROM sums
+        UNION ALL
+        SELECT 'quantity', 'discount_pct',
+               CAST(n * sqd - sq * sd AS DOUBLE),
+               CAST(n * sqq - sq * sq AS DOUBLE),
+               CAST(n * sdd - sd * sd AS DOUBLE)
+        FROM sums
+        UNION ALL
+        SELECT 'price_cents', 'discount_pct',
+               CAST(n * spd - sp * sd AS DOUBLE),
+               CAST(n * spp - sp * sp AS DOUBLE),
+               CAST(n * sdd - sd * sd AS DOUBLE)
+        FROM sums
+    ) t
+    ORDER BY col_x, col_y
+    """,
+    doc="pairwise Pearson correlation matrix (cudf DataFrame.corr, melted "
+    "to (col_x, col_y, corr) rows) over quantity / price-cents / "
+    "discount-pct in ONE full-table aggregate: nine exact power sums in "
+    "decimal(38,0) (BIGINT sum(price_cents^2) overflows past ~10^7 rows; "
+    "the 128-bit accumulator is what survives 100 TB), mirrored by "
+    "DuckDB HUGEINT. All covariance numerators/denominators are computed "
+    "in exact integer arithmetic; the ONLY float ops are the final "
+    "sqrt/divide on identical exact values — deterministic across "
+    "engines and partitionings. One shuffle-free map + one scalar "
+    "reduce; the 3-row melt is driver-side-free (union of projections).",
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+    )
+    dec = "decimal(38,0)"
+    sums = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("q").cast(dec)).alias("sq"),
+        F.sum(F.col("p").cast(dec)).alias("sp"),
+        F.sum(F.col("d").cast(dec)).alias("sd"),
+        F.sum((F.col("q") * F.col("q")).cast(dec)).alias("sqq"),
+        F.sum((F.col("p") * F.col("p")).cast(dec)).alias("spp"),
+        F.sum((F.col("d") * F.col("d")).cast(dec)).alias("sdd"),
+        F.sum((F.col("q") * F.col("p")).cast(dec)).alias("sqp"),
+        F.sum((F.col("q") * F.col("d")).cast(dec)).alias("sqd"),
+        F.sum((F.col("p") * F.col("d")).cast(dec)).alias("spd"),
+    )
+    n = F.col("n").cast(dec)
+
+    def cell(name_x, name_y, sxy, sx, sy, sxx, syy):
+        return F.struct(
+            F.lit(name_x).alias("col_x"),
+            F.lit(name_y).alias("col_y"),
+            (n * F.col(sxy) - F.col(sx) * F.col(sy)).cast("double").alias("num"),
+            (n * F.col(sxx) - F.col(sx) * F.col(sx)).cast("double").alias("vx"),
+            (n * F.col(syy) - F.col(sy) * F.col(sy)).cast("double").alias("vy"),
+        )
+
+    cells = sums.select(
+        F.explode(
+            F.array(
+                cell("quantity", "price_cents", "sqp", "sq", "sp", "sqq", "spp"),
+                cell("quantity", "discount_pct", "sqd", "sq", "sd", "sqq", "sdd"),
+                cell("price_cents", "discount_pct", "spd", "sp", "sd", "spp", "sdd"),
+            )
+        ).alias("c")
+    )
+    return cells.select(
+        F.col("c.col_x").alias("col_x"),
+        F.col("c.col_y").alias("col_y"),
+        F.round(
+            F.col("c.num") / (F.sqrt(F.col("c.vx")) * F.sqrt(F.col("c.vy"))), 6
+        ).alias("corr_q6"),
+    ).orderBy("col_x", "col_y")

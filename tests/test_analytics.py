@@ -1,0 +1,190 @@
+"""Targeted tests for the analytics module: the ahash kernel vs an
+independent pure-Python reference, degree-oriented triangle counting vs
+brute force on planted graphs, and the moment formulas vs pandas."""
+
+from __future__ import annotations
+
+import itertools
+import struct
+
+import pytest
+
+
+# ---------------------------------------------------------------- ahash
+
+def _py_ahash_bits(w: int, h: int, mult: int, base: int) -> str:
+    """Independent reference: no numpy, no shared index math beyond the
+    spec (NN downsample rows (r*h)//8, cols (c*w)//8; bit = 64*px > sum)."""
+    px = [[(base + (rr * w + cc) * mult) % 256 for cc in range(w)] for rr in range(h)]
+    resized = [
+        px[(r * h) // 8][(c * w) // 8] for r in range(8) for c in range(8)
+    ]
+    s = sum(resized)
+    return "".join("1" if 64 * v > s else "0" for v in resized)
+
+
+def test_image_ahash_matches_pure_python(spark):
+    from cudf_spark.multimodal import fake_image_texture, image_ahash
+
+    params = [(aid, 8 + aid % 3, 8 + aid % 2, 3 + (aid % 7) * 2, (aid * 37) % 256)
+              for aid in range(40)]
+    rows = [(aid, fake_image_texture(w, h, m, b)) for aid, w, h, m, b in params]
+    df = spark.createDataFrame(rows, "asset_id long, data binary")
+    got = {r.asset_id: r for r in image_ahash(df).collect()}
+    for aid, w, h, m, b in params:
+        bits = _py_ahash_bits(w, h, m, b)
+        val = int(bits, 2)
+        r = got[aid]
+        assert r.valid
+        assert r.ahash_hex == format(val, "016x")
+        signed = val - (1 << 64) if val >= (1 << 63) else val
+        assert r.ahash == signed
+        for j in range(4):
+            assert getattr(r, f"band{j}") == int(bits[16 * j : 16 * j + 16], 2)
+
+
+def test_image_ahash_rejects_malformed(spark):
+    from cudf_spark.multimodal import fake_image_texture, image_ahash
+
+    rows = [
+        (1, None),
+        (2, b"JUNK" + b"\x00" * 20),
+        (3, b"FIMG" + struct.pack(">II", 4, 4) + b"\x00" * 16),  # w<8: no 8x8
+        (4, fake_image_texture(9, 8, 5, 7)),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, data binary")
+    got = {r.asset_id: r.valid for r in image_ahash(df).collect()}
+    assert got == {1: False, 2: False, 3: False, 4: True}
+
+
+def test_banding_finds_every_hamming3_pair():
+    """Pigeonhole property the query relies on: any two 64-bit hashes
+    within Hamming distance 3 agree exactly on >= 1 of the 4 16-bit bands."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(200):
+        a = rng.getrandbits(64)
+        flips = rng.sample(range(64), rng.randint(0, 3))
+        b = a
+        for f in flips:
+            b ^= 1 << f
+        shares = any(
+            (a >> (16 * j)) & 0xFFFF == (b >> (16 * j)) & 0xFFFF for j in range(4)
+        )
+        assert shares
+
+
+# ------------------------------------------------------ triangle counting
+
+def _plant_lineitem(spark, orders: list[list[int]]):
+    rows = [
+        (ok, p, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O")
+        for ok, parts in enumerate(orders)
+        for i, p in enumerate(parts)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    )
+
+
+def _brute_triangles(orders: list[list[int]]) -> dict[int, int]:
+    edges = set()
+    for parts in orders:
+        for a, b in itertools.combinations(sorted(set(parts)), 2):
+            edges.add((a, b))
+    nodes = sorted({n for e in edges for n in e})
+    counts: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+@pytest.mark.parametrize(
+    "orders",
+    [
+        [[1, 2, 3]],                           # one triangle
+        [[1, 2, 3, 4]],                        # K4: 4 triangles, each node in 3
+        [[1, 2], [2, 3], [1, 3], [3, 4]],      # triangle + pendant edge
+        [[1, 2, 3], [3, 4, 5], [5, 6, 1]],     # triangle chain, no extra closure
+        [[i, i + 1] for i in range(6)],        # path: zero triangles
+    ],
+)
+def test_triangle_count_matches_brute_force(spark, tmp_path, orders, monkeypatch):
+    from cudf_spark.queries.analytics import graph_triangle_count
+    import cudf_spark.queries.analytics as mod
+
+    li = _plant_lineitem(spark, orders)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: li)
+    got = {r.node: r.n_triangles for r in graph_triangle_count(spark, "unused").collect()}
+    assert got == _brute_triangles(orders)
+
+
+# ------------------------------------------------------------- moments
+
+def test_skew_kurtosis_matches_pandas(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    vals = [1, 1, 2, 3, 5, 8, 13, 21, 34, 55, 4, 4, 4, 9]
+    pdf = pd.DataFrame({"l_returnflag": ["A"] * len(vals), "l_quantity": [float(v) for v in vals]})
+    li = spark.createDataFrame(pdf)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: li)
+    row = mod.agg_skew_kurtosis(spark, "unused").collect()[0]
+    s = pd.Series(vals, dtype="float64")
+    assert row.n == len(vals)
+    assert row.skew_g1 == pytest.approx(float(s.skew()), abs=2e-6)
+    assert row.kurt_g2 == pytest.approx(float(s.kurt()), abs=2e-6)
+
+
+def test_skew_kurtosis_degenerate_group_yields_null(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    pdf = pd.DataFrame(
+        {"l_returnflag": ["Z"] * 5 + ["S"] * 2, "l_quantity": [7.0] * 5 + [1.0, 2.0]}
+    )
+    li = spark.createDataFrame(pdf)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: li)
+    rows = {r.l_returnflag: r for r in mod.agg_skew_kurtosis(spark, "unused").collect()}
+    # zero variance -> NULL, not a divide-by-zero crash
+    assert rows["Z"].skew_g1 is None and rows["Z"].kurt_g2 is None
+    # n <= 3 -> NULL even with spread
+    assert rows["S"].skew_g1 is None and rows["S"].kurt_g2 is None
+
+
+def test_corr_matrix_matches_pandas(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    pdf = pd.DataFrame(
+        {
+            "l_quantity": [1.0, 2.0, 3.0, 4.0, 7.0, 2.0],
+            "l_extendedprice": [10.01, 19.99, 30.50, 44.00, 70.25, 21.10],
+            "l_discount": [0.00, 0.01, 0.02, 0.05, 0.07, 0.01],
+        }
+    )
+    li = spark.createDataFrame(pdf)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: li)
+    got = {
+        (r.col_x, r.col_y): r.corr_q6
+        for r in mod.agg_corr_matrix(spark, "unused").collect()
+    }
+    ints = pd.DataFrame(
+        {
+            "quantity": pdf["l_quantity"].astype("int64"),
+            "price_cents": (pdf["l_extendedprice"] * 100).round().astype("int64"),
+            "discount_pct": (pdf["l_discount"] * 100).round().astype("int64"),
+        }
+    )
+    c = ints.corr()
+    for (x, y), v in got.items():
+        assert v == pytest.approx(float(c.loc[x, y]), abs=2e-6)

@@ -476,3 +476,198 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.num") / (F.sqrt(F.col("c.vx")) * F.sqrt(F.col("c.vy"))), 6
         ).alias("corr_q6"),
     ).orderBy("col_x", "col_y")
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ) AS to_type
+        FROM events
+    ), cnt AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 6) AS prob_q6
+    FROM cnt
+    ORDER BY from_type, to_type
+    """,
+    doc="event-sequence transition matrix (Markov-chain journey mining — "
+    "the standard user-path analysis over clickstreams): per-user ordered "
+    "bigrams via ONE lead() window (partition keyed by user, sort local to "
+    "each user's rows — no global sort), then a keyed count and a "
+    "row-normalised transition probability. The probability is an exact "
+    "integer ratio evaluated identically on both engines. 100 TB: the "
+    "user-keyed window and the (from,to)-keyed count are the only "
+    "shuffles; output is |event_types|^2 rows regardless of input size. "
+    "Tie-break on event_id makes the sequence deterministic under the "
+    "ns->us timestamp truncation (catalog.py load).",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wp = W.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("prob_q6"),
+    ).orderBy("from_type", "to_type")
+
+
+@register(
+    "dt_business_days",
+    oracle="""
+    WITH spans AS (
+        SELECT o.o_orderpriority,
+               -- B(d) = weekdays in [1970-01-05 (a Monday), d):
+               -- (t//7)*5 + least(t%7, 5). busday_count(d1,d2)=B(d2)-B(d1).
+               ((datediff('day', DATE '1970-01-05', CAST(l.l_shipdate AS DATE)) // 7) * 5
+                + least(datediff('day', DATE '1970-01-05', CAST(l.l_shipdate AS DATE)) % 7, 5))
+             - ((datediff('day', DATE '1970-01-05', CAST(o.o_orderdate AS DATE)) // 7) * 5
+                + least(datediff('day', DATE '1970-01-05', CAST(o.o_orderdate AS DATE)) % 7, 5))
+                   AS bdays
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(bdays) AS BIGINT) AS min_bdays,
+           CAST(max(bdays) AS BIGINT) AS max_bdays,
+           round(CAST(sum(bdays) AS DOUBLE) / count(*), 6) AS avg_bdays
+    FROM spans GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="business-day spans (numpy busday_count semantics — weekdays in "
+    "[order_date, ship_date), pinned against np.busday_count in pytest) "
+    "via the closed-form cumulative-weekday function B(d) = "
+    "(days_since_a_monday // 7) * 5 + least(days % 7, 5): pure integer "
+    "date arithmetic, no calendar UDF, no per-day explode — the naive "
+    "generate_series-per-row approach would amplify 100 TB of spans into "
+    "quadrillions of day rows; the closed form is O(1) per row and stays "
+    "in whole-stage codegen. One keyed join (orderkey) + one keyed agg.",
+)
+def dt_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+
+    def cum_bdays(col):
+        t = F.datediff(col.cast("date"), F.lit("1970-01-05").cast("date"))
+        return (t - (t % 7)) / 7 * 5 + F.least(t % 7, F.lit(5))
+
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderpriority",
+        (cum_bdays(F.col("l_shipdate")) - cum_bdays(F.col("o_orderdate")))
+        .cast("bigint")
+        .alias("bdays"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("bdays").alias("min_bdays"),
+            F.max("bdays").alias("max_bdays"),
+            F.round(F.sum("bdays").cast("double") / F.count(F.lit(1)), 6).alias("avg_bdays"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "win_autocorr_lag",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM lineitem GROUP BY day
+    ), lagged AS (
+        SELECT k.lag AS lag, d.rev AS y,
+               lag(d.rev, k.lag) OVER (PARTITION BY k.lag ORDER BY d.day) AS x
+        FROM daily d CROSS JOIN (SELECT unnest([1, 7]) AS lag) k
+    ), sums AS (
+        SELECT lag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * x) AS HUGEINT) AS sxx,
+               CAST(sum(y * y) AS HUGEINT) AS syy,
+               CAST(sum(x * y) AS HUGEINT) AS sxy
+        FROM lagged WHERE x IS NOT NULL
+        GROUP BY lag
+    )
+    SELECT lag, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS autocorr_q6
+    FROM sums
+    ORDER BY lag
+    """,
+    doc="autocorrelation of the daily-revenue series at lags 1 and 7 "
+    "(pandas Series.autocorr — positional lag over the ordered series; "
+    "the weekly lag-7 peak is the classic seasonality check): daily "
+    "revenue as exact BIGINT cents from ONE keyed groupBy, lag() windows "
+    "per lag value, then Pearson r from decimal(38,0)/HUGEINT power sums "
+    "(daily-revenue products pass 2^63 at warehouse scale). The daily "
+    "series is |days| rows regardless of input size, so the per-lag "
+    "window sort is bounded; all shuffles keyed (day, then lag).",
+)
+def win_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    lags = spark.range(0, 1).select(
+        F.explode(F.array(F.lit(1), F.lit(7))).alias("lag")
+    )
+    lagged = daily.crossJoin(lags)
+    w = W.partitionBy("lag").orderBy("day")
+    xy = (
+        lagged.select(
+            "lag",
+            F.col("rev").alias("y"),
+            F.when(F.col("lag") == 1, F.lag("rev", 1).over(w))
+            .otherwise(F.lag("rev", 7).over(w))
+            .alias("x"),
+        )
+        .filter(F.col("x").isNotNull())
+    )
+    dec = "decimal(38,0)"
+    sums = xy.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+    )
+    n = F.col("n").cast(dec)
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return sums.select(
+        "lag",
+        "n",
+        F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("autocorr_q6"),
+    ).orderBy("lag")

@@ -188,3 +188,98 @@ def test_corr_matrix_matches_pandas(spark, monkeypatch):
     c = ints.corr()
     for (x, y), v in got.items():
         assert v == pytest.approx(float(c.loc[x, y]), abs=2e-6)
+
+
+# ------------------------------------------------- batch 2: sequences etc.
+
+def test_business_days_closed_form_matches_numpy():
+    """The B(d) cumulative-weekday closed form == np.busday_count on a
+    dense grid of (start, end) pairs spanning month/year/weekend edges."""
+    import datetime as dt
+
+    import numpy as np
+
+    epoch = dt.date(1970, 1, 5)  # a Monday
+
+    def B(d: dt.date) -> int:
+        t = (d - epoch).days
+        return (t // 7) * 5 + min(t % 7, 5)
+
+    starts = [dt.date(1996, 12, 25) + dt.timedelta(days=i) for i in range(20)]
+    for d1 in starts:
+        for span in range(0, 40):
+            d2 = d1 + dt.timedelta(days=span)
+            got = B(d2) - B(d1)
+            want = int(np.busday_count(d1, d2))
+            assert got == want, (d1, d2, got, want)
+
+
+def test_dt_business_days_spark_matches_numpy(spark, monkeypatch):
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH"],
+            "o_orderdate": pd.to_datetime(["1997-01-03", "1997-06-15", "1999-12-31"]),
+        }
+    )
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 3],
+            "l_shipdate": pd.to_datetime(
+                ["1997-01-10", "1997-02-03", "1997-06-16", "2000-01-04"]
+            ),
+        }
+    )
+    tables = {"orders": spark.createDataFrame(orders), "lineitem": spark.createDataFrame(li)}
+    monkeypatch.setattr(mod, "load", lambda s, d, n: tables[n])
+    got = {r.o_orderpriority: r for r in mod.dt_business_days(spark, "unused").collect()}
+    spans = {
+        "1-URGENT": [("1997-01-03", "1997-01-10"), ("1997-01-03", "1997-02-03"),
+                     ("1997-06-15", "1997-06-16")],
+        "2-HIGH": [("1999-12-31", "2000-01-04")],
+    }
+    for prio, ps in spans.items():
+        want = [int(np.busday_count(a, b)) for a, b in ps]
+        assert got[prio].min_bdays == min(want)
+        assert got[prio].max_bdays == max(want)
+        assert got[prio].n == len(want)
+
+
+def test_autocorr_matches_pandas(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    # 30 consecutive days, revenue with a strong period-7 component
+    days = pd.date_range("1997-03-01", periods=30, freq="D")
+    rev_cents = [(10_000 + 3_000 * (i % 7) + 137 * i) for i in range(30)]
+    li = pd.DataFrame(
+        {
+            "l_shipdate": days,
+            "l_extendedprice": [c / 100.0 for c in rev_cents],
+        }
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(li))
+    got = {r.lag: r.autocorr_q6 for r in mod.win_autocorr_lag(spark, "unused").collect()}
+    s = pd.Series([float(c) for c in rev_cents])
+    assert got[1] == pytest.approx(float(s.autocorr(1)), abs=2e-6)
+    assert got[7] == pytest.approx(float(s.autocorr(7)), abs=2e-6)
+    assert got[7] > got[1]  # the planted weekly period dominates
+
+
+def test_markov_transitions_rows_normalise(spark, sf_dir=None):
+    from cudf_spark.queries.analytics import events_markov_transitions
+
+    df = events_markov_transitions(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert {r.from_type for r in rows} <= {"signup", "click", "error", "view", "purchase"}
+    by_from: dict[str, float] = {}
+    for r in rows:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.prob_q6
+    for tot in by_from.values():
+        assert tot == pytest.approx(1.0, abs=1e-4)

@@ -671,3 +671,300 @@ def win_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("autocorr_q6"),
     ).orderBy("lag")
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    prev = "lab0"
+    cte = [
+        "WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+        "eu AS (SELECT DISTINCT a.p AS u, b.p AS v"
+        " FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p)",
+        "edges AS (SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu)",
+        "lab0 AS (SELECT DISTINCT u AS node, u AS label FROM edges)",
+    ]
+    for r in range(1, rounds + 1):
+        cte.append(
+            f"lab{r} AS (SELECT node, label FROM ("
+            f" SELECT e.u AS node, l.label, count(*) AS c,"
+            f" row_number() OVER (PARTITION BY e.u"
+            f"   ORDER BY count(*) DESC, l.label) AS rn"
+            f" FROM edges e JOIN {prev} l ON l.node = e.v"
+            f" GROUP BY e.u, l.label) t WHERE rn = 1)"
+        )
+        prev = f"lab{r}"
+    return (
+        ",\n    ".join(cte)
+        + f"\n    SELECT node, label AS community FROM {prev} ORDER BY node"
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(3),
+    doc="community detection via 3 rounds of deterministic synchronous "
+    "label propagation (Raghavan et al. 2007, arXiv:0709.2938) on the "
+    "co-ordered-parts graph: every node starts as its own label; each "
+    "round adopts the most frequent neighbour label with the total "
+    "(count DESC, label ASC) tie-break, so the result is bit-stable "
+    "across partitionings — the nondeterminism that makes textbook LPA "
+    "unsuitable for a correctness gate is engineered out. Per round: one "
+    "keyed join (neighbour lookup) + one keyed count + one per-node "
+    "rank — the same bounded-rounds keyed-only shape as graph_pagerank; "
+    "at 100 TB rounds are fixed and lineage is 3 deep (no checkpoint "
+    "needed; iterate-to-convergence variants should localCheckpoint like "
+    "operators/graphs.py connected_components). Oracle: the identical 3 "
+    "rounds unrolled as CTEs.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    eu = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    edges = eu.union(eu.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = W.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(3):
+        nb = edges.join(labels.withColumnRenamed("node", "v"), "v").select(
+            F.col("u").alias("node"), "label"
+        )
+        cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select("node", F.col("label").alias("community")).orderBy("node")
+
+
+def _minhash_incremental_oracle() -> str:
+    from cudf_spark.operators.dedup import MINHASH_P, minhash_seeds
+    from cudf_spark.functions.hashing import hash60_sql
+    from cudf_spark.queries.text import SQL_SHINGLES, SQL_TOKS
+
+    seeds = minhash_seeds(8)
+    h_expr = hash60_sql("shingle")
+    mins = ",\n               ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(seeds)
+    )
+    band_rows = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, is_new, {b} AS band,"
+        f" CAST(m{2*b} AS VARCHAR) || '_' || CAST(m{2*b+1} AS VARCHAR) AS band_key"
+        " FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH w AS (
+        SELECT doc_id, source = 'src3' AS is_new, {SQL_TOKS} AS w FROM documents
+    ), shingled AS (
+        SELECT doc_id, is_new, {SQL_SHINGLES} AS sh FROM w
+    ), exploded AS (
+        SELECT doc_id, is_new, unnest(sh) AS shingle FROM shingled
+    ), hashed AS (
+        SELECT doc_id, is_new, {h_expr} % {MINHASH_P} AS h FROM exploded
+    ), sig AS (
+        SELECT doc_id, is_new,
+               {mins}
+        FROM hashed GROUP BY doc_id, is_new
+    ), bands AS (
+{band_rows}
+    ), cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, p.doc_id AS old_id
+        FROM bands n JOIN bands p
+          ON n.band = p.band AND n.band_key = p.band_key
+         AND n.is_new AND NOT p.is_new
+    ), verified AS (
+        SELECT c.new_id, c.old_id,
+               len(list_intersect(x.sh, y.sh)) * 1.0 /
+               len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+        FROM cand c
+        JOIN shingled x ON x.doc_id = c.new_id
+        JOIN shingled y ON y.doc_id = c.old_id
+        WHERE len(list_intersect(x.sh, y.sh)) * 1.0 /
+              len(list_distinct(list_concat(x.sh, y.sh))) >= 0.2
+    ), best AS (
+        SELECT new_id, old_id, jac,
+               row_number() OVER (PARTITION BY new_id
+                                  ORDER BY jac DESC, old_id) AS rn
+        FROM verified
+    )
+    SELECT d.doc_id, b.new_id IS NOT NULL AS is_neardup,
+           b.old_id AS match_id, round(b.jac, 6) AS jaccard_q6
+    FROM (SELECT doc_id FROM documents WHERE source = 'src3') d
+    LEFT JOIN best b ON b.new_id = d.doc_id AND b.rn = 1
+    ORDER BY d.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=_minhash_incremental_oracle(),
+    doc="incremental cross-run NEAR-dup detection — the LSH twin of "
+    "dedup_exact_crossrun and the workflow every continuously-ingesting "
+    "corpus runs: the prior corpus (src0-2) persists only its minhash "
+    "SIGNATURE table (8 ints/doc — the only state that crosses runs); "
+    "the new batch (src3) computes signatures, probes the prior band "
+    "table with a bipartite band equi-join (never new x old all-pairs), "
+    "and verifies the bounded candidate set by exact jaccard >= 0.2 "
+    "(shingles fetched only for candidates). Per new doc: the best "
+    "verified match under the total (jaccard DESC, old_id) order, or "
+    "is_neardup=false. Same 8-perm/4-band/2-row scheme as "
+    "dedup_minhash_lsh, so one signature table serves both the batch "
+    "and incremental paths. Oracle replays the full algorithm including "
+    "candidate generation.",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cudf_spark.functions.textfns import jaccard, normalize_text, word_shingles
+    from cudf_spark.operators.dedup import minhash_signature
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", normalize_text(F.col("text")).alias("text")
+    )
+    prior = d.filter(F.col("source") != "src3")
+    batch = d.filter(F.col("source") == "src3")
+
+    def bands_of(df):
+        sig = minhash_signature(df, "doc_id", "text")
+        keys = F.array(
+            *[
+                F.concat_ws("_", F.col(f"m{2*b}"), F.col(f"m{2*b+1}"))
+                for b in range(4)
+            ]
+        )
+        return sig.select("doc_id", F.posexplode(keys).alias("band", "band_key"))
+
+    cand = (
+        bands_of(batch)
+        .withColumnRenamed("doc_id", "new_id")
+        .join(bands_of(prior).withColumnRenamed("doc_id", "old_id"), ["band", "band_key"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh = d.select("doc_id", word_shingles(F.col("text")).alias("sh"))
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a")), "new_id")
+        .join(sh.select(F.col("doc_id").alias("old_id"), F.col("sh").alias("sh_b")), "old_id")
+        .select("new_id", "old_id", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.2)
+    )
+    w = W.partitionBy("new_id").orderBy(F.desc("jac"), "old_id")
+    best = verified.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        batch.select("doc_id")
+        .join(best.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("old_id").isNotNull().alias("is_neardup"),
+            F.col("old_id").alias("match_id"),
+            F.round("jac", 6).alias("jaccard_q6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "mm_video_dedup_signature",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id AS asset_id,
+               CAST(doc_id % 4 + 2 AS INT)  AS w,
+               CAST(doc_id % 3 + 2 AS INT)  AS h,
+               CAST(n_chars % 5 + 2 AS INT) AS n_frames,
+               CAST((doc_id % 8) * 16 AS INT) AS base
+        FROM documents
+    ), sigs AS (
+        SELECT asset_id,
+               md5(CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' ||
+                   array_to_string(list_transform(generate_series(0, n_frames - 1),
+                       k -> CAST(list_sum(list_transform(
+                                generate_series(0, w * h - 1),
+                                i -> (base + 7 * k + i) % 256)) AS VARCHAR)),
+                       '|')) AS sig
+        FROM params
+    )
+    SELECT sig, CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(asset_id) AS BIGINT) AS canonical_id
+    FROM sigs GROUP BY sig HAVING count(*) > 1
+    ORDER BY canonical_id
+    """,
+    doc="video-level dedup by frame-sequence signature — the multimodal "
+    "dedup pass for video corpora: decode each fake FVID container, "
+    "reduce every frame to an exact integer feature (pixel sum — the "
+    "stand-in for a per-frame perceptual hash; the codec seam is the "
+    "frombuffer line), md5 the dims+ordered-feature sequence into ONE "
+    "scalar signature per video, then a keyed signature groupBy finds "
+    "exact-duplicate videos. 100 TB: signatures are one shuffle of "
+    "(hash, id) pairs — the video bytes never shuffle; the mapInPandas "
+    "decode is embarrassingly parallel. Oracle recomputes every frame "
+    "sum in closed form from the container arithmetic.",
+)
+def mm_video_dedup_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(it):
+        import pandas as pd
+
+        from cudf_spark.multimodal import fake_video_bytes
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "data": [
+                        fake_video_bytes(
+                            int(did) % 4 + 2, int(did) % 3 + 2,
+                            int(nc) % 5 + 2, (int(did) % 8) * 16,
+                        )
+                        for did, nc in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    def signatures(it):
+        import struct as _struct
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for aid, data in zip(pdf["asset_id"], pdf["data"]):
+                b = bytes(data) if data is not None else b""
+                if b[:4] != b"FVID" or len(b) < 16:
+                    continue
+                n, w, h = _struct.unpack(">III", b[4:16])
+                fsize = w * h
+                if fsize == 0 or len(b) < 16 + n * fsize:
+                    continue
+                sums = [
+                    str(int(np.frombuffer(
+                        b[16 + k * fsize : 16 + (k + 1) * fsize], dtype=np.uint8
+                    ).sum(dtype=np.int64)))
+                    for k in range(n)
+                ]
+                rows.append((aid, f"{w}x{h}:" + "|".join(sums)))
+            yield pd.DataFrame(rows, columns=["asset_id", "raw_sig"])
+
+    assets = d.mapInPandas(encode, schema="asset_id long, data binary")
+    sigs = assets.mapInPandas(signatures, schema="asset_id long, raw_sig string")
+    return (
+        sigs.select("asset_id", F.md5("raw_sig").alias("sig"))
+        .groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("asset_id").cast("bigint").alias("canonical_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("canonical_id")
+    )

@@ -283,3 +283,63 @@ def test_markov_transitions_rows_normalise(spark, sf_dir=None):
         by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.prob_q6
     for tot in by_from.values():
         assert tot == pytest.approx(1.0, abs=1e-4)
+
+
+# -------------------------------------------------- batch 3: lpa / dedup
+
+def test_label_propagation_two_cliques(spark, monkeypatch):
+    """Two 4-cliques joined by one bridge edge: LPA must converge to two
+    communities labelled by each clique's minimum node id."""
+    from cudf_spark.queries import analytics as mod
+
+    orders = [[1, 2, 3, 4], [10, 11, 12, 13], [4, 10]]
+    li = _plant_lineitem(spark, orders)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: li)
+    got = {r.node: r.community for r in mod.graph_label_propagation(spark, "u").collect()}
+    assert set(got) == {1, 2, 3, 4, 10, 11, 12, 13}
+    # within each clique the dominant neighbour label wins; the bridge
+    # cannot outvote three clique neighbours
+    assert len({got[n] for n in (1, 2, 3)}) == 1
+    assert len({got[n] for n in (11, 12, 13)}) == 1
+    assert got[1] != got[11]
+
+
+def test_minhash_incremental_planted_neardup(spark, monkeypatch):
+    """A new doc that is a near-copy of a prior doc is flagged with that
+    prior doc as its best match; a novel new doc is not flagged."""
+    from cudf_spark.queries import analytics as mod
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    rows = [
+        (1, base, "en", "src0", len(base)),
+        (2, "completely different text about spark physics and parquet files here", "en", "src1", 60),
+        (100, base + " tonight", "en", "src3", len(base) + 8),   # near-copy of 1
+        (101, "nothing shares shingles with anything else at all zzz qqq www eee rrr", "en", "src3", 60),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(mod, "load", lambda s, dd, n: d)
+    got = {r.doc_id: r for r in mod.dedup_minhash_incremental(spark, "u").collect()}
+    assert set(got) == {100, 101}
+    assert got[100].is_neardup and got[100].match_id == 1
+    assert got[100].jaccard_q6 >= 0.2
+    assert not got[101].is_neardup and got[101].match_id is None
+
+
+def test_video_signature_groups_identical_videos(spark, monkeypatch):
+    """doc_ids congruent mod 24 with equal n_chars%5 produce byte-identical
+    fake videos -> one dup group keyed by the smallest id."""
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    pdf = pd.DataFrame({
+        "doc_id": [5, 29, 53, 7],          # 5,29,53 ≡ 5 (mod 24); 7 distinct
+        "n_chars": [10, 15, 20, 10],        # all %5 == 0 for the first three
+    })
+    d = spark.createDataFrame(pdf)
+    monkeypatch.setattr(mod, "load", lambda s, dd, n: d)
+    rows = mod.mm_video_dedup_signature(spark, "u").collect()
+    assert len(rows) == 1
+    assert rows[0].n_copies == 3 and rows[0].canonical_id == 5

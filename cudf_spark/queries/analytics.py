@@ -968,3 +968,234 @@ def mm_video_dedup_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 1)
         .orderBy("canonical_id")
     )
+
+
+def _describe_col_sql(expr: str, label: str) -> str:
+    """describe() stats for one integer-lattice column as (column, stat,
+    value) rows — mean/std from exact sums, quartiles linear-interpolated
+    at rank targets on the sorted list."""
+    return f"""
+        SELECT '{label}' AS col, stat, value FROM (
+            WITH v AS (SELECT {expr} AS x FROM lineitem),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS HUGEINT) AS s1,
+                         CAST(sum(x * x) AS HUGEINT) AS s2,
+                         CAST(min(x) AS BIGINT) AS mn,
+                         CAST(max(x) AS BIGINT) AS mx,
+                         list_sort(list(x)) AS a
+                  FROM v)
+            SELECT 'count' AS stat, CAST(n AS DOUBLE) AS value FROM s
+            UNION ALL
+            SELECT 'mean', round(CAST(s1 AS DOUBLE) / n, 6) FROM s
+            UNION ALL
+            SELECT 'std', round(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                                     / (CAST(n AS DOUBLE) * (n - 1))), 6) FROM s
+            UNION ALL
+            SELECT 'min', CAST(mn AS DOUBLE) FROM s
+            UNION ALL
+            SELECT 'q25', round(a[CAST(floor(0.25 * (n-1)) AS INT) + 1]
+                   + (a[CAST(ceil(0.25 * (n-1)) AS INT) + 1]
+                      - a[CAST(floor(0.25 * (n-1)) AS INT) + 1])
+                     * (0.25 * (n-1) - floor(0.25 * (n-1))), 6) FROM s
+            UNION ALL
+            SELECT 'q50', round(a[CAST(floor(0.50 * (n-1)) AS INT) + 1]
+                   + (a[CAST(ceil(0.50 * (n-1)) AS INT) + 1]
+                      - a[CAST(floor(0.50 * (n-1)) AS INT) + 1])
+                     * (0.50 * (n-1) - floor(0.50 * (n-1))), 6) FROM s
+            UNION ALL
+            SELECT 'q75', round(a[CAST(floor(0.75 * (n-1)) AS INT) + 1]
+                   + (a[CAST(ceil(0.75 * (n-1)) AS INT) + 1]
+                      - a[CAST(floor(0.75 * (n-1)) AS INT) + 1])
+                     * (0.75 * (n-1) - floor(0.75 * (n-1))), 6) FROM s
+            UNION ALL
+            SELECT 'max', CAST(mx AS DOUBLE) FROM s
+        ) t
+    """
+
+
+@register(
+    "agg_describe",
+    oracle=(
+        "SELECT col, stat, value FROM (\n"
+        + "\nUNION ALL\n".join(
+            _describe_col_sql(e, l)
+            for e, l in [
+                ("CAST(l_quantity AS BIGINT)", "quantity"),
+                ("CAST(round(l_extendedprice * 100) AS BIGINT)", "price_cents"),
+                ("CAST(round(l_discount * 100) AS BIGINT)", "discount_pct"),
+            ]
+        )
+        + "\n) u ORDER BY col, stat"
+    ),
+    doc="DataFrame.describe() (cudf python/cudf DataFrame.describe; "
+    "pandas-compatible count/mean/std/min/25%/50%/75%/max) over three "
+    "measures, melted to (col, stat, value) rows: mean/std from exact "
+    "HUGEINT/decimal sums (identical IEEE finishing arithmetic), "
+    "quartiles linear-interpolated at rank targets found by windowed "
+    "row_number — O(1) rows picked per column, never a whole-column "
+    "collect. The global per-column sort is inherent to exact order "
+    "statistics; at 100 TB swap the quartile block for the t-digest "
+    "sketch (agg_sketch_merge) and keep the exact moment block as-is.",
+)
+def agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    cols = [
+        (F.col("l_quantity").cast("bigint"), "quantity"),
+        (F.round(F.col("l_extendedprice") * 100).cast("bigint"), "price_cents"),
+        (F.round(F.col("l_discount") * 100).cast("bigint"), "discount_pct"),
+    ]
+    outs = []
+    for expr, label in cols:
+        v = li.select(expr.alias("x"))
+        dec = "decimal(38,0)"
+        sums = v.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("x").cast(dec)).alias("s1"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).alias("s2"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+        w = W.orderBy("x")
+        ranked = v.select(
+            F.col("x").cast("double").alias("v"),
+            (F.row_number().over(w) - 1).alias("i"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        )
+        nd = F.col("n").cast("double") - 1
+        picks = []
+        for q in (0.25, 0.50, 0.75):
+            lo = F.floor(F.lit(q) * nd)
+            hi = F.ceil(F.lit(q) * nd)
+            picks.append(
+                F.min(F.when(F.col("i") == lo, F.col("v"))).alias(f"lo{int(q*100)}")
+            )
+            picks.append(
+                F.min(F.when(F.col("i") == hi, F.col("v"))).alias(f"hi{int(q*100)}")
+            )
+        qrow = ranked.filter(
+            (F.col("i") == F.floor(F.lit(0.25) * nd)) | (F.col("i") == F.ceil(F.lit(0.25) * nd))
+            | (F.col("i") == F.floor(F.lit(0.50) * nd)) | (F.col("i") == F.ceil(F.lit(0.50) * nd))
+            | (F.col("i") == F.floor(F.lit(0.75) * nd)) | (F.col("i") == F.ceil(F.lit(0.75) * nd))
+        ).agg(F.min("n").alias("n"), *picks)
+        n = F.col("n").cast("double")
+        s1d = F.col("s1").cast("double")
+        nvar = (F.col("n").cast("decimal(38,0)") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        stats = sums.crossJoin(qrow.drop("n")).select(
+            F.lit(label).alias("col"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("count").alias("stat"), n.alias("value")),
+                    F.struct(F.lit("mean").alias("stat"), F.round(s1d / n, 6).alias("value")),
+                    F.struct(
+                        F.lit("std").alias("stat"),
+                        F.round(F.sqrt(nvar / (n * (n - 1))), 6).alias("value"),
+                    ),
+                    F.struct(F.lit("min").alias("stat"), F.col("mn").cast("double").alias("value")),
+                    *[
+                        F.struct(
+                            F.lit(f"q{int(q*100)}").alias("stat"),
+                            F.round(
+                                F.col(f"lo{int(q*100)}")
+                                + (F.col(f"hi{int(q*100)}") - F.col(f"lo{int(q*100)}"))
+                                * (F.lit(q) * (n - 1) - F.floor(F.lit(q) * (n - 1))),
+                                6,
+                            ).alias("value"),
+                        )
+                        for q in (0.25, 0.50, 0.75)
+                    ],
+                    F.struct(F.lit("max").alias("stat"), F.col("mx").cast("double").alias("value")),
+                )
+            ).alias("s"),
+        ).select("col", F.col("s.stat").alias("stat"), F.col("s.value").alias("value"))
+        outs.append(stats)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out.orderBy("col", "stat")
+
+
+@register(
+    "scan_cumprod",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(list_reduce(list(CAST(1 + round(l_discount * 100) AS HUGEINT))
+               OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               (x, y) -> x * y) AS BIGINT) AS cumprod_scaled
+    FROM lineitem
+    WHERE l_orderkey <= 5000
+    ORDER BY l_orderkey, l_linenumber, cumprod_scaled
+    """,
+    doc="grouped cumulative PRODUCT scan (cudf scan PRODUCT aggregation, "
+    "cpp/include/cudf/aggregation.hpp make_product_aggregation + "
+    "scan.hpp): compounding (1 + discount_pct) integer factors per "
+    "order. l_linenumber is NOT unique within an order in this fixture, "
+    "so the frame is RANGE (all peers of the current line included) — "
+    "an exact-integer product is commutative, making the scan value "
+    "independent of tie order and of partitioning; a ROWS frame would "
+    "be nondeterministic under ties. Fold runs in decimal(38,0)/HUGEINT "
+    "(fits ~36 factors; fixture max is 17/order) and the result is cast "
+    "to BIGINT loudly. Spark has no product window builtin, so the scan "
+    "is a frame-bounded collect_list + F.aggregate fold (the "
+    "win_rolling_median pattern). Float cumprod (exp-of-log-sums) would "
+    "be fold-order-dependent; the integer lattice is not.",
+)
+def scan_cumprod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 5000)
+    f = (F.lit(1) + F.round(F.col("l_discount") * 100)).cast("decimal(38,0)")
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.aggregate(
+            F.collect_list(f).over(w),
+            F.lit(1).cast("decimal(38,0)"),
+            lambda acc, x: acc * x,
+        )
+        .cast("bigint")
+        .alias("cumprod_scaled"),
+    ).orderBy("l_orderkey", "l_linenumber", "cumprod_scaled")
+
+
+@register(
+    "reshape_pivot_multi",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f_qty,
+           CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)  AS f_cnt,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS o_qty,
+           CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)  AS o_cnt
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="pivot_table with MULTIPLE aggfuncs (pandas/cudf "
+    "pivot_table(values=..., aggfunc=['sum', 'count'])): one "
+    "groupBy().pivot() producing sum+count per pivoted status column in "
+    "a single shuffle — the multi-agg form Spark's pivot supports "
+    "natively via agg(a1, a2); columns renamed to the flattened "
+    "(value, func) names pandas emits.",
+)
+def reshape_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_qty").alias("f_qty"),
+        F.col("F_cnt").alias("f_cnt"),
+        F.col("O_qty").alias("o_qty"),
+        F.col("O_cnt").alias("o_cnt"),
+    ).orderBy("l_returnflag")

@@ -343,3 +343,73 @@ def test_video_signature_groups_identical_videos(spark, monkeypatch):
     rows = mod.mm_video_dedup_signature(spark, "u").collect()
     assert len(rows) == 1
     assert rows[0].n_copies == 3 and rows[0].canonical_id == 5
+
+
+# ------------------------------------------- batch 4: describe / cumprod
+
+def test_describe_matches_pandas(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    pdf = pd.DataFrame(
+        {
+            "l_quantity": [1.0, 5.0, 2.0, 8.0, 3.0, 13.0, 21.0],
+            "l_extendedprice": [10.00, 52.25, 19.10, 80.75, 33.33, 130.01, 210.99],
+            "l_discount": [0.00, 0.05, 0.02, 0.08, 0.03, 0.10, 0.01],
+        }
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {(r.col, r.stat): r.value for r in mod.agg_describe(spark, "u").collect()}
+    ints = pd.DataFrame(
+        {
+            "quantity": pdf["l_quantity"].astype("int64"),
+            "price_cents": (pdf["l_extendedprice"] * 100).round().astype("int64"),
+            "discount_pct": (pdf["l_discount"] * 100).round().astype("int64"),
+        }
+    )
+    desc = ints.describe()
+    remap = {"count": "count", "mean": "mean", "std": "std", "min": "min",
+             "25%": "q25", "50%": "q50", "75%": "q75", "max": "max"}
+    for col in ints.columns:
+        for prow, stat in remap.items():
+            assert got[(col, stat)] == pytest.approx(
+                float(desc.loc[prow, col]), abs=2e-6
+            ), (col, stat)
+
+
+def test_cumprod_matches_python_fold(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    # order 1: unique line numbers; order 2: TIED line numbers (the fixture
+    # reality) — the RANGE frame must include all peers, making the value
+    # well-defined under any tie order
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 1, 2, 2, 2],
+            "l_linenumber": [1, 2, 3, 1, 1, 2],
+            "l_discount": [0.02, 0.05, 0.00, 0.03, 0.07, 0.10],
+        }
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    rows = mod.scan_cumprod(spark, "u").collect()
+    got = [(r.l_orderkey, r.l_linenumber, r.cumprod_scaled) for r in rows]
+    # order 1: 3, 3*6=18, 18*1=18 ; order 2 peers at line 1: 4*8=32 for BOTH
+    assert got == [
+        (1, 1, 3), (1, 2, 18), (1, 3, 18),
+        (2, 1, 32), (2, 1, 32), (2, 2, 32 * 11),
+    ]
+
+
+def test_pivot_multi_consistency(spark):
+    from cudf_spark.queries.analytics import reshape_pivot_multi
+
+    rows = reshape_pivot_multi(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 3
+    for r in rows:
+        # counts are non-negative and a present qty implies a positive count
+        for qty, cnt in ((r.f_qty, r.f_cnt), (r.o_qty, r.o_cnt)):
+            if qty is not None:
+                assert cnt > 0

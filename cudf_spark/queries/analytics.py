@@ -147,9 +147,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "mm_image_dup_ahash",
-    oracle="""
+# Closed-form aHash CTEs shared by every image-dedup oracle (ONE copy of
+# the load-bearing raster/downsample/bit arithmetic): params -> rs (resized
+# 8x8 raster: pixel k is source index ((k//8*h)//8)*w + (k%8*w)//8 of the
+# texture (base + i*mult) % 256) -> hashes (bit string) -> hexed.
+_AHASH_SQL_CTE = """
     WITH params AS (
         SELECT doc_id AS asset_id,
                CAST(doc_id % 3 + 8 AS INT)       AS w,
@@ -158,9 +160,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST((doc_id * 37) % 256 AS INT)  AS base
         FROM documents
     ), rs AS (
-        -- resized 8x8 raster in closed form: pixel k of the downsample is
-        -- source index ((k//8 * h)//8)*w + (k%8 * w)//8 of the texture
-        -- (base + i*mult) % 256
         SELECT asset_id,
                list_transform(generate_series(0, 63), k ->
                    (base + ((((k // 8) * h) // 8) * w
@@ -181,7 +180,43 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                             + CAST(substr(bits, 4 + 4*j, 1) AS INT), 1)), '')
                    AS ahash_hex
         FROM hashes
-    ), bands AS (
+    )"""
+
+
+def _encode_textured_images(d: DataFrame) -> DataFrame:
+    """doc_id rows -> (asset_id, data) fake textured images; the ONE place
+    the image parameters (w=did%3+8, h=did%2+8, mult=3+(did%7)*2,
+    base=did*37%256) live — every image-dedup query's encode AND
+    _AHASH_SQL_CTE replay these exact values, so they must never fork."""
+
+    def encode(it):
+        import pandas as pd
+
+        from cudf_spark.multimodal import fake_image_texture
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "data": [
+                        fake_image_texture(
+                            int(did) % 3 + 8,
+                            int(did) % 2 + 8,
+                            3 + (int(did) % 7) * 2,
+                            (int(did) * 37) % 256,
+                        )
+                        for did in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return d.mapInPandas(encode, schema="asset_id long, data binary")
+
+
+@register(
+    "mm_image_dup_ahash",
+    oracle=_AHASH_SQL_CTE
+    + """, bands AS (
         SELECT asset_id, bits, band_idx,
                substr(bits, 1 + 16 * band_idx, 16) AS band_val
         FROM (SELECT asset_id, bits,
@@ -225,29 +260,7 @@ def mm_image_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cudf_spark.multimodal import image_ahash
 
     d = load(spark, sf_dir, "documents").select("doc_id")
-
-    def encode(it):
-        import pandas as pd
-
-        from cudf_spark.multimodal import fake_image_texture
-
-        for pdf in it:
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["doc_id"],
-                    "data": [
-                        fake_image_texture(
-                            int(did) % 3 + 8,
-                            int(did) % 2 + 8,
-                            3 + (int(did) % 7) * 2,
-                            (int(did) * 37) % 256,
-                        )
-                        for did in pdf["doc_id"]
-                    ],
-                }
-            )
-
-    assets = d.mapInPandas(encode, schema="asset_id long, data binary")
+    assets = _encode_textured_images(d)
     hashed = image_ahash(assets).filter("valid")
     bands = hashed.selectExpr(
         "asset_id",
@@ -1199,3 +1212,216 @@ def reshape_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O_qty").alias("o_qty"),
         F.col("O_cnt").alias("o_cnt"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "win_rolling_quantile",
+    oracle="""
+    WITH f AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               list_sort(list(CAST(l_quantity AS DOUBLE))
+                   OVER (PARTITION BY l_suppkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+                         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS a
+        FROM lineitem WHERE l_suppkey <= 40
+    )
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CASE WHEN len(a) >= 4 THEN
+               round(a[CAST(floor(0.9 * (len(a) - 1)) AS INT) + 1]
+                     + (a[CAST(ceil(0.9 * (len(a) - 1)) AS INT) + 1]
+                        - a[CAST(floor(0.9 * (len(a) - 1)) AS INT) + 1])
+                       * (0.9 * (len(a) - 1) - floor(0.9 * (len(a) - 1))), 6)
+           END AS p90_q6
+    FROM f
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+    doc="rolling quantile with linear interpolation and min_periods "
+    "(cudf Rolling.quantile surface; rolling.hpp frame semantics + the "
+    "QUANTILE aggregation's linear mode, quantiles.hpp:50): p90 over a "
+    "10-row trailing frame per supplier — frame-bounded collect + sort + "
+    "rank-target interpolation, the win_rolling_median pattern "
+    "generalised to arbitrary q. Cost is O(frame log frame) per row with "
+    "frame=10, shuffle is the single supplier-keyed exchange; the "
+    "quantity lattice keeps interpolated values on exact .0/.1/... "
+    "rationals so round(.,6) cannot straddle. min_periods=4 yields NULL "
+    "(not a partial-frame estimate) on both engines.",
+)
+def win_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 40)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey")
+        .rowsBetween(-9, W.currentRow)
+    )
+    a = F.array_sort(F.collect_list(F.col("l_quantity").cast("double")).over(w))
+    n = F.size(a)
+    pos = F.lit(0.9) * (n.cast("double") - 1)
+    lo = F.floor(pos).cast("int")
+    hi = F.ceil(pos).cast("int")
+    val = F.element_at(a, lo + 1) + (
+        F.element_at(a, hi + 1) - F.element_at(a, lo + 1)
+    ) * (pos - lo.cast("double"))
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(n >= 4, F.round(val, 6)).alias("p90_q6"),
+    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+@register(
+    "agg_entropy_gini",
+    oracle="""
+    WITH cnt AS (
+        -- DuckDB dayofweek is 0=Sunday, Spark is 1=Sunday: align with +1
+        SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+               event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY dow, event_type
+    ), g AS (
+        SELECT dow, list_sort(list(c)) AS cs, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM cnt GROUP BY dow
+    )
+    SELECT dow, n, n_types,
+           round(-list_sum(list_transform(cs,
+               c -> (CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n))), 6)
+               AS entropy_bits_q6,
+           round(1.0 - list_sum(list_transform(cs,
+               c -> (CAST(c AS DOUBLE) / n) * (CAST(c AS DOUBLE) / n))), 6)
+               AS gini_q6
+    FROM g ORDER BY dow
+    """,
+    doc="distribution profiling per day-of-week cohort: Shannon entropy "
+    "(bits) + Gini impurity of the event-type mix — the value_counts -> "
+    "impurity pipeline every data-quality/drift monitor runs. Two keyed "
+    "aggregations ((dow,type) count then dow fold); the per-group count "
+    "list is bounded by |event_types| so the sorted fold is O(types) — "
+    "and SORTED deliberately: both engines sum the identical float "
+    "series in the identical order (the emb_outlier_zscore discipline), "
+    "so log2 rounding cannot be reordered into a different sixth "
+    "decimal. Gini is an exact rational on the count lattice.",
+)
+def agg_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cnt = (
+        ev.select(F.dayofweek(F.col("ts")).cast("int").alias("dow"), "event_type")
+        .groupBy("dow", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    g = cnt.groupBy("dow").agg(
+        F.array_sort(F.collect_list("c")).alias("cs"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    n = F.col("n").cast("double")
+    p = lambda c: c.cast("double") / n  # noqa: E731
+    entropy = -F.aggregate(
+        F.col("cs"), F.lit(0.0), lambda acc, c: acc + p(c) * F.log2(p(c))
+    )
+    gini = F.lit(1.0) - F.aggregate(
+        F.col("cs"), F.lit(0.0), lambda acc, c: acc + p(c) * p(c)
+    )
+    return g.select(
+        "dow",
+        "n",
+        "n_types",
+        F.round(entropy, 6).alias("entropy_bits_q6"),
+        F.round(gini, 6).alias("gini_q6"),
+    ).orderBy("dow")
+
+
+@register(
+    "stream_image_dedup_incremental",
+    oracle=_AHASH_SQL_CTE
+    + """, keep AS (
+        SELECT ahash_hex, min(asset_id) AS asset_id
+        FROM hexed GROUP BY ahash_hex
+    )
+    SELECT substr(ahash_hex, 1, 1) AS nibble,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(asset_id) AS BIGINT) AS id_sum
+    FROM keep GROUP BY nibble ORDER BY nibble
+    """,
+    doc="STREAMING multimodal dedup: the image corpus replayed as a REAL "
+    "3-batch micro-batch stream (doc_id-ordered files, strictly ordered "
+    "mtimes, maxFilesPerTrigger=1, availableNow); each foreachBatch "
+    "encodes + aHashes its images in one Arrow pass, keeps the first "
+    "asset per exact hash within the batch, hash-ANTI-JOINS the "
+    "accumulated parquet state table, and appends only new hashes — the "
+    "keep-first-arrival incremental image-dedup workflow "
+    "(stream_curation_incremental's shape applied to the multimodal "
+    "path). Batches are id-ordered, so the end state must equal the "
+    "one-shot rule (min asset per hash), which the oracle replays from "
+    "the closed-form hash arithmetic; id_sum pins the exact surviving "
+    "asset set. 100 TB: only (hash, id) rows cross batches — the image "
+    "bytes never leave their batch; state is a hash-keyed parquet table.",
+)
+def stream_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from cudf_spark.multimodal import image_ahash
+    from cudf_spark.streaming.ops import write_ordered_batch
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    tmp = tempfile.mkdtemp(prefix="image_stream_")
+    src, state = os.path.join(tmp, "src"), os.path.join(tmp, "state")
+    try:
+        tercs = d.agg(F.expr("percentile(doc_id, array(0.34, 0.67))")).collect()[0][0]
+        if tercs is None:
+            return spark.createDataFrame(
+                [], "nibble string, n_kept bigint, id_sum bigint"
+            )
+        cuts = [int(c) for c in tercs]
+        batches = [
+            d.filter(F.col("doc_id") < cuts[0]),
+            d.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+            d.filter(F.col("doc_id") >= cuts[1]),
+        ]
+        for seq, b in enumerate(batches):
+            write_ordered_batch(b, src, seq)
+
+        def per_batch(bdf, _bid):
+            hashed = image_ahash(_encode_textured_images(bdf)).filter("valid")
+            first = (
+                hashed.groupBy("ahash_hex")
+                .agg(F.min("asset_id").alias("asset_id"))
+            )
+            if os.path.isdir(state) and glob.glob(os.path.join(state, "*.parquet")):
+                seen = bdf.sparkSession.read.parquet(state).select("ahash_hex")
+                first = first.join(seen, "ahash_hex", "left_anti")
+            first.write.mode("append").parquet(state)
+
+        q = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_image_dedup_incremental: stream did not finish in 300s"
+            )
+        kept = spark.read.parquet(state)
+        rows = (
+            kept.groupBy(F.substring("ahash_hex", 1, 1).alias("nibble"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                F.sum("asset_id").cast("bigint").alias("id_sum"),
+            )
+            .orderBy("nibble")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["nibble"], r["n_kept"], r["id_sum"]) for r in rows],
+        "nibble string, n_kept bigint, id_sum bigint",
+    ).orderBy("nibble")

@@ -413,3 +413,89 @@ def test_pivot_multi_consistency(spark):
         for qty, cnt in ((r.f_qty, r.f_cnt), (r.o_qty, r.o_cnt)):
             if qty is not None:
                 assert cnt > 0
+
+
+# --------------------------------- batch 5: rolling quantile / entropy
+
+def test_rolling_quantile_matches_pandas(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    rng = [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0, 10.0, 11.0, 0.0]
+    pdf = pd.DataFrame(
+        {
+            "l_suppkey": [1] * len(rng),
+            "l_orderkey": list(range(len(rng))),
+            "l_linenumber": [1] * len(rng),
+            "l_partkey": list(range(len(rng))),
+            "l_shipdate": pd.to_datetime(["1997-01-01"] * len(rng))
+            + pd.to_timedelta(list(range(len(rng))), unit="D"),
+            "l_quantity": rng,
+        }
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {
+        r.l_orderkey: r.p90_q6
+        for r in mod.win_rolling_quantile(spark, "u").collect()
+    }
+    want = pd.Series(rng).rolling(10, min_periods=4).quantile(0.9, interpolation="linear")
+    for i in range(len(rng)):
+        if pd.isna(want[i]):
+            assert got[i] is None
+        else:
+            assert got[i] == pytest.approx(float(want[i]), abs=2e-6), i
+
+
+def test_entropy_gini_planted(spark, monkeypatch):
+    import math
+
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    # one weekday, known mix: 4 clicks, 2 views, 2 errors -> p = .5,.25,.25
+    ts = pd.to_datetime(["1997-01-06 10:00:00"] * 8)  # a Monday
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(8),
+            "ts": ts,
+            "user_id": [1] * 8,
+            "event_type": ["click"] * 4 + ["view"] * 2 + ["error"] * 2,
+            "value": [1.0] * 8,
+            "props": ["{}"] * 8,
+        }
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    rows = mod.agg_entropy_gini(spark, "u").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.dow == 2 and r.n == 8 and r.n_types == 3
+    want_entropy = -(0.5 * math.log2(0.5) + 2 * 0.25 * math.log2(0.25))  # 1.5 bits
+    want_gini = 1 - (0.25 + 0.0625 + 0.0625)
+    assert r.entropy_bits_q6 == pytest.approx(want_entropy, abs=2e-6)
+    assert r.gini_q6 == pytest.approx(want_gini, abs=2e-6)
+
+
+def test_stream_image_dedup_matches_batch_rule(spark):
+    """The incremental stream's end state equals the one-shot keep-first
+    rule computed directly in Spark."""
+    from cudf_spark.multimodal import image_ahash
+    from cudf_spark.queries import analytics as mod
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.nibble: (r.n_kept, r.id_sum)
+           for r in mod.stream_image_dedup_incremental(spark, sf).collect()}
+    d = mod.load(spark, sf, "documents").select("doc_id")
+    hashed = image_ahash(mod._encode_textured_images(d)).filter("valid")
+    import pyspark.sql.functions as F
+    want = {
+        r.nibble: (r.n_kept, r.id_sum)
+        for r in hashed.groupBy("ahash_hex")
+        .agg(F.min("asset_id").alias("asset_id"))
+        .groupBy(F.substring("ahash_hex", 1, 1).alias("nibble"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+             F.sum("asset_id").cast("bigint").alias("id_sum"))
+        .collect()
+    }
+    assert got == want

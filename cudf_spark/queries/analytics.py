@@ -1425,3 +1425,183 @@ def stream_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         [(r["nibble"], r["n_kept"], r["id_sum"]) for r in rows],
         "nibble string, n_kept bigint, id_sum bigint",
     ).orderBy("nibble")
+
+
+@register(
+    "emb_truncated_dim_recall",
+    oracle="""
+    WITH qs AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        WHERE vec_id % 101 = 7
+    ), full_rank AS (
+        SELECT * FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round(
+                           list_sum(list_transform(generate_series(1, 64),
+                               i -> CAST(e.embedding[i] AS DOUBLE)
+                                  * CAST(q.qv[i] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                               i -> CAST(e.embedding[i] AS DOUBLE)
+                                  * CAST(e.embedding[i] AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(generate_series(1, 64),
+                               i -> CAST(q.qv[i] AS DOUBLE)
+                                  * CAST(q.qv[i] AS DOUBLE))))), 6)
+                           DESC, e.vec_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN qs q WHERE e.vec_id != q.qid)
+        WHERE rn <= 10
+    ), trunc_rank AS (
+        SELECT * FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round(
+                           list_sum(list_transform(generate_series(1, 16),
+                               i -> CAST(e.embedding[i] AS DOUBLE)
+                                  * CAST(q.qv[i] AS DOUBLE)))
+                           / (sqrt(list_sum(list_transform(generate_series(1, 16),
+                               i -> CAST(e.embedding[i] AS DOUBLE)
+                                  * CAST(e.embedding[i] AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(generate_series(1, 16),
+                               i -> CAST(q.qv[i] AS DOUBLE)
+                                  * CAST(q.qv[i] AS DOUBLE))))), 6)
+                           DESC, e.vec_id
+                   ) AS rn
+            FROM embeddings e CROSS JOIN qs q WHERE e.vec_id != q.qid)
+        WHERE rn <= 10
+    )
+    SELECT f.qid,
+           CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+           CAST((count(t.vec_id) * 1000000) // 10 AS BIGINT) AS recall_uu
+    FROM full_rank f
+    LEFT JOIN trunc_rank t ON t.qid = f.qid AND t.vec_id = f.vec_id
+    GROUP BY f.qid ORDER BY f.qid
+    """,
+    doc="dimension-truncation recall@10 (the Matryoshka-embedding serving "
+    "question: how much ANN quality survives keeping only the first 16 of "
+    "64 dims — 4x less memory bandwidth per probe): exact top-10 under "
+    "full-dim cosine vs exact top-10 under 16-dim-prefix cosine, overlap "
+    "per query in integer micro-units. Both rankings window on the "
+    "ROUNDED cosine with vec_id tie-break (the ann_ivf_recall "
+    "discipline), corpus scanned once per ranking with the broadcast "
+    "query batch. The accuracy-envelope pattern (dedup_minhash_estimate, "
+    "ann_ivf_recall) applied to embedding truncation.",
+)
+def emb_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cudf_spark.operators.similarity import cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    qs = F.broadcast(
+        e.filter(F.col("vec_id") % 101 == 7).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+    )
+    scored = e.crossJoin(qs).filter(F.col("vec_id") != F.col("qid"))
+
+    def topk(sim_col):
+        w = W.partitionBy("qid").orderBy(F.desc("sim"), "vec_id")
+        return (
+            scored.select("qid", "vec_id", F.round(sim_col, 6).alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("qid", "vec_id")
+        )
+
+    full = topk(cosine(F.col("embedding"), F.col("qv")))
+    trunc = topk(
+        cosine(F.slice("embedding", 1, 16), F.slice("qv", 1, 16))
+    ).withColumnRenamed("vec_id", "tvec")
+    return (
+        full.join(
+            trunc,
+            (full["qid"] == trunc["qid"]) & (full["vec_id"] == trunc["tvec"]),
+            "left",
+        )
+        .groupBy(full["qid"].alias("qid"))
+        .agg(
+            F.count("tvec").cast("bigint").alias("n_overlap"),
+            ((F.count("tvec") * 1000000) / 10).cast("bigint").alias("recall_uu"),
+        )
+        .orderBy("qid")
+    )
+
+
+# distinct word bigrams from a token-list column `w` (mirrors text.py's
+# SQL_SHINGLES construction at k=2, over the same SQL_NORM tokenisation)
+_SQL_BIGRAMS = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(w) - 1, 0)),"
+    " i -> w[i] || ' ' || w[i+1]))"
+)
+
+
+def _ngram_overlap_oracle() -> str:
+    from cudf_spark.queries.text import SQL_TOKS
+
+    return f"""
+    WITH w AS (
+        SELECT doc_id, source, {SQL_TOKS} AS w FROM documents
+    ), toks AS (
+        SELECT doc_id, source, {_SQL_BIGRAMS} AS bg FROM w
+    ), paired AS ("""
+
+
+@register(
+    "eval_ngram_overlap",
+    oracle=_ngram_overlap_oracle()
+    + """
+        SELECT doc_id, source, bg,
+               lead(doc_id) OVER w AS ref_id,
+               lead(bg)     OVER w AS ref_bg
+        FROM toks
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+    )
+    SELECT doc_id, ref_id,
+           CAST(len(list_intersect(bg, ref_bg)) AS BIGINT) AS n_common,
+           round(len(list_intersect(bg, ref_bg)) * 1.0 / len(bg), 6)     AS rouge2_precision,
+           round(len(list_intersect(bg, ref_bg)) * 1.0 / len(ref_bg), 6) AS rouge2_recall
+    FROM paired
+    WHERE ref_id IS NOT NULL AND len(bg) > 0 AND len(ref_bg) > 0
+    ORDER BY doc_id
+    """,
+    doc="ROUGE-2-style n-gram overlap scoring (Lin 2004 — the standard "
+    "summarization/eval metric, here as the at-scale eval primitive: "
+    "candidate=doc, reference=next doc in the same source): distinct "
+    "bigram sets per doc, one source-keyed lead() window to form pairs "
+    "(no self-join — each doc's bigrams ship through the window buffer "
+    "once), precision/recall as exact integer ratios. At 100 TB the "
+    "window is source-keyed and the bigram sets are per-doc bounded; "
+    "for reference sets that aren't adjacency-defined, the same scoring "
+    "runs after any keyed candidate join (text_sparse_cosine_pairs).",
+)
+def eval_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cudf_spark.functions.textfns import normalize_text, word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        word_shingles(normalize_text(F.col("text")), 2).alias("bg"),
+    )
+    w = W.partitionBy("source").orderBy("doc_id")
+    paired = toks.select(
+        "doc_id",
+        "bg",
+        F.lead("doc_id").over(w).alias("ref_id"),
+        F.lead("bg").over(w).alias("ref_bg"),
+    ).filter(
+        F.col("ref_id").isNotNull() & (F.size("bg") > 0) & (F.size("ref_bg") > 0)
+    )
+    common = F.size(F.array_intersect("bg", "ref_bg"))
+    return paired.select(
+        "doc_id",
+        "ref_id",
+        common.cast("bigint").alias("n_common"),
+        F.round(common / F.size("bg"), 6).alias("rouge2_precision"),
+        F.round(common / F.size("ref_bg"), 6).alias("rouge2_recall"),
+    ).orderBy("doc_id")

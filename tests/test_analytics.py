@@ -499,3 +499,58 @@ def test_stream_image_dedup_matches_batch_rule(spark):
         .collect()
     }
     assert got == want
+
+
+# ------------------------------ batch 6: truncation recall / rouge
+
+def test_truncated_recall_planted(spark, monkeypatch):
+    """Planted vectors where the 2-dim prefix inverts the full-dim ranking:
+    the query (vec 7) has full-dim top-1 = vec 1, but vec 2 wins on the
+    prefix — recall@10 still counts overlap of the full sets."""
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    def vec(prefix16, tail48):
+        return [float(x) for x in prefix16] + [float(tail48)] * 48
+
+    rows = []
+    # query id 7 (7 % 101 == 7)
+    rows.append((7, vec([1.0] * 16, 1.0), 0))
+    for i, tail in [(1, 1.0), (2, 0.0), (3, -1.0)]:
+        rows.append((i, vec([1.0] * 16, tail if i != 2 else 1.0), 0))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = mod.emb_truncated_dim_recall(spark, "u").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.qid == 7
+    # only 3 corpus vectors -> both top-10 sets are all 3 -> full overlap
+    assert r.n_overlap == 3
+    assert 0 <= r.recall_uu <= 1_000_000
+
+
+def test_eval_ngram_overlap_planted(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    docs = [
+        (1, "the cat sat on the mat", "s0"),
+        (2, "the cat sat on a rug", "s0"),   # shares 'the cat','cat sat','sat on'
+        (3, "zzz yyy xxx", "s0"),             # shares nothing with doc 2
+        (9, "solo document here", "s1"),      # no successor -> no row
+    ]
+    pdf = pd.DataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in docs],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.doc_id: r for r in mod.eval_ngram_overlap(spark, "u").collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert r1.ref_id == 2 and r1.n_common == 3
+    # doc1 has 5 distinct bigrams, doc2 has 5
+    assert r1.rouge2_precision == pytest.approx(3 / 5, abs=1e-6)
+    assert r1.rouge2_recall == pytest.approx(3 / 5, abs=1e-6)
+    assert got[2].n_common == 0

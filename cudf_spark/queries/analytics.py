@@ -1605,3 +1605,238 @@ def eval_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(common / F.size("bg"), 6).alias("rouge2_precision"),
         F.round(common / F.size("ref_bg"), 6).alias("rouge2_recall"),
     ).orderBy("doc_id")
+
+
+@register(
+    "stats_ab_welch_t",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(round(value * 1000000) AS BIGINT) AS x
+        FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ), s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS s1,
+               CAST(sum(x * x) AS HUGEINT) AS s2
+        FROM v GROUP BY event_type
+    ), m AS (
+        SELECT event_type, n,
+               CAST(s1 AS DOUBLE) / n AS mean,
+               CAST(n * s2 - s1 * s1 AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (n - 1)) / n AS sem2
+        FROM s
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mean / 1000000, 6) AS mean_a,
+           round(b.mean / 1000000, 6) AS mean_b,
+           round((a.mean - b.mean) / sqrt(a.sem2 + b.sem2), 6) AS t_stat,
+           round((a.sem2 + b.sem2) * (a.sem2 + b.sem2)
+                 / (a.sem2 * a.sem2 / (a.n - 1) + b.sem2 * b.sem2 / (b.n - 1)),
+                 4) AS welch_df
+    FROM (SELECT * FROM m WHERE event_type = 'click') a
+    CROSS JOIN (SELECT * FROM m WHERE event_type = 'purchase') b
+    """,
+    doc="two-sample Welch t-test (the A/B-experiment primitive; Welch "
+    "1947 unequal-variance form with the Welch-Satterthwaite df): "
+    "click-vs-purchase event values on the micro-unit lattice, one "
+    "map-side-combinable groupBy of exact HUGEINT/decimal power sums per "
+    "arm, then t = (mean_a - mean_b)/sqrt(sem_a^2 + sem_b^2) and the "
+    "Satterthwaite df as the identical IEEE expression tree on both "
+    "engines. The two one-row arms cross-join driver-free. At 100 TB an "
+    "experiment platform runs thousands of these per day — each is ONE "
+    "aggregate over the metric table, no matter how many rows per arm.",
+)
+def stats_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(
+        F.col("event_type").isin("click", "purchase") & F.col("value").isNotNull()
+    ).select(
+        "event_type", F.round(F.col("value") * 1000000).cast("bigint").alias("x")
+    )
+    dec = "decimal(38,0)"
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n
+    sem2 = (
+        (n.cast(dec) * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (n.cast("double") * (n - 1))
+        / n
+    )
+    m = s.select("event_type", "n", mean.alias("mean"), sem2.alias("sem2"))
+    a = m.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_raw_a"), F.col("sem2").alias("sem2_a")
+    )
+    b = m.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_raw_b"), F.col("sem2").alias("sem2_b")
+    )
+    j = a.crossJoin(b)
+    pooled = F.col("sem2_a") + F.col("sem2_b")
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("mean_raw_a") / 1000000, 6).alias("mean_a"),
+        F.round(F.col("mean_raw_b") / 1000000, 6).alias("mean_b"),
+        F.round((F.col("mean_raw_a") - F.col("mean_raw_b")) / F.sqrt(pooled), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            pooled * pooled
+            / (
+                F.col("sem2_a") * F.col("sem2_a") / (F.col("n_a") - 1)
+                + F.col("sem2_b") * F.col("sem2_b") / (F.col("n_b") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "stats_chi_square",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+               event_type, CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY dow, event_type
+    ), tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n FROM obs
+    ), rowm AS (
+        SELECT dow, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY dow
+    ), colm AS (
+        SELECT event_type, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY event_type
+    ), cells AS (
+        -- chi2 cell = (o - r*c/n)^2 / (r*c/n), exact rational:
+        -- (n*o - r*c)^2 / (n * r * c) with HUGEINT numerators
+        SELECT n,
+               CAST((CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c) AS HUGEINT)
+                 * CAST((CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c) AS HUGEINT)
+                   AS num,
+               CAST(n AS HUGEINT) * r * c AS den
+        FROM obs JOIN rowm USING (dow) JOIN colm USING (event_type), tot
+    )
+    SELECT CAST(min(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(list_sum(list_transform(
+               list_sort(list(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))),
+               z -> z)), 6) AS chi2_q6
+    FROM cells
+    """,
+    doc="chi-square test of independence (event_type x day-of-week — the "
+    "standard categorical drift/association check): observed counts from "
+    "ONE keyed groupBy, marginals from two keyed re-aggregations of the "
+    "|dow|x|types| cell table (never the raw events), and each cell's "
+    "(o - e)^2/e rewritten as (n*o - r*c)^2/(n*r*c) so numerator and "
+    "denominator stay EXACT 128-bit integers — the only floats are one "
+    "division per cell and the final fold, which both engines perform "
+    "over the SORTED cell list (the agg_entropy_gini discipline). "
+    "Cell count is bounded (7 x |types|), so the fold is O(1).",
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    obs = (
+        ev.select(F.dayofweek("ts").cast("int").alias("dow"), "event_type")
+        .groupBy("dow", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rowm = obs.groupBy("dow").agg(F.sum("o").cast("bigint").alias("r"))
+    colm = obs.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    dec = "decimal(38,0)"
+    cells = (
+        obs.join(rowm, "dow")
+        .join(colm, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            (
+                (F.col("n").cast(dec) * F.col("o") - F.col("r").cast(dec) * F.col("c"))
+                * (F.col("n").cast(dec) * F.col("o") - F.col("r").cast(dec) * F.col("c"))
+            ).cast("double").alias("numd"),
+            (F.col("n").cast(dec) * F.col("r") * F.col("c")).cast("double").alias("dend"),
+        )
+    )
+    return cells.agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.col("numd") / F.col("dend"))),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ),
+            6,
+        ).alias("chi2_q6"),
+    )
+
+
+@register(
+    "win_max_drawdown",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM lineitem GROUP BY day
+    ), cum AS (
+        SELECT day, rev,
+               CAST(sum(rev) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_rev
+        FROM daily
+    ), dd AS (
+        SELECT day, cum_rev,
+               CAST(max(cum_rev) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS peak
+        FROM cum
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(peak - cum_rev) AS BIGINT) AS max_drawdown_cents,
+           CAST(min(day) FILTER (WHERE peak - cum_rev =
+               (SELECT max(peak - cum_rev) FROM dd)) AS DATE) AS trough_day
+    FROM dd
+    """,
+    doc="maximum drawdown of the cumulative daily-revenue series (the "
+    "classic running-peak window composition: cumsum -> running max -> "
+    "max gap; finance's risk metric, equally the SLO-burn/inventory "
+    "shortfall shape): all three passes are windows over the |days|-row "
+    "daily table (bounded regardless of input size) on the exact cents "
+    "lattice — no floats anywhere. trough_day is the FIRST day attaining "
+    "the max gap (deterministic under ties). The only full-table work is "
+    "the day-keyed groupBy; the window chain runs on the tiny series.",
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    dd = daily.select(
+        "day",
+        F.sum("rev").over(w).cast("bigint").alias("cum_rev"),
+    ).select(
+        "day",
+        "cum_rev",
+        F.max("cum_rev").over(w).cast("bigint").alias("peak"),
+    )
+    gap = (F.col("peak") - F.col("cum_rev")).alias("gap")
+    g = dd.select("day", gap)
+    mx = g.agg(F.max("gap").alias("mg"))
+    return (
+        g.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("gap").cast("bigint").alias("max_drawdown_cents"),
+            F.min(F.when(F.col("gap") == F.col("mg"), F.col("day"))).alias(
+                "trough_day"
+            ),
+        )
+    )

@@ -554,3 +554,88 @@ def test_eval_ngram_overlap_planted(spark, monkeypatch):
     assert r1.rouge2_precision == pytest.approx(3 / 5, abs=1e-6)
     assert r1.rouge2_recall == pytest.approx(3 / 5, abs=1e-6)
     assert got[2].n_common == 0
+
+
+# ----------------------------------- batch 7: stats / drawdown
+
+def test_welch_t_matches_reference(spark, monkeypatch):
+    import math
+
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    a_vals = [10.5, 12.0, 9.75, 11.25, 10.0, 13.5]
+    b_vals = [20.0, 18.25, 22.5, 19.75]
+    rows = [("click", v) for v in a_vals] + [("purchase", v) for v in b_vals]
+    pdf = pd.DataFrame(
+        [(i, pd.Timestamp("1997-01-01"), 1, t, v, "{}") for i, (t, v) in enumerate(rows)],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_ab_welch_t(spark, "u").collect()[0]
+
+    def mv(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        var = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, var
+
+    na, ma, va = mv(a_vals)
+    nb, mb, vb = mv(b_vals)
+    sa2, sb2 = va / na, vb / nb
+    t = (ma - mb) / math.sqrt(sa2 + sb2)
+    df = (sa2 + sb2) ** 2 / (sa2**2 / (na - 1) + sb2**2 / (nb - 1))
+    assert r.n_a == na and r.n_b == nb
+    assert r.mean_a == pytest.approx(ma, abs=2e-6)
+    assert r.t_stat == pytest.approx(t, abs=2e-5)
+    assert r.welch_df == pytest.approx(df, abs=2e-3)
+
+
+def test_chi_square_matches_reference(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    # 2 weekdays x 2 types with a planted association
+    counts = {("1997-01-05", "click"): 30, ("1997-01-05", "view"): 10,
+              ("1997-01-06", "click"): 10, ("1997-01-06", "view"): 30}
+    recs = []
+    i = 0
+    for (day, typ), c in counts.items():
+        for _ in range(c):
+            recs.append((i, pd.Timestamp(day + " 12:00:00"), 1, typ, 1.0, "{}"))
+            i += 1
+    pdf = pd.DataFrame(
+        recs, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_chi_square(spark, "u").collect()[0]
+    # manual chi2: rows 40/40, cols 40/40, n=80 -> e=20 each, (10)^2/20 *4 = 20
+    assert r.n == 80 and r.n_cells == 4
+    assert r.chi2_q6 == pytest.approx(20.0, abs=1e-6)
+
+
+def test_max_drawdown_matches_python(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    revs = [100.0, -40.0, 30.0, -80.0, 10.0, 200.0, -50.0]
+    days = pd.date_range("1997-05-01", periods=len(revs), freq="D")
+    pdf = pd.DataFrame({"l_shipdate": days, "l_extendedprice": revs})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.win_max_drawdown(spark, "u").collect()[0]
+    cents = [int(round(v * 100)) for v in revs]
+    cum = peak = 0
+    best = 0
+    trough = None
+    for d, c in zip(days, cents):
+        cum += c
+        peak = max(peak, cum)
+        gap = peak - cum
+        if gap > best:
+            best, trough = gap, d.date()
+    assert r.n_days == len(revs)
+    assert r.max_drawdown_cents == best
+    assert r.trough_day == trough

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
+from cudf_spark.functions.hashing import hash60_sql
 from cudf_spark.queries.registry import register
 
 
@@ -1044,15 +1045,15 @@ def _describe_col_sql(expr: str, label: str) -> str:
     "pandas-compatible count/mean/std/min/25%/50%/75%/max) over three "
     "measures, melted to (col, stat, value) rows: mean/std from exact "
     "HUGEINT/decimal sums (identical IEEE finishing arithmetic), "
-    "quartiles linear-interpolated at rank targets found by windowed "
-    "row_number — O(1) rows picked per column, never a whole-column "
-    "collect. The global per-column sort is inherent to exact order "
-    "statistics; at 100 TB swap the quartile block for the t-digest "
-    "sketch (agg_sketch_merge) and keep the exact moment block as-is.",
+    "quartiles from Spark's DISTRIBUTED exact percentile aggregate "
+    "(per-partition value->count maps, merged — no global sort and no "
+    "single-partition window; map size bounded by the integer lattice's "
+    "distinct-value count) with the same linear interpolation the "
+    "oracle's sorted-list arithmetic performs. At 100 TB on a continuous "
+    "domain swap the quartile block for the t-digest sketch "
+    "(agg_sketch_merge) and keep the exact moment block as-is.",
 )
 def agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     li = load(spark, sf_dir, "lineitem")
     cols = [
         (F.col("l_quantity").cast("bigint"), "quantity"),
@@ -1070,32 +1071,23 @@ def agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("x").alias("mn"),
             F.max("x").alias("mx"),
         )
-        w = W.orderBy("x")
-        ranked = v.select(
-            F.col("x").cast("double").alias("v"),
-            (F.row_number().over(w) - 1).alias("i"),
-            F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        # DISTRIBUTED exact quantiles: Spark's percentile aggregate builds
+        # per-partition value->count maps and merges them (no global sort,
+        # no single-partition window — the scale_audit funnel this query's
+        # first draft had), then applies the same (1-g)*lower + g*higher
+        # linear interpolation the oracle's sorted-list arithmetic does.
+        # Exact on the integer lattice; map size bounded by |distinct x|.
+        qrow = v.agg(
+            F.expr("percentile(x, array(0.25, 0.50, 0.75))").alias("qs")
+        ).select(
+            F.element_at("qs", 1).alias("q25v"),
+            F.element_at("qs", 2).alias("q50v"),
+            F.element_at("qs", 3).alias("q75v"),
         )
-        nd = F.col("n").cast("double") - 1
-        picks = []
-        for q in (0.25, 0.50, 0.75):
-            lo = F.floor(F.lit(q) * nd)
-            hi = F.ceil(F.lit(q) * nd)
-            picks.append(
-                F.min(F.when(F.col("i") == lo, F.col("v"))).alias(f"lo{int(q*100)}")
-            )
-            picks.append(
-                F.min(F.when(F.col("i") == hi, F.col("v"))).alias(f"hi{int(q*100)}")
-            )
-        qrow = ranked.filter(
-            (F.col("i") == F.floor(F.lit(0.25) * nd)) | (F.col("i") == F.ceil(F.lit(0.25) * nd))
-            | (F.col("i") == F.floor(F.lit(0.50) * nd)) | (F.col("i") == F.ceil(F.lit(0.50) * nd))
-            | (F.col("i") == F.floor(F.lit(0.75) * nd)) | (F.col("i") == F.ceil(F.lit(0.75) * nd))
-        ).agg(F.min("n").alias("n"), *picks)
         n = F.col("n").cast("double")
         s1d = F.col("s1").cast("double")
         nvar = (F.col("n").cast("decimal(38,0)") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
-        stats = sums.crossJoin(qrow.drop("n")).select(
+        stats = sums.crossJoin(qrow).select(
             F.lit(label).alias("col"),
             F.explode(
                 F.array(
@@ -1109,12 +1101,7 @@ def agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *[
                         F.struct(
                             F.lit(f"q{int(q*100)}").alias("stat"),
-                            F.round(
-                                F.col(f"lo{int(q*100)}")
-                                + (F.col(f"hi{int(q*100)}") - F.col(f"lo{int(q*100)}"))
-                                * (F.lit(q) * (n - 1) - F.floor(F.lit(q) * (n - 1))),
-                                6,
-                            ).alias("value"),
+                            F.round(F.col(f"q{int(q*100)}v"), 6).alias("value"),
                         )
                         for q in (0.25, 0.50, 0.75)
                     ],
@@ -1838,5 +1825,131 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("gap") == F.col("mg"), F.col("day"))).alias(
                 "trough_day"
             ),
+        )
+    )
+
+
+# Poisson(1) CDF thresholds for k = 0..5 as fixed decimal literals — both
+# engines compare the SAME constants against the SAME hash-uniform, so
+# replicate weights are bit-identical (k=6 catches the tail, P ~ 5.9e-5).
+_POIS1_CDF = (
+    "0.367879441171442",
+    "0.735758882342885",
+    "0.919698602928606",
+    "0.980961709123847",
+    "0.996340153172656",
+    "0.999405815182418",
+)
+_BOOT_B = 50  # bootstrap replicates
+
+
+def _poisson_k_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF)
+    )
+    return f"CASE {cases} ELSE 6 END"
+
+
+@register(
+    "stats_bootstrap_ci_poisson",
+    oracle=f"""
+    WITH x AS (
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem WHERE l_orderkey <= 20000
+    ), rep AS (
+        SELECT cents, b,
+               {_poisson_k_sql(
+                   "(" + hash60_sql(
+                       "CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)"
+                       " || '_' || CAST(l_partkey AS VARCHAR) || '_' || CAST(b AS VARCHAR)"
+                   ) + " % 1000000) / 1000000.0"
+               )} AS k
+        FROM x CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b) reps
+    ), means AS (
+        SELECT b,
+               CAST(sum(k * cents) AS DOUBLE) / sum(k) AS m
+        FROM rep GROUP BY b HAVING sum(k) > 0
+    ), ordered AS (
+        SELECT list_sort(list(m)) AS ms, count(*) AS nb FROM means
+    )
+    SELECT CAST(nb AS BIGINT) AS n_replicates,
+           round(ms[CAST(floor(0.025 * (nb - 1)) AS INT) + 1] / 100, 6) AS ci_lo,
+           round(ms[CAST(ceil(0.975 * (nb - 1)) AS INT) + 1] / 100, 6) AS ci_hi,
+           round((SELECT CAST(sum(cents) AS DOUBLE) / count(*) FROM x) / 100, 6)
+               AS point_mean
+    FROM ordered
+    """,
+    doc="bootstrap confidence interval for the mean via the POISSON "
+    "bootstrap (Chamandy et al. 2012, 'Estimating uncertainty for "
+    "massive data streams' — Google's resampling scheme for data too "
+    "large to index): classical resampling needs random access to n "
+    "rows x B replicates; the Poisson trick gives each (row, replicate) "
+    "an independent Poisson(1) multiplicity, so the whole bootstrap is "
+    "ONE streaming pass — here the multiplicity is derived "
+    "deterministically from a cross-engine md5 uniform against fixed "
+    "CDF literals, making the 'randomness' reproducible AND "
+    "hash-checkable. Replicate means come from exact integer "
+    "(sum k*cents, sum k) pairs; the CI is order statistics over the "
+    "B=50 sorted means (bounded list). At 100 TB: the explode is map-"
+    "side (xB rows but no extra shuffle keys beyond b), the per-"
+    "replicate reduce is one keyed agg with B cells.",
+)
+def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.hashing import hash60
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 20000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    reps = spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    u = (
+        hash60(
+            F.concat_ws(
+                "_",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.col("l_partkey").cast("string"),
+                F.col("b").cast("string"),
+            )
+        )
+        % 1000000
+    ).cast("double") / F.lit(1000000.0)
+    k = F.lit(6)
+    for kk in range(len(_POIS1_CDF) - 1, -1, -1):
+        k = F.when(u < F.lit(float(_POIS1_CDF[kk])), F.lit(kk)).otherwise(k)
+    rep = li.crossJoin(F.broadcast(reps)).select("cents", "b", k.alias("k"))
+    means = (
+        rep.groupBy("b")
+        .agg(
+            F.sum(F.col("k") * F.col("cents")).alias("skx"),
+            F.sum("k").alias("sk"),
+        )
+        .filter(F.col("sk") > 0)
+        .select((F.col("skx").cast("double") / F.col("sk")).alias("m"))
+    )
+    ordered = means.agg(
+        F.array_sort(F.collect_list("m")).alias("ms"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    point = li.agg(
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("pm")
+    )
+    nb = F.col("nb")
+    lo_i = F.floor(F.lit(0.025) * (nb.cast("double") - 1)).cast("int") + 1
+    hi_i = F.ceil(F.lit(0.975) * (nb.cast("double") - 1)).cast("int") + 1
+    return (
+        ordered.crossJoin(F.broadcast(point))
+        .select(
+            nb.cast("bigint").alias("n_replicates"),
+            F.round(F.element_at("ms", lo_i) / 100, 6).alias("ci_lo"),
+            F.round(F.element_at("ms", hi_i) / 100, 6).alias("ci_hi"),
+            F.round(F.col("pm") / 100, 6).alias("point_mean"),
         )
     )

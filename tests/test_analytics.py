@@ -639,3 +639,17 @@ def test_max_drawdown_matches_python(spark, monkeypatch):
     assert r.n_days == len(revs)
     assert r.max_drawdown_cents == best
     assert r.trough_day == trough
+
+
+def test_bootstrap_ci_brackets_point_mean(spark):
+    """Poisson-bootstrap CI must bracket the point mean and be reproducible
+    run-to-run (hash-derived multiplicities, no RNG state)."""
+    from cudf_spark.queries.analytics import stats_bootstrap_ci_poisson
+
+    sf = "/root/testdata/sf0.001"
+    r1 = stats_bootstrap_ci_poisson(spark, sf).collect()[0]
+    r2 = stats_bootstrap_ci_poisson(spark, sf).collect()[0]
+    assert r1 == r2
+    assert r1.n_replicates == 50
+    assert r1.ci_lo <= r1.point_mean <= r1.ci_hi
+    assert r1.ci_lo < r1.ci_hi

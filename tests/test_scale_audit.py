@@ -56,8 +56,17 @@ def test_flags_cartesian(spark):
 #   hconcat_positional — positional zip needs a global order by definition
 #     (documented caveat; exercised on the 5-row region table only);
 #   dictionary_encode / dictionary_update_keys — the rank runs over the
-#     DISTINCT key set, bounded by dictionary cardinality.
-KNOWN_BOUNDED = {"hconcat_positional", "dictionary_encode", "dictionary_update_keys"}
+#     DISTINCT key set, bounded by dictionary cardinality;
+#   win_max_drawdown — its two global windows run over the DAILY series
+#     (one row per calendar day after the keyed groupBy), bounded by the
+#     calendar regardless of input size, and a drawdown is inherently a
+#     sequential prefix computation over that series.
+KNOWN_BOUNDED = {
+    "hconcat_positional",
+    "dictionary_encode",
+    "dictionary_update_keys",
+    "win_max_drawdown",
+}
 
 
 def test_every_registry_query_passes_scale_audit(spark):

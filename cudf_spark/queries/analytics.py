@@ -1953,3 +1953,173 @@ def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pm") / 100, 6).alias("point_mean"),
         )
     )
+
+
+@register(
+    "dq_constraint_suite",
+    oracle="""
+    WITH li AS (SELECT * FROM lineitem), o AS (SELECT * FROM orders),
+    checks AS (
+        SELECT 'li_orderkey_complete' AS check_name,
+               CAST(count(*) AS BIGINT) AS n_checked,
+               CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_violations
+        FROM li
+        UNION ALL
+        SELECT 'li_quantity_in_range',
+               CAST(count(*) AS BIGINT),
+               CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                          THEN 1 END) AS BIGINT)
+        FROM li
+        UNION ALL
+        SELECT 'li_discount_in_range',
+               CAST(count(*) AS BIGINT),
+               CAST(count(CASE WHEN l_discount < 0 OR l_discount > 0.10
+                          THEN 1 END) AS BIGINT)
+        FROM li
+        UNION ALL
+        SELECT 'li_price_positive',
+               CAST(count(*) AS BIGINT),
+               CAST(count(CASE WHEN l_extendedprice <= 0 THEN 1 END) AS BIGINT)
+        FROM li
+        UNION ALL
+        SELECT 'o_orderkey_unique',
+               CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        FROM o
+        UNION ALL
+        SELECT 'li_orderkey_fk',
+               CAST(count(*) AS BIGINT),
+               CAST(count(CASE WHEN b.o_orderkey IS NULL THEN 1 END) AS BIGINT)
+        FROM li a LEFT JOIN o b ON a.l_orderkey = b.o_orderkey
+        UNION ALL
+        SELECT 'li_ship_after_order',
+               CAST(count(*) AS BIGINT),
+               CAST(count(CASE WHEN CAST(a.l_shipdate AS DATE)
+                               < CAST(b.o_orderdate AS DATE)
+                          THEN 1 END) AS BIGINT)
+        FROM li a JOIN o b ON a.l_orderkey = b.o_orderkey
+    )
+    SELECT check_name, n_checked, n_violations,
+           n_violations = 0 AS passed
+    FROM checks ORDER BY check_name
+    """,
+    doc="declarative data-quality constraint suite (the Deequ/Great-"
+    "Expectations workflow — Schelter et al., VLDB'18 'Automating "
+    "large-scale data quality verification' — as ONE query): "
+    "completeness, range, positivity, primary-key uniqueness, "
+    "referential integrity (lineitem->orders FK via left-join null "
+    "probe), and the cross-table ship>=order temporal invariant. Each "
+    "check is a count aggregate — violations are COUNTED, never "
+    "collected; the FK probe is the only join, keyed on orderkey. "
+    "Output is a fixed |checks|-row report regardless of input size — "
+    "the shape a 100 TB nightly-verification job emits to its metrics "
+    "store. All counts exact BIGINT.",
+)
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+
+    def check(name, df, violation_col):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.count(F.when(violation_col, F.lit(1))).cast("bigint").alias("n_violations"),
+        )
+
+    completeness = li.agg(
+        F.lit("li_orderkey_complete").alias("check_name"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        (F.count(F.lit(1)) - F.count("l_orderkey")).cast("bigint").alias("n_violations"),
+    )
+    qty = check(
+        "li_quantity_in_range", li, (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+    )
+    disc = check(
+        "li_discount_in_range", li,
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 0.10),
+    )
+    price = check("li_price_positive", li, F.col("l_extendedprice") <= 0)
+    uniq = o.agg(
+        F.lit("o_orderkey_unique").alias("check_name"),
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("bigint").alias(
+            "n_violations"
+        ),
+    )
+    fk_joined = li.select("l_orderkey", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == o["o_orderkey"],
+        "left",
+    )
+    fk = check("li_orderkey_fk", fk_joined, F.col("o_orderkey").isNull())
+    temporal = check(
+        "li_ship_after_order",
+        fk_joined.filter(F.col("o_orderkey").isNotNull()),
+        F.col("l_shipdate").cast("date") < F.col("o_orderdate").cast("date"),
+    )
+    out = completeness
+    for c in (disc, fk, qty, price, temporal, uniq):
+        out = out.union(c)
+    return out.select(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")
+
+
+@register(
+    "feat_multi_horizon",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(round(value * 1000000) AS BIGINT) AS v,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events WHERE user_id <= 200
+    )
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w1 AS BIGINT)                    AS n_7d,
+           CAST(sum(v) OVER w1 AS BIGINT)                      AS vsum_7d_uu,
+           CAST(count(*) OVER w4 AS BIGINT)                    AS n_28d,
+           CAST(sum(v) OVER w4 AS BIGINT)                      AS vsum_28d_uu
+    FROM e
+    WINDOW w1 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW),
+           w4 AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 2419200000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="feature-store multi-horizon point-in-time features (the standard "
+    "ML feature-engineering pass: for every event, trailing 7d/28d "
+    "activity counts and value sums AS OF that event — leakage-free by "
+    "construction because the RANGE frame ends at the current row): ONE "
+    "user-keyed exchange serves all horizons — both time-range frames "
+    "share the same partitioning and sort, so Spark computes them in a "
+    "single Window node (plan-verified), not one shuffle per horizon. "
+    "Value sums on the exact micro-unit lattice. At 100 TB this is the "
+    "backfill shape: horizons scale by adding frames, not shuffles.",
+)
+def feat_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v"),
+    )
+    base = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+    )
+    w1 = base.rangeBetween(-604_800_000_000, 0)
+    w4 = base.rangeBetween(-2_419_200_000_000, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w1).cast("bigint").alias("n_7d"),
+        F.sum("v").over(w1).cast("bigint").alias("vsum_7d_uu"),
+        F.count(F.lit(1)).over(w4).cast("bigint").alias("n_28d"),
+        F.sum("v").over(w4).cast("bigint").alias("vsum_28d_uu"),
+    ).orderBy("user_id", "event_id")

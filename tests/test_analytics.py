@@ -653,3 +653,52 @@ def test_bootstrap_ci_brackets_point_mean(spark):
     assert r1.n_replicates == 50
     assert r1.ci_lo <= r1.point_mean <= r1.ci_hi
     assert r1.ci_lo < r1.ci_hi
+
+
+# --------------------------------- batch 9: dq suite / feature windows
+
+def test_dq_suite_flags_planted_violations(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2, 99],       # 99 -> FK violation
+            "l_linenumber": [1, 2, 1, 1],
+            "l_quantity": [5.0, 99.0, 3.0, 1.0],   # 99 out of range
+            "l_extendedprice": [10.0, 20.0, -5.0, 30.0],  # -5 not positive
+            "l_discount": [0.05, 0.2, 0.01, 0.0],  # 0.2 out of range
+            "l_shipdate": pd.to_datetime(
+                ["1997-01-10", "1997-01-11", "1996-12-30", "1997-02-01"]
+            ),
+        }
+    )
+    o = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 2],           # duplicate pk 2
+            "o_orderdate": pd.to_datetime(["1997-01-01", "1997-01-01", "1997-01-01"]),
+        }
+    )
+    tables = {"lineitem": spark.createDataFrame(li), "orders": spark.createDataFrame(o)}
+    monkeypatch.setattr(mod, "load", lambda s, d, n: tables[n])
+    got = {r.check_name: r for r in mod.dq_constraint_suite(spark, "u").collect()}
+    assert got["li_quantity_in_range"].n_violations == 1
+    assert got["li_discount_in_range"].n_violations == 1
+    assert got["li_price_positive"].n_violations == 1
+    assert got["li_orderkey_fk"].n_violations == 1
+    assert got["o_orderkey_unique"].n_violations == 1
+    # order 2 duplicated in o -> lineitem row for order 2 joins twice, both
+    # with shipdate 1996-12-30 < orderdate -> 2 temporal violations
+    assert got["li_ship_after_order"].n_violations == 2
+    assert not got["li_orderkey_fk"].passed
+    assert got["li_orderkey_complete"].passed
+
+
+def test_feat_multi_horizon_single_window_node(spark):
+    """Both horizons must come out of ONE Window operator (one user-keyed
+    exchange), not one per frame."""
+    from cudf_spark.queries.analytics import feat_multi_horizon
+
+    plan = feat_multi_horizon(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") - plan.count("WindowGroupLimit") == 1, plan

@@ -2123,3 +2123,252 @@ def feat_multi_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w4).cast("bigint").alias("n_28d"),
         F.sum("v").over(w4).cast("bigint").alias("vsum_28d_uu"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS wt
+        FROM lineitem
+    ), ranked AS (
+        SELECT l_returnflag, x, wt,
+               CAST(sum(wt) OVER (PARTITION BY l_returnflag
+                   ORDER BY x, wt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_wt,
+               CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot_wt
+        FROM v
+    )
+    SELECT l_returnflag,
+           CAST(min(CASE WHEN 2 * cum_wt >= tot_wt THEN x END) AS BIGINT)
+               AS wmedian,
+           CAST(min(tot_wt) AS BIGINT) AS total_weight
+    FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="weighted median (the lower weighted median: smallest x whose "
+    "cumulative weight reaches half the total — numpy/statsmodels "
+    "weighted-quantile semantics at q=0.5 with the 'lower' rule): "
+    "price-weighted quantity median per return flag. One keyed window "
+    "cumsum over the (x, wt)-sorted group + one keyed agg; the "
+    "2*cum>=tot comparison stays in exact BIGINT so no engine can "
+    "disagree at the boundary. The (x, wt) sort order makes tied-x rows "
+    "deterministic. At 100 TB weights are cents-lattice integers — the "
+    "cumsum cannot drift the way float weights would.",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("wt"),
+    )
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("x", "wt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = W.partitionBy("l_returnflag")
+    ranked = v.select(
+        "l_returnflag",
+        "x",
+        F.sum("wt").over(w).cast("bigint").alias("cum_wt"),
+        F.sum("wt").over(wp).cast("bigint").alias("tot_wt"),
+    )
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum_wt") >= F.col("tot_wt"), F.col("x"))
+            ).cast("bigint").alias("wmedian"),
+            F.min("tot_wt").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "events_rfm_scores",
+    oracle="""
+    WITH base AS (
+        SELECT user_id,
+               CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS monetary_uu
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ), bounds AS (
+        SELECT quantile_cont(last_us, [0.2, 0.4, 0.6, 0.8])     AS rb,
+               quantile_cont(freq, [0.2, 0.4, 0.6, 0.8])        AS fb,
+               quantile_cont(monetary_uu, [0.2, 0.4, 0.6, 0.8]) AS mb
+        FROM base
+    ), scored AS (
+        SELECT user_id, monetary_uu,
+               1 + list_sum(list_transform(rb, b ->
+                   CASE WHEN last_us > b THEN 1 ELSE 0 END))      AS r_score,
+               1 + list_sum(list_transform(fb, b ->
+                   CASE WHEN freq > b THEN 1 ELSE 0 END))         AS f_score,
+               1 + list_sum(list_transform(mb, b ->
+                   CASE WHEN monetary_uu > b THEN 1 ELSE 0 END))  AS m_score
+        FROM base, bounds
+    )
+    SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(monetary_uu) AS BIGINT) AS segment_value_uu
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    doc="RFM customer segmentation (recency/frequency/monetary quintile "
+    "scores — the classic CRM/LTV workload): per-user purchase rollup "
+    "(one keyed agg), VALUE-based quintile boundaries from the "
+    "DISTRIBUTED exact percentile aggregate (qcut semantics — no global "
+    "ntile ranking, which is a single-partition funnel over the user "
+    "table at 1e9 users; the audit rejected the ntile draft), score = "
+    "1 + #boundaries strictly below the value against the broadcast "
+    "4-value boundary row, then the segment rollup. Output <=125 rows "
+    "regardless of user count; monetary on the exact micro-unit "
+    "lattice; boundary doubles are the same interpolation arithmetic "
+    "both engines (quantile_cont == percentile).",
+)
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).cast("bigint").alias("last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(F.round(F.col("value") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_uu"),
+    )
+    qs = "array(0.2, 0.4, 0.6, 0.8)"
+    bounds = base.agg(
+        F.expr(f"percentile(last_us, {qs})").alias("rb"),
+        F.expr(f"percentile(freq, {qs})").alias("fb"),
+        F.expr(f"percentile(monetary_uu, {qs})").alias("mb"),
+    )
+
+    def score(v, arr):
+        return (
+            F.lit(1)
+            + F.aggregate(
+                F.col(arr),
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col(v) > b, 1).otherwise(0),
+            )
+        ).cast("int")
+
+    scored = base.crossJoin(F.broadcast(bounds)).select(
+        "monetary_uu",
+        score("last_us", "rb").alias("r_score"),
+        score("freq", "fb").alias("f_score"),
+        score("monetary_uu", "mb").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("monetary_uu").cast("bigint").alias("segment_value_uu"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "pipeline_negative_sampling",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id AS anchor_id, source,
+               lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+                   AS positive_id
+        FROM documents
+    ), anchors AS (
+        SELECT anchor_id, source, positive_id FROM pos
+        WHERE positive_id IS NOT NULL
+    ), negs AS (
+        SELECT a.anchor_id, a.positive_id, k.k,
+               ({hash60_sql("CAST(a.anchor_id AS VARCHAR) || '#' || CAST(k.k AS VARCHAR)")})
+                   AS h
+        FROM anchors a
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+    ), resolved AS (
+        -- doc_ids are dense 0..N-1 (fixture invariant, asserted in
+        -- tests): the draw h % N IS a doc_id, so the resolve join is a
+        -- plain keyed equi-join with no global ranking
+        SELECT n.anchor_id, n.positive_id, n.k,
+               d.doc_id AS negative_id
+        FROM negs n
+        JOIN documents d
+          ON d.doc_id = n.h % (SELECT count(*) FROM documents)
+    )
+    SELECT anchor_id, positive_id, CAST(k AS INT) AS k, negative_id,
+           negative_id IN (anchor_id, positive_id) AS is_collision
+    FROM resolved
+    ORDER BY anchor_id, k
+    """,
+    doc="contrastive negative sampling (the retrieval/embedding training "
+    "data-prep pass — in-batch/random negatives a la DPR, Karpukhin et "
+    "al. 2020): positives = same-source neighbour docs (one keyed lead), "
+    "then k=4 deterministic negatives per anchor drawn by md5-hash mod "
+    "corpus-size against a dense row-number index — reproducible across "
+    "engines AND runs, which real pipelines need for resumable training "
+    "data builds. Collisions (negative == anchor/positive) are FLAGGED, "
+    "not silently dropped, so the training loader owns the retry policy. "
+    "doc_ids are dense 0..N-1 (fixture invariant, test-asserted), so the "
+    "draw h % N IS a doc_id and the resolve step is a plain keyed "
+    "equi-join — no global ranking anywhere (the audit-clean form; a "
+    "sparse id space would need a bucketed id-index table instead). "
+    "100 TB: the corpus-size scalar is one count, the draw is map-side, "
+    "the join is id-keyed.",
+)
+def pipeline_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cudf_spark.functions.hashing import hash60
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    w = W.partitionBy("source").orderBy("doc_id")
+    anchors = (
+        d.select(
+            F.col("doc_id").alias("anchor_id"),
+            F.lead("doc_id").over(w).alias("positive_id"),
+        )
+        .filter(F.col("positive_id").isNotNull())
+    )
+    ks = spark.range(4).select(F.col("id").cast("int").alias("k"))
+    negs = anchors.crossJoin(F.broadcast(ks)).select(
+        "anchor_id",
+        "positive_id",
+        "k",
+        hash60(
+            F.concat_ws("#", F.col("anchor_id").cast("string"), F.col("k").cast("string"))
+        ).alias("h"),
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    drawn = negs.crossJoin(F.broadcast(n_docs)).select(
+        "anchor_id",
+        "positive_id",
+        "k",
+        (F.col("h") % F.col("n_docs")).alias("draw"),
+    )
+    resolved = drawn.join(
+        d.select(F.col("doc_id").alias("negative_id")),
+        drawn["draw"] == F.col("negative_id"),
+    ).select(
+        "anchor_id",
+        "positive_id",
+        "k",
+        "negative_id",
+        (
+            (F.col("negative_id") == F.col("anchor_id"))
+            | (F.col("negative_id") == F.col("positive_id"))
+        ).alias("is_collision"),
+    )
+    return resolved.orderBy("anchor_id", "k")

@@ -702,3 +702,65 @@ def test_feat_multi_horizon_single_window_node(spark):
 
     plan = feat_multi_horizon(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") - plan.count("WindowGroupLimit") == 1, plan
+
+
+# --------------------------- batch 10: weighted median / rfm / negatives
+
+def test_weighted_median_matches_reference(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    xs = [1, 3, 3, 7, 9]
+    ws = [1.00, 0.50, 0.50, 0.25, 0.25]  # dollars -> cents weights
+    pdf = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * len(xs),
+            "l_quantity": [float(x) for x in xs],
+            "l_extendedprice": ws,
+        }
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.agg_weighted_median(spark, "u").collect()[0]
+
+    # lower weighted median by definition: smallest x with 2*cum >= total
+    items = sorted(zip(xs, [int(round(w * 100)) for w in ws]))
+    tot = sum(w for _, w in items)
+    cum = 0
+    want = None
+    for x, w in items:
+        cum += w
+        if 2 * cum >= tot:
+            want = x
+            break
+    assert r.wmedian == want and r.total_weight == tot
+
+
+def test_rfm_scores_quintile_semantics(spark):
+    from cudf_spark.queries.analytics import events_rfm_scores
+
+    rows = events_rfm_scores(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "purchase events must produce segments"
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.n_users > 0
+
+
+def test_negative_sampling_dense_ids_and_determinism(spark):
+    from cudf_spark.catalog import load
+    from cudf_spark.queries.analytics import pipeline_negative_sampling
+
+    sf = "/root/testdata/sf0.001"
+    # the query's resolve join relies on dense 0..N-1 doc ids — assert it
+    import pyspark.sql.functions as F
+    d = load(spark, sf, "documents")
+    n, mx, mn = d.agg(F.count("*"), F.max("doc_id"), F.min("doc_id")).collect()[0]
+    assert (mn, mx) == (0, n - 1), "fixture doc_ids must be dense 0..N-1"
+
+    r1 = pipeline_negative_sampling(spark, sf).collect()
+    r2 = pipeline_negative_sampling(spark, sf).collect()
+    assert r1 == r2                       # hash-derived, no RNG state
+    per_anchor = {}
+    for r in r1:
+        per_anchor.setdefault(r.anchor_id, set()).add(r.k)
+    assert all(ks == {0, 1, 2, 3} for ks in per_anchor.values())

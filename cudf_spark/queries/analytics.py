@@ -2372,3 +2372,178 @@ def pipeline_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_collision"),
     )
     return resolved.orderBy("anchor_id", "k")
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+        FROM lineitem WHERE l_returnflag IN ('A', 'N')
+    ), cnt AS (
+        SELECT grp, x, CAST(count(*) AS BIGINT) AS c
+        FROM v GROUP BY grp, x
+    ), a AS (SELECT x, c FROM cnt WHERE grp = 'A'),
+       b AS (SELECT x, c FROM cnt WHERE grp = 'N'),
+    pairs AS (
+        -- U_A = #(a>b) + 0.5 * #(a==b), computed from the two bounded
+        -- value-count tables (quantity lattice: <=50 distinct values),
+        -- never from row-level pairs. 2*U stays integral => exact BIGINT.
+        SELECT CAST(sum(CASE WHEN a.x > b.x THEN 2 * a.c * b.c
+                             WHEN a.x = b.x THEN a.c * b.c
+                             ELSE 0 END) AS BIGINT) AS two_u
+        FROM a CROSS JOIN b
+    ), ns AS (
+        SELECT CAST(sum(CASE WHEN grp = 'A' THEN c END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN grp = 'N' THEN c END) AS BIGINT) AS n_b
+        FROM cnt
+    )
+    SELECT n_a, n_b,
+           round(two_u / 2.0, 1) AS u_stat,
+           round(two_u / (2.0 * n_a * n_b), 6) AS auc_q6
+    FROM pairs, ns
+    """,
+    doc="Mann-Whitney U (the nonparametric two-sample test; Mann & "
+    "Whitney 1947) between return-flag groups A and N over quantity — "
+    "completing the testing family (parametric stats_ab_welch_t, "
+    "categorical stats_chi_square, now rank-based): U is computed from "
+    "the two VALUE-COUNT tables (integer lattice, <=50 distinct values) "
+    "as sum over value pairs of c_a*c_b weights — never a row-level "
+    "pairwise join and never a global rank (pooled ranking would be a "
+    "single-partition funnel; the count-table form is the distributed "
+    "identity U = sum_{a>b} c_a c_b + tie/2). 2U stays integral so the "
+    "BIGINT sum is exact; U/(n_a n_b) is the effect size (AUC). Shuffles: "
+    "one keyed (grp,x) count; the bounded count tables cross-join "
+    "broadcast-small.",
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag").isin("A", "N"))
+    cnt = (
+        li.select(F.col("l_returnflag").alias("grp"), F.col("l_quantity").cast("bigint").alias("x"))
+        .groupBy("grp", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a = cnt.filter(F.col("grp") == "A").select(F.col("x").alias("xa"), F.col("c").alias("ca"))
+    b = cnt.filter(F.col("grp") == "N").select(F.col("x").alias("xb"), F.col("c").alias("cb"))
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(F.col("xa") > F.col("xb"), 2 * F.col("ca") * F.col("cb"))
+            .when(F.col("xa") == F.col("xb"), F.col("ca") * F.col("cb"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("two_u")
+    )
+    ns = cnt.agg(
+        F.sum(F.when(F.col("grp") == "A", F.col("c"))).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("grp") == "N", F.col("c"))).cast("bigint").alias("n_b"),
+    )
+    return pairs.crossJoin(F.broadcast(ns)).select(
+        "n_a",
+        "n_b",
+        F.round(F.col("two_u") / 2.0, 1).alias("u_stat"),
+        F.round(F.col("two_u") / (2.0 * F.col("n_a") * F.col("n_b")), 6).alias("auc_q6"),
+    )
+
+
+@register(
+    "stream_dq_monitor",
+    oracle="""
+    WITH li AS (SELECT * FROM lineitem WHERE l_orderkey <= 30000)
+    SELECT 'li_discount_in_range' AS check_name,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(count(CASE WHEN l_discount < 0 OR l_discount > 0.10
+                      THEN 1 END) AS BIGINT) AS n_violations,
+           CAST(3 AS BIGINT) AS n_batches
+    FROM li
+    UNION ALL
+    SELECT 'li_quantity_in_range',
+           CAST(count(*) AS BIGINT),
+           CAST(count(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                      THEN 1 END) AS BIGINT),
+           CAST(3 AS BIGINT)
+    FROM li
+    ORDER BY check_name
+    """,
+    doc="STREAMING data-quality monitoring: the dq_constraint_suite "
+    "range checks run per micro-batch (REAL 3-batch availableNow stream, "
+    "ordered-mtime files, maxFilesPerTrigger=1) with per-batch violation "
+    "counts APPENDED to a parquet metrics table — the shape a production "
+    "DQ monitor emits to its alerting store every trigger. Counts are "
+    "additive, so the summed per-batch counters must equal the one-shot "
+    "batch rule, which the oracle computes directly; n_batches pins that "
+    "every batch reported. Only counter rows cross batches — never data.",
+)
+def stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from cudf_spark.streaming.ops import write_ordered_batch
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 30000)
+        .select("l_orderkey", "l_quantity", "l_discount")
+    )
+    tmp = tempfile.mkdtemp(prefix="dq_stream_")
+    src, metrics = os.path.join(tmp, "src"), os.path.join(tmp, "metrics")
+    try:
+        cuts = li.agg(
+            F.expr("percentile(l_orderkey, array(0.34, 0.67))")
+        ).collect()[0][0]
+        if cuts is None:
+            return spark.createDataFrame(
+                [], "check_name string, n_checked bigint, n_violations bigint, n_batches bigint"
+            )
+        c0, c1 = (int(c) for c in cuts)
+        batches = [
+            li.filter(F.col("l_orderkey") < c0),
+            li.filter((F.col("l_orderkey") >= c0) & (F.col("l_orderkey") < c1)),
+            li.filter(F.col("l_orderkey") >= c1),
+        ]
+        for seq, bdf in enumerate(batches):
+            write_ordered_batch(bdf, src, seq)
+
+        def per_batch(bdf, bid):
+            disc_bad = (F.col("l_discount") < 0) | (F.col("l_discount") > 0.10)
+            qty_bad = (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
+            report = bdf.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+                F.count(F.when(disc_bad, 1)).cast("bigint").alias("v_disc"),
+                F.count(F.when(qty_bad, 1)).cast("bigint").alias("v_qty"),
+            ).selectExpr(
+                "stack(2, 'li_discount_in_range', n_checked, v_disc,"
+                " 'li_quantity_in_range', n_checked, v_qty)"
+                " AS (check_name, n_checked, n_violations)"
+            )
+            report.write.mode("append").parquet(metrics)
+
+        q = (
+            spark.readStream.schema(li.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_dq_monitor: stream did not finish in 300s")
+        rows = (
+            spark.read.parquet(metrics)
+            .groupBy("check_name")
+            .agg(
+                F.sum("n_checked").cast("bigint").alias("n_checked"),
+                F.sum("n_violations").cast("bigint").alias("n_violations"),
+                F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            )
+            .orderBy("check_name")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["check_name"], r["n_checked"], r["n_violations"], r["n_batches"]) for r in rows],
+        "check_name string, n_checked bigint, n_violations bigint, n_batches bigint",
+    ).orderBy("check_name")

@@ -764,3 +764,43 @@ def test_negative_sampling_dense_ids_and_determinism(spark):
     for r in r1:
         per_anchor.setdefault(r.anchor_id, set()).add(r.k)
     assert all(ks == {0, 1, 2, 3} for ks in per_anchor.values())
+
+
+# ----------------------------- batch 11: mann-whitney / stream dq
+
+def test_mann_whitney_matches_brute_force(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    a_vals = [1, 2, 2, 5, 7]
+    b_vals = [2, 3, 3, 8]
+    pdf = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * len(a_vals) + ["N"] * len(b_vals),
+            "l_quantity": [float(v) for v in a_vals + b_vals],
+        }
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_mann_whitney_u(spark, "u").collect()[0]
+    u = sum(
+        1.0 if a > b else (0.5 if a == b else 0.0)
+        for a in a_vals for b in b_vals
+    )
+    assert r.n_a == len(a_vals) and r.n_b == len(b_vals)
+    assert r.u_stat == pytest.approx(u, abs=1e-9)
+    assert r.auc_q6 == pytest.approx(u / (len(a_vals) * len(b_vals)), abs=2e-6)
+
+
+def test_stream_dq_monitor_matches_batch_counts(spark):
+    from cudf_spark.catalog import load
+    from cudf_spark.queries.analytics import stream_dq_monitor
+
+    import pyspark.sql.functions as F
+    sf = "/root/testdata/sf0.001"
+    got = {r.check_name: r for r in stream_dq_monitor(spark, sf).collect()}
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") <= 30000)
+    n = li.count()
+    for r in got.values():
+        assert r.n_checked == n
+        assert r.n_batches == 3

@@ -185,9 +185,30 @@ def _rotation_from_driver_records(records_dir: str) -> list[str] | None:
         "mm_audio_features", "stream_stateful_totals", "doc_chunk_overlap",
         "emb_quantize_int8", "agg_var_ddof", "doc_weighted_sample",
     }
+    # The round-4 second wave (VERDICT r04 item 2: every one must get a
+    # driver row in round 5). Registration order stopped reflecting age
+    # when newer modules began importing alphabetically ahead of older
+    # ones, so the cohort is pinned by name like `oldest` — otherwise
+    # round-5 additions push these past the ~50-query check window for a
+    # second consecutive round.
+    r4_wave = {
+        "curation_pipeline_v2", "fuzzy_token_pairs", "graph_pagerank",
+        "group_head_tail", "stream_interval_join_outer", "text_bigram_loglik",
+        "text_bpe_train", "text_dedup_within_doc", "text_normalize_nfc",
+        "text_quality_classifier", "text_remove_boilerplate",
+        "text_sparse_cosine_pairs", "text_unigram_tokenize",
+        "win_cumulative_distinct", "win_pct_change", "win_rolling_median",
+    }
     # oldest first (the judge's explicit round-3 ask outranks everything),
-    # then oracle-backed before rows-only among the newer cohort
-    never.sort(key=lambda n: (n not in oldest, REGISTRY[n].oracle is None))
+    # then the round-4 wave (judge's round-4 ask), then oracle-backed
+    # before rows-only among the newest cohort
+    never.sort(
+        key=lambda n: (
+            n not in oldest,
+            n not in r4_wave,
+            REGISTRY[n].oracle is None,
+        )
+    )
     rest = [n for n in reg if n in green]
     return [*red, *never, *rest]
 

@@ -2238,8 +2238,6 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "both engines (quantile_cont == percentile).",
 )
 def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     base = ev.groupBy("user_id").agg(
         F.max(F.unix_micros("ts")).cast("bigint").alias("last_us"),

@@ -2545,3 +2545,171 @@ def stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["check_name"], r["n_checked"], r["n_violations"], r["n_batches"]) for r in rows],
         "check_name string, n_checked bigint, n_violations bigint, n_batches bigint",
     ).orderBy("check_name")
+
+
+@register(
+    "stats_ks_test",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+        FROM lineitem WHERE l_returnflag IN ('A', 'N')
+    ), cnt AS (
+        SELECT grp, x, CAST(count(*) AS BIGINT) AS c
+        FROM v GROUP BY grp, x
+    ), xs AS (
+        SELECT DISTINCT x FROM cnt
+    ), cums AS (
+        -- ECDF of each sample at every observed value: cumulative counts
+        -- over the BOUNDED distinct-value lattice (<=50 quantity values),
+        -- never over rows
+        SELECT xs.x,
+               CAST(sum(CASE WHEN cnt.grp = 'A' THEN cnt.c ELSE 0 END) AS BIGINT)
+                   AS ca,
+               CAST(sum(CASE WHEN cnt.grp = 'N' THEN cnt.c ELSE 0 END) AS BIGINT)
+                   AS cb
+        FROM xs JOIN cnt ON cnt.x <= xs.x
+        GROUP BY xs.x
+    ), ns AS (
+        SELECT CAST(sum(CASE WHEN grp = 'A' THEN c END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN grp = 'N' THEN c END) AS BIGINT) AS n_b
+        FROM cnt
+    )
+    SELECT n_a, n_b,
+           -- D = max |ca/n_a - cb/n_b| = max |ca*n_b - cb*n_a| / (n_a*n_b):
+           -- numerator exact BIGINT, ONE division at the end
+           round(CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks_d_q6
+    FROM cums, ns
+    GROUP BY n_a, n_b
+    """,
+    doc="two-sample Kolmogorov-Smirnov statistic (completing the testing "
+    "family: Welch t for means, Mann-Whitney for stochastic order, "
+    "chi-square for categories, KS for whole-distribution shape): "
+    "D = max |ECDF_A - ECDF_N| over the observed support. ECDFs are "
+    "cumulative count pairs on the BOUNDED value lattice (<=50 distinct "
+    "quantities — the <=-join is 50x50, not row-scale), and D's "
+    "numerator is the exact BIGINT |ca*n_b - cb*n_a| so the max is "
+    "decided in integer arithmetic — one final division. At an "
+    "unbounded/continuous domain the lattice CTE swaps for equi-depth "
+    "bin boundaries (agg_equidepth_bins) with the identical shape.",
+)
+def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag").isin("A", "N"))
+    cnt = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.col("l_quantity").cast("bigint").alias("x"),
+        )
+        .groupBy("grp", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    xs = cnt.select("x").distinct()
+    cums = (
+        xs.alias("xs")
+        .join(F.broadcast(cnt.alias("c")), F.col("c.x") <= F.col("xs.x"))
+        .groupBy(F.col("xs.x").alias("x"))
+        .agg(
+            F.sum(F.when(F.col("grp") == "A", F.col("c.c")).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("grp") == "N", F.col("c.c")).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    ns = cnt.agg(
+        F.sum(F.when(F.col("grp") == "A", F.col("c"))).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("grp") == "N", F.col("c"))).cast("bigint").alias("n_b"),
+    )
+    return (
+        cums.crossJoin(F.broadcast(ns))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.round(
+                F.max(F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")))
+                .cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("ks_d_q6")
+        )
+        .select("n_a", "n_b", "ks_d_q6")
+    )
+
+
+@register(
+    "events_attribution_linear",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS pts,
+               CAST(round(value * 1000000) AS BIGINT) AS revenue_uu
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS cts
+        FROM events WHERE event_type IN ('click', 'view')
+    ), touch AS (
+        -- linear multi-touch: every click/view in the 7 days before the
+        -- purchase shares the revenue equally
+        SELECT p.purchase_id, p.revenue_uu, c.click_id,
+               CAST(count(*) OVER (PARTITION BY p.purchase_id) AS BIGINT)
+                   AS n_touches
+        FROM purchases p
+        JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.cts <= p.pts
+         AND c.cts > p.pts - INTERVAL 7 DAY
+    )
+    SELECT purchase_id,
+           CAST(min(n_touches) AS BIGINT) AS n_touches,
+           CAST(min(revenue_uu) AS BIGINT) AS revenue_uu,
+           -- integer-exact equal split check: credit in micro-units,
+           -- remainder explicit (floor division per touch)
+           CAST(min(revenue_uu) // min(n_touches) AS BIGINT) AS credit_uu,
+           CAST(min(revenue_uu) % min(n_touches) AS BIGINT) AS remainder_uu
+    FROM touch
+    GROUP BY purchase_id
+    ORDER BY purchase_id
+    """,
+    doc="linear multi-touch attribution (the marketing-analytics staple: "
+    "every touchpoint in the 7-day lookback shares the conversion credit "
+    "equally): purchases join their user's preceding clicks/views via a "
+    "user-keyed time-banded join (the as-of/interval join family — never "
+    "user x user), per-purchase touch count from one keyed window, and "
+    "the credit split kept EXACT with integer floor-division + explicit "
+    "remainder in micro-units (float splits lose cents at 10^9 "
+    "conversions; the remainder column makes the rounding policy the "
+    "caller's choice). Output one row per attributed purchase.",
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 1000000).cast("bigint").alias("revenue_uu"),
+    )
+    clicks = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    touch = purchases.join(
+        clicks,
+        (purchases["user_id"] == clicks["user_id"])
+        & (clicks["cts"] <= purchases["pts"])
+        & (clicks["cts"] > purchases["pts"] - F.expr("INTERVAL 7 DAY")),
+    )
+    return (
+        touch.groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.min("revenue_uu").cast("bigint").alias("revenue_uu"),
+        )
+        .select(
+            "purchase_id",
+            "n_touches",
+            "revenue_uu",
+            F.expr("revenue_uu div n_touches").cast("bigint").alias("credit_uu"),
+            (F.col("revenue_uu") % F.col("n_touches")).cast("bigint").alias("remainder_uu"),
+        )
+        .orderBy("purchase_id")
+    )

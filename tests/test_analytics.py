@@ -804,3 +804,62 @@ def test_stream_dq_monitor_matches_batch_counts(spark):
     for r in got.values():
         assert r.n_checked == n
         assert r.n_batches == 3
+
+
+# ------------------------------ batch 12: ks test / attribution
+
+def test_ks_test_matches_reference(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    a_vals = [1, 1, 2, 3, 5, 5, 5]
+    b_vals = [2, 3, 3, 4, 6]
+    pdf = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * len(a_vals) + ["N"] * len(b_vals),
+            "l_quantity": [float(v) for v in a_vals + b_vals],
+        }
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_ks_test(spark, "u").collect()[0]
+    support = sorted(set(a_vals + b_vals))
+    d = max(
+        abs(
+            sum(1 for a in a_vals if a <= x) / len(a_vals)
+            - sum(1 for b in b_vals if b <= x) / len(b_vals)
+        )
+        for x in support
+    )
+    assert r.n_a == len(a_vals) and r.n_b == len(b_vals)
+    assert r.ks_d_q6 == pytest.approx(d, abs=2e-6)
+
+
+def test_attribution_splits_exactly(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    rows = [
+        # user 1: 2 touches strictly inside the 7d lookback, 1 exactly ON
+        # the boundary (excluded: the window is (pts-7d, pts]), 1 far
+        # outside; purchase of 10.000001
+        (1, "1997-01-01 00:00:00", 1, "click", 0.0),   # == pts-7d: excluded
+        (2, "1997-01-05 00:00:00", 1, "view", 0.0),
+        (3, "1997-01-07 00:00:00", 1, "click", 0.0),
+        (4, "1996-12-20 00:00:00", 1, "click", 0.0),   # outside lookback
+        (5, "1997-01-08 00:00:00", 1, "purchase", 10.000001),
+        # user 2: purchase with no preceding touches -> unattributed
+        (6, "1997-02-01 00:00:00", 2, "purchase", 5.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["props"] = "{}"
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.purchase_id: r for r in mod.events_attribution_linear(spark, "u").collect()}
+    assert set(got) == {5}                      # unattributed purchases absent
+    r = got[5]
+    assert r.n_touches == 2
+    assert r.revenue_uu == 10_000_001
+    assert r.credit_uu == 5_000_000 and r.remainder_uu == 1
+    assert r.credit_uu * r.n_touches + r.remainder_uu == r.revenue_uu

@@ -2713,3 +2713,144 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "graph_degree_stats",
+    oracle="""
+    WITH pp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), eu AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM eu UNION ALL SELECT v FROM eu) t
+        GROUP BY node
+    ), hist AS (
+        SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY d
+    )
+    SELECT h.degree, h.n_nodes,
+           -- ccdf numerator from the BOUNDED histogram (<=-join over
+           -- distinct degrees, never over nodes)
+           CAST(sum(h2.n_nodes) AS BIGINT) AS n_nodes_ge
+    FROM hist h JOIN hist h2 ON h2.degree >= h.degree
+    GROUP BY h.degree, h.n_nodes
+    ORDER BY h.degree
+    """,
+    doc="degree distribution + CCDF of the co-ordered-parts graph (the "
+    "first diagnostic every graph pipeline runs — it decides whether "
+    "degree-oriented algorithms (graph_triangle_count) and salting "
+    "(join_skew_salted) are needed): per-node degrees from one keyed "
+    "count, histogram from a second, and the CCDF column from a "
+    "histogram-vs-histogram >=-join — the bounded-lattice trick "
+    "(stats_ks_test), never a window or join over the node table. "
+    "Everything integer-exact.",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    eu = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        eu.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    h2 = hist.select(F.col("degree").alias("d2"), F.col("n_nodes").alias("n2"))
+    return (
+        hist.join(F.broadcast(h2), F.col("d2") >= F.col("degree"))
+        .groupBy("degree", "n_nodes")
+        .agg(F.sum("n2").cast("bigint").alias("n_nodes_ge"))
+        .orderBy("degree")
+    )
+
+
+@register(
+    "agg_lorenz_curve_binned",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ), bounds AS (
+        SELECT quantile_cont(cents,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        FROM rev
+    ), binned AS (
+        SELECT o_custkey, cents,
+               1 + list_sum(list_transform(bs, b ->
+                   CASE WHEN cents > b THEN 1 ELSE 0 END)) AS bin
+        FROM rev, bounds
+    ), per_bin AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT CAST(sum(revenue_cents) AS BIGINT) AS t FROM per_bin
+    )
+    SELECT p.bin, p.n_customers, p.revenue_cents,
+           -- cumulative revenue share: bounded <=-join over <=10 bins;
+           -- numerator exact BIGINT, one division at the end
+           round(CAST(sum(p2.revenue_cents) AS DOUBLE) / CAST(min(tot.t) AS DOUBLE), 6)
+               AS cum_share_q6
+    FROM per_bin p JOIN per_bin p2 ON p2.bin <= p.bin, tot
+    GROUP BY p.bin, p.n_customers, p.revenue_cents
+    ORDER BY p.bin
+    """,
+    doc="binned Lorenz curve of customer revenue concentration (the "
+    "whale-curve / inequality diagnostic behind LTV and sampling-budget "
+    "decisions): per-customer exact cents rollup, VALUE-based decile "
+    "bins from the distributed percentile aggregate (the qcut form — no "
+    "global ranking), per-bin exact revenue sums, and the cumulative "
+    "Lorenz share from a bounded bin-vs-bin <=-join (<=10 rows). Exact "
+    "integer arithmetic until the final share division. Output <=10 "
+    "rows regardless of customer count.",
+)
+def agg_lorenz_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    qs = ", ".join(str(q / 10) for q in range(1, 10))
+    bounds = rev.agg(F.expr(f"percentile(cents, array({qs}))").alias("bs"))
+    binned = rev.crossJoin(F.broadcast(bounds)).select(
+        "cents",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("bs"),
+                F.lit(0),
+                lambda acc, bnd: acc + F.when(F.col("cents") > bnd, 1).otherwise(0),
+            )
+        ).alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    tot = per_bin.agg(F.sum("revenue_cents").cast("bigint").alias("t"))
+    p2 = per_bin.select(F.col("bin").alias("b2"), F.col("revenue_cents").alias("r2"))
+    return (
+        per_bin.join(F.broadcast(p2), F.col("b2") <= F.col("bin"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("bin", "n_customers", "revenue_cents")
+        .agg(
+            F.round(
+                F.sum("r2").cast("double") / F.min("t").cast("double"), 6
+            ).alias("cum_share_q6")
+        )
+        .orderBy("bin")
+    )

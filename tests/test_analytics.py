@@ -863,3 +863,35 @@ def test_attribution_splits_exactly(spark, monkeypatch):
     assert r.revenue_uu == 10_000_001
     assert r.credit_uu == 5_000_000 and r.remainder_uu == 1
     assert r.credit_uu * r.n_touches + r.remainder_uu == r.revenue_uu
+
+
+# -------------------------- batch 13: degree stats / lorenz
+
+def test_degree_stats_ccdf_invariants(spark, monkeypatch):
+    from cudf_spark.queries import analytics as mod
+
+    orders = [[1, 2, 3], [3, 4], [4, 5], [1, 4]]
+    li = _plant_lineitem(spark, orders)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: li)
+    rows = mod.graph_degree_stats(spark, "u").collect()
+    # edges: (1,2)(1,3)(2,3)(3,4)(4,5)(1,4) -> degs: 1:3 2:2 3:3 4:3 5:1
+    got = {r.degree: (r.n_nodes, r.n_nodes_ge) for r in rows}
+    assert got == {1: (1, 5), 2: (1, 4), 3: (3, 3)}
+    # ccdf is non-increasing in degree and tops out at |nodes|
+    degs = sorted(got)
+    for a, b in zip(degs, degs[1:]):
+        assert got[a][1] >= got[b][1]
+
+
+def test_lorenz_curve_monotone_and_exact(spark):
+    from cudf_spark.queries.analytics import agg_lorenz_curve_binned
+
+    rows = agg_lorenz_curve_binned(spark, "/root/testdata/sf0.001").collect()
+    assert 1 <= len(rows) <= 10
+    shares = [r.cum_share_q6 for r in rows]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))
+    assert shares[-1] == pytest.approx(1.0, abs=1e-6)
+    # higher bins hold at least their proportional share (Lorenz convexity
+    # on value-ordered bins): last bin's mean revenue >= first bin's
+    assert (rows[-1].revenue_cents / rows[-1].n_customers
+            >= rows[0].revenue_cents / rows[0].n_customers)

@@ -2854,3 +2854,175 @@ def agg_lorenz_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "join_scd2_pit_lookup",
+    oracle="""
+    WITH dim AS (
+        -- synthetic 2-version price dimension: every 3rd part re-priced
+        -- +$5 on 1997-01-01; others keep one open version
+        SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+               DATE '1992-01-01' AS valid_from,
+               CASE WHEN p_partkey % 3 = 0 THEN DATE '1997-01-01' END AS valid_to,
+               1 AS version
+        FROM part
+        UNION ALL
+        SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) + 500,
+               DATE '1997-01-01', CAST(NULL AS DATE), 2
+        FROM part WHERE p_partkey % 3 = 0
+    )
+    SELECT d.version AS price_version,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(d.price_cents * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+               AS priced_cents
+    FROM lineitem l
+    JOIN dim d
+      ON d.p_partkey = l.l_partkey
+     AND CAST(l.l_shipdate AS DATE) >= d.valid_from
+     AND (d.valid_to IS NULL OR CAST(l.l_shipdate AS DATE) < d.valid_to)
+    GROUP BY d.version
+    ORDER BY price_version
+    """,
+    doc="SCD2 point-in-time lookup (the warehouse temporal join every "
+    "fact pipeline runs against a Kimball type-2 dimension — the "
+    "consumption side of scd2_merge_upsert): facts join the dimension "
+    "version whose [valid_from, valid_to) interval contains the event "
+    "date. The join is EQUI-keyed on the business key (partkey) with the "
+    "interval check as a residual filter — per key there are O(versions) "
+    "candidates (here <=2), so the fan-out is bounded and no range-bin "
+    "machinery is needed (contrast join_range_binned, where no equi-key "
+    "exists). Half-open intervals make every event match EXACTLY one "
+    "version — no double counting at the boundary. Revenue at looked-up "
+    "prices stays on the exact cents lattice.",
+)
+def join_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    v1 = p.select(
+        "p_partkey",
+        cents.alias("price_cents"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("1997-01-01").cast("date")).alias(
+            "valid_to"
+        ),
+        F.lit(1).alias("version"),
+    )
+    v2 = p.filter(F.col("p_partkey") % 3 == 0).select(
+        "p_partkey",
+        (cents + 500).alias("price_cents"),
+        F.lit("1997-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(2).alias("version"),
+    )
+    dim = v1.union(v2)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_shipdate").cast("date").alias("ship"), 
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    j = li.join(
+        dim,
+        (li["l_partkey"] == dim["p_partkey"])
+        & (F.col("ship") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ship") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy(F.col("version").alias("price_version"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            F.sum(F.col("price_cents") * F.col("qty")).cast("bigint").alias(
+                "priced_cents"
+            ),
+        )
+        .orderBy("price_version")
+    )
+
+
+@register(
+    "emb_centroid_drift",
+    oracle="""
+    WITH halves AS (
+        SELECT label, vec_id % 2 AS half, embedding FROM embeddings
+    ), dims AS (
+        SELECT label, half, i,
+               avg(CAST(embedding[i] AS DOUBLE)) AS m
+        FROM halves, unnest(generate_series(1, 64)) t(i)
+        GROUP BY label, half, i
+    ), vecs AS (
+        SELECT label, half,
+               list_transform(list_sort(list(row(i, m))), r -> r[2]) AS v
+        FROM dims GROUP BY label, half
+    ), paired AS (
+        SELECT a.label, a.v AS va, b.v AS vb
+        FROM (SELECT * FROM vecs WHERE half = 0) a
+        JOIN (SELECT * FROM vecs WHERE half = 1) b ON a.label = b.label
+    ), cnt AS (
+        SELECT label,
+               CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM embeddings GROUP BY label
+    )
+    SELECT p.label, c.n_a, c.n_b,
+           round(list_sum(list_transform(generate_series(1, 64),
+                     i -> va[i] * vb[i]))
+                 / (sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> va[i] * va[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64),
+                     i -> vb[i] * vb[i])))), 6) AS drift_cos_q6
+    FROM paired p JOIN cnt c ON p.label = c.label
+    ORDER BY p.label
+    """,
+    doc="embedding centroid drift monitoring (the production check that "
+    "an embedding model or corpus shifted: cosine between per-label "
+    "centroids of two data slices — here the even/odd vec_id halves "
+    "standing in for week-over-week snapshots): per-dim means via ONE "
+    "(label, half, dim)-keyed aggregation (the emb_mean_pool shape — "
+    "per-dim scalars shuffle, never whole vectors), centroids "
+    "reassembled dim-ordered (collect bounded by DIM=64), cosine on the "
+    "deterministic dim-ordered fold. drift_cos ~ 1.0 means no drift; "
+    "alerting thresholds are the caller's. Output one row per label.",
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))),
+    ).select("label", "half", (F.col("pos") + 1).alias("i"), F.col("col").alias("v"))
+    dims = x.groupBy("label", "half", "i").agg(F.avg("v").alias("m"))
+    vecs = dims.groupBy("label", "half").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("v")
+    )
+    a = vecs.filter(F.col("half") == 0).select("label", F.col("v").alias("va"))
+    b = vecs.filter(F.col("half") == 1).select("label", F.col("v").alias("vb"))
+    cnt = e.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, z: acc + z * z)
+    )
+    return (
+        a.join(b, "label")
+        .join(cnt, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(dot / (nrm(F.col("va")) * nrm(F.col("vb"))), 6).alias(
+                "drift_cos_q6"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -895,3 +895,50 @@ def test_lorenz_curve_monotone_and_exact(spark):
     # on value-ordered bins): last bin's mean revenue >= first bin's
     assert (rows[-1].revenue_cents / rows[-1].n_customers
             >= rows[0].revenue_cents / rows[0].n_customers)
+
+
+# -------------------------- batch 14: pit lookup / centroid drift
+
+def test_pit_lookup_each_fact_matches_one_version(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    part = pd.DataFrame(
+        {"p_partkey": [3, 4], "p_retailprice": [10.00, 20.00]}  # 3 re-priced
+    )
+    li = pd.DataFrame(
+        {
+            "l_partkey": [3, 3, 3, 4],
+            "l_shipdate": pd.to_datetime(
+                # before cut, ON the cut (belongs to v2: half-open), after
+                ["1996-12-31", "1997-01-01", "1998-06-01", "1998-06-01"]
+            ),
+            "l_quantity": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    tables = {"part": spark.createDataFrame(part), "lineitem": spark.createDataFrame(li)}
+    monkeypatch.setattr(mod, "load", lambda s, d, n: tables[n])
+    got = {r.price_version: r for r in mod.join_scd2_pit_lookup(spark, "u").collect()}
+    # v1: part3 @1000c x1 + part4 @2000c x4 ; v2: part3 @1500c x (2+3)
+    assert got[1].n_lineitems == 2 and got[1].priced_cents == 1000 * 1 + 2000 * 4
+    assert got[2].n_lineitems == 2 and got[2].priced_cents == 1500 * 5
+    # total rows attributed == total facts (no drops, no double counting)
+    assert got[1].n_lineitems + got[2].n_lineitems == len(li)
+
+
+def test_centroid_drift_identical_halves_give_cos_1(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    vec = [float(i % 7 - 3) for i in range(64)]
+    rows = [(i, vec, 1) for i in range(4)]          # all identical -> cos 1
+    rows += [(10 + i, [float(1 if j == i else 0) for j in range(64)], 2)
+             for i in range(4)]                      # orthogonal-ish mix
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.label: r for r in mod.emb_centroid_drift(spark, "u").collect()}
+    assert got[1].drift_cos_q6 == pytest.approx(1.0, abs=1e-6)
+    assert got[1].n_a == 2 and got[1].n_b == 2
+    assert got[2].drift_cos_q6 < 1.0

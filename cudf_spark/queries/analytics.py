@@ -3026,3 +3026,77 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "agg_median_of_means",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               ({hash60_sql("CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)")}) % 9 AS g
+        FROM lineitem
+    ), means AS (
+        SELECT g, CAST(sum(cents) AS HUGEINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM v GROUP BY g
+    ), ordered AS (
+        SELECT list_sort(list(CAST(s AS DOUBLE) / n)) AS ms,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n_total
+        FROM means
+    )
+    SELECT k, n_total,
+           round(ms[(k + 1) // 2] / 100, 6) AS mom_dollars_q6,
+           round((SELECT CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE)
+                         / count(*) FROM v) / 100, 6) AS plain_mean_q6
+    FROM ordered
+    """,
+    doc="median-of-means robust mean estimator (the heavy-tail-safe "
+    "aggregate used when a plain mean is one corrupt record away from "
+    "garbage — standard in robust statistics and sketch literature): "
+    "rows deterministically bucketed into k=9 groups by md5 hash (the "
+    "stats_bootstrap_ci_poisson discipline: reproducible pseudo-"
+    "randomness both engines replay), exact HUGEINT/decimal per-group "
+    "sums, then the LOWER median of the 9 group means from a sorted "
+    "9-element list. ONE keyed shuffle with k cells; the plain mean "
+    "rides along for comparison. Group means are exact-integer ratios, "
+    "so the sorted pick cannot tie-break differently across engines.",
+)
+def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.hashing import hash60
+
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        (
+            hash60(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.col("l_partkey").cast("string"),
+                )
+            )
+            % 9
+        ).alias("g"),
+    )
+    dec = "decimal(38,0)"
+    means = v.groupBy("g").agg(
+        F.sum(F.col("cents").cast(dec)).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    ordered = means.agg(
+        F.array_sort(F.collect_list(F.col("s").cast("double") / F.col("n"))).alias("ms"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    plain = v.agg(
+        (F.sum(F.col("cents").cast(dec)).cast("double") / F.count(F.lit(1))).alias("pm")
+    )
+    mid = F.expr("CAST((k + 1) div 2 AS INT)")
+    return ordered.crossJoin(F.broadcast(plain)).select(
+        "k",
+        "n_total",
+        F.round(F.element_at("ms", mid) / 100, 6).alias("mom_dollars_q6"),
+        F.round(F.col("pm") / 100, 6).alias("plain_mean_q6"),
+    )

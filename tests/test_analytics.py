@@ -942,3 +942,27 @@ def test_centroid_drift_identical_halves_give_cos_1(spark, monkeypatch):
     assert got[1].drift_cos_q6 == pytest.approx(1.0, abs=1e-6)
     assert got[1].n_a == 2 and got[1].n_b == 2
     assert got[2].drift_cos_q6 < 1.0
+
+
+def test_median_of_means_robust_to_outlier(spark, monkeypatch):
+    """One absurd outlier wrecks the plain mean but not the MoM estimate."""
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    n = 900
+    prices = [10.0] * n
+    prices[0] = 10_000_000.0  # the corrupt record
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": list(range(n)),
+            "l_linenumber": [1] * n,
+            "l_partkey": list(range(n)),
+            "l_extendedprice": prices,
+        }
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n_: spark.createDataFrame(pdf))
+    r = mod.agg_median_of_means(spark, "u").collect()[0]
+    assert r.k == 9 and r.n_total == n
+    assert abs(r.mom_dollars_q6 - 10.0) < 1.0       # robust
+    assert r.plain_mean_q6 > 1000.0                  # wrecked

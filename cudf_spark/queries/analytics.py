@@ -3100,3 +3100,180 @@ def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("ms", mid) / 100, 6).alias("mom_dollars_q6"),
         F.round(F.col("pm") / 100, 6).alias("plain_mean_q6"),
     )
+
+
+@register(
+    "agg_hodges_lehmann",
+    oracle="""
+    WITH cnt AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY x
+    ), fixed AS (
+        -- Walsh-sum multiset as the count convolution of the histogram
+        -- with itself: unordered pair {a<b} contributes weight c_a*c_b,
+        -- the diagonal contributes c*(c+1)/2 pairs i<=j
+        SELECT a.x + b.x AS s,
+               CAST(sum(CASE WHEN a.x = b.x THEN a.c * (a.c + 1) // 2
+                             ELSE a.c * b.c END) AS BIGINT) AS w
+        FROM cnt a JOIN cnt b ON a.x <= b.x
+        GROUP BY a.x + b.x
+    ), tot AS (
+        SELECT CAST(sum(w) AS BIGINT) AS t FROM fixed
+    ), cum AS (
+        SELECT f.s, CAST(sum(f2.w) AS BIGINT) AS cw, min(tot.t) AS t
+        FROM fixed f JOIN fixed f2 ON f2.s <= f.s, tot
+        GROUP BY f.s
+    )
+    SELECT CAST(min(t) AS BIGINT) AS n_walsh_pairs,
+           round(CAST(min(CASE WHEN 2 * cw >= t THEN s END) AS DOUBLE) / 2, 1)
+               AS hl_estimate
+    FROM cum
+    """,
+    doc="Hodges-Lehmann location estimator (median of all Walsh averages "
+    "(x_i + x_j)/2, i<=j — the robust one-sample location statistic "
+    "paired with the Wilcoxon test): the n^2/2 pairwise means are NEVER "
+    "materialized — on the bounded quantity lattice the Walsh-sum "
+    "multiset is the COUNT CONVOLUTION of the value histogram with "
+    "itself (50x50 a<=b join; diagonal weight c*(c+1)/2, off-diagonal "
+    "c_a*c_b), and the median of the weighted sums comes from the same "
+    "exact-BIGINT 2*cum>=tot rule as agg_weighted_median. At 6e8 rows "
+    "the pairwise multiset has ~1.8e17 members; this computes its exact "
+    "median from a 50-row histogram.",
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cnt = (
+        li.select(F.col("l_quantity").cast("bigint").alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a = cnt.select(F.col("x").alias("xa"), F.col("c").alias("ca"))
+    b = cnt.select(F.col("x").alias("xb"), F.col("c").alias("cb"))
+    fixed = (
+        a.join(F.broadcast(b), F.col("xa") <= F.col("xb"))
+        .select(
+            (F.col("xa") + F.col("xb")).alias("s"),
+            F.when(
+                F.col("xa") == F.col("xb"),
+                F.expr("ca * (ca + 1) div 2"),
+            )
+            .otherwise(F.col("ca") * F.col("cb"))
+            .alias("w"),
+        )
+        .groupBy("s")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    f2 = fixed.select(F.col("s").alias("s2"), F.col("w").alias("w2"))
+    tot = fixed.agg(F.sum("w").cast("bigint").alias("t"))
+    cum = (
+        fixed.join(F.broadcast(f2), F.col("s2") <= F.col("s"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("s")
+        .agg(F.sum("w2").cast("bigint").alias("cw"), F.min("t").alias("t"))
+    )
+    return cum.agg(
+        F.min("t").cast("bigint").alias("n_walsh_pairs"),
+        F.round(
+            F.min(F.when(2 * F.col("cw") >= F.col("t"), F.col("s"))).cast("double")
+            / 2,
+            1,
+        ).alias("hl_estimate"),
+    )
+
+
+@register(
+    "text_extractive_degree",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               list_filter(
+                   list_transform(string_split_regex(lower(text), '[.!?]+'),
+                                  x -> trim(regexp_replace(x, '\\s+', ' ', 'g'))),
+                   x -> x != '') AS sents
+        FROM documents
+    ), sent AS (
+        SELECT doc_id, unnest(generate_series(1, len(sents))) AS sid,
+               sents[unnest(generate_series(1, len(sents)))] AS sentence
+        FROM s
+    ), toks AS (
+        SELECT doc_id, sid, sentence,
+               list_distinct(string_split(sentence, ' ')) AS tk
+        FROM sent
+    ), edges AS (
+        -- within-doc sentence graph: an edge where two sentences share
+        -- >= 2 distinct tokens (LexRank-style degree centrality)
+        SELECT a.doc_id, a.sid,
+               CAST(count(*) AS BIGINT) AS degree
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND a.sid != b.sid
+         AND len(list_intersect(a.tk, b.tk)) >= 2
+        GROUP BY a.doc_id, a.sid
+    ), ranked AS (
+        SELECT t.doc_id, t.sid, t.sentence,
+               COALESCE(e.degree, 0) AS degree,
+               row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY COALESCE(e.degree, 0) DESC, t.sid
+               ) AS rn
+        FROM toks t LEFT JOIN edges e
+          ON e.doc_id = t.doc_id AND e.sid = t.sid
+    )
+    SELECT doc_id, CAST(sid AS BIGINT) AS sid, degree, sentence AS summary
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    doc="extractive summarization by degree centrality (the LexRank/"
+    "TextRank degree baseline, Erkan & Radev 2004: the sentence sharing "
+    "the most >=2-token overlaps with its siblings is the summary): "
+    "sentence split (text_sentence_stats conventions), per-doc sentence "
+    "pair overlap join — KEYED ON doc_id, so the quadratic is bounded by "
+    "each doc's own sentence count, never cross-doc — degree count, "
+    "deterministic (degree DESC, sid) pick. Fixture docs hold tens of "
+    "sentences, so the per-doc pair term is bounded ~100s of "
+    "comparisons; production caps sentences/doc before the join (the "
+    "max_bucket_size discipline).",
+)
+def text_extractive_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(
+            F.split(F.lower(F.col("text")), r"[.!?]+"),
+            lambda x: F.trim(F.regexp_replace(x, r"\s+", " ")),
+        ),
+        lambda x: x != "",
+    )
+    sent = docs.select("doc_id", F.posexplode(sents).alias("pos", "sentence")).select(
+        "doc_id", (F.col("pos") + 1).alias("sid"), "sentence"
+    )
+    toks = sent.select(
+        "doc_id", "sid", "sentence", F.array_distinct(F.split("sentence", " ")).alias("tk")
+    )
+    a = toks.select("doc_id", F.col("sid").alias("sa"), F.col("tk").alias("ta"))
+    b = toks.select("doc_id", F.col("sid").alias("sb"), F.col("tk").alias("tb"))
+    edges = (
+        a.join(b, "doc_id")
+        .filter(
+            (F.col("sa") != F.col("sb"))
+            & (F.size(F.array_intersect("ta", "tb")) >= 2)
+        )
+        .groupBy("doc_id", F.col("sa").alias("sid"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("degree"), "sid")
+    ranked = (
+        toks.join(edges, ["doc_id", "sid"], "left")
+        .withColumn("degree", F.coalesce("degree", F.lit(0).cast("bigint")))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("sid").cast("bigint").alias("sid"),
+            "degree",
+            F.col("sentence").alias("summary"),
+        )
+        .orderBy("doc_id")
+    )

@@ -966,3 +966,48 @@ def test_median_of_means_robust_to_outlier(spark, monkeypatch):
     assert r.k == 9 and r.n_total == n
     assert abs(r.mom_dollars_q6 - 10.0) < 1.0       # robust
     assert r.plain_mean_q6 > 1000.0                  # wrecked
+
+
+# ------------------------- batch 15: hodges-lehmann / extractive
+
+def test_hodges_lehmann_matches_brute_force(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    vals = [1, 2, 2, 3, 9, 9, 9, 40]
+    pdf = pd.DataFrame({"l_quantity": [float(v) for v in vals]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.agg_hodges_lehmann(spark, "u").collect()[0]
+    walsh = sorted(
+        (vals[i] + vals[j]) / 2
+        for i in range(len(vals))
+        for j in range(i, len(vals))
+    )
+    assert r.n_walsh_pairs == len(walsh)
+    # lower weighted median of the Walsh multiset
+    k = len(walsh)
+    want = walsh[(k - 1) // 2] if k % 2 == 1 else walsh[k // 2 - 1]
+    assert r.hl_estimate == pytest.approx(want, abs=1e-9)
+
+
+def test_extractive_degree_picks_hub_sentence(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics as mod
+
+    # sentence 2 shares >=2 tokens with both 1 and 3; 1 and 3 share none
+    text = (
+        "alpha beta gamma. "
+        "alpha beta delta epsilon zeta. "
+        "delta epsilon omega."
+    )
+    pdf = pd.DataFrame(
+        [(1, text, "en", "s0", len(text))],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    rows = mod.text_extractive_degree(spark, "u").collect()
+    assert len(rows) == 1
+    assert rows[0].sid == 2 and rows[0].degree == 2
+    assert rows[0].summary == "alpha beta delta epsilon zeta"

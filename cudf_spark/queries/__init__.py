@@ -21,6 +21,7 @@ from cudf_spark.queries import (  # noqa: F401, E402
     aggregates,
     aggregates2,
     analytics,
+    analytics2,
     decimals,
     extras,
     joins,

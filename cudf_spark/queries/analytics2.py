@@ -380,3 +380,399 @@ def misc_rle_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "run_id")
     )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), pdeg AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS dp FROM edges GROUP BY p
+    ), hist AS (
+        SELECT dp, CAST(count(*) AS BIGINT) AS cnt FROM pdeg GROUP BY dp
+    ), thr AS (
+        -- RELATIVE hub cap: keep parts at or below the exact p99 degree.
+        -- Histogram-grain cumulative rank, pure integers — no FP, and a
+        -- degenerate (uniform) degree distribution keeps everything.
+        SELECT CAST(min(h.dp) AS BIGINT) AS thr
+        FROM (SELECT h.dp,
+                     CAST(sum(h2.cnt) AS BIGINT) AS cum,
+                     min(tot.np) AS np
+              FROM hist h JOIN hist h2 ON h2.dp <= h.dp
+              CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS np
+                          FROM hist) tot
+              GROUP BY h.dp) h
+        WHERE h.cum * 100 >= 99 * h.np
+    ), keep AS (
+        SELECT e.s, e.p
+        FROM edges e JOIN pdeg USING (p), thr
+        WHERE pdeg.dp <= thr.thr
+    ), deg AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS d FROM keep GROUP BY s
+    ), inter AS (
+        SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS nab
+        FROM keep a JOIN keep b ON a.p = b.p AND a.s < b.s
+        GROUP BY a.s, b.s
+    ), scored AS (
+        SELECT i.sa, i.sb, i.nab, da.d AS da, db.d AS db,
+               -- exact integer micro-jaccard: no FP, no rounding ties
+               CAST(i.nab * 1000000 // (da.d + db.d - i.nab) AS BIGINT)
+                   AS jac_u6
+        FROM inter i
+        JOIN deg da ON da.s = i.sa
+        JOIN deg db ON db.s = i.sb
+    )
+    SELECT sa, sb, nab, da, db, jac_u6,
+           CAST(row_number() OVER (ORDER BY jac_u6 DESC, sa, sb) AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 20
+    ORDER BY rnk
+    """,
+    doc="supplier similarity by shared parts (common-neighbor Jaccard on "
+    "the bipartite supply graph — the link-prediction/entity-resolution "
+    "baseline): distinct edge projection, a RELATIVE hub cap (parts above "
+    "the exact 99th-percentile degree are dropped — computed at degree-"
+    "HISTOGRAM grain with the integer cumulative-rank rule, so it scales "
+    "with the distribution, keeps a uniform graph intact, and an absolute "
+    "cap's de-generation at scale is impossible), then ONE part-keyed "
+    "self-join whose "
+    "fan-out is bounded by sum(capped_deg^2), exactly the MinHash-LSH "
+    "bucket discipline (operators/dedup.py max_bucket_size). Jaccard is "
+    "computed as EXACT integer micro-units (nab*1e6 div union) — no "
+    "floating point anywhere, so no cross-engine rounding ties. Top-20 "
+    "via TakeOrderedAndProject (operators/windows.py bounded_global_rank),"
+    " never a global row_number funnel.",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.windows import bounded_global_rank
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pdeg = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("dp"))
+    hist = pdeg.groupBy("dp").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    h2 = hist.select(F.col("dp").alias("dp2"), F.col("cnt").alias("cnt2"))
+    tot = hist.agg(F.sum("cnt").cast("bigint").alias("np"))
+    cum = (
+        hist.join(F.broadcast(h2), F.col("dp2") <= F.col("dp"))
+        .groupBy("dp")
+        .agg(F.sum("cnt2").cast("bigint").alias("cum"))
+        .crossJoin(F.broadcast(tot))
+    )
+    thr = cum.filter(F.col("cum") * 100 >= 99 * F.col("np")).agg(
+        F.min("dp").cast("bigint").alias("thr")
+    )
+    keep = (
+        edges.join(pdeg, "p")
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("dp") <= F.col("thr"))
+        .select("s", "p")
+    )
+    deg = keep.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = keep.select(F.col("s").alias("sa"), "p")
+    b = keep.select(F.col("s").alias("sb"), "p")
+    inter = (
+        a.join(b, "p")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+    )
+    da = deg.select(F.col("s").alias("sa"), F.col("d").alias("da"))
+    db = deg.select(F.col("s").alias("sb"), F.col("d").alias("db"))
+    scored = (
+        inter.join(da, "sa")
+        .join(db, "sb")
+        .withColumn(
+            "jac_u6",
+            F.expr("nab * 1000000 div (da + db - nab)").cast("bigint"),
+        )
+        .select("sa", "sb", "nab", "da", "db", "jac_u6")
+    )
+    return bounded_global_rank(
+        scored, 20, [F.desc("jac_u6"), F.col("sa"), F.col("sb")]
+    )
+
+
+@register(
+    "ts_seasonal_naive_mase",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ), lagged AS (
+        SELECT d, rev,
+               lag(rev, 7) OVER (ORDER BY d) AS f7,
+               lag(rev, 1) OVER (ORDER BY d) AS f1
+        FROM daily
+    ), eval AS (
+        SELECT CAST(count(*) AS BIGINT)                         AS n_days,
+               CAST(count(f7) AS BIGINT)                        AS n7,
+               CAST(count(f1) AS BIGINT)                        AS n1,
+               CAST(sum(abs(rev - f7)) AS BIGINT)               AS ae7,
+               CAST(sum(abs(rev - f1)) AS BIGINT)               AS ae1,
+               -- sMAPE terms are per-day doubles: fold them in DATE order
+               -- on both engines (Spark aggregate() over a sorted array)
+               sum(CASE WHEN f7 IS NOT NULL AND rev + f7 > 0 THEN
+                       2.0 * abs(CAST(rev AS DOUBLE) - f7) / (rev + f7)
+                   END ORDER BY d)                              AS sm7
+        FROM lagged
+    )
+    SELECT n_days, n7 AS n_eval,
+           CASE WHEN n7 > 0 THEN
+               round(CAST(ae7 AS DOUBLE) / n7 / 100, 6)
+           END                                       AS mae7_dollars_q6,
+           CASE WHEN n7 > 0 AND ae1 > 0 THEN
+               round((CAST(ae7 AS DOUBLE) / n7)
+                     / (CAST(ae1 AS DOUBLE) / n1), 6)
+           END                                       AS mase_q6,
+           CASE WHEN n7 > 0 THEN round(sm7 / n7, 6)
+           END                                       AS smape_q6
+    FROM eval
+    """,
+    doc="seasonal-naive forecast backtest over the daily revenue series "
+    "(forecast(t) = value(t-7)): MASE (MAE vs the one-step naive — the "
+    "scale-free forecast-accuracy standard, Hyndman & Koehler 2006) and "
+    "sMAPE. The series is built by ONE day-grain groupBy (exact cent "
+    "BIGINTs); the lag window is global but runs at CALENDAR grain — "
+    "bounded by days-of-history (~36k rows/century), never by data rows, "
+    "the same justification as the existing day-grain drawdown scan. "
+    "MAE/MASE come from exact integer error sums; the sMAPE double sum "
+    "folds in sorted date order on both engines (ANOVA's sorted-fold "
+    "discipline). Lag is row-space at day grain: a missing calendar day "
+    "shifts the seasonal reference identically on both engines.",
+)
+def ts_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").cast("bigint").alias("rev"))
+    )
+    w = W.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "rev",
+        F.lag("rev", 7).over(w).alias("f7"),
+        F.lag("rev", 1).over(w).alias("f1"),
+    )
+    term = F.when(
+        F.col("f7").isNotNull() & (F.col("rev") + F.col("f7") > 0),
+        F.lit(2.0)
+        * F.abs(F.col("rev").cast("double") - F.col("f7"))
+        / (F.col("rev") + F.col("f7")),
+    )
+    ev = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.count("f7").cast("bigint").alias("n7"),
+        F.count("f1").cast("bigint").alias("n1"),
+        F.sum(F.abs(F.col("rev") - F.col("f7"))).cast("bigint").alias("ae7"),
+        F.sum(F.abs(F.col("rev") - F.col("f1"))).cast("bigint").alias("ae1"),
+        # NULL terms (warm-up days) fold as +0.0 — identical to DuckDB's
+        # ordered sum skipping NULLs (x + 0.0 == x for every finite x)
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d").alias("d"), term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.coalesce(x["t"], F.lit(0.0)),
+        ).alias("sm7"),
+    )
+    n7, n1 = F.col("n7"), F.col("n1")
+    ae7d, ae1d = F.col("ae7").cast("double"), F.col("ae1").cast("double")
+    return ev.select(
+        "n_days",
+        n7.alias("n_eval"),
+        F.when(n7 > 0, F.round(ae7d / n7 / 100, 6)).alias("mae7_dollars_q6"),
+        F.when(
+            (n7 > 0) & (F.col("ae1") > 0),
+            F.round((ae7d / n7) / (ae1d / n1), 6),
+        ).alias("mase_q6"),
+        F.when(n7 > 0, F.round(F.col("sm7") / n7, 6)).alias("smape_q6"),
+    )
+
+
+@register(
+    "emb_random_projection",
+    oracle="""
+    WITH signs AS (
+        SELECT d.d, j.j,
+               CASE WHEN CAST(('0x' || substr(md5(
+                        CAST(d.d AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)
+                    ), 1, 15)) AS BIGINT) % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM (SELECT unnest(generate_series(0, 63)) AS d) d
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j
+    ), idx AS (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ), comp AS (
+        SELECT vec_id, i - 1 AS d,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS vc
+        FROM idx
+    )
+    SELECT c.vec_id, CAST(s.j AS INT) AS j,
+           round(CAST(sum(s.sgn * c.vc) AS BIGINT) / 1000000.0, 6)
+               AS proj_q6
+    FROM comp c JOIN signs s ON s.d = c.d
+    GROUP BY c.vec_id, s.j
+    ORDER BY c.vec_id, j
+    """,
+    doc="Johnson-Lindenstrauss sign random projection 64d -> 8d (Achlioptas "
+    "2003 database-friendly projections: entries +/-1 from a hash, no "
+    "stored matrix): components quantized to exact integer micro-units "
+    "FIRST (float->double cast is exact; both engines round the identical "
+    "double), so every signed sum is exact BIGINT arithmetic — the "
+    "/1e6 un-scaling terminates within 6 decimals, making round(.,6) the "
+    "identity on both engines. The sign matrix is derived (dim x 8 = 512 "
+    "rows) from the shared md5-prefix hash60 generator and BROADCAST — "
+    "bounded by dimensionality, never data. One posexplode + one keyed "
+    "groupBy(vec_id, j): dim-amplified scalars shuffle once; at 100 TB "
+    "this is the standard cheap dimensionality-reduction front of an ANN "
+    "or clustering pipeline (reference scope: cuml random_projection; "
+    "here re-expressed as pure DataFrame algebra).",
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.hashing import hash60
+
+    dims = spark.range(64).select(F.col("id").cast("int").alias("d"))
+    outs = spark.range(8).select(F.col("id").cast("int").alias("j"))
+    signs = dims.crossJoin(outs).select(
+        "d",
+        "j",
+        F.when(
+            hash60(
+                F.concat(
+                    F.col("d").cast("string"), F.lit("_"), F.col("j").cast("string")
+                )
+            )
+            % 2
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    e = load(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda v: F.round(v.cast("double") * 1000000).cast("bigint"),
+            )
+        ),
+    ).select("vec_id", F.col("pos").alias("d"), F.col("col").alias("vc"))
+    return (
+        comp.join(F.broadcast(signs), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("sgn") * F.col("vc")).cast("bigint").alias("s"))
+        .select(
+            "vec_id",
+            F.col("j").cast("int").alias("j"),
+            F.round(F.col("s") / F.lit(1000000.0), 6).alias("proj_q6"),
+        )
+        .orderBy("vec_id", "j")
+    )
+
+
+@register(
+    "agg_theil_sen_binned",
+    oracle="""
+    WITH monthly AS (
+        SELECT l_returnflag AS flag,
+               CAST((year(l_shipdate) - 1995) * 12 + month(l_shipdate) - 1
+                    AS BIGINT) AS m,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.flag, a.m AS ma, b.m AS mb,
+               (CAST(b.rev AS DOUBLE) - a.rev) / (b.m - a.m) AS slope
+        FROM monthly a JOIN monthly b
+          ON a.flag = b.flag AND a.m < b.m
+    ), ranked AS (
+        SELECT flag, slope,
+               CAST(row_number() OVER (
+                   PARTITION BY flag ORDER BY slope, ma, mb) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY flag) AS BIGINT) AS np
+        FROM pairs
+    ), months AS (
+        SELECT flag, CAST(count(*) AS INT) AS n_months FROM monthly GROUP BY 1
+    )
+    SELECT r.flag, mo.n_months, r.np AS n_pairs,
+           round(r.slope / 100, 6) AS ts_slope_dollars_q6
+    FROM ranked r JOIN months mo ON mo.flag = r.flag
+    WHERE r.rn = (r.np + 1) // 2
+    ORDER BY r.flag
+    """,
+    doc="Theil-Sen robust trend (median of pairwise slopes — the "
+    "breakdown-resistant alternative to the existing agg_group_ols, Sen "
+    "1968) of monthly revenue per return flag: the quadratic pair join "
+    "runs at MONTH-AGGREGATE grain (n_pairs = C(months,2) ~ 3k per "
+    "group for 7 years — bounded by the calendar, never by rows), keyed "
+    "by group. Slopes are exact-integer differences divided once "
+    "(identical IEEE tree both engines); the LOWER median is selected by "
+    "rank (slope, ma, mb) — a total order, so the boundary row is "
+    "deterministic — with rn == (np+1) div 2, the same exact-selection "
+    "rule as agg_weighted_median. At 100 TB the only data-scale pass is "
+    "the month-grain groupBy; everything after runs on a ~250-row/group "
+    "aggregate.",
+)
+def agg_theil_sen_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    monthly = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            (
+                (F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1
+            )
+            .cast("bigint")
+            .alias("m"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("flag", "m")
+        .agg(F.sum("c").cast("bigint").alias("rev"))
+    )
+    a = monthly.select("flag", F.col("m").alias("ma"), F.col("rev").alias("ra"))
+    b = monthly.select("flag", F.col("m").alias("mb"), F.col("rev").alias("rb"))
+    pairs = (
+        a.join(b, "flag")
+        .filter(F.col("ma") < F.col("mb"))
+        .select(
+            "flag",
+            "ma",
+            "mb",
+            (
+                (F.col("rb").cast("double") - F.col("ra"))
+                / (F.col("mb") - F.col("ma"))
+            ).alias("slope"),
+        )
+    )
+    wr = W.partitionBy("flag").orderBy("slope", "ma", "mb")
+    wc = W.partitionBy("flag")
+    ranked = pairs.select(
+        "flag",
+        "slope",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("np"),
+    ).filter(F.col("rn") == F.expr("(np + 1) div 2"))
+    months = monthly.groupBy("flag").agg(F.count(F.lit(1)).cast("int").alias("n_months"))
+    return (
+        ranked.join(F.broadcast(months), "flag")
+        .select(
+            "flag",
+            "n_months",
+            F.col("np").alias("n_pairs"),
+            F.round(F.col("slope") / 100, 6).alias("ts_slope_dollars_q6"),
+        )
+        .orderBy("flag")
+    )

@@ -157,3 +157,160 @@ def test_rle_encode_tied_linenumbers_deterministic(spark, monkeypatch):
     got = [(r.run_id, r.flag, r.run_len) for r in mod.misc_rle_encode(spark, "u").collect()]
     # order: (1,A), (1,R), (2,A) -> runs A(1), R(1), A(1); run_id 1-based
     assert got == [(1, "A", 1), (2, "R", 1), (3, "A", 1)]
+
+
+# ---------------------------- batch 2: jaccard / mase / projection / sen
+
+def test_graph_jaccard_matches_brute_force(spark, monkeypatch):
+    import hashlib
+    import itertools
+
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    # 20 suppliers; 60 normal parts with degree 2 (ring), 2 hub parts with
+    # degree 20 that the p99 cap must drop (np=62 -> cum>=61.38 -> thr is
+    # the 62nd-smallest degree... with 60 parts of deg2 and 2 of deg20,
+    # cum(2)=60 -> 60*100 < 99*62; cum(20)=62 -> keeps everything. Use
+    # 300 normal parts so the hubs land above the p99 rank.)
+    rows = []
+    n_sup = 20
+    for p in range(300):
+        a, b = p % n_sup, (p + 1) % n_sup
+        rows.append((a, p))
+        rows.append((b, p))
+    for hub in (1000, 1001):
+        for s in range(n_sup):
+            rows.append((s, hub))
+    pdf = pd.DataFrame(rows, columns=["l_suppkey", "l_partkey"])
+    pdf["l_quantity"] = 1.0
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = [(r.sa, r.sb, r.nab, r.jac_u6) for r in
+           mod.graph_jaccard_neighbors(spark, "u").collect()]
+
+    # brute force with the same spec (p99 cap, integer micro-jaccard)
+    edges = set((s, p) for s, p in zip(pdf.l_suppkey, pdf.l_partkey))
+    from collections import Counter
+    pdeg = Counter(p for _, p in edges)
+    degs = sorted(pdeg.values())
+    np_ = len(degs)
+    cum = 0
+    thr = None
+    seen = Counter()
+    for d in degs:
+        seen[d] += 1
+    cumc = 0
+    for d in sorted(seen):
+        cumc += seen[d]
+        if cumc * 100 >= 99 * np_:
+            thr = d
+            break
+    kept = [(s, p) for s, p in edges if pdeg[p] <= thr]
+    assert thr == 2  # hubs dropped
+    nbrs = {}
+    for s, p in kept:
+        nbrs.setdefault(s, set()).add(p)
+    scored = []
+    for sa, sb in itertools.combinations(sorted(nbrs), 2):
+        inter = len(nbrs[sa] & nbrs[sb])
+        if inter:
+            union = len(nbrs[sa]) + len(nbrs[sb]) - inter
+            scored.append((inter * 1000000 // union, sa, sb, inter))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(sa, sb, inter, j) for j, sa, sb, inter in scored[:20]]
+    assert got == want
+
+
+def test_seasonal_naive_mase_matches_pandas(spark, monkeypatch):
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    rng = np.random.RandomState(3)
+    days = pd.date_range("2020-01-01", periods=60, freq="D")
+    # weekly-seasonal series + noise, two orders per day to force the agg
+    base = 100 + 10 * (np.arange(60) % 7) + rng.randint(0, 5, 60)
+    rows = []
+    for d, v in zip(days, base):
+        rows.append((d, float(v) / 2))
+        rows.append((d, float(v) / 2))
+    pdf = pd.DataFrame(rows, columns=["o_orderdate", "o_totalprice"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.ts_seasonal_naive_mase(spark, "u").collect()[0]
+
+    s = pd.Series((base * 100).astype("int64"), index=days)
+    e7 = (s - s.shift(7)).abs().dropna()
+    e1 = (s - s.shift(1)).abs().dropna()
+    mase = (e7.mean()) / (e1.mean())
+    f7 = s.shift(7)
+    sm = (2 * (s - f7).abs() / (s + f7)).dropna().sum() / len(e7)
+    assert r.n_days == 60 and r.n_eval == 53
+    assert r.mase_q6 == pytest.approx(mase, abs=5.1e-7)
+    assert r.mae7_dollars_q6 == pytest.approx(e7.mean() / 100, abs=5.1e-7)
+    assert r.smape_q6 == pytest.approx(sm, abs=5.1e-7)
+
+
+def test_random_projection_matches_python_md5(spark, monkeypatch):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    rng = np.random.RandomState(5)
+    vecs = {i: rng.uniform(-1, 1, 64).astype("float32") for i in range(6)}
+    pdf = pd.DataFrame(
+        [(i, v.tolist(), 0) for i, v in vecs.items()],
+        columns=["vec_id", "embedding", "label"],
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {(r.vec_id, r.j): r.proj_q6
+           for r in mod.emb_random_projection(spark, "u").collect()}
+
+    def sgn(d, j):
+        h = int(hashlib.md5(f"{d}_{j}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    for i, v in vecs.items():
+        for j in range(8):
+            s = sum(sgn(d, j) * int(round(float(v[d]) * 1e6)) for d in range(64))
+            assert got[(i, j)] == pytest.approx(s / 1e6, abs=1e-9)
+
+
+def test_theil_sen_matches_brute_force(spark, monkeypatch):
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    rng = np.random.RandomState(9)
+    rows = []
+    series = {}
+    for flag in ["A", "N"]:
+        months = range(12)
+        vals = [1000 + 50 * m + int(rng.randint(-200, 200)) for m in months]
+        series[flag] = vals
+        for m, v in zip(months, vals):
+            # two lineitems per month summing to v dollars
+            rows.append((flag, pd.Timestamp(1995, m + 1, 10), v / 2))
+            rows.append((flag, pd.Timestamp(1995, m + 1, 20), v / 2))
+    pdf = pd.DataFrame(rows, columns=["l_returnflag", "l_shipdate", "l_extendedprice"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.flag: r for r in mod.agg_theil_sen_binned(spark, "u").collect()}
+
+    for flag, vals in series.items():
+        cents = [int(round(v * 100)) for v in vals]
+        slopes = sorted(
+            (cents[j] - cents[i]) / (j - i)
+            for i, j in itertools.combinations(range(12), 2)
+        )
+        npairs = len(slopes)
+        lower_median = slopes[(npairs + 1) // 2 - 1]
+        r = got[flag]
+        assert r.n_months == 12 and r.n_pairs == npairs
+        assert r.ts_slope_dollars_q6 == pytest.approx(lower_median / 100, abs=1e-6)

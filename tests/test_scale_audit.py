@@ -66,6 +66,9 @@ KNOWN_BOUNDED = {
     "dictionary_encode",
     "dictionary_update_keys",
     "win_max_drawdown",
+    # same day-grain justification as win_max_drawdown: the lag window
+    # runs AFTER the keyed day-grain groupBy, bounded by the calendar
+    "ts_seasonal_naive_mase",
 }
 
 

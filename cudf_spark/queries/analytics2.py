@@ -776,3 +776,504 @@ def agg_theil_sen_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# RAKE stopword set — the repo-wide tiny list (queries/text.py STOPWORDS)
+# plus nothing else, so the Spark and DuckDB regexes are one shared string.
+_RAKE_STOP_RE = r"\b(the|a|of|to|and)\b"
+_RAKE_PUNCT_RE = r"[^a-z0-9| ]+"
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split(regexp_replace(regexp_replace(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '{_RAKE_STOP_RE}', '|', 'g'),
+                   '{_RAKE_PUNCT_RE}', '|', 'g'), '|') AS parts
+        FROM documents
+    ), pidx AS (
+        SELECT doc_id, parts,
+               unnest(generate_series(1, len(parts))) AS i
+        FROM base
+    ), ph AS (
+        SELECT doc_id, i AS pid, trim(parts[i]) AS phrase
+        FROM pidx WHERE trim(parts[i]) != ''
+    ), pw AS (
+        SELECT doc_id, pid, phrase, string_split(phrase, ' ') AS ws,
+               CAST(len(list_filter(string_split(phrase, ' '), w -> w != ''))
+                    AS BIGINT) AS plen
+        FROM ph
+    ), widx AS (
+        SELECT doc_id, pid, phrase, plen, ws,
+               unnest(generate_series(1, len(ws))) AS j
+        FROM pw
+    ), words AS (
+        SELECT doc_id, pid, phrase, plen, j AS pos, ws[j] AS w
+        FROM widx WHERE ws[j] != ''
+    ), wstats AS (
+        SELECT doc_id, w,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(plen) AS BIGINT) AS deg
+        FROM words GROUP BY doc_id, w
+    ), scored AS (
+        SELECT wo.doc_id, wo.pid, wo.phrase, wo.plen,
+               sum(CAST(ws.deg AS DOUBLE) / ws.freq ORDER BY wo.pos)
+                   AS score
+        FROM words wo JOIN wstats ws
+          ON ws.doc_id = wo.doc_id AND ws.w = wo.w
+        GROUP BY wo.doc_id, wo.pid, wo.phrase, wo.plen
+    )
+    SELECT doc_id, phrase AS top_phrase, CAST(plen AS INT) AS n_words,
+           round(score, 6) AS rake_q6
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id
+              ORDER BY round(score, 6) DESC, phrase, pid) AS rn
+          FROM scored)
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    doc="RAKE keyword extraction (Rose et al. 2010 — the unsupervised "
+    "keyphrase baseline): candidate phrases are maximal runs between "
+    "stopwords/punctuation (the shared 5-word STOPWORDS list, one regex "
+    "on the normalized text); per-DOC word degree/frequency from one "
+    "(doc, word)-keyed groupBy; phrase score = sum of member word "
+    "deg/freq ratios folded in WORD-POSITION order on both engines (the "
+    "sorted-fold discipline — a bare double groupBy sum would differ in "
+    "association). Top phrase per doc ranks over the ROUNDED score with "
+    "(phrase, pid) tiebreaks. Everything is doc-keyed — at 100 TB this "
+    "is embarrassingly parallel per document with two keyed shuffles at "
+    "(doc, word) grain; no corpus-global state at all.",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    parts = F.split(
+        F.regexp_replace(
+            F.regexp_replace(norm, _RAKE_STOP_RE, "|"), _RAKE_PUNCT_RE, "|"
+        ),
+        r"\|",
+    )
+    ph = (
+        docs.select("doc_id", F.posexplode(parts).alias("pid0", "rawp"))
+        .select(
+            "doc_id",
+            (F.col("pid0") + 1).alias("pid"),
+            F.trim(F.col("rawp")).alias("phrase"),
+        )
+        .filter(F.col("phrase") != "")
+    )
+    ws = F.filter(F.split(F.col("phrase"), " "), lambda w: w != "")
+    pw = ph.select(
+        "doc_id", "pid", "phrase", F.size(ws).cast("bigint").alias("plen"),
+        F.posexplode(F.split(F.col("phrase"), " ")).alias("pos0", "w"),
+    ).filter(F.col("w") != "").select(
+        "doc_id", "pid", "phrase", "plen", (F.col("pos0") + 1).alias("pos"), "w"
+    )
+    wstats = pw.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    joined = pw.join(wstats, ["doc_id", "w"]).withColumn(
+        "wscore", F.col("deg").cast("double") / F.col("freq")
+    )
+    scored = joined.groupBy("doc_id", "pid", "phrase", "plen").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("pos").alias("pos"), F.col("wscore").alias("s"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+    wr = W.partitionBy("doc_id").orderBy(
+        F.desc(F.round("score", 6)), "phrase", "pid"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("phrase").alias("top_phrase"),
+            F.col("plen").cast("int").alias("n_words"),
+            F.round("score", 6).alias("rake_q6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dq_schema_drift",
+    oracle="""
+    WITH tagged AS (
+        SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-07-01' THEN 'a'
+                    ELSE 'b' END AS run,
+               o_orderpriority, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), sizes AS (
+        SELECT CAST(sum(CASE WHEN run = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(sum(CASE WHEN run = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb,
+               CAST(sum(CASE WHEN run = 'a' THEN cents ELSE 0 END)
+                    AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN run = 'b' THEN cents ELSE 0 END)
+                    AS BIGINT) AS sb
+        FROM tagged
+    ), prio AS (
+        SELECT o_orderpriority AS cat,
+               CAST(sum(CASE WHEN run = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+               CAST(sum(CASE WHEN run = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+        FROM tagged GROUP BY 1
+    ), psi_p AS (
+        SELECT sum(CASE WHEN p.ca > 0 AND p.cb > 0 THEN
+                   (CAST(p.ca AS DOUBLE) / s.na - CAST(p.cb AS DOUBLE) / s.nb)
+                   * ln((CAST(p.ca AS DOUBLE) / s.na)
+                        / (CAST(p.cb AS DOUBLE) / s.nb)) END
+                   ORDER BY p.cat) AS psi
+        FROM prio p, sizes s
+    ), stat AS (
+        SELECT o_orderstatus AS cat,
+               CAST(sum(CASE WHEN run = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+               CAST(sum(CASE WHEN run = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+        FROM tagged GROUP BY 1
+    ), psi_s AS (
+        SELECT sum(CASE WHEN p.ca > 0 AND p.cb > 0 THEN
+                   (CAST(p.ca AS DOUBLE) / s.na - CAST(p.cb AS DOUBLE) / s.nb)
+                   * ln((CAST(p.ca AS DOUBLE) / s.na)
+                        / (CAST(p.cb AS DOUBLE) / s.nb)) END
+                   ORDER BY p.cat) AS psi
+        FROM stat p, sizes s
+    )
+    SELECT col, metric, value_q6 FROM (
+        SELECT 'o_orderpriority' AS col, 'psi' AS metric,
+               round(psi, 6) AS value_q6 FROM psi_p
+        UNION ALL
+        SELECT 'o_orderstatus', 'psi', round(psi, 6) FROM psi_s
+        UNION ALL
+        SELECT 'o_totalprice', 'mean_shift',
+               CASE WHEN sa > 0 AND na > 0 AND nb > 0 THEN
+                   round((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+                         / (CAST(sa AS DOUBLE) / na), 6) END
+        FROM sizes
+        UNION ALL
+        SELECT 'orders', 'row_ratio',
+               CASE WHEN na > 0 THEN
+                   round(CAST(nb AS DOUBLE) / na, 6) END
+        FROM sizes
+    ) ORDER BY col, metric
+    """,
+    doc="schema/distribution drift monitor between two runs of the same "
+    "table (first vs second half of the order history — the feature-"
+    "store freshness check): Population Stability Index per categorical "
+    "column (the industry drift metric; categories missing from either "
+    "side are excluded, the standard finite-PSI convention), relative "
+    "mean shift and row-count ratio for numerics. ONE scan tags rows "
+    "and feeds category-grain aggregates; every PSI is a sorted fold "
+    "over <=10 category rows (the ANOVA discipline), every mean comes "
+    "from exact cent BIGINTs. At 100 TB each run's profile is one "
+    "map-side-combinable aggregate; comparing profiles touches only "
+    "category-grain tables — this is the incremental-run shape "
+    "(profiles persist, the diff is metadata-sized).",
+)
+def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    tagged = o.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"), "a"
+        )
+        .otherwise("b")
+        .alias("run"),
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    is_a = (F.col("run") == "a").cast("bigint")
+    is_b = (F.col("run") == "b").cast("bigint")
+    sizes = tagged.agg(
+        F.sum(is_a).alias("na"),
+        F.sum(is_b).alias("nb"),
+        F.sum(is_a * F.col("cents")).alias("sa"),
+        F.sum(is_b * F.col("cents")).alias("sb"),
+    )
+
+    def psi_for(col: str) -> DataFrame:
+        cat = tagged.groupBy(F.col(col).alias("cat")).agg(
+            F.sum(is_a).alias("ca"), F.sum(is_b).alias("cb")
+        )
+        term = F.when(
+            (F.col("ca") > 0) & (F.col("cb") > 0),
+            (
+                F.col("ca").cast("double") / F.col("na")
+                - F.col("cb").cast("double") / F.col("nb")
+            )
+            * F.log(
+                (F.col("ca").cast("double") / F.col("na"))
+                / (F.col("cb").cast("double") / F.col("nb"))
+            ),
+        )
+        return cat.crossJoin(F.broadcast(sizes)).agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("cat").alias("cat"), term.alias("t"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + F.coalesce(x["t"], F.lit(0.0)),
+            ).alias("psi")
+        )
+
+    prio = psi_for("o_orderpriority").select(
+        F.lit("o_orderpriority").alias("col"),
+        F.lit("psi").alias("metric"),
+        F.round("psi", 6).alias("value_q6"),
+    )
+    stat = psi_for("o_orderstatus").select(
+        F.lit("o_orderstatus").alias("col"),
+        F.lit("psi").alias("metric"),
+        F.round("psi", 6).alias("value_q6"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb = F.col("sa"), F.col("sb")
+    mean_shift = sizes.select(
+        F.lit("o_totalprice").alias("col"),
+        F.lit("mean_shift").alias("metric"),
+        F.when(
+            (sa > 0) & (na > 0) & (nb > 0),
+            F.round(
+                (sb.cast("double") / nb - sa.cast("double") / na)
+                / (sa.cast("double") / na),
+                6,
+            ),
+        ).alias("value_q6"),
+    )
+    row_ratio = sizes.select(
+        F.lit("orders").alias("col"),
+        F.lit("row_ratio").alias("metric"),
+        F.when(na > 0, F.round(nb.cast("double") / na, 6)).alias("value_q6"),
+    )
+    return prio.unionByName(stat).unionByName(mean_shift).unionByName(
+        row_ratio
+    ).orderBy("col", "metric")
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ), cum AS (
+        SELECT d, rev,
+               CAST(sum(rev) OVER (ORDER BY d) AS BIGINT) AS crev,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+               CAST(sum(rev) OVER () AS BIGINT) AS tot,
+               CAST(count(*) OVER () AS BIGINT) AS nd
+        FROM daily
+    ), scored AS (
+        -- S_t = crev - t * mu, from the EXACT integer cumulative sum
+        SELECT d, t, nd,
+               CAST(crev AS DOUBLE)
+                   - t * (CAST(tot AS DOUBLE) / nd) AS s
+        FROM cum
+    )
+    SELECT d AS cp_date, nd AS n_days,
+           round(s / 100, 6) AS cusum_dollars_q6,
+           round(CAST(t AS DOUBLE) / nd, 6) AS frac_through_q6
+    FROM scored
+    ORDER BY abs(s) DESC, d
+    LIMIT 1
+    """,
+    doc="CUSUM changepoint detection on the daily revenue series (Page "
+    "1954: the argmax of |sum_{i<=t}(x_i - mean)| locates the level "
+    "shift): the cumulative statistic is NOT a running double sum — "
+    "S_t = (exact BIGINT cumulative revenue) - t*mu, so the only float "
+    "op is one multiply-subtract per day (identical IEEE tree; a "
+    "windowed double sum would associate differently across engines). "
+    "Day-grain global window, bounded by the calendar like "
+    "win_max_drawdown; argmax selected by (|S| DESC, date) — a total "
+    "order — via TakeOrderedAndProject, one row out. At 100 TB the only "
+    "data-scale pass is the day-grain groupBy.",
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").cast("bigint").alias("rev"))
+    )
+    wo = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.orderBy("d").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = daily.select(
+        "d",
+        F.sum("rev").over(wo).cast("bigint").alias("crev"),
+        F.row_number().over(W.orderBy("d")).cast("bigint").alias("t"),
+        F.sum("rev").over(wall).cast("bigint").alias("tot"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("nd"),
+    )
+    s = F.col("crev").cast("double") - F.col("t") * (
+        F.col("tot").cast("double") / F.col("nd")
+    )
+    scored = cum.select("d", "t", "nd", s.alias("s"))
+    return (
+        scored.orderBy(F.abs(F.col("s")).desc(), "d")
+        .limit(1)
+        .select(
+            F.col("d").alias("cp_date"),
+            F.col("nd").alias("n_days"),
+            F.round(F.col("s") / 100, 6).alias("cusum_dollars_q6"),
+            F.round(F.col("t").cast("double") / F.col("nd"), 6).alias(
+                "frac_through_q6"
+            ),
+        )
+    )
+
+
+@register(
+    "stats_levene_bf",
+    oracle="""
+    WITH hist AS (
+        SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), med AS (
+        -- exact lower weighted median per group on the value lattice
+        SELECT flag, CAST(min(q) AS BIGINT) AS med
+        FROM (SELECT h.flag, h.q,
+                     CAST(sum(h2.c) AS BIGINT) AS cum,
+                     min(t.n) AS n
+              FROM hist h
+              JOIN hist h2 ON h2.flag = h.flag AND h2.q <= h.q
+              JOIN (SELECT flag, CAST(sum(c) AS BIGINT) AS n
+                    FROM hist GROUP BY flag) t ON t.flag = h.flag
+              GROUP BY h.flag, h.q) x
+        WHERE 2 * cum >= n
+        GROUP BY flag
+    ), zsum AS (
+        -- |q - med| is exact integer: all power sums stay BIGINT
+        SELECT h.flag,
+               CAST(sum(h.c) AS BIGINT)                          AS ng,
+               CAST(sum(h.c * abs(h.q - m.med)) AS BIGINT)       AS s1,
+               CAST(sum(h.c * (h.q - m.med) * (h.q - m.med))
+                    AS BIGINT)                                   AS s2
+        FROM hist h JOIN med m ON m.flag = h.flag
+        GROUP BY h.flag
+    ), folded AS (
+        SELECT CAST(count(*) AS INT)   AS k,
+               CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(s1) AS BIGINT) AS gs1,
+               CAST(sum(s2) AS BIGINT) AS gs2,
+               sum(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / ng
+                   ORDER BY flag)      AS t1
+        FROM zsum
+    )
+    SELECT k, n,
+           CASE WHEN k > 1 AND n > k
+                     AND CAST(gs2 AS DOUBLE) - t1 > 0 THEN
+               round(((t1 - CAST(gs1 AS DOUBLE) * CAST(gs1 AS DOUBLE) / n)
+                          / (k - 1))
+                     / ((CAST(gs2 AS DOUBLE) - t1) / (n - k)), 6)
+           END AS f_bf_q6
+    FROM folded
+    """,
+    doc="Brown-Forsythe variance-equality test (Levene's test with the "
+    "MEDIAN center — the robust k-sample spread comparison that pairs "
+    "with stats_anova_oneway): per-group medians come from the VALUE-"
+    "LATTICE histogram by the exact integer 2*cum>=n rank rule (the "
+    "agg_weighted_median discipline — no percentile_approx, no FP), so "
+    "the absolute deviations |q - med| are exact integers and the whole "
+    "ANOVA-on-deviations reduces to BIGINT power sums AT HISTOGRAM "
+    "GRAIN: after the one (flag, q) groupBy scan, every later stage "
+    "touches <=50 rows per group. The k-row between/within fold is "
+    "sorted by flag on both engines (ANOVA's sorted-fold rule).",
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    hist = li.groupBy("flag", "q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    h2 = hist.select(
+        F.col("flag").alias("flag2"),
+        F.col("q").alias("q2"),
+        F.col("c").alias("c2"),
+    )
+    tot = hist.groupBy("flag").agg(F.sum("c").cast("bigint").alias("n"))
+    cum = (
+        hist.join(
+            h2, (F.col("flag2") == F.col("flag")) & (F.col("q2") <= F.col("q"))
+        )
+        .groupBy("flag", "q")
+        .agg(F.sum("c2").cast("bigint").alias("cum"))
+        .join(F.broadcast(tot), "flag")
+    )
+    med = (
+        cum.filter(2 * F.col("cum") >= F.col("n"))
+        .groupBy("flag")
+        .agg(F.min("q").cast("bigint").alias("med"))
+    )
+    zsum = (
+        hist.join(F.broadcast(med), "flag")
+        .groupBy("flag")
+        .agg(
+            F.sum("c").cast("bigint").alias("ng"),
+            F.sum(F.col("c") * F.abs(F.col("q") - F.col("med")))
+            .cast("bigint")
+            .alias("s1"),
+            F.sum(
+                F.col("c") * (F.col("q") - F.col("med")) * (F.col("q") - F.col("med"))
+            )
+            .cast("bigint")
+            .alias("s2"),
+        )
+    )
+    term = F.struct(
+        F.col("flag").alias("flag"),
+        (F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("ng")).alias(
+            "t"
+        ),
+    )
+    folded = zsum.agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("s1").alias("gs1"),
+        F.sum("s2").alias("gs2"),
+        F.aggregate(
+            F.array_sort(F.collect_list(term)),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("t1"),
+    )
+    k, n = F.col("k"), F.col("n")
+    gs1d = F.col("gs1").cast("double")
+    gs2d = F.col("gs2").cast("double")
+    t1 = F.col("t1")
+    ssb = t1 - gs1d * gs1d / n
+    ssw = gs2d - t1
+    return folded.select(
+        "k",
+        "n",
+        F.when(
+            (k > 1) & (n > k) & (ssw > 0),
+            F.round((ssb / (k - 1)) / (ssw / (n - k)), 6),
+        ).alias("f_bf_q6"),
+    )

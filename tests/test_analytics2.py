@@ -314,3 +314,115 @@ def test_theil_sen_matches_brute_force(spark, monkeypatch):
         r = got[flag]
         assert r.n_months == 12 and r.n_pairs == npairs
         assert r.ts_slope_dollars_q6 == pytest.approx(lower_median / 100, abs=1e-6)
+
+
+# --------------------- batch 3: rake / drift / cusum / brown-forsythe
+
+def test_rake_picks_content_phrase(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    # "deep learning models" is a 3-word phrase; its words co-occur in
+    # other phrases, raising degree. Stopwords split phrases.
+    text = (
+        "deep learning models of deep learning. "
+        "quick test and deep models."
+    )
+    pdf = pd.DataFrame(
+        [(1, text, "en", "s0", len(text))],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    rows = mod.text_rake_keywords(spark, "u").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # phrases: [deep learning models] [deep learning] [quick test] [deep models]
+    # freq: deep=3 learning=2 models=2 quick=1 test=1
+    # deg:  deep=3+2+2=7 learning=3+2=5 models=3+2=5 quick=2 test=2
+    # scores: dlm = 7/3+5/2+5/2 = 7.333333; dl = 7/3+5/2 = 4.833333
+    assert r.top_phrase == "deep learning models"
+    assert r.n_words == 3
+    assert r.rake_q6 == pytest.approx(7 / 3 + 5 / 2 + 5 / 2, abs=1e-6)
+
+
+def test_schema_drift_psi_known_shift(spark, monkeypatch):
+    import math
+
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    rows = []
+    # run a (1997): 80 HIGH, 20 LOW; run b (1999): 50 HIGH, 50 LOW
+    for i in range(80):
+        rows.append((pd.Timestamp("1997-01-01"), "HIGH", "O", 100.0))
+    for i in range(20):
+        rows.append((pd.Timestamp("1997-01-01"), "LOW", "O", 100.0))
+    for i in range(50):
+        rows.append((pd.Timestamp("1999-01-01"), "HIGH", "O", 200.0))
+    for i in range(50):
+        rows.append((pd.Timestamp("1999-01-01"), "LOW", "O", 200.0))
+    pdf = pd.DataFrame(
+        rows, columns=["o_orderdate", "o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {(r.col, r.metric): r.value_q6
+           for r in mod.dq_schema_drift(spark, "u").collect()}
+    psi = (0.8 - 0.5) * math.log(0.8 / 0.5) + (0.2 - 0.5) * math.log(0.2 / 0.5)
+    assert got[("o_orderpriority", "psi")] == pytest.approx(psi, abs=1e-6)
+    assert got[("o_orderstatus", "psi")] == pytest.approx(0.0, abs=1e-9)
+    assert got[("o_totalprice", "mean_shift")] == pytest.approx(1.0, abs=1e-9)
+    assert got[("orders", "row_ratio")] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_cusum_finds_planted_level_shift(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    days = pd.date_range("2020-01-01", periods=100, freq="D")
+    # level shift at day 60: 100 -> 200
+    vals = [100.0] * 60 + [200.0] * 40
+    pdf = pd.DataFrame({"o_orderdate": days, "o_totalprice": vals})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.ts_changepoint_cusum(spark, "u").collect()[0]
+    # S_t = 100t - t*140 = -40t for t<=60 (min at t=60), then rises
+    assert str(r.cp_date) == "2020-02-29"  # day 60
+    assert r.n_days == 100
+    assert r.cusum_dollars_q6 == pytest.approx(-40.0 * 60, abs=1e-6)
+    assert r.frac_through_q6 == pytest.approx(0.6, abs=1e-9)
+
+
+def test_levene_bf_matches_reference_formula(spark, monkeypatch):
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    rng = np.random.RandomState(13)
+    groups = {"A": rng.randint(1, 10, 300),      # tight
+              "R": rng.randint(1, 50, 300)}      # wide
+    pdf = pd.DataFrame(
+        [(g, float(v)) for g, vs in groups.items() for v in vs],
+        columns=["l_returnflag", "l_quantity"],
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_levene_bf(spark, "u").collect()[0]
+
+    # reference: ANOVA F over z = |x - lower_median(group)|
+    def lower_median(v):
+        s = sorted(v)
+        n = len(s)
+        # 2*cum >= n rule == element at index ceil(n/2)-1
+        return s[(n + 1) // 2 - 1]
+
+    zs = {g: np.abs(v - lower_median(v)) for g, v in groups.items()}
+    all_z = np.concatenate(list(zs.values())).astype(float)
+    n, k = len(all_z), len(zs)
+    grand = all_z.mean()
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in zs.values())
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs.values())
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r.k == k and r.n == n
+    assert r.f_bf_q6 == pytest.approx(f, rel=1e-6)

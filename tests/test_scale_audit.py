@@ -69,6 +69,7 @@ KNOWN_BOUNDED = {
     # same day-grain justification as win_max_drawdown: the lag window
     # runs AFTER the keyed day-grain groupBy, bounded by the calendar
     "ts_seasonal_naive_mase",
+    "ts_changepoint_cusum",
 }
 
 

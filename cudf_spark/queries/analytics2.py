@@ -1277,3 +1277,325 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((ssb / (k - 1)) / (ssw / (n - k)), 6),
         ).alias("f_bf_q6"),
     )
+
+
+@register(
+    "misc_repeat_by_count",
+    oracle="""
+    WITH src AS (
+        SELECT p_partkey, p_size,
+               CAST(p_partkey % 4 AS BIGINT) AS rep
+        FROM part
+    ), reps AS (
+        SELECT p_partkey, p_size, rep,
+               unnest(generate_series(1, rep)) AS i
+        FROM src
+    )
+    SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+           rep, CAST(i AS BIGINT) AS copy_idx
+    FROM reps
+    ORDER BY p_partkey, copy_idx
+    """,
+    doc="per-row repeat (cudf Series.repeat / DataFrame.repeat with a "
+    "repeats COLUMN, python/cudf/cudf/core/series.py:5188; the inverse "
+    "of misc_rle_encode and the complement of reshape_tile's constant "
+    "fan-out): explode(sequence(1, rep)) materialises exactly rep copies "
+    "of each row with a 1-based copy index, and rep == 0 rows vanish — "
+    "the same contract as cudf (a zero repeat drops the element). Spark "
+    "guards sequence() against rep < 1 (Spark's sequence DESCENDS when "
+    "stop < start; DuckDB's generate_series returns empty) so both "
+    "engines drop non-positive counts identically. Map-only: the "
+    "Generate operator runs inside the scan stage, zero shuffles; at "
+    "100 TB output size is sum(rep), the only thing that matters.",
+)
+def misc_repeat_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("bigint").alias("p_size"),
+        (F.col("p_partkey") % 4).cast("bigint").alias("rep"),
+    )
+    seq = F.when(
+        F.col("rep") >= 1, F.sequence(F.lit(1).cast("bigint"), F.col("rep"))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        p.select(
+            "p_partkey", "p_size", "rep", F.explode(seq).alias("copy_idx")
+        )
+        .orderBy("p_partkey", "copy_idx")
+    )
+
+
+@register(
+    "stats_cramers_v",
+    oracle="""
+    WITH cells AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               CAST(count(*) AS BIGINT) AS o
+        FROM lineitem GROUP BY 1, 2
+    ), margins AS (
+        -- FULL r x c grid (cross of the margins): structural-zero cells
+        -- contribute (0 - e)^2 / e = e to chi2 and MUST be present
+        SELECT rt.rf, ct.ls, COALESCE(c.o, 0) AS o,
+               rt.rt, ct.ct, tot.n
+        FROM (SELECT rf, CAST(sum(o) AS BIGINT) AS rt FROM cells
+              GROUP BY rf) rt
+        CROSS JOIN (SELECT ls, CAST(sum(o) AS BIGINT) AS ct FROM cells
+              GROUP BY ls) ct
+        LEFT JOIN cells c ON c.rf = rt.rf AND c.ls = ct.ls
+        CROSS JOIN (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells) tot
+    ), folded AS (
+        SELECT min(n) AS n,
+               CAST(count(DISTINCT rf) AS BIGINT) AS r,
+               CAST(count(DISTINCT ls) AS BIGINT) AS c,
+               -- chi2 cell terms folded in (rf, ls) order on both engines
+               sum((CAST(o AS DOUBLE)
+                    - CAST(rt AS DOUBLE) * ct / n)
+                   * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+                   / (CAST(rt AS DOUBLE) * ct / n)
+                   ORDER BY rf, ls) AS chi2
+        FROM margins
+    )
+    SELECT n, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+           round(chi2, 6) AS chi2_q6,
+           CASE WHEN n > 0 AND least(r, c) > 1 THEN
+               round(sqrt(chi2 / (n * (least(r, c) - 1))), 6)
+           END AS cramers_v_q6
+    FROM folded
+    """,
+    doc="Cramer's V association strength between two categoricals "
+    "(return flag x line status — the effect-size companion to the "
+    "existing stats_chi_square, bounded [0,1] unlike raw chi2): the "
+    "contingency table is ONE keyed groupBy; margins join at CELL grain "
+    "(<= r*c rows); the chi-square cell terms are doubles folded in "
+    "sorted (row, col) order on both engines (the ANOVA sorted-fold "
+    "rule), expected counts derived from exact BIGINT margins via the "
+    "identical IEEE tree. Degenerate tables (a single row or column "
+    "category) yield NULL V, never a divide-by-zero. At 100 TB the "
+    "only data-scale pass is the contingency groupBy.",
+)
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    )
+    cells = li.groupBy("rf", "ls").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rt = cells.groupBy("rf").agg(F.sum("o").cast("bigint").alias("rt"))
+    ct = cells.groupBy("ls").agg(F.sum("o").cast("bigint").alias("ct"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    # full r x c grid: structural-zero cells still contribute e to chi2
+    m = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(cells, ["rf", "ls"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0).cast("bigint")))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    term = F.struct(
+        F.col("rf").alias("rf"),
+        F.col("ls").alias("ls"),
+        (
+            (F.col("o").cast("double") - e)
+            * (F.col("o").cast("double") - e)
+            / e
+        ).alias("t"),
+    )
+    folded = m.agg(
+        F.min("n").alias("n"),
+        F.countDistinct("rf").cast("bigint").alias("r"),
+        F.countDistinct("ls").cast("bigint").alias("c"),
+        F.aggregate(
+            F.array_sort(F.collect_list(term)),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("chi2"),
+    )
+    n = F.col("n")
+    minrc = F.least(F.col("r"), F.col("c"))
+    return folded.select(
+        "n",
+        F.col("r").cast("int").alias("r"),
+        F.col("c").cast("int").alias("c"),
+        F.round("chi2", 6).alias("chi2_q6"),
+        F.when(
+            (n > 0) & (minrc > 1),
+            F.round(F.sqrt(F.col("chi2") / (n * (minrc - 1))), 6),
+        ).alias("cramers_v_q6"),
+    )
+
+
+@register(
+    "text_hashing_trick_features",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter({SQL_TOKS}, t -> t != '')) AS token
+        FROM documents
+    ), bucketed AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % 256
+                   AS bucket
+        FROM toks
+    ), feat AS (
+        SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM bucketed GROUP BY doc_id, bucket
+    ), ranked AS (
+        SELECT doc_id, bucket, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT)
+                   AS n_tokens,
+               CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                   AS n_buckets,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, bucket) AS rn
+        FROM feat
+    )
+    SELECT doc_id, n_tokens, n_buckets,
+           CAST(bucket AS INT) AS top_bucket, cnt AS top_bucket_cnt
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+    doc="feature hashing / hashing trick (Weinberger et al. 2009 — the "
+    "vocabulary-free featurization every streaming text classifier "
+    "uses): token -> bucket via the shared md5-prefix hash60 mod 256, "
+    "per-doc sparse feature counts in ONE (doc, bucket) groupBy, summary "
+    "head per doc (token mass, occupied buckets, argmax bucket with the "
+    "(count DESC, bucket) deterministic tiebreak). The whole point at "
+    "100 TB: NO vocabulary table exists — featurization is stateless "
+    "map-side arithmetic, the only shuffle is (doc, bucket)-keyed, and "
+    "the windows run at feature grain (<= 256 rows per doc), keyed by "
+    "doc.",
+)
+def text_hashing_trick_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.hashing import hash60
+    from cudf_spark.functions.textfns import normalize_text, tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(tokenize(normalize_text(F.col("text"))), lambda t: t != "")
+        ).alias("token"),
+    )
+    feat = (
+        toks.select("doc_id", (hash60(F.col("token")) % 256).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wd = W.partitionBy("doc_id")
+    wr = W.partitionBy("doc_id").orderBy(F.desc("cnt"), "bucket")
+    return (
+        feat.select(
+            "doc_id",
+            "bucket",
+            "cnt",
+            F.sum("cnt").over(wd).cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).over(wd).cast("bigint").alias("n_buckets"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_buckets",
+            F.col("bucket").cast("int").alias("top_bucket"),
+            F.col("cnt").alias("top_bucket_cnt"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "events_user_lifetime_gaps",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ), gaps AS (
+        SELECT user_id, event_id,
+               us - lag(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS gap_us
+        FROM ev
+    ), ranked AS (
+        SELECT user_id, gap_us,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY gap_us, event_id)
+                    AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        FROM gaps WHERE gap_us IS NOT NULL
+    )
+    SELECT user_id, min(n) AS n_gaps,
+           round(CAST(min(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+                      AS DOUBLE) / 1000000, 6) AS p50_gap_s,
+           round(CAST(min(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END)
+                      AS DOUBLE) / 1000000, 6) AS p90_gap_s,
+           round(CAST(max(gap_us) AS DOUBLE) / 1000000, 6) AS max_gap_s,
+           -- mean truncated to whole microseconds FIRST (integer div), so
+           -- /1e6 terminates within 6 decimals and round() cannot tie
+           round(CAST(CAST(sum(gap_us) AS BIGINT) // min(n) AS DOUBLE)
+                 / 1000000, 6) AS mean_gap_s
+    FROM ranked
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="per-user inter-event gap profile (the engagement-cadence / "
+    "churn-signal summary next to events_rfm_scores): gaps are exact "
+    "BIGINT microsecond differences (the oracle casts the parquet ns "
+    "timestamp to Spark's microsecond truncation); p50/p90 are EXACT "
+    "lower percentiles selected by the integer rank rule rn == ceil(q*n)"
+    " — (n+1) div 2 and (9n+9) div 10 — the agg_weighted_median "
+    "discipline, no percentile_approx; the mean comes from the exact "
+    "integer gap sum. Everything is user-keyed: lag window, rank "
+    "window, and the final groupBy share one partitioning (a single "
+    "shuffle after AQE), and per-user state is that user's event count. "
+    "Mean division only fires when the user has >= 1 gap (single-event "
+    "users drop out with the NULL-gap filter).",
+)
+def events_user_lifetime_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    wl = W.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("us") - F.lag("us").over(wl)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wr = W.partitionBy("user_id").orderBy("gap_us", "event_id")
+    wc = W.partitionBy("user_id")
+    ranked = gaps.select(
+        "user_id",
+        "gap_us",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("n"),
+    )
+    n = F.col("n")
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.min("n").alias("n_gaps"),
+            F.round(
+                F.min(
+                    F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_us"))
+                ).cast("double")
+                / 1000000,
+                6,
+            ).alias("p50_gap_s"),
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("rn") == F.expr("(9 * n + 9) div 10"),
+                        F.col("gap_us"),
+                    )
+                ).cast("double")
+                / 1000000,
+                6,
+            ).alias("p90_gap_s"),
+            F.round(F.max("gap_us").cast("double") / 1000000, 6).alias(
+                "max_gap_s"
+            ),
+            F.round(
+                F.expr("sum(gap_us) div min(n)").cast("double") / 1000000, 6
+            ).alias("mean_gap_s"),
+        )
+        .orderBy("user_id")
+    )

@@ -426,3 +426,89 @@ def test_levene_bf_matches_reference_formula(spark, monkeypatch):
     f = (ssb / (k - 1)) / (ssw / (n - k))
     assert r.k == k and r.n == n
     assert r.f_bf_q6 == pytest.approx(f, rel=1e-6)
+
+
+# ------------- batch 4: repeat / cramers-v / hashing trick / gaps
+
+def test_repeat_by_count_semantics(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    pdf = pd.DataFrame({"p_partkey": [0, 1, 2, 3, 4], "p_size": [10, 11, 12, 13, 14]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = [(r.p_partkey, r.rep, r.copy_idx)
+           for r in mod.misc_repeat_by_count(spark, "u").collect()]
+    # rep = partkey % 4: key 0 -> dropped (rep 0), key 4 -> dropped
+    want = [(1, 1, 1), (2, 2, 1), (2, 2, 2), (3, 3, 1), (3, 3, 2), (3, 3, 3)]
+    assert got == want
+
+
+def test_cramers_v_perfect_and_independent(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    # perfect association: rf determines ls -> V = 1
+    rows = [("A", "F")] * 30 + [("N", "O")] * 30
+    pdf = pd.DataFrame(rows, columns=["l_returnflag", "l_linestatus"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_cramers_v(spark, "u").collect()[0]
+    assert r.n == 60 and r.r == 2 and r.c == 2
+    assert r.cramers_v_q6 == pytest.approx(1.0, abs=1e-9)
+
+    # independence: uniform joint -> chi2 = 0, V = 0
+    rows = [("A", "F"), ("A", "O"), ("N", "F"), ("N", "O")] * 15
+    pdf = pd.DataFrame(rows, columns=["l_returnflag", "l_linestatus"])
+    r = mod.stats_cramers_v(spark, "u").collect()[0]
+    assert r.chi2_q6 == pytest.approx(0.0, abs=1e-9)
+    assert r.cramers_v_q6 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_hashing_trick_counts(spark, monkeypatch):
+    import hashlib
+
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    text = "aa bb aa cc aa"
+    pdf = pd.DataFrame(
+        [(7, text, "en", "s0", len(text))],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.text_hashing_trick_features(spark, "u").collect()[0]
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 256
+
+    from collections import Counter
+    cnt = Counter(bucket(t) for t in text.split())
+    top_cnt = max(cnt.values())
+    top_b = min(b for b, c in cnt.items() if c == top_cnt)
+    assert r.n_tokens == 5
+    assert r.n_buckets == len(cnt)
+    assert r.top_bucket == top_b and r.top_bucket_cnt == top_cnt
+
+
+def test_lifetime_gaps_exact_percentiles(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    # user 1: events at 0, 10, 30, 70, 150 s -> gaps 10, 20, 40, 80
+    base = pd.Timestamp("2024-01-01")
+    ts = [base + pd.Timedelta(seconds=s) for s in (0, 10, 30, 70, 150)]
+    pdf = pd.DataFrame({
+        "event_id": range(5), "user_id": [1] * 5, "ts": ts,
+    })
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.events_user_lifetime_gaps(spark, "u").collect()[0]
+    assert r.n_gaps == 4
+    # lower median of [10,20,40,80] -> rank (4+1)//2 = 2 -> 20
+    assert r.p50_gap_s == pytest.approx(20.0, abs=1e-9)
+    # p90 rank = (9*4+9)//10 = 4 -> 80
+    assert r.p90_gap_s == pytest.approx(80.0, abs=1e-9)
+    assert r.max_gap_s == pytest.approx(80.0, abs=1e-9)
+    assert r.mean_gap_s == pytest.approx(37.5, abs=1e-9)

@@ -1599,3 +1599,322 @@ def events_user_lifetime_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_dow_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ), trended AS (
+        SELECT d, v,
+               CAST(sum(v) OVER w AS BIGINT)   AS t7,
+               CAST(count(*) OVER w AS BIGINT) AS nw
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), detr AS (
+        -- x7-scaled detrended value stays an EXACT integer: 7*v - t7
+        SELECT isodow(d) AS dow, 7 * v - t7 AS u
+        FROM trended WHERE nw = 7
+    ), g AS (
+        SELECT dow,
+               CAST(count(*) AS BIGINT)          AS ng,
+               CAST(sum(u) AS HUGEINT)           AS s1,
+               CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS s2
+        FROM detr GROUP BY dow
+    ), folded AS (
+        SELECT CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(s1) AS HUGEINT) AS gs1,
+               CAST(sum(s2) AS HUGEINT) AS gs2,
+               sum(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / ng
+                   ORDER BY dow) AS t1
+        FROM g
+    )
+    SELECT CAST(g.dow AS INT) AS dow, g.ng AS n_days,
+           round(CAST(g.s1 AS DOUBLE) / g.ng / 700, 6)
+               AS seasonal_dollars_q6,
+           CASE WHEN CAST(f.gs2 AS DOUBLE)
+                     - CAST(f.gs1 AS DOUBLE) * CAST(f.gs1 AS DOUBLE) / f.n
+                     > 0 THEN
+               round((f.t1 - CAST(f.gs1 AS DOUBLE) * CAST(f.gs1 AS DOUBLE)
+                                 / f.n)
+                     / (CAST(f.gs2 AS DOUBLE)
+                        - CAST(f.gs1 AS DOUBLE) * CAST(f.gs1 AS DOUBLE)
+                              / f.n), 6)
+           END AS seasonal_strength_q6
+    FROM g, folded f
+    ORDER BY dow
+    """,
+    doc="day-of-week seasonal decomposition of the daily revenue series "
+    "(the classical-decomposition seasonal pass STL refines): trend = "
+    "centered 7-day moving average, seasonal = per-weekday mean of the "
+    "detrended series, seasonal strength = eta-square of the weekday "
+    "grouping (SSB/SST — the variance-explained identity, so no "
+    "residual pass is needed). The key exactness move: the x7-scaled "
+    "detrended value 7*v - sum7(v) is an EXACT integer (the /7 never "
+    "happens), so group sums are exact HUGEINT/decimal(38) and the only "
+    "doubles are the final per-group divisions plus the 7-row sorted "
+    "fold (ANOVA discipline). Windows and grouping run at day grain — "
+    "bounded by the calendar (win_max_drawdown's justification); the "
+    "data-scale pass is one keyed day groupBy. Weekday = ISO (Mon=1): "
+    "Spark weekday()+1 == DuckDB isodow().",
+)
+def ts_dow_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").cast("bigint").alias("v"))
+    )
+    w = W.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "v",
+        F.sum("v").over(w).cast("bigint").alias("t7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nw"),
+    )
+    detr = trended.filter(F.col("nw") == 7).select(
+        (F.expr("weekday(d)") + 1).alias("dow"),
+        (7 * F.col("v") - F.col("t7")).alias("u"),
+    )
+    g = detr.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum(F.col("u").cast(dec)).alias("s1"),
+        F.sum((F.col("u").cast(dec) * F.col("u"))).alias("s2"),
+    )
+    term = F.struct(
+        F.col("dow").alias("dow"),
+        (F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("ng")).alias(
+            "t"
+        ),
+    )
+    folded = g.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("s1").alias("gs1"),
+        F.sum("s2").alias("gs2"),
+        F.aggregate(
+            F.array_sort(F.collect_list(term)),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("t1"),
+    )
+    gs1d = F.col("gs1").cast("double")
+    gs2d = F.col("gs2").cast("double")
+    n = F.col("n")
+    ssb = F.col("t1") - gs1d * gs1d / n
+    sst = gs2d - gs1d * gs1d / n
+    return (
+        g.crossJoin(F.broadcast(folded))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("ng").alias("n_days"),
+            F.round(F.col("s1").cast("double") / F.col("ng") / 700, 6).alias(
+                "seasonal_dollars_q6"
+            ),
+            F.when(sst > 0, F.round(ssb / sst, 6)).alias(
+                "seasonal_strength_q6"
+            ),
+        )
+        .orderBy("dow")
+    )
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH srev AS (
+        SELECT s.s_nationkey AS nation, l.l_suppkey,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ), agg AS (
+        SELECT nation,
+               CAST(count(*) AS BIGINT)                       AS n_supp,
+               CAST(sum(CAST(rev AS HUGEINT)) AS HUGEINT)     AS tot,
+               CAST(sum(CAST(rev AS HUGEINT) * rev) AS HUGEINT) AS sq
+        FROM srev GROUP BY nation
+    )
+    SELECT nation, n_supp,
+           CASE WHEN tot > 0 THEN
+               round(CAST(sq AS DOUBLE)
+                     / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+           END AS hhi_q6,
+           CASE WHEN tot > 0 AND n_supp > 1 THEN
+               round((CAST(sq AS DOUBLE)
+                      / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+                      - 1.0 / n_supp) / (1.0 - 1.0 / n_supp), 6)
+           END AS hhi_norm_q6
+    FROM agg
+    ORDER BY nation
+    """,
+    doc="Herfindahl-Hirschman market-concentration index per supplier "
+    "nation (the antitrust/market-power standard; companion to the "
+    "existing Lorenz/Gini concentration queries): HHI = sum(share^2) "
+    "computed WITHOUT materialising shares — sum(rev^2)/sum(rev)^2 from "
+    "exact HUGEINT/decimal(38) power sums (cent^2 sums pass 2^63 near "
+    "10^7 rows — the agg_corr_matrix 128-bit discipline), so no "
+    "per-supplier double division and NO fold-order sensitivity: the "
+    "only doubles are two final divisions on exact integers (identical "
+    "IEEE tree). Two keyed shuffles ((nation, supplier) rollup, then "
+    "nation), both map-side combinable; the supplier join broadcasts "
+    "the bounded supplier dimension. Normalized HHI guards the "
+    "single-supplier market with NULL, never divide-by-zero.",
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    sup = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nation"),
+    )
+    srev = (
+        li.join(F.broadcast(sup), "l_suppkey")
+        .groupBy("nation", "l_suppkey")
+        .agg(F.sum("c").cast("bigint").alias("rev"))
+    )
+    agg = srev.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_supp"),
+        F.sum(F.col("rev").cast(dec)).alias("tot"),
+        F.sum(F.col("rev").cast(dec) * F.col("rev")).alias("sq"),
+    )
+    totd = F.col("tot").cast("double")
+    sqd = F.col("sq").cast("double")
+    ns = F.col("n_supp")
+    hhi = sqd / (totd * totd)
+    return agg.select(
+        "nation",
+        "n_supp",
+        F.when(F.col("tot") > 0, F.round(hhi, 6)).alias("hhi_q6"),
+        F.when(
+            (F.col("tot") > 0) & (ns > 1),
+            F.round((hhi - F.lit(1.0) / ns) / (F.lit(1.0) - F.lit(1.0) / ns), 6),
+        ).alias("hhi_norm_q6"),
+    ).orderBy("nation")
+
+
+@register(
+    "stats_spearman_rho",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(round(l_discount * 100) AS BIGINT) AS d
+        FROM lineitem
+    ), joint AS (
+        SELECT q, d, CAST(count(*) AS BIGINT) AS w
+        FROM vals GROUP BY q, d
+    ), hq AS (
+        SELECT q, CAST(sum(w) AS BIGINT) AS c FROM joint GROUP BY q
+    ), hd AS (
+        SELECT d, CAST(sum(w) AS BIGINT) AS c FROM joint GROUP BY d
+    ), rq AS (
+        -- x2-scaled average (midrank) stays integer: 2*cum_before + c + 1
+        SELECT h.q,
+               2 * COALESCE(CAST(sum(h2.c) AS BIGINT), 0) + h.c + 1 AS r2
+        FROM hq h LEFT JOIN hq h2 ON h2.q < h.q
+        GROUP BY h.q, h.c
+    ), rd AS (
+        SELECT h.d,
+               2 * COALESCE(CAST(sum(h2.c) AS BIGINT), 0) + h.c + 1 AS r2
+        FROM hd h LEFT JOIN hd h2 ON h2.d < h.d
+        GROUP BY h.d, h.c
+    ), sums AS (
+        SELECT CAST(sum(j.w) AS BIGINT)                        AS n,
+               CAST(count(*) AS BIGINT)                        AS n_cells,
+               CAST(sum(CAST(j.w AS HUGEINT) * x.r2) AS HUGEINT)          AS sx,
+               CAST(sum(CAST(j.w AS HUGEINT) * y.r2) AS HUGEINT)          AS sy,
+               CAST(sum(CAST(j.w AS HUGEINT) * x.r2 * x.r2) AS HUGEINT)   AS sxx,
+               CAST(sum(CAST(j.w AS HUGEINT) * y.r2 * y.r2) AS HUGEINT)   AS syy,
+               CAST(sum(CAST(j.w AS HUGEINT) * x.r2 * y.r2) AS HUGEINT)   AS sxy
+        FROM joint j JOIN rq x ON x.q = j.q JOIN rd y ON y.d = j.d
+    )
+    SELECT n, CAST(n_cells AS INT) AS n_cells,
+           CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE)) > 0
+                 AND (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                          * CAST(sy AS DOUBLE)) > 0 THEN
+               round((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(n * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(n * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6)
+           END AS rho_q6
+    FROM sums
+    """,
+    doc="Spearman rank correlation with exact midrank tie handling "
+    "(completes the correlation family: Pearson = agg_corr_matrix, "
+    "rank-based = this): both variables live on bounded value lattices "
+    "(quantity 1..50, discount cents 0..10), so MIDRANKS come from the "
+    "marginal HISTOGRAMS — the x2-scaled midrank 2*cum_before + c + 1 "
+    "is an exact integer (the /2 never happens; the x2 scaling cancels "
+    "in the correlation) — and Pearson-on-ranks reduces to exact "
+    "HUGEINT/decimal(38) weighted power sums over <=550 JOINT-histogram "
+    "cells. The only doubles are the final num/sqrt combination on "
+    "exact integers (identical IEEE tree both engines). The only "
+    "data-scale pass is the joint-histogram groupBy — rank windows "
+    "over raw rows (the textbook formulation) would be a global sort; "
+    "this is the lattice rewrite that survives 100 TB.",
+)
+def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+    )
+    joint = li.groupBy("q", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    hq = joint.groupBy("q").agg(F.sum("w").cast("bigint").alias("c"))
+    hd = joint.groupBy("d").agg(F.sum("w").cast("bigint").alias("c"))
+
+    def midranks(h: DataFrame, key: str) -> DataFrame:
+        h2 = h.select(F.col(key).alias("k2"), F.col("c").alias("c2"))
+        return (
+            h.join(F.broadcast(h2), F.col("k2") < F.col(key), "left")
+            .groupBy(key, "c")
+            .agg(F.coalesce(F.sum("c2"), F.lit(0)).cast("bigint").alias("cb"))
+            .select(key, (2 * F.col("cb") + F.col("c") + 1).alias("r2"))
+        )
+
+    rq = midranks(hq, "q").withColumnRenamed("r2", "rx")
+    rd = midranks(hd, "d").withColumnRenamed("r2", "ry")
+    wdec = F.col("w").cast(dec)
+    sums = (
+        joint.join(F.broadcast(rq), "q")
+        .join(F.broadcast(rd), "d")
+        .agg(
+            F.sum("w").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum(wdec * F.col("rx")).alias("sx"),
+            F.sum(wdec * F.col("ry")).alias("sy"),
+            F.sum(wdec * F.col("rx") * F.col("rx")).alias("sxx"),
+            F.sum(wdec * F.col("ry") * F.col("ry")).alias("syy"),
+            F.sum(wdec * F.col("rx") * F.col("ry")).alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    vx = n * sxxd - sxd * sxd
+    vy = n * syyd - syd * syd
+    return sums.select(
+        "n",
+        F.col("n_cells").cast("int").alias("n_cells"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round((n * sxyd - sxd * syd) / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        ).alias("rho_q6"),
+    )

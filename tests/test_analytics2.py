@@ -512,3 +512,88 @@ def test_lifetime_gaps_exact_percentiles(spark, monkeypatch):
     assert r.p90_gap_s == pytest.approx(80.0, abs=1e-9)
     assert r.max_gap_s == pytest.approx(80.0, abs=1e-9)
     assert r.mean_gap_s == pytest.approx(37.5, abs=1e-9)
+
+
+# ------------------- batch 5: seasonal decompose / hhi / spearman
+
+def test_dow_seasonal_recovers_planted_pattern(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    days = pd.date_range("2021-01-04", periods=70, freq="D")  # Monday start
+    # pure weekly pattern: Monday +70, else +0, on a flat base
+    vals = [1000.0 + (70.0 if d.weekday() == 0 else 0.0) for d in days]
+    pdf = pd.DataFrame({"o_orderdate": days, "o_totalprice": vals})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    rows = {r.dow: r for r in mod.ts_dow_seasonal_decompose(spark, "u").collect()}
+    assert set(rows) == set(range(1, 8))
+    # the 7-day MA of a pure weekly pattern is constant -> detrended is
+    # exactly the seasonal: Monday = 70 - 10 = 60, others = -10
+    assert rows[1].seasonal_dollars_q6 == pytest.approx(60.0, abs=1e-6)
+    for dow in range(2, 8):
+        assert rows[dow].seasonal_dollars_q6 == pytest.approx(-10.0, abs=1e-6)
+    # pure seasonality, zero residual -> strength 1
+    assert rows[1].seasonal_strength_q6 == pytest.approx(1.0, abs=1e-6)
+
+
+def test_hhi_monopoly_and_uniform(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    li = pd.DataFrame({
+        "l_suppkey": [1, 2, 2, 3, 3, 3, 3],
+        "l_extendedprice": [100.0, 50.0, 50.0, 25.0, 25.0, 25.0, 25.0],
+    })
+    sup = pd.DataFrame({
+        "s_suppkey": [1, 2, 3],
+        "s_nationkey": [0, 1, 1],
+    })
+    tables = {"lineitem": li, "supplier": sup}
+    monkeypatch.setattr(
+        mod, "load", lambda s, d, n: spark.createDataFrame(tables[n])
+    )
+    got = {r.nation: r for r in mod.agg_hhi_concentration(spark, "u").collect()}
+    # nation 0: one supplier -> HHI 1, normalized NULL
+    assert got[0].n_supp == 1
+    assert got[0].hhi_q6 == pytest.approx(1.0, abs=1e-9)
+    assert got[0].hhi_norm_q6 is None
+    # nation 1: two suppliers with equal revenue 100 -> HHI 0.5, norm 0
+    assert got[1].n_supp == 2
+    assert got[1].hhi_q6 == pytest.approx(0.5, abs=1e-9)
+    assert got[1].hhi_norm_q6 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_spearman_matches_scipy_formula(spark, monkeypatch):
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    rng = np.random.RandomState(21)
+    q = rng.randint(1, 20, 500)
+    # monotone-ish with noise and heavy ties
+    d = np.clip((q // 3) + rng.randint(-2, 3, 500), 0, 10)
+    pdf = pd.DataFrame({"l_quantity": q.astype(float),
+                        "l_discount": d.astype(float) / 100.0})
+    monkeypatch.setattr(mod, "load", lambda s, d_, n: spark.createDataFrame(pdf))
+    r = mod.stats_spearman_rho(spark, "u").collect()[0]
+
+    # reference: pandas rank(average) + Pearson
+    s = pd.DataFrame({"q": q, "d": d})
+    rho = s["q"].rank(method="average").corr(s["d"].rank(method="average"))
+    assert r.n == 500
+    assert r.rho_q6 == pytest.approx(rho, abs=1e-6)
+
+
+def test_spearman_perfect_monotone(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    pdf = pd.DataFrame({"l_quantity": [1.0, 2.0, 3.0, 4.0],
+                        "l_discount": [0.01, 0.02, 0.03, 0.04]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_spearman_rho(spark, "u").collect()[0]
+    assert r.rho_q6 == pytest.approx(1.0, abs=1e-9)

@@ -70,6 +70,7 @@ KNOWN_BOUNDED = {
     # runs AFTER the keyed day-grain groupBy, bounded by the calendar
     "ts_seasonal_naive_mase",
     "ts_changepoint_cusum",
+    "ts_dow_seasonal_decompose",
 }
 
 

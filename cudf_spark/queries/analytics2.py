@@ -47,7 +47,7 @@ from pyspark.sql.window import Window as W
 
 from cudf_spark.catalog import load
 from cudf_spark.queries.registry import register
-from cudf_spark.queries.text import SQL_TOKS
+from cudf_spark.queries.text import SQL_TOKS, _lang_scores_sql
 
 
 @register(
@@ -1917,4 +1917,409 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             (vx > 0) & (vy > 0),
             F.round((n * sxyd - sxd * syd) / (F.sqrt(vx) * F.sqrt(vy)), 6),
         ).alias("rho_q6"),
+    )
+
+
+@register(
+    "text_lang_confusion_eval",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS actual,
+           {_lang_scores_sql()}
+        FROM documents
+    ), pred AS (
+        SELECT actual,
+               CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+                    WHEN s_es >= greatest(s_de, s_fr, s_zh)       THEN 'es'
+                    WHEN s_de >= greatest(s_fr, s_zh)             THEN 'de'
+                    WHEN s_fr >= s_zh                             THEN 'fr'
+                    ELSE 'zh' END AS predicted
+        FROM scored
+    ), per_class AS (
+        SELECT c.cls,
+               CAST(sum(CASE WHEN p.actual = c.cls
+                             AND p.predicted = c.cls THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN p.actual != c.cls
+                             AND p.predicted = c.cls THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN p.actual = c.cls
+                             AND p.predicted != c.cls THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn
+        FROM pred p
+        CROSS JOIN (SELECT DISTINCT actual AS cls FROM pred) c
+        GROUP BY c.cls
+    )
+    SELECT cls AS lang, tp, fp, fn,
+           CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) END
+               AS prec_u6,
+           CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) END
+               AS rec_u6,
+           CASE WHEN 2 * tp + fp + fn > 0 THEN
+               2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_u6
+    FROM per_class
+    ORDER BY lang
+    """,
+    doc="classifier evaluation head for the heuristic language detector "
+    "(text_lang_id's exact stop-word-vote rule re-scored against the "
+    "ground-truth lang column): per-class TP/FP/FN from ONE pass over "
+    "the (actual, predicted) pairs crossed with the <=5-row class list, "
+    "then precision/recall/F1 as EXACT integer micro-units — "
+    "tp*1e6 div (tp+fp) etc., and F1 via the 2tp/(2tp+fp+fn) identity "
+    "so no rational ever hits floating point (zero rounding-tie risk). "
+    "The class cross join is bounded by the label alphabet; the only "
+    "data-scale pass is the prediction scan. This is the eval-metrics "
+    "family (eval_ngram_overlap, ann_ivf_recall) applied to "
+    "classification.",
+)
+def text_lang_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+    from cudf_spark.queries.text import LANG_WORDS
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_WORDS.items()
+    }
+    pred_col = (
+        F.when(
+            scores["en"]
+            >= F.greatest(scores["es"], scores["de"], scores["fr"], scores["zh"]),
+            "en",
+        )
+        .when(scores["es"] >= F.greatest(scores["de"], scores["fr"], scores["zh"]), "es")
+        .when(scores["de"] >= F.greatest(scores["fr"], scores["zh"]), "de")
+        .when(scores["fr"] >= scores["zh"], "fr")
+        .otherwise("zh")
+    )
+    pred = d.select(F.col("lang").alias("actual"), pred_col.alias("predicted"))
+    classes = pred.select(F.col("actual").alias("lang")).distinct()
+    pc = (
+        pred.crossJoin(F.broadcast(classes))
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                ((F.col("actual") == F.col("lang")) & (F.col("predicted") == F.col("lang"))).cast("bigint")
+            ).alias("tp"),
+            F.sum(
+                ((F.col("actual") != F.col("lang")) & (F.col("predicted") == F.col("lang"))).cast("bigint")
+            ).alias("fp"),
+            F.sum(
+                ((F.col("actual") == F.col("lang")) & (F.col("predicted") != F.col("lang"))).cast("bigint")
+            ).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return pc.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        F.when(tp + fp > 0, F.expr("tp * 1000000 div (tp + fp)")).alias("prec_u6"),
+        F.when(tp + fn > 0, F.expr("tp * 1000000 div (tp + fn)")).alias("rec_u6"),
+        F.when(
+            2 * tp + fp + fn > 0,
+            F.expr("2 * tp * 1000000 div (2 * tp + fp + fn)"),
+        ).alias("f1_u6"),
+    ).orderBy("lang")
+
+
+@register(
+    "ml_nearest_centroid_eval",
+    oracle="""
+    WITH idx AS (
+        SELECT vec_id, label, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ), comp AS (
+        SELECT vec_id, label, i - 1 AS d,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS vc
+        FROM idx
+    ), cent AS (
+        SELECT label AS cl, d,
+               CAST(sum(vc) AS BIGINT) AS s
+        FROM comp GROUP BY label, d
+    ), csize AS (
+        SELECT label AS cl, CAST(count(*) AS BIGINT) AS nl
+        FROM embeddings GROUP BY label
+    ), cnorm AS (
+        SELECT cl, CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS css
+        FROM cent GROUP BY cl
+    ), vnorm AS (
+        SELECT vec_id, CAST(sum(CAST(vc AS HUGEINT) * vc) AS HUGEINT) AS vss
+        FROM comp GROUP BY vec_id
+    ), dots AS (
+        SELECT c.vec_id, ct.cl,
+               CAST(sum(CAST(c.vc AS HUGEINT) * ct.s) AS HUGEINT) AS dot
+        FROM comp c JOIN cent ct ON ct.d = c.d
+        GROUP BY c.vec_id, ct.cl
+    ), dist AS (
+        -- ||x - s/n||^2 = vss - 2*dot/n + css/n^2 : exact ints + 3 divisions
+        SELECT d.vec_id, d.cl,
+               CAST(v.vss AS DOUBLE)
+                   - 2.0 * CAST(d.dot AS DOUBLE) / z.nl
+                   + CAST(n.css AS DOUBLE) / z.nl / z.nl AS dd
+        FROM dots d
+        JOIN vnorm v ON v.vec_id = d.vec_id
+        JOIN cnorm n ON n.cl = d.cl
+        JOIN csize z ON z.cl = d.cl
+    ), assigned AS (
+        SELECT vec_id, cl AS predicted
+        FROM (SELECT vec_id, cl,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dd, cl) AS rn
+              FROM dist)
+        WHERE rn = 1
+    )
+    SELECT e.label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN a.predicted = e.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN a.predicted = e.label THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS acc_u6
+    FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id
+    GROUP BY e.label
+    ORDER BY e.label
+    """,
+    doc="nearest-centroid classifier training evaluation over the "
+    "embeddings table (Rocchio classification — the linear-probe-lite "
+    "sanity check every embedding pipeline runs): components quantized "
+    "to exact micro-units, per-label centroid SUMS kept as integers "
+    "(the /n never materialises — distance uses the expansion "
+    "||x - s/n||^2 = ||x||^2 - 2<x,s>/n + ||s||^2/n^2, all three sums "
+    "exact HUGEINT/decimal(38), then three divisions in the identical "
+    "IEEE tree), so the argmin over labels (dd, label tiebreak) is "
+    "deterministic across engines with NO sorted fold — integer sums "
+    "are order-free. Shuffles: (label, dim) centroid groupBy, dim-keyed "
+    "dot join, (vec, label) groupBy — all keyed; the label rank window "
+    "runs at K-row grain per vector. Training accuracy (vectors score "
+    "against centroids that include them) — the standard in-sample "
+    "Rocchio diagnostic.",
+)
+def ml_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    e = load(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda v: F.round(v.cast("double") * 1000000).cast("bigint"),
+            )
+        ),
+    ).select("vec_id", "label", F.col("pos").alias("d"), F.col("col").alias("vc"))
+    cent = comp.groupBy(F.col("label").alias("cl"), "d").agg(
+        F.sum("vc").cast("bigint").alias("s")
+    )
+    csize = e.groupBy(F.col("label").alias("cl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nl")
+    )
+    cnorm = cent.groupBy("cl").agg(
+        F.sum(F.col("s").cast(dec) * F.col("s")).alias("css")
+    )
+    vnorm = comp.groupBy("vec_id").agg(
+        F.sum(F.col("vc").cast(dec) * F.col("vc")).alias("vss")
+    )
+    dots = (
+        comp.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "cl")
+        .agg(F.sum(F.col("vc").cast(dec) * F.col("s")).alias("dot"))
+    )
+    dist = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "cl")
+        .join(F.broadcast(csize), "cl")
+        .select(
+            "vec_id",
+            "cl",
+            (
+                F.col("vss").cast("double")
+                - F.lit(2.0) * F.col("dot").cast("double") / F.col("nl")
+                + F.col("css").cast("double") / F.col("nl") / F.col("nl")
+            ).alias("dd"),
+        )
+    )
+    wr = W.partitionBy("vec_id").orderBy("dd", "cl")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cl").alias("predicted"))
+    )
+    correct = (F.col("predicted") == F.col("label")).cast("bigint")
+    return (
+        e.select("vec_id", "label")
+        .join(assigned, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            F.expr("n_correct * 1000000 div n").cast("bigint").alias("acc_u6"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS ad
+        FROM events
+    ), dau AS (
+        SELECT ad AS d, CAST(count(*) AS BIGINT) AS dau FROM user_days
+        GROUP BY ad
+    ), contrib7 AS (
+        SELECT DISTINCT user_id, ad + CAST(i AS INTEGER) AS d
+        FROM user_days,
+             (SELECT unnest(generate_series(0, 6)) AS i) s
+    ), wau AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS wau FROM contrib7 GROUP BY d
+    ), contrib28 AS (
+        SELECT DISTINCT user_id, ad + CAST(i AS INTEGER) AS d
+        FROM user_days,
+             (SELECT unnest(generate_series(0, 27)) AS i) s
+    ), mau AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS mau FROM contrib28 GROUP BY d
+    )
+    SELECT dau.d, dau.dau, wau.wau, mau.mau,
+           CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_u6
+    FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
+    ORDER BY dau.d
+    """,
+    doc="DAU / WAU / MAU / stickiness engagement metrics (the product-"
+    "analytics standard; stickiness = DAU/WAU as exact integer "
+    "micro-units — no floating point anywhere): the trailing-window "
+    "distinct-user count is rewritten as a CONTRIBUTION EXPANSION — "
+    "each (user, active-day) row contributes itself to the next 7 (or "
+    "28) calendar days via a constant-bounded sequence explode, then "
+    "one distinct + one keyed count per day — because a count-DISTINCT-"
+    "over-range-window needs either a non-equi join (nested-loop at "
+    "scale) or per-day state; the expansion is map-side, x7/x28 "
+    "bounded, and every shuffle is (user, day)- or day-keyed. Output "
+    "days are the active days (present in DAU); a silent zero-DAU day "
+    "cannot appear. The user-day dedup is the only data-scale pass.",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("ad")
+    ).distinct()
+    dau = user_days.groupBy(F.col("ad").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+
+    def trailing(n: int, name: str) -> DataFrame:
+        return (
+            user_days.select(
+                "user_id",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(n - 1))
+                ).alias("i"),
+                "ad",
+            )
+            .select("user_id", F.date_add(F.col("ad"), F.col("i")).alias("d"))
+            .distinct()
+            .groupBy("d")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    wau = trailing(7, "wau")
+    mau = trailing(28, "mau")
+    return (
+        dau.join(wau, "d")
+        .join(mau, "d")
+        .select(
+            "d",
+            "dau",
+            "wau",
+            "mau",
+            F.expr("dau * 1000000 div wau").cast("bigint").alias(
+                "stickiness_u6"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "misc_delta_zigzag_encode",
+    oracle="""
+    WITH seq AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem
+    ), deltas AS (
+        SELECT l_orderkey,
+               c - lag(c) OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, c) AS dlt
+        FROM seq
+    ), zz AS (
+        SELECT l_orderkey,
+               CASE WHEN dlt >= 0 THEN 2 * dlt ELSE -2 * dlt - 1 END AS z
+        FROM deltas WHERE dlt IS NOT NULL
+    )
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT)  AS n_deltas,
+           CAST(max(z) AS BIGINT)    AS max_zigzag,
+           CAST(sum(CASE WHEN z < 128 THEN 1
+                         WHEN z < 16384 THEN 2
+                         WHEN z < 2097152 THEN 3
+                         WHEN z < 268435456 THEN 4
+                         ELSE 5 END) AS BIGINT) AS varint_bytes
+    FROM zz
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    doc="delta + zigzag varint size estimator per order (the parquet "
+    "DELTA_BINARY_PACKED / protobuf varint encoding surfaced as a "
+    "query — companion to misc_rle_encode's storage-layer parity; "
+    "reference: cpp/src/io/parquet delta decoding): per-order deltas "
+    "of price cents over the (linenumber, cents) total order, zigzag "
+    "mapping 2d / -2d-1 in exact integers, varint width by an integer "
+    "CASE ladder (cents fit 5 bytes) — zero floating point. All three "
+    "stages share the l_orderkey partitioning: one shuffle, and the "
+    "estimator is the standard input to choosing encodings per column "
+    "chunk at write time. A 100 TB writer runs exactly this shape per "
+    "row group.",
+)
+def misc_delta_zigzag_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c"),
+    )
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "c")
+    deltas = li.select(
+        "l_orderkey", (F.col("c") - F.lag("c").over(w)).alias("dlt")
+    ).filter(F.col("dlt").isNotNull())
+    z = F.when(F.col("dlt") >= 0, 2 * F.col("dlt")).otherwise(
+        -2 * F.col("dlt") - 1
+    )
+    zz = deltas.select("l_orderkey", z.alias("z"))
+    width = (
+        F.when(F.col("z") < 128, 1)
+        .when(F.col("z") < 16384, 2)
+        .when(F.col("z") < 2097152, 3)
+        .when(F.col("z") < 268435456, 4)
+        .otherwise(5)
+    )
+    return (
+        zz.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_deltas"),
+            F.max("z").cast("bigint").alias("max_zigzag"),
+            F.sum(width).cast("bigint").alias("varint_bytes"),
+        )
+        .orderBy("l_orderkey")
     )

@@ -597,3 +597,102 @@ def test_spearman_perfect_monotone(spark, monkeypatch):
     monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
     r = mod.stats_spearman_rho(spark, "u").collect()[0]
     assert r.rho_q6 == pytest.approx(1.0, abs=1e-9)
+
+
+# ------- batch 6: confusion eval / centroid eval / dau-wau / delta-zigzag
+
+def test_lang_confusion_exact_counts(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    # LANG_WORDS: en=(the,a) es=(scan,join) de=(merge,sort) fr=(filter,group)
+    # zh=(data,row). Craft docs with known predictions.
+    docs = [
+        (1, "the a cat", "en"),        # -> en (tp en)
+        (2, "scan join now", "es"),    # -> es (tp es)
+        (3, "the a scan", "en"),       # en score 2 >= es 1 -> en (tp en)
+        (4, "scan join", "en"),        # -> es (fn en, fp es)
+        (5, "xyzzy", "es"),            # all 0 -> en wins tiebreak (fn es, fp en)
+    ]
+    pdf = pd.DataFrame(
+        [(i, t, l, "s0", len(t)) for i, t, l in docs],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.lang: r for r in mod.text_lang_confusion_eval(spark, "u").collect()}
+    en, es = got["en"], got["es"]
+    assert (en.tp, en.fp, en.fn) == (2, 1, 1)
+    assert (es.tp, es.fp, es.fn) == (1, 1, 1)
+    assert en.prec_u6 == 2 * 1000000 // 3
+    assert en.rec_u6 == 2 * 1000000 // 3
+    assert en.f1_u6 == 4 * 1000000 // 6
+    assert es.f1_u6 == 2 * 1000000 // 4
+
+
+def test_nearest_centroid_separable_clusters(spark, monkeypatch):
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    rng = np.random.RandomState(17)
+    rows = []
+    vid = 0
+    for label, center in [(0, 1.0), (1, -1.0)]:
+        for _ in range(20):
+            v = (np.full(64, center) + rng.uniform(-0.2, 0.2, 64)).astype("float32")
+            rows.append((vid, v.tolist(), label))
+            vid += 1
+    # one deliberate outlier of label 0 sitting at the label-1 center
+    rows.append((vid, np.full(64, -1.0, dtype="float32").tolist(), 0))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.label: r for r in mod.ml_nearest_centroid_eval(spark, "u").collect()}
+    assert got[0].n == 21 and got[0].n_correct == 20
+    assert got[0].acc_u6 == 20 * 1000000 // 21
+    assert got[1].n == 20 and got[1].n_correct == 20
+    assert got[1].acc_u6 == 1000000
+
+
+def test_dau_wau_contribution_expansion(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    base = pd.Timestamp("2024-03-01")
+    # user 1 active day 0 and day 3; user 2 active day 3
+    rows = [
+        (0, 1, base),
+        (1, 1, base + pd.Timedelta(days=3)),
+        (2, 2, base + pd.Timedelta(days=3)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {str(r.d): r for r in mod.events_dau_wau_stickiness(spark, "u").collect()}
+    # only active days appear
+    assert set(got) == {"2024-03-01", "2024-03-04"}
+    d0, d3 = got["2024-03-01"], got["2024-03-04"]
+    assert (d0.dau, d0.wau, d0.mau) == (1, 1, 1)
+    # day 3: user1 (from day 0 and day 3) + user2 -> wau 2
+    assert (d3.dau, d3.wau, d3.mau) == (2, 2, 2)
+    assert d3.stickiness_u6 == 1000000
+
+
+def test_delta_zigzag_known_sequence(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    # order 1: prices 10.00, 9.00, 30.00 -> deltas -100, +2100
+    # zigzag: 199, 4200 -> widths 2, 2
+    pdf = pd.DataFrame({
+        "l_orderkey": [1, 1, 1],
+        "l_linenumber": [1, 2, 3],
+        "l_extendedprice": [10.0, 9.0, 30.0],
+    })
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.misc_delta_zigzag_encode(spark, "u").collect()[0]
+    assert r.n_deltas == 2
+    assert r.max_zigzag == 4200
+    assert r.varint_bytes == 4

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from cudf_spark.catalog import load
+from cudf_spark.functions.hashing import hash60_sql
 from cudf_spark.queries.registry import register
 from cudf_spark.queries.text import SQL_TOKS, _lang_scores_sql
 
@@ -2322,4 +2323,180 @@ def misc_delta_zigzag_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(width).cast("bigint").alias("varint_bytes"),
         )
         .orderBy("l_orderkey")
+    )
+
+
+def _pca_round_sql(r: int) -> str:
+    """One unrolled power-iteration round as DuckDB CTE fragments."""
+    prev = f"v{r - 1}"
+    return f"""gv{r} AS (
+        SELECT g.d, sum(CAST(g.g AS DOUBLE) * v.ve ORDER BY g.e) AS gv
+        FROM gram g JOIN {prev} v ON v.e = g.e GROUP BY g.d
+    ), n{r} AS (
+        SELECT sqrt(sum(gv * gv ORDER BY d)) AS nrm FROM gv{r}
+    ), v{r} AS (
+        SELECT d AS e,
+               CASE WHEN nrm > 0 THEN gv / nrm END AS ve
+        FROM gv{r}, n{r}
+    )"""
+
+
+@register(
+    "emb_pca_power_iter",
+    oracle=f"""
+    WITH idx AS (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ), comp AS (
+        SELECT vec_id, i - 1 AS d,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS vc
+        FROM idx
+    ), gram AS (
+        SELECT a.d AS d, b.d AS e,
+               CAST(sum(CAST(a.vc AS HUGEINT) * b.vc) AS HUGEINT) AS g
+        FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+        GROUP BY a.d, b.d
+    ), v0 AS (
+        SELECT unnest(generate_series(0, 63)) AS e, 1.0 AS ve
+    ), {_pca_round_sql(1)}, {_pca_round_sql(2)}, {_pca_round_sql(3)},
+    {_pca_round_sql(4)}, {_pca_round_sql(5)}
+    SELECT CAST(rnk AS INT) AS rnk, CAST(e AS INT) AS dim,
+           round(ve, 6) AS loading_q6,
+           round((SELECT nrm FROM n5) / 1e12, 6) AS lambda_scaled_q6
+    FROM (SELECT e, ve,
+                 row_number() OVER (ORDER BY abs(ve) DESC, e) AS rnk
+          FROM v5)
+    WHERE rnk <= 8
+    ORDER BY rnk
+    """,
+    doc="top principal component by 5-round power iteration on the EXACT "
+    "Gram matrix (the distributed-PCA shape: reference scope cuml PCA, "
+    "re-expressed as DataFrame algebra): the ONLY data-scale pass "
+    "builds the dim x dim Gram via a double posexplode + (d, e) "
+    "groupBy — map-side partial aggregation collapses every partition "
+    "to <= 64^2 = 4096 cells, so the shuffle carries cells, not the "
+    "64x-amplified component rows; entries are exact HUGEINT/"
+    "decimal(38) micro-unit products. Power iteration then runs "
+    "entirely at 4096-row Gram grain: each round is one keyed join + "
+    "one 64-element SORTED fold per output dim (and a 64-element fold "
+    "for the norm) — the ANOVA fold discipline, so every double is "
+    "bit-identical across engines. v0 = ones (deterministic sign); "
+    "lambda is reported at micro^2 scale (/1e12). Top-8 loadings by "
+    "(|v| DESC, dim) over the 64-row result.",
+)
+def emb_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    e = load(spark, sf_dir, "embeddings")
+    vcs = F.transform(
+        "embedding", lambda v: F.round(v.cast("double") * 1000000).cast("bigint")
+    )
+    first = e.select("vec_id", vcs.alias("vcs")).select(
+        "vec_id", "vcs", F.posexplode("vcs").alias("d", "vcd")
+    )
+    both = first.select(
+        "vec_id", "d", "vcd", F.posexplode("vcs").alias("e", "vce")
+    )
+    gram = both.groupBy("d", "e").agg(
+        F.sum(F.col("vcd").cast(dec) * F.col("vce")).alias("g")
+    )
+    # v0 = ones over the 64 dims
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("e"), F.lit(1.0).alias("ve")
+    )
+    nrm_last = None
+    for _ in range(5):
+        term = F.struct(
+            F.col("e").alias("e"),
+            (F.col("g").cast("double") * F.col("ve")).alias("t"),
+        )
+        gv = (
+            gram.join(F.broadcast(v), "e")
+            .groupBy("d")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(term)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["t"],
+                ).alias("gv")
+            )
+        )
+        nterm = F.struct(
+            F.col("d").alias("d"), (F.col("gv") * F.col("gv")).alias("t")
+        )
+        nrm = gv.agg(
+            F.sqrt(
+                F.aggregate(
+                    F.array_sort(F.collect_list(nterm)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["t"],
+                )
+            ).alias("nrm")
+        )
+        v = gv.crossJoin(F.broadcast(nrm)).select(
+            F.col("d").alias("e"),
+            F.when(F.col("nrm") > 0, F.col("gv") / F.col("nrm")).alias("ve"),
+        )
+        nrm_last = nrm
+    from cudf_spark.operators.windows import bounded_global_rank
+
+    ranked = bounded_global_rank(
+        v, 8, [F.abs(F.col("ve")).desc(), F.col("e")], rank_col="rnk"
+    )
+    return ranked.crossJoin(F.broadcast(nrm_last)).select(
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("e").cast("int").alias("dim"),
+        F.round("ve", 6).alias("loading_q6"),
+        F.round(F.col("nrm") / F.lit(1e12), 6).alias("lambda_scaled_q6"),
+    ).orderBy("rnk")
+
+
+@register(
+    "misc_table_fingerprint",
+    oracle=f"""
+    WITH rows_h AS (
+        SELECT {hash60_sql("concat_ws('|', CAST(o_orderkey AS VARCHAR), "
+                           "CAST(o_custkey AS VARCHAR), o_orderstatus, "
+                           "CAST(CAST(round(o_totalprice * 100) AS BIGINT) "
+                           "AS VARCHAR), "
+                           "strftime(CAST(o_orderdate AS TIMESTAMP), "
+                           "'%Y-%m-%d'), o_orderpriority)")} AS h
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS fingerprint,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_rows
+    FROM rows_h
+    """,
+    doc="order-independent table fingerprint (cross-run data "
+    "reconciliation: two runs of a pipeline produced 'the same' table "
+    "iff (n_rows, fingerprint) match — the checksum a 100 TB migration "
+    "diff starts with): per-row canonical string -> shared md5-prefix "
+    "hash60 -> BIT_XOR aggregate. XOR is commutative/associative with "
+    "no overflow semantics, so the fingerprint is partition-order-free "
+    "and mergeable across shards/runs by XOR — a true one-value sketch "
+    "(the sketch-family persist+merge contract). Dates are pinned to a "
+    "canonical '%Y-%m-%d' rendering and money to exact cents so the "
+    "canonical string is engine-independent. One map-side pass, one "
+    "1-row aggregate; n_distinct_rows doubles as a dup detector.",
+)
+def misc_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.hashing import hash60
+
+    o = load(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h = o.select(hash60(canon).alias("h"))
+    return h.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("bit_xor(h)").cast("bigint").alias("fingerprint"),
+        F.countDistinct("h").cast("bigint").alias("n_distinct_rows"),
     )

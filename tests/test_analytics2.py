@@ -696,3 +696,69 @@ def test_delta_zigzag_known_sequence(spark, monkeypatch):
     assert r.n_deltas == 2
     assert r.max_zigzag == 4200
     assert r.varint_bytes == 4
+
+
+# ----------------------- batch 7: pca power iteration / fingerprint
+
+def test_pca_power_iter_matches_numpy_eig(spark, monkeypatch):
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    rng = np.random.RandomState(23)
+    # dominant direction along dim 5, weaker along dim 20
+    u = np.zeros(64); u[5] = 1.0
+    w = np.zeros(64); w[20] = 1.0
+    vecs = []
+    for i in range(80):
+        v = 3.0 * rng.randn() * u + 0.5 * rng.randn() * w \
+            + 0.05 * rng.randn(64)
+        vecs.append((i, np.round(v, 5).astype("float32").tolist(), 0))
+    pdf = pd.DataFrame(vecs, columns=["vec_id", "embedding", "label"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    rows = mod.emb_pca_power_iter(spark, "u").collect()
+    assert rows[0].rnk == 1 and rows[0].dim == 5
+    assert abs(rows[0].loading_q6) > 0.99
+
+    # eigenvalue: compare against numpy on the same quantized Gram
+    M = np.array([[int(round(x * 1e6)) for x in v] for _, v, _ in vecs],
+                 dtype=np.float64)
+    G = M.T @ M
+    lam = np.linalg.eigvalsh(G).max()
+    assert rows[0].lambda_scaled_q6 == pytest.approx(lam / 1e12, rel=1e-3)
+
+
+def test_fingerprint_order_free_and_sensitive(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    def mk(rows):
+        return pd.DataFrame(
+            rows,
+            columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                     "o_totalprice", "o_orderdate", "o_orderpriority"],
+        )
+
+    t0 = pd.Timestamp("1996-04-01")
+    rows = [(i, i * 7, "O", 100.5 + i, t0, "1-URGENT") for i in range(50)]
+    a = mk(rows)
+    b = mk(list(reversed(rows)))                       # permuted
+    c = mk(rows[:-1] + [(49, 49 * 7, "F", 100.5 + 49, t0, "1-URGENT")])
+
+    outs = []
+    for pdf in (a, b, c):
+        monkeypatch.setattr(mod, "load", lambda s, d, n, p=pdf: spark.createDataFrame(p))
+        outs.append(mod.misc_table_fingerprint(spark, "u").collect()[0])
+    assert outs[0].n_rows == 50 and outs[0].n_distinct_rows == 50
+    assert outs[0].fingerprint == outs[1].fingerprint     # order-free
+    assert outs[0].fingerprint != outs[2].fingerprint     # 1-row sensitive
+
+    # XOR mergeability: fp(first half) XOR fp(second half) == fp(all)
+    h1, h2 = mk(rows[:25]), mk(rows[25:])
+    fps = []
+    for pdf in (h1, h2):
+        monkeypatch.setattr(mod, "load", lambda s, d, n, p=pdf: spark.createDataFrame(p))
+        fps.append(mod.misc_table_fingerprint(spark, "u").collect()[0].fingerprint)
+    assert fps[0] ^ fps[1] == outs[0].fingerprint

@@ -2500,3 +2500,209 @@ def misc_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(h)").cast("bigint").alias("fingerprint"),
         F.countDistinct("h").cast("bigint").alias("n_distinct_rows"),
     )
+
+
+@register(
+    "dt_resample_ffill",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ), bounds AS (
+        SELECT min(d) AS lo, max(d) AS hi FROM daily
+    ), cal AS (
+        SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                           CAST(hi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    ), joined AS (
+        SELECT c.d, daily.rev FROM cal c LEFT JOIN daily ON daily.d = c.d
+    )
+    SELECT d,
+           CAST(last_value(rev IGNORE NULLS)
+                OVER (ORDER BY d) AS BIGINT) AS rev_cents,
+           CAST(CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS INT)
+               AS was_gap
+    FROM joined
+    ORDER BY d
+    """,
+    doc="calendar resample to daily frequency with forward fill (cudf "
+    "Resampler parity, python/cudf/cudf/core/resample.py — asfreq('D') "
+    "+ ffill, the gap-filling every time-series consumer needs before "
+    "rolling math): the day-grain aggregate joins a generated dense "
+    "calendar (sequence(min, max) — ONE row exploded, bounded by the "
+    "date span) and missing days forward-fill via last(IGNORE NULLS) "
+    "over date order. Exact integer cents end-to-end — no floats at "
+    "all. The fill window is day-grain global (win_max_drawdown's "
+    "calendar-bounded justification); the data-scale pass is the one "
+    "keyed groupBy. was_gap marks synthesized rows so downstream "
+    "consumers can weight or drop them.",
+)
+def dt_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").cast("bigint").alias("rev"))
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    joined = cal.join(daily, "d", "left")
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.select(
+        "d",
+        F.last("rev", ignorenulls=True).over(w).cast("bigint").alias(
+            "rev_cents"
+        ),
+        F.when(F.col("rev").isNull(), 1).otherwise(0).cast("int").alias(
+            "was_gap"
+        ),
+    ).orderBy("d")
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '.')) AS ch
+        FROM documents
+    ), hist AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        FROM chars GROUP BY doc_id, ch
+    ), tot AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_alpha
+        FROM hist GROUP BY doc_id
+    )
+    SELECT h.doc_id, t.n AS n_chars, t.n_alpha,
+           round(sum(-1.0 * (CAST(h.c AS DOUBLE) / t.n)
+                     * log2(CAST(h.c AS DOUBLE) / t.n)
+                     ORDER BY h.ch), 6) AS entropy_bits_q6,
+           round(sum(-1.0 * (CAST(h.c AS DOUBLE) / t.n)
+                     * log2(CAST(h.c AS DOUBLE) / t.n)
+                     ORDER BY h.ch) / 8.0, 6) AS est_compress_ratio_q6
+    FROM hist h JOIN tot t ON t.doc_id = h.doc_id
+    GROUP BY h.doc_id, t.n, t.n_alpha
+    ORDER BY h.doc_id
+    """,
+    doc="per-document order-0 character entropy (Shannon bits/char + the "
+    "implied best-case compression ratio — the gibberish/binary-noise "
+    "detector that complements the Gopher gates: natural text sits near "
+    "4.1 bits, base64 blobs near 6, repeated padding near 0): per-doc "
+    "char histogram via ONE (doc, char)-keyed groupBy on the normalized "
+    "text; the -p*log2(p) terms are doubles folded in sorted CHAR order "
+    "on both engines (the ANOVA fold discipline — alphabet-bounded "
+    "arrays, <=~100 entries/doc). Everything is doc-keyed, "
+    "embarrassingly parallel; no corpus-global state.",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(normalize_text(F.col("text")), F.lit("."), 0)
+        ).alias("ch"),
+    )
+    hist = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = hist.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_alpha"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.struct(
+        F.col("ch").alias("ch"), (F.lit(-1.0) * p * F.log2(p)).alias("t")
+    )
+    ent = F.aggregate(
+        F.array_sort(F.collect_list(term)),
+        F.lit(0.0),
+        lambda acc, x: acc + x["t"],
+    )
+    return (
+        hist.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_alpha")
+        .agg(ent.alias("ent"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            "n_alpha",
+            F.round("ent", 6).alias("entropy_bits_q6"),
+            F.round(F.col("ent") / 8.0, 6).alias("est_compress_ratio_q6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "stats_wilson_ci",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, s,
+           round(CAST(s AS DOUBLE) / n, 6) AS p_hat_q6,
+           round(((CAST(s AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))
+                  - 1.96 * sqrt((CAST(s AS DOUBLE) / n)
+                                * (1.0 - CAST(s AS DOUBLE) / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lo_q6,
+           round(((CAST(s AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))
+                  + 1.96 * sqrt((CAST(s AS DOUBLE) / n)
+                                * (1.0 - CAST(s AS DOUBLE) / n) / n
+                                + 1.96 * 1.96 / (4.0 * n * n)))
+                 / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi_q6
+    FROM g
+    ORDER BY event_type
+    """,
+    doc="Wilson score confidence interval per event type for the "
+    "high-value-event proportion (the conversion-rate CI that stays "
+    "inside [0,1] where the naive Wald interval fails at small n or "
+    "extreme p; z = 1.96 for 95%): ONE map-side-combinable groupBy "
+    "collects exact BIGINT (n, successes); the Wilson formula is pure "
+    "scalar arithmetic on those two integers — the identical IEEE tree "
+    "on both engines, rounded at 6. Group cardinality = the event-type "
+    "alphabet; nothing downstream of the aggregate touches data scale.",
+)
+def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", (F.col("value") >= 50).cast("bigint").alias("hit")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("hit").cast("bigint").alias("s"),
+    )
+    n = F.col("n")
+    p = F.col("s").cast("double") / n
+    z2 = F.lit(1.96) * F.lit(1.96)
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (F.lit(2.0) * n)
+    half = F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+    return g.select(
+        "event_type",
+        "n",
+        "s",
+        F.round(p, 6).alias("p_hat_q6"),
+        F.round((center - F.lit(1.96) * half) / denom, 6).alias(
+            "wilson_lo_q6"
+        ),
+        F.round((center + F.lit(1.96) * half) / denom, 6).alias(
+            "wilson_hi_q6"
+        ),
+    ).orderBy("event_type")

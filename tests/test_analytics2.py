@@ -762,3 +762,78 @@ def test_fingerprint_order_free_and_sensitive(spark, monkeypatch):
         monkeypatch.setattr(mod, "load", lambda s, d, n, p=pdf: spark.createDataFrame(p))
         fps.append(mod.misc_table_fingerprint(spark, "u").collect()[0].fingerprint)
     assert fps[0] ^ fps[1] == outs[0].fingerprint
+
+
+# -------------------- batch 8: resample ffill / char entropy / wilson
+
+def test_resample_ffill_fills_gaps(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    rows = [
+        (pd.Timestamp("2022-01-01"), 10.0),
+        (pd.Timestamp("2022-01-02"), 20.0),
+        # 3rd and 4th missing
+        (pd.Timestamp("2022-01-05"), 50.0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["o_orderdate", "o_totalprice"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = [(str(r.d), r.rev_cents, r.was_gap)
+           for r in mod.dt_resample_ffill(spark, "u").collect()]
+    assert got == [
+        ("2022-01-01", 1000, 0),
+        ("2022-01-02", 2000, 0),
+        ("2022-01-03", 2000, 1),
+        ("2022-01-04", 2000, 1),
+        ("2022-01-05", 5000, 0),
+    ]
+
+
+def test_char_entropy_extremes(spark, monkeypatch):
+    import math
+
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    docs = [
+        (1, "aaaaaaaa"),      # zero entropy
+        (2, "abababab"),      # 1 bit/char
+        (3, "abcd"),          # 2 bits/char
+    ]
+    pdf = pd.DataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in docs],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.doc_id: r for r in mod.text_char_entropy(spark, "u").collect()}
+    assert got[1].entropy_bits_q6 == pytest.approx(0.0, abs=1e-9)
+    assert got[2].entropy_bits_q6 == pytest.approx(1.0, abs=1e-9)
+    assert got[3].entropy_bits_q6 == pytest.approx(2.0, abs=1e-9)
+    assert got[3].est_compress_ratio_q6 == pytest.approx(0.25, abs=1e-9)
+    assert got[1].n_alpha == 1 and got[3].n_alpha == 4
+
+
+def test_wilson_ci_matches_closed_form(spark, monkeypatch):
+    import math
+
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    # 30 hits of 100 for type A
+    rows = [("A", 60.0)] * 30 + [("A", 10.0)] * 70
+    pdf = pd.DataFrame(rows, columns=["event_type", "value"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_wilson_ci(spark, "u").collect()[0]
+    n, s, z = 100, 30, 1.96
+    p = s / n
+    denom = 1 + z * z / n
+    center = p + z * z / (2 * n)
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    assert r.n == n and r.s == s
+    assert r.p_hat_q6 == pytest.approx(p, abs=1e-9)
+    assert r.wilson_lo_q6 == pytest.approx((center - half) / denom, abs=1e-6)
+    assert r.wilson_hi_q6 == pytest.approx((center + half) / denom, abs=1e-6)
+    assert 0.0 <= r.wilson_lo_q6 <= r.p_hat_q6 <= r.wilson_hi_q6 <= 1.0

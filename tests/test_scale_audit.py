@@ -71,6 +71,7 @@ KNOWN_BOUNDED = {
     "ts_seasonal_naive_mase",
     "ts_changepoint_cusum",
     "ts_dow_seasonal_decompose",
+    "dt_resample_ffill",
 }
 
 

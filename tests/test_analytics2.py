@@ -837,3 +837,66 @@ def test_wilson_ci_matches_closed_form(spark, monkeypatch):
     assert r.wilson_lo_q6 == pytest.approx((center - half) / denom, abs=1e-6)
     assert r.wilson_hi_q6 == pytest.approx((center + half) / denom, abs=1e-6)
     assert 0.0 <= r.wilson_lo_q6 <= r.p_hat_q6 <= r.wilson_hi_q6 <= 1.0
+
+
+# -------------------------- batch 9: finite EWM / exact gini
+
+def test_ewm_finite_matches_python_horner(spark, monkeypatch):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    rng = np.random.RandomState(31)
+    n = 60
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "user_id": np.repeat(np.arange(2, dtype="int64"), n // 2),
+        "ts": pd.date_range("2024-01-01", periods=n, freq="30s"),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    monkeypatch.setattr(mod, "load", lambda s, d, n_: spark.createDataFrame(pdf))
+    got = {r.event_id: r for r in mod.win_ewm_finite_horner(spark, "u").collect()}
+
+    for uid, grp in pdf.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        cents = [int(round(v * 100)) for v in g.value]
+        for i, eid in enumerate(g.event_id):
+            frame = cents[max(0, i - 19): i + 1]
+            acc = 0.0
+            for x in frame:            # oldest -> newest Horner
+                acc = acc * 0.5 + x
+            r = got[eid]
+            assert r.nw == len(frame)
+            assert r.ewm_cc == math.floor(acc * 100)
+
+
+def test_gini_exact_known_distributions(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    # perfectly equal -> gini 0
+    pdf = pd.DataFrame({"l_quantity": [5.0] * 100})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.agg_gini_exact_lattice(spark, "u").collect()[0]
+    assert r.gini_u6 == 0
+
+    # half at 0... lattice needs positive; use 1 and 9:
+    # values: 50x1, 50x9 -> MAD = (50*50*8*2)/100^2 = 4; mean = 5
+    # G = 4/(2*5) = 0.4
+    pdf = pd.DataFrame({"l_quantity": [1.0] * 50 + [9.0] * 50})
+    r = mod.agg_gini_exact_lattice(spark, "u").collect()[0]
+    assert r.gini_u6 == 400000
+
+    # brute force check on random lattice data
+    import numpy as np
+    rng = np.random.RandomState(41)
+    vals = rng.randint(1, 50, 300)
+    pdf = pd.DataFrame({"l_quantity": vals.astype(float)})
+    r = mod.agg_gini_exact_lattice(spark, "u").collect()[0]
+    diffs = np.abs(vals[:, None] - vals[None, :]).sum()
+    g = diffs / (2 * len(vals) ** 2 * vals.mean())
+    assert r.gini_u6 == int(g * 1e6) or abs(r.gini_u6 - g * 1e6) <= 1

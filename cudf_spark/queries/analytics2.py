@@ -2856,3 +2856,103 @@ def agg_gini_exact_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("gini_u6"),
     )
+
+
+def _event_row_hash() -> "F.Column":
+    """Canonical per-row hash60 for the events table (engine-independent
+    rendering: exact cents, microsecond epoch)."""
+    from cudf_spark.functions.hashing import hash60
+
+    return hash60(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.round(F.col("value") * 100).cast("bigint").cast("string"),
+            F.unix_micros(F.col("ts")).cast("string"),
+        )
+    )
+
+
+@register(
+    "stream_table_fingerprint",
+    oracle=f"""
+    WITH rows_h AS (
+        SELECT {hash60_sql(
+            "concat_ws('|', CAST(event_id AS VARCHAR), "
+            "CAST(user_id AS VARCHAR), event_type, "
+            "CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), "
+            "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR))")} AS h
+        FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS fingerprint,
+           TRUE AS stream_agrees
+    FROM rows_h
+    """,
+    doc="streaming incremental table fingerprint: the XOR row-hash "
+    "sketch (misc_table_fingerprint) maintained through a REAL "
+    "Structured Streaming micro-batch pipeline — foreachBatch reduces "
+    "each batch to ONE (n, xor) row, the driver state is a single "
+    "128-bit pair, and the merge is count-add + XOR (commutative, "
+    "associative, inverse-free) — the sketch persist+merge contract at "
+    "its smallest. The query PROVES merge == one-shot in-line: "
+    "stream_agrees compares the merged fingerprint against the batch "
+    "recomputation and the oracle pins the same one-shot value, so a "
+    "dropped or duplicated micro-batch cannot pass the gate. Incomplete "
+    "availableNow runs fail loudly (the stream_cms timeout discipline).",
+)
+def stream_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="fp_stream_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(tmp)
+        parts: list = []
+
+        def per_batch(bdf, _bid):
+            # one (n, xor) row per batch is ALL that crosses the boundary
+            parts.append(
+                bdf.select(_event_row_hash().alias("h"))
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.expr("bit_xor(h)").cast("bigint").alias("x"),
+                )
+                .collect()[0]
+            )
+
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_table_fingerprint: availableNow stream did not "
+                "finish within 300s; partial fingerprint would be wrong"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    n_stream = sum(p["n"] for p in parts)
+    fp_stream = 0
+    for p in parts:
+        fp_stream ^= p["x"]
+    oneshot = ev.select(_event_row_hash().alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("bit_xor(h)").cast("bigint").alias("fingerprint"),
+    )
+    return oneshot.select(
+        "n_rows",
+        "fingerprint",
+        (
+            (F.col("n_rows") == F.lit(n_stream))
+            & (F.col("fingerprint") == F.lit(fp_stream))
+        ).alias("stream_agrees"),
+    )

@@ -900,3 +900,24 @@ def test_gini_exact_known_distributions(spark, monkeypatch):
     diffs = np.abs(vals[:, None] - vals[None, :]).sum()
     g = diffs / (2 * len(vals) ** 2 * vals.mean())
     assert r.gini_u6 == int(g * 1e6) or abs(r.gini_u6 - g * 1e6) <= 1
+
+
+# ----------------------------- batch 10: streaming fingerprint
+
+def test_stream_fingerprint_merge_equals_oneshot(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    pdf = pd.DataFrame({
+        "event_id": range(40),
+        "user_id": [i % 5 for i in range(40)],
+        "event_type": ["click"] * 40,
+        "value": [float(i) for i in range(40)],
+        "ts": pd.date_range("2024-01-01", periods=40, freq="1min"),
+        "props": ["{}"] * 40,
+    })
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stream_table_fingerprint(spark, "u").collect()[0]
+    assert r.n_rows == 40
+    assert r.stream_agrees is True

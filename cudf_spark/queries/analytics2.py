@@ -2956,3 +2956,215 @@ def stream_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("fingerprint") == F.lit(fp_stream))
         ).alias("stream_agrees"),
     )
+
+
+@register(
+    "ml_silhouette_centroid",
+    oracle="""
+    WITH idx AS (
+        SELECT vec_id, label, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    ), comp AS (
+        SELECT vec_id, label, i - 1 AS d,
+               CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS vc
+        FROM idx
+    ), cent AS (
+        SELECT label AS cl, d, CAST(sum(vc) AS BIGINT) AS s
+        FROM comp GROUP BY label, d
+    ), csize AS (
+        SELECT label AS cl, CAST(count(*) AS BIGINT) AS nl
+        FROM embeddings GROUP BY label
+    ), cnorm AS (
+        SELECT cl, CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS css
+        FROM cent GROUP BY cl
+    ), vnorm AS (
+        SELECT vec_id, CAST(sum(CAST(vc AS HUGEINT) * vc) AS HUGEINT) AS vss
+        FROM comp GROUP BY vec_id
+    ), dots AS (
+        SELECT c.vec_id, ct.cl,
+               CAST(sum(CAST(c.vc AS HUGEINT) * ct.s) AS HUGEINT) AS dot
+        FROM comp c JOIN cent ct ON ct.d = c.d
+        GROUP BY c.vec_id, ct.cl
+    ), dist AS (
+        SELECT d.vec_id, d.cl,
+               sqrt(greatest(CAST(v.vss AS DOUBLE)
+                   - 2.0 * CAST(d.dot AS DOUBLE) / z.nl
+                   + CAST(n.css AS DOUBLE) / z.nl / z.nl, 0.0)) AS dd
+        FROM dots d
+        JOIN vnorm v ON v.vec_id = d.vec_id
+        JOIN cnorm n ON n.cl = d.cl
+        JOIN csize z ON z.cl = d.cl
+    ), ab AS (
+        SELECT e.vec_id, e.label,
+               min(CASE WHEN d.cl = e.label THEN d.dd END) AS a,
+               min(CASE WHEN d.cl != e.label THEN d.dd END) AS b
+        FROM embeddings e JOIN dist d ON d.vec_id = e.vec_id
+        GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label,
+           round(a / 1000000, 6) AS a_q6,
+           round(b / 1000000, 6) AS b_q6,
+           CASE WHEN greatest(a, b) > 0 THEN
+               round((b - a) / greatest(a, b), 6) END AS sil_q6
+    FROM ab
+    ORDER BY vec_id
+    """,
+    doc="centroid-based silhouette score per vector (the simplified "
+    "silhouette — a = distance to own centroid, b = distance to the "
+    "nearest other centroid — the O(N*K) clustering-quality diagnostic "
+    "that replaces the O(N^2) pairwise silhouette at scale): reuses the "
+    "ml_nearest_centroid_eval exact machinery — micro-unit components, "
+    "integer centroid SUMS, the ||x - s/n||^2 expansion on exact "
+    "HUGEINT/decimal(38) sums (integer aggregation is order-free, no "
+    "sorted folds needed), sqrt+compare in the identical IEEE tree — "
+    "with greatest(.,0) absorbing the -ulp a self-distance can produce. "
+    "Row-grain output (one silhouette per vector) like the other "
+    "row-grain scores; every shuffle is (label,dim)-, dim-, or "
+    "(vec,label)-keyed.",
+)
+def ml_silhouette_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    e = load(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda v: F.round(v.cast("double") * 1000000).cast("bigint"),
+            )
+        ),
+    ).select("vec_id", "label", F.col("pos").alias("d"), F.col("col").alias("vc"))
+    cent = comp.groupBy(F.col("label").alias("cl"), "d").agg(
+        F.sum("vc").cast("bigint").alias("s")
+    )
+    csize = e.groupBy(F.col("label").alias("cl")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nl")
+    )
+    cnorm = cent.groupBy("cl").agg(
+        F.sum(F.col("s").cast(dec) * F.col("s")).alias("css")
+    )
+    vnorm = comp.groupBy("vec_id").agg(
+        F.sum(F.col("vc").cast(dec) * F.col("vc")).alias("vss")
+    )
+    dots = (
+        comp.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "cl")
+        .agg(F.sum(F.col("vc").cast(dec) * F.col("s")).alias("dot"))
+    )
+    dist = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "cl")
+        .join(F.broadcast(csize), "cl")
+        .select(
+            "vec_id",
+            "cl",
+            F.sqrt(
+                F.greatest(
+                    F.col("vss").cast("double")
+                    - F.lit(2.0) * F.col("dot").cast("double") / F.col("nl")
+                    + F.col("css").cast("double") / F.col("nl") / F.col("nl"),
+                    F.lit(0.0),
+                )
+            ).alias("dd"),
+        )
+    )
+    ab = (
+        e.select("vec_id", "label")
+        .join(dist, "vec_id")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(F.when(F.col("cl") == F.col("label"), F.col("dd"))).alias("a"),
+            F.min(F.when(F.col("cl") != F.col("label"), F.col("dd"))).alias("b"),
+        )
+    )
+    a, b = F.col("a"), F.col("b")
+    return ab.select(
+        "vec_id",
+        "label",
+        F.round(a / 1000000, 6).alias("a_q6"),
+        F.round(b / 1000000, 6).alias("b_q6"),
+        F.when(F.greatest(a, b) > 0, F.round((b - a) / F.greatest(a, b), 6)).alias(
+            "sil_q6"
+        ),
+    ).orderBy("vec_id")
+
+
+@register(
+    "agg_mad_exact_lattice",
+    oracle="""
+    WITH hist AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY x
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM hist
+    ), med AS (
+        SELECT CAST(min(x) AS BIGINT) AS med
+        FROM (SELECT h.x, CAST(sum(h2.c) AS BIGINT) AS cum, min(t.n) AS n
+              FROM hist h JOIN hist h2 ON h2.x <= h.x
+              CROSS JOIN tot t GROUP BY h.x) s
+        WHERE 2 * cum >= n
+    ), dev AS (
+        SELECT abs(h.x - m.med) AS z, CAST(sum(h.c) AS BIGINT) AS c
+        FROM hist h, med m GROUP BY abs(h.x - m.med)
+    ), mad AS (
+        SELECT CAST(min(z) AS BIGINT) AS mad
+        FROM (SELECT d.z, CAST(sum(d2.c) AS BIGINT) AS cum, min(t.n) AS n
+              FROM dev d JOIN dev d2 ON d2.z <= d.z
+              CROSS JOIN tot t GROUP BY d.z) s
+        WHERE 2 * cum >= n
+    )
+    SELECT t.n, m.med, a.mad,
+           round(1.4826 * a.mad, 6) AS sigma_robust_q6
+    FROM tot t, med m, mad a
+    """,
+    doc="exact median absolute deviation on the value lattice (the "
+    "robust sigma estimator: MAD * 1.4826 ~ std for normal data — "
+    "companion to events_anomaly_mad which consumes a per-key MAD, and "
+    "to stats_levene_bf which uses the same deviation construction): "
+    "TWO applications of the integer 2*cum>=n lower-weighted-median "
+    "rank rule — first for the median on the value histogram, then for "
+    "the MAD on the |x - med| deviation histogram, which is just a "
+    "re-keyed fold of the SAME histogram (no second data scan, no FP "
+    "until the final constant multiply). Everything after the one "
+    "histogram groupBy runs at <=50-row lattice grain.",
+)
+def agg_mad_exact_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x")
+    )
+    hist = li.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = hist.agg(F.sum("c").cast("bigint").alias("n"))
+
+    def lower_wmedian(h: DataFrame, key: str) -> DataFrame:
+        h2 = h.select(F.col(key).alias("k2"), F.col("c").alias("c2"))
+        cum = (
+            h.join(F.broadcast(h2), F.col("k2") <= F.col(key))
+            .groupBy(key)
+            .agg(F.sum("c2").cast("bigint").alias("cum"))
+            .crossJoin(F.broadcast(tot))
+        )
+        return cum.filter(2 * F.col("cum") >= F.col("n")).agg(
+            F.min(key).cast("bigint").alias("m")
+        )
+
+    med = lower_wmedian(hist, "x").withColumnRenamed("m", "med")
+    dev = (
+        hist.crossJoin(F.broadcast(med))
+        .groupBy(F.abs(F.col("x") - F.col("med")).alias("z"))
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    mad = lower_wmedian(dev, "z").withColumnRenamed("m", "mad")
+    return (
+        tot.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "n",
+            "med",
+            "mad",
+            F.round(F.lit(1.4826) * F.col("mad"), 6).alias("sigma_robust_q6"),
+        )
+    )

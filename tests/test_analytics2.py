@@ -921,3 +921,64 @@ def test_stream_fingerprint_merge_equals_oneshot(spark, monkeypatch):
     r = mod.stream_table_fingerprint(spark, "u").collect()[0]
     assert r.n_rows == 40
     assert r.stream_agrees is True
+
+
+# ------------------------- batch 11: silhouette / MAD
+
+def test_silhouette_separated_clusters_near_one(spark, monkeypatch):
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    rng = np.random.RandomState(29)
+    rows = []
+    vid = 0
+    for label, center in [(0, 2.0), (1, -2.0)]:
+        for _ in range(15):
+            v = (np.full(64, center) + 0.01 * rng.randn(64)).astype("float32")
+            rows.append((vid, v.tolist(), label)); vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    rows_out = mod.ml_silhouette_centroid(spark, "u").collect()
+    assert len(rows_out) == 30
+    for r in rows_out:
+        assert r.sil_q6 > 0.95          # tight, well-separated clusters
+        assert r.b_q6 > r.a_q6
+
+    # verify one vector's a/b against numpy on the quantized lattice
+    M = {l: np.array([[int(round(x * 1e6)) for x in v]
+                      for _, v, lb in rows if lb == l], dtype=np.float64)
+         for l in (0, 1)}
+    cents = {l: M[l].mean(axis=0) for l in (0, 1)}
+    v0 = np.array([int(round(x * 1e6)) for x in rows[0][1]], dtype=np.float64)
+    a = np.linalg.norm(v0 - cents[0]); b = np.linalg.norm(v0 - cents[1])
+    r0 = [r for r in rows_out if r.vec_id == 0][0]
+    assert r0.a_q6 == pytest.approx(a / 1e6, abs=2e-6)
+    assert r0.b_q6 == pytest.approx(b / 1e6, abs=2e-6)
+    assert r0.sil_q6 == pytest.approx((b - a) / max(a, b), abs=2e-6)
+
+
+def test_mad_exact_known(spark, monkeypatch):
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    # values 1..7 once each: median 4 (2*cum>=7 at x=4), |dev| = 3,2,1,0,1,2,3
+    # dev hist: 0:1, 1:2, 2:2, 3:2 -> 2*cum>=7 at z=1? cum(0)=1,cum(1)=3 -> 6<7?
+    # 2*3=6 < 7; cum(2)=5 -> 10 >= 7 -> MAD=2
+    pdf = pd.DataFrame({"l_quantity": [float(v) for v in range(1, 8)]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.agg_mad_exact_lattice(spark, "u").collect()[0]
+    assert (r.n, r.med, r.mad) == (7, 4, 2)
+    assert r.sigma_robust_q6 == pytest.approx(2 * 1.4826, abs=1e-9)
+
+    # numpy cross-check on random data (lower-median convention both)
+    rng = np.random.RandomState(43)
+    vals = rng.randint(1, 50, 501)           # odd n -> unambiguous medians
+    pdf = pd.DataFrame({"l_quantity": vals.astype(float)})
+    r = mod.agg_mad_exact_lattice(spark, "u").collect()[0]
+    med = int(np.median(vals))
+    mad = int(np.median(np.abs(vals - med)))
+    assert (r.med, r.mad) == (med, mad)

@@ -3168,3 +3168,136 @@ def agg_mad_exact_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(1.4826) * F.col("mad"), 6).alias("sigma_robust_q6"),
         )
     )
+
+
+@register(
+    "stats_ab_srm_check",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               {hash60_sql("CAST(user_id AS VARCHAR)", seed=77)} % 2 AS arm
+        FROM events
+    ), counts AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+        FROM assigned
+    )
+    SELECT na, nb,
+           round(CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb), 6)
+               AS chi2_srm_q6,
+           CAST(CASE WHEN CAST((na - nb) * (na - nb) AS DOUBLE) / (na + nb)
+                          > 3.841 THEN 1 ELSE 0 END AS INT) AS srm_flag
+    FROM counts
+    """,
+    doc="sample-ratio-mismatch check for hash-based A/B assignment (the "
+    "first gate every experimentation platform runs before reading a "
+    "metric; chi-square vs the intended 50/50 split, 3.841 = the 95% "
+    "critical value for 1 dof): treatment arms come from the shared "
+    "seeded hash60 of the unit id — deterministic, engine-identical, "
+    "re-derivable at any time without an assignment table — and the "
+    "statistic ((na-nb)^2/n, algebraically equal to the 2-cell "
+    "chi-square against equal expectation) is one double division on "
+    "exact BIGINT counts. One distinct + one 1-row aggregate; nothing "
+    "downstream touches data scale. Companion to stats_ab_welch_t "
+    "(which reads the metric this query gates).",
+)
+def stats_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.hashing import hash60
+
+    ev = load(spark, sf_dir, "events")
+    assigned = ev.select("user_id").distinct().select(
+        (hash60(F.col("user_id").cast("string"), seed=77) % 2).alias("arm")
+    )
+    counts = assigned.agg(
+        F.sum((F.col("arm") == 0).cast("bigint")).alias("na"),
+        F.sum((F.col("arm") == 1).cast("bigint")).alias("nb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    chi2 = ((na - nb) * (na - nb)).cast("double") / (na + nb)
+    return counts.select(
+        "na",
+        "nb",
+        F.round(chi2, 6).alias("chi2_srm_q6"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("int").alias("srm_flag"),
+    )
+
+
+@register(
+    "win_rolling_ols_slope",
+    oracle="""
+    WITH seq AS (
+        SELECT event_id, user_id,
+               CAST(round(value * 100) AS BIGINT) AS y,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS BIGINT)
+                   AS rn
+        FROM events
+    ), framed AS (
+        SELECT event_id, user_id, rn,
+               CAST(count(*) OVER w AS BIGINT)       AS n,
+               CAST(sum(rn) OVER w AS BIGINT)        AS sx,
+               CAST(sum(rn * rn) OVER w AS BIGINT)   AS sxx,
+               CAST(sum(y) OVER w AS BIGINT)         AS sy,
+               CAST(sum(rn * y) OVER w AS BIGINT)    AS sxy
+        FROM seq
+        WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, CAST(n AS INT) AS n,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 THEN
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (n * sxx - sx * sx) / 100, 6)
+           END AS slope_dollars_q6
+    FROM framed
+    ORDER BY user_id, event_id
+    """,
+    doc="rolling OLS trend slope over the trailing 20 events per user "
+    "(the windowed companion to agg_group_ols — a streaming-style local "
+    "trend detector): x = the per-user event ordinal (evenly indexed, "
+    "so x-sums stay tiny exact integers — using raw epoch micros would "
+    "square to 3e30 and overflow), y = exact cents; all five frame "
+    "sums are exact BIGINT window aggregates, and the closed-form "
+    "slope (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) is one double division on "
+    "exact integers (identical IEEE tree). Degenerate frames (n < 2) "
+    "yield NULL, not divide-by-zero. Both windows share the user_id "
+    "partitioning — one shuffle.",
+)
+def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_id",
+        "user_id",
+        "y",
+        F.row_number().over(wo).cast("bigint").alias("rn"),
+    )
+    wf = W.partitionBy("user_id").orderBy("rn").rowsBetween(-19, 0)
+    framed = seq.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(wf).cast("bigint").alias("n"),
+        F.sum("rn").over(wf).cast("bigint").alias("sx"),
+        F.sum(F.col("rn") * F.col("rn")).over(wf).cast("bigint").alias("sxx"),
+        F.sum("y").over(wf).cast("bigint").alias("sy"),
+        F.sum(F.col("rn") * F.col("y")).over(wf).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return framed.select(
+        "event_id",
+        "user_id",
+        n.cast("int").alias("n"),
+        F.when(
+            (n >= 2) & (denom > 0),
+            F.round(num.cast("double") / denom / 100, 6),
+        ).alias("slope_dollars_q6"),
+    ).orderBy("user_id", "event_id")

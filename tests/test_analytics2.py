@@ -982,3 +982,71 @@ def test_mad_exact_known(spark, monkeypatch):
     med = int(np.median(vals))
     mad = int(np.median(np.abs(vals - med)))
     assert (r.med, r.mad) == (med, mad)
+
+
+# -------------------- batch 12: SRM check / rolling OLS slope
+
+def test_srm_balanced_and_imbalanced(spark, monkeypatch):
+    import hashlib as hl
+
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    def arm(uid):
+        return int(hl.md5(f"77|{uid}".encode()).hexdigest()[:15], 16) % 2
+
+    users = list(range(400))
+    pdf = pd.DataFrame({"user_id": users, "event_id": users,
+                        "ts": pd.Timestamp("2024-01-01"), "event_type": "c",
+                        "value": 1.0, "props": "{}"})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_ab_srm_check(spark, "u").collect()[0]
+    na = sum(1 for u in users if arm(u) == 0)
+    nb = len(users) - na
+    assert (r.na, r.nb) == (na, nb)
+    chi2 = (na - nb) ** 2 / (na + nb)
+    assert r.chi2_srm_q6 == pytest.approx(chi2, abs=1e-6)
+    assert r.srm_flag == int(chi2 > 3.841)
+
+    # force a gross mismatch: drop most of one arm -> flag fires
+    broken = [u for u in users if arm(u) == 0] + \
+             [u for u in users if arm(u) == 1][:20]
+    pdf = pd.DataFrame({"user_id": broken, "event_id": range(len(broken)),
+                        "ts": pd.Timestamp("2024-01-01"), "event_type": "c",
+                        "value": 1.0, "props": "{}"})
+    r = mod.stats_ab_srm_check(spark, "u").collect()[0]
+    assert r.srm_flag == 1
+
+
+def test_rolling_slope_linear_series(spark, monkeypatch):
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    # perfectly linear: value = 2*i dollars -> slope 2 once n >= 2
+    n = 50
+    pdf = pd.DataFrame({
+        "event_id": range(n), "user_id": [1] * n,
+        "ts": pd.date_range("2024-01-01", periods=n, freq="1min"),
+        "value": [2.0 * i for i in range(n)],
+    })
+    monkeypatch.setattr(mod, "load", lambda s, d, n_: spark.createDataFrame(pdf))
+    rows = mod.win_rolling_ols_slope(spark, "u").collect()
+    assert rows[0].slope_dollars_q6 is None          # n = 1
+    for r in rows[1:]:
+        assert r.slope_dollars_q6 == pytest.approx(2.0, abs=1e-9)
+
+    # numpy cross-check on noisy data
+    rng = np.random.RandomState(47)
+    vals = np.round(rng.uniform(0, 50, n), 2)
+    pdf["value"] = vals
+    rows = mod.win_rolling_ols_slope(spark, "u").collect()
+    cents = np.array([int(round(v * 100)) for v in vals])
+    for i in (25, 49):
+        lo = max(0, i - 19)
+        x = np.arange(lo + 1, i + 2, dtype=float)
+        y = cents[lo: i + 1].astype(float)
+        slope = np.polyfit(x, y, 1)[0] / 100
+        assert rows[i].slope_dollars_q6 == pytest.approx(slope, abs=1e-5)

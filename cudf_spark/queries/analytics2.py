@@ -3301,3 +3301,179 @@ def win_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num.cast("double") / denom / 100, 6),
         ).alias("slope_dollars_q6"),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "graph_adamic_adar",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ), pdeg AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS dp FROM edges GROUP BY p
+    ), hist AS (
+        SELECT dp, CAST(count(*) AS BIGINT) AS cnt FROM pdeg GROUP BY dp
+    ), thr AS (
+        SELECT CAST(min(h.dp) AS BIGINT) AS thr
+        FROM (SELECT h.dp, CAST(sum(h2.cnt) AS BIGINT) AS cum,
+                     min(tot.np) AS np
+              FROM hist h JOIN hist h2 ON h2.dp <= h.dp
+              CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS np
+                          FROM hist) tot
+              GROUP BY h.dp) h
+        WHERE h.cum * 100 >= 99 * h.np
+    ), keep AS (
+        SELECT e.s, e.p, pdeg.dp
+        FROM edges e JOIN pdeg USING (p), thr
+        WHERE pdeg.dp <= thr.thr AND pdeg.dp >= 2
+    ), weighted AS (
+        -- fixed-point Adamic-Adar weight per shared neighbor:
+        -- floor(1e9 / ln(deg)) — floor of bit-equal doubles cannot tie
+        SELECT s, p, CAST(floor(1000000000.0 / ln(CAST(dp AS DOUBLE)))
+                          AS BIGINT) AS w
+        FROM keep
+    ), pairs AS (
+        SELECT a.s AS sa, b.s AS sb,
+               CAST(count(*) AS BIGINT) AS n_shared,
+               CAST(sum(a.w) AS BIGINT) AS aa_u9
+        FROM weighted a JOIN weighted b ON a.p = b.p AND a.s < b.s
+        GROUP BY a.s, b.s
+    )
+    SELECT sa, sb, n_shared, aa_u9,
+           CAST(row_number() OVER (ORDER BY aa_u9 DESC, sa, sb) AS INT)
+               AS rnk
+    FROM pairs
+    QUALIFY rnk <= 20
+    ORDER BY rnk
+    """,
+    doc="Adamic-Adar link prediction on the co-supply graph (the "
+    "common-neighbor index that down-weights hub neighbors by 1/ln(deg) "
+    "— Adamic & Adar 2003; companion to graph_jaccard_neighbors, same "
+    "p99 hub cap and part-keyed self-join shape): the per-neighbor "
+    "weight is pre-quantized to a FIXED-POINT integer floor(1e9/ln(d)) "
+    "at edge grain — so the per-pair sum is an exact order-free BIGINT "
+    "aggregate (a double sum per pair would need a sorted fold over an "
+    "unbounded common-neighbor list; the fixed-point rewrite removes "
+    "the problem). Degree-1 parts are excluded (they cannot be common "
+    "neighbors and ln(1) = 0 would divide by zero). Top-20 via "
+    "TakeOrderedAndProject.",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.windows import bounded_global_rank
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pdeg = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("dp"))
+    hist = pdeg.groupBy("dp").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    h2 = hist.select(F.col("dp").alias("dp2"), F.col("cnt").alias("cnt2"))
+    tot = hist.agg(F.sum("cnt").cast("bigint").alias("np"))
+    cum = (
+        hist.join(F.broadcast(h2), F.col("dp2") <= F.col("dp"))
+        .groupBy("dp")
+        .agg(F.sum("cnt2").cast("bigint").alias("cum"))
+        .crossJoin(F.broadcast(tot))
+    )
+    thr = cum.filter(F.col("cum") * 100 >= 99 * F.col("np")).agg(
+        F.min("dp").cast("bigint").alias("thr")
+    )
+    keep = (
+        edges.join(pdeg, "p")
+        .crossJoin(F.broadcast(thr))
+        .filter((F.col("dp") <= F.col("thr")) & (F.col("dp") >= 2))
+    )
+    weighted = keep.select(
+        "s",
+        "p",
+        F.floor(F.lit(1000000000.0) / F.log(F.col("dp").cast("double")))
+        .cast("bigint")
+        .alias("w"),
+    )
+    a = weighted.select(F.col("s").alias("sa"), "p", "w")
+    b = weighted.select(F.col("s").alias("sb"), F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, (F.col("p") == F.col("p2")) & (F.col("sa") < F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum("w").cast("bigint").alias("aa_u9"),
+        )
+    )
+    return bounded_global_rank(
+        pairs, 20, [F.desc("aa_u9"), F.col("sa"), F.col("sb")]
+    )
+
+
+@register(
+    "events_interarrival_burstiness",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ), gaps AS (
+        SELECT user_id,
+               us - lag(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS g
+        FROM ev
+    ), sums AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT)            AS n,
+               CAST(sum(g) AS BIGINT)              AS s1,
+               CAST(sum(CAST(g AS HUGEINT) * g) AS HUGEINT) AS s2
+        FROM gaps WHERE g IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CASE WHEN n >= 2 AND s1 > 0 THEN
+               round((sqrt(greatest(
+                          CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n), 0.0))
+                      - CAST(s1 AS DOUBLE) / n)
+                     / (sqrt(greatest(
+                          CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n), 0.0))
+                        + CAST(s1 AS DOUBLE) / n), 6)
+           END AS burstiness_q6
+    FROM sums
+    ORDER BY user_id
+    """,
+    doc="inter-event burstiness coefficient per user (Goh & Barabasi "
+    "2008: B = (sigma - mu)/(sigma + mu) of the inter-arrival gaps — "
+    "B -> -1 periodic, 0 Poisson, +1 bursty; the behavioral-cadence "
+    "signal next to events_user_lifetime_gaps' percentiles): gaps are "
+    "exact BIGINT microseconds, sigma/mu from exact (n, sum, sumsq) "
+    "via ONE user-keyed groupBy after the lag window (shared "
+    "partitioning, one shuffle); gap^2 sums in HUGEINT/decimal(38) "
+    "(us^2 ~ 1e24 per row). The B formula is the identical IEEE tree "
+    "on exact integers; degenerate users (single gap or zero total "
+    "gap) yield NULL. greatest(.,0) absorbs the -ulp of a constant "
+    "gap sequence.",
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = "decimal(38,0)"
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    wl = W.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("us") - F.lag("us").over(wl)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    sums = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("s1"),
+        F.sum(F.col("g").cast(dec) * F.col("g")).alias("s2"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    var = F.greatest(F.col("s2").cast("double") / n - mu * mu, F.lit(0.0))
+    sig = F.sqrt(var)
+    return sums.select(
+        "user_id",
+        "n",
+        F.when(
+            (n >= 2) & (F.col("s1") > 0), F.round((sig - mu) / (sig + mu), 6)
+        ).alias("burstiness_q6"),
+    ).orderBy("user_id")

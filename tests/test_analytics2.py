@@ -1050,3 +1050,56 @@ def test_rolling_slope_linear_series(spark, monkeypatch):
         y = cents[lo: i + 1].astype(float)
         slope = np.polyfit(x, y, 1)[0] / 100
         assert rows[i].slope_dollars_q6 == pytest.approx(slope, abs=1e-5)
+
+
+# --------------------- batch 13: adamic-adar / burstiness
+
+def test_adamic_adar_weights_down_hubs(spark, monkeypatch):
+    import math
+
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    # suppliers 1,2 share a rare part (deg 2); suppliers 3,4 share a
+    # commoner part (deg 4) -> pair (1,2) outranks (3,4)
+    rows = [
+        (1, 100), (2, 100),                          # rare, deg 2
+        (3, 200), (4, 200), (5, 200), (6, 200),      # common, deg 4
+    ]
+    # make (3,4) also share only the common part
+    pdf = pd.DataFrame(rows, columns=["l_suppkey", "l_partkey"])
+    pdf["l_quantity"] = 1.0
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = [(r.sa, r.sb, r.n_shared, r.aa_u9)
+           for r in mod.graph_adamic_adar(spark, "u").collect()]
+    w2 = math.floor(1e9 / math.log(2))
+    w4 = math.floor(1e9 / math.log(4))
+    assert got[0] == (1, 2, 1, w2)
+    assert (3, 4, 1, w4) in got
+    assert w2 > w4
+
+
+def test_burstiness_periodic_vs_bursty(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: perfectly periodic (gap 60s) -> sigma 0 -> B = -1
+    for i in range(10):
+        rows.append((len(rows), 1, base + pd.Timedelta(seconds=60 * i)))
+    # user 2: bursty — 9 tiny gaps, one huge gap
+    t = base
+    for i in range(9):
+        t += pd.Timedelta(seconds=1)
+        rows.append((len(rows), 2, t))
+    t += pd.Timedelta(hours=10)
+    rows.append((len(rows), 2, t))
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.user_id: r for r in
+           mod.events_interarrival_burstiness(spark, "u").collect()}
+    assert got[1].burstiness_q6 == pytest.approx(-1.0, abs=1e-9)
+    assert got[2].burstiness_q6 > 0.4

@@ -3477,3 +3477,111 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
             (n >= 2) & (F.col("s1") > 0), F.round((sig - mu) / (sig + mu), 6)
         ).alias("burstiness_q6"),
     ).orderBy("user_id")
+
+
+@register(
+    "events_topk_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM (SELECT user_id, event_id, event_type,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS us
+              FROM events) t
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), paths AS (
+        SELECT event_type || '>' || e2 || '>' || e3 AS path,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, n,
+           CAST(row_number() OVER (ORDER BY n DESC, path) AS INT) AS rnk
+    FROM paths
+    QUALIFY rnk <= 10
+    ORDER BY rnk
+    """,
+    doc="top-k 3-step user paths (the product-analytics 'user flows' "
+    "report: which event trigrams dominate journeys): per-user ordered "
+    "lead x2 builds every consecutive 3-gram inside ONE user-keyed "
+    "window (no self-joins), then a path-keyed count and a top-10 via "
+    "TakeOrderedAndProject over the path-grain aggregate (path "
+    "cardinality is the event-type alphabet cubed — bounded — never "
+    "user-count). Ordering is (microsecond ts, event_id) — total on "
+    "both engines. Partial windows (users with < 3 events) drop via "
+    "the NULL-lead filter identically.",
+)
+def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.windows import bounded_global_rank
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return bounded_global_rank(paths, 10, [F.desc("n"), F.col("path")])
+
+
+@register(
+    "pipeline_temporal_split_guard",
+    oracle="""
+    WITH tagged AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderdate <  TIMESTAMP '1999-01-01' THEN 'train'
+                    WHEN o_orderdate <  TIMESTAMP '1999-02-01' THEN 'gap'
+                    WHEN o_orderdate <  TIMESTAMP '2000-01-01' THEN 'val'
+                    WHEN o_orderdate <  TIMESTAMP '2000-02-01' THEN 'gap'
+                    ELSE 'test' END AS split
+        FROM orders
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+    doc="leakage-guarded temporal train/val/test split (the feature-"
+    "store discipline feat_multi_horizon documents, applied to dataset "
+    "assembly: a one-month EMBARGO GAP between consecutive splits so "
+    "label windows that straddle a boundary cannot leak future "
+    "information into training — the gap rows are EXCLUDED, not "
+    "assigned): one map-only CASE tag + one keyed count. Fixed "
+    "calendar boundaries are the point (reproducible splits a re-run "
+    "cannot shift); the key range per split is reported so downstream "
+    "materialisation can verify it read the same frontier. At 100 TB "
+    "this predicate pushes down to partition pruning when the table is "
+    "date-partitioned (DEPLOYMENT.md layout).",
+)
+def pipeline_temporal_split_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    split = (
+        F.when(d < F.lit("1999-01-01").cast("timestamp"), "train")
+        .when(d < F.lit("1999-02-01").cast("timestamp"), "gap")
+        .when(d < F.lit("2000-01-01").cast("timestamp"), "val")
+        .when(d < F.lit("2000-02-01").cast("timestamp"), "gap")
+        .otherwise("test")
+    )
+    return (
+        o.select("o_orderkey", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("split")
+    )

@@ -1103,3 +1103,47 @@ def test_burstiness_periodic_vs_bursty(spark, monkeypatch):
            mod.events_interarrival_burstiness(spark, "u").collect()}
     assert got[1].burstiness_q6 == pytest.approx(-1.0, abs=1e-9)
     assert got[2].burstiness_q6 > 0.4
+
+
+# ------------------- batch 14: topk paths / temporal split
+
+def test_topk_paths_counts_trigrams(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: a b c a b c -> paths: a>b>c x2, b>c>a x1, c>a>b x1
+    for i, et in enumerate("abcabc"):
+        rows.append((len(rows), 1, et, base + pd.Timedelta(minutes=i)))
+    # user 2: a b -> too short, contributes nothing
+    for i, et in enumerate("ab"):
+        rows.append((len(rows), 2, et, base + pd.Timedelta(minutes=i)))
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+    pdf["value"] = 1.0
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = [(r.path, r.n, r.rnk) for r in mod.events_topk_paths(spark, "u").collect()]
+    assert got == [("a>b>c", 2, 1), ("b>c>a", 1, 2), ("c>a>b", 1, 3)]
+
+
+def test_temporal_split_embargo_gap(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    dates = {
+        "train": pd.Timestamp("1998-06-15"),
+        "gap1": pd.Timestamp("1999-01-15"),
+        "val": pd.Timestamp("1999-06-15"),
+        "gap2": pd.Timestamp("2000-01-15"),
+        "test": pd.Timestamp("2000-06-15"),
+    }
+    rows = [(i, d) for i, d in enumerate(dates.values())]
+    pdf = pd.DataFrame(rows, columns=["o_orderkey", "o_orderdate"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.split: r for r in mod.pipeline_temporal_split_guard(spark, "u").collect()}
+    assert got["train"].n_rows == 1 and got["train"].min_key == 0
+    assert got["gap"].n_rows == 2          # both embargo windows pooled
+    assert got["val"].n_rows == 1 and got["val"].min_key == 2
+    assert got["test"].n_rows == 1 and got["test"].min_key == 4

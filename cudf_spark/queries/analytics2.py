@@ -3585,3 +3585,186 @@ def pipeline_temporal_split_guard(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("split")
     )
+
+
+@register(
+    "agg_benford_check",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS d
+        FROM orders
+        WHERE o_totalprice > 0
+    ), obs AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS c FROM digits GROUP BY d
+    ), grid AS (
+        -- full 1..9 grid: a digit absent from the data still contributes
+        -- its expected mass to chi2 (the Cramer's-V structural-zero rule)
+        SELECT g.d, COALESCE(obs.c, 0) AS c,
+               log10(1.0 + 1.0 / g.d) AS p_exp
+        FROM (SELECT unnest(generate_series(1, 9)) AS d) g
+        LEFT JOIN obs ON obs.d = g.d
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM grid
+    )
+    SELECT g.d AS digit, g.c AS n_obs,
+           round(g.p_exp, 6) AS p_expected_q6,
+           round(CAST(g.c AS DOUBLE) / t.n, 6) AS p_observed_q6,
+           round((SELECT sum((CAST(g2.c AS DOUBLE) - t.n * g2.p_exp)
+                             * (CAST(g2.c AS DOUBLE) - t.n * g2.p_exp)
+                             / (t.n * g2.p_exp)
+                             ORDER BY g2.d)
+                  FROM grid g2), 6) AS chi2_q6
+    FROM grid g, tot t
+    ORDER BY digit
+    """,
+    doc="Benford's-law first-digit conformance check on order amounts "
+    "(the classic fraud / synthetic-data / unit-mixing detector: "
+    "natural multi-scale amounts follow P(d) = log10(1 + 1/d)): first "
+    "digit extracted from the exact integer cents rendering (no float "
+    "formatting ambiguity), one digit-keyed groupBy, the full 1..9 "
+    "grid joined so absent digits still contribute expected mass, and "
+    "the chi-square folded in digit order on both engines (the ANOVA "
+    "fold discipline over 9 cells). Expected probabilities are "
+    "log10 constants — identical IEEE trees. One data-scale pass; "
+    "everything else is 9-row grain. chi2 >> 20.09 (alpha = 0.01, "
+    "8 dof) flags non-Benford data.",
+)
+def agg_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    grid = (
+        spark.range(1, 10)
+        .select(F.col("id").cast("bigint").alias("d"))
+        .join(obs, "d", "left")
+        .select(
+            "d",
+            F.coalesce("c", F.lit(0).cast("bigint")).alias("c"),
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d")).alias("p_exp"),
+        )
+    )
+    tot = grid.agg(F.sum("c").cast("bigint").alias("n"))
+    gt = grid.crossJoin(F.broadcast(tot))
+    dev = F.col("c").cast("double") - F.col("n") * F.col("p_exp")
+    term = F.struct(
+        F.col("d").alias("d"),
+        (dev * dev / (F.col("n") * F.col("p_exp"))).alias("t"),
+    )
+    chi2 = gt.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(term)),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("chi2")
+    )
+    return (
+        gt.crossJoin(F.broadcast(chi2))
+        .select(
+            F.col("d").alias("digit"),
+            F.col("c").alias("n_obs"),
+            F.round("p_exp", 6).alias("p_expected_q6"),
+            F.round(F.col("c").cast("double") / F.col("n"), 6).alias(
+                "p_observed_q6"
+            ),
+            F.round("chi2", 6).alias("chi2_q6"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "text_bigram_cond_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id,
+               regexp_extract_all(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '.') AS cs
+        FROM documents
+    ), idx AS (
+        SELECT doc_id, cs, unnest(generate_series(1, len(cs) - 1)) AS i
+        FROM chars WHERE len(cs) >= 2
+    ), bigrams AS (
+        SELECT cs[i] AS a, cs[i + 1] AS b,
+               CAST(count(*) AS BIGINT) AS cab
+        FROM idx GROUP BY 1, 2
+    ), lefts AS (
+        SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM bigrams GROUP BY a
+    ), tot AS (
+        SELECT CAST(sum(cab) AS BIGINT) AS n FROM bigrams
+    )
+    SELECT t.n AS n_bigrams,
+           CAST((SELECT count(*) FROM bigrams) AS BIGINT) AS n_pairs,
+           round((SELECT sum(-1.0 * (CAST(b.cab AS DOUBLE) / t.n)
+                             * log2(CAST(b.cab AS DOUBLE) / l.ca)
+                             ORDER BY b.a, b.b)
+                  FROM bigrams b JOIN lefts l ON l.a = b.a), 6)
+               AS cond_entropy_bits_q6
+    FROM tot t
+    """,
+    doc="corpus character-bigram conditional entropy H(next|current) "
+    "(the order-1 entropy rate — the step beyond text_char_entropy's "
+    "order-0: natural language sits well below its unigram entropy "
+    "because characters are predictable from context; gibberish does "
+    "not drop): bigram extraction is per-doc positional indexing (no "
+    "cross-doc bigrams — document boundaries are real boundaries), ONE "
+    "(a,b)-keyed corpus groupBy, left-marginals re-aggregated from the "
+    "bigram table (no second scan), and H = -sum p(a,b) log2 p(b|a) "
+    "folded in sorted (a,b) order over alphabet^2-bounded cells. The "
+    "only data-scale pass is the bigram groupBy.",
+)
+def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    cs = F.regexp_extract_all(normalize_text(F.col("text")), F.lit("."), 0)
+    pairs = (
+        docs.select("doc_id", cs.alias("cs"))
+        .filter(F.size("cs") >= 2)
+        .select(
+            F.posexplode(F.expr("slice(cs, 1, size(cs) - 1)")).alias("i", "a"),
+            F.col("cs"),
+        )
+        .select("a", F.expr("cs[i + 1]").alias("b"))
+    )
+    bigrams = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cab")
+    )
+    lefts = bigrams.groupBy("a").agg(F.sum("cab").cast("bigint").alias("ca"))
+    tot = bigrams.agg(F.sum("cab").cast("bigint").alias("n"))
+    npairs = bigrams.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    joined = bigrams.join(F.broadcast(lefts), "a").crossJoin(F.broadcast(tot))
+    term = F.struct(
+        F.col("a").alias("a"),
+        F.col("b").alias("b"),
+        (
+            F.lit(-1.0)
+            * (F.col("cab").cast("double") / F.col("n"))
+            * F.log2(F.col("cab").cast("double") / F.col("ca"))
+        ).alias("t"),
+    )
+    h = joined.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(term)),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("h")
+    )
+    return (
+        tot.crossJoin(F.broadcast(npairs))
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.col("n").alias("n_bigrams"),
+            "n_pairs",
+            F.round("h", 6).alias("cond_entropy_bits_q6"),
+        )
+    )

@@ -1147,3 +1147,62 @@ def test_temporal_split_embargo_gap(spark, monkeypatch):
     assert got["gap"].n_rows == 2          # both embargo windows pooled
     assert got["val"].n_rows == 1 and got["val"].min_key == 2
     assert got["test"].n_rows == 1 and got["test"].min_key == 4
+
+
+# --------------------- batch 15: benford / bigram entropy
+
+def test_benford_conforming_and_uniform(spark, monkeypatch):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    # Benford-conforming sample: amounts log-uniform over 4 decades
+    rng = np.random.RandomState(53)
+    vals = np.power(10.0, rng.uniform(2, 6, 5000)) / 100.0
+    pdf = pd.DataFrame({"o_totalprice": np.round(vals, 2)})
+    pdf = pdf[pdf.o_totalprice > 0]
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    rows = mod.agg_benford_check(spark, "u").collect()
+    assert len(rows) == 9
+    chi2_conform = rows[0].chi2_q6
+    assert chi2_conform < 20.09            # conforms at alpha=0.01
+
+    # grossly non-Benford: every amount starts with digit 9
+    pdf = pd.DataFrame({"o_totalprice": [9.99] * 1000})
+    rows = mod.agg_benford_check(spark, "u").collect()
+    assert rows[8].n_obs == 1000 and rows[0].n_obs == 0
+    assert rows[0].chi2_q6 > 20.09
+
+    # expected probabilities are the Benford constants
+    for r in mod.agg_benford_check(spark, "u").collect():
+        assert r.p_expected_q6 == pytest.approx(
+            math.log10(1 + 1 / r.digit), abs=5.1e-7)
+
+
+def test_bigram_cond_entropy_known_processes(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    def run(texts):
+        pdf = pd.DataFrame(
+            [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        import unittest.mock as um
+        with um.patch.object(mod, "load", lambda s, d, n: spark.createDataFrame(pdf)):
+            return mod.text_bigram_cond_entropy(spark, "u").collect()[0]
+
+    # deterministic successor (abababab): H(next|cur) = 0
+    r = run(["abababababab"])
+    assert r.cond_entropy_bits_q6 == pytest.approx(0.0, abs=1e-9)
+
+    # alternating pairs with two equally likely successors of 'a':
+    # text "abacabac...": after a -> b or c equally; after b -> a; after c -> a
+    r = run(["abacabacabacabac"])
+    # p(a,b)=p(a,c)~ each 1/4 of bigrams wait: bigrams: ab,ba,ac,ca repeating
+    # H = sum over: ab: p=4/15? use qualitative bound instead
+    assert 0.3 < r.cond_entropy_bits_q6 < 0.7

@@ -3768,3 +3768,196 @@ def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("h", 6).alias("cond_entropy_bits_q6"),
         )
     )
+
+
+def _survivor_oracle() -> str:
+    """Cluster survivorship oracle: the dedup_duplicate_clusters closure
+    (same recursive CTE over the minhash-LSH pair graph) + a quality-rank
+    pick of one survivor per component."""
+    from cudf_spark.queries.text import _minhash_oracle
+
+    pairs_sql = _minhash_oracle()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT u AS node, u AS label FROM edges
+        UNION
+        SELECT e.v AS node, r.label
+        FROM reach r JOIN edges e ON e.u = r.node
+        WHERE r.label < e.v),
+    membership AS (
+        SELECT node, min(label) AS component FROM reach GROUP BY node),
+    ranked AS (
+        SELECT m.component, m.node, d.n_chars,
+               row_number() OVER (PARTITION BY m.component
+                                  ORDER BY d.n_chars DESC, m.node) AS rn,
+               CAST(count(*) OVER (PARTITION BY m.component) AS BIGINT)
+                   AS n_members
+        FROM membership m JOIN documents d ON d.doc_id = m.node)
+    SELECT component, n_members,
+           node AS survivor_doc,
+           CAST(n_chars AS BIGINT) AS survivor_n_chars,
+           n_members - 1 AS n_dropped
+    FROM ranked WHERE rn = 1
+    ORDER BY component
+    """
+
+
+@register(
+    "dedup_cluster_survivor",
+    oracle=_survivor_oracle(),
+    doc="duplicate-cluster SURVIVORSHIP policy — the last mile of dedup "
+    "that dedup_duplicate_clusters stops short of: within each near-dup "
+    "component (same minhash-LSH pair graph, same iterative min-label "
+    "connected components, operators/graphs.py), keep the HIGHEST-"
+    "QUALITY member (longest document, doc_id tiebreak — the policy a "
+    "production pipeline swaps for its quality score) and count the "
+    "drops. The quality join touches only CLUSTER MEMBERS (a semi-"
+    "bounded fraction of the corpus), the rank window runs per "
+    "component, and the output is component-grain. Oracle replays pair "
+    "generation, the recursive-CTE closure, and the same "
+    "(n_chars DESC, doc_id) pick.",
+)
+def dedup_cluster_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+    from cudf_spark.operators.graphs import connected_components
+    from cudf_spark.queries.text import minhash_lsh_dedup
+
+    d = load(spark, sf_dir, "documents")
+    norm = d.select("doc_id", normalize_text(F.col("text")).alias("text"))
+    pairs = minhash_lsh_dedup(norm, "doc_id", "text", threshold=0.2)
+    cc = connected_components(pairs, "id_a", "id_b")
+    ranked = (
+        cc.join(
+            d.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+        )
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(W.partitionBy("component")).cast("bigint"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("component").orderBy(
+                    F.desc("n_chars"), F.col("node")
+                )
+            ),
+        )
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "component",
+            "n_members",
+            F.col("node").alias("survivor_doc"),
+            F.col("n_chars").cast("bigint").alias("survivor_n_chars"),
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy("component")
+    )
+
+
+@register(
+    "ml_bigram_lm_perplexity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter({SQL_TOKS}, t -> t != '') AS tk
+        FROM documents
+    ), idx AS (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM toks WHERE len(tk) >= 2
+    ), bi AS (
+        SELECT doc_id, tk[i] AS a, tk[i + 1] AS b FROM idx
+    ), cab AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY a, b
+    ), ca AS (
+        SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY a
+    ), vocab AS (
+        SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+        FROM (SELECT a AS t FROM ca UNION SELECT b FROM cab)
+    ), lp AS (
+        -- add-one-smoothed log prob per bigram TYPE, quantized to exact
+        -- integer micro-nats at type grain (vocab^2-bounded cells)
+        SELECT cab.a, cab.b,
+               CAST(floor(ln((CAST(cab.cab AS DOUBLE) + 1.0)
+                             / (CAST(ca.ca AS DOUBLE) + vocab.v)) * 1000000)
+                    AS BIGINT) AS q
+        FROM cab JOIN ca ON ca.a = cab.a, vocab
+    ), per_doc AS (
+        SELECT bi.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bi,
+               CAST(sum(lp.q) AS BIGINT) AS sq
+        FROM bi JOIN lp ON lp.a = bi.a AND lp.b = bi.b
+        GROUP BY bi.doc_id
+    )
+    SELECT doc_id, n_bi,
+           CAST(-(sq // n_bi) AS BIGINT) AS nll_micro,
+           round(exp(CAST(-(sq // n_bi) AS DOUBLE) / 1000000), 6)
+               AS ppl_q6
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    doc="token-bigram language model training + per-doc perplexity "
+    "scoring (the count-based LM quality filter — CCNet's wikipedia-LM "
+    "perplexity gate reduced to its scalable core; completes the "
+    "unigram_loglik -> bigram chain at TOKEN level): ONE corpus scan "
+    "builds doc bigrams (positional indexing, never cross-doc), "
+    "(a,b)-keyed counts train the model, and add-one-smoothed log "
+    "probs are quantized to exact integer MICRO-NATS at bigram-TYPE "
+    "grain — so every per-doc aggregation is an exact order-free "
+    "BIGINT sum (a per-doc double fold would need sorted arrays of "
+    "unbounded doc length). Per-doc NLL is integer division; the only "
+    "double op is the final exp on the identical quantized input. "
+    "Scoring joins are token-keyed (the unigram_loglik discipline — "
+    "the model table is cluster-scale, never broadcast).",
+)
+def ml_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text, tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    tk = F.filter(tokenize(normalize_text(F.col("text"))), lambda t: t != "")
+    toks = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 2)
+    bi = toks.select(
+        "doc_id",
+        F.posexplode(F.expr("slice(tk, 1, size(tk) - 1)")).alias("i", "a"),
+        "tk",
+    ).select("doc_id", "a", F.expr("tk[i + 1]").alias("b"))
+    cab = bi.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+    ca = cab.groupBy("a").agg(F.sum("cab").cast("bigint").alias("ca"))
+    vocab = (
+        ca.select(F.col("a").alias("t"))
+        .union(cab.select(F.col("b").alias("t")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    lp = (
+        cab.join(ca, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.log(
+                    (F.col("cab").cast("double") + F.lit(1.0))
+                    / (F.col("ca").cast("double") + F.col("v"))
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    per_doc = bi.join(lp, ["a", "b"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bi"),
+        F.sum("q").cast("bigint").alias("sq"),
+    )
+    nll = -F.expr("sq div n_bi")
+    return per_doc.select(
+        "doc_id",
+        "n_bi",
+        nll.cast("bigint").alias("nll_micro"),
+        F.round(F.exp(nll.cast("double") / 1000000), 6).alias("ppl_q6"),
+    ).orderBy("doc_id")

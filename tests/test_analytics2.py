@@ -1206,3 +1206,52 @@ def test_bigram_cond_entropy_known_processes(spark, monkeypatch):
     # p(a,b)=p(a,c)~ each 1/4 of bigrams wait: bigrams: ab,ba,ac,ca repeating
     # H = sum over: ab: p=4/15? use qualitative bound instead
     assert 0.3 < r.cond_entropy_bits_q6 < 0.7
+
+
+# ------------------- batch 16: survivorship / bigram LM
+
+def test_cluster_survivor_picks_longest(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    # three near-identical docs (same text -> same shingles -> one
+    # cluster); doc 11 is padded longest so it must survive
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (10, base, len(base)),
+        (11, base + " extra tail words here", len(base) + 22),
+        (12, base, len(base)),
+        (99, "completely different content about spark joins and shuffles", 60),
+    ]
+    pdf = pd.DataFrame(
+        [(i, t, "en", "s0", n) for i, t, n in docs],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    rows = mod.dedup_cluster_survivor(spark, "u").collect()
+    comp = [r for r in rows if r.n_members >= 3]
+    assert len(comp) == 1
+    assert comp[0].survivor_doc == 11
+    assert comp[0].n_dropped == comp[0].n_members - 1
+
+
+def test_bigram_lm_repetitive_doc_scores_low_ppl(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    docs = [
+        (1, "spark spark spark spark spark spark spark spark"),
+        (2, "one two three four five six seven eight nine ten"),
+    ]
+    pdf = pd.DataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in docs],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.doc_id: r for r in mod.ml_bigram_lm_perplexity(spark, "u").collect()}
+    # repeated bigram is far more probable than ten singletons
+    assert got[1].ppl_q6 < got[2].ppl_q6
+    assert got[1].n_bi == 7 and got[2].n_bi == 9
+    assert got[1].nll_micro < got[2].nll_micro

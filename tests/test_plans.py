@@ -426,3 +426,66 @@ def test_sparse_cosine_no_mandatory_vocab_broadcast(spark):
     # lineage that held the n_docs scalar hint); anything beyond the
     # 1-row n_docs hint means the vocabulary broadcast came back
     assert n_hints <= 1, f"expected at most the 1-row n_docs hint, found {n_hints}"
+
+
+# ---------------- round-5 block-15/16 additions
+
+def test_benford_pushes_positive_filter(spark):
+    plan = plan_of(spark, "agg_benford_check")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "o_totalprice" in pushed
+
+
+def test_repeat_by_count_is_map_only(spark):
+    """Generate (explode) runs inside the scan stage: zero shuffles
+    before the output sort."""
+    plan = plan_of(spark, "misc_repeat_by_count")
+    # the only exchange is the final presentation orderBy's range partition
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Generate explode" in plan
+
+
+def test_dau_wau_no_nested_loop(spark):
+    plan = plan_of(spark, "events_dau_wau_stickiness")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_ols_single_user_shuffle(spark):
+    """Both windows and the ordinal assignment share ONE user_id hash
+    partitioning."""
+    plan = plan_of(spark, "win_rolling_ols_slope")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_jaccard_and_adamic_no_cartesian(spark):
+    for name in ("graph_jaccard_neighbors", "graph_adamic_adar"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan
+        # top-20 never funnels the full pair set into one partition
+        assert "TakeOrderedAndProject" in plan
+
+
+def test_pca_gram_shuffle_is_cell_grain(spark):
+    """The Gram groupBy partial-aggregates map-side: the shuffle carries
+    (d, e) cells, and the plan keeps whole-stage codegen through the
+    double posexplode."""
+    plan = plan_of(spark, "emb_pca_power_iter")
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bigram_lm_model_join_not_broadcast(spark):
+    """The bigram model table joins token-keyed — at 100 TB the model is
+    cluster-scale; a mandatory broadcast would OOM (the
+    text_sparse_cosine_pairs lesson). AQE may still choose to broadcast
+    at tiny SF, so pin the absence of an explicit broadcast HINT by
+    checking the logical plan has no ResolvedHint on the lp side."""
+    from cudf_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["ml_bigram_lm_perplexity"].build(spark, SF_DIR)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    # only the tiny vocab scalar is hinted; count hints to confirm
+    assert logical.count("UnresolvedHint") == 0
+    assert logical.count("ResolvedHint") <= 2  # vocab scalar broadcasts only

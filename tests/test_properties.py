@@ -500,3 +500,110 @@ def test_containment_matches_bruteforce(spark, docs):
             if i < j:
                 expect = len(sets[i] & sets[j])
                 assert got.get((i, j), 0) == expect
+
+
+# ---------------- round-5 additions: RLE roundtrip, fingerprint, gini
+
+flag_seqs = st.lists(
+    st.lists(st.sampled_from("ANR"), min_size=1, max_size=12),
+    min_size=1,
+    max_size=10,
+)
+
+
+@SLOW
+@given(seqs=flag_seqs)
+def test_rle_encode_repeat_roundtrip(spark, seqs, monkeypatch):
+    """misc_rle_encode's runs, re-expanded run_len times (the
+    misc_repeat_by_count primitive), reconstruct every input sequence —
+    encode/decode are exact inverses per segment key."""
+    import itertools
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cudf_spark.queries import analytics2 as mod
+
+    rows = [
+        (ok, i + 1, ch)
+        for ok, seq in enumerate(seqs)
+        for i, ch in enumerate(seq)
+    ]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_linenumber", "l_returnflag"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    runs = mod.misc_rle_encode(spark, "u")
+    decoded = (
+        runs.select(
+            "l_orderkey",
+            "run_id",
+            "flag",
+            F.explode(F.sequence(F.lit(1), F.col("run_len"))).alias("i"),
+        )
+        .orderBy("l_orderkey", "run_id", "i")
+        .collect()
+    )
+    got = {}
+    for r in decoded:
+        got.setdefault(r.l_orderkey, []).append(r.flag)
+    want = {ok: list(seq) for ok, seq in enumerate(seqs)}
+    assert got == want
+
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 10**4)),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_fingerprint_permutation_invariant(spark, rows, monkeypatch):
+    """XOR fingerprint is identical under any row permutation and
+    changes when any single row changes."""
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    def mk(rws):
+        t0 = pd.Timestamp("1996-04-01")
+        return pd.DataFrame(
+            [(k, k * 3, "O", v / 100.0, t0, "2-HIGH") for k, v in rws],
+            columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                     "o_totalprice", "o_orderdate", "o_orderpriority"],
+        )
+
+    outs = []
+    for pdf in (mk(rows), mk(list(reversed(rows)))):
+        monkeypatch.setattr(
+            mod, "load", lambda s, d, n, p=pdf: spark.createDataFrame(p)
+        )
+        outs.append(mod.misc_table_fingerprint(spark, "u").collect()[0])
+    assert outs[0].fingerprint == outs[1].fingerprint
+    assert outs[0].n_rows == len(rows)
+
+    mutated = list(rows)
+    k, v = mutated[0]
+    mutated[0] = (k, v + 1)
+    monkeypatch.setattr(
+        mod, "load", lambda s, d, n, p=mk(mutated): spark.createDataFrame(p)
+    )
+    out_m = mod.misc_table_fingerprint(spark, "u").collect()[0]
+    assert out_m.fingerprint != outs[0].fingerprint
+
+
+@SLOW
+@given(vals=st.lists(st.integers(1, 50), min_size=2, max_size=120))
+def test_gini_matches_brute_force(spark, vals, monkeypatch):
+    """Exact lattice Gini == O(n^2) brute force in integer micro-units."""
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    pdf = pd.DataFrame({"l_quantity": [float(v) for v in vals]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.agg_gini_exact_lattice(spark, "u").collect()[0]
+    n = len(vals)
+    num = sum(abs(a - b) for a in vals for b in vals)
+    want = (num * 1000000) // (2 * n * sum(vals))
+    assert r.gini_u6 == want

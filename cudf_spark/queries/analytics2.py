@@ -3961,3 +3961,331 @@ def ml_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         nll.cast("bigint").alias("nll_micro"),
         F.round(F.exp(nll.cast("double") / 1000000), 6).alias("ppl_q6"),
     ).orderBy("doc_id")
+
+
+@register(
+    "agg_tukey_fences",
+    oracle="""
+    WITH hist AS (
+        SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ), tot AS (
+        SELECT flag, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY flag
+    ), cum AS (
+        SELECT h.flag, h.x, CAST(sum(h2.c) AS BIGINT) AS cum, min(t.n) AS n
+        FROM hist h
+        JOIN hist h2 ON h2.flag = h.flag AND h2.x <= h.x
+        JOIN tot t ON t.flag = h.flag
+        GROUP BY h.flag, h.x
+    ), q1 AS (
+        SELECT flag, CAST(min(x) AS BIGINT) AS q1 FROM cum
+        WHERE 4 * cum >= n GROUP BY flag
+    ), q3 AS (
+        SELECT flag, CAST(min(x) AS BIGINT) AS q3 FROM cum
+        WHERE 4 * cum >= 3 * n GROUP BY flag
+    ), fences AS (
+        -- x4-scaled fences stay integers: lo4 = 4*q1 - 6*iqr etc.
+        SELECT q1.flag, q1.q1, q3.q3,
+               4 * q1.q1 - 6 * (q3.q3 - q1.q1) AS lo4,
+               4 * q3.q3 + 6 * (q3.q3 - q1.q1) AS hi4
+        FROM q1 JOIN q3 ON q3.flag = q1.flag
+    )
+    SELECT f.flag, t.n, f.q1, f.q3, (f.q3 - f.q1) AS iqr,
+           CAST(sum(CASE WHEN 4 * h.x < f.lo4 THEN h.c ELSE 0 END)
+                AS BIGINT) AS n_out_lo,
+           CAST(sum(CASE WHEN 4 * h.x > f.hi4 THEN h.c ELSE 0 END)
+                AS BIGINT) AS n_out_hi
+    FROM fences f
+    JOIN hist h ON h.flag = f.flag
+    JOIN tot t ON t.flag = f.flag
+    GROUP BY f.flag, t.n, f.q1, f.q3
+    ORDER BY f.flag
+    """,
+    doc="Tukey-fence outlier counts per group (the boxplot rule: outside "
+    "[Q1 - 1.5*IQR, Q3 + 1.5*IQR] — the robust outlier census next to "
+    "events_anomaly_mad's z-scores): quartiles come from the value-"
+    "lattice histogram by the exact integer 4*cum >= k*n rank rule "
+    "(lower quartile convention, agg_weighted_median's discipline), and "
+    "the 1.5*IQR fences are kept in x4-scaled INTEGERS (4x - lo4 "
+    "comparisons) so the entire query — quartiles, fences, outlier "
+    "counts — contains zero floating point. One histogram groupBy is "
+    "the only data-scale pass; everything else is <=50-row lattice "
+    "grain per group.",
+)
+def agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+    )
+    hist = li.groupBy("flag", "x").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = hist.groupBy("flag").agg(F.sum("c").cast("bigint").alias("n"))
+    h2 = hist.select(
+        F.col("flag").alias("f2"), F.col("x").alias("x2"), F.col("c").alias("c2")
+    )
+    cum = (
+        hist.join(
+            F.broadcast(h2),
+            (F.col("f2") == F.col("flag")) & (F.col("x2") <= F.col("x")),
+        )
+        .groupBy("flag", "x")
+        .agg(F.sum("c2").cast("bigint").alias("cum"))
+        .join(F.broadcast(tot), "flag")
+    )
+    q1 = (
+        cum.filter(4 * F.col("cum") >= F.col("n"))
+        .groupBy("flag")
+        .agg(F.min("x").cast("bigint").alias("q1"))
+    )
+    q3 = (
+        cum.filter(4 * F.col("cum") >= 3 * F.col("n"))
+        .groupBy("flag")
+        .agg(F.min("x").cast("bigint").alias("q3"))
+    )
+    fences = q1.join(q3, "flag").select(
+        "flag",
+        "q1",
+        "q3",
+        (4 * F.col("q1") - 6 * (F.col("q3") - F.col("q1"))).alias("lo4"),
+        (4 * F.col("q3") + 6 * (F.col("q3") - F.col("q1"))).alias("hi4"),
+    )
+    return (
+        hist.join(F.broadcast(fences), "flag")
+        .join(F.broadcast(tot), "flag")
+        .groupBy("flag", "n", "q1", "q3")
+        .agg(
+            F.sum(F.when(4 * F.col("x") < F.col("lo4"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_out_lo"),
+            F.sum(F.when(4 * F.col("x") > F.col("hi4"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_out_hi"),
+        )
+        .select(
+            "flag", "n", "q1", "q3", (F.col("q3") - F.col("q1")).alias("iqr"),
+            "n_out_lo", "n_out_hi",
+        )
+        .orderBy("flag")
+    )
+
+
+# v4 gate constants (documented config, like CONT_MAX_DF in text5):
+# entropy window in q6 units; nll ceiling in micro-nats (~ppl 31)
+V4_ENT_LO_Q6 = 3.0
+V4_ENT_HI_Q6 = 4.5
+V4_NLL_MAX_MICRO = 3_434_000
+
+
+@register(
+    "curation_pipeline_v4",
+    oracle=f"""
+    WITH chars AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '.')) AS ch
+        FROM documents
+    ), chist AS (
+        SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        FROM chars GROUP BY doc_id, ch
+    ), ctot AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM chist GROUP BY doc_id
+    ), ent AS (
+        SELECT h.doc_id,
+               round(sum(-1.0 * (CAST(h.c AS DOUBLE) / t.n)
+                         * log2(CAST(h.c AS DOUBLE) / t.n)
+                         ORDER BY h.ch), 6) AS ent
+        FROM chist h JOIN ctot t ON t.doc_id = h.doc_id
+        GROUP BY h.doc_id
+    ), toks AS (
+        SELECT doc_id, list_filter({SQL_TOKS}, t -> t != '') AS tk
+        FROM documents
+    ), idx AS (
+        SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM toks WHERE len(tk) >= 2
+    ), bi AS (
+        SELECT doc_id, tk[i] AS a, tk[i + 1] AS b FROM idx
+    ), cab AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bi GROUP BY a, b
+    ), ca AS (
+        SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY a
+    ), vocab AS (
+        SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+        FROM (SELECT a AS t FROM ca UNION SELECT b FROM cab)
+    ), lp AS (
+        SELECT cab.a, cab.b,
+               CAST(floor(ln((CAST(cab.cab AS DOUBLE) + 1.0)
+                             / (CAST(ca.ca AS DOUBLE) + vocab.v)) * 1000000)
+                    AS BIGINT) AS q
+        FROM cab JOIN ca ON ca.a = cab.a, vocab
+    ), nll AS (
+        SELECT bi.doc_id,
+               CAST(-(CAST(sum(lp.q) AS BIGINT) // count(*)) AS BIGINT)
+                   AS nll_micro
+        FROM bi JOIN lp ON lp.a = bi.a AND lp.b = bi.b
+        GROUP BY bi.doc_id
+    ), scored AS (
+        SELECT doc_id, lang AS actual,
+           {_lang_scores_sql()}
+        FROM documents
+    ), langp AS (
+        SELECT doc_id, actual,
+               CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+                    WHEN s_es >= greatest(s_de, s_fr, s_zh)       THEN 'es'
+                    WHEN s_de >= greatest(s_fr, s_zh)             THEN 'de'
+                    WHEN s_fr >= s_zh                             THEN 'fr'
+                    ELSE 'zh' END AS predicted
+        FROM scored
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN e.ent >= {V4_ENT_LO_Q6} AND e.ent <= {V4_ENT_HI_Q6}
+                THEN 1 ELSE 0 END AS INT) AS ent_ok,
+           CAST(CASE WHEN n.nll_micro IS NOT NULL
+                      AND n.nll_micro <= {V4_NLL_MAX_MICRO}
+                THEN 1 ELSE 0 END AS INT) AS ppl_ok,
+           CAST(CASE WHEN lg.predicted = lg.actual THEN 1 ELSE 0 END
+                AS INT) AS lang_ok,
+           CAST(CASE WHEN e.ent >= {V4_ENT_LO_Q6} AND e.ent <= {V4_ENT_HI_Q6}
+                      AND n.nll_micro IS NOT NULL
+                      AND n.nll_micro <= {V4_NLL_MAX_MICRO}
+                      AND lg.predicted = lg.actual
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM documents d
+    LEFT JOIN ent e ON e.doc_id = d.doc_id
+    LEFT JOIN nll n ON n.doc_id = d.doc_id
+    LEFT JOIN langp lg ON lg.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="curation pipeline v4 — the round-5 quality signals composed "
+    "into one keep/drop gate WITH REASON CODES (the audit trail a "
+    "production curation run must emit): order-0 char entropy window "
+    "(text_char_entropy; kills padding and base64 noise), bigram-LM "
+    "perplexity ceiling in exact integer micro-nats "
+    "(ml_bigram_lm_perplexity; kills token soup the entropy window "
+    "passes), and lang-id agreement (text_lang_id's vote matching the "
+    "declared lang; kills mislabeled docs). Gate constants are "
+    "module-level documented config (the CONT_MAX_DF convention). Each "
+    "signal is doc-keyed with its own established scale shape; the "
+    "composition is three LEFT joins at doc grain — a doc that "
+    "produces no bigram (single-token) fails ppl_ok loudly rather "
+    "than passing by NULL.",
+)
+def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+    from cudf_spark.queries.text import LANG_WORDS
+
+    docs = load(spark, sf_dir, "documents")
+
+    # --- entropy (text_char_entropy shape)
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(normalize_text(F.col("text")), F.lit("."), 0)
+        ).alias("ch"),
+    )
+    chist = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ctot = chist.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    eterm = F.struct(
+        F.col("ch").alias("ch"), (F.lit(-1.0) * p * F.log2(p)).alias("t")
+    )
+    ent = (
+        chist.join(ctot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(eterm)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["t"],
+                ),
+                6,
+            ).alias("ent")
+        )
+    )
+
+    # --- bigram LM nll (ml_bigram_lm_perplexity shape)
+    from cudf_spark.functions.textfns import tokenize
+
+    tk = F.filter(tokenize(normalize_text(F.col("text"))), lambda t: t != "")
+    toks = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 2)
+    bi = toks.select(
+        "doc_id",
+        F.posexplode(F.expr("slice(tk, 1, size(tk) - 1)")).alias("i", "a"),
+        "tk",
+    ).select("doc_id", "a", F.expr("tk[i + 1]").alias("b"))
+    cab = bi.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("cab"))
+    ca = cab.groupBy("a").agg(F.sum("cab").cast("bigint").alias("ca"))
+    vocab = (
+        ca.select(F.col("a").alias("t"))
+        .union(cab.select(F.col("b").alias("t")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    lp = (
+        cab.join(ca, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.log(
+                    (F.col("cab").cast("double") + F.lit(1.0))
+                    / (F.col("ca").cast("double") + F.col("v"))
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    nll = (
+        bi.join(lp, ["a", "b"])
+        .groupBy("doc_id")
+        .agg((-F.expr("sum(q) div count(1)")).cast("bigint").alias("nll_micro"))
+    )
+
+    # --- lang-id agreement (text_lang_id shape)
+    dtoks = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
+    scores = {
+        lang: F.size(F.array_intersect(dtoks, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in LANG_WORDS.items()
+    }
+    pred = (
+        F.when(
+            scores["en"]
+            >= F.greatest(scores["es"], scores["de"], scores["fr"], scores["zh"]),
+            "en",
+        )
+        .when(scores["es"] >= F.greatest(scores["de"], scores["fr"], scores["zh"]), "es")
+        .when(scores["de"] >= F.greatest(scores["fr"], scores["zh"]), "de")
+        .when(scores["fr"] >= scores["zh"], "fr")
+        .otherwise("zh")
+    )
+    langp = docs.select(
+        "doc_id", (pred == F.col("lang")).alias("lang_match")
+    )
+
+    ent_ok = (F.col("ent") >= V4_ENT_LO_Q6) & (F.col("ent") <= V4_ENT_HI_Q6)
+    ppl_ok = F.col("nll_micro").isNotNull() & (
+        F.col("nll_micro") <= V4_NLL_MAX_MICRO
+    )
+    lang_ok = F.col("lang_match")
+    return (
+        docs.select("doc_id")
+        .join(ent, "doc_id", "left")
+        .join(nll, "doc_id", "left")
+        .join(langp, "doc_id", "left")
+        .select(
+            "doc_id",
+            ent_ok.cast("int").alias("ent_ok"),
+            ppl_ok.cast("int").alias("ppl_ok"),
+            lang_ok.cast("int").alias("lang_ok"),
+            (ent_ok & ppl_ok & lang_ok).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

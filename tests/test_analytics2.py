@@ -1255,3 +1255,50 @@ def test_bigram_lm_repetitive_doc_scores_low_ppl(spark, monkeypatch):
     assert got[1].ppl_q6 < got[2].ppl_q6
     assert got[1].n_bi == 7 and got[2].n_bi == 9
     assert got[1].nll_micro < got[2].nll_micro
+
+
+# ---------------- batch 17: tukey fences / curation v4
+
+def test_tukey_fences_planted_outliers(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    # 100 values tightly 10..13, plus outliers 1 (low) and 40,45 (high)
+    vals = ([10.0] * 25 + [11.0] * 25 + [12.0] * 25 + [13.0] * 25
+            + [1.0] + [40.0, 45.0])
+    pdf = pd.DataFrame({"l_returnflag": ["A"] * len(vals), "l_quantity": vals})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.agg_tukey_fences(spark, "u").collect()[0]
+    # q1: 4*cum >= n=103 -> cum >= 25.75 -> x=11 (cum 51)? cum(10)=26 -> 104 >= 103 -> q1=10
+    assert (r.q1, r.q3) == (10, 13)
+    assert r.iqr == 3
+    # fences: [10-4.5, 13+4.5] = [5.5, 17.5] -> lo out: {1}, hi out: {40,45}
+    assert (r.n_out_lo, r.n_out_hi) == (1, 2)
+
+
+def test_curation_v4_reason_codes(spark, monkeypatch):
+    import pandas as pd
+
+    from cudf_spark.queries import analytics2 as mod
+
+    docs = [
+        # healthy: the/a words match en, natural text
+        (1, "the cat sat on the mat and then the dog sat too for a while", "en"),
+        # zero-entropy padding -> ent_ok 0
+        (2, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "en"),
+        # single token -> no bigram -> ppl_ok 0
+        (3, "word", "en"),
+        # mislabeled: 'the a' votes en but labeled fr -> lang_ok 0
+        (4, "the a cat sat on the mat and the dog sat down as well", "fr"),
+    ]
+    pdf = pd.DataFrame(
+        [(i, t, l, "s0", len(t)) for i, t, l in docs],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.doc_id: r for r in mod.curation_pipeline_v4(spark, "u").collect()}
+    assert got[2].ent_ok == 0 and got[2].keep == 0
+    assert got[3].ppl_ok == 0 and got[3].keep == 0
+    assert got[4].lang_ok == 0 and got[4].keep == 0
+    assert got[1].lang_ok == 1

@@ -22,6 +22,7 @@ from cudf_spark.queries import (  # noqa: F401, E402
     aggregates2,
     analytics,
     analytics2,
+    analytics3,
     decimals,
     extras,
     joins,

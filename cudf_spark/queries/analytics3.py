@@ -1,0 +1,764 @@
+"""Analytics, part 3 — round-5 sixteenth block: interval joins, rank
+correlation, iterative subgraph refinement, distribution drift, table
+health, and storage-encoding estimation.
+
+- ``join_interval_overlap``: the interval-overlap join (s1.start <= s2.end
+  AND s2.start <= s1.end) — the one join shape the existing as-of /
+  point-in-range family doesn't cover. Spark side uses BIN EXPANSION:
+  every session interval explodes into the hour buckets it covers, pairs
+  meet on an equi-join over the bucket key, the exact overlap predicate
+  then filters, and a distinct collapses pairs found in several shared
+  buckets. Two overlapping intervals always share the bucket of any
+  overlap instant, so recall is exact. The oracle proves it with the
+  direct non-equi join. At 100 TB the bucket key IS the shuffle key (no
+  BNLJ anywhere); hot buckets (everyone online at once) are inherent
+  interval-join skew — AQE skew-join splits them, and the bucket width is
+  the knob that trades expansion factor against per-bucket fan-in.
+
+- ``stats_kendall_tau_binned``: exact Kendall tau-b per group from the
+  JOINT VALUE-LATTICE HISTOGRAM — concordant/discordant pairs are
+  c1*c2 sums over ordered cell pairs, tie terms come from the x / y
+  marginals, all in BIGINT. The single data-scale pass is the histogram
+  groupBy; the cell-pair join runs at lattice grain (<=~1k cells per
+  group). tau-b itself needs sqrt: both factors (n0-n1), (n0-n2) are cast
+  to double separately (each < 2^53 at any plausible per-group n, unlike
+  their product) and sqrt is IEEE-exact, so both engines produce
+  bit-identical doubles and the floor-quantized digit cannot diverge.
+
+- ``graph_kcore_peel``: 4-round 3-core peeling of the parts-co-ordered
+  graph — the iterative subgraph refinement primitive under community
+  mining. DEFINED as exactly 4 peel iterations (not to convergence), so
+  Spark's Python-side loop and the oracle's 4 nested CTE stages compute
+  the identical subgraph with a bounded plan: each round is one endpoint
+  explode + keyed degree groupBy + two endpoint-keyed joins; lineage
+  stays 4 rounds deep, no checkpoint needed.
+
+- ``text_hellinger_drift``: per-source unigram-distribution drift vs the
+  whole corpus as Hellinger affinity — the domain-mix health metric a
+  training-data pipeline tracks per crawl slice. Per-token contribution
+  sqrt((cs*cg)/(ns*ng)) uses only cast / divide / sqrt, every one of which
+  rounds identically on identical inputs in the JVM and DuckDB (sqrt is
+  correctly rounded by IEEE-754 — unlike ln, which fused-multiply drift
+  bit us in win_ewm_finite_horner), pre-quantized to nano-units AT TOKEN
+  GRAIN so the per-source BIGINT sum is reduction-order-free. Global
+  counts derive FROM the (source, token) count table — one corpus scan
+  total. Precondition (documented): ns*ng must fit 2^53 for the exact
+  double cast; at corpus scales beyond that, rescale both counts by a
+  common power of two before the ratio.
+
+- ``dq_freshness_gaps``: the table-freshness / completeness monitor every
+  warehouse runs against landing tables: per (event_type, day) row
+  counts on a gap-filled calendar spine (sequence + explode — missing
+  days surface as explicit zero rows), trailing-7-day lower-median
+  baseline per type (collect over a 7-row frame, array_sort, rank pick —
+  day grain, never event grain), integer staleness rule 2*cnt < median.
+
+- ``misc_bitpack_for_blocks``: frame-of-reference + bit-packing size
+  estimator (the parquet/ORC encoding decision surfaced as a query, next
+  to misc_rle_encode / misc_delta_zigzag_encode): 64-row blocks within
+  each supplier's shipdate-ordered lineitems, per-block reference = min,
+  payload width = bit length of (max - min) via length(bin(range)) —
+  identical string semantics in Spark and DuckDB — packed size
+  64 + n*width bits. Blocks are keyed windows inside the supplier
+  partition, so 100 TB parallelism is per supplier and no block crosses
+  a partition.
+
+- ``stats_cohens_kappa``: chance-corrected agreement (Cohen 1960) between
+  the heuristic language-ID predictor and the labeled lang column — the
+  companion to text_lang_confusion_eval's P/R/F1. kappa = (N*agree -
+  sum_k row_k*col_k) / (N^2 - sum_k row_k*col_k) is an exact BIGINT
+  rational; quantized with truncating integer division (Spark ``div`` ==
+  DuckDB ``//``, both toward zero, the recorded cross-engine rule). One
+  corpus scan; marginals are class-grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cudf_spark.catalog import load
+from cudf_spark.queries.registry import register
+from cudf_spark.queries.text import _lang_scores_sql
+
+_SESS_GAP_US = 1_800_000_000  # 30-minute session gap rule
+_BIN_US = 3_600_000_000  # 1-hour overlap-join buckets
+
+_SESS_SQL = """
+    e AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        FROM events
+    ), o AS (
+        SELECT user_id, us,
+               lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS p
+        FROM e
+    ), f AS (
+        SELECT user_id, us,
+               CASE WHEN p IS NULL OR us - p > 1800000000 THEN 1 ELSE 0 END
+                   AS brk
+        FROM o
+    ), s AS (
+        SELECT user_id, us,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sn
+        FROM f
+    ), sess AS (
+        SELECT user_id, sn, min(us) AS st, max(us) AS en
+        FROM s GROUP BY user_id, sn
+    )
+"""
+
+
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessions as (user_id, sn, st, en) in epoch micros."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    brk = F.when(prev.isNull() | (F.col("us") - prev > _SESS_GAP_US), 1).otherwise(0)
+    sn = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("sn", sn)
+        .groupBy("user_id", "sn")
+        .agg(F.min("us").alias("st"), F.max("us").alias("en"))
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH {_SESS_SQL},
+    pairs AS (
+        SELECT a.user_id AS u, b.user_id AS v, b.sn AS sn2
+        FROM sess a JOIN sess b
+          ON a.user_id != b.user_id AND a.st <= b.en AND b.st <= a.en
+    )
+    SELECT u AS user_id,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_partners
+    FROM pairs GROUP BY u
+    ORDER BY n_overlaps DESC, user_id LIMIT 50
+    """,
+    doc="interval-overlap join via hour-bucket bin expansion: 30-min-gap "
+    "sessions per user, pairs of DIFFERENT users' sessions that overlap "
+    "in time (s1.st <= s2.en AND s2.st <= s1.en), found on a bucket "
+    "equi-join + exact predicate + pair-distinct (a shared bucket always "
+    "exists at any overlap instant, so the expansion is lossless). The "
+    "oracle's direct non-equi join proves the bucketed plan finds the "
+    "identical pair set. Output: top-50 users by directed overlapping-"
+    "session count (total order: count desc, user_id).",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = _sessions(spark, sf_dir)
+    binned = sess.withColumn(
+        "bin",
+        F.explode(F.expr(f"sequence(st div {_BIN_US}, en div {_BIN_US})")),
+    )
+    a = binned.select(
+        F.col("user_id").alias("u"),
+        F.col("sn").alias("sn1"),
+        F.col("st").alias("st1"),
+        F.col("en").alias("en1"),
+        "bin",
+    )
+    b = binned.select(
+        F.col("user_id").alias("v"),
+        F.col("sn").alias("sn2"),
+        F.col("st").alias("st2"),
+        F.col("en").alias("en2"),
+        "bin",
+    )
+    pairs = (
+        a.join(b, "bin")
+        .filter(
+            (F.col("u") != F.col("v"))
+            & (F.col("st1") <= F.col("en2"))
+            & (F.col("st2") <= F.col("en1"))
+        )
+        .select("u", "sn1", "v", "sn2")
+        .distinct()
+    )
+    return (
+        pairs.groupBy(F.col("u").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+            F.countDistinct("v").cast("bigint").alias("n_partners"),
+        )
+        .orderBy(F.desc("n_overlaps"), "user_id")
+        .limit(50)
+    )
+
+
+@register(
+    "stats_kendall_tau_binned",
+    oracle="""
+    WITH pts AS (
+        SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS y
+        FROM lineitem
+    ), hist AS (
+        SELECT flag, x, y, CAST(count(*) AS BIGINT) AS c
+        FROM pts GROUP BY flag, x, y
+    ), tot AS (
+        SELECT flag, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY flag
+    ), cd AS (
+        SELECT h1.flag,
+               CAST(sum(CASE WHEN h2.y > h1.y THEN h1.c * h2.c ELSE 0 END)
+                    AS BIGINT) AS nc,
+               CAST(sum(CASE WHEN h2.y < h1.y THEN h1.c * h2.c ELSE 0 END)
+                    AS BIGINT) AS nd
+        FROM hist h1 JOIN hist h2
+          ON h2.flag = h1.flag AND h2.x > h1.x
+        GROUP BY h1.flag
+    ), mx AS (
+        SELECT flag, CAST(sum(cx * (cx - 1) / 2) AS BIGINT) AS n1
+        FROM (SELECT flag, x, CAST(sum(c) AS BIGINT) AS cx
+              FROM hist GROUP BY flag, x)
+        GROUP BY flag
+    ), my AS (
+        SELECT flag, CAST(sum(cy * (cy - 1) / 2) AS BIGINT) AS n2
+        FROM (SELECT flag, y, CAST(sum(c) AS BIGINT) AS cy
+              FROM hist GROUP BY flag, y)
+        GROUP BY flag
+    )
+    SELECT t.flag, t.n, cd.nc, cd.nd, mx.n1, my.n2,
+           CAST(floor(1000000.0 * CAST(cd.nc - cd.nd AS DOUBLE)
+                / (sqrt(CAST(t.n * (t.n - 1) / 2 - mx.n1 AS DOUBLE))
+                   * sqrt(CAST(t.n * (t.n - 1) / 2 - my.n2 AS DOUBLE))))
+                AS BIGINT) AS tau_b_q6
+    FROM tot t
+    JOIN cd ON cd.flag = t.flag
+    JOIN mx ON mx.flag = t.flag
+    JOIN my ON my.flag = t.flag
+    ORDER BY t.flag
+    """,
+    doc="exact Kendall tau-b (quantity vs binned price) per return flag "
+    "from the joint value-lattice histogram: concordant/discordant counts "
+    "are c1*c2 folds over ordered cell pairs (x1<x2), x/y tie terms from "
+    "the marginals, everything BIGINT until the final tau. The histogram "
+    "groupBy is the only data-scale pass; the cell-pair join is lattice "
+    "grain. sqrt factors are taken separately so each cast-to-double "
+    "stays under 2^53 and bit-identical across engines.",
+)
+def stats_kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") / 5000.0).cast("bigint").alias("y"),
+    )
+    hist = pts.groupBy("flag", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = hist.groupBy("flag").agg(F.sum("c").cast("bigint").alias("n"))
+    h2 = hist.select(
+        F.col("flag").alias("f2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        F.col("c").alias("c2"),
+    )
+    cd = (
+        hist.join(
+            F.broadcast(h2),
+            (F.col("f2") == F.col("flag")) & (F.col("x2") > F.col("x")),
+        )
+        .groupBy("flag")
+        .agg(
+            F.sum(
+                F.when(F.col("y2") > F.col("y"), F.col("c") * F.col("c2")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("nc"),
+            F.sum(
+                F.when(F.col("y2") < F.col("y"), F.col("c") * F.col("c2")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("nd"),
+        )
+    )
+    mx = (
+        hist.groupBy("flag", "x")
+        .agg(F.sum("c").cast("bigint").alias("cx"))
+        .groupBy("flag")
+        .agg(F.sum(F.expr("cx * (cx - 1) div 2")).cast("bigint").alias("n1"))
+    )
+    my = (
+        hist.groupBy("flag", "y")
+        .agg(F.sum("c").cast("bigint").alias("cy"))
+        .groupBy("flag")
+        .agg(F.sum(F.expr("cy * (cy - 1) div 2")).cast("bigint").alias("n2"))
+    )
+    n0 = F.expr("n * (n - 1) div 2")
+    tau = F.floor(
+        1000000.0
+        * (F.col("nc") - F.col("nd")).cast("double")
+        / (
+            F.sqrt((n0 - F.col("n1")).cast("double"))
+            * F.sqrt((n0 - F.col("n2")).cast("double"))
+        )
+    ).cast("bigint")
+    return (
+        tot.join(cd, "flag")
+        .join(mx, "flag")
+        .join(my, "flag")
+        .select("flag", "n", "nc", "nd", "n1", "n2", tau.alias("tau_b_q6"))
+        .orderBy("flag")
+    )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    stages = [
+        """
+    pp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e0 AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+    )"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        stages.append(
+            f"""
+    d{r} AS MATERIALIZED (
+        SELECT node, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT u AS node FROM e{r - 1}
+              UNION ALL SELECT v FROM e{r - 1})
+        GROUP BY node
+    ), k{r} AS (SELECT node FROM d{r} WHERE c >= {_KCORE_K}),
+    e{r} AS MATERIALIZED (
+        SELECT e.u, e.v FROM e{r - 1} e
+        JOIN k{r} a ON a.node = e.u
+        JOIN k{r} b ON b.node = e.v
+    )"""
+        )
+    last = _KCORE_ROUNDS
+    return (
+        "WITH "
+        + ",".join(stages)
+        + f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT u AS node FROM e{last} UNION ALL SELECT v FROM e{last})
+    GROUP BY node
+    ORDER BY deg DESC, node LIMIT 50
+    """
+    )
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    doc=f"{_KCORE_ROUNDS}-round {_KCORE_K}-core peel of the parts-co-"
+    "ordered graph (iterative minimum-degree pruning, Matula & Beck 1983 "
+    "— the dense-subgraph primitive under community mining): each round "
+    "drops nodes whose CURRENT degree < k and the edges touching them. "
+    "Defined as a FIXED round count, not to-convergence, so the Spark "
+    "loop and the oracle's unrolled CTE stages compute the identical "
+    "subgraph with a bounded plan: per round one endpoint explode + "
+    "keyed degree groupBy + two endpoint-keyed joins; lineage stays "
+    f"{_KCORE_ROUNDS} rounds deep. Output: top-50 surviving parts by "
+    "residual degree (total order: deg desc, node).",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        # each peel round reads the previous round's edges TWICE (degree
+        # count + endpoint filter); lazy-checkpoint per round or the DAG
+        # re-derives the base edge build exponentially (the CC operator's
+        # lesson, operators/graphs.py:52) — the oracle mirrors this with
+        # AS MATERIALIZED stages.
+        .localCheckpoint(eager=False)
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        )
+
+    for _ in range(_KCORE_ROUNDS):
+        keep = degrees(edges).filter(F.col("deg") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.withColumnRenamed("node", "v"), "v")
+            .localCheckpoint(eager=False)
+        )
+    return degrees(edges).orderBy(F.desc("deg"), "node").limit(50)
+
+
+@register(
+    "text_hellinger_drift",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents
+    ), sc AS (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS cs
+        FROM toks WHERE t != '' GROUP BY source, t
+    ), ns AS (
+        SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM sc GROUP BY source
+    ), gc AS (
+        SELECT t, CAST(sum(cs) AS BIGINT) AS cg FROM sc GROUP BY t
+    ), ng AS (SELECT CAST(sum(cs) AS BIGINT) AS ng FROM sc),
+    contrib AS (
+        SELECT sc.source,
+               CAST(floor(1000000000.0 * sqrt(
+                   CAST(sc.cs * gc.cg AS DOUBLE)
+                   / CAST(ns.ns * ng.ng AS DOUBLE))) AS BIGINT) AS a9
+        FROM sc
+        JOIN gc ON gc.t = sc.t
+        JOIN ns ON ns.source = sc.source
+        CROSS JOIN ng
+    )
+    SELECT c.source, ns.ns AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(c.a9) AS BIGINT) AS affinity_n9,
+           CAST((1000000000 - sum(c.a9)) // 1000 AS BIGINT)
+               AS hellinger_sq_q6
+    FROM contrib c JOIN ns ON ns.source = c.source
+    GROUP BY c.source, ns.ns
+    ORDER BY c.source
+    """,
+    doc="per-source unigram drift vs the global corpus as Hellinger "
+    "affinity BC = sum_t sqrt(p_t*q_t): per-token sqrt((cs*cg)/(ns*ng)) "
+    "uses only IEEE-exact-or-identically-rounded ops (cast, one divide, "
+    "sqrt — never ln), floor-quantized to nano-units AT TOKEN GRAIN so "
+    "the per-source sum is an order-free BIGINT fold. Global counts "
+    "derive from the (source, token) table — one corpus scan total; "
+    "joins are token-keyed. H^2 = 1 - BC reported in micro-units. "
+    "Precondition: ns*ng < 2^53 for the exact double cast (rescale both "
+    "counts by a common power of two past that).",
+)
+def text_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    sc = toks.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cs")
+    )
+    ns = sc.groupBy("source").agg(F.sum("cs").cast("bigint").alias("ns"))
+    gc = sc.groupBy("t").agg(F.sum("cs").cast("bigint").alias("cg"))
+    ng = sc.agg(F.sum("cs").cast("bigint").alias("ng"))
+    contrib = (
+        sc.join(gc, "t")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "source",
+            "ns",
+            F.floor(
+                1000000000.0
+                * F.sqrt(
+                    (F.col("cs") * F.col("cg")).cast("double")
+                    / (F.col("ns") * F.col("ng")).cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("a9"),
+        )
+    )
+    return (
+        contrib.groupBy("source", "ns")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum("a9").cast("bigint").alias("affinity_n9"),
+        )
+        .select(
+            "source",
+            F.col("ns").alias("n_tokens"),
+            "vocab",
+            "affinity_n9",
+            F.expr("(1000000000 - affinity_n9) div 1000")
+            .cast("bigint")
+            .alias("hellinger_sq_q6"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dq_freshness_gaps",
+    oracle="""
+    WITH cnts AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ), spine AS (
+        SELECT event_type,
+               CAST(unnest(generate_series(min(day), max(day),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM cnts GROUP BY event_type
+    ), filled AS (
+        SELECT s.event_type, s.day, coalesce(c.cnt, 0) AS cnt
+        FROM spine s LEFT JOIN cnts c
+          ON c.event_type = s.event_type AND c.day = s.day
+    ), med AS (
+        SELECT event_type, day, cnt,
+               list_sort(list(cnt) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS win
+        FROM filled
+    )
+    SELECT event_type, day, cnt,
+           CASE WHEN len(win) > 0
+                THEN CAST(win[(len(win) + 1) // 2] AS BIGINT) END
+               AS trail_med,
+           CAST(CASE WHEN cnt = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_gap,
+           CAST(CASE WHEN len(win) > 0
+                      AND 2 * cnt < win[(len(win) + 1) // 2]
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_stale
+    FROM med ORDER BY event_type, day
+    """,
+    doc="table-freshness / completeness monitor: per (event_type, day) "
+    "counts on a GAP-FILLED calendar spine (date sequence + explode, so "
+    "missing landing days surface as explicit zero rows), trailing-7-day "
+    "lower-median baseline (sorted 7-element frame, exact rank pick), "
+    "integer staleness rule 2*cnt < median. The only data-scale pass is "
+    "the day-count groupBy; spine, window and flags run at day grain.",
+)
+def dq_freshness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cnts = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    spine = (
+        cnts.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    filled = spine.join(cnts, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    win = F.array_sort(F.collect_list("cnt").over(w))
+    med = F.when(
+        F.size(win) > 0,
+        F.element_at(win, ((F.size(win) + 1) / 2).cast("int")),
+    ).cast("bigint")
+    out = filled.select("event_type", "day", "cnt", med.alias("trail_med"))
+    return out.select(
+        "event_type",
+        "day",
+        "cnt",
+        "trail_med",
+        F.when(F.col("cnt") == 0, 1).otherwise(0).cast("int").alias("is_gap"),
+        F.when(
+            F.col("trail_med").isNotNull()
+            & (2 * F.col("cnt") < F.col("trail_med")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_stale"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "misc_bitpack_for_blocks",
+    oracle="""
+    WITH v AS (
+        SELECT l_suppkey AS supp,
+               CAST(CAST(CAST(l_shipdate AS TIMESTAMP) AS DATE)
+                    - DATE '1970-01-01' AS BIGINT) AS val,
+               row_number() OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        FROM lineitem
+    ), blk AS (
+        SELECT supp, (rn - 1) // 64 AS block,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(max(val) - min(val) AS BIGINT) AS rng
+        FROM v GROUP BY supp, (rn - 1) // 64
+    ), sized AS (
+        SELECT supp, n,
+               CASE WHEN rng = 0 THEN 0
+                    ELSE CAST(length(bin(rng)) AS BIGINT) END AS width
+        FROM blk
+    )
+    SELECT supp AS l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(64 + n * width) AS BIGINT) AS packed_bits,
+           CAST(sum(64 * n) AS BIGINT) AS raw_bits,
+           CAST(sum(64 + n * width) * 1000000 // sum(64 * n) AS BIGINT)
+               AS ratio_q6
+    FROM sized GROUP BY supp
+    ORDER BY ratio_q6, l_suppkey LIMIT 50
+    """,
+    doc="frame-of-reference + bit-packing size estimator (the parquet/ORC "
+    "encoding decision as a query, beside misc_rle_encode and "
+    "misc_delta_zigzag_encode): 64-row blocks within each supplier's "
+    "shipdate-ordered lineitems, per-block reference = min shipdate-day, "
+    "payload width = bit length of (max-min) via length(bin(range)) — "
+    "identical semantics both engines — packed = 64 + n*width bits. "
+    "Blocks live inside the supplier partition (keyed window, keyed "
+    "groupBy), so no block ever crosses a partition at scale. Output: "
+    "top-50 best-compressing suppliers (ratio asc, suppkey).",
+)
+def misc_bitpack_for_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    v = li.select(
+        F.col("l_suppkey").alias("supp"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("val"),
+        F.row_number().over(w).alias("rn"),
+    )
+    blk = v.groupBy("supp", F.expr("(rn - 1) div 64").alias("block")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.max("val") - F.min("val")).cast("bigint").alias("rng"),
+    )
+    sized = blk.select(
+        "supp",
+        "n",
+        F.when(F.col("rng") == 0, F.lit(0))
+        .otherwise(F.length(F.bin("rng")))
+        .cast("bigint")
+        .alias("width"),
+    )
+    return (
+        sized.groupBy(F.col("supp").alias("l_suppkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum(64 + F.col("n") * F.col("width"))
+            .cast("bigint")
+            .alias("packed_bits"),
+            F.sum(64 * F.col("n")).cast("bigint").alias("raw_bits"),
+        )
+        .withColumn(
+            "ratio_q6",
+            F.expr("packed_bits * 1000000 div raw_bits").cast("bigint"),
+        )
+        .orderBy("ratio_q6", "l_suppkey")
+        .limit(50)
+    )
+
+
+@register(
+    "stats_cohens_kappa",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang AS actual,
+           CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+                WHEN s_es >= greatest(s_de, s_fr, s_zh)       THEN 'es'
+                WHEN s_de >= greatest(s_fr, s_zh)             THEN 'de'
+                WHEN s_fr >= s_zh                             THEN 'fr'
+                ELSE 'zh' END AS predicted
+        FROM (
+            SELECT lang, {_lang_scores_sql()} FROM documents
+        )
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
+                    AS BIGINT) AS agree
+        FROM scored
+    ), ra AS (
+        SELECT actual AS cls, CAST(count(*) AS BIGINT) AS rk
+        FROM scored GROUP BY actual
+    ), ca AS (
+        SELECT predicted AS cls, CAST(count(*) AS BIGINT) AS ck
+        FROM scored GROUP BY predicted
+    ), pe AS (
+        SELECT CAST(sum(coalesce(ra.rk, 0) * coalesce(ca.ck, 0)) AS BIGINT)
+                   AS pe_num
+        FROM ra FULL OUTER JOIN ca ON ca.cls = ra.cls
+    )
+    SELECT t.n, t.agree, p.pe_num,
+           CAST(1000000 * t.agree // t.n AS BIGINT) AS po_q6,
+           CAST(1000000 * p.pe_num // (t.n * t.n) AS BIGINT) AS pe_q6,
+           CAST(1000000 * (t.n * t.agree - p.pe_num)
+                // (t.n * t.n - p.pe_num) AS BIGINT) AS kappa_q6
+    FROM tot t CROSS JOIN pe p
+    """,
+    doc="Cohen's kappa (1960) between the heuristic language-ID predictor "
+    "and the labeled lang column — chance-corrected agreement, the "
+    "companion to text_lang_confusion_eval's P/R/F1: kappa = (N*agree - "
+    "sum_k row_k*col_k) / (N^2 - sum_k row_k*col_k), an exact BIGINT "
+    "rational quantized with truncating division (Spark div == DuckDB "
+    "//). One corpus scan; marginals join at class grain (K<=5 rows).",
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+    from cudf_spark.queries.text import LANG_WORDS
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_WORDS.items()
+    }
+    pred_col = (
+        F.when(
+            scores["en"]
+            >= F.greatest(scores["es"], scores["de"], scores["fr"], scores["zh"]),
+            "en",
+        )
+        .when(scores["es"] >= F.greatest(scores["de"], scores["fr"], scores["zh"]), "es")
+        .when(scores["de"] >= F.greatest(scores["fr"], scores["zh"]), "de")
+        .when(scores["fr"] >= scores["zh"], "fr")
+        .otherwise("zh")
+    )
+    scored = d.select(F.col("lang").alias("actual"), pred_col.alias("predicted"))
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    ra = scored.groupBy(F.col("actual").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("rk")
+    )
+    ca = scored.groupBy(F.col("predicted").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ck")
+    )
+    pe = (
+        ra.join(ca, "cls", "full_outer")
+        .select(
+            (F.coalesce("rk", F.lit(0)) * F.coalesce("ck", F.lit(0))).alias("p")
+        )
+        .agg(F.sum("p").cast("bigint").alias("pe_num"))
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n",
+        "agree",
+        "pe_num",
+        F.expr("1000000 * agree div n").cast("bigint").alias("po_q6"),
+        F.expr("1000000 * pe_num div (n * n)").cast("bigint").alias("pe_q6"),
+        F.expr("1000000 * (n * agree - pe_num) div (n * n - pe_num)")
+        .cast("bigint")
+        .alias("kappa_q6"),
+    )

@@ -1,0 +1,272 @@
+"""Targeted tests for analytics3: interval-overlap join vs a brute-force
+nested loop, Kendall tau-b vs a pure-python pair count, k-core peel vs an
+in-memory peeler, Hellinger drift vs numpy, Cohen's kappa vs the hand
+formula, and bitpack widths vs int.bit_length."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pandas as pd
+import pytest
+
+
+def _events(rows):
+    return pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+def test_interval_overlap_matches_bruteforce(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(11)
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    for eid in range(400):
+        uid = int(rng.randint(0, 12))
+        ts = base + pd.Timedelta(seconds=int(rng.randint(0, 4 * 86400)))
+        rows.append((eid, ts, uid, "click", 1.0, "{}"))
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+
+    got = {
+        r.user_id: (r.n_overlaps, r.n_partners)
+        for r in mod.join_interval_overlap(spark, "u").collect()
+    }
+
+    # brute-force sessions + O(n^2) overlap scan
+    sessions = []
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        us = (g["ts"].astype("int64") // 1000).tolist()
+        start = prev = us[0]
+        for t in us[1:]:
+            if t - prev > 1_800_000_000:
+                sessions.append((uid, start, prev))
+                start = t
+            prev = t
+        sessions.append((uid, start, prev))
+    exp: dict[int, list[int]] = {}
+    for (u1, s1, e1), (u2, s2, e2) in itertools.permutations(sessions, 2):
+        if u1 != u2 and s1 <= e2 and s2 <= e1:
+            exp.setdefault(u1, []).append(u2)
+    expected = {
+        u: (len(vs), len(set(vs)))
+        for u, vs in sorted(exp.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:50]
+    }
+    assert got == expected
+
+
+def test_kendall_tau_matches_pair_count(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(5)
+    n = 600
+    x = rng.randint(1, 15, n)
+    y_raw = x * 3000 + rng.randint(-20000, 20000, n)
+    pdf = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * n,
+            "l_quantity": x.astype(float),
+            "l_extendedprice": y_raw.astype(float),
+        }
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n_: spark.createDataFrame(pdf))
+    r = mod.stats_kendall_tau_binned(spark, "u").collect()[0]
+
+    yb = np.floor(y_raw / 5000.0).astype(int)
+    nc = nd = n1 = n2 = 0
+    for i, j in itertools.combinations(range(n), 2):
+        dx, dy = x[j] - x[i], yb[j] - yb[i]
+        if dx == 0:
+            n1 += 1
+            continue
+        if dy == 0:
+            n2 += 1
+        elif (dx > 0) == (dy > 0):
+            nc += 1
+        else:
+            nd += 1
+    n0 = n * (n - 1) // 2
+    # n1 in the query counts ALL x-tied pairs (incl. both-tied), n2 all
+    # y-tied pairs — recount with that convention.
+    n1_all = sum(
+        c * (c - 1) // 2 for c in pd.Series(x).value_counts().tolist()
+    )
+    n2_all = sum(
+        c * (c - 1) // 2 for c in pd.Series(yb).value_counts().tolist()
+    )
+    tau = (nc - nd) / (math.sqrt(n0 - n1_all) * math.sqrt(n0 - n2_all))
+    assert (r.nc, r.nd) == (nc, nd)
+    assert (r.n1, r.n2) == (n1_all, n2_all)
+    assert r.tau_b_q6 == math.floor(1_000_000 * tau)
+    assert r.tau_b_q6 > 500_000  # strongly monotone by construction
+
+
+def test_kcore_peel_matches_python(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(3)
+    rows = []
+    ln = 0
+    for o in range(120):
+        parts = rng.choice(40, size=rng.randint(2, 6), replace=False)
+        for p in parts:
+            ln += 1
+            rows.append((o, int(p), 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         pd.Timestamp("2024-01-01")))
+    pdf = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = [(r.node, r.deg) for r in mod.graph_kcore_peel(spark, "u").collect()]
+
+    edges = set()
+    for _, g in pdf.groupby("l_orderkey"):
+        ps = sorted(set(g["l_partkey"]))
+        edges.update((a, b) for a, b in itertools.combinations(ps, 2))
+    for _ in range(mod._KCORE_ROUNDS):
+        deg: dict[int, int] = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, c in deg.items() if c >= mod._KCORE_K}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    expected = sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert got == expected
+
+
+def test_hellinger_drift_matches_numpy(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    docs = {
+        "a": ["x x y z", "y y z w"],
+        "b": ["x q q q", "q q x w"],
+    }
+    rows = []
+    i = 0
+    for src, texts in docs.items():
+        for t in texts:
+            rows.append((i, t, "en", src, len(t)))
+            i += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.source: r for r in mod.text_hellinger_drift(spark, "u").collect()}
+
+    from collections import Counter
+
+    per = {s: Counter(" ".join(ts).split()) for s, ts in docs.items()}
+    glob = Counter()
+    for c in per.values():
+        glob.update(c)
+    ng = sum(glob.values())
+    for src, cnt in per.items():
+        ns = sum(cnt.values())
+        a9 = sum(
+            math.floor(1e9 * math.sqrt((cs * glob[t]) / (ns * ng)))
+            for t, cs in cnt.items()
+        )
+        r = got[src]
+        assert (r.n_tokens, r.vocab) == (ns, len(cnt))
+        assert r.affinity_n9 == a9
+        assert r.hellinger_sq_q6 == (1_000_000_000 - a9) // 1000
+
+
+def test_cohens_kappa_hand_formula(spark, monkeypatch):
+    from cudf_spark.queries import analytics3 as mod
+
+    # 'the' is an en marker; docs with none default to... check via the
+    # actual predictor — we only verify the kappa arithmetic here, against
+    # the confusion matrix the query itself implies.
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["the cat", "the dog", "el perro", "der hund und", "le chat et", "xyz"],
+            "lang": ["en", "en", "es", "de", "fr", "zh"],
+            "source": ["s"] * 6,
+            "n_chars": [7] * 6,
+        }
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_cohens_kappa(spark, "u").collect()[0]
+    assert r.n == 6
+    # kappa identity holds whatever the predictor did
+    assert r.kappa_q6 == (1_000_000 * (r.n * r.agree - r.pe_num)) // (
+        r.n * r.n - r.pe_num
+    )
+    assert r.po_q6 == 1_000_000 * r.agree // r.n
+
+
+def test_bitpack_width_matches_bit_length(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(200):
+        rows.append((i, 0, 7, i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     pd.Timestamp("2024-01-01") + pd.Timedelta(days=int(rng.randint(0, 300)))))
+    pdf = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.misc_bitpack_for_blocks(spark, "u").collect()[0]
+
+    days = sorted(
+        (ts - pd.Timestamp("1970-01-01")).days
+        for ts in pdf.sort_values(["l_shipdate", "l_orderkey", "l_linenumber"])["l_shipdate"]
+    )
+    # sorted by shipdate first => same block assignment as the query
+    packed = raw = 0
+    blocks = 0
+    for b in range(0, len(days), 64):
+        blk = days[b : b + 64]
+        rng_ = max(blk) - min(blk)
+        width = rng_.bit_length()
+        packed += 64 + len(blk) * width
+        raw += 64 * len(blk)
+        blocks += 1
+    assert (r.n_blocks, r.n_rows) == (blocks, 200)
+    assert (r.packed_bits, r.raw_bits) == (packed, raw)
+    assert r.ratio_q6 == packed * 1_000_000 // raw
+
+
+def test_freshness_gap_and_stale_flags(spark, monkeypatch):
+    from cudf_spark.queries import analytics3 as mod
+
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-05-01")
+    # 12 days of ~10 events, day 8 missing entirely, day 10 only 2 events
+    for d in range(12):
+        if d == 8:
+            continue
+        k = 2 if d == 10 else 10
+        for i in range(k):
+            rows.append((eid, base + pd.Timedelta(days=d, minutes=i), 1, "t", 1.0, "{}"))
+            eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    out = {str(r.day): r for r in mod.dq_freshness_gaps(spark, "u").collect()}
+    assert len(out) == 12  # spine fills the missing day
+    assert out["2024-05-09"].cnt == 0 and out["2024-05-09"].is_gap == 1
+    assert out["2024-05-11"].cnt == 2 and out["2024-05-11"].is_stale == 1
+    assert out["2024-05-01"].trail_med is None  # no trailing history
+    assert out["2024-05-05"].trail_med == 10 and out["2024-05-05"].is_stale == 0

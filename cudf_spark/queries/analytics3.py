@@ -762,3 +762,307 @@ def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kappa_q6"),
     )
+
+
+@register(
+    "events_concurrency_peak",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ), pts AS (
+        SELECT event_type, day, us AS t, CAST(1 AS BIGINT) AS delta FROM e
+        UNION ALL
+        SELECT event_type, day, us + 300000000 AS t, CAST(-1 AS BIGINT)
+        FROM e
+    ), swept AS (
+        SELECT event_type, day,
+               sum(delta) OVER (PARTITION BY event_type, day
+                                ORDER BY t, delta
+                                ROWS UNBOUNDED PRECEDING) AS open
+        FROM pts
+    )
+    SELECT s.event_type, s.day,
+           CAST(max(s.open) AS BIGINT) AS peak_concurrency,
+           CAST(count(*) / 2 AS BIGINT) AS n_events
+    FROM swept s GROUP BY s.event_type, s.day
+    ORDER BY s.event_type, s.day
+    """,
+    doc="sweep-line maximum concurrency (capacity planning's 'max "
+    "concurrent calls'): each event opens a 5-minute half-open activity "
+    "window [t, t+300s); +1/-1 points, running sum ordered by (t, delta) "
+    "— delta -1 sorts first so windows touching end-to-start never "
+    "overlap — partition-local max. Keyed by (event_type, start day), so "
+    "the sweep never leaves a partition; ties among equal (t, delta) "
+    "points permute intermediate values but not the multiset, so the max "
+    "is order-stable. Cross-day interactions are out of scope by the "
+    "partition definition (windows belong to their start day).",
+)
+def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("us"),
+    )
+    pts = e.select(
+        "event_type", "day", F.col("us").alias("t"), F.lit(1).cast("bigint").alias("delta")
+    ).unionByName(
+        e.select(
+            "event_type",
+            "day",
+            (F.col("us") + 300_000_000).alias("t"),
+            F.lit(-1).cast("bigint").alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = pts.withColumn("open", F.sum("delta").over(w))
+    return (
+        swept.groupBy("event_type", "day")
+        .agg(
+            F.max("open").cast("bigint").alias("peak_concurrency"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS s_us
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id,
+               min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_us,
+               min(s.s_us) AS s_us
+        FROM events e JOIN s ON s.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= s.s_us
+        GROUP BY e.user_id
+    ), d AS (
+        SELECT (p_us - s_us) // 60000000 AS dm, p_us - s_us AS dus FROM p
+    ), hist AS (
+        SELECT dm, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY dm
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n,
+               (SELECT CAST(sum(dus) AS BIGINT) FROM d) AS sum_us
+        FROM hist
+    ), cum AS (
+        SELECT dm, sum(c) OVER (ORDER BY dm ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    )
+    SELECT t.n AS n_converted,
+           (SELECT CAST(min(dm) AS BIGINT) FROM cum
+             WHERE 2 * cum >= t.n) AS med_min,
+           (SELECT CAST(min(dm) AS BIGINT) FROM cum
+             WHERE 10 * cum >= 9 * t.n) AS p90_min,
+           CAST(t.sum_us // t.n AS BIGINT) AS mean_us
+    FROM tot t
+    """,
+    doc="funnel latency distribution (first signup -> first subsequent "
+    "purchase per user): deltas quantized to a MINUTE lattice so the "
+    "median / p90 come from the exact integer 2*cum >= k*n rank rule "
+    "over a bounded histogram (lattice grain, never a global sort of "
+    "users), mean in exact microseconds with truncating division. The "
+    "conversion join is user-keyed; the only data-scale passes are the "
+    "two type-filtered min-aggregations.",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"), F.min("s_us").alias("s_us"))
+    )
+    d = p.select(
+        F.expr("(p_us - s_us) div 60000000").alias("dm"),
+        (F.col("p_us") - F.col("s_us")).alias("dus"),
+    )
+    hist = d.groupBy("dm").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dus").cast("bigint").alias("sum_us"),
+    )
+    wc = Window.orderBy("dm").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.withColumn("cum", F.sum("c").over(wc))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("dm").cast("bigint").alias("med_min"))
+    )
+    p90 = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(10 * F.col("cum") >= 9 * F.col("n"))
+        .agg(F.min("dm").cast("bigint").alias("p90_min"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(p90))
+        .select(
+            F.col("n").alias("n_converted"),
+            "med_min",
+            "p90_min",
+            F.expr("sum_us div n").cast("bigint").alias("mean_us"),
+        )
+    )
+
+
+@register(
+    "ml_linreg_normal_eq",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS BIGINT) AS x1,
+               CAST(round(l_discount * 100) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ), m AS (
+        SELECT flag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+               CAST(sum(x1 * x1) AS BIGINT) AS s11,
+               CAST(sum(x1 * x2) AS BIGINT) AS s12,
+               CAST(sum(x2 * x2) AS BIGINT) AS s22,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x1 * y) AS BIGINT) AS s1y,
+               CAST(sum(x2 * y) AS BIGINT) AS s2y
+        FROM r GROUP BY flag
+    ), dets AS (
+        SELECT flag, n,
+           CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                                - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+         - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                                - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+         + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)
+                                - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))
+               AS det,
+           CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                                - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE))
+         - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)
+                                - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+         + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE)
+                                - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE))
+               AS det0,
+           CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE)
+                                - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE))
+         - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE)
+                                - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE))
+         + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)
+                                - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+               AS det1,
+           CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)
+                                - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE))
+         - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE)
+                                - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE))
+         + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE)
+                                - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE))
+               AS det2
+        FROM m
+    )
+    SELECT flag, n,
+           CASE WHEN det != 0
+                THEN CAST(floor(1000000.0 * det0 / det) AS BIGINT) END
+               AS b0_q6,
+           CASE WHEN det != 0
+                THEN CAST(floor(1000000.0 * det1 / det) AS BIGINT) END
+               AS b1_q6,
+           CASE WHEN det != 0
+                THEN CAST(floor(1000000.0 * det2 / det) AS BIGINT) END
+               AS b2_q6
+    FROM dets ORDER BY flag
+    """,
+    doc="multi-feature OLS via the NORMAL EQUATIONS (price-cents ~ "
+    "quantity + discount-cents + intercept, per return flag) — the "
+    "distributed linear-regression recipe: ONE map-side-combinable "
+    "groupBy produces the 9 exact BIGINT moment sums (the Gram matrix "
+    "never leaves integer arithmetic), then the 3x3 solve is Cramer's "
+    "rule on K rows. Determinants are evaluated in DOUBLE with an "
+    "explicitly parenthesised term order identical on both engines "
+    "(casts of exact BIGINTs, then the same multiply/subtract tree), so "
+    "the quantized coefficients are bit-reproducible. Degenerate groups "
+    "(det = 0) yield NULL coefficients instead of ANSI division errors "
+    "(the agg_group_ols guard discipline). Scale: data pass is one "
+    "groupBy; everything after is per-group constant work.",
+)
+def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    m = r.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("s2y"),
+    )
+
+    def _d(c: str):
+        return F.col(c).cast("double")
+
+    def det3(a1, a2, a3, b1, b2, b3, c1, c2, c3):
+        return (
+            _d(a1) * (_d(b2) * _d(c3) - _d(b3) * _d(c2))
+            - _d(a2) * (_d(b1) * _d(c3) - _d(b3) * _d(c1))
+            + _d(a3) * (_d(b1) * _d(c2) - _d(b2) * _d(c1))
+        )
+
+    # A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]; columns replaced by
+    # [sy,s1y,s2y] for det0/det1/det2.  Term order mirrors the oracle
+    # LITERALLY (row-1 expansion) so double rounding is identical.
+    dets = m.select(
+        "flag",
+        "n",
+        (
+            _d("n") * (_d("s11") * _d("s22") - _d("s12") * _d("s12"))
+            - _d("s1") * (_d("s1") * _d("s22") - _d("s12") * _d("s2"))
+            + _d("s2") * (_d("s1") * _d("s12") - _d("s11") * _d("s2"))
+        ).alias("det"),
+        (
+            _d("sy") * (_d("s11") * _d("s22") - _d("s12") * _d("s12"))
+            - _d("s1") * (_d("s1y") * _d("s22") - _d("s12") * _d("s2y"))
+            + _d("s2") * (_d("s1y") * _d("s12") - _d("s11") * _d("s2y"))
+        ).alias("det0"),
+        (
+            _d("n") * (_d("s1y") * _d("s22") - _d("s12") * _d("s2y"))
+            - _d("sy") * (_d("s1") * _d("s22") - _d("s12") * _d("s2"))
+            + _d("s2") * (_d("s1") * _d("s2y") - _d("s1y") * _d("s2"))
+        ).alias("det1"),
+        (
+            _d("n") * (_d("s11") * _d("s2y") - _d("s1y") * _d("s12"))
+            - _d("s1") * (_d("s1") * _d("s2y") - _d("s1y") * _d("s2"))
+            + _d("sy") * (_d("s1") * _d("s12") - _d("s11") * _d("s2"))
+        ).alias("det2"),
+    )
+    q = lambda c: F.when(
+        F.col("det") != 0,
+        F.floor(1000000.0 * F.col(c) / F.col("det")).cast("bigint"),
+    )
+    return dets.select(
+        "flag",
+        "n",
+        q("det0").alias("b0_q6"),
+        q("det1").alias("b1_q6"),
+        q("det2").alias("b2_q6"),
+    ).orderBy("flag")

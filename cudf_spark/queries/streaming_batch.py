@@ -609,3 +609,151 @@ def stream_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r["source"], r["n_kept"], r["id_sum"]) for r in rows],
         "source string, n_kept bigint, id_sum bigint",
     ).orderBy("source")
+
+
+@register(
+    "stream_late_arrival_audit",
+    oracle="""
+    WITH e AS (
+        SELECT event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   + (event_id % 7) * 300000000 AS arr
+        FROM events
+    ), gb AS (
+        SELECT us, (day(make_timestamp(arr)) - 1) // 10 AS g FROM e
+    ), agg AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n, max(us) AS mx
+        FROM gb GROUP BY g
+    ), wm AS (
+        SELECT g, n, mx,
+               max(mx) OVER (ORDER BY g
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) - 600000000 AS wm
+        FROM agg
+    )
+    SELECT w.g AS batch, w.n AS n_rows,
+           CAST(w.mx AS BIGINT) AS max_event_us,
+           CAST(coalesce(sum(CASE WHEN gb.us < w.wm THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_late
+    FROM wm w LEFT JOIN gb ON gb.g = w.g
+    GROUP BY w.g, w.n, w.mx
+    ORDER BY w.g
+    """,
+    doc="streaming LATENESS OBSERVABILITY through a real micro-batch "
+    "pipeline: events get a deterministic pseudo arrival time (event "
+    "time + (event_id mod 7)*5 min — rows near a window boundary land "
+    "in the NEXT arrival batch), batches are 10-arrival-day windows "
+    "written as one file each with strictly increasing mtimes (the "
+    "coalesce(1)+utime discipline that deflaked test_streaming), and a "
+    "foreachBatch audit counts rows older than the running "
+    "max-event-time watermark minus 10 min — exactly what "
+    "withWatermark would drop. The callback ASSERTS batches arrive in "
+    "the defined arrival order (a reordered file source fails loudly, "
+    "never silently mismatches). The oracle recomputes the audit from "
+    "the same deterministic batch rule, so the hash gate proves the "
+    "stream processed the defined batches in the defined order. Scale: "
+    "per-batch state is ONE watermark scalar; the audit is a map-side "
+    "count.",
+)
+def stream_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        (
+            F.unix_micros("ts") + (F.col("event_id") % 7) * 300_000_000
+        ).alias("arr"),
+    )
+    withg = ev.withColumn(
+        "g", F.expr("(day(timestamp_micros(arr)) - 1) div 10")
+    )
+    groups = sorted(
+        r.g for r in withg.select("g").distinct().collect()
+    )  # bounded: ceil(31/10) arrival-day windows
+    tmp = tempfile.mkdtemp(prefix="late_audit_")
+    results: list = []
+    state = {"wm": None, "next": 0}
+    try:
+        stage = os.path.join(tmp, "_stage")
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for i, g in enumerate(groups):
+            withg.filter(F.col("g") == g).select(
+                "us", "g"
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"batch_{i:03d}.parquet")
+            shutil.copyfile(os.path.join(stage, part), dst)
+            # strictly increasing mtimes: the file source processes files
+            # in mtime order, so batch order == arrival order
+            os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+        def per_batch(bdf, _bid):
+            row = bdf.agg(
+                F.min("g").alias("gmin"),
+                F.max("g").alias("gmax"),
+                F.count(F.lit(1)).alias("n"),
+                F.max("us").alias("mx"),
+                F.sum(
+                    F.when(
+                        F.col("us")
+                        < F.lit(
+                            state["wm"] - 600_000_000
+                            if state["wm"] is not None
+                            else -(1 << 62)
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("late"),
+            ).collect()[0]
+            if row["n"] == 0:  # empty trailing trigger
+                return
+            expected = groups[state["next"]]
+            if row["gmin"] != expected or row["gmax"] != expected:
+                raise RuntimeError(
+                    f"file source broke batch order: saw g in "
+                    f"[{row['gmin']},{row['gmax']}], expected {expected}"
+                )
+            results.append(
+                (
+                    int(expected),
+                    int(row["n"]),
+                    int(row["mx"]),
+                    int(row["late"]) if state["wm"] is not None else 0,
+                )
+            )
+            state["wm"] = (
+                row["mx"]
+                if state["wm"] is None
+                else max(state["wm"], row["mx"])
+            )
+            state["next"] += 1
+
+        q = (
+            spark.readStream.schema(withg.select("us", "g").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(per_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_late_arrival_audit: availableNow stream did not "
+                "finish within 300s; partial audit would undercount"
+            )
+        if state["next"] != len(groups):
+            raise RuntimeError(
+                f"stream_late_arrival_audit: processed {state['next']} of "
+                f"{len(groups)} batches — partial stream"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        results, "batch bigint, n_rows bigint, max_event_us bigint, n_late bigint"
+    ).orderBy("batch")

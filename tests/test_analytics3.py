@@ -270,3 +270,131 @@ def test_freshness_gap_and_stale_flags(spark, monkeypatch):
     assert out["2024-05-11"].cnt == 2 and out["2024-05-11"].is_stale == 1
     assert out["2024-05-01"].trail_med is None  # no trailing history
     assert out["2024-05-05"].trail_med == 10 and out["2024-05-05"].is_stale == 0
+
+
+def test_concurrency_peak_matches_bruteforce(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(21)
+    base = pd.Timestamp("2024-06-03")
+    rows = []
+    for eid in range(300):
+        ts = base + pd.Timedelta(seconds=int(rng.randint(0, 2 * 86400)))
+        rows.append((eid, ts, 1, "click", 1.0, "{}"))
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {
+        str(r.day): (r.peak_concurrency, r.n_events)
+        for r in mod.events_concurrency_peak(spark, "u").collect()
+    }
+
+    for day, g in pdf.groupby(pdf["ts"].dt.date):
+        us = sorted((g["ts"].astype("int64") // 1000).tolist())
+        pts = sorted(
+            [(t, 1) for t in us] + [(t + 300_000_000, -1) for t in us],
+            key=lambda p: (p[0], p[1]),
+        )
+        cur = peak = 0
+        for _, d in pts:
+            cur += d
+            peak = max(peak, cur)
+        assert got[str(day)] == (peak, len(us))
+
+
+def test_time_to_convert_matches_pandas(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(13)
+    base = pd.Timestamp("2024-02-01")
+    rows = []
+    eid = 0
+    deltas_us = []
+    for uid in range(40):
+        s = base + pd.Timedelta(seconds=int(rng.randint(0, 86400)))
+        rows.append((eid, s, uid, "signup", 1.0, "{}")); eid += 1
+        if uid % 4 != 0:  # 30 of 40 convert
+            d = int(rng.randint(60, 10 * 86400))
+            rows.append((eid, s + pd.Timedelta(seconds=d), uid, "purchase", 1.0, "{}")); eid += 1
+            deltas_us.append(d * 1_000_000)
+        else:  # pre-signup purchase must NOT count
+            rows.append((eid, s - pd.Timedelta(seconds=500), uid, "purchase", 1.0, "{}")); eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.events_time_to_convert(spark, "u").collect()[0]
+
+    dm = sorted(d // 60_000_000 for d in deltas_us)
+    n = len(dm)
+    med = min(v for i, v in enumerate(dm, 1) if 2 * i >= n)
+    # p90 via the same cumulative rank rule on the value lattice
+    from collections import Counter
+
+    hist = sorted(Counter(dm).items())
+    cum = 0
+    p90 = None
+    for v, c in hist:
+        cum += c
+        if p90 is None and 10 * cum >= 9 * n:
+            p90 = v
+    assert r.n_converted == n == 30
+    assert r.med_min == med
+    assert r.p90_min == p90
+    assert r.mean_us == sum(deltas_us) // n
+
+
+def test_linreg_matches_numpy_lstsq(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(17)
+    n = 500
+    x1 = rng.randint(1, 50, n)
+    x2 = rng.randint(0, 11, n)
+    y_cents = 100 * x1 * 37 - 55 * x2 * 100 + rng.randint(-5000, 5000, n) + 250_000
+    pdf = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * n,
+            "l_quantity": x1.astype(float),
+            "l_discount": x2 / 100.0,
+            "l_extendedprice": y_cents / 100.0,
+        }
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n_: spark.createDataFrame(pdf))
+    r = mod.ml_linreg_normal_eq(spark, "u").collect()[0]
+
+    X = np.column_stack([np.ones(n), x1, x2]).astype(float)
+    beta, *_ = np.linalg.lstsq(X, y_cents.astype(float), rcond=None)
+    assert r.b0_q6 == pytest.approx(beta[0] * 1e6, abs=2)
+    assert r.b1_q6 == pytest.approx(beta[1] * 1e6, abs=2)
+    assert r.b2_q6 == pytest.approx(beta[2] * 1e6, abs=2)
+    # recovered coefficients are near the generating model
+    assert abs(r.b1_q6 / 1e6 - 3700) < 20
+    assert abs(r.b2_q6 / 1e6 + 5500) < 400
+
+
+def test_late_arrival_audit_counts_boundary_rows(spark, monkeypatch):
+    from cudf_spark.queries import streaming_batch as mod
+
+    # hand-built stream: batch 0 = arrival days 1..10, one row of day 10
+    # delayed into batch 1 with event time 30 min before batch-0 max.
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # event_id % 7 == 0 -> no delay
+        (0, base + pd.Timedelta(days=2), 1, "t", 1.0, "{}"),
+        (7, base + pd.Timedelta(days=9, hours=23, minutes=50), 1, "t", 1.0, "{}"),
+        # event_id 14: no delay, lands late in day 10 -> batch 0 max
+        (14, base + pd.Timedelta(days=9, hours=23, minutes=59), 1, "t", 1.0, "{}"),
+        # event_id 6 -> delay 6*5=30 min: event ts day 10 23:40 (19 min
+        # older than batch-0 max => LATE), arrival day 11 00:10 -> batch 1
+        (6, base + pd.Timedelta(days=9, hours=23, minutes=40), 1, "t", 1.0, "{}"),
+        (21, base + pd.Timedelta(days=15), 1, "t", 1.0, "{}"),
+    ]
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    out = {r.batch: r for r in mod.stream_late_arrival_audit(spark, "u").collect()}
+    assert out[0].n_rows == 3 and out[0].n_late == 0
+    assert out[1].n_rows == 2 and out[1].n_late == 1  # the 23:40 row

@@ -1066,3 +1066,363 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         q("det1").alias("b1_q6"),
         q("det2").alias("b2_q6"),
     ).orderBy("flag")
+
+
+def _markov_oracle() -> str:
+    rounds = []
+    for r in range(1, 6):
+        rounds.append(
+            f"""
+    v{r} AS MATERIALIZED (
+        SELECT c.j AS state, CAST(sum((v{r - 1}.v * c.c) // r.r) AS BIGINT) AS v
+        FROM v{r - 1}
+        JOIN c ON c.i = v{r - 1}.state
+        JOIN r ON r.i = c.i
+        GROUP BY c.j
+    )"""
+        )
+    return (
+        """
+    WITH t AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS nxt
+        FROM events
+    ), c AS (
+        SELECT event_type AS i, nxt AS j, CAST(count(*) AS BIGINT) AS c
+        FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), r AS (
+        SELECT i, CAST(sum(c) AS BIGINT) AS r FROM c GROUP BY i
+    ), k AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM r),
+    v0 AS (SELECT i AS state, CAST(1000000 // kk AS BIGINT) AS v FROM r, k),"""
+        + ",".join(rounds)
+        + """
+    SELECT r.i AS state, r.r AS n_out,
+           CAST(coalesce(v5.v, 0) AS BIGINT) AS stationary_q6
+    FROM r LEFT JOIN v5 ON v5.state = r.i
+    ORDER BY state
+    """
+    )
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_markov_oracle(),
+    doc="stationary distribution of the per-user event-type Markov chain "
+    "by FIVE exact fixed-point power-iteration rounds (the companion to "
+    "events_markov_transitions; same recipe as graph_pagerank but on a "
+    "row-normalised transition matrix): v_{t+1,j} = sum_i (v_i * c_ij) "
+    "div r_i entirely in micro-unit BIGINTs — per-term truncating "
+    "division then an order-free integer sum, so both engines agree "
+    "bit-for-bit without any float. The only data-scale pass builds the "
+    "(i, j) transition counts (one lead window + one keyed groupBy); "
+    "every iteration runs at K^2 grain (K = #event types). States = "
+    "those with outgoing transitions; truncation dust makes sum(v) "
+    "drift a few micro-units below 1e6 by design.",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = ev.withColumn("nxt", F.lead("event_type").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    c = t.groupBy(
+        F.col("event_type").alias("i"), F.col("nxt").alias("j")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    r = c.groupBy("i").agg(F.sum("c").cast("bigint").alias("r"))
+    k = r.agg(F.count(F.lit(1)).cast("bigint").alias("kk"))
+    v = r.crossJoin(F.broadcast(k)).select(
+        F.col("i").alias("state"), F.expr("1000000 div kk").cast("bigint").alias("v")
+    )
+    cr = c.join(r, "i")  # K^2 rows; reused every round
+    for _ in range(5):
+        v = (
+            v.join(cr, v.state == cr.i)
+            .select("j", F.expr("(v * c) div r").alias("term"))
+            .groupBy(F.col("j").alias("state"))
+            .agg(F.sum("term").cast("bigint").alias("v"))
+        )
+    return (
+        r.join(v, r.i == v.state, "left")
+        .select(
+            F.col("i").alias("state"),
+            F.col("r").alias("n_out"),
+            F.coalesce("v", F.lit(0)).cast("bigint").alias("stationary_q6"),
+        )
+        .orderBy("state")
+    )
+
+
+_HILBERT_N = 256  # 8-bit Hilbert grid
+
+
+def _hilbert_oracle() -> str:
+    """Canonical xy2d (Wikipedia 'Hilbert curve', public domain algorithm)
+    unrolled over 8 MATERIALIZED stages at distinct-pair grain."""
+    stages = [
+        """
+    pts AS (
+        SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y, count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    ), h8 AS (SELECT x, y, n, x AS xt, y AS yt, CAST(0 AS BIGINT) AS d
+              FROM pts)"""
+    ]
+    s = _HILBERT_N // 2
+    i = 8
+    while s > 0:
+        stages.append(
+            f"""
+    h{i - 1} AS MATERIALIZED (
+        SELECT x, y, n,
+            CASE WHEN (yt // {s}) % 2 = 1 THEN xt
+                 WHEN (xt // {s}) % 2 = 1 THEN {_HILBERT_N - 1} - yt
+                 ELSE yt END AS xt,
+            CASE WHEN (yt // {s}) % 2 = 1 THEN yt
+                 WHEN (xt // {s}) % 2 = 1 THEN {_HILBERT_N - 1} - xt
+                 ELSE xt END AS yt,
+            d + {s * s} * (CASE WHEN (xt // {s}) % 2 = 0
+                                 AND (yt // {s}) % 2 = 0 THEN 0
+                                WHEN (xt // {s}) % 2 = 0 THEN 1
+                                WHEN (yt // {s}) % 2 = 1 THEN 2
+                                ELSE 3 END) AS d
+        FROM h{i}
+    )"""
+        )
+        s //= 2
+        i -= 1
+    return (
+        "WITH "
+        + ",".join(stages)
+        + """
+    SELECT d // 1024 AS bucket, CAST(sum(n) AS BIGINT) AS n,
+           CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+    FROM h0 GROUP BY 1 ORDER BY bucket
+    """
+    )
+
+
+@register(
+    "misc_hilbert_layout",
+    oracle=_hilbert_oracle(),
+    doc="Hilbert-curve data layout (the locality-better sibling of "
+    "misc_zorder_layout — Delta/Iceberg OPTIMIZE's other curve; "
+    "canonical xy2d, Wikipedia/Hamilton): 8-bit (partkey, suppkey) "
+    "cells walk 8 rounds of the quadrant-rotate recurrence in pure "
+    "integer CASE arithmetic, identical on both engines. The curve is "
+    "computed ONCE at distinct-cell grain (<= 4^bits rows, "
+    "localCheckpoint every few rounds to keep the projection tree "
+    "linear) and broadcast-joined back to the fact rows — at 100 TB "
+    "the Hilbert dictionary is a bounded build-once table, never a "
+    "per-row 8-deep expression. Output: per 1024-key bucket row count "
+    "+ bounding box (Hilbert buckets have tighter boxes than Morton's "
+    "worst-case jumps — the reason to prefer them for range pruning).",
+)
+def misc_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("x"), (F.col("l_suppkey") % 256).alias("y")
+    )
+    pts = li.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cur = pts.select("x", "y", "n", F.col("x").alias("xt"), F.col("y").alias("yt"),
+                     F.lit(0).cast("bigint").alias("d"))
+    s = _HILBERT_N // 2
+    rnd = 0
+    while s > 0:
+        rx = (F.col("xt") / s).cast("long") % 2
+        ry = (F.col("yt") / s).cast("long") % 2
+        quad = (
+            F.when((rx == 0) & (ry == 0), 0)
+            .when(rx == 0, 1)
+            .when(ry == 1, 2)
+            .otherwise(3)
+        )
+        cur = cur.select(
+            "x",
+            "y",
+            "n",
+            F.when(ry == 1, F.col("xt"))
+            .when(rx == 1, F.lit(_HILBERT_N - 1) - F.col("yt"))
+            .otherwise(F.col("yt"))
+            .alias("xt"),
+            F.when(ry == 1, F.col("yt"))
+            .when(rx == 1, F.lit(_HILBERT_N - 1) - F.col("xt"))
+            .otherwise(F.col("xt"))
+            .alias("yt"),
+            (F.col("d") + s * s * quad).alias("d"),
+        )
+        rnd += 1
+        if rnd % 3 == 0:  # keep the collapsed projection tree linear
+            cur = cur.localCheckpoint(eager=False)
+        s //= 2
+    return (
+        cur.groupBy(F.expr("d div 1024").alias("bucket"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.min("x").cast("bigint").alias("min_x"),
+            F.max("x").cast("bigint").alias("max_x"),
+            F.min("y").cast("bigint").alias("min_y"),
+            F.max("y").cast("bigint").alias("max_y"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "text_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t,
+               generate_subscripts(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1)
+                   AS pos
+        FROM documents
+    ), big AS (
+        SELECT a.t AS x, b.t AS y
+        FROM toks a JOIN toks b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ), cxy AS (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+        FROM big WHERE x != '' AND y != '' GROUP BY x, y
+    ), uni AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks
+        WHERE t != '' GROUP BY t
+    ), tot AS (
+        SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS nu,
+               (SELECT CAST(sum(c_xy) AS BIGINT) FROM cxy) AS nb
+    )
+    SELECT p.x, p.y, p.c_xy,
+           CAST(floor(1000000.0 *
+                (CAST(p.c_xy AS DOUBLE) / CAST(t.nb AS DOUBLE))
+                / ((CAST(ux.c AS DOUBLE) / CAST(t.nu AS DOUBLE))
+                   * (CAST(uy.c AS DOUBLE) / CAST(t.nu AS DOUBLE))))
+               AS BIGINT) AS lift_q6
+    FROM cxy p
+    JOIN uni ux ON ux.t = p.x
+    JOIN uni uy ON uy.t = p.y
+    CROSS JOIN tot t
+    WHERE p.c_xy >= 5
+    ORDER BY lift_q6 DESC, p.x, p.y LIMIT 30
+    """,
+    doc="PMI collocation mining (pointwise mutual information; ranked by "
+    "the monotone-equivalent LIFT = P(xy)/(P(x)P(y)) so no logarithm "
+    "ever runs — lift is three exact-int-to-double casts, four divides "
+    "and a multiply in an identical order on both engines, then "
+    "floor-quantized): adjacent-token bigram counts vs unigram "
+    "marginals, min support 5. Data passes: one tokenize + lead for "
+    "bigrams, two keyed groupBys; the lift join is token-keyed. Top-30 "
+    "by (lift desc, pair) total order.",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.withColumn("y", F.lead("t").over(w)).filter(
+        F.col("y").isNotNull() & (F.col("t") != "") & (F.col("y") != "")
+    )
+    cxy = big.groupBy(F.col("t").alias("x"), "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    )
+    uni = (
+        toks.filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("nu")).crossJoin(
+        cxy.agg(F.sum("c_xy").cast("bigint").alias("nb"))
+    )
+    ux = uni.select(F.col("t").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("t").alias("y"), F.col("c").alias("cy"))
+    lift = F.floor(
+        1000000.0
+        * (F.col("c_xy").cast("double") / F.col("nb").cast("double"))
+        / (
+            (F.col("cx").cast("double") / F.col("nu").cast("double"))
+            * (F.col("cy").cast("double") / F.col("nu").cast("double"))
+        )
+    ).cast("bigint")
+    return (
+        cxy.filter(F.col("c_xy") >= 5)
+        .join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(tot))
+        .select("x", "y", "c_xy", lift.alias("lift_q6"))
+        .orderBy(F.desc("lift_q6"), "x", "y")
+        .limit(30)
+    )
+
+
+_SOUNDEX_MAP = "01230120022455012623010202"  # A..Z census digit map
+
+
+@register(
+    "str_phonetic_soundex",
+    oracle=f"""
+    WITH w AS (
+        SELECT DISTINCT unnest(string_split(p_name, ' ')) AS word FROM part
+    ), s1 AS (
+        SELECT word, upper(word) AS u FROM w WHERE word != ''
+    ), s2 AS (
+        SELECT word, substring(u, 1, 1) AS first,
+               replace(replace(substring(u, 2), 'H', ''), 'W', '') AS tail
+        FROM s1
+    ), s3 AS (
+        SELECT word, first,
+               translate(first || tail,
+                         'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         '{_SOUNDEX_MAP}') AS coded
+        FROM s2
+    ), s4 AS (
+        SELECT word, first,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(coded,
+                   '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'),
+                   '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'),
+                   '66+', '6', 'g') AS collapsed
+        FROM s3
+    ), sx AS (
+        SELECT word,
+               first || substring(
+                   replace(substring(collapsed, 2), '0', '') || '000', 1, 3)
+                   AS code
+        FROM s4
+    )
+    SELECT code, CAST(count(*) AS BIGINT) AS n_words,
+           string_agg(word, '|' ORDER BY word) AS words
+    FROM sx GROUP BY code ORDER BY code
+    """,
+    doc="American (census) Soundex phonetic encoding of part-name words "
+    "— the fuzzy-matching classic beside str_levenshtein and "
+    "fuzzy_token_pairs. Spark side is the JVM builtin F.soundex; the "
+    "oracle HAND-ROLLS the census algorithm (keep first letter, drop "
+    "H/W from the tail so same-code consonants collapse across them, "
+    "digit-map A..Z, collapse adjacent duplicate digits — RE2 has no "
+    "backrefs, so 7 chained per-digit regexes — drop vowel zeros, pad "
+    "to 3), pinned equal to Spark's output on the classic trap words "
+    "(ashcraft, pfister, tymczak, honeyman, hannah) in pytest. Output: "
+    "collision groups per code with the sorted member list.",
+)
+def str_phonetic_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    words = (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    sx = words.select("word", F.soundex("word").alias("code"))
+    return (
+        sx.groupBy("code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.array_join(F.array_sort(F.collect_set("word")), "|").alias("words"),
+        )
+        .orderBy("code")
+    )

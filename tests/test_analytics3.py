@@ -398,3 +398,152 @@ def test_late_arrival_audit_counts_boundary_rows(spark, monkeypatch):
     out = {r.batch: r for r in mod.stream_late_arrival_audit(spark, "u").collect()}
     assert out[0].n_rows == 3 and out[0].n_late == 0
     assert out[1].n_rows == 2 and out[1].n_late == 1  # the 23:40 row
+
+
+def test_markov_stationary_integer_sim(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(31)
+    types = ["a", "b", "c"]
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-04-01")
+    for uid in range(20):
+        for step in range(rng.randint(3, 12)):
+            rows.append((eid, base + pd.Timedelta(minutes=eid), uid,
+                         types[rng.randint(0, 3)], 1.0, "{}"))
+            eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.state: (r.n_out, r.stationary_q6)
+           for r in mod.events_markov_stationary(spark, "u").collect()}
+
+    # integer simulation mirroring the query's truncating arithmetic
+    from collections import Counter
+    trans = Counter()
+    for uid, g in pdf.groupby("user_id"):
+        seq = g.sort_values(["ts", "event_id"])["event_type"].tolist()
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    states = sorted({a for a, _ in trans})
+    r = {s: sum(c for (a, _), c in trans.items() if a == s) for s in states}
+    v = {s: 1_000_000 // len(states) for s in states}
+    for _ in range(5):
+        nv = {}
+        for (i, j), c in trans.items():
+            nv[j] = nv.get(j, 0) + (v.get(i, 0) * c) // r[i]
+        v = nv
+    for s in states:
+        assert got[s] == (r[s], v.get(s, 0))
+    # mass approximately conserved (truncation dust only)
+    assert 0 <= 1_000_000 - sum(v.values()) < 1000
+
+
+def _xy2d(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_canonical_xy2d(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(41)
+    rows = []
+    for i in range(300):
+        rows.append((i // 4, int(rng.randint(0, 5000)), int(rng.randint(0, 5000)),
+                     i + 1, 1.0, 1.0, 0.0, 0.0, "N", "O", pd.Timestamp("2024-01-01")))
+    pdf = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.bucket: (r.n, r.min_x, r.max_x, r.min_y, r.max_y)
+           for r in mod.misc_hilbert_layout(spark, "u").collect()}
+
+    from collections import defaultdict
+    agg = defaultdict(list)
+    for _, row in pdf.iterrows():
+        x, y = row.l_partkey % 256, row.l_suppkey % 256
+        agg[_xy2d(256, x, y) // 1024].append((x, y))
+    expected = {
+        b: (len(v), min(p[0] for p in v), max(p[0] for p in v),
+            min(p[1] for p in v), max(p[1] for p in v))
+        for b, v in agg.items()
+    }
+    assert got == expected
+
+
+def test_hilbert_is_bijective_on_grid(spark):
+    # canonical property pin: xy2d is a bijection [0,256)^2 -> [0,65536)
+    seen = set()
+    for x in range(0, 256, 17):
+        for y in range(0, 256, 13):
+            seen.add(_xy2d(256, x, y))
+    assert len(seen) == len(range(0, 256, 17)) * len(range(0, 256, 13))
+    # adjacency property: consecutive d differ by 1 step in the plane
+    d2xy = {}
+    for x in range(64):
+        for y in range(64):
+            d2xy[_xy2d(64, x, y)] = (x, y)
+    for d in range(0, 64 * 64 - 1):
+        (x1, y1), (x2, y2) = d2xy[d], d2xy[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_pmi_collocations_bruteforce(spark, monkeypatch):
+    from cudf_spark.queries import analytics3 as mod
+
+    docs = ["new york is big", "new york city", "big data new york",
+            "new york new york", "data is big data"] * 3
+    pdf = pd.DataFrame({
+        "doc_id": range(len(docs)), "text": docs,
+        "lang": ["en"] * len(docs), "source": ["s"] * len(docs),
+        "n_chars": [len(t) for t in docs]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    out = [(r.x, r.y, r.c_xy, r.lift_q6)
+           for r in mod.text_pmi_collocations(spark, "u").collect()]
+
+    from collections import Counter
+    import math as m
+    uni, big = Counter(), Counter()
+    for t in docs:
+        ws = t.split()
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    nu, nb = sum(uni.values()), sum(big.values())
+    exp = []
+    for (x, y), c in big.items():
+        if c >= 5:
+            lift = (c / nb) / ((uni[x] / nu) * (uni[y] / nu))
+            exp.append((x, y, c, m.floor(1e6 * lift)))
+    exp.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert out == exp[:30]
+    # 'new york' is a confirmed collocation (PMI ranks rarer pairs like
+    # 'is big' above it — lift rewards low marginals, as designed)
+    assert ("new", "york", 15) in [(x, y, c) for x, y, c, _ in out]
+
+
+def test_soundex_census_trap_words(spark):
+    from pyspark.sql import functions as F
+
+    traps = {"robert": "R163", "rupert": "R163", "ashcraft": "A261",
+             "ashcroft": "A261", "tymczak": "T522", "pfister": "P236",
+             "honeyman": "H555", "hannah": "H500"}
+    df = spark.createDataFrame([(w,) for w in traps], "w string")
+    got = {r.w: r.sx for r in df.select("w", F.soundex("w").alias("sx")).collect()}
+    assert got == traps

@@ -1426,3 +1426,278 @@ def str_phonetic_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("code")
     )
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+    WITH gmax AS (
+        SELECT max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS mx FROM events
+    ), u AS (
+        SELECT user_id,
+               min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS fd,
+               max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS ld
+        FROM events GROUP BY user_id
+    ), durs AS (
+        SELECT CAST(ld - fd AS BIGINT) AS t,
+               CASE WHEN ld <= mx - 3 THEN 1 ELSE 0 END AS churned
+        FROM u CROSS JOIN gmax
+    ), rt AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c_all,
+               CAST(sum(churned) AS BIGINT) AS d
+        FROM durs GROUP BY t
+    ), risk AS (
+        SELECT t, d,
+               sum(c_all) OVER (ORDER BY t DESC
+                                ROWS UNBOUNDED PRECEDING) AS n_risk
+        FROM rt
+    ), enc AS (
+        SELECT t, d, n_risk,
+               list(n_risk * 1000000000 + (n_risk - d)) OVER (
+                   ORDER BY t ROWS UNBOUNDED PRECEDING) AS pre
+        FROM risk
+    )
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS d_churn,
+           CAST(list_reduce(
+               list_prepend(CAST(1000000 AS BIGINT), pre),
+               (acc, x) -> (acc * (x % 1000000000)) // (x // 1000000000))
+               AS BIGINT) AS surv_q6
+    FROM enc ORDER BY t
+    """,
+    doc="Kaplan-Meier survival curve (Kaplan & Meier 1958) for user "
+    "lifetime (first->last event days; users still active in the final "
+    "3 days are right-CENSORED — they leave the risk set without a "
+    "death): S(t) = prod_{u<=t} (n_risk(u) - d(u)) / n_risk(u), "
+    "maintained as a TRUNCATING micro-unit integer product fold over "
+    "the day lattice — each step (acc * (nr-d)) div nr in BIGINT, so "
+    "the sequential product is bit-identical across engines with zero "
+    "float (censor-only days multiply by nr/nr and are exact no-ops, "
+    "which is why the fold needs no filtering). Data passes: one "
+    "user-grain min/max groupBy; risk sets are a suffix cumsum on the "
+    "duration lattice (bounded by observation days); the per-day "
+    "prefix fold is O(T^2) at lattice grain.",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    gmax = ev.agg(F.max("day").alias("mx"))
+    u = ev.groupBy("user_id").agg(
+        F.min("day").alias("fd"), F.max("day").alias("ld")
+    )
+    durs = u.crossJoin(F.broadcast(gmax)).select(
+        F.datediff("ld", "fd").cast("bigint").alias("t"),
+        F.when(F.col("ld") <= F.date_sub("mx", 3), 1).otherwise(0).alias("churned"),
+    )
+    rt = durs.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all"),
+        F.sum("churned").cast("bigint").alias("d"),
+    )
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = rt.withColumn("n_risk", F.sum("c_all").over(wdesc))
+    wasc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    enc = risk.withColumn(
+        "pre",
+        F.collect_list(
+            F.col("n_risk") * 1000000000 + (F.col("n_risk") - F.col("d"))
+        ).over(wasc),
+    )
+    surv = F.expr(
+        "aggregate(pre, CAST(1000000 AS BIGINT), "
+        "(acc, x) -> (acc * (x % 1000000000)) div (x div 1000000000))"
+    )
+    return enc.select(
+        "t",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").alias("d_churn"),
+        surv.cast("bigint").alias("surv_q6"),
+    ).orderBy("t")
+
+
+@register(
+    "stats_theil_u",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY lang, source
+    ), folds AS (
+        SELECT
+            (SELECT -list_sum(list_transform(cl, x ->
+                (CAST(x AS DOUBLE) / nn) * log2(CAST(x AS DOUBLE) / nn)))
+             FROM (SELECT list_sort(list(c)) AS cl, CAST(sum(c) AS DOUBLE)
+                       AS nn FROM cells)) AS h_joint,
+            (SELECT -list_sum(list_transform(cl, x ->
+                (CAST(x AS DOUBLE) / nn) * log2(CAST(x AS DOUBLE) / nn)))
+             FROM (SELECT list_sort(list(m)) AS cl, CAST(sum(m) AS DOUBLE)
+                       AS nn
+                   FROM (SELECT CAST(sum(c) AS BIGINT) AS m
+                         FROM cells GROUP BY lang))) AS h_lang,
+            (SELECT -list_sum(list_transform(cl, x ->
+                (CAST(x AS DOUBLE) / nn) * log2(CAST(x AS DOUBLE) / nn)))
+             FROM (SELECT list_sort(list(m)) AS cl, CAST(sum(m) AS DOUBLE)
+                       AS nn
+                   FROM (SELECT CAST(sum(c) AS BIGINT) AS m
+                         FROM cells GROUP BY source))) AS h_source,
+            (SELECT CAST(sum(c) AS BIGINT) FROM cells) AS n
+    )
+    SELECT n,
+           round(h_lang, 6)   AS h_lang_q6,
+           round(h_source, 6) AS h_source_q6,
+           round(h_joint, 6)  AS h_joint_q6,
+           round(h_lang + h_source - h_joint, 6) AS mi_q6,
+           round((h_lang + h_source - h_joint) / h_lang, 6)
+               AS u_lang_given_source_q6,
+           round((h_lang + h_source - h_joint) / h_source, 6)
+               AS u_source_given_lang_q6
+    FROM folds
+    """,
+    doc="Theil's uncertainty coefficient U (the entropy-based, "
+    "asymmetric association measure beside stats_cramers_v; Theil "
+    "1970): U(X|Y) = I(X;Y)/H(X) with I = H(X) + H(Y) - H(X,Y). The "
+    "three entropies are SORTED float folds over bounded count lists "
+    "(cells <= |langs|*|sources|) — the agg_entropy_gini discipline: "
+    "both engines sum the identical series in the identical order, so "
+    "log2 rounding cannot reorder into the sixth decimal. One "
+    "data-scale pass (the cell groupBy); marginals derive from the "
+    "cell table.",
+)
+def stats_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+    def h_fold(df: DataFrame, col: str) -> DataFrame:
+        g = df.agg(
+            F.array_sort(F.collect_list(col)).alias("cs"),
+            F.sum(col).cast("bigint").alias("n"),
+        )
+        n = F.col("n").cast("double")
+        ent = -F.aggregate(
+            F.col("cs"),
+            F.lit(0.0),
+            lambda acc, c: acc
+            + (c.cast("double") / n) * F.log2(c.cast("double") / n),
+        )
+        return g.select(ent.alias("h"), "n")
+
+    hj = h_fold(cells, "c").select(F.col("h").alias("h_joint"), "n")
+    hl = h_fold(
+        cells.groupBy("lang").agg(F.sum("c").cast("bigint").alias("cl")), "cl"
+    ).select(F.col("h").alias("h_lang"))
+    hs = h_fold(
+        cells.groupBy("source").agg(F.sum("c").cast("bigint").alias("cs2")),
+        "cs2",
+    ).select(F.col("h").alias("h_source"))
+    mi = F.col("h_lang") + F.col("h_source") - F.col("h_joint")
+    return (
+        hj.crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            "n",
+            F.round("h_lang", 6).alias("h_lang_q6"),
+            F.round("h_source", 6).alias("h_source_q6"),
+            F.round("h_joint", 6).alias("h_joint_q6"),
+            F.round(mi, 6).alias("mi_q6"),
+            F.round(mi / F.col("h_lang"), 6).alias("u_lang_given_source_q6"),
+            F.round(mi / F.col("h_source"), 6).alias("u_source_given_lang_q6"),
+        )
+    )
+
+
+@register(
+    "misc_consistent_hash_ring",
+    oracle="""
+    WITH ring AS (
+        SELECT s_suppkey AS supp,
+               CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':' ||
+                    CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM supplier, unnest([0, 1, 2]) AS t(v)
+    ), arr AS (
+        SELECT list_sort(list({'h': h, 'supp': supp})) AS ring_arr FROM ring
+    ), keys AS (
+        SELECT p_partkey AS part,
+               CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS kh
+        FROM part
+    ), owned AS (
+        SELECT part,
+               coalesce(list_filter(ring_arr, s -> s.h >= kh)[1],
+                        ring_arr[1]).supp AS owner
+        FROM keys CROSS JOIN arr
+    ), counts AS (
+        SELECT owner, CAST(count(*) AS BIGINT) AS n_keys FROM owned
+        GROUP BY owner
+    )
+    SELECT s.s_suppkey, coalesce(c.n_keys, 0) AS n_keys,
+           CAST(coalesce(c.n_keys, 0) * 1000000
+                // (SELECT count(*) FROM part) AS BIGINT) AS share_q6
+    FROM supplier s LEFT JOIN counts c ON c.owner = s.s_suppkey
+    ORDER BY s.s_suppkey
+    """,
+    doc="consistent-hash ring shard assignment (Karger 1997; the "
+    "sharding utility under every distributed KV / shuffle-less "
+    "router): suppliers are nodes with 3 virtual points each "
+    "(hash60(supp:v)), parts are keys, owner = clockwise successor on "
+    "the 60-bit ring (first vnode hash >= key hash, wraparound to the "
+    "ring minimum). The ring is BOUNDED (nodes x vnodes), aggregated "
+    "to ONE sorted array row and broadcast to the key scan — per-key "
+    "work is a filter over the ring array, no shuffle on the data-"
+    "scale side, no driver collect (a production impl at larger rings "
+    "would bin-partition the ring; documented). Output: per-node key "
+    "count + micro-unit load share — the virtual-node balance check.",
+)
+def misc_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.hashing import hash60
+
+    sup = load(spark, sf_dir, "supplier")
+    ring = sup.select(
+        F.col("s_suppkey").alias("supp"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("v"),
+    ).select(
+        "supp",
+        hash60(
+            F.concat_ws(":", F.col("supp").cast("string"), F.col("v").cast("string"))
+        ).alias("h"),
+    )
+    arr = ring.agg(
+        F.array_sort(F.collect_list(F.struct("h", "supp"))).alias("ring_arr")
+    )
+    part = load(spark, sf_dir, "part")
+    keys = part.select(
+        F.col("p_partkey").alias("part"),
+        hash60(F.col("p_partkey").cast("string")).alias("kh"),
+    )
+    nparts = part.agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    owned = keys.crossJoin(F.broadcast(arr)).select(
+        "part",
+        F.coalesce(
+            # try_element_at: the filtered array is EMPTY for keys hashing
+            # past the last vnode (the wraparound case) — ANSI element_at
+            # would throw there
+            F.try_element_at(
+                F.filter(F.col("ring_arr"), lambda s: s["h"] >= F.col("kh")),
+                F.lit(1),
+            ),
+            F.element_at("ring_arr", 1),
+        )["supp"].alias("owner"),
+    )
+    counts = owned.groupBy("owner").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+    return (
+        sup.join(counts, sup.s_suppkey == counts.owner, "left")
+        .crossJoin(F.broadcast(nparts))
+        .select(
+            "s_suppkey",
+            F.coalesce("n_keys", F.lit(0)).cast("bigint").alias("n_keys"),
+            F.expr("coalesce(n_keys, 0) * 1000000 div np")
+            .cast("bigint")
+            .alias("share_q6"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -547,3 +547,104 @@ def test_soundex_census_trap_words(spark):
     df = spark.createDataFrame([(w,) for w in traps], "w string")
     got = {r.w: r.sx for r in df.select("w", F.soundex("w").alias("sx")).collect()}
     assert got == traps
+
+
+def test_survival_km_matches_lifelines_style(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(23)
+    base = pd.Timestamp("2024-07-01")
+    rows = []
+    eid = 0
+    users = []
+    for uid in range(60):
+        f = int(rng.randint(0, 5))
+        dur = int(rng.randint(0, 20))
+        rows.append((eid, base + pd.Timedelta(days=f), uid, "t", 1.0, "{}")); eid += 1
+        rows.append((eid, base + pd.Timedelta(days=f + dur), uid, "t", 1.0, "{}")); eid += 1
+        users.append((uid, f, f + dur))
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.t: (r.n_risk, r.d_churn, r.surv_q6)
+           for r in mod.events_survival_km(spark, "u").collect()}
+
+    gmax = max(l for _, _, l in users)
+    durs = [(l - f, 1 if l <= gmax - 3 else 0) for _, f, l in users]
+    ts = sorted({t for t, _ in durs})
+    s = 1_000_000
+    for t in ts:
+        n_risk = sum(1 for d, _ in durs if d >= t)
+        d_ev = sum(1 for d, c in durs if d == t and c == 1)
+        s = (s * (n_risk - d_ev)) // n_risk
+        assert got[t] == (n_risk, d_ev, s)
+    # survival is monotone nonincreasing and starts near 1
+    vals = [got[t][2] for t in ts]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_theil_u_matches_numpy(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(29)
+    langs = ["en", "de", "fr"]
+    sources = ["a", "b", "c", "d"]
+    rows = []
+    for i in range(400):
+        li = rng.randint(0, 3)
+        # correlated: source leans on lang
+        si = (li + rng.randint(0, 2)) % 4
+        rows.append((i, "t", langs[li], sources[si], 1))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_theil_u(spark, "u").collect()[0]
+
+    def ent(counts):
+        p = np.array(counts, dtype=float)
+        p /= p.sum()
+        return float(-(p * np.log2(p)).sum())
+
+    joint = pdf.groupby(["lang", "source"]).size()
+    hl = ent(pdf.groupby("lang").size().values)
+    hs = ent(pdf.groupby("source").size().values)
+    hj = ent(joint.values)
+    mi = hl + hs - hj
+    assert r.n == 400
+    assert r.h_lang_q6 == pytest.approx(hl, abs=2e-6)
+    assert r.h_joint_q6 == pytest.approx(hj, abs=2e-6)
+    assert r.mi_q6 == pytest.approx(mi, abs=3e-6)
+    assert r.u_lang_given_source_q6 == pytest.approx(mi / hl, abs=3e-6)
+    assert 0 < r.u_lang_given_source_q6 < 1  # correlated but not determined
+
+
+def test_consistent_ring_assignment_bruteforce(spark, monkeypatch):
+    import hashlib
+
+    from cudf_spark.queries import analytics3 as mod
+
+    sup = pd.DataFrame({"s_suppkey": range(1, 8), "s_name": ["s"] * 7,
+                        "s_nationkey": [0] * 7, "s_acctbal": [0.0] * 7})
+    part = pd.DataFrame({"p_partkey": range(1, 200), "p_name": ["p"] * 199,
+                         "p_brand": ["b"] * 199, "p_type": ["t"] * 199,
+                         "p_size": [1] * 199, "p_retailprice": [1.0] * 199})
+    tables = {"supplier": sup, "part": part}
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(tables[n]))
+    got = {r.s_suppkey: (r.n_keys, r.share_q6)
+           for r in mod.misc_consistent_hash_ring(spark, "u").collect()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ring = sorted((h60(f"{s}:{v}"), s) for s in sup.s_suppkey for v in range(3))
+    from collections import Counter
+    owners = Counter()
+    for p in part.p_partkey:
+        kh = h60(str(p))
+        nxt = [e for e in ring if e[0] >= kh]
+        owners[(nxt[0] if nxt else ring[0])[1]] += 1
+    for s in sup.s_suppkey:
+        assert got[s] == (owners.get(s, 0), owners.get(s, 0) * 1_000_000 // 199)
+    assert sum(n for n, _ in got.values()) == 199  # every key owned once

@@ -1701,3 +1701,372 @@ def misc_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "ml_boosted_stump_split",
+    oracle="""
+    WITH hist AS (
+        SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS sy
+        FROM lineitem GROUP BY 1, 2
+    ), tot AS (
+        SELECT flag, CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(sy) AS BIGINT) AS s
+        FROM hist GROUP BY flag
+    ), pre AS (
+        SELECT h.flag, h.x,
+               sum(h.cnt) OVER (PARTITION BY h.flag ORDER BY h.x
+                                ROWS UNBOUNDED PRECEDING) AS n_l,
+               sum(h.sy) OVER (PARTITION BY h.flag ORDER BY h.x
+                               ROWS UNBOUNDED PRECEDING) AS s_l
+        FROM hist h
+    ), gains AS (
+        SELECT p.flag, p.x AS split_x,
+               CAST(p.n_l AS BIGINT) AS n_l,
+               CAST(t.n - p.n_l AS BIGINT) AS n_r,
+               CAST(floor((
+                   CAST(p.s_l AS DOUBLE) * CAST(p.s_l AS DOUBLE)
+                       / CAST(p.n_l AS DOUBLE)
+                 + CAST(t.s - p.s_l AS DOUBLE) * CAST(t.s - p.s_l AS DOUBLE)
+                       / CAST(t.n - p.n_l AS DOUBLE)
+                 - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE)
+                       / CAST(t.n AS DOUBLE)) / 1000000.0) AS BIGINT)
+                   AS gain_e6
+        FROM pre p JOIN tot t ON t.flag = p.flag
+        WHERE t.n - p.n_l > 0
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY flag ORDER BY gain_e6 DESC, split_x) AS rn
+        FROM gains
+    )
+    SELECT flag, split_x, n_l, n_r, gain_e6
+    FROM ranked WHERE rn = 1 ORDER BY flag
+    """,
+    doc="histogram-based greedy split finding for a regression stump "
+    "(XGBoost/LightGBM's distributed split search; Chen & Guestrin "
+    "2016): ONE (flag, x) histogram groupBy with map-side combine is "
+    "the only data pass; candidate splits are prefix sums over the "
+    "value lattice, variance-reduction gain = S_L^2/n_L + S_R^2/n_R - "
+    "S^2/n from exact BIGINT count/sum pairs (the double conversions "
+    "and divides are the same expression both engines), argmax with "
+    "the deterministic (gain desc, split asc) rank on the QUANTIZED "
+    "gain so the selected split never depends on a sub-micro double "
+    "digit. The exact pattern that scales: per-feature histograms "
+    "shuffle once, split search is lattice-grain.",
+)
+def ml_boosted_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sy"),
+    )
+    tot = hist.groupBy("flag").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("sy").cast("bigint").alias("s"),
+    )
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = hist.select(
+        "flag",
+        "x",
+        F.sum("cnt").over(w).alias("n_l"),
+        F.sum("sy").over(w).alias("s_l"),
+    )
+    j = pre.join(tot, "flag").filter(F.col("n") - F.col("n_l") > 0)
+    d = lambda c: c.cast("double")
+    gain = F.floor(
+        (
+            d(F.col("s_l")) * d(F.col("s_l")) / d(F.col("n_l"))
+            + d(F.col("s") - F.col("s_l"))
+            * d(F.col("s") - F.col("s_l"))
+            / d(F.col("n") - F.col("n_l"))
+            - d(F.col("s")) * d(F.col("s")) / d(F.col("n"))
+        )
+        / 1000000.0
+    ).cast("bigint")
+    gains = j.select(
+        "flag",
+        F.col("x").alias("split_x"),
+        F.col("n_l").cast("bigint").alias("n_l"),
+        (F.col("n") - F.col("n_l")).cast("bigint").alias("n_r"),
+        gain.alias("gain_e6"),
+    )
+    rw = Window.partitionBy("flag").orderBy(F.desc("gain_e6"), "split_x")
+    return (
+        gains.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("flag", "split_x", "n_l", "n_r", "gain_e6")
+        .orderBy("flag")
+    )
+
+
+_BFS_ROUNDS = 4
+
+
+def _bfs_oracle() -> str:
+    stages = [
+        """
+    pp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e AS MATERIALIZED (
+        SELECT a.p AS u, b.p AS v
+        FROM pp a JOIN pp b ON a.o = b.o AND a.p != b.p
+        GROUP BY a.p, b.p
+    ), deg AS (
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY u
+    ), seed AS (
+        SELECT node FROM deg ORDER BY d DESC, node LIMIT 1
+    ), d0 AS (SELECT node, CAST(0 AS BIGINT) AS hop FROM seed)"""
+    ]
+    for r in range(1, _BFS_ROUNDS + 1):
+        prev = " UNION ALL ".join(f"SELECT node FROM d{i}" for i in range(r))
+        stages.append(
+            f"""
+    d{r} AS MATERIALIZED (
+        SELECT e.v AS node, CAST({r} AS BIGINT) AS hop
+        FROM e JOIN d{r - 1} f ON f.node = e.u
+        WHERE e.v NOT IN ({prev})
+        GROUP BY e.v
+    )"""
+        )
+    allu = " UNION ALL ".join(
+        f"SELECT * FROM d{i}" for i in range(_BFS_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(stages)
+        + f"""
+    SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM ({allu}) GROUP BY hop ORDER BY hop
+    """
+    )
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=_bfs_oracle(),
+    doc=f"single-source BFS hop levels ({_BFS_ROUNDS} rounds) on the "
+    "parts-co-ordered graph from the deterministic top-degree seed "
+    "(deg desc, node tiebreak) — the frontier-expansion primitive under "
+    "reachability / ego-network features: each round joins the frontier "
+    "to the edge list (endpoint-keyed) and anti-joins the visited set; "
+    "localCheckpoint per round keeps lineage linear (the kcore/CC "
+    "discipline). Fixed round count so both engines compute the "
+    "identical level sets. Output: per-hop node count + id range.",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    seed = deg.orderBy(F.desc("d"), "node").limit(1).select("node")
+    visited = seed.withColumn("hop", F.lit(0).cast("bigint")).localCheckpoint(
+        eager=False
+    )
+    frontier = visited.select("node")
+    for r in range(1, _BFS_ROUNDS + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(r).cast("bigint"))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return (
+        visited.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy("hop")
+    )
+
+
+@register(
+    "doc_neyman_allocation",
+    oracle="""
+    WITH m AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS nh,
+               CAST(sum(n_chars) AS BIGINT) AS s1,
+               CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        FROM documents GROUP BY source
+    ), wgt AS (
+        SELECT source, nh,
+               CAST(nh AS DOUBLE) * sqrt(
+                   (CAST(nh AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE))) AS w
+        FROM m
+    ), q AS (
+        SELECT source, nh, w,
+               1000.0 * w / (SELECT sum(w) FROM wgt) AS quota
+        FROM wgt
+    ), base AS (
+        SELECT source, nh, quota,
+               CAST(floor(quota) AS BIGINT) AS fl,
+               quota - floor(quota) AS rem
+        FROM q
+    ), lo AS (
+        SELECT CAST(1000 - sum(fl) AS BIGINT) AS leftover FROM base
+    ), ranked AS (
+        SELECT b.*, l.leftover,
+               row_number() OVER (ORDER BY b.rem DESC, b.source) AS rk
+        FROM base b CROSS JOIN lo l
+    )
+    SELECT source, nh AS n_docs,
+           CAST(floor(1000000.0 * quota / 1000.0) AS BIGINT) AS quota_q6,
+           CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc
+    FROM ranked ORDER BY source
+    """,
+    doc="Neyman-optimal stratified sample allocation (Neyman 1934) with "
+    "LARGEST-REMAINDER integer apportionment (Hamilton's method): "
+    "budget 1000 samples split across sources by N_h * S_h, where S_h "
+    "is the population std from exact BIGINT moment sums (the variance "
+    "rational is formed in doubles with an identical expression; sqrt "
+    "is IEEE-exact). Quotas floor to a base grant and the leftover "
+    "goes to the largest fractional remainders (rem desc, source "
+    "tiebreak) — sum(alloc) == 1000 exactly by construction. One "
+    "moment groupBy is the data pass; apportionment is stratum-grain.",
+)
+def doc_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("s2"),
+    )
+    dd = lambda c: F.col(c).cast("double")
+    w = dd("nh") * F.sqrt(
+        (dd("nh") * dd("s2") - dd("s1") * dd("s1")) / (dd("nh") * dd("nh"))
+    )
+    wgt = m.select("source", "nh", w.alias("w"))
+    tot = wgt.agg(F.sum("w").alias("tw"))
+    q = wgt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "nh",
+        (1000.0 * F.col("w") / F.col("tw")).alias("quota"),
+    )
+    base = q.select(
+        "source",
+        "nh",
+        "quota",
+        F.floor("quota").cast("bigint").alias("fl"),
+        (F.col("quota") - F.floor("quota")).alias("rem"),
+    )
+    lo = base.agg((1000 - F.sum("fl")).cast("bigint").alias("leftover"))
+    rw = Window.orderBy(F.desc("rem"), "source")
+    return (
+        base.crossJoin(F.broadcast(lo))
+        .withColumn("rk", F.row_number().over(rw))
+        .select(
+            "source",
+            F.col("nh").alias("n_docs"),
+            F.floor(1000000.0 * F.col("quota") / 1000.0)
+            .cast("bigint")
+            .alias("quota_q6"),
+            (
+                F.col("fl")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "win_rolling_mode",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id,
+               CAST(round(value * 100) AS BIGINT) % 50 AS cents,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        FROM events
+    ), frames AS (
+        SELECT a.user_id, a.event_id, a.rn, b.cents
+        FROM v a JOIN v b
+          ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn
+    ), freq AS (
+        SELECT user_id, event_id, rn, cents, CAST(count(*) AS BIGINT) AS c
+        FROM frames GROUP BY user_id, event_id, rn, cents
+    ), pick AS (
+        SELECT user_id, event_id, cents, c,
+               row_number() OVER (
+                   PARTITION BY user_id, rn ORDER BY c DESC, cents) AS rk
+        FROM freq
+    )
+    SELECT user_id, event_id, cents AS mode_cents, c AS mode_count
+    FROM pick WHERE rk = 1 ORDER BY user_id, event_id
+    """,
+    doc="rolling MODE over a 10-row per-user frame (the frequency "
+    "statistic cudf's Rolling lacks and pandas computes via apply): the "
+    "frame explodes through a rn-band self-join (bounded x10 "
+    "expansion, user-keyed), per-frame value counts are one keyed "
+    "groupBy, and the winner uses the deterministic (count desc, value "
+    "asc) rank — agg_mode_deterministic's tiebreak, framewise. Values "
+    "are bucketed to a 50-cent lattice so frames actually repeat. "
+    "Every shuffle carries the user key; frame size bounds the "
+    "expansion constant.",
+)
+def win_rolling_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        (F.round(F.col("value") * 100).cast("bigint") % 50).alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    a = v.select(
+        F.col("user_id").alias("uu"), "event_id", F.col("rn").alias("arn")
+    )
+    b = v.select(
+        F.col("user_id").alias("uu"), F.col("cents"), F.col("rn").alias("brn")
+    )
+    frames = a.join(b, "uu").filter(
+        (F.col("brn") >= F.col("arn") - 9) & (F.col("brn") <= F.col("arn"))
+    )
+    freq = frames.groupBy(
+        F.col("uu").alias("user_id"), "event_id", "arn", "cents"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rw = Window.partitionBy("user_id", "arn").orderBy(F.desc("c"), "cents")
+    return (
+        freq.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("cents").alias("mode_cents"),
+            F.col("c").alias("mode_count"),
+        )
+        .orderBy("user_id", "event_id")
+    )

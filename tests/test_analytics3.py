@@ -648,3 +648,146 @@ def test_consistent_ring_assignment_bruteforce(spark, monkeypatch):
     for s in sup.s_suppkey:
         assert got[s] == (owners.get(s, 0), owners.get(s, 0) * 1_000_000 // 199)
     assert sum(n for n, _ in got.values()) == 199  # every key owned once
+
+
+def test_stump_split_matches_exhaustive(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(37)
+    n = 800
+    x = rng.randint(1, 30, n)
+    # piecewise target: clear split at x <= 12
+    y = np.where(x <= 12, 1000, 9000) + rng.randint(-300, 300, n)
+    pdf = pd.DataFrame(
+        {
+            "l_returnflag": ["A"] * n,
+            "l_quantity": x.astype(float),
+            "l_extendedprice": y / 100.0,
+        }
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n_: spark.createDataFrame(pdf))
+    r = mod.ml_boosted_stump_split(spark, "u").collect()[0]
+
+    best = None
+    yc = y.astype(np.int64)
+    S, N = yc.sum(), n
+    for s in sorted(set(x)):
+        mask = x <= s
+        nl = int(mask.sum())
+        if nl == n:
+            continue
+        sl = int(yc[mask].sum())
+        gain = sl * sl / nl + (S - sl) ** 2 / (N - nl) - S * S / N
+        key = (int(np.floor(gain / 1e6)), -s)
+        if best is None or key > best[0]:
+            best = (key, s, nl)
+    assert r.split_x == best[1] == 12
+    assert r.n_l == best[2]
+    assert r.gain_e6 == best[0][0]
+
+
+def test_bfs_hops_matches_networkx_style(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(43)
+    rows = []
+    ln = 0
+    for o in range(80):
+        parts = rng.choice(60, size=rng.randint(2, 5), replace=False)
+        for p in parts:
+            ln += 1
+            rows.append((o, int(p), 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         pd.Timestamp("2024-01-01")))
+    pdf = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.hop: (r.n_nodes, r.min_node, r.max_node)
+           for r in mod.graph_bfs_hops(spark, "u").collect()}
+
+    import itertools as it
+    adj: dict[int, set[int]] = {}
+    for _, g in pdf.groupby("l_orderkey"):
+        for u, v in it.permutations(set(g["l_partkey"]), 2):
+            adj.setdefault(u, set()).add(v)
+    deg = {u: len(vs) for u, vs in adj.items()}
+    seed = max(deg, key=lambda u: (deg[u], -u))
+    dist = {seed: 0}
+    frontier = [seed]
+    for hop in range(1, mod._BFS_ROUNDS + 1):
+        nxt = sorted({v for u in frontier for v in adj[u] if v not in dist})
+        for v in nxt:
+            dist[v] = hop
+        frontier = nxt
+    from collections import defaultdict
+    lv = defaultdict(list)
+    for node, h in dist.items():
+        lv[h].append(node)
+    expected = {h: (len(ns), min(ns), max(ns)) for h, ns in lv.items()}
+    assert got == expected
+
+
+def test_neyman_allocation_sums_to_budget(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(47)
+    rows = []
+    i = 0
+    for src, (mu, sd, k) in {
+        "a": (100, 5, 50), "b": (200, 60, 50), "c": (150, 30, 80),
+        "d": (90, 0, 40),  # zero-variance stratum -> zero allocation
+    }.items():
+        for _ in range(k):
+            rows.append((i, "t", "en", src, int(max(1, rng.normal(mu, sd)))))
+            i += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    out = {r.source: r for r in mod.doc_neyman_allocation(spark, "u").collect()}
+
+    assert sum(r.alloc for r in out.values()) == 1000
+    assert out["d"].alloc == 0  # S_h = 0 -> no weight
+    # high-spread stratum b gets more than same-size low-spread a
+    assert out["b"].alloc > out["a"].alloc
+    # quotas match numpy-computed Neyman weights
+    w = {}
+    for src, g in pdf.groupby("source"):
+        v = g["n_chars"].to_numpy(dtype=float)
+        w[src] = len(v) * float(np.sqrt(((v - v.mean()) ** 2).mean()))
+    tw = sum(w.values())
+    for src in w:
+        assert out[src].quota_q6 == pytest.approx(1e6 * w[src] / tw, abs=2)
+
+
+def test_rolling_mode_matches_pandas_apply(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(53)
+    base = pd.Timestamp("2024-08-01")
+    rows = []
+    for eid in range(500):
+        rows.append((eid, base + pd.Timedelta(minutes=eid), int(rng.randint(0, 5)),
+                     "t", float(rng.randint(0, 10)) / 4.0, "{}"))
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {(r.user_id, r.event_id): (r.mode_cents, r.mode_count)
+           for r in mod.win_rolling_mode(spark, "u").collect()}
+
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        cents = ((g["value"] * 100).round().astype(int) % 50).tolist()
+        eids = g["event_id"].tolist()
+        for i in range(len(cents)):
+            frame = cents[max(0, i - 9): i + 1]
+            from collections import Counter
+            cnt = Counter(frame)
+            best = min(cnt, key=lambda v: (-cnt[v], v))
+            assert got[(uid, eids[i])] == (best, cnt[best])

@@ -489,3 +489,57 @@ def test_bigram_lm_model_join_not_broadcast(spark):
     # only the tiny vocab scalar is hinted; count hints to confirm
     assert logical.count("UnresolvedHint") == 0
     assert logical.count("ResolvedHint") <= 2  # vocab scalar broadcasts only
+
+
+def test_interval_overlap_is_bin_keyed(spark):
+    """The overlap join must run as an equi-join on the hour bucket — a
+    BNLJ/cartesian on the raw predicate is exactly what the bin
+    expansion exists to avoid."""
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the bucket key is the join key
+    assert "bin" in plan
+
+
+def test_hash_ring_key_scan_is_map_side(spark):
+    """The ring ships as ONE aggregated array row (broadcast); the key
+    scan must not shuffle before ownership is assigned — the only
+    hash exchanges are the final per-owner count and the tiny ring
+    build, never keyed on the part key."""
+    plan = plan_of(spark, "misc_consistent_hash_ring")
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning(part" not in plan
+
+
+def test_kendall_pair_join_is_lattice_grain(spark):
+    """The c1*c2 pair join runs on the (flag, x, y) HISTOGRAM — the
+    explicit broadcast is correct there because the lattice is bounded
+    (<= values x bins), unlike a data-scale table."""
+    plan = plan_of(spark, "stats_kendall_tau_binned")
+    assert "CartesianProduct" not in plan
+    # histogram side broadcasts; the raw lineitem scan must not
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_kcore_and_bfs_checkpoint_rounds(spark):
+    """Iterative peel/frontier rounds must truncate lineage: the final
+    plan reads the checkpointed RDD, not 4 rounds of re-derived joins
+    (the exponential-recompute lesson, measured on the kcore oracle)."""
+    from cudf_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    for name in ("graph_kcore_peel", "graph_bfs_hops"):
+        df = REGISTRY[name].build(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "Scan ExistingRDD" in plan, name
+
+
+def test_stump_split_histogram_map_side_combine(spark):
+    """The only data-scale shuffle is the (flag, x) histogram groupBy —
+    partial aggregation must appear below the exchange."""
+    plan = plan_of(spark, "ml_boosted_stump_split")
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan

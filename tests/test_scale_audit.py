@@ -72,6 +72,18 @@ KNOWN_BOUNDED = {
     "ts_changepoint_cusum",
     "ts_dow_seasonal_decompose",
     "dt_resample_ffill",
+    # bounded-lattice global windows, same class as above:
+    #   events_survival_km — risk-set suffix cumsum + prefix fold run on
+    #     the day-DURATION lattice (one row per distinct duration,
+    #     bounded by the observation window), after the user-grain
+    #     groupBy;
+    #   events_time_to_convert — the quantile rank-rule cumsum runs on
+    #     the MINUTE-delta histogram, never on users;
+    #   doc_neyman_allocation — largest-remainder apportionment ranks
+    #     STRATA (one row per source), bounded by stratum count.
+    "events_survival_km",
+    "events_time_to_convert",
+    "doc_neyman_allocation",
 }
 
 

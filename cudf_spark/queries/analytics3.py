@@ -2070,3 +2070,246 @@ def win_rolling_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "ann_hamming_topk",
+    oracle="""
+    WITH packed AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(generate_series(1, 32),
+                   i -> CASE WHEN embedding[i] >= 0
+                             THEN CAST(pow(2, i - 1) AS BIGINT)
+                             ELSE 0 END)) AS BIGINT) AS w1,
+               CAST(list_sum(list_transform(generate_series(33, 64),
+                   i -> CASE WHEN embedding[i] >= 0
+                             THEN CAST(pow(2, i - 33) AS BIGINT)
+                             ELSE 0 END)) AS BIGINT) AS w2
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS qid, w1 AS qw1, w2 AS qw2 FROM packed
+        WHERE vec_id < 5
+    ), scored AS (
+        SELECT q.qid, p.vec_id,
+               CAST(bit_count(xor(q.qw1, p.w1))
+                    + bit_count(xor(q.qw2, p.w2)) AS BIGINT) AS hamming
+        FROM q JOIN packed p ON p.vec_id != q.qid
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY hamming, vec_id) AS rk
+        FROM scored
+    )
+    SELECT qid, vec_id, hamming, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 10 ORDER BY qid, rk
+    """,
+    doc="1-bit binary-embedding similarity search (sign quantization + "
+    "Hamming ranking — the cheapest ANN tier below emb_quantize_int8's "
+    "int8 and ann_pq_topk's PQ; Charikar 2002 simhash hyperplanes "
+    "degenerate to coordinate signs): each 64-dim vector packs into TWO "
+    "32-bit sign words (2^63 would wrap BIGINT's sign bit), distance = "
+    "popcount(xor) per word — exact integers end to end. The pack is "
+    "one posexplode + keyed groupBy (a 64x transient expansion, "
+    "vector-keyed); queries broadcast to the packed table; per-query "
+    "top-10 by the deterministic (hamming, vec_id) rank.",
+)
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pe = emb.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    packed = pe.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                (F.col("pos") < 32) & (F.col("v") >= 0),
+                F.expr("CAST(pow(2, pos) AS BIGINT)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("w1"),
+        F.sum(
+            F.when(
+                (F.col("pos") >= 32) & (F.col("v") >= 0),
+                F.expr("CAST(pow(2, pos - 32) AS BIGINT)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("w2"),
+    )
+    q = packed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("w1").alias("qw1"),
+        F.col("w2").alias("qw2"),
+    )
+    scored = packed.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "vec_id",
+        (
+            F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+            + F.bit_count(F.col("qw2").bitwiseXOR(F.col("w2")))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    rw = Window.partitionBy("qid").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .select("qid", "vec_id", "hamming", "rk")
+        .orderBy("qid", "rk")
+    )
+
+
+@register(
+    "misc_roaring_container_plan",
+    oracle="""
+    WITH vals AS (
+        SELECT DISTINCT l_returnflag AS flag,
+               CAST(l_orderkey AS BIGINT) AS v
+        FROM lineitem
+    ), chunked AS (
+        SELECT flag, v // 65536 AS chunk, v % 65536 AS lo,
+               lag(v % 65536) OVER (
+                   PARTITION BY flag, v // 65536 ORDER BY v) AS prev
+        FROM vals
+    ), per AS (
+        SELECT flag, chunk,
+               CAST(count(*) AS BIGINT) AS card,
+               CAST(sum(CASE WHEN prev IS NULL OR lo != prev + 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        FROM chunked GROUP BY flag, chunk
+    )
+    SELECT flag, chunk, card, n_runs,
+           CAST(2 * card AS BIGINT) AS bytes_array,
+           CAST(8192 AS BIGINT) AS bytes_bitmap,
+           CAST(2 + 4 * n_runs AS BIGINT) AS bytes_run,
+           CASE
+             WHEN 2 + 4 * n_runs <= least(2 * card, 8192) THEN 'run'
+             WHEN 2 * card <= 8192 THEN 'array'
+             ELSE 'bitmap'
+           END AS container
+    FROM per ORDER BY flag, chunk
+    """,
+    doc="Roaring-bitmap container planning (Chambi/Lemire 2016 — the "
+    "production compressed-bitmap format): per (flag, 2^16 chunk) of "
+    "the distinct order-key set, cardinality + run count (gaps-and-"
+    "islands lag inside the chunk-keyed window) decide the container — "
+    "run (2+4R bytes) beats array (2C) beats bitmap (8 KiB fixed), "
+    "ties resolved in that fixed order. The sibling of misc_rle_encode "
+    "/ misc_bitpack_for_blocks at the SET-encoding layer; chunk "
+    "windows are partition-local, one distinct + one groupBy are the "
+    "data passes.",
+)
+def misc_roaring_container_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_orderkey").cast("bigint").alias("v"),
+    ).distinct()
+    ch = vals.select(
+        "flag",
+        F.expr("v div 65536").alias("chunk"),
+        (F.col("v") % 65536).alias("lo"),
+        "v",
+    )
+    w = Window.partitionBy("flag", "chunk").orderBy("v")
+    per = (
+        ch.withColumn("prev", F.lag("lo").over(w))
+        .groupBy("flag", "chunk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("card"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("lo") != F.col("prev") + 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_runs"),
+        )
+    )
+    return per.select(
+        "flag",
+        "chunk",
+        "card",
+        "n_runs",
+        (2 * F.col("card")).cast("bigint").alias("bytes_array"),
+        F.lit(8192).cast("bigint").alias("bytes_bitmap"),
+        (2 + 4 * F.col("n_runs")).cast("bigint").alias("bytes_run"),
+        F.when(
+            2 + 4 * F.col("n_runs") <= F.least(2 * F.col("card"), F.lit(8192)),
+            "run",
+        )
+        .when(2 * F.col("card") <= 8192, "array")
+        .otherwise("bitmap")
+        .alias("container"),
+    ).orderBy("flag", "chunk")
+
+
+@register(
+    "misc_shard_rebalance_pairing",
+    oracle="""
+    WITH sizes AS (
+        SELECT l_suppkey AS supp, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_suppkey
+    ), tgt AS (
+        SELECT CAST(sum(n) // count(*) AS BIGINT) AS target FROM sizes
+    ), lab AS (
+        SELECT s.supp, s.n, s.n - t.target AS surplus
+        FROM sizes s CROSS JOIN tgt t
+    ), over_s AS (
+        SELECT supp, surplus,
+               row_number() OVER (ORDER BY surplus DESC, supp) AS rk
+        FROM lab WHERE surplus > 0
+    ), under_s AS (
+        SELECT supp, -surplus AS deficit,
+               row_number() OVER (ORDER BY surplus ASC, supp) AS rk
+        FROM lab WHERE surplus < 0
+    )
+    SELECT o.rk, o.supp AS from_supp, u.supp AS to_supp,
+           CAST(least(o.surplus, u.deficit) AS BIGINT) AS moved
+    FROM over_s o JOIN under_s u ON u.rk = o.rk
+    ORDER BY o.rk
+    """,
+    doc="one-round shard rebalance plan by RANK PAIRING: shard sizes vs "
+    "the integer mean target; the k-th most-overloaded donor pairs "
+    "with the k-th most-underloaded receiver, moving "
+    "min(surplus, deficit) — the deterministic single-round "
+    "approximation of the greedy balancer (a full greedy is "
+    "inherently sequential; rank pairing is one sort + one rank join "
+    "and captures the bulk of the imbalance, which is what a shuffle "
+    "planner wants at 100 TB). Sizes are one keyed count; everything "
+    "else is shard-grain.",
+)
+def misc_shard_rebalance_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sizes = li.groupBy(F.col("l_suppkey").alias("supp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tgt = sizes.agg(
+        F.expr("sum(n) div count(*)").cast("bigint").alias("target")
+    )
+    lab = sizes.crossJoin(F.broadcast(tgt)).select(
+        "supp", "n", (F.col("n") - F.col("target")).alias("surplus")
+    )
+    wo = Window.orderBy(F.desc("surplus"), "supp")
+    wu = Window.orderBy(F.asc("surplus"), "supp")
+    over_s = (
+        lab.filter(F.col("surplus") > 0)
+        .withColumn("rk", F.row_number().over(wo))
+        .select("rk", F.col("supp").alias("from_supp"), "surplus")
+    )
+    under_s = (
+        lab.filter(F.col("surplus") < 0)
+        .withColumn("rk", F.row_number().over(wu))
+        .select("rk", F.col("supp").alias("to_supp"), (-F.col("surplus")).alias("deficit"))
+    )
+    return (
+        over_s.join(under_s, "rk")
+        .select(
+            "rk",
+            "from_supp",
+            "to_supp",
+            F.least("surplus", "deficit").cast("bigint").alias("moved"),
+        )
+        .orderBy("rk")
+    )

@@ -791,3 +791,92 @@ def test_rolling_mode_matches_pandas_apply(spark, monkeypatch):
             cnt = Counter(frame)
             best = min(cnt, key=lambda v: (-cnt[v], v))
             assert got[(uid, eids[i])] == (best, cnt[best])
+
+
+def test_hamming_topk_matches_numpy(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(59)
+    vecs = rng.normal(size=(40, 64)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": range(40), "embedding": [v.tolist() for v in vecs],
+         "label": [0] * 40}
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = [(r.qid, r.vec_id, r.hamming, r.rk)
+           for r in mod.ann_hamming_topk(spark, "u").collect()]
+
+    signs = (vecs >= 0)
+    exp = []
+    for qid in range(5):
+        dists = []
+        for vid in range(40):
+            if vid == qid:
+                continue
+            h = int((signs[qid] != signs[vid]).sum())
+            dists.append((h, vid))
+        dists.sort()
+        for rk, (h, vid) in enumerate(dists[:10], 1):
+            exp.append((qid, vid, h, rk))
+    assert got == exp
+
+
+def test_roaring_plan_container_rules(spark, monkeypatch):
+    from cudf_spark.queries import analytics3 as mod
+
+    # chunk 0: a dense run 0..99  -> run container (2+4*1=6 bytes)
+    # chunk 1: 3000 scattered evens -> array (6000B) beats bitmap, runs 3000*4+2
+    rows = []
+    ln = 0
+    for v in range(100):
+        ln += 1
+        rows.append((v, 1, 1, ln, 1.0, 1.0, 0.0, 0.0, "A", "O",
+                     pd.Timestamp("2024-01-01")))
+    for i in range(3000):
+        ln += 1
+        rows.append((65536 + 2 * i, 1, 1, ln, 1.0, 1.0, 0.0, 0.0, "A", "O",
+                     pd.Timestamp("2024-01-01")))
+    pdf = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    out = {r.chunk: r for r in mod.misc_roaring_container_plan(spark, "u").collect()}
+    assert out[0].card == 100 and out[0].n_runs == 1
+    assert out[0].container == "run" and out[0].bytes_run == 6
+    assert out[1].card == 3000 and out[1].n_runs == 3000
+    assert out[1].container == "array"  # 6000 < 8192 < 12002
+
+
+def test_shard_rebalance_moves_reduce_imbalance(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(61)
+    sizes = {1: 500, 2: 300, 3: 100, 4: 80, 5: 20}
+    rows = []
+    ln = 0
+    for supp, n in sizes.items():
+        for _ in range(n):
+            ln += 1
+            rows.append((ln, 1, supp, ln, 1.0, 1.0, 0.0, 0.0, "A", "O",
+                         pd.Timestamp("2024-01-01")))
+    pdf = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    out = [(r.rk, r.from_supp, r.to_supp, r.moved)
+           for r in mod.misc_shard_rebalance_pairing(spark, "u").collect()]
+
+    target = 1000 // 5  # 200
+    # donors: 1 (+300), 2 (+100); receivers: 5 (-180), 4 (-120), 3 (-100)
+    assert out[0] == (1, 1, 5, 180)  # min(300, 180)
+    assert out[1] == (2, 2, 4, 100)  # min(100, 120)
+    # every move is positive and bounded by donor surplus
+    for _, f, t, m in out:
+        assert m > 0
+        assert sizes[f] - target >= m

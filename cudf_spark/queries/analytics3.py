@@ -1068,7 +1068,10 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("flag")
 
 
-def _markov_oracle() -> str:
+def _markov_cte() -> str:
+    """Shared CTE prefix: transition counts, row sums, and the 5 exact
+    fixed-point power-iteration rounds (used by events_markov_stationary
+    and events_markov_entropy_rate)."""
     rounds = []
     for r in range(1, 6):
         rounds.append(
@@ -1083,7 +1086,7 @@ def _markov_oracle() -> str:
         )
     return (
         """
-    WITH t AS (
+    t AS (
         SELECT user_id, event_type,
                lead(event_type) OVER (
                    PARTITION BY user_id
@@ -1097,6 +1100,13 @@ def _markov_oracle() -> str:
     ), k AS (SELECT CAST(count(*) AS BIGINT) AS kk FROM r),
     v0 AS (SELECT i AS state, CAST(1000000 // kk AS BIGINT) AS v FROM r, k),"""
         + ",".join(rounds)
+    )
+
+
+def _markov_oracle() -> str:
+    return (
+        "WITH "
+        + _markov_cte()
         + """
     SELECT r.i AS state, r.r AS n_out,
            CAST(coalesce(v5.v, 0) AS BIGINT) AS stationary_q6
@@ -2312,4 +2322,334 @@ def misc_shard_rebalance_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("surplus", "deficit").cast("bigint").alias("moved"),
         )
         .orderBy("rk")
+    )
+
+
+@register(
+    "events_markov_entropy_rate",
+    oracle="WITH "
+    + _markov_cte()
+    + """,
+    terms AS (
+        SELECT c.i, c.j,
+               CAST(floor(-1000000000.0
+                   * (CAST(coalesce(v5.v, 0) AS DOUBLE) / 1000000.0)
+                   * (CAST(c.c AS DOUBLE) / CAST(r.r AS DOUBLE))
+                   * log2(CAST(c.c AS DOUBLE) / CAST(r.r AS DOUBLE)))
+                   AS BIGINT) AS t9
+        FROM c
+        JOIN r ON r.i = c.i
+        LEFT JOIN v5 ON v5.state = c.i
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS k,
+           CAST(sum(t9) AS BIGINT) AS h_n9,
+           CAST(sum(t9) // 1000 AS BIGINT) AS entropy_rate_q6
+    FROM terms
+    """,
+    doc="entropy rate of the event-type Markov chain: H = -sum_i pi_i "
+    "sum_j p_ij log2 p_ij, composing the exact fixed-point stationary "
+    "vector (events_markov_stationary's 5 integer rounds, reused "
+    "verbatim via the shared CTE) with per-CELL nano-quantized float "
+    "terms — each (i,j) term is the identical cast/divide/log2 product "
+    "on both engines, floored at cell grain so the K^2 sum is "
+    "order-free (the text_hellinger_drift discipline, with the log2 "
+    "usage the agg_entropy_gini precedent established). The measure of "
+    "how predictable a user's next action is — the sequence-"
+    "compressibility bound.",
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = ev.withColumn("nxt", F.lead("event_type").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    c = t.groupBy(
+        F.col("event_type").alias("i"), F.col("nxt").alias("j")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    r = c.groupBy("i").agg(F.sum("c").cast("bigint").alias("r"))
+    k = r.agg(F.count(F.lit(1)).cast("bigint").alias("kk"))
+    v = r.crossJoin(F.broadcast(k)).select(
+        F.col("i").alias("state"), F.expr("1000000 div kk").cast("bigint").alias("v")
+    )
+    cr = c.join(r, "i")
+    for _ in range(5):
+        v = (
+            v.join(cr, v.state == cr.i)
+            .select("j", F.expr("(v * c) div r").alias("term"))
+            .groupBy(F.col("j").alias("state"))
+            .agg(F.sum("term").cast("bigint").alias("v"))
+        )
+    d = lambda col: col.cast("double")
+    p = d(F.col("c")) / d(F.col("r"))
+    t9 = F.floor(
+        -1000000000.0
+        * (d(F.coalesce("v", F.lit(0))) / 1000000.0)
+        * p
+        * F.log2(p)
+    ).cast("bigint")
+    terms = (
+        c.join(r, "i")
+        .join(v, c.i == v.state, "left")
+        .select(t9.alias("t9"))
+    )
+    kk = r.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    return (
+        terms.agg(F.sum("t9").cast("bigint").alias("h_n9"))
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "k",
+            "h_n9",
+            F.expr("h_n9 div 1000").cast("bigint").alias("entropy_rate_q6"),
+        )
+    )
+
+
+def _textrank_oracle() -> str:
+    from cudf_spark.operators.graphs import PR_FP_SCALE
+
+    s = PR_FP_SCALE
+    head = """
+    toks AS (
+        SELECT doc_id, unnest(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t,
+               generate_subscripts(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1)
+                   AS pos
+        FROM documents
+    ), de AS (
+        SELECT DISTINCT a.t AS src, b.t AS dst
+        FROM toks a JOIN toks b
+          ON b.doc_id = a.doc_id AND b.pos - a.pos IN (1, 2)
+        WHERE a.t != b.t AND a.t != '' AND b.t != ''
+    ), sym AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM de
+            UNION ALL SELECT dst AS src, src AS dst FROM de)
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+    pr0 AS (SELECT deg.src AS node, CAST(%(s)d AS BIGINT) // nn.n AS pr_q
+            FROM deg CROSS JOIN nn)""" % {"s": s}
+    steps = []
+    for k in range(5):
+        steps.append(
+            f"""
+    c{k + 1} AS MATERIALIZED (
+        SELECT sym.dst AS node, sum(pr{k}.pr_q // deg.deg) AS m
+        FROM sym JOIN pr{k} ON sym.src = pr{k}.node
+                 JOIN deg ON sym.src = deg.src
+        GROUP BY sym.dst),
+    pr{k + 1} AS (
+        SELECT deg.src AS node,
+               CAST((CAST({s} AS BIGINT) - CAST({s} AS BIGINT) * 17 // 20)
+                        // nn.n
+                    + (17 * coalesce(c{k + 1}.m, 0)) // 20 AS BIGINT) AS pr_q
+        FROM deg CROSS JOIN nn
+        LEFT JOIN c{k + 1} ON deg.src = c{k + 1}.node)"""
+        )
+    return (
+        "WITH "
+        + ",".join([head, *steps])
+        + """
+    SELECT node AS word, pr_q // 100000000 AS score_q7
+    FROM pr5 ORDER BY score_q7 DESC, word LIMIT 20
+    """
+    )
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_textrank_oracle(),
+    doc="TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank "
+    "over the word co-occurrence graph (words within distance <= 2 in "
+    "a document are linked, symmetrized, distinct) — the graph-"
+    "centrality sibling of text_rake_keywords' degree heuristic. The "
+    "iteration reuses operators.graphs.pagerank_fixed_point verbatim: "
+    "scaled-integer (1e-15-unit) arithmetic, truncating division, 5 "
+    "fixed rounds — bit-identical across engines and fold orders. "
+    "Data passes: one tokenize + two leads for the edge set; each PR "
+    "round is one keyed join + keyed sum. Top-20 words by score.",
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+    from cudf_spark.operators.graphs import pagerank_fixed_point
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias("pos", "t"),
+    ).filter(F.col("t") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    withn = toks.select(
+        "t",
+        F.lead("t", 1).over(w).alias("y1"),
+        F.lead("t", 2).over(w).alias("y2"),
+    )
+    de = (
+        withn.select("t", F.col("y1").alias("dst"))
+        .unionByName(withn.select("t", F.col("y2").alias("dst")))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("t")))
+        .select(F.col("t").alias("src"), "dst")
+        .distinct()
+    )
+    sym = de.unionByName(
+        de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    pr = pagerank_fixed_point(sym, damping_num=17, damping_den=20, iters=5)
+    return (
+        pr.select(
+            F.col("node").alias("word"),
+            F.expr("pr_q div 100000000").alias("score_q7"),
+        )
+        .orderBy(F.desc("score_q7"), "word")
+        .limit(20)
+    )
+
+
+@register(
+    "graph_modularity_score",
+    oracle="""
+    WITH pp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), eu AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+    ), sym AS (
+        SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu
+    ), l0 AS (
+        SELECT DISTINCT u AS node, u AS label FROM sym
+    ), n1 AS MATERIALIZED (
+        SELECT s.u AS node, l.label, CAST(count(*) AS BIGINT) AS c
+        FROM sym s JOIN l0 l ON l.node = s.v GROUP BY s.u, l.label
+    ), l1 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label) AS rn
+            FROM n1) WHERE rn = 1
+    ), n2 AS MATERIALIZED (
+        SELECT s.u AS node, l.label, CAST(count(*) AS BIGINT) AS c
+        FROM sym s JOIN l1 l ON l.node = s.v GROUP BY s.u, l.label
+    ), l2 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label) AS rn
+            FROM n2) WHERE rn = 1
+    ), n3 AS MATERIALIZED (
+        SELECT s.u AS node, l.label, CAST(count(*) AS BIGINT) AS c
+        FROM sym s JOIN l2 l ON l.node = s.v GROUP BY s.u, l.label
+    ), l3 AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label) AS rn
+            FROM n3) WHERE rn = 1
+    ), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM eu),
+    eii AS (
+        SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+        FROM eu JOIN l3 la ON la.node = eu.u
+                JOIN l3 lb ON lb.node = eu.v
+        WHERE la.label = lb.label GROUP BY la.label
+    ), deg AS (
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u
+    ), ai AS (
+        SELECT l3.label, CAST(sum(deg.d) AS BIGINT) AS a
+        FROM deg JOIN l3 ON l3.node = deg.node GROUP BY l3.label
+    ), terms AS (
+        SELECT ai.label,
+               CAST(floor(1000000000.0 * (
+                   CAST(coalesce(eii.e_in, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+                 - (CAST(ai.a AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+                   * (CAST(ai.a AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))))
+                   AS BIGINT) AS t9
+        FROM ai LEFT JOIN eii ON eii.label = ai.label CROSS JOIN m
+    )
+    SELECT (SELECT m FROM m) AS m,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(sum(t9) // 1000 AS BIGINT) AS modularity_q6
+    FROM terms
+    """,
+    doc="Newman modularity Q of the 3-round deterministic label-"
+    "propagation partition (the quality score FOR "
+    "graph_label_propagation's communities; Newman & Girvan 2004): "
+    "Q = sum_i (e_ii/m - (a_i/2m)^2) with within-community edge counts "
+    "and degree sums as exact BIGINTs, each community's term computed "
+    "as the identical double expression and floor-quantized at "
+    "COMMUNITY grain so the final sum is order-free (never a sorted "
+    "fold over an unbounded community list). All joins are node- or "
+    "label-keyed; LPA rounds are fixed at 3 (lineage bounded).",
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    eu = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = eu.unionByName(
+        eu.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    rw = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(3):
+        nb = sym.join(labels.withColumnRenamed("node", "v"), "v").select(
+            F.col("u").alias("node"), "label"
+        )
+        cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(rw))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    m = eu.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    la = labels.withColumnRenamed("node", "u").withColumnRenamed("label", "lu")
+    lb = labels.withColumnRenamed("node", "v").withColumnRenamed("label", "lv")
+    eii = (
+        eu.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ai = (
+        deg.join(labels, "node")
+        .groupBy("label")
+        .agg(F.sum("d").cast("bigint").alias("a"))
+    )
+    dd = lambda c: F.col(c).cast("double")
+    half = dd("a") / (2.0 * dd("m"))
+    t9 = F.floor(
+        1000000000.0
+        * (dd("e_in2") / dd("m") - half * half)
+    ).cast("bigint")
+    terms = (
+        ai.join(eii, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in2"),
+            "a",
+            "m",
+        )
+        .select(t9.alias("t9"))
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum("t9").cast("bigint").alias("s9"),
+    ).crossJoin(F.broadcast(m)).select(
+        "m",
+        "n_communities",
+        F.expr("s9 div 1000").cast("bigint").alias("modularity_q6"),
     )

@@ -880,3 +880,143 @@ def test_shard_rebalance_moves_reduce_imbalance(spark, monkeypatch):
     for _, f, t, m in out:
         assert m > 0
         assert sizes[f] - target >= m
+
+
+def test_markov_entropy_rate_matches_numpy(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(67)
+    types = ["a", "b", "c", "d"]
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-04-01")
+    for uid in range(25):
+        for _ in range(rng.randint(4, 15)):
+            rows.append((eid, base + pd.Timedelta(minutes=eid), uid,
+                         types[rng.randint(0, 4)], 1.0, "{}"))
+            eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.events_markov_entropy_rate(spark, "u").collect()[0]
+
+    from collections import Counter
+    trans = Counter()
+    for uid, g in pdf.groupby("user_id"):
+        seq = g.sort_values(["ts", "event_id"])["event_type"].tolist()
+        for x, y in zip(seq, seq[1:]):
+            trans[(x, y)] += 1
+    states = sorted({x for x, _ in trans})
+    rr = {s: sum(c for (x, _), c in trans.items() if x == s) for s in states}
+    v = {s: 1_000_000 // len(states) for s in states}
+    for _ in range(5):
+        nv = {}
+        for (x, y), c in trans.items():
+            nv[y] = nv.get(y, 0) + (v.get(x, 0) * c) // rr[x]
+        v = nv
+    h9 = 0
+    for (x, y), c in trans.items():
+        p = c / rr[x]
+        h9 += math.floor(-1e9 * (v.get(x, 0) / 1e6) * p * math.log2(p))
+    assert r.k == len(states)
+    assert r.h_n9 == h9
+    # entropy rate of a 4-state chain is in (0, 2] bits
+    assert 0 < r.entropy_rate_q6 <= 2_000_000
+
+
+def test_textrank_matches_integer_pagerank(spark, monkeypatch):
+    from cudf_spark.queries import analytics3 as mod
+    from cudf_spark.operators.graphs import PR_FP_SCALE
+
+    docs = ["spark shuffles data fast", "data moves fast in spark",
+            "slow scans hurt spark data"] * 2
+    pdf = pd.DataFrame({
+        "doc_id": range(len(docs)), "text": docs,
+        "lang": ["en"] * len(docs), "source": ["s"] * len(docs),
+        "n_chars": [len(t) for t in docs]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = [(r.word, r.score_q7) for r in mod.text_textrank_keywords(spark, "u").collect()]
+
+    edges = set()
+    for t in docs:
+        ws = t.split()
+        for i, x in enumerate(ws):
+            for j in (i + 1, i + 2):
+                if j < len(ws) and ws[j] != x:
+                    edges.add((x, ws[j]))
+    sym = edges | {(b, a) for a, b in edges}
+    nodes = sorted({a for a, _ in sym})
+    deg = {n: sum(1 for a, _ in sym if a == n) for n in nodes}
+    s = PR_FP_SCALE
+    pr = {n: s // len(nodes) for n in nodes}
+    for _ in range(5):
+        contrib = {}
+        for a, b in sym:
+            contrib[b] = contrib.get(b, 0) + pr[a] // deg[a]
+        base = (s - s * 17 // 20) // len(nodes)
+        pr = {n: base + (17 * contrib.get(n, 0)) // 20 for n in nodes}
+    exp = sorted(((n, pr[n] // 100000000) for n in nodes),
+                 key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == exp
+    assert got[0][0] in {"spark", "data"}  # hub words dominate
+
+
+def test_modularity_matches_hand_lpa(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(71)
+    # two dense cliques bridged by one order
+    rows = []
+    ln = 0
+    orders = []
+    for o in range(30):
+        grp = [0, 1, 2, 3] if o % 2 == 0 else [10, 11, 12, 13]
+        parts = list(rng.choice(grp, size=3, replace=False))
+        orders.append(parts)
+        for p in parts:
+            ln += 1
+            rows.append((o, int(p), 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         pd.Timestamp("2024-01-01")))
+    # bridge
+    rows.append((99, 0, 1, ln + 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                 pd.Timestamp("2024-01-01")))
+    rows.append((99, 10, 1, ln + 2, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                 pd.Timestamp("2024-01-01")))
+    pdf = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.graph_modularity_score(spark, "u").collect()[0]
+
+    import itertools as it
+    eu = set()
+    for _, g in pdf.groupby("l_orderkey"):
+        for a, b in it.combinations(sorted(set(g["l_partkey"])), 2):
+            eu.add((a, b))
+    sym = eu | {(b, a) for a, b in eu}
+    nodes = sorted({a for a, _ in sym})
+    lab = {n: n for n in nodes}
+    for _ in range(3):
+        from collections import Counter
+        new = {}
+        for n in nodes:
+            cnt = Counter(lab[v] for u, v in sym if u == n)
+            new[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = new
+    m = len(eu)
+    deg = Counter(a for a, _ in sym)
+    comms = sorted(set(lab.values()))
+    s9 = 0
+    for cm in comms:
+        e_in = sum(1 for a, b in eu if lab[a] == cm and lab[b] == cm)
+        a_i = sum(deg[n] for n in nodes if lab[n] == cm)
+        s9 += math.floor(1e9 * (e_in / m - (a_i / (2 * m)) ** 2))
+    assert r.m == m
+    assert r.n_communities == len(comms)
+    assert r.modularity_q6 == s9 // 1000
+    # two cliques + a weak bridge => strongly modular partition
+    assert r.modularity_q6 > 300_000

@@ -2653,3 +2653,314 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_communities",
         F.expr("s9 div 1000").cast("bigint").alias("modularity_q6"),
     )
+
+
+@register(
+    "ml_calibration_ece",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang AS actual,
+               {_lang_scores_sql()}
+        FROM documents
+    ), conf AS (
+        SELECT actual,
+           CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+                WHEN s_es >= greatest(s_de, s_fr, s_zh)       THEN 'es'
+                WHEN s_de >= greatest(s_fr, s_zh)             THEN 'de'
+                WHEN s_fr >= s_zh                             THEN 'fr'
+                ELSE 'zh' END AS predicted,
+           CASE WHEN s_en + s_es + s_de + s_fr + s_zh > 0
+                THEN CAST(greatest(s_en, s_es, s_de, s_fr, s_zh) AS BIGINT)
+                     * 1000000
+                     // (s_en + s_es + s_de + s_fr + s_zh)
+                ELSE 200000 END AS conf_q6
+        FROM scored
+    ), binned AS (
+        SELECT least(conf_q6 // 100000, 9) AS bin,
+               CASE WHEN actual = predicted THEN 1 ELSE 0 END AS ok,
+               conf_q6
+        FROM conf
+    ), per AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ok) AS BIGINT) AS n_correct,
+               CAST(sum(conf_q6) AS BIGINT) AS conf_sum_q6
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+               CAST(sum(abs(n_correct * 1000000 - conf_sum_q6)) AS BIGINT)
+                   AS gap_sum
+        FROM per
+    )
+    SELECT p.bin, p.n_docs, p.n_correct,
+           CAST(p.n_correct * 1000000 // p.n_docs AS BIGINT) AS acc_q6,
+           CAST(p.conf_sum_q6 // p.n_docs AS BIGINT) AS avg_conf_q6,
+           CAST(abs(p.n_correct * 1000000 - p.conf_sum_q6) // p.n_docs
+                AS BIGINT) AS gap_q6,
+           CAST(t.gap_sum // t.n AS BIGINT) AS ece_q6
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.bin
+    """,
+    doc="expected calibration error (ECE; Naeini 2015 / Guo 2017) of "
+    "the language-ID predictor: per-document confidence = max marker "
+    "score over total marker hits as an EXACT micro-unit rational "
+    "(uniform 1/5 for zero-evidence docs), 10 confidence deciles, "
+    "per-bin |accuracy - confidence| gap and the N-weighted ECE — "
+    "every number integer arithmetic on exact counts, zero float. The "
+    "reliability-diagram head every model-quality pipeline reports "
+    "next to P/R/F1 (text_lang_confusion_eval) and kappa "
+    "(stats_cohens_kappa). One corpus scan; bins are constant grain.",
+)
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+    from cudf_spark.queries.text import LANG_WORDS
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
+    sc = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_WORDS.items()
+    }
+    pred = (
+        F.when(sc["en"] >= F.greatest(sc["es"], sc["de"], sc["fr"], sc["zh"]), "en")
+        .when(sc["es"] >= F.greatest(sc["de"], sc["fr"], sc["zh"]), "es")
+        .when(sc["de"] >= F.greatest(sc["fr"], sc["zh"]), "de")
+        .when(sc["fr"] >= sc["zh"], "fr")
+        .otherwise("zh")
+    )
+    total = sc["en"] + sc["es"] + sc["de"] + sc["fr"] + sc["zh"]
+    mx = F.greatest(sc["en"], sc["es"], sc["de"], sc["fr"], sc["zh"])
+    # bind score columns first: the truncating `div` lives in expr
+    # strings, which can't see python Column objects
+    base = d.select(
+        F.col("lang").alias("actual"),
+        pred.alias("predicted"),
+        mx.cast("bigint").alias("mx"),
+        total.cast("bigint").alias("tt"),
+    )
+    conf_q6 = (
+        F.when(F.col("tt") > 0, F.expr("mx * 1000000 div tt"))
+        .otherwise(F.lit(200000))
+        .cast("bigint")
+    )
+    binned = base.select(
+        conf_q6.alias("conf_q6"),
+        F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0).alias("ok"),
+    ).select(
+        F.expr("CAST(least(conf_q6 div 100000, 9) AS BIGINT)").alias("bin"),
+        "conf_q6",
+        "ok",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ok").cast("bigint").alias("n_correct"),
+        F.sum("conf_q6").cast("bigint").alias("conf_sum_q6"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("n"),
+        F.sum(F.abs(F.col("n_correct") * 1000000 - F.col("conf_sum_q6")))
+        .cast("bigint")
+        .alias("gap_sum"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_docs",
+            "n_correct",
+            F.expr("n_correct * 1000000 div n_docs").cast("bigint").alias("acc_q6"),
+            F.expr("conf_sum_q6 div n_docs").cast("bigint").alias("avg_conf_q6"),
+            F.expr("abs(n_correct * 1000000 - conf_sum_q6) div n_docs")
+            .cast("bigint")
+            .alias("gap_q6"),
+            F.expr("gap_sum div n").cast("bigint").alias("ece_q6"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _merkle_oracle() -> str:
+    from cudf_spark.functions.hashing import hash60_sql
+
+    row_h = hash60_sql(
+        "concat_ws('|', CAST(event_id AS VARCHAR), "
+        "CAST(user_id AS VARCHAR), event_type, "
+        "CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), "
+        "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR))"
+    )
+    combine = hash60_sql(
+        "CAST(l AS VARCHAR) || '|' || CAST(rr AS VARCHAR)"
+    )
+    stages = [
+        f"""
+    rows_h AS (SELECT {row_h} AS h FROM events),
+    leaves AS (
+        SELECT s.idx, coalesce(b.hx, CAST(0 AS BIGINT)) AS h
+        FROM (SELECT unnest(generate_series(0, 255)) AS idx) s
+        LEFT JOIN (SELECT h % 256 AS idx, CAST(bit_xor(h) AS BIGINT) AS hx
+                   FROM rows_h GROUP BY h % 256) b ON b.idx = s.idx
+    ), l0 AS (SELECT idx, h FROM leaves)"""
+    ]
+    for k in range(1, 9):
+        stages.append(
+            f"""
+    l{k} AS MATERIALIZED (
+        SELECT idx // 2 AS idx, {combine} AS h
+        FROM (SELECT idx,
+                     max(CASE WHEN idx % 2 = 0 THEN h END)
+                         OVER (PARTITION BY idx // 2) AS l,
+                     max(CASE WHEN idx % 2 = 1 THEN h END)
+                         OVER (PARTITION BY idx // 2) AS rr
+              FROM l{k - 1})
+        WHERE idx % 2 = 0
+    )"""
+        )
+    lvls = " UNION ALL ".join(
+        f"SELECT {k} AS level, CAST(count(*) AS BIGINT) AS n_nodes, "
+        f"CAST(bit_xor(h) AS BIGINT) AS level_xor FROM l{k}"
+        for k in range(9)
+    )
+    return "WITH " + ",".join(stages) + f" SELECT * FROM ({lvls}) ORDER BY level"
+
+
+@register(
+    "misc_merkle_bucket_tree",
+    oracle=_merkle_oracle(),
+    doc="Merkle bucket tree over the events table (the hierarchical "
+    "integrity structure Cassandra/Dynamo anti-entropy uses — one step "
+    "past misc_table_fingerprint's flat XOR: a differing ROOT localises "
+    "to the differing 2^16-of-256 bucket in log steps): canonical "
+    "per-row hash60 -> 256 leaf buckets by h mod 256 (XOR within a "
+    "bucket is order-free; empty buckets pin to 0 via an explicit "
+    "spine), then 8 pairwise hash60(left|right) levels to the root. "
+    "The row scan is the only data pass; every level is bucket grain. "
+    "Output: per-level node count + level XOR (level 8 = the root).",
+)
+def misc_merkle_bucket_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.hashing import hash60
+    from cudf_spark.queries.analytics2 import _event_row_hash
+
+    ev = load(spark, sf_dir, "events")
+    rows_h = ev.select(_event_row_hash().alias("h"))
+    buckets = rows_h.groupBy((F.col("h") % 256).alias("idx")).agg(
+        F.expr("bit_xor(h)").cast("bigint").alias("hx")
+    )
+    spine = spark.range(256).select(F.col("id").cast("bigint").alias("idx"))
+    level = spine.join(buckets, "idx", "left").select(
+        "idx", F.coalesce("hx", F.lit(0)).cast("bigint").alias("h")
+    )
+    out = [
+        level.agg(
+            F.lit(0).cast("bigint").alias("level"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.expr("bit_xor(h)").cast("bigint").alias("level_xor"),
+        )
+    ]
+    for k in range(1, 9):
+        pairs = level.groupBy(F.expr("idx div 2").alias("idx")).agg(
+            F.max(F.when(F.col("idx") % 2 == 0, F.col("h"))).alias("l"),
+            F.max(F.when(F.col("idx") % 2 == 1, F.col("h"))).alias("rr"),
+        )
+        level = pairs.select(
+            "idx",
+            hash60(
+                F.concat_ws(
+                    "|", F.col("l").cast("string"), F.col("rr").cast("string")
+                )
+            ).alias("h"),
+        )
+        out.append(
+            level.agg(
+                F.lit(k).cast("bigint").alias("level"),
+                F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+                F.expr("bit_xor(h)").cast("bigint").alias("level_xor"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("level")
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS fd
+        FROM events GROUP BY user_id
+    ), cohorts AS (
+        SELECT user_id, fd, (day(fd) - 1) // 7 AS cohort FROM firsts
+    ), sizes AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+        FROM cohorts GROUP BY cohort
+    ), rev AS (
+        SELECT c.cohort,
+               CAST(CAST(e.ts AS TIMESTAMP) AS DATE) - c.fd AS age,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM events e JOIN cohorts c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY c.cohort, CAST(CAST(e.ts AS TIMESTAMP) AS DATE) - c.fd
+    ), curve AS (
+        SELECT cohort, CAST(age AS BIGINT) AS age, rev_cents,
+               CAST(sum(rev_cents) OVER (
+                   PARTITION BY cohort ORDER BY age
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM rev
+    )
+    SELECT cv.cohort, cv.age, s.n_users, cv.rev_cents, cv.cum_cents,
+           CAST(cv.cum_cents // s.n_users AS BIGINT) AS ltv_cents_per_user
+    FROM curve cv JOIN sizes s ON s.cohort = cv.cohort
+    ORDER BY cv.cohort, cv.age
+    """,
+    doc="cohort LTV accumulation curve (the revenue twin of "
+    "events_retention_cohorts): users cohorted by first-seen week, "
+    "purchase revenue in exact cents bucketed by account AGE in days, "
+    "cumulative per-cohort revenue via a cohort-keyed window, per-user "
+    "LTV by truncating division over the cohort size. Day-grain "
+    "output; the revenue groupBy is the only event-scale pass and the "
+    "cumsum runs on the (cohort, age) lattice.",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("fd"))
+    cohorts = firsts.select(
+        "user_id", "fd", F.expr("(day(fd) - 1) div 7").alias("cohort")
+    )
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort",
+            F.datediff(F.to_date("ts"), F.col("fd")).cast("bigint").alias("age"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = rev.withColumn(
+        "cum_cents", F.sum("rev_cents").over(w).cast("bigint")
+    )
+    return (
+        curve.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_users",
+            "rev_cents",
+            "cum_cents",
+            F.expr("cum_cents div n_users").cast("bigint").alias(
+                "ltv_cents_per_user"
+            ),
+        )
+        .orderBy("cohort", "age")
+    )

@@ -1020,3 +1020,89 @@ def test_modularity_matches_hand_lpa(spark, monkeypatch):
     assert r.modularity_q6 == s9 // 1000
     # two cliques + a weak bridge => strongly modular partition
     assert r.modularity_q6 > 300_000
+
+
+def test_calibration_ece_integer_identity(spark, monkeypatch):
+    from cudf_spark.queries import analytics3 as mod
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": ["the and of", "the cat", "el la es", "der und die",
+                     "le la et", "xyz", "the el", "und the of"],
+            "lang": ["en", "en", "es", "de", "fr", "zh", "es", "en"],
+            "source": ["s"] * 8,
+            "n_chars": [10] * 8,
+        }
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    rows = mod.ml_calibration_ece(spark, "u").collect()
+
+    n = sum(r.n_docs for r in rows)
+    assert n == 8
+    # ECE identity: sum over bins of |correct*1e6 - conf_sum| // N
+    gap_sum = sum(abs(r.n_correct * 1_000_000 - r.n_docs * r.avg_conf_q6
+                      - (r.n_docs * r.avg_conf_q6 == 0) * 0) for r in rows)
+    # avg_conf is truncated; recompute from gap_q6 * n_docs bound instead
+    for r in rows:
+        assert 0 <= r.acc_q6 <= 1_000_000
+        assert 0 <= r.avg_conf_q6 <= 1_000_000
+        assert r.ece_q6 == rows[0].ece_q6  # constant column
+    # zero-evidence doc ('xyz') lands in bin 2 with conf 0.2
+    assert any(r.bin == 2 and r.n_docs >= 1 for r in rows)
+
+
+def test_merkle_tree_levels_and_sensitivity(spark, monkeypatch):
+    from cudf_spark.queries import analytics3 as mod
+
+    base = pd.Timestamp("2024-09-01")
+    pdf1 = _events([(i, base + pd.Timedelta(minutes=i), i % 3, "t",
+                     float(i), "{}") for i in range(50)])
+    pdf2 = pdf1.copy()
+    pdf2.loc[10, "value"] = 999.0  # one changed row
+
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf1))
+    r1 = {r.level: (r.n_nodes, r.level_xor)
+          for r in mod.misc_merkle_bucket_tree(spark, "u").collect()}
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf2))
+    r2 = {r.level: (r.n_nodes, r.level_xor)
+          for r in mod.misc_merkle_bucket_tree(spark, "u").collect()}
+
+    # structure: 256 -> 128 -> ... -> 1
+    for k in range(9):
+        assert r1[k][0] == 256 >> k
+    # a single-row change flips the root (level 8)
+    assert r1[8][1] != r2[8][1]
+    # identical input -> identical tree (determinism)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf1))
+    r1b = {r.level: (r.n_nodes, r.level_xor)
+           for r in mod.misc_merkle_bucket_tree(spark, "u").collect()}
+    assert r1 == r1b
+
+
+def test_cohort_ltv_accumulates_exactly(spark, monkeypatch):
+    from cudf_spark.queries import analytics3 as mod
+
+    base = pd.Timestamp("2024-01-01")  # day 1 -> cohort 0
+    rows = [
+        # user 1: first seen day 1 (cohort 0), purchases on ages 0 and 2
+        (0, base, 1, "signup", 0.0, "{}"),
+        (1, base, 1, "purchase", 10.0, "{}"),
+        (2, base + pd.Timedelta(days=2), 1, "purchase", 5.5, "{}"),
+        # user 2: same cohort, no purchases
+        (3, base + pd.Timedelta(days=3), 2, "view", 1.0, "{}"),
+        # user 3: day 10 -> cohort 1, one purchase age 1
+        (4, base + pd.Timedelta(days=9), 3, "signup", 0.0, "{}"),
+        (5, base + pd.Timedelta(days=10), 3, "purchase", 20.0, "{}"),
+    ]
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {(r.cohort, r.age): r for r in mod.events_cohort_ltv(spark, "u").collect()}
+
+    r = got[(0, 0)]
+    assert (r.n_users, r.rev_cents, r.cum_cents) == (2, 1000, 1000)
+    assert r.ltv_cents_per_user == 500
+    r = got[(0, 2)]
+    assert (r.rev_cents, r.cum_cents, r.ltv_cents_per_user) == (550, 1550, 775)
+    r = got[(1, 1)]
+    assert (r.n_users, r.cum_cents, r.ltv_cents_per_user) == (1, 2000, 2000)

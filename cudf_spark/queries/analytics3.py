@@ -2964,3 +2964,228 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age")
     )
+
+
+_MMR_CANDS = 20
+_MMR_PICKS = 5
+
+
+def _mmr_oracle() -> str:
+    from cudf_spark.queries.similarity import _sql_cosine
+
+    head = f"""
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT e.vec_id, e.embedding,
+               CAST(floor(1000000000.0 * {_sql_cosine('e.embedding', 'q.qv')})
+                    AS BIGINT) AS qs
+        FROM embeddings e, q WHERE e.vec_id != 0
+    ), c AS MATERIALIZED (
+        SELECT vec_id, embedding, qs FROM (
+            SELECT *, row_number() OVER (ORDER BY qs DESC, vec_id) AS rn
+            FROM scored) WHERE rn <= {_MMR_CANDS}
+    ), pairs AS MATERIALIZED (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               CAST(floor(1000000000.0
+                    * {_sql_cosine('a.embedding', 'b.embedding')}) AS BIGINT)
+                   AS ps
+        FROM c a JOIN c b ON a.vec_id != b.vec_id
+    ),
+    sel1 AS (SELECT vec_id, qs, 7 * qs AS score FROM c
+             ORDER BY score DESC, vec_id LIMIT 1)"""
+    steps = []
+    for k in range(2, _MMR_PICKS + 1):
+        selected = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{i}" for i in range(1, k)
+        )
+        steps.append(
+            f"""
+    sel{k} AS (
+        SELECT r.vec_id, r.qs, 7 * r.qs - 3 * max(p.ps) AS score
+        FROM c r JOIN pairs p
+          ON p.ia = r.vec_id AND p.ib IN ({selected})
+        WHERE r.vec_id NOT IN ({selected})
+        GROUP BY r.vec_id, r.qs
+        ORDER BY score DESC, r.vec_id LIMIT 1)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT {k} AS rk, vec_id, qs, CAST(score AS BIGINT) AS score "
+        f"FROM sel{k}"
+        for k in range(1, _MMR_PICKS + 1)
+    )
+    return "WITH " + ",".join([head, *steps]) + f" SELECT * FROM ({final}) ORDER BY rk"
+
+
+@register(
+    "emb_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc="maximal marginal relevance reranking (Carbonell & Goldstein "
+    "1998 — the diversity-vs-relevance greedy every retrieval pipeline "
+    "runs after ANN): from the top-20 cosine candidates, pick 5 items "
+    "maximising 0.7*sim(q,d) - 0.3*max_{s in selected} sim(d,s), "
+    "entirely in nano-quantized INTEGER scores (7*qs - 3*pen with "
+    "deterministic (score desc, id) argmax — per-pair cosines floor at "
+    "pair grain, so no float ever crosses a round boundary). Scale "
+    "shape: the greedy runs on the BOUNDED candidate set the ANN tier "
+    "already produced (candidate and pair tables are K and K^2 rows); "
+    "the only data-scale pass is the initial query-similarity scan. "
+    "Spark loops the 5 rounds on the K-row frame; the oracle unrolls "
+    "them as CTEs.",
+)
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.similarity import cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "embedding",
+        F.floor(1000000000.0 * cosine(F.col("embedding"), F.col("qv")))
+        .cast("bigint")
+        .alias("qs"),
+    )
+    rw = Window.orderBy(F.desc("qs"), "vec_id")
+    c = (
+        scored.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= _MMR_CANDS)
+        .select("vec_id", "embedding", "qs")
+        .localCheckpoint(eager=False)
+    )
+    ca = c.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    cb = c.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = (
+        ca.join(cb, F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.floor(1000000000.0 * cosine(F.col("ea"), F.col("eb")))
+            .cast("bigint")
+            .alias("ps"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    picks = []
+    first = (
+        c.select("vec_id", "qs", (7 * F.col("qs")).alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(1)
+        .withColumn("rk", F.lit(1).cast("bigint"))
+    )
+    picks.append(first)
+    selected = first.select("vec_id")
+    for k in range(2, _MMR_PICKS + 1):
+        pen = (
+            pairs.join(selected.withColumnRenamed("vec_id", "ib"), "ib")
+            .groupBy(F.col("ia").alias("vec_id"))
+            .agg(F.max("ps").alias("pen"))
+        )
+        nxt = (
+            c.join(selected, "vec_id", "left_anti")
+            .join(pen, "vec_id")
+            .select(
+                "vec_id",
+                "qs",
+                (7 * F.col("qs") - 3 * F.col("pen")).alias("score"),
+            )
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(1)
+            .withColumn("rk", F.lit(k).cast("bigint"))
+        )
+        picks.append(nxt)
+        selected = selected.unionByName(nxt.select("vec_id")).localCheckpoint(
+            eager=False
+        )
+    res = picks[0]
+    for p in picks[1:]:
+        res = res.unionByName(p)
+    return res.select(
+        "rk", "vec_id", "qs", F.col("score").cast("bigint").alias("score")
+    ).orderBy("rk")
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+    WITH pp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), eu AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+    ), sym AS (
+        SELECT u, v FROM eu UNION ALL SELECT v AS u, u AS v FROM eu
+    ), deg AS (
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u
+    ), ed AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM sym JOIN deg du ON du.node = sym.u
+                 JOIN deg dv ON dv.node = sym.v
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM ed
+    )
+    SELECT m, CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(floor(1000000.0
+               * (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+               AS BIGINT) AS assortativity_q6
+    FROM s
+    """,
+    doc="degree assortativity (Newman 2002): the Pearson correlation of "
+    "endpoint degrees over the DIRECTED edge list of the symmetrized "
+    "parts-co-ordered graph — positive = hubs link hubs, negative = "
+    "hub-and-spoke. Exact BIGINT moment sums in one edge-grain "
+    "aggregate after two node-keyed degree joins; the final r uses "
+    "double casts with an identical expression and separate sqrt "
+    "factors (the stats_kendall_tau_binned overflow discipline — the "
+    "variance products would not fit BIGINT at cluster scale).",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    eu = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    sym = eu.unionByName(
+        eu.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    ed = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
+        .select("x", "y")
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    r = F.floor(
+        1000000.0
+        * (d("m") * d("sxy") - d("sx") * d("sy"))
+        / (
+            F.sqrt(d("m") * d("sxx") - d("sx") * d("sx"))
+            * F.sqrt(d("m") * d("syy") - d("sy") * d("sy"))
+        )
+    ).cast("bigint")
+    return s.crossJoin(F.broadcast(nn)).select(
+        "m", "n_nodes", r.alias("assortativity_q6")
+    )

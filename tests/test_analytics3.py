@@ -1106,3 +1106,84 @@ def test_cohort_ltv_accumulates_exactly(spark, monkeypatch):
     assert (r.rev_cents, r.cum_cents, r.ltv_cents_per_user) == (550, 1550, 775)
     r = got[(1, 1)]
     assert (r.n_users, r.cum_cents, r.ltv_cents_per_user) == (1, 2000, 2000)
+
+
+def test_mmr_rerank_matches_greedy(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(73)
+    vecs = rng.normal(size=(30, 64)).astype(np.float32)
+    pdf = pd.DataFrame(
+        {"vec_id": range(30), "embedding": [v.tolist() for v in vecs],
+         "label": [0] * 30}
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = [(r.rk, r.vec_id) for r in mod.emb_mmr_rerank(spark, "u").collect()]
+
+    def cos_q9(a, b):
+        # mirror the engine's sequential float fold + floor quantization
+        dot = 0.0
+        na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        return math.floor(1e9 * (dot / (math.sqrt(na) * math.sqrt(nb))))
+
+    qs = {i: cos_q9(vecs[i], vecs[0]) for i in range(1, 30)}
+    cand = sorted(qs, key=lambda i: (-qs[i], i))[:mod._MMR_CANDS]
+    sel = []
+    for k in range(mod._MMR_PICKS):
+        best = None
+        for d_ in cand:
+            if d_ in sel:
+                continue
+            pen = max((cos_q9(vecs[d_], vecs[s]) for s in sel), default=0)
+            score = 7 * qs[d_] - 3 * pen if sel else 7 * qs[d_]
+            key = (score, -d_)
+            if best is None or key > best[0]:
+                best = (key, d_)
+        sel.append(best[1])
+    assert [v for _, v in got] == sel
+    assert got[0][1] == max(qs, key=lambda i: (qs[i], -i))  # first = nearest
+    assert len(set(v for _, v in got)) == 5  # no repeats
+
+
+def test_assortativity_matches_numpy(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(79)
+    rows = []
+    ln = 0
+    for o in range(100):
+        parts = rng.choice(50, size=rng.randint(2, 5), replace=False)
+        for p in parts:
+            ln += 1
+            rows.append((o, int(p), 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         pd.Timestamp("2024-01-01")))
+    pdf = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.graph_assortativity(spark, "u").collect()[0]
+
+    import itertools as it
+    eu = set()
+    for _, g in pdf.groupby("l_orderkey"):
+        for a, b in it.combinations(sorted(set(g["l_partkey"])), 2):
+            eu.add((a, b))
+    sym = list(eu) + [(b, a) for a, b in eu]
+    from collections import Counter
+    deg = Counter(u for u, _ in sym)
+    xs = np.array([deg[u] for u, _ in sym], dtype=float)
+    ys = np.array([deg[v] for _, v in sym], dtype=float)
+    expected = np.corrcoef(xs, ys)[0, 1]
+    assert r.m == len(sym)
+    assert r.assortativity_q6 / 1e6 == pytest.approx(expected, abs=2e-6)

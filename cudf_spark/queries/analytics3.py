@@ -3189,3 +3189,365 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.crossJoin(F.broadcast(nn)).select(
         "m", "n_nodes", r.alias("assortativity_q6")
     )
+
+
+_DELTA_TOPW = 20
+
+
+@register(
+    "text_burrows_delta",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t
+        FROM documents
+    ), cnt AS (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        FROM toks WHERE t != '' GROUP BY source, t
+    ), topw AS (
+        SELECT t FROM (
+            SELECT t, CAST(sum(c) AS BIGINT) AS g,
+                   row_number() OVER (ORDER BY sum(c) DESC, t) AS rn
+            FROM cnt GROUP BY t) WHERE rn <= {_DELTA_TOPW}
+    ), ns AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY source
+    ), spine AS (
+        SELECT ns.source, topw.t, ns.n FROM ns CROSS JOIN topw
+    ), f AS (
+        SELECT s.source, s.t,
+               CAST(coalesce(c.c, 0) * 1000000 // s.n AS BIGINT) AS fq
+        FROM spine s LEFT JOIN cnt c
+          ON c.source = s.source AND c.t = s.t
+    ), wstat AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(fq) AS BIGINT) AS s1,
+               CAST(sum(fq * fq) AS BIGINT) AS s2
+        FROM f GROUP BY t
+    ), z AS (
+        SELECT f.source, f.t,
+               CAST(floor(1000000.0
+                   * (CAST(f.fq AS DOUBLE) - CAST(w.s1 AS DOUBLE)
+                          / CAST(w.k AS DOUBLE))
+                   / sqrt((CAST(w.k AS DOUBLE) * CAST(w.s2 AS DOUBLE)
+                           - CAST(w.s1 AS DOUBLE) * CAST(w.s1 AS DOUBLE))
+                          / (CAST(w.k AS DOUBLE) * CAST(w.k AS DOUBLE))))
+                   AS BIGINT) AS zq
+        FROM f JOIN wstat w ON w.t = f.t
+        WHERE w.k * w.s2 - w.s1 * w.s1 > 0
+    ), delta AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(sum(abs(a.zq - b.zq)) AS BIGINT) AS sum_absdz,
+               CAST(count(*) AS BIGINT) AS n_words
+        FROM z a JOIN z b ON b.t = a.t AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, n_words,
+           CAST(sum_absdz // n_words AS BIGINT) AS delta_q6
+    FROM delta ORDER BY delta_q6, src_a, src_b LIMIT 10
+    """,
+    doc="Burrows' Delta stylometric distance (Burrows 2002 — the "
+    "authorship-attribution standard): top-20 corpus words, per-source "
+    "relative frequencies as EXACT per-million integers, per-word "
+    "z-scores across sources (population sigma from exact integer "
+    "moments; the double expression is identical on both engines and "
+    "floor-quantized at (source, word) grain so the pairwise sums are "
+    "pure BIGINT), Delta(a,b) = mean |z_a - z_b|. The word spine "
+    "cross-join guarantees missing words score as zero frequency "
+    "rather than silently dropping. Output: 10 most stylometrically "
+    "similar source pairs. All joins word- or source-keyed; the "
+    "tokenize scan is the only corpus pass.",
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            "source",
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    gw = Window.orderBy(F.desc("g"), "t")
+    topw = (
+        cnt.groupBy("t")
+        .agg(F.sum("c").cast("bigint").alias("g"))
+        .withColumn("rn", F.row_number().over(gw))
+        .filter(F.col("rn") <= _DELTA_TOPW)
+        .select("t")
+    )
+    ns = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    spine = ns.crossJoin(F.broadcast(topw))
+    f = spine.join(cnt, ["source", "t"], "left").select(
+        "source",
+        "t",
+        F.expr("coalesce(c, 0) * 1000000 div n").cast("bigint").alias("fq"),
+    )
+    wstat = f.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("fq").cast("bigint").alias("s1"),
+        F.sum(F.col("fq") * F.col("fq")).cast("bigint").alias("s2"),
+    )
+    dd = lambda c: F.col(c).cast("double")
+    zq = F.floor(
+        1000000.0
+        * (dd("fq") - dd("s1") / dd("k"))
+        / F.sqrt((dd("k") * dd("s2") - dd("s1") * dd("s1")) / (dd("k") * dd("k")))
+    ).cast("bigint")
+    z = (
+        f.join(wstat, "t")
+        .filter(F.col("k") * F.col("s2") - F.col("s1") * F.col("s1") > 0)
+        .select("source", "t", zq.alias("zq"))
+    )
+    za = z.select(
+        F.col("source").alias("src_a"), "t", F.col("zq").alias("za")
+    )
+    zb = z.select(
+        F.col("source").alias("src_b"), F.col("t").alias("t2"), F.col("zq").alias("zb")
+    )
+    delta = (
+        za.join(zb, (F.col("t") == F.col("t2")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.abs(F.col("za") - F.col("zb"))).cast("bigint").alias("sum_absdz"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+    )
+    return (
+        delta.select(
+            "src_a",
+            "src_b",
+            "n_words",
+            F.expr("sum_absdz div n_words").cast("bigint").alias("delta_q6"),
+        )
+        .orderBy("delta_q6", "src_a", "src_b")
+        .limit(10)
+    )
+
+
+@register(
+    "stats_runs_test",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type, CAST(min(c) AS BIGINT) AS md
+        FROM (
+            SELECT event_type, c,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS n
+            FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+                  FROM daily GROUP BY event_type, c))
+        WHERE 2 * cum >= n GROUP BY event_type
+    ), signed AS (
+        SELECT d.event_type, d.day,
+               CASE WHEN d.c > m.md THEN 1 ELSE 0 END AS s
+        FROM daily d JOIN med m ON m.event_type = d.event_type
+    ), runs AS (
+        SELECT event_type, s,
+               CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY day)
+                         IS DISTINCT FROM s THEN 1 ELSE 0 END AS brk
+        FROM signed
+    ), agg AS (
+        SELECT event_type,
+               CAST(sum(brk) AS BIGINT) AS r,
+               CAST(sum(s) AS BIGINT) AS n1,
+               CAST(count(*) - sum(s) AS BIGINT) AS n0,
+               CAST(count(*) AS BIGINT) AS n
+        FROM runs GROUP BY event_type
+    )
+    SELECT event_type, n, n1, n0, r AS n_runs,
+           CAST(floor(1000000.0
+               * (CAST(r AS DOUBLE)
+                  - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                         / CAST(n AS DOUBLE)))
+               / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                         - CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - 1.0))))
+               AS BIGINT) AS z_q6
+    FROM agg WHERE n1 > 0 AND n0 > 0 ORDER BY event_type
+    """,
+    doc="Wald-Wolfowitz runs test for temporal randomness of daily "
+    "volumes (above/below the exact lower-median rank rule; ties count "
+    "below): run count via the lag-change flag (IS DISTINCT FROM makes "
+    "the first row start run 1), expected runs 1 + 2*n1*n0/n and its "
+    "variance in an identical double expression, z floor-quantized. "
+    "The sequential-dependence check a forecasting pipeline runs on "
+    "residuals — day grain after one keyed count, the dt_resample "
+    "family's bounded-calendar discipline.",
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    hist = daily.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    med = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("c").cast("bigint").alias("md"))
+    )
+    signed = daily.join(med, "event_type").select(
+        "event_type",
+        "day",
+        F.when(F.col("c") > F.col("md"), 1).otherwise(0).alias("s"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    runs = signed.withColumn(
+        "brk",
+        F.when(
+            ~F.lag("s").over(wd).eqNullSafe(F.col("s")), 1
+        ).otherwise(0),
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.sum("brk").cast("bigint").alias("r"),
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n0"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    two_nn = 2.0 * d("n1") * d("n0")
+    z = F.floor(
+        1000000.0
+        * (d("r") - (1.0 + two_nn / d("n")))
+        / F.sqrt(
+            two_nn * (two_nn - d("n")) / (d("n") * d("n") * (d("n") - 1.0))
+        )
+    ).cast("bigint")
+    return (
+        agg.filter((F.col("n1") > 0) & (F.col("n0") > 0))
+        .select(
+            "event_type",
+            "n",
+            "n1",
+            "n0",
+            F.col("r").alias("n_runs"),
+            z.alias("z_q6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ml_knn_classifier_eval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS actual
+        FROM embeddings WHERE vec_id < 50
+    ), scored AS (
+        SELECT q.qid, q.actual, e.vec_id, e.label,
+               CAST(floor(1000000000.0 *
+                   (list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) * sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))))) AS BIGINT) AS cq
+        FROM q JOIN embeddings e ON e.vec_id != q.qid
+    ), knn AS (
+        SELECT qid, actual, label FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY cq DESC, vec_id) AS rn
+            FROM scored) WHERE rn <= 5
+    ), votes AS (
+        SELECT qid, actual, label, CAST(count(*) AS BIGINT) AS v
+        FROM knn GROUP BY qid, actual, label
+    ), pred AS (
+        SELECT qid, actual, label AS predicted FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY v DESC, label) AS rk
+            FROM votes) WHERE rk = 1
+    ), per AS (
+        SELECT actual AS label, CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct
+        FROM pred GROUP BY actual
+    ), tot AS (
+        SELECT CAST(sum(n_eval) AS BIGINT) AS n,
+               CAST(sum(n_correct) AS BIGINT) AS c
+        FROM per
+    )
+    SELECT p.label, p.n_eval, p.n_correct,
+           CAST(p.n_correct * 1000000 // p.n_eval AS BIGINT) AS acc_q6,
+           CAST(t.c * 1000000 // t.n AS BIGINT) AS overall_acc_q6
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.label
+    """,
+    doc="leave-one-out 5-NN classifier accuracy over the embedding "
+    "labels (the eval head beside ml_nearest_centroid_eval — instance-"
+    "based vs centroid-based): exact nano-quantized cosine ranking "
+    "with the (cq desc, vec_id) tiebreak, majority vote with the "
+    "(count desc, label) tiebreak, per-label and overall accuracy as "
+    "exact integer rationals. The 50-query evaluation panel keeps the "
+    "similarity join bounded (queries broadcast to the vector scan — "
+    "at 100 TB the eval panel is always a bounded sample; the ANN "
+    "tiers handle full-corpus search).",
+)
+def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.similarity import cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("actual"),
+    )
+    scored = e.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "actual",
+        "vec_id",
+        "label",
+        F.floor(1000000000.0 * cosine(F.col("embedding"), F.col("qv")))
+        .cast("bigint")
+        .alias("cq"),
+    )
+    rw = Window.partitionBy("qid").orderBy(F.desc("cq"), "vec_id")
+    knn = (
+        scored.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "actual", "label")
+    )
+    votes = knn.groupBy("qid", "actual", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    vw = Window.partitionBy("qid").orderBy(F.desc("v"), "label")
+    pred = (
+        votes.withColumn("rk", F.row_number().over(vw))
+        .filter(F.col("rk") == 1)
+        .select("qid", "actual", F.col("label").alias("predicted"))
+    )
+    per = pred.groupBy(F.col("actual").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    tot = per.agg(
+        F.sum("n_eval").cast("bigint").alias("n"),
+        F.sum("n_correct").cast("bigint").alias("c"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "n_eval",
+            "n_correct",
+            F.expr("n_correct * 1000000 div n_eval").cast("bigint").alias("acc_q6"),
+            F.expr("c * 1000000 div n").cast("bigint").alias("overall_acc_q6"),
+        )
+        .orderBy("label")
+    )

@@ -1187,3 +1187,111 @@ def test_assortativity_matches_numpy(spark, monkeypatch):
     expected = np.corrcoef(xs, ys)[0, 1]
     assert r.m == len(sym)
     assert r.assortativity_q6 / 1e6 == pytest.approx(expected, abs=2e-6)
+
+
+def test_burrows_delta_zscore_arithmetic(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    # three sources with controlled word mixes; 'x' common everywhere,
+    # 'y' overused by a, 'z' overused by b; c mirrors a closely.
+    docs = {
+        "a": "x x x y y y z", "b": "x x x z z z y",
+        "c": "x x x y y z z", "d": "x y z x y z x",
+    }
+    pdf = pd.DataFrame(
+        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(docs.items())],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    rows = [(r.src_a, r.src_b, r.n_words, r.delta_q6)
+            for r in mod.text_burrows_delta(spark, "u").collect()]
+
+    # brute force with the same integer quantization
+    from collections import Counter
+    cnts = {s: Counter(t.split()) for s, t in docs.items()}
+    words = Counter()
+    for c in cnts.values():
+        words.update(c)
+    top = [w for w, _ in sorted(words.items(), key=lambda kv: (-kv[1], kv[0]))[:mod._DELTA_TOPW]]
+    fq = {}
+    for s, c in cnts.items():
+        n = sum(c.values())
+        for w in top:
+            fq[(s, w)] = c.get(w, 0) * 1_000_000 // n
+    z = {}
+    for w in top:
+        vals = [fq[(s, w)] for s in docs]
+        k = len(vals)
+        s1, s2 = sum(vals), sum(v * v for v in vals)
+        var = (k * s2 - s1 * s1) / (k * k)
+        if k * s2 - s1 * s1 <= 0:
+            continue
+        for s in docs:
+            z[(s, w)] = math.floor(1e6 * (fq[(s, w)] - s1 / k) / math.sqrt(var))
+    import itertools as it
+    exp = []
+    for a, b in it.combinations(sorted(docs), 2):
+        ws = [w for w in top if (a, w) in z and (b, w) in z]
+        tot = sum(abs(z[(a, w)] - z[(b, w)]) for w in ws)
+        exp.append((a, b, len(ws), tot // len(ws)))
+    exp.sort(key=lambda r: (r[3], r[0], r[1]))
+    assert rows == exp[:10]
+    # a and c (similar mixes) are closer than a and b (opposite mixes)
+    d_ac = next(r[3] for r in rows if {r[0], r[1]} == {"a", "c"})
+    d_ab = next(r[3] for r in rows if {r[0], r[1]} == {"a", "b"})
+    assert d_ac < d_ab
+
+
+def test_runs_test_alternating_vs_blocked(spark, monkeypatch):
+    from cudf_spark.queries import analytics3 as mod
+
+    base = pd.Timestamp("2024-10-01")
+    rows = []
+    eid = 0
+    # 'alt': alternating high/low day counts -> many runs, z > 0
+    # 'blk': first half high, second half low -> 2 runs, z < 0
+    for d in range(20):
+        alt_n = 10 if d % 2 == 0 else 2
+        blk_n = 10 if d < 10 else 2
+        for _ in range(alt_n):
+            rows.append((eid, base + pd.Timedelta(days=d, minutes=eid % 60),
+                         1, "alt", 1.0, "{}")); eid += 1
+        for _ in range(blk_n):
+            rows.append((eid, base + pd.Timedelta(days=d, minutes=eid % 60),
+                         1, "blk", 1.0, "{}")); eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    out = {r.event_type: r for r in mod.stats_runs_test(spark, "u").collect()}
+
+    assert out["alt"].n_runs == 20  # perfect alternation
+    assert out["blk"].n_runs == 2
+    assert out["alt"].z_q6 > 0 > out["blk"].z_q6
+    assert out["alt"].n1 == 10 and out["alt"].n0 == 10
+
+
+def test_knn_eval_separable_labels(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(83)
+    # two well-separated clusters -> LOO 5-NN should be near-perfect
+    vecs, labels = [], []
+    for i in range(80):
+        lab = i % 2
+        center = np.zeros(64)
+        center[lab] = 5.0
+        vecs.append((center + rng.normal(0, 0.3, 64)).astype(np.float32))
+        labels.append(lab)
+    pdf = pd.DataFrame({"vec_id": range(80),
+                        "embedding": [v.tolist() for v in vecs],
+                        "label": labels})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    rows = mod.ml_knn_classifier_eval(spark, "u").collect()
+    overall = rows[0].overall_acc_q6
+    assert overall >= 950_000  # separable clusters classify correctly
+    assert sum(r.n_eval for r in rows) == 50
+    for r in rows:
+        assert r.acc_q6 == r.n_correct * 1_000_000 // r.n_eval

@@ -1373,37 +1373,35 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SOUNDEX_MAP = "01230120022455012623010202"  # A..Z census digit map
 
 
+def _soundex_sql(expr: str) -> str:
+    """DuckDB mirror of Spark's builtin ``F.soundex`` (census algorithm;
+    pinned equal on the classic trap words in pytest): keep the first
+    letter, drop H/W from the tail, digit-map, collapse adjacent
+    duplicate digits (RE2 has no backrefs -> 7 chained per-digit
+    regexes), drop vowel zeros, pad to 3."""
+    u = f"upper({expr})"
+    coded = (
+        f"translate(substring({u}, 1, 1) || "
+        f"replace(replace(substring({u}, 2), 'H', ''), 'W', ''), "
+        f"'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_MAP}')"
+    )
+    collapsed = coded
+    for d in range(7):
+        collapsed = f"regexp_replace({collapsed}, '{d}{d}+', '{d}', 'g')"
+    return (
+        f"substring({u}, 1, 1) || substring("
+        f"replace(substring({collapsed}, 2), '0', '') || '000', 1, 3)"
+    )
+
+
 @register(
     "str_phonetic_soundex",
     oracle=f"""
     WITH w AS (
         SELECT DISTINCT unnest(string_split(p_name, ' ')) AS word FROM part
-    ), s1 AS (
-        SELECT word, upper(word) AS u FROM w WHERE word != ''
-    ), s2 AS (
-        SELECT word, substring(u, 1, 1) AS first,
-               replace(replace(substring(u, 2), 'H', ''), 'W', '') AS tail
-        FROM s1
-    ), s3 AS (
-        SELECT word, first,
-               translate(first || tail,
-                         'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
-                         '{_SOUNDEX_MAP}') AS coded
-        FROM s2
-    ), s4 AS (
-        SELECT word, first,
-               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-               regexp_replace(regexp_replace(regexp_replace(coded,
-                   '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'),
-                   '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'),
-                   '66+', '6', 'g') AS collapsed
-        FROM s3
     ), sx AS (
-        SELECT word,
-               first || substring(
-                   replace(substring(collapsed, 2), '0', '') || '000', 1, 3)
-                   AS code
-        FROM s4
+        SELECT word, {_soundex_sql('word')} AS code
+        FROM w WHERE word != ''
     )
     SELECT code, CAST(count(*) AS BIGINT) AS n_words,
            string_agg(word, '|' ORDER BY word) AS words
@@ -1412,13 +1410,11 @@ _SOUNDEX_MAP = "01230120022455012623010202"  # A..Z census digit map
     doc="American (census) Soundex phonetic encoding of part-name words "
     "— the fuzzy-matching classic beside str_levenshtein and "
     "fuzzy_token_pairs. Spark side is the JVM builtin F.soundex; the "
-    "oracle HAND-ROLLS the census algorithm (keep first letter, drop "
-    "H/W from the tail so same-code consonants collapse across them, "
-    "digit-map A..Z, collapse adjacent duplicate digits — RE2 has no "
-    "backrefs, so 7 chained per-digit regexes — drop vowel zeros, pad "
-    "to 3), pinned equal to Spark's output on the classic trap words "
-    "(ashcraft, pfister, tymczak, honeyman, hannah) in pytest. Output: "
-    "collision groups per code with the sorted member list.",
+    "oracle hand-rolls the census algorithm (_soundex_sql, shared with "
+    "er_blocked_linkage), pinned equal to Spark's output on the "
+    "classic trap words (ashcraft, pfister, tymczak, honeyman, "
+    "hannah) in pytest. Output: collision groups per code with the "
+    "sorted member list.",
 )
 def str_phonetic_soundex(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
@@ -3550,4 +3546,273 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("c * 1000000 div n").cast("bigint").alias("overall_acc_q6"),
         )
         .orderBy("label")
+    )
+
+
+@register(
+    "er_blocked_linkage",
+    oracle=f"""
+    WITH names AS (
+        SELECT DISTINCT p_name AS name,
+               string_split(p_name, ' ')[1] AS w1
+        FROM part
+    ), blocked AS (
+        SELECT name, {_soundex_sql('w1')} AS block FROM names
+    ), pairs AS (
+        SELECT a.block, a.name AS name_a, b.name AS name_b,
+               levenshtein(a.name, b.name) AS dist
+        FROM blocked a JOIN blocked b
+          ON b.block = a.block AND a.name < b.name
+    )
+    SELECT b.block,
+           CAST(count(DISTINCT b.name) AS BIGINT) AS n_names,
+           CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(p.n_matches, 0) AS BIGINT) AS n_matches
+    FROM blocked b
+    LEFT JOIN (
+        SELECT block, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN dist <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matches
+        FROM pairs GROUP BY block) p ON p.block = b.block
+    GROUP BY b.block, p.n_pairs, p.n_matches
+    ORDER BY b.block
+    """,
+    doc="blocked entity resolution (the record-linkage pattern: "
+    "Fellegi-Sunter blocking + string comparison): distinct part names "
+    "block on the SOUNDEX of their first word (phonetic blocking keeps "
+    "typo variants together while cutting the pair space from O(N^2) "
+    "to sum of block^2 — THE scale move in linkage), candidate pairs "
+    "compare by Levenshtein <= 3. Spark uses builtin soundex + "
+    "levenshtein; the oracle reuses _soundex_sql and DuckDB's "
+    "levenshtein. Output per block: name count, candidate pairs, "
+    "matches. At 100 TB the block key is the shuffle key and the "
+    "block-size cap (dedup_minhash's max_bucket_size discipline) "
+    "bounds the quadratic term.",
+)
+def er_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("name")).distinct().select(
+        "name", F.split("name", " ").getItem(0).alias("w1")
+    )
+    blocked = names.select("name", F.soundex("w1").alias("block"))
+    a = blocked.select(F.col("block"), F.col("name").alias("name_a"))
+    b = blocked.select(F.col("block").alias("b2"), F.col("name").alias("name_b"))
+    pairs = (
+        a.join(b, (F.col("block") == F.col("b2")) & (F.col("name_a") < F.col("name_b")))
+        .select(
+            "block",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+    )
+    pstats = pairs.groupBy("block").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("dist") <= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matches"),
+    )
+    return (
+        blocked.groupBy("block")
+        .agg(F.countDistinct("name").cast("bigint").alias("n_names"))
+        .join(pstats, "block", "left")
+        .select(
+            "block",
+            "n_names",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_matches", F.lit(0)).cast("bigint").alias("n_matches"),
+        )
+        .orderBy("block")
+    )
+
+
+@register(
+    "dt_fiscal_calendar_445",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE) AS d,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), fy AS (
+        SELECT d, cents,
+               CASE WHEN d >= make_date(year(d), 2, 1) THEN year(d)
+                    ELSE year(d) - 1 END AS fyear
+        FROM o
+    ), wk AS (
+        SELECT fyear, cents,
+               least((d - make_date(fyear, 2, 1)) // 7, 51) AS w
+        FROM fy
+    ), per AS (
+        SELECT fyear, cents, w,
+               CASE WHEN w < 4 THEN 1 WHEN w < 8 THEN 2 WHEN w < 13 THEN 3
+                    WHEN w < 17 THEN 4 WHEN w < 21 THEN 5 WHEN w < 26 THEN 6
+                    WHEN w < 30 THEN 7 WHEN w < 34 THEN 8 WHEN w < 39 THEN 9
+                    WHEN w < 43 THEN 10 WHEN w < 47 THEN 11 ELSE 12 END AS p
+        FROM wk
+    )
+    SELECT fyear, CAST((p - 1) // 3 + 1 AS BIGINT) AS quarter,
+           CAST(p AS BIGINT) AS period,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM per GROUP BY fyear, p
+    ORDER BY fyear, period
+    """,
+    doc="4-4-5 fiscal calendar rollup (the retail-standard reporting "
+    "calendar: quarters of 4+4+5 weeks, fiscal year anchored Feb 1): "
+    "pure integer date arithmetic maps every order date to (fiscal "
+    "year, quarter, period) — week index = days-since-FY-start div 7 "
+    "clamped into week 52 (the 53rd partial week folds into P12, the "
+    "NRF convention), the period from the cumulative 4/8/13/17/... "
+    "week fences. One scan + one keyed groupBy; the calendar logic is "
+    "all codegen CASE arithmetic, no UDF, no calendar table to "
+    "maintain.",
+)
+def dt_fiscal_calendar_445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    fy = o.withColumn(
+        "fyear",
+        F.when(
+            F.col("d") >= F.make_date(F.year("d"), F.lit(2), F.lit(1)),
+            F.year("d"),
+        ).otherwise(F.year("d") - 1),
+    )
+    wk = fy.select(
+        "fyear",
+        "cents",
+        F.least(
+            F.floor(
+                F.datediff(
+                    "d", F.make_date(F.col("fyear"), F.lit(2), F.lit(1))
+                )
+                / 7
+            ),
+            F.lit(51),
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    p = (
+        F.when(F.col("w") < 4, 1)
+        .when(F.col("w") < 8, 2)
+        .when(F.col("w") < 13, 3)
+        .when(F.col("w") < 17, 4)
+        .when(F.col("w") < 21, 5)
+        .when(F.col("w") < 26, 6)
+        .when(F.col("w") < 30, 7)
+        .when(F.col("w") < 34, 8)
+        .when(F.col("w") < 39, 9)
+        .when(F.col("w") < 43, 10)
+        .when(F.col("w") < 47, 11)
+        .otherwise(12)
+    )
+    return (
+        wk.withColumn("p", p)
+        .groupBy("fyear", "p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .select(
+            "fyear",
+            F.expr("(p - 1) div 3 + 1").cast("bigint").alias("quarter"),
+            F.col("p").cast("bigint").alias("period"),
+            "n_orders",
+            "revenue_cents",
+        )
+        .orderBy("fyear", "period")
+    )
+
+
+@register(
+    "stats_ratio_delta_method",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM per_user WHERE y > 0 OR x > 0
+    )
+    SELECT n, sx, sy,
+           CAST(floor(1000000.0 * CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                AS BIGINT) AS ratio_q6,
+           CAST(floor(1000000.0 * sqrt(greatest(
+               ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                      * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                             * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                      * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                             * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+               / (CAST(n AS DOUBLE)
+                  * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 0.0)))
+               AS BIGINT) AS se_q6
+    FROM m
+    """,
+    doc="ratio-metric standard error by the DELTA METHOD (the "
+    "experimentation-platform staple for 'revenue per click'-style "
+    "metrics where the unit of analysis (user) differs from the "
+    "denominator unit: naive binomial SEs are wrong; Deng et al. "
+    "2017): user-grain exact BIGINT moments (sum/sumsq/cross of "
+    "revenue cents and click counts), then "
+    "Var(X/Y) ~ (Sxx - 2R*Sxy + R^2*Syy) / (n*ybar^2) in one "
+    "identical double expression, floor-quantized (greatest(...,0) "
+    "guards the degenerate all-constant case). One user-grain "
+    "groupBy is the only data pass.",
+)
+def stats_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = per_user.filter((F.col("y") > 0) | (F.col("x") > 0)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    r = d("sx") / d("sy")
+    var_num = (
+        (d("sxx") - d("sx") * d("sx") / d("n"))
+        - 2.0 * r * (d("sxy") - d("sx") * d("sy") / d("n"))
+        + r * r * (d("syy") - d("sy") * d("sy") / d("n"))
+    )
+    se = F.sqrt(
+        F.greatest(
+            var_num / (d("n") * (d("sy") / d("n")) * (d("sy") / d("n"))),
+            F.lit(0.0),
+        )
+    )
+    return m.select(
+        "n",
+        "sx",
+        "sy",
+        F.floor(1000000.0 * r).cast("bigint").alias("ratio_q6"),
+        F.floor(1000000.0 * se).cast("bigint").alias("se_q6"),
     )

@@ -1295,3 +1295,109 @@ def test_knn_eval_separable_labels(spark, monkeypatch):
     assert sum(r.n_eval for r in rows) == 50
     for r in rows:
         assert r.acc_q6 == r.n_correct * 1_000_000 // r.n_eval
+
+
+def test_blocked_linkage_finds_typo_pairs(spark, monkeypatch):
+    from cudf_spark.queries import analytics3 as mod
+
+    names = ["small ring", "smal ring", "small king", "red widget",
+             "rod widget", "blue bolt", "blew bolt", "green gear"]
+    pdf = pd.DataFrame({
+        "p_partkey": range(len(names)), "p_name": names,
+        "p_brand": ["b"] * len(names), "p_type": ["t"] * len(names),
+        "p_size": [1] * len(names), "p_retailprice": [1.0] * len(names)})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    out = {r.block: r for r in mod.er_blocked_linkage(spark, "u").collect()}
+
+    # 'small'/'smal' share soundex S540; 'blue'/'blew' share B400
+    import itertools as it
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(m[i-1][j] + 1, m[i][j-1] + 1,
+                              m[i-1][j-1] + (a[i-1] != b[j-1]))
+        return m[len(a)][len(b)]
+
+    s540 = ["small ring", "smal ring", "small king"]
+    pairs = list(it.combinations(sorted(s540), 2))
+    n_match = sum(1 for a, b in pairs if lev(a, b) <= 3)
+    assert out["S540"].n_names == 3
+    assert out["S540"].n_pairs == 3
+    assert out["S540"].n_matches == n_match == 3
+    assert out["B400"].n_matches == 1  # blue bolt ~ blew bolt
+    assert out["G650"].n_pairs == 0  # singleton block
+
+
+def test_fiscal_445_period_fences(spark, monkeypatch):
+    from cudf_spark.queries import analytics3 as mod
+
+    dates = {
+        # FY2024 starts 2024-02-01
+        "2024-02-01": (2024, 1, 1),   # week 0 -> P1
+        "2024-02-29": (2024, 1, 2),   # week 4 -> P2
+        "2024-03-28": (2024, 1, 3),   # week 8 -> P3
+        "2024-04-25": (2024, 2, 4),   # week 12 -> still P3? no: 12 -> P3 fence is w<13
+        "2024-01-31": (2023, 4, 12),  # day before FY start -> prior FY tail
+        "2025-01-30": (2024, 4, 12),  # week 52 days in -> clamped P12
+    }
+    # fix the one intentionally tricky row: 2024-04-25 is week 12 -> P3
+    dates["2024-04-25"] = (2024, 1, 3)
+    rows = [(i, pd.Timestamp(d), "O", 100.0, pd.Timestamp(d), "1-URGENT")
+            for i, d in enumerate(dates)]
+    pdf = pd.DataFrame(rows, columns=[
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"])
+    pdf["o_custkey"] = 1
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {}
+    for r in mod.dt_fiscal_calendar_445(spark, "u").collect():
+        got[(r.fyear, r.quarter, r.period)] = r.n_orders
+    from collections import Counter
+    exp = Counter(dates.values())
+    assert got == dict(exp)
+
+
+def test_ratio_delta_method_matches_numpy(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics3 as mod
+
+    rng = np.random.RandomState(89)
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-11-01")
+    xs, ys = [], []
+    for uid in range(120):
+        clicks = int(rng.randint(1, 20))
+        purchases = int(rng.randint(0, 4))
+        x_cents = 0
+        for _ in range(clicks):
+            rows.append((eid, base + pd.Timedelta(minutes=eid), uid, "click",
+                         1.0, "{}")); eid += 1
+        for _ in range(purchases):
+            v = float(rng.randint(100, 10000)) / 100.0
+            x_cents += round(v * 100)
+            rows.append((eid, base + pd.Timedelta(minutes=eid), uid, "purchase",
+                         v, "{}")); eid += 1
+        xs.append(x_cents)
+        ys.append(clicks)
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_ratio_delta_method(spark, "u").collect()[0]
+
+    x, y = np.array(xs, float), np.array(ys, float)
+    n = len(x)
+    R = x.sum() / y.sum()
+    sxx = ((x - x.mean()) ** 2).sum()
+    syy = ((y - y.mean()) ** 2).sum()
+    sxy = ((x - x.mean()) * (y - y.mean())).sum()
+    var = (sxx - 2 * R * sxy + R * R * syy) / (n * y.mean() ** 2)
+    assert r.n == n
+    assert r.ratio_q6 == math.floor(1e6 * R)
+    assert r.se_q6 == pytest.approx(1e6 * math.sqrt(var), abs=2)

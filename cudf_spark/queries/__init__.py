@@ -23,6 +23,7 @@ from cudf_spark.queries import (  # noqa: F401, E402
     analytics,
     analytics2,
     analytics3,
+    analytics4,
     decimals,
     extras,
     joins,

@@ -1,0 +1,111 @@
+"""Targeted tests for analytics4: k-anonymity risk counting, Hill tail
+index vs numpy, and DiD vs hand-computed cell means."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+
+def _events(rows):
+    return pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+def test_k_anonymity_flags_small_groups(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    base = pd.Timestamp("2024-12-01")
+    rows = []
+    eid = 0
+    # group A: 10 rows, 5 users (safe); group B: 2 rows 1 user (k and l risk)
+    for i in range(10):
+        rows.append((eid, base, i % 5, "t", 10.0, "{}")); eid += 1
+    for i in range(2):
+        rows.append((eid, base + pd.Timedelta(days=1), 77, "t", 10.0, "{}")); eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.dq_k_anonymity(spark, "u").collect()[0]
+    assert r.n_groups == 2 and r.n_rows == 12
+    assert r.min_k == 2
+    assert r.rows_at_k_risk == 2  # only group B's rows
+    assert r.groups_low_l == 1   # group B has 1 distinct user
+
+
+def test_hill_tail_index_pareto_recovery(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics4 as mod
+
+    rng = np.random.RandomState(97)
+    base = pd.Timestamp("2024-12-01")
+    # user activity ~ Pareto(alpha=2): counts = ceil(x)
+    alpha = 2.0
+    counts = np.ceil((1.0 / rng.uniform(size=400)) ** (1 / alpha) * 5).astype(int)
+    rows = []
+    eid = 0
+    for uid, c in enumerate(counts):
+        for _ in range(min(int(c), 500)):
+            rows.append((eid, base + pd.Timedelta(seconds=eid), uid, "t", 1.0, "{}"))
+            eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_hill_tail_index(spark, "u").collect()[0]
+
+    # replicate exactly: top-k order stats with user tiebreak
+    per = pdf.groupby("user_id").size().reset_index(name="c")
+    per = per.sort_values(["c", "user_id"], ascending=[False, True])
+    n = len(per)
+    k = min(100, n // 2)
+    vals = per["c"].tolist()
+    xm = vals[k - 1]
+    s9 = sum(math.floor(1e9 * math.log2(v / xm) * mod._LN2) for v in vals[: k - 1])
+    assert (r.k, r.n_users, r.x_min) == (k, n, xm)
+    assert r.sum_ln_n9 == s9
+    assert r.alpha_q6 == (k - 1) * 1_000_000_000_000_000 // s9
+    # Hill recovers the generating exponent within estimator noise
+    assert 1_300_000 < r.alpha_q6 < 3_000_000
+
+
+def test_did_matches_cell_means(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics4 as mod
+
+    rng = np.random.RandomState(101)
+    base = pd.Timestamp("2024-12-01")
+    rows = []
+    eid = 0
+    # construct a known +200-cent treatment effect in the post period
+    for uid in range(40):
+        treated = uid % 2
+        for d in (5, 20):  # one pre day, one post day
+            post = d >= 16
+            mu = 10.0 + 2.0 * (treated and post)
+            for _ in range(5):
+                v = float(mu + rng.normal(0, 0.5))
+                rows.append((eid, base.replace(day=d) + pd.Timedelta(minutes=eid % 300),
+                             uid, "t", v, "{}"))
+                eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.events_did_estimator(spark, "u").collect()[0]
+
+    cents = (pdf["value"] * 100).round().astype(int)
+    treated = (pdf["user_id"] % 2).astype(int)
+    post = (pdf["ts"].dt.day >= 16).astype(int)
+    means = {}
+    var_terms = 0.0
+    for t in (0, 1):
+        for p in (0, 1):
+            sel = cents[(treated == t) & (post == p)]
+            means[(t, p)] = sel.mean()
+            var_terms += sel.to_numpy(dtype=float).var() / len(sel)
+    did = means[(1, 1)] - means[(1, 0)] - means[(0, 1)] + means[(0, 0)]
+    assert r.n_events == len(pdf)
+    assert r.did_cents == math.floor(did)
+    assert r.se_cents_q6 == pytest.approx(1e6 * math.sqrt(var_terms), abs=2)
+    assert 150 <= r.did_cents <= 250  # recovers the +200c effect

@@ -281,3 +281,289 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         did.alias("did_cents"),
         se.alias("se_cents_q6"),
     )
+
+
+@register(
+    "ts_pinball_loss_eval",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), split AS (
+        SELECT event_type,
+               CAST(min(day) + CAST((max(day) - min(day)) // 2 AS INTEGER)
+                    AS DATE) AS cut
+        FROM daily GROUP BY event_type
+    ), train AS (
+        SELECT d.event_type, d.c FROM daily d
+        JOIN split s ON s.event_type = d.event_type AND d.day <= s.cut
+    ), pred AS (
+        -- exact lower-rank p90 of the training days per type
+        SELECT event_type, CAST(min(c) AS BIGINT) AS p90
+        FROM (
+            SELECT event_type, c,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS n
+            FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+                  FROM train GROUP BY event_type, c))
+        WHERE 10 * cum >= 9 * n GROUP BY event_type
+    ), test AS (
+        SELECT d.event_type, d.c, p.p90 FROM daily d
+        JOIN split s ON s.event_type = d.event_type AND d.day > s.cut
+        JOIN pred p ON p.event_type = d.event_type
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_test_days,
+           CAST(min(p90) AS BIGINT) AS pred_p90,
+           -- pinball loss at q=0.9, x10-scaled to stay integer:
+           -- under-forecast costs 9*(y-f), over-forecast 1*(f-y)
+           CAST(sum(CASE WHEN c >= p90 THEN 9 * (c - p90)
+                         ELSE (p90 - c) END) AS BIGINT) AS pinball_x10,
+           CAST(sum(CASE WHEN c > p90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exceed
+    FROM test GROUP BY event_type ORDER BY event_type
+    """,
+    doc="quantile-forecast backtest with PINBALL LOSS (the proper "
+    "scoring rule for quantile predictions — what M5/GEFCom grade on): "
+    "train/test split at the midpoint date, the q=0.9 prediction is "
+    "the exact 10*cum >= 9*n rank-rule p90 of training-day volumes, "
+    "and the loss keeps the 0.9/0.1 asymmetry as INTEGER weights 9/1 "
+    "(x10-scaled), so the whole backtest is exact arithmetic. Also "
+    "reports the exceedance count — a calibrated p90 should be "
+    "exceeded on ~10% of test days. Day-grain after one keyed count; "
+    "leakage-safe by the <= cut / > cut split (the "
+    "pipeline_temporal_split_guard discipline).",
+)
+def ts_pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    split = daily.groupBy("event_type").agg(
+        F.expr(
+            "CAST(min(day) + CAST(CAST(max(day) - min(day) AS INT) div 2"
+            " AS INT) AS DATE)"
+        ).alias("cut")
+    )
+    train = daily.join(split, "event_type").filter(F.col("day") <= F.col("cut"))
+    hist = train.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    pred = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(wall))
+        .filter(10 * F.col("cum") >= 9 * F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("c").cast("bigint").alias("p90"))
+    )
+    test = (
+        daily.join(split, "event_type")
+        .filter(F.col("day") > F.col("cut"))
+        .join(pred, "event_type")
+    )
+    return (
+        test.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test_days"),
+            F.min("p90").cast("bigint").alias("pred_p90"),
+            F.sum(
+                F.when(
+                    F.col("c") >= F.col("p90"), 9 * (F.col("c") - F.col("p90"))
+                ).otherwise(F.col("p90") - F.col("c"))
+            )
+            .cast("bigint")
+            .alias("pinball_x10"),
+            F.sum(F.when(F.col("c") > F.col("p90"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exceed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "text_stupid_backoff_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t,
+               generate_subscripts(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1)
+                   AS pos
+        FROM documents
+    ), big AS (
+        SELECT a.doc_id, a.t AS x, b.t AS y
+        FROM toks a JOIN toks b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        WHERE a.t != '' AND b.t != ''
+    ), cxy AS (
+        SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY x, y
+    ), uni AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks
+        WHERE t != '' GROUP BY t
+    ), nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    scored AS (
+        SELECT b.doc_id,
+               CASE WHEN p.c IS NOT NULL
+                    THEN p.c * 1000000 // ux.c
+                    ELSE 2 * uy.c * 1000000 // (5 * nn.n) END AS s_q6
+        FROM big b
+        LEFT JOIN cxy p ON p.x = b.x AND p.y = b.y
+        JOIN uni ux ON ux.t = b.x
+        JOIN uni uy ON uy.t = b.y
+        CROSS JOIN nn
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(s_q6) AS BIGINT) AS score_sum_q6,
+           CAST(sum(s_q6) // count(*) AS BIGINT) AS score_avg_q6
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id LIMIT 200
+    """,
+    doc="'stupid backoff' bigram LM scoring (Brants et al. 2007 — the "
+    "smoothing DESIGNED for MapReduce-scale LMs: no normalization, "
+    "score(y|x) = c(xy)/c(x), backing off to 0.4 * c(y)/N): every "
+    "score is an exact micro-unit integer rational (0.4 = 2/5 keeps "
+    "the backoff exact), summed per document — zero float end to end, "
+    "unlike the perplexity head (ml_bigram_lm_perplexity) it "
+    "complements. Counts are two keyed groupBys; scoring joins are "
+    "token-keyed (the model table is NEVER broadcast-hinted — the "
+    "sparse-cosine lesson).",
+)
+def text_stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias("pos", "t"),
+    ).filter(F.col("t") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = toks.withColumn("y", F.lead("t").over(w)).filter(
+        F.col("y").isNotNull()
+    ).select("doc_id", F.col("t").alias("x"), "y")
+    cxy = big.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    nn = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    ux = uni.select(F.col("t").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("t").alias("y"), F.col("c").alias("cy"))
+    scored = (
+        big.join(cxy, ["x", "y"], "left")
+        .join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("cb").isNotNull(), F.expr("cb * 1000000 div cx")
+            )
+            .otherwise(F.expr("2 * cy * 1000000 div (5 * n)"))
+            .cast("bigint")
+            .alias("s_q6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("s_q6").cast("bigint").alias("score_sum_q6"),
+        )
+        .withColumn(
+            "score_avg_q6",
+            F.expr("score_sum_q6 div n_bigrams").cast("bigint"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+# SPRT log-likelihood increments for H0 p=0.5 vs H1 p=0.55, in nano-units
+# (floor(1e9 * ln(p1/p0)) etc.) — precomputed constants so neither engine
+# ever calls ln at runtime; both sides share the same literals.
+_SPRT_W1 = 95310180  # floor(1e9 * ln(0.55/0.50))
+_SPRT_W0 = -105360516  # floor(1e9 * ln(0.45/0.50))
+_SPRT_A = 2944438979  # floor(1e9 * ln(19)) upper bound (alpha=beta=0.05)
+
+
+@register(
+    "stats_sprt_crossing",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n0
+        FROM events GROUP BY 1
+    ), walk AS (
+        SELECT day, n1, n0,
+               sum(n1 * {_SPRT_W1} + n0 * ({_SPRT_W0})) OVER (
+                   ORDER BY day ROWS UNBOUNDED PRECEDING) AS llr_n9
+        FROM daily
+    ), flagged AS (
+        SELECT day, n1, n0, CAST(llr_n9 AS BIGINT) AS llr_n9,
+               CASE WHEN llr_n9 >= {_SPRT_A} THEN 1
+                    WHEN llr_n9 <= -{_SPRT_A} THEN -1 ELSE 0 END AS decision
+        FROM walk
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           CAST(min(CASE WHEN decision != 0 THEN day END) AS VARCHAR)
+               AS first_crossing_day,
+           CAST(max(CASE WHEN decision != 0 THEN decision END) AS BIGINT)
+               AS decision,
+           CAST(min(llr_n9) AS BIGINT) AS min_llr_n9,
+           CAST(max(llr_n9) AS BIGINT) AS max_llr_n9
+    FROM flagged
+    """,
+    doc="sequential probability ratio test walk (Wald 1945 — the "
+    "always-valid sequential A/B monitor): daily treatment/control "
+    "assignment counts drive a cumulative log-likelihood ratio for "
+    "H0 p=0.5 vs H1 p=0.55 with PRECOMPUTED nano-unit integer "
+    "increments (ln ratios baked in as shared literals — no runtime "
+    "log on either engine), Wald bounds ±ln(19) for alpha=beta=0.05. "
+    "Reports the first boundary crossing and the walk envelope. "
+    "Day-grain cumsum after one keyed count; the sequential decision "
+    "is exact integer arithmetic.",
+)
+def stats_sprt_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = daily.withColumn(
+        "llr_n9",
+        F.sum(
+            F.col("n1") * _SPRT_W1 + F.col("n0") * F.lit(_SPRT_W0)
+        ).over(w).cast("bigint"),
+    )
+    flagged = walk.withColumn(
+        "decision",
+        F.when(F.col("llr_n9") >= _SPRT_A, 1)
+        .when(F.col("llr_n9") <= -_SPRT_A, -1)
+        .otherwise(0),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.min(F.when(F.col("decision") != 0, F.col("day")))
+        .cast("string")
+        .alias("first_crossing_day"),
+        F.max(F.when(F.col("decision") != 0, F.col("decision")))
+        .cast("bigint")
+        .alias("decision"),
+        F.min("llr_n9").cast("bigint").alias("min_llr_n9"),
+        F.max("llr_n9").cast("bigint").alias("max_llr_n9"),
+    )

@@ -109,3 +109,95 @@ def test_did_matches_cell_means(spark, monkeypatch):
     assert r.did_cents == math.floor(did)
     assert r.se_cents_q6 == pytest.approx(1e6 * math.sqrt(var_terms), abs=2)
     assert 150 <= r.did_cents <= 250  # recovers the +200c effect
+
+
+def test_pinball_loss_asymmetry_and_split(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    eid = 0
+    # 20 days: train days 0..10 have counts 1..11 -> p90 = 10
+    # test days 11..19 alternate above/below
+    counts = list(range(1, 12)) + [12, 8, 12, 8, 12, 8, 12, 8, 12]
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + pd.Timedelta(days=d, seconds=eid), 1,
+                         "t", 1.0, "{}")); eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.ts_pinball_loss_eval(spark, "u").collect()[0]
+
+    # cut = day0 + (19-0)//2 = day 9 -> train = days 0..9 (counts 1..10)
+    # p90 of 1..10 by 10*cum >= 9*n -> 9
+    assert r.pred_p90 == 9
+    test = counts[10:]
+    pin = sum(9 * (c - 9) if c >= 9 else (9 - c) for c in test)
+    assert r.n_test_days == len(test)
+    assert r.pinball_x10 == pin
+    assert r.n_exceed == sum(1 for c in test if c > 9)
+
+
+def test_stupid_backoff_exact_scores(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    docs = ["a b c", "a b d", "x y"]
+    pdf = pd.DataFrame({
+        "doc_id": range(3), "text": docs, "lang": ["en"] * 3,
+        "source": ["s"] * 3, "n_chars": [5, 5, 3]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.doc_id: (r.n_bigrams, r.score_sum_q6)
+           for r in mod.text_stupid_backoff_score(spark, "u").collect()}
+
+    # counts: a:2 b:2 c:1 d:1 x:1 y:1, N=8
+    # bigrams: (a,b):2 (b,c):1 (b,d):1 (x,y):1
+    # doc0: s(a,b)=2e6//2=1e6 ; s(b,c)=1e6//2=5e5 -> sum 1.5e6
+    assert got[0] == (2, 1_500_000)
+    assert got[1] == (2, 1_500_000)
+    # doc2: (x,y) seen once: 1e6//1 = 1e6
+    assert got[2] == (1, 1_000_000)
+
+
+def test_sprt_crossing_detects_imbalance(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    base = pd.Timestamp("2024-05-01")
+    rows = []
+    eid = 0
+    # heavy treatment imbalance (60/40) -> LLR drifts up, crosses ln(19)
+    for d in range(15):
+        for _ in range(60):
+            rows.append((eid, base + pd.Timedelta(days=d, seconds=eid % 80000),
+                         1, "t", 1.0, "{}")); eid += 1  # odd uid -> treated
+        for _ in range(40):
+            rows.append((eid, base + pd.Timedelta(days=d, seconds=eid % 80000),
+                         2, "t", 1.0, "{}")); eid += 1  # even uid -> control
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_sprt_crossing(spark, "u").collect()[0]
+
+    # replicate the integer walk
+    llr = 0
+    first = None
+    for d in range(15):
+        llr += 60 * mod._SPRT_W1 + 40 * mod._SPRT_W0
+        if first is None and (llr >= mod._SPRT_A or llr <= -mod._SPRT_A):
+            first = d
+    assert r.decision == 1
+    assert r.first_crossing_day == str((base + pd.Timedelta(days=first)).date())
+    assert r.max_llr_n9 == 15 * (60 * mod._SPRT_W1 + 40 * mod._SPRT_W0)
+    # balanced data must NOT cross
+    rows2 = []
+    eid = 0
+    for d in range(15):
+        for u in (1, 2):
+            for _ in range(50):
+                rows2.append((eid, base + pd.Timedelta(days=d, seconds=eid % 80000),
+                              u, "t", 1.0, "{}")); eid += 1
+    monkeypatch.setattr(mod, "load",
+                        lambda s, d, n: spark.createDataFrame(_events(rows2)))
+    r2 = mod.stats_sprt_crossing(spark, "u").collect()[0]
+    # balanced data drifts DOWN (E[increment] < 0 under p=0.5) and hits
+    # the LOWER boundary: SPRT accepts H0 — decision -1, not "no decision"
+    assert r2.decision == -1
+    assert r2.max_llr_n9 < 0

@@ -567,3 +567,216 @@ def stats_sprt_crossing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("llr_n9").cast("bigint").alias("min_llr_n9"),
         F.max("llr_n9").cast("bigint").alias("max_llr_n9"),
     )
+
+
+_LC_M = 4096  # linear-counting bitmap bits
+
+
+@register(
+    "agg_linear_counting",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT
+            CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % {_LC_M} AS bit
+        FROM events
+    ), occ AS (SELECT CAST(count(*) AS BIGINT) AS n_set FROM h),
+    exact AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events
+    )
+    SELECT o.n_set, {_LC_M} AS m, e.n_exact,
+           CAST(floor(-{_LC_M}.0
+               * log2(CAST({_LC_M} - o.n_set AS DOUBLE) / {_LC_M}.0)
+               * 0.6931471805599453) AS BIGINT) AS lc_estimate,
+           CAST(abs(floor(-{_LC_M}.0
+               * log2(CAST({_LC_M} - o.n_set AS DOUBLE) / {_LC_M}.0)
+               * 0.6931471805599453) - e.n_exact) * 1000000 // e.n_exact
+               AS BIGINT) AS rel_err_q6
+    FROM occ o CROSS JOIN exact e
+    """,
+    doc="linear counting cardinality estimate (Whang 1990 — the "
+    "small-range complement to HLL, exact-ish while the bitmap is "
+    "sparse): distinct users hash into a 4096-bit bitmap (hash60 mod "
+    "m), estimate = -m ln(V) with V the empty fraction — ln as log2 * "
+    "ln2 literal (the engine-proven log), floored once at the single "
+    "scalar. The in-query accuracy envelope compares against the "
+    "exact distinct (the agg_hll_error_envelope pattern). The bitmap "
+    "'build' is one distinct + count — at scale it would be the "
+    "bit_or word fold agg_bitmap_distinct already implements.",
+)
+def agg_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.hashing import hash60
+
+    ev = load(spark, sf_dir, "events")
+    h = ev.select(
+        (hash60(F.col("user_id").cast("string")) % _LC_M).alias("bit")
+    ).distinct()
+    occ = h.agg(F.count(F.lit(1)).cast("bigint").alias("n_set"))
+    exact = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    est = F.floor(
+        -float(_LC_M)
+        * F.log2((_LC_M - F.col("n_set")).cast("double") / float(_LC_M))
+        * 0.6931471805599453
+    ).cast("bigint")
+    return (
+        occ.crossJoin(F.broadcast(exact))
+        .select(
+            "n_set",
+            F.lit(_LC_M).cast("bigint").alias("m"),
+            "n_exact",
+            est.alias("lc_estimate"),
+            F.expr(
+                f"abs(CAST(floor(-{_LC_M}.0 * log2(CAST({_LC_M} - n_set AS"
+                f" DOUBLE) / {_LC_M}.0) * 0.6931471805599453) AS BIGINT)"
+                " - n_exact) * 1000000 div n_exact"
+            )
+            .cast("bigint")
+            .alias("rel_err_q6"),
+        )
+    )
+
+
+@register(
+    "stats_capture_recapture",
+    oracle="""
+    WITH marked AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE CAST(('0x' || substr(md5('c1|' || CAST(event_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 2 = 0
+    ), recapture AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE CAST(('0x' || substr(md5('c2|' || CAST(event_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % 2 = 0
+    ), m AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM marked) AS n1,
+               (SELECT CAST(count(*) AS BIGINT) FROM recapture) AS n2,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM marked JOIN recapture USING (user_id)) AS overlap,
+               (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+                   AS n_true
+    )
+    SELECT n1, n2, overlap, n_true,
+           CASE WHEN overlap > 0
+                THEN CAST(((n1 + 1) * (n2 + 1)) // (overlap + 1) - 1
+                          AS BIGINT) END AS chapman_estimate
+    FROM m
+    """,
+    doc="capture-recapture population estimation (Lincoln-Petersen with "
+    "the Chapman bias correction — how a pipeline estimates the TRUE "
+    "entity universe from two independent partial observations, e.g. "
+    "two crawl passes): two deterministic event samples (seeded hash "
+    "parities — independent 'sightings'), distinct users per sample, "
+    "overlap via a user-keyed join, N-hat = (n1+1)(n2+1)/(m+1) - 1 in "
+    "exact truncating integer arithmetic, NULL when no overlap. The "
+    "in-query n_true column is the accuracy envelope. Three "
+    "distinct-aggregates + one keyed join; no scale hazards.",
+)
+def stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.hashing import hash60
+
+    ev = load(spark, sf_dir, "events")
+
+    def sample(seed: str) -> DataFrame:
+        return (
+            ev.filter(
+                hash60(
+                    F.concat(F.lit(f"{seed}|"), F.col("event_id").cast("string"))
+                )
+                % 2
+                == 0
+            )
+            .select("user_id")
+            .distinct()
+        )
+
+    marked, recapture = sample("c1"), sample("c2")
+    n1 = marked.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    n2 = recapture.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    ov = marked.join(recapture, "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("overlap")
+    )
+    nt = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_true"))
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(ov))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "n1",
+            "n2",
+            "overlap",
+            "n_true",
+            F.when(
+                F.col("overlap") > 0,
+                F.expr("((n1 + 1) * (n2 + 1)) div (overlap + 1) - 1"),
+            )
+            .cast("bigint")
+            .alias("chapman_estimate"),
+        )
+    )
+
+
+_CARD_BUCKETS = 64
+
+
+@register(
+    "misc_join_cardinality_estimate",
+    oracle=f"""
+    WITH lh AS (
+        SELECT l_partkey % {_CARD_BUCKETS} AS b,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS v
+        FROM lineitem GROUP BY 1
+    ), rh AS (
+        SELECT p_partkey % {_CARD_BUCKETS} AS b,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(count(DISTINCT p_partkey) AS BIGINT) AS v
+        FROM part GROUP BY 1
+    ), est AS (
+        SELECT CAST(sum(lh.c * rh.c // greatest(lh.v, rh.v)) AS BIGINT)
+                   AS est_rows
+        FROM lh JOIN rh ON rh.b = lh.b
+    ), act AS (
+        SELECT CAST(count(*) AS BIGINT) AS actual_rows
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT e.est_rows, a.actual_rows,
+           CAST(abs(e.est_rows - a.actual_rows) * 1000000
+                // a.actual_rows AS BIGINT) AS rel_err_q6
+    FROM est e CROSS JOIN act a
+    """,
+    doc="optimizer-style equi-join cardinality estimation from "
+    "per-bucket histograms (the System-R / Selinger formula every CBO "
+    "uses: |A join B| ~ sum_b cA*cB / max(vA, vB) under the uniform-"
+    "within-bucket + containment assumptions) validated IN-QUERY "
+    "against the actual join count — the estimate-vs-reality check a "
+    "planner regression suite runs. Histograms are two keyed "
+    "groupBys; the estimate folds at bucket grain; all integer "
+    "truncating arithmetic.",
+)
+def misc_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    lh = li.groupBy((F.col("l_partkey") % _CARD_BUCKETS).alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.countDistinct("l_partkey").cast("bigint").alias("v"),
+    )
+    rh = p.groupBy((F.col("p_partkey") % _CARD_BUCKETS).alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2"),
+        F.countDistinct("p_partkey").cast("bigint").alias("v2"),
+    )
+    est = (
+        lh.join(rh, "b")
+        .select(F.expr("c * c2 div greatest(v, v2)").alias("e"))
+        .agg(F.sum("e").cast("bigint").alias("est_rows"))
+    )
+    act = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+    )
+    return est.crossJoin(F.broadcast(act)).select(
+        "est_rows",
+        "actual_rows",
+        F.expr("abs(est_rows - actual_rows) * 1000000 div actual_rows")
+        .cast("bigint")
+        .alias("rel_err_q6"),
+    )

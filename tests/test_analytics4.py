@@ -201,3 +201,74 @@ def test_sprt_crossing_detects_imbalance(spark, monkeypatch):
     # the LOWER boundary: SPRT accepts H0 — decision -1, not "no decision"
     assert r2.decision == -1
     assert r2.max_llr_n9 < 0
+
+
+def test_linear_counting_accuracy(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    base = pd.Timestamp("2024-06-01")
+    # 300 distinct users, bitmap 4096 bits -> sparse regime, small error
+    rows = [(i, base + pd.Timedelta(seconds=i), i % 300, "t", 1.0, "{}")
+            for i in range(900)]
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.agg_linear_counting(spark, "u").collect()[0]
+
+    import hashlib
+    bits = {int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % mod._LC_M
+            for u in range(300)}
+    assert r.n_exact == 300
+    assert r.n_set == len(bits)
+    est = math.floor(-mod._LC_M * math.log2((mod._LC_M - len(bits)) / mod._LC_M)
+                     * 0.6931471805599453)
+    assert r.lc_estimate == est
+    assert abs(est - 300) / 300 < 0.1  # sparse regime: within 10%
+
+
+def test_capture_recapture_chapman(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    base = pd.Timestamp("2024-06-01")
+    # 200 users, several events each -> samples see most users
+    rows = []
+    eid = 0
+    for u in range(200):
+        for _ in range(6):
+            rows.append((eid, base + pd.Timedelta(seconds=eid), u, "t", 1.0, "{}"))
+            eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_capture_recapture(spark, "u").collect()[0]
+
+    assert r.n_true == 200
+    assert r.chapman_estimate == ((r.n1 + 1) * (r.n2 + 1)) // (r.overlap + 1) - 1
+    # half-probability sampling of 6 events/user sees ~98% of users
+    assert abs(r.chapman_estimate - 200) <= 20
+
+
+def test_join_cardinality_estimate_exact_keys(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics4 as mod
+
+    rng = np.random.RandomState(103)
+    # part: keys 0..49 once each; lineitem: each key repeated uniformly
+    part = pd.DataFrame({"p_partkey": range(50), "p_name": ["p"] * 50,
+                         "p_brand": ["b"] * 50, "p_type": ["t"] * 50,
+                         "p_size": [1] * 50, "p_retailprice": [1.0] * 50})
+    li_keys = rng.randint(0, 50, 600)
+    li = pd.DataFrame({
+        "l_orderkey": range(600), "l_partkey": li_keys,
+        "l_suppkey": [1] * 600, "l_linenumber": range(600),
+        "l_quantity": [1.0] * 600, "l_extendedprice": [1.0] * 600,
+        "l_discount": [0.0] * 600, "l_tax": [0.0] * 600,
+        "l_returnflag": ["N"] * 600, "l_linestatus": ["O"] * 600,
+        "l_shipdate": [pd.Timestamp("2024-01-01")] * 600})
+    tables = {"part": part, "lineitem": li}
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(tables[n]))
+    r = mod.misc_join_cardinality_estimate(spark, "u").collect()[0]
+
+    assert r.actual_rows == 600  # every lineitem key exists in part
+    # rel_err is defined from the same integers the query reports
+    assert r.rel_err_q6 == abs(r.est_rows - 600) * 1_000_000 // 600
+    assert r.rel_err_q6 < 100_000  # within 10% on uniform data

@@ -780,3 +780,198 @@ def misc_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("rel_err_q6"),
     )
+
+
+@register(
+    "events_interval_union_merge",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS st,
+               epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS en,
+               event_id
+        FROM events
+    ), flagged AS (
+        SELECT user_id, st, en,
+               CASE WHEN st > coalesce(max(en) OVER (
+                        PARTITION BY user_id ORDER BY st, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -9223372036854775808)
+                    THEN 1 ELSE 0 END AS brk
+        FROM iv
+    ), islands AS (
+        SELECT user_id, st, en,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY st, en
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ), merged AS (
+        SELECT user_id, island, min(st) AS m_st, max(en) AS m_en,
+               CAST(count(*) AS BIGINT) AS n_src
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_merged,
+           CAST(sum(n_src) AS BIGINT) AS n_source,
+           CAST(sum(m_en - m_st) AS BIGINT) AS busy_us,
+           CAST(max(m_en - m_st) AS BIGINT) AS longest_us
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+    doc="interval UNION merge ('merge overlapping intervals' — the "
+    "coverage complement of join_interval_overlap): each event opens a "
+    "5-minute window; per user, windows sorted by start chain into "
+    "islands whenever the start does not clear the RUNNING MAX of "
+    "prior ends (the running max — not lag(en) — is what makes nested "
+    "intervals merge correctly), islands aggregate to merged busy "
+    "periods. Output per user: merged-period count, source-interval "
+    "count, total and longest busy time in exact microseconds. All "
+    "windows user-keyed; one pass.",
+)
+def events_interval_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("st"),
+        (F.unix_micros("ts") + 300_000_000).alias("en"),
+        "event_id",
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("st", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "brk",
+        F.when(
+            F.col("st")
+            > F.coalesce(F.max("en").over(wprev), F.lit(-(1 << 63))),
+            1,
+        ).otherwise(0),
+    )
+    wisl = (
+        Window.partitionBy("user_id")
+        .orderBy("st", "en")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("island", F.sum("brk").over(wisl))
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("st").alias("m_st"),
+        F.max("en").alias("m_en"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+            F.sum("n_src").cast("bigint").alias("n_source"),
+            F.sum(F.col("m_en") - F.col("m_st")).cast("bigint").alias("busy_us"),
+            F.max(F.col("m_en") - F.col("m_st")).cast("bigint").alias("longest_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "stats_odds_ratio_mh",
+    oracle="""
+    WITH med AS (
+        SELECT CAST(min(v) AS BIGINT) AS md FROM (
+            SELECT v,
+                   sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER () AS n
+            FROM (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM events GROUP BY 1))
+        WHERE 2 * cum >= n
+    ), cells AS (
+        SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS stratum,
+               CAST(user_id % 2 AS BIGINT) AS exposed,
+               CASE WHEN CAST(round(value * 100) AS BIGINT) > m.md
+                    THEN 1 ELSE 0 END AS outcome
+        FROM events CROSS JOIN med m
+    ), strata AS (
+        SELECT stratum,
+               CAST(sum(CASE WHEN exposed = 1 AND outcome = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN exposed = 1 AND outcome = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN exposed = 0 AND outcome = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN exposed = 0 AND outcome = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM cells GROUP BY stratum
+    ), terms AS (
+        SELECT stratum,
+               CAST(a * d * 1000000000 // n AS BIGINT) AS num9,
+               CAST(b * c * 1000000000 // n AS BIGINT) AS den9
+        FROM strata
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(sum(num9) AS BIGINT) AS num_n9,
+           CAST(sum(den9) AS BIGINT) AS den_n9,
+           CASE WHEN sum(den9) > 0
+                THEN CAST(sum(num9) * 1000000 // sum(den9) AS BIGINT) END
+               AS or_mh_q6
+    FROM terms
+    """,
+    doc="Mantel-Haenszel pooled odds ratio across day-of-week strata "
+    "(Mantel & Haenszel 1959 — the stratified 2x2 combiner that "
+    "controls confounding without modeling; exposure = user parity, "
+    "outcome = above-median spend): per-stratum a*d/n and b*c/n terms "
+    "are nano-quantized by TRUNCATING INTEGER division at stratum "
+    "grain — never float — and the pooled ratio is one more integer "
+    "division. Cell counts come from one keyed groupBy after the "
+    "exact global median (rank rule on the cents lattice). The "
+    "Simpson's-paradox-proof effect estimate an experimentation "
+    "platform pools across segments.",
+)
+def stats_odds_ratio_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hist = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v")
+    ).groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    med = (
+        hist.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wall))
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("v").cast("bigint").alias("md"))
+    )
+    cells = ev.crossJoin(F.broadcast(med)).select(
+        F.dayofweek("ts").cast("bigint").alias("stratum"),
+        (F.col("user_id") % 2).cast("bigint").alias("exposed"),
+        F.when(
+            F.round(F.col("value") * 100).cast("bigint") > F.col("md"), 1
+        ).otherwise(0).alias("outcome"),
+    )
+    strata = cells.groupBy("stratum").agg(
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 1), 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("outcome") == 0), 1).otherwise(0))
+        .cast("bigint").alias("b"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 1), 1).otherwise(0))
+        .cast("bigint").alias("c"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("outcome") == 0), 1).otherwise(0))
+        .cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    terms = strata.select(
+        F.expr("a * d * 1000000000 div n").cast("bigint").alias("num9"),
+        F.expr("b * c * 1000000000 div n").cast("bigint").alias("den9"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("num9").cast("bigint").alias("num_n9"),
+        F.sum("den9").cast("bigint").alias("den_n9"),
+    ).select(
+        "n_strata",
+        "num_n9",
+        "den_n9",
+        F.when(
+            F.col("den_n9") > 0, F.expr("num_n9 * 1000000 div den_n9")
+        )
+        .cast("bigint")
+        .alias("or_mh_q6"),
+    )

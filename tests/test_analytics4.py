@@ -272,3 +272,60 @@ def test_join_cardinality_estimate_exact_keys(spark, monkeypatch):
     # rel_err is defined from the same integers the query reports
     assert r.rel_err_q6 == abs(r.est_rows - 600) * 1_000_000 // 600
     assert r.rel_err_q6 < 100_000  # within 10% on uniform data
+
+
+def test_interval_union_merge_nested_and_chained(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    base = pd.Timestamp("2024-07-01")
+    # user 1: events at t=0s, 60s (overlap), 400s (chained via overlap w/
+    # the 60s window? 60+300=360 < 400 -> NEW island), so islands:
+    # [0, 360] (2 src) and [400, 700] (1 src)
+    # user 2: nested case — events at 0s and 10s; both inside one island
+    rows = [
+        (0, base, 1, "t", 1.0, "{}"),
+        (1, base + pd.Timedelta(seconds=60), 1, "t", 1.0, "{}"),
+        (2, base + pd.Timedelta(seconds=400), 1, "t", 1.0, "{}"),
+        (3, base, 2, "t", 1.0, "{}"),
+        (4, base + pd.Timedelta(seconds=10), 2, "t", 1.0, "{}"),
+    ]
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    out = {r.user_id: r for r in mod.events_interval_union_merge(spark, "u").collect()}
+
+    r1 = out[1]
+    assert (r1.n_merged, r1.n_source) == (2, 3)
+    assert r1.busy_us == (360 + 300) * 1_000_000
+    assert r1.longest_us == 360 * 1_000_000
+    r2 = out[2]
+    assert (r2.n_merged, r2.n_source) == (1, 2)
+    assert r2.busy_us == 310 * 1_000_000
+
+
+def test_odds_ratio_mh_known_effect(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics4 as mod
+
+    rng = np.random.RandomState(107)
+    base = pd.Timestamp("2024-07-01")
+    rows = []
+    eid = 0
+    # exposed users (odd) get the high value with prob 0.6, control 0.2
+    # -> OR = (0.6/0.4)/(0.2/0.8) = 6; the 0.4 overall high-rate keeps
+    # the global median at the LOW value so outcome isn't degenerate
+    for d in range(14):
+        for uid in range(1, 41):
+            exposed = uid % 2
+            p = 0.6 if exposed else 0.2
+            v = 20.0 if rng.uniform() < p else 2.0
+            rows.append((eid, base + pd.Timedelta(days=d, minutes=eid % 600),
+                         uid, "t", v, "{}")); eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_odds_ratio_mh(spark, "u").collect()[0]
+
+    assert r.n_strata == 7
+    assert r.or_mh_q6 == r.num_n9 * 1_000_000 // r.den_n9
+    # pooled OR near the generating 5.44, well away from 1
+    assert 3_500_000 < r.or_mh_q6 < 10_000_000

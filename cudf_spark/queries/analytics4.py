@@ -975,3 +975,134 @@ def stats_odds_ratio_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("or_mh_q6"),
     )
+
+
+_VAD_THRESH = 10 * 1024 * 1024  # 10-sample frame at half amplitude
+
+
+@register(
+    "mm_audio_vad_segments",
+    oracle=f"""
+    WITH params AS (
+        SELECT doc_id AS asset_id,
+               CAST((n_chars % 500) + 50 AS INT) AS n,
+               doc_id % 4096 AS base
+        FROM documents
+    ), frames AS (
+        SELECT asset_id, f.fi AS frame_idx,
+               CAST(list_sum(list_transform(generate_series(0, 9),
+                   j -> CAST((((base + 13 * (f.fi * 10 + j)) % 4096) - 2048)
+                             AS BIGINT)
+                        * (((base + 13 * (f.fi * 10 + j)) % 4096) - 2048)))
+                    AS BIGINT) AS energy
+        FROM params,
+             LATERAL (SELECT unnest(generate_series(0, n // 10 - 1)) AS fi)
+                 AS f
+    ), act AS (
+        SELECT asset_id, frame_idx,
+               CASE WHEN energy > {_VAD_THRESH} THEN 1 ELSE 0 END AS a
+        FROM frames
+    ), brk AS (
+        SELECT asset_id, frame_idx, a,
+               CASE WHEN a = 1 AND coalesce(lag(a) OVER (
+                        PARTITION BY asset_id ORDER BY frame_idx), 0) = 0
+                    THEN 1 ELSE 0 END AS seg_start
+        FROM act
+    ), segs AS (
+        SELECT asset_id, frame_idx, a,
+               sum(seg_start) OVER (PARTITION BY asset_id ORDER BY frame_idx
+                                    ROWS UNBOUNDED PRECEDING) AS seg
+        FROM brk
+    ), seg_len AS (
+        SELECT asset_id, seg, CAST(count(*) AS BIGINT) AS len
+        FROM segs WHERE a = 1 GROUP BY asset_id, seg
+    )
+    SELECT s.asset_id,
+           CAST(max(s.frame_idx) + 1 AS BIGINT) AS n_frames,
+           CAST(sum(s.a) AS BIGINT) AS n_active,
+           CAST(coalesce(l.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(coalesce(l.longest, 0) AS BIGINT) AS longest_frames
+    FROM segs s
+    LEFT JOIN (SELECT asset_id, CAST(count(*) AS BIGINT) AS n_segments,
+                      CAST(max(len) AS BIGINT) AS longest
+               FROM seg_len GROUP BY asset_id) l
+      ON l.asset_id = s.asset_id
+    GROUP BY s.asset_id, l.n_segments, l.longest
+    ORDER BY s.asset_id
+    """,
+    doc="voice-activity detection segments over the fake-PCM corpus: the "
+    "Arrow mapInPandas kernel (multimodal.audio_frame_energies — the "
+    "same codec seam as mm_audio_features) emits exact int64 10-sample "
+    "frame energies; Spark-side thresholding + gaps-and-islands (lag "
+    "start-flag, asset-keyed windows) merge active frames into speech "
+    "segments. The oracle recomputes every frame arithmetically, so "
+    "the hash gate proves byte plumbing, frame math, AND the island "
+    "logic. Output per asset: frame/active counts, segment count, "
+    "longest segment.",
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.multimodal import audio_frame_energies
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(it):
+        import pandas as pd
+
+        from cudf_spark.multimodal import fake_audio_bytes
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "data": [
+                        fake_audio_bytes(8000, int(nc) % 500 + 50, int(did) % 4096)
+                        for did, nc in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    assets = d.mapInPandas(encode, "asset_id long, data binary")
+    frames = audio_frame_energies(assets, frame=10)
+    act = frames.select(
+        "asset_id",
+        "frame_idx",
+        F.when(F.col("energy") > _VAD_THRESH, 1).otherwise(0).alias("a"),
+    )
+    wlag = Window.partitionBy("asset_id").orderBy("frame_idx")
+    brk = act.withColumn(
+        "seg_start",
+        F.when(
+            (F.col("a") == 1)
+            & (F.coalesce(F.lag("a").over(wlag), F.lit(0)) == 0),
+            1,
+        ).otherwise(0),
+    )
+    wcum = Window.partitionBy("asset_id").orderBy("frame_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    segs = brk.withColumn("seg", F.sum("seg_start").over(wcum))
+    seg_len = (
+        segs.filter(F.col("a") == 1)
+        .groupBy("asset_id", "seg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    )
+    seg_agg = seg_len.groupBy("asset_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.max("len").cast("bigint").alias("longest"),
+    )
+    return (
+        segs.groupBy("asset_id")
+        .agg(
+            (F.max("frame_idx") + 1).cast("bigint").alias("n_frames"),
+            F.sum("a").cast("bigint").alias("n_active"),
+        )
+        .join(seg_agg, "asset_id", "left")
+        .select(
+            "asset_id",
+            "n_frames",
+            "n_active",
+            F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+            F.coalesce("longest", F.lit(0)).cast("bigint").alias("longest_frames"),
+        )
+        .orderBy("asset_id")
+    )

@@ -329,3 +329,38 @@ def test_odds_ratio_mh_known_effect(spark, monkeypatch):
     assert r.or_mh_q6 == r.num_n9 * 1_000_000 // r.den_n9
     # pooled OR near the generating 5.44, well away from 1
     assert 3_500_000 < r.or_mh_q6 < 10_000_000
+
+
+def test_vad_segments_matches_pure_python(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    pdf = pd.DataFrame({
+        "doc_id": [3, 7, 11], "text": ["t"] * 3, "lang": ["en"] * 3,
+        "source": ["s"] * 3, "n_chars": [123, 456, 77]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.asset_id: r for r in mod.mm_audio_vad_segments(spark, "u").collect()}
+
+    for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+        n = nc % 500 + 50
+        base = did % 4096
+        samples = [((base + 13 * k) % 4096) - 2048 for k in range(n)]
+        nf = n // 10
+        acts = []
+        for f in range(nf):
+            e = sum(s * s for s in samples[f * 10:(f + 1) * 10])
+            acts.append(1 if e > mod._VAD_THRESH else 0)
+        segs = []
+        cur = 0
+        for a in acts:
+            if a:
+                cur += 1
+            elif cur:
+                segs.append(cur)
+                cur = 0
+        if cur:
+            segs.append(cur)
+        r = got[did]
+        assert r.n_frames == nf
+        assert r.n_active == sum(acts)
+        assert r.n_segments == len(segs)
+        assert r.longest_frames == (max(segs) if segs else 0)

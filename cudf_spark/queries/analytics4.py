@@ -1106,3 +1106,179 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asset_id")
     )
+
+
+@register(
+    "join_bitemporal_asof",
+    oracle="""
+    WITH versions AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                   + (event_id % 7) * 300000000 AS tx_from,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), probes AS (
+        SELECT u.user_id, p.probe_id,
+               epoch_us(CAST(make_timestamp(2024, 1, p.dd, 23, 59, 59)
+                             AS TIMESTAMP)) AS pv,
+               epoch_us(CAST(make_timestamp(2024, 1, p.dd, 23, 59, 59)
+                             AS TIMESTAMP)) + 600000000 AS ptx
+        FROM (SELECT DISTINCT user_id FROM events) u
+        CROSS JOIN (VALUES (1, 10), (2, 20), (3, 30)) AS p(probe_id, dd)
+    ), hits AS (
+        SELECT pr.user_id, pr.probe_id, v.event_id, v.cents,
+               row_number() OVER (
+                   PARTITION BY pr.user_id, pr.probe_id
+                   ORDER BY v.valid_from DESC, v.event_id DESC) AS rn
+        FROM probes pr
+        JOIN versions v
+          ON v.user_id = pr.user_id
+         AND v.valid_from <= pr.pv
+         AND v.tx_from <= pr.ptx
+    )
+    SELECT p.user_id, CAST(p.probe_id AS BIGINT) AS probe_id,
+           CAST(h.event_id AS BIGINT) AS ans_event_id,
+           CAST(h.cents AS BIGINT) AS ans_cents
+    FROM probes p
+    LEFT JOIN hits h
+      ON h.user_id = p.user_id AND h.probe_id = p.probe_id AND h.rn = 1
+    ORDER BY p.user_id, p.probe_id
+    """,
+    doc="BITEMPORAL as-of lookup (valid time x transaction time — the "
+    "temporal-database primitive SQL:2011 system-versioned tables "
+    "implement; one dimension past join_scd2_pit_lookup): versions "
+    "carry valid_from (event time) and tx_from (when the system "
+    "learned it, the deterministic ingest delay from "
+    "stream_late_arrival_audit), and a probe (pv, ptx) answers 'what "
+    "was the latest value valid at pv, AS KNOWN at ptx' — filter both "
+    "axes, rank by (valid_from desc, event_id desc). The join is "
+    "user-keyed with range residuals (never a BNLJ); probes are a "
+    "bounded spine LEFT-joined so never-seen users surface as NULLs.",
+)
+def join_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    versions = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("valid_from"),
+        (F.unix_micros("ts") + (F.col("event_id") % 7) * 300_000_000).alias(
+            "tx_from"
+        ),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    users = ev.select("user_id").distinct()
+    pdays = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "probe_id int, dd int"
+    )
+    probes = users.crossJoin(F.broadcast(pdays)).select(
+        "user_id",
+        "probe_id",
+        F.unix_micros(
+            F.make_timestamp(
+                F.lit(2024), F.lit(1), F.col("dd"), F.lit(23), F.lit(59), F.lit(59)
+            )
+        ).alias("pv"),
+    ).withColumn("ptx", F.col("pv") + 600_000_000)
+    hits = (
+        probes.join(versions, "user_id")
+        .filter(
+            (F.col("valid_from") <= F.col("pv"))
+            & (F.col("tx_from") <= F.col("ptx"))
+        )
+    )
+    rw = Window.partitionBy("user_id", "probe_id").orderBy(
+        F.desc("valid_from"), F.desc("event_id")
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(rw))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "probe_id", "event_id", "cents")
+    )
+    return (
+        probes.select("user_id", "probe_id")
+        .join(best, ["user_id", "probe_id"], "left")
+        .select(
+            "user_id",
+            F.col("probe_id").cast("bigint").alias("probe_id"),
+            F.col("event_id").cast("bigint").alias("ans_event_id"),
+            F.col("cents").cast("bigint").alias("ans_cents"),
+        )
+        .orderBy("user_id", "probe_id")
+    )
+
+
+@register(
+    "dedup_dup_coverage_ratio",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - 19)) AS pos
+        FROM documents),
+    grams AS (
+        SELECT doc_id, CAST(pos AS INT) AS pos,
+               substr(text, CAST(pos AS INT), 20) AS gram FROM pos),
+    dup AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING count(*) > 1 AND count(*) <= 10000),
+    anchors AS (
+        SELECT g.doc_id, g.pos FROM grams g
+        WHERE g.gram IN (SELECT gram FROM dup)),
+    islands AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM anchors),
+    spans AS (
+        SELECT doc_id,
+               CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_len
+        FROM islands GROUP BY doc_id, island),
+    cov AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(span_len) AS BIGINT) AS dup_chars
+        FROM spans GROUP BY doc_id)
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           coalesce(c.n_spans, 0) AS n_spans,
+           coalesce(c.dup_chars, 0) AS dup_chars,
+           CAST(coalesce(c.dup_chars, 0) * 1000 // length(d.text) AS BIGINT)
+               AS coverage_pm
+    FROM documents d LEFT JOIN cov c ON c.doc_id = d.doc_id
+    ORDER BY coverage_pm DESC, d.doc_id LIMIT 50
+    """,
+    doc="duplicate-coverage ratio per document (the 'how much of this "
+    "page is boilerplate/duplicated material' score curation pipelines "
+    "threshold on — the document-level rollup of "
+    "dedup_substring_spans): maximal dup spans are disjoint within a "
+    "doc by construction (gaps-and-islands merge), so coverage = "
+    "sum(span_len) in exact chars, reported per-mille by truncating "
+    "division over the doc length. The LEFT join from the full corpus "
+    "keeps zero-duplication docs visible. Top-50 most-duplicated "
+    "(coverage desc, doc_id). Same three keyed shuffles as the span "
+    "detector; the rollup is span grain.",
+)
+def dedup_dup_coverage_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.substrings import duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    spans = duplicate_spans(
+        docs, "doc_id", "text", min_length=20, max_gram_freq=10000
+    )
+    cov = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_len").cast("bigint").alias("dup_chars"),
+    )
+    return (
+        docs.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias("dup_chars"),
+            F.expr("coalesce(dup_chars, 0) * 1000 div n_chars")
+            .cast("bigint")
+            .alias("coverage_pm"),
+        )
+        .orderBy(F.desc("coverage_pm"), "doc_id")
+        .limit(50)
+    )

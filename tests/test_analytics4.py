@@ -364,3 +364,57 @@ def test_vad_segments_matches_pure_python(spark, monkeypatch):
         assert r.n_active == sum(acts)
         assert r.n_segments == len(segs)
         assert r.longest_frames == (max(segs) if segs else 0)
+
+
+def test_bitemporal_asof_late_knowledge(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    base = pd.Timestamp("2024-01-01")
+    # user 1: value set to 5.0 on Jan 9 (event_id 0 -> no ingest delay),
+    # corrected to 7.0 on Jan 10 09:00 BUT with event_id 6 -> 30-min
+    # delay; both visible at the Jan-10 probe (ptx = pv + 10 min only
+    # matters for versions landing minutes before midnight)
+    rows = [
+        (0, base + pd.Timedelta(days=8), 1, "t", 5.0, "{}"),
+        (6, base + pd.Timedelta(days=9, hours=9), 1, "t", 7.0, "{}"),
+        # user 2: a value at Jan 10 23:55 with event_id 13 -> 13%7=6 ->
+        # 30-min delay: tx_from Jan 11 00:25 > ptx Jan 11 00:09:59 ->
+        # INVISIBLE at probe 1, visible at probe 2
+        (13, base + pd.Timedelta(days=9, hours=23, minutes=55), 2, "t", 9.0, "{}"),
+    ]
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {(r.user_id, r.probe_id): (r.ans_event_id, r.ans_cents)
+           for r in mod.join_bitemporal_asof(spark, "u").collect()}
+
+    assert got[(1, 1)] == (6, 700)   # correction already known
+    assert got[(1, 2)] == (6, 700)
+    assert got[(2, 1)] == (None, None)  # late-arriving version invisible
+    assert got[(2, 2)] == (13, 900)     # visible once tx caught up
+    assert len(got) == 6  # 2 users x 3 probes, spine complete
+
+
+def test_dup_coverage_ratio_known_overlap(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    shared = "the quick brown fox jumps over the lazy dog again"
+    docs = [
+        shared + " alpha unique tail one",
+        shared + " beta unique tail two xx",
+        "totally unique document text with no duplicate twenty-gram runs",
+    ]
+    pdf = pd.DataFrame({
+        "doc_id": range(3), "text": docs, "lang": ["en"] * 3,
+        "source": ["s"] * 3, "n_chars": [len(t) for t in docs]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.doc_id: r for r in mod.dedup_dup_coverage_ratio(spark, "u").collect()}
+
+    # the shared prefix PLUS the following space both docs share is one
+    # maximal dup span (every 20-gram inside it repeats across the docs)
+    common = len(shared) + 1
+    for did in (0, 1):
+        r = got[did]
+        assert r.n_spans == 1
+        assert r.dup_chars == common
+        assert r.coverage_pm == common * 1000 // len(docs[did])
+    assert got[2].dup_chars == 0 and got[2].coverage_pm == 0

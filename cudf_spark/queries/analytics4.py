@@ -1282,3 +1282,326 @@ def dedup_dup_coverage_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("coverage_pm"), "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "win_stochastic_oscillator",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id,
+               CAST(round(value * 100) AS BIGINT) AS c,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        FROM events
+    ), frames AS (
+        SELECT user_id, event_id, c,
+               min(c) OVER w AS lo, max(c) OVER w AS hi,
+               count(*) OVER w AS nf
+        FROM v
+        WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ), k AS (
+        SELECT user_id, event_id, nf,
+               CASE WHEN hi > lo
+                    THEN CAST((c - lo) * 1000000 // (hi - lo) AS BIGINT)
+                    END AS k_q6
+        FROM frames
+    )
+    SELECT user_id, event_id, CAST(nf AS BIGINT) AS n_frame, k_q6,
+           CASE WHEN count(k_q6) OVER d = 3
+                THEN CAST(sum(k_q6) OVER d // 3 AS BIGINT) END AS d_q6
+    FROM k
+    WINDOW d AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="stochastic oscillator %K/%D (Lane's momentum indicator — the "
+    "range-position rolling statistic beside win_bollinger_bands and "
+    "win_max_drawdown): %K = (close - 14-frame low) / (high - low) in "
+    "exact integer cents with truncating micro-quantization (flat "
+    "frames yield NULL, not a division error — the agg_group_ols guard "
+    "discipline), %D = 3-period simple average of %K (integer mean of "
+    "already-quantized values, so no float anywhere; NULL until the "
+    "%D frame is full). All windows user-keyed; one pass.",
+)
+def win_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wrn = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        F.row_number().over(wrn).alias("rn"),
+    )
+    wf = Window.partitionBy("user_id").orderBy("rn").rowsBetween(-13, 0)
+    frames = v.select(
+        "user_id",
+        "event_id",
+        "c",
+        F.min("c").over(wf).alias("lo"),
+        F.max("c").over(wf).alias("hi"),
+        F.count(F.lit(1)).over(wf).alias("nf"),
+    )
+    k = frames.select(
+        "user_id",
+        "event_id",
+        "nf",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.expr("(c - lo) * 1000000 div (hi - lo)"),
+        )
+        .cast("bigint")
+        .alias("k_q6"),
+    )
+    wd = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+    return (
+        k.select(
+            "user_id",
+            "event_id",
+            F.col("nf").cast("bigint").alias("n_frame"),
+            "k_q6",
+        )
+        .withColumn(
+            "d_q6",
+            F.when(
+                F.count("k_q6").over(wd) == 3,
+                F.floor(F.sum("k_q6").over(wd) / 3).cast("bigint"),
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "graph_rich_club_coefficient",
+    oracle="""
+    WITH pp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), eu AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM eu UNION ALL SELECT v FROM eu)
+        GROUP BY node
+    ), ks AS (
+        SELECT q, CAST(min(d) AS BIGINT) AS k FROM (
+            SELECT d, q,
+                   sum(c) OVER (PARTITION BY q ORDER BY d
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER (PARTITION BY q) AS n
+            FROM (SELECT d, CAST(count(*) AS BIGINT) AS c
+                  FROM deg GROUP BY d)
+            CROSS JOIN (VALUES (50), (90)) AS t(q))
+        WHERE 100 * cum >= q * n GROUP BY q
+    ), rich AS (
+        SELECT ks.q, ks.k, deg.node
+        FROM ks JOIN deg ON deg.d > ks.k
+    ), stats AS (
+        -- LEFT from ks: an empty club must still emit its row
+        SELECT ks.q, ks.k,
+               CAST(coalesce(r.n_rich, 0) AS BIGINT) AS n_rich
+        FROM ks LEFT JOIN (
+            SELECT q, CAST(count(*) AS BIGINT) AS n_rich
+            FROM rich GROUP BY q) r ON r.q = ks.q
+    ), re AS (
+        SELECT r1.q, CAST(count(*) AS BIGINT) AS e_rich
+        FROM eu
+        JOIN rich r1 ON r1.node = eu.u
+        JOIN rich r2 ON r2.node = eu.v AND r2.q = r1.q
+        GROUP BY r1.q
+    )
+    SELECT s.q AS pct, s.k, s.n_rich,
+           CAST(coalesce(re.e_rich, 0) AS BIGINT) AS e_rich,
+           CASE WHEN s.n_rich > 1
+                THEN CAST(2 * coalesce(re.e_rich, 0) * 1000000
+                          // (s.n_rich * (s.n_rich - 1)) AS BIGINT) END
+               AS phi_q6
+    FROM stats s LEFT JOIN re ON re.q = s.q
+    ORDER BY s.q
+    """,
+    doc="rich-club coefficient (Zhou & Mondragon 2004): among nodes "
+    "whose degree exceeds the exact p50 / p90 degree thresholds (rank "
+    "rule on the degree histogram), the realized edge density phi(k) = "
+    "2*E/(N*(N-1)) — hubs-link-hubs quantified, the companion to "
+    "graph_assortativity's correlation view. Degree thresholds, rich "
+    "sets and within-club edge counts are all exact integers; phi by "
+    "truncating micro-division with the N<=1 guard. Joins are "
+    "node-keyed; the histogram rank rule runs at degree-lattice grain.",
+)
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    eu = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        eu.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    dh = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    qs = spark.createDataFrame([(50,), (90,)], "q int")
+    wcum = Window.partitionBy("q").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("q")
+    ks = (
+        dh.crossJoin(F.broadcast(qs))
+        .withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wall))
+        .filter(100 * F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("d").cast("bigint").alias("k"))
+    )
+    rich = ks.join(deg, deg.d > ks.k).select("q", "k", "node")
+    # LEFT from ks: an empty club must still emit its row (n_rich = 0)
+    stats = ks.join(
+        rich.groupBy("q").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rich")
+        ),
+        "q",
+        "left",
+    ).select("q", "k", F.coalesce("n_rich", F.lit(0)).cast("bigint").alias("n_rich"))
+    r1 = rich.select(F.col("q"), F.col("node").alias("u"))
+    r2 = rich.select(F.col("q").alias("q2"), F.col("node").alias("v2"))
+    re = (
+        eu.join(r1, "u")
+        .join(r2, (F.col("q2") == F.col("q")) & (F.col("v2") == F.col("v")))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_rich"))
+    )
+    return (
+        stats.join(re, "q", "left")
+        .select(
+            F.col("q").alias("pct"),
+            "k",
+            "n_rich",
+            F.coalesce("e_rich", F.lit(0)).cast("bigint").alias("e_rich"),
+            F.when(
+                F.col("n_rich") > 1,
+                F.expr(
+                    "2 * coalesce(e_rich, 0) * 1000000"
+                    " div (n_rich * (n_rich - 1))"
+                ),
+            )
+            .cast("bigint")
+            .alias("phi_q6"),
+        )
+        .orderBy("pct")
+    )
+
+
+def _haar_oracle() -> str:
+    stages = [
+        """
+    daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), d0 AS (
+        SELECT s.idx, coalesce(d.c, 0) AS v
+        FROM (SELECT unnest(generate_series(0, 31)) AS idx) s
+        LEFT JOIN (SELECT day - (SELECT min(day) FROM daily) AS idx, c
+                   FROM daily) d ON d.idx = s.idx
+    )"""
+    ]
+    for lv in range(1, 6):
+        stages.append(
+            f"""
+    p{lv} AS MATERIALIZED (
+        SELECT idx // 2 AS idx,
+               max(CASE WHEN idx % 2 = 0 THEN v END)
+                   + max(CASE WHEN idx % 2 = 1 THEN v END) AS v,
+               max(CASE WHEN idx % 2 = 0 THEN v END)
+                   - max(CASE WHEN idx % 2 = 1 THEN v END) AS w
+        FROM d{lv - 1} GROUP BY idx // 2
+    ), d{lv} AS (SELECT idx, v FROM p{lv})"""
+        )
+    levels = " UNION ALL ".join(
+        f"SELECT {lv} AS level, CAST(count(*) AS BIGINT) AS n_coeffs, "
+        f"CAST(sum(w * w) AS BIGINT) AS energy FROM p{lv}"
+        for lv in range(1, 6)
+    )
+    return (
+        "WITH "
+        + ",".join(stages)
+        + f""",
+    lvls AS ({levels}),
+    tot AS (SELECT CAST(sum(v * v) AS BIGINT) AS e FROM d0)
+    SELECT l.level, l.n_coeffs, l.energy,
+           CAST(l.energy * 1000000 // t.e AS BIGINT) AS share_q6
+    FROM lvls l CROSS JOIN tot t
+    ORDER BY l.level
+    """
+    )
+
+
+@register(
+    "events_haar_wavelet_energy",
+    oracle=_haar_oracle(),
+    doc="Haar wavelet energy decomposition of the daily volume series "
+    "(the multi-resolution spectral profile WITHOUT trigonometry — "
+    "pairwise sum/difference cascades are exact integers, so unlike an "
+    "FFT this decomposition is engine-exact): the 30-day series "
+    "zero-pads to 32, five levels of (a+b, a-b) pair reduction; detail "
+    "energy per level = sum of squared wavelet coefficients, share "
+    "against total signal energy (Parseval up to the unnormalized "
+    "Haar scaling — documented, deterministic). Level k energy "
+    "localizes variance at the 2^k-day scale: weekly seasonality "
+    "concentrates in levels 2-3. Day-grain throughout after one keyed "
+    "count; 5 rounds at <=32-row grain.",
+)
+def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    mind = daily.agg(F.min("day").alias("m0"))
+    idxd = daily.crossJoin(F.broadcast(mind)).select(
+        F.datediff("day", "m0").cast("bigint").alias("idx"), "c"
+    )
+    spine = spark.range(32).select(F.col("id").cast("bigint").alias("idx"))
+    level = spine.join(idxd, "idx", "left").select(
+        "idx", F.coalesce("c", F.lit(0)).cast("bigint").alias("v")
+    )
+    tot = level.agg(F.sum(F.col("v") * F.col("v")).cast("bigint").alias("e"))
+    outs = []
+    for lv in range(1, 6):
+        pairs = level.groupBy(F.expr("idx div 2").alias("idx")).agg(
+            (
+                F.max(F.when(F.col("idx") % 2 == 0, F.col("v")))
+                + F.max(F.when(F.col("idx") % 2 == 1, F.col("v")))
+            ).alias("v"),
+            (
+                F.max(F.when(F.col("idx") % 2 == 0, F.col("v")))
+                - F.max(F.when(F.col("idx") % 2 == 1, F.col("v")))
+            ).alias("w"),
+        )
+        outs.append(
+            pairs.agg(
+                F.lit(lv).cast("bigint").alias("level"),
+                F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+                F.sum(F.col("w") * F.col("w")).cast("bigint").alias("energy"),
+            )
+        )
+        level = pairs.select("idx", "v")
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return (
+        res.crossJoin(F.broadcast(tot))
+        .select(
+            "level",
+            "n_coeffs",
+            "energy",
+            F.expr("energy * 1000000 div e").cast("bigint").alias("share_q6"),
+        )
+        .orderBy("level")
+    )

@@ -418,3 +418,106 @@ def test_dup_coverage_ratio_known_overlap(spark, monkeypatch):
         assert r.dup_chars == common
         assert r.coverage_pm == common * 1000 // len(docs[did])
     assert got[2].dup_chars == 0 and got[2].coverage_pm == 0
+
+
+def test_stochastic_oscillator_matches_pandas(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics4 as mod
+
+    rng = np.random.RandomState(109)
+    base = pd.Timestamp("2024-08-01")
+    rows = [(i, base + pd.Timedelta(minutes=i), i % 3, "t",
+             float(rng.randint(100, 999)) / 100.0, "{}") for i in range(300)]
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {(r.user_id, r.event_id): (r.k_q6, r.d_q6)
+           for r in mod.win_stochastic_oscillator(spark, "u").collect()}
+
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        cs = (g["value"] * 100).round().astype(int).tolist()
+        eids = g["event_id"].tolist()
+        ks = []
+        for i, c in enumerate(cs):
+            fr = cs[max(0, i - 13): i + 1]
+            lo, hi = min(fr), max(fr)
+            k = (c - lo) * 1_000_000 // (hi - lo) if hi > lo else None
+            ks.append(k)
+            dwin = ks[max(0, i - 2): i + 1]
+            d = (sum(dwin) // 3 if len(dwin) == 3 and all(x is not None for x in dwin)
+                 else None)
+            assert got[(uid, eids[i])] == (k, d)
+
+
+def test_rich_club_two_cliques(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    # hub clique 0..4 all co-ordered repeatedly; leaves 10..29 hang off
+    rows = []
+    ln = 0
+    o = 0
+    for _ in range(10):
+        for p in range(5):
+            ln += 1
+            rows.append((o, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         pd.Timestamp("2024-01-01")))
+        o += 1
+    for leaf in range(10, 30):
+        ln += 1
+        rows.append((o, leaf, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     pd.Timestamp("2024-01-01")))
+        ln += 1
+        rows.append((o, leaf % 5, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                     pd.Timestamp("2024-01-01")))
+        o += 1
+    pdf = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    out = {r.pct: r for r in mod.graph_rich_club_coefficient(spark, "u").collect()}
+
+    # p50 threshold (k=1) isolates the 5 hubs (degree 8) above the
+    # leaves (degree 1); the hub clique is complete -> phi = 1
+    r50 = out[50]
+    assert r50.n_rich == 5
+    assert r50.e_rich == 10  # C(5,2)
+    assert r50.phi_q6 == 1_000_000
+    # p90 lands ON the hub degree (k=8): the club above it is empty but
+    # the row must still surface with zeros (the silently-empty lesson)
+    r90 = out[90]
+    assert (r90.k, r90.n_rich, r90.e_rich) == (8, 0, 0)
+    assert r90.phi_q6 is None
+
+
+def test_haar_energy_parseval_and_seasonality(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    base = pd.Timestamp("2024-03-01")
+    # period-2 alternation concentrates energy in level 1
+    rows = []
+    eid = 0
+    counts = [20 if d % 2 == 0 else 4 for d in range(30)]
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + pd.Timedelta(days=d, seconds=eid % 86000),
+                         1, "t", 1.0, "{}")); eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    rows_out = mod.events_haar_wavelet_energy(spark, "u").collect()
+
+    padded = counts + [0, 0]
+    level = padded
+    energies = []
+    for _ in range(5):
+        nxt, ws = [], []
+        for i in range(0, len(level), 2):
+            nxt.append(level[i] + level[i + 1])
+            ws.append(level[i] - level[i + 1])
+        energies.append(sum(w * w for w in ws))
+        level = nxt
+    for r, e in zip(rows_out, energies):
+        assert r.energy == e
+    # the alternating signal puts the dominant share in level 1
+    assert rows_out[0].share_q6 > max(r.share_q6 for r in rows_out[1:])

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
 from cudf_spark.queries.registry import register
+from cudf_spark.queries.text import _lang_scores_sql
 
 
 @register(
@@ -1604,4 +1605,297 @@ def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("energy * 1000000 div e").cast("bigint").alias("share_q6"),
         )
         .orderBy("level")
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH uni AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split(
+                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                AS t
+            FROM documents) WHERE t != '' GROUP BY t
+    ), ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rk
+        FROM uni
+    ), pts AS (
+        SELECT CAST(floor(1000000.0 * log2(CAST(rk AS DOUBLE))) AS BIGINT)
+                   AS x,
+               CAST(floor(1000000.0 * log2(CAST(c AS DOUBLE))) AS BIGINT)
+                   AS y
+        FROM ranked WHERE rk <= 50
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pts
+    )
+    SELECT n,
+           CAST(floor(1000000.0
+               * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+               AS slope_q6,
+           CAST(floor((CAST(sy AS DOUBLE)
+               - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT)
+               AS intercept_q6
+    FROM m
+    """,
+    doc="Zipf rank-frequency fit: log-log OLS over the top-50 word "
+    "ranks — a healthy natural-language corpus slopes near -1, and "
+    "drift in the slope is a corpus-quality signal (template spam "
+    "flattens it). log2 points are floor-quantized PER RANK into "
+    "exact integers first (the established per-item discipline), so "
+    "the OLS moment sums are order-free BIGINTs and only the final "
+    "slope/intercept touch doubles (identical expressions). One "
+    "tokenize groupBy; the fit runs on the bounded rank panel.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    uni = (
+        d.select(
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rw = Window.orderBy(F.desc("c"), "t")
+    pts = (
+        uni.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= 50)
+        .select(
+            F.floor(1000000.0 * F.log2(F.col("rk").cast("double")))
+            .cast("bigint")
+            .alias("x"),
+            F.floor(1000000.0 * F.log2(F.col("c").cast("double")))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    d_ = lambda c: F.col(c).cast("double")
+    slope = (d_("n") * d_("sxy") - d_("sx") * d_("sy")) / (
+        d_("n") * d_("sxx") - d_("sx") * d_("sx")
+    )
+    return m.select(
+        "n",
+        F.floor(1000000.0 * slope).cast("bigint").alias("slope_q6"),
+        F.floor((d_("sy") - slope * d_("sx")) / d_("n"))
+        .cast("bigint")
+        .alias("intercept_q6"),
+    )
+
+
+@register(
+    "stats_youden_j_threshold",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang AS actual,
+               {_lang_scores_sql()}
+        FROM documents
+    ), conf AS (
+        SELECT
+           CASE WHEN (CASE
+                WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+                WHEN s_es >= greatest(s_de, s_fr, s_zh)       THEN 'es'
+                WHEN s_de >= greatest(s_fr, s_zh)             THEN 'de'
+                WHEN s_fr >= s_zh                             THEN 'fr'
+                ELSE 'zh' END) = actual THEN 1 ELSE 0 END AS correct,
+           CASE WHEN s_en + s_es + s_de + s_fr + s_zh > 0
+                THEN CAST(greatest(s_en, s_es, s_de, s_fr, s_zh) AS BIGINT)
+                     * 1000000 // (s_en + s_es + s_de + s_fr + s_zh)
+                ELSE 200000 END AS conf_q6
+        FROM scored
+    ), hist AS (
+        SELECT conf_q6, CAST(sum(correct) AS BIGINT) AS n_corr,
+               CAST(count(*) - sum(correct) AS BIGINT) AS n_inc
+        FROM conf GROUP BY conf_q6
+    ), tot AS (
+        SELECT CAST(sum(n_corr) AS BIGINT) AS p,
+               CAST(sum(n_inc) AS BIGINT) AS neg
+        FROM hist
+    ), sweep AS (
+        SELECT conf_q6 AS threshold,
+               sum(n_corr) OVER (ORDER BY conf_q6 DESC
+                                 ROWS UNBOUNDED PRECEDING) AS tp,
+               sum(n_inc) OVER (ORDER BY conf_q6 DESC
+                                ROWS UNBOUNDED PRECEDING) AS fp
+        FROM hist
+    ), j AS (
+        SELECT s.threshold, CAST(s.tp AS BIGINT) AS tp,
+               CAST(s.fp AS BIGINT) AS fp,
+               CAST(s.tp * 1000000 // t.p
+                    - s.fp * 1000000 // t.neg AS BIGINT) AS j_q6,
+               t.p, t.neg
+        FROM sweep s CROSS JOIN tot t
+    )
+    SELECT threshold, tp, fp, p AS n_pos, neg AS n_neg, j_q6
+    FROM (SELECT *, row_number() OVER (
+              ORDER BY j_q6 DESC, threshold) AS rk FROM j)
+    WHERE rk = 1
+    """,
+    doc="optimal operating threshold by Youden's J (sensitivity + "
+    "specificity - 1; the ROC-analysis head for picking a confidence "
+    "cutoff): sweep every value on the lang-id confidence lattice, "
+    "TP/FP as suffix cumsums over the score histogram, J in exact "
+    "micro-units (two truncating integer divisions — zero float), "
+    "argmax with the deterministic (J desc, threshold asc) rank. One "
+    "corpus scan; the sweep runs at confidence-lattice grain — the "
+    "way a curation pipeline tunes its accept threshold.",
+)
+def stats_youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+    from cudf_spark.queries.text import LANG_WORDS
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
+    sc = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_WORDS.items()
+    }
+    pred = (
+        F.when(sc["en"] >= F.greatest(sc["es"], sc["de"], sc["fr"], sc["zh"]), "en")
+        .when(sc["es"] >= F.greatest(sc["de"], sc["fr"], sc["zh"]), "es")
+        .when(sc["de"] >= F.greatest(sc["fr"], sc["zh"]), "de")
+        .when(sc["fr"] >= sc["zh"], "fr")
+        .otherwise("zh")
+    )
+    total = sc["en"] + sc["es"] + sc["de"] + sc["fr"] + sc["zh"]
+    mx = F.greatest(sc["en"], sc["es"], sc["de"], sc["fr"], sc["zh"])
+    base = d.select(
+        F.when(pred == F.col("lang"), 1).otherwise(0).alias("correct"),
+        mx.cast("bigint").alias("mx"),
+        total.cast("bigint").alias("tt"),
+    )
+    conf = base.select(
+        "correct",
+        F.when(F.col("tt") > 0, F.expr("mx * 1000000 div tt"))
+        .otherwise(F.lit(200000))
+        .cast("bigint")
+        .alias("conf_q6"),
+    )
+    hist = conf.groupBy("conf_q6").agg(
+        F.sum("correct").cast("bigint").alias("n_corr"),
+        (F.count(F.lit(1)) - F.sum("correct")).cast("bigint").alias("n_inc"),
+    )
+    tot = hist.agg(
+        F.sum("n_corr").cast("bigint").alias("p"),
+        F.sum("n_inc").cast("bigint").alias("neg"),
+    )
+    wdesc = Window.orderBy(F.desc("conf_q6")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = hist.select(
+        F.col("conf_q6").alias("threshold"),
+        F.sum("n_corr").over(wdesc).cast("bigint").alias("tp"),
+        F.sum("n_inc").over(wdesc).cast("bigint").alias("fp"),
+    )
+    j = sweep.crossJoin(F.broadcast(tot)).select(
+        "threshold",
+        "tp",
+        "fp",
+        F.col("p").alias("n_pos"),
+        F.col("neg").alias("n_neg"),
+        F.expr("tp * 1000000 div p - fp * 1000000 div neg")
+        .cast("bigint")
+        .alias("j_q6"),
+    )
+    rw = Window.orderBy(F.desc("j_q6"), "threshold")
+    return (
+        j.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") == 1)
+        .select("threshold", "tp", "fp", "n_pos", "n_neg", "j_q6")
+    )
+
+
+def _er_cluster_oracle() -> str:
+    from cudf_spark.queries.analytics3 import _soundex_sql
+
+    return f"""
+    WITH RECURSIVE names AS (
+        SELECT DISTINCT p_name AS name,
+               string_split(p_name, ' ')[1] AS w1
+        FROM part
+    ), blocked AS (
+        SELECT name, {_soundex_sql('w1')} AS block FROM names
+    ), pairs AS (
+        SELECT a.name AS na, b.name AS nb
+        FROM blocked a JOIN blocked b
+          ON b.block = a.block AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 3
+    ), edges AS (
+        SELECT na AS u, nb AS v FROM pairs
+        UNION ALL SELECT nb, na FROM pairs
+    ), reach AS (
+        SELECT u AS node, u AS label FROM edges
+        UNION
+        SELECT e.v AS node, r.label
+        FROM reach r JOIN edges e ON e.u = r.node
+        WHERE r.label < e.v
+    ), membership AS (
+        SELECT node, min(label) AS entity FROM reach GROUP BY node
+    )
+    SELECT entity,
+           CAST(count(*) AS BIGINT) AS n_names,
+           string_agg(node, '|' ORDER BY node) AS members
+    FROM membership GROUP BY entity
+    ORDER BY entity
+    """
+
+
+@register(
+    "er_cluster_entities",
+    oracle=_er_cluster_oracle(),
+    doc="entity-resolution TRANSITIVE CLOSURE — the end of the linkage "
+    "pipeline er_blocked_linkage starts: soundex-blocked Levenshtein "
+    "match pairs chain into entities via min-label connected "
+    "components (operators/graphs.py connected_components — the same "
+    "keyed-propagation engine the dedup clusters use; string labels "
+    "propagate by lexicographic min). Entity id = canonical "
+    "(minimum) name; members listed sorted. The oracle closes the "
+    "identical pair graph with a recursive CTE. Match graphs are "
+    "bounded by the blocking, so CC rounds stay shallow.",
+)
+def er_cluster_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.graphs import connected_components
+
+    p = load(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("name")).distinct().select(
+        "name", F.split("name", " ").getItem(0).alias("w1")
+    )
+    blocked = names.select("name", F.soundex("w1").alias("block"))
+    a = blocked.select("block", F.col("name").alias("na"))
+    b = blocked.select(F.col("block").alias("b2"), F.col("name").alias("nb"))
+    pairs = (
+        a.join(b, (F.col("block") == F.col("b2")) & (F.col("na") < F.col("nb")))
+        .filter(F.levenshtein("na", "nb") <= 3)
+        .select("na", "nb")
+    )
+    cc = connected_components(pairs, "na", "nb")
+    return (
+        cc.groupBy(F.col("component").alias("entity"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_names"),
+            F.array_join(F.array_sort(F.collect_list("node")), "|").alias(
+                "members"
+            ),
+        )
+        .orderBy("entity")
     )

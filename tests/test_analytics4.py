@@ -521,3 +521,68 @@ def test_haar_energy_parseval_and_seasonality(spark, monkeypatch):
         assert r.energy == e
     # the alternating signal puts the dominant share in level 1
     assert rows_out[0].share_q6 > max(r.share_q6 for r in rows_out[1:])
+
+
+def test_zipf_fit_recovers_slope(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    # construct an exact Zipf corpus: word w_r appears floor(1000/r) times
+    words = []
+    for r in range(1, 40):
+        words.extend([f"w{r:02d}"] * (1000 // r))
+    text = " ".join(words)
+    pdf = pd.DataFrame({"doc_id": [0], "text": [text], "lang": ["en"],
+                        "source": ["s"], "n_chars": [len(text)]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.text_zipf_fit(spark, "u").collect()[0]
+    assert r.n == 39
+    # slope of log2(1000/r) vs log2(r) is ~ -1
+    assert -1_100_000 < r.slope_q6 < -900_000
+    # intercept ~ log2(1000) ~ 9.97 in q6
+    assert 9_500_000 < r.intercept_q6 < 10_500_000
+
+
+def test_youden_j_exact_sweep(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    # engineered docs: high-confidence docs are correct, low are wrong
+    docs = [
+        ("the and of with for", "en"),    # all-en markers: conf 1.0, correct
+        ("the and of with for", "en"),
+        ("el la es und the", "es"),       # mixed: mid conf
+        ("xyz", "de"),                    # no evidence: conf 0.2, wrong
+        ("xyz", "fr"),
+    ]
+    pdf = pd.DataFrame({
+        "doc_id": range(len(docs)), "text": [t for t, _ in docs],
+        "lang": [l for _, l in docs], "source": ["s"] * len(docs),
+        "n_chars": [len(t) for t, _ in docs]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_youden_j_threshold(spark, "u").collect()[0]
+
+    assert r.n_pos + r.n_neg == 5
+    # J identity and bounds
+    assert r.j_q6 == r.tp * 1_000_000 // r.n_pos - r.fp * 1_000_000 // r.n_neg
+    assert 0 <= r.j_q6 <= 1_000_000
+    # the chosen threshold must separate at least one correct from wrongs
+    assert r.tp >= 1
+
+
+def test_er_cluster_transitive_chain(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    # chain: "small ring" ~ "smal ring" ~ "smal rink" (transitively one
+    # entity even though ends differ by >3? small ring vs smal rink = 2)
+    names = ["small ring", "smal ring", "smal rink", "blue bolt", "blew bolt",
+             "green gear"]
+    pdf = pd.DataFrame({
+        "p_partkey": range(len(names)), "p_name": names,
+        "p_brand": ["b"] * len(names), "p_type": ["t"] * len(names),
+        "p_size": [1] * len(names), "p_retailprice": [1.0] * len(names)})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.entity: (r.n_names, r.members)
+           for r in mod.er_cluster_entities(spark, "u").collect()}
+
+    assert got["smal ring"] == (3, "smal ring|smal rink|small ring")
+    assert got["blew bolt"] == (2, "blew bolt|blue bolt")
+    assert "green gear" not in got  # singleton: no edges, not clustered

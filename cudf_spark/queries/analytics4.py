@@ -1899,3 +1899,189 @@ def er_cluster_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity")
     )
+
+
+@register(
+    "mining_association_rules",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n AS (
+        SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM baskets
+    ), supp AS (
+        SELECT p, CAST(count(*) AS BIGINT) AS s FROM baskets GROUP BY p
+    ), pairs AS (
+        SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS c
+        FROM baskets a JOIN baskets b ON b.o = a.o AND a.p < b.p
+        GROUP BY a.p, b.p
+    ), rules AS (
+        SELECT pa AS ante, pb AS cons, c FROM pairs WHERE c >= 2
+        UNION ALL
+        SELECT pb AS ante, pa AS cons, c FROM pairs WHERE c >= 2
+    )
+    SELECT r.ante, r.cons, r.c AS n_both,
+           CAST(r.c * 1000000 // sa.s AS BIGINT) AS conf_q6,
+           CAST(r.c * n.n_orders * 1000000 // (sa.s * sc.s) AS BIGINT)
+               AS lift_q6
+    FROM rules r
+    JOIN supp sa ON sa.p = r.ante
+    JOIN supp sc ON sc.p = r.cons
+    CROSS JOIN n
+    ORDER BY lift_q6 DESC, r.ante, r.cons LIMIT 20
+    """,
+    doc="market-basket association rules (Agrawal & Srikant 1994 — "
+    "support/confidence/lift over order baskets, the retail data-"
+    "mining classic and the transactional sibling of "
+    "text_pmi_collocations): pair supports from one order-keyed "
+    "self-join on the distinct basket table, directed rules both "
+    "ways at min support 2 (see in-code note on threshold scaling), confidence c/supp(ante) and lift "
+    "N*c/(supp_a*supp_c) entirely in TRUNCATING INTEGER micro-units "
+    "(c*N*1e6 stays under 2^63 at any per-pair support the basket "
+    "model can produce). Top-20 by (lift desc, rule). Scale: basket "
+    "self-join fan-out is bounded by basket size squared; every "
+    "shuffle keys on order or part.",
+)
+def mining_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = baskets.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    supp = baskets.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("a.p") < F.col("b.p"))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # floor 2 = the minimum co-occurrence evidence. This fixture's
+        # basket model DILUTES pair support as scale grows (key space
+        # outpaces orders: max pair count is 5/5/3 at the three SFs), so
+        # any higher absolute — or even relative — floor silently empties
+        # at sf0.1 (the SKILL.md degenerate-threshold lesson, caught by
+        # the 3-SF sweep). Production sets relative min-support on real
+        # baskets, where support grows with scale.
+        .filter(F.col("c") >= 2)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("ante"), F.col("pb").alias("cons"), "c"
+    ).unionByName(
+        pairs.select(F.col("pb").alias("ante"), F.col("pa").alias("cons"), "c")
+    )
+    sa = supp.select(F.col("p").alias("ante"), F.col("s").alias("s_a"))
+    sc = supp.select(F.col("p").alias("cons"), F.col("s").alias("s_c"))
+    return (
+        rules.join(sa, "ante")
+        .join(sc, "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            F.col("c").alias("n_both"),
+            F.expr("c * 1000000 div s_a").cast("bigint").alias("conf_q6"),
+            F.expr("c * n_orders * 1000000 div (s_a * s_c)")
+            .cast("bigint")
+            .alias("lift_q6"),
+        )
+        .orderBy(F.desc("lift_q6"), "ante", "cons")
+        .limit(20)
+    )
+
+
+@register(
+    "stats_friedman_test",
+    oracle="""
+    WITH daily AS (
+        SELECT (day(CAST(ts AS TIMESTAMP)) - 1) // 7 AS blk,
+               CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events
+        WHERE day(CAST(ts AS TIMESTAMP)) <= 28
+        GROUP BY 1, 2
+    ), ranked AS (
+        -- x2-scaled midranks within each week block (exact on ties)
+        SELECT blk, dow,
+               CAST((SELECT count(*) FROM daily i
+                     WHERE i.blk = daily.blk AND i.c < daily.c)
+                    + (SELECT count(*) FROM daily i
+                       WHERE i.blk = daily.blk AND i.c <= daily.c)
+                    + 1 AS BIGINT) AS r2
+        FROM daily
+    ), sums AS (
+        SELECT dow, CAST(sum(r2) AS BIGINT) AS rj2 FROM ranked GROUP BY dow
+    ), m AS (
+        SELECT CAST(count(DISTINCT blk) AS BIGINT) AS n,
+               CAST(count(DISTINCT dow) AS BIGINT) AS k
+        FROM daily
+    )
+    SELECT m.n AS n_blocks, m.k,
+           CAST(floor(1000000.0 * (
+               12.0 * sum(CAST(s.rj2 AS DOUBLE) * CAST(s.rj2 AS DOUBLE))
+                   / (4.0 * CAST(m.n AS DOUBLE) * CAST(m.k AS DOUBLE)
+                      * (CAST(m.k AS DOUBLE) + 1.0))
+               - 3.0 * CAST(m.n AS DOUBLE) * (CAST(m.k AS DOUBLE) + 1.0)))
+               AS BIGINT) AS q_q6
+    FROM sums s CROSS JOIN m
+    GROUP BY m.n, m.k
+    """,
+    doc="Friedman rank test across day-of-week treatments in complete "
+    "week blocks (Friedman 1937 — the nonparametric repeated-measures "
+    "ANOVA; blocks = the month's four full weeks, k = 7 weekdays): "
+    "within-block midranks kept x2-SCALED so ties stay exact integers "
+    "(the stats_spearman_rho discipline), rank sums in BIGINT, and "
+    "only the final Q = 12/(nk(k+1)) * sum R_j^2 - 3n(k+1) touches "
+    "doubles in one identical expression (the /4 folds the x2 "
+    "scaling). Day-of-week aligned +1 to Spark's convention (the "
+    "agg_entropy_gini lesson). Day-grain after one keyed count.",
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.dayofmonth("ts") <= 28)
+        .groupBy(
+            F.expr("(day(ts) - 1) div 7").alias("blk"),
+            F.dayofweek("ts").cast("bigint").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    # midrank2 via conditional counts inside one block-keyed self-join
+    d2 = daily.select(
+        F.col("blk").alias("b2"), F.col("c").alias("c2")
+    )
+    ranked = (
+        daily.join(d2, F.col("b2") == F.col("blk"))
+        .groupBy("blk", "dow", "c")
+        .agg(
+            (
+                F.sum(F.when(F.col("c2") < F.col("c"), 1).otherwise(0))
+                + F.sum(F.when(F.col("c2") <= F.col("c"), 1).otherwise(0))
+                + 1
+            )
+            .cast("bigint")
+            .alias("r2")
+        )
+    )
+    sums = ranked.groupBy("dow").agg(F.sum("r2").cast("bigint").alias("rj2"))
+    m = daily.agg(
+        F.countDistinct("blk").cast("bigint").alias("n"),
+        F.countDistinct("dow").cast("bigint").alias("k"),
+    )
+    d_ = lambda c: F.col(c).cast("double")
+    return (
+        sums.crossJoin(F.broadcast(m))
+        .groupBy("n", "k")
+        .agg(
+            F.floor(
+                1000000.0
+                * (
+                    12.0
+                    * F.sum(d_("rj2") * d_("rj2"))
+                    / (4.0 * d_("n") * d_("k") * (d_("k") + 1.0))
+                    - 3.0 * d_("n") * (d_("k") + 1.0)
+                )
+            )
+            .cast("bigint")
+            .alias("q_q6")
+        )
+        .select(F.col("n").alias("n_blocks"), "k", "q_q6")
+    )

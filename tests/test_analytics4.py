@@ -586,3 +586,79 @@ def test_er_cluster_transitive_chain(spark, monkeypatch):
     assert got["smal ring"] == (3, "smal ring|smal rink|small ring")
     assert got["blew bolt"] == (2, "blew bolt|blue bolt")
     assert "green gear" not in got  # singleton: no edges, not clustered
+
+
+def test_association_rules_exact_lift(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    # 10 orders: {1,2} together in 6, {1,3} in 2, singles pad support
+    rows = []
+    ln = 0
+    o = 0
+    for _ in range(6):
+        for p in (1, 2):
+            ln += 1; rows.append((o, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                                  pd.Timestamp("2024-01-01")))
+        o += 1
+    for _ in range(2):
+        for p in (1, 3):
+            ln += 1; rows.append((o, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                                  pd.Timestamp("2024-01-01")))
+        o += 1
+    for p in (2, 3):
+        ln += 1; rows.append((o, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                              pd.Timestamp("2024-01-01")))
+        o += 1
+    pdf = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {(r.ante, r.cons): (r.n_both, r.conf_q6, r.lift_q6)
+           for r in mod.mining_association_rules(spark, "u").collect()}
+
+    n_orders = 10
+    supp = {1: 8, 2: 7, 3: 3}
+    for (a, b), c in {(1, 2): 6, (1, 3): 2}.items():
+        for x, y in ((a, b), (b, a)):
+            conf = c * 1_000_000 // supp[x]
+            lift = c * n_orders * 1_000_000 // (supp[x] * supp[y])
+            assert got[(x, y)] == (c, conf, lift)
+    # lift symmetric, confidence not
+    assert got[(1, 2)][2] == got[(2, 1)][2]
+    assert got[(1, 2)][1] != got[(2, 1)][1]
+
+
+def test_friedman_detects_weekday_effect(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics4 as mod
+
+    base = pd.Timestamp("2024-01-01")  # Jan 2024: day 1 is a Monday
+    rows = []
+    eid = 0
+    # strong weekday effect: volume = 10 + 5*dow_index, constant across weeks
+    for d in range(28):
+        n = 10 + 5 * (d % 7)
+        for _ in range(n):
+            rows.append((eid, base + pd.Timedelta(days=d, seconds=eid % 80000),
+                         1, "t", 1.0, "{}")); eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_friedman_test(spark, "u").collect()[0]
+
+    assert (r.n_blocks, r.k) == (4, 7)
+    # identical rankings every block -> maximal Friedman statistic
+    # Q_max = n*(k-1) = 4*6 = 24
+    assert r.q_q6 == 24_000_000
+    # and a flat signal must score ~0
+    rows2 = []
+    eid = 0
+    for d in range(28):
+        for _ in range(10):
+            rows2.append((eid, base + pd.Timedelta(days=d, seconds=eid % 80000),
+                          1, "t", 1.0, "{}")); eid += 1
+    monkeypatch.setattr(mod, "load",
+                        lambda s, d, n: spark.createDataFrame(_events(rows2)))
+    r2 = mod.stats_friedman_test(spark, "u").collect()[0]
+    assert r2.q_q6 == 0  # all ties -> midranks equal -> Q = 0

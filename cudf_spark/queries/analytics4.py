@@ -2085,3 +2085,135 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("n").alias("n_blocks"), "k", "q_q6")
     )
+
+
+_IO_AGG_ORACLE = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               CAST(sum(event_id) AS BIGINT) AS sum_eid
+        FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "io_avro_roundtrip_agg",
+    oracle=f"""
+    SELECT * FROM ({_IO_AGG_ORACLE}) ORDER BY event_type
+    """,
+    doc="the spec Avro reader+WRITER (sources/avro.py — the writer "
+    "exceeds reference parity: cpp/include/cudf/io/avro.hpp is "
+    "read-only) proven under the DRIVER's hash gate, not just pytest: "
+    "the builder projects events to primitives, writes spec-conformant "
+    "OCF part-files (one per partition, deflate codec) to a temp dir "
+    "through the distributed mapInPandas sink, reads them back through "
+    "the binaryFile-based distributed reader, and aggregates — the "
+    "oracle computes the same aggregate straight from parquet, so any "
+    "encode/decode corruption (varint, zigzag, sync markers, codec) "
+    "hash-mismatches. Temp dir removed in a finally.",
+)
+def io_avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from cudf_spark.sources.avro import read_avro, write_avro_dataframe
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    tmp = tempfile.mkdtemp(prefix="avro_rt_")
+    try:
+        files = write_avro_dataframe(ev, tmp, codec="deflate")
+        back = read_avro(spark, tmp, schema_file=files[0][0])
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+                F.sum("event_id").cast("bigint").alias("sum_eid"),
+            )
+            .orderBy("event_type")
+        )
+        rows = out.collect()  # materialize before the dir disappears
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n bigint, sum_cents bigint, sum_eid bigint"
+    ).orderBy("event_type")
+
+
+@register(
+    "io_multiformat_roundtrip",
+    oracle=f"""
+    WITH agg AS ({_IO_AGG_ORACLE})
+    SELECT f.fmt, a.event_type, a.n, a.sum_cents, a.sum_eid
+    FROM agg a
+    CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+    ORDER BY f.fmt, a.event_type
+    """,
+    doc="CSV / JSON / ORC round-trips under the DRIVER's hash gate (the "
+    "builtin-source family previously proven only in pytest): the "
+    "builder writes the primitive projection through each format's "
+    "Spark sink with an explicit read-back schema (CSV and JSON are "
+    "schemaless on disk — the read supplies the DDL), aggregates each "
+    "read-back, and emits one row set per format; the oracle expects "
+    "every format to reproduce the parquet-derived aggregate exactly. "
+    "A type-coercion bug in any lane (CSV integer parsing, JSON "
+    "field ordering, ORC nulls) breaks that lane's rows only, so the "
+    "mismatch localizes. Temp dirs removed in a finally.",
+)
+def io_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    ddl = "event_id long, user_id long, event_type string, cents long, us long"
+    tmp = tempfile.mkdtemp(prefix="multifmt_rt_")
+    try:
+        outs = []
+        for fmt in ("csv", "json", "orc"):
+            path = os.path.join(tmp, fmt)
+            w = ev.write.mode("overwrite")
+            if fmt == "csv":
+                w.option("header", "true").csv(path)
+                back = spark.read.schema(ddl).option("header", "true").csv(path)
+            elif fmt == "json":
+                w.json(path)
+                back = spark.read.schema(ddl).json(path)
+            else:
+                w.orc(path)
+                back = spark.read.orc(path)
+            outs.append(
+                back.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum("cents").cast("bigint").alias("sum_cents"),
+                    F.sum("event_id").cast("bigint").alias("sum_eid"),
+                )
+                .withColumn("fmt", F.lit(fmt))
+            )
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.unionByName(o)
+        rows = res.select(
+            "fmt", "event_type", "n", "sum_cents", "sum_eid"
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "fmt string, event_type string, n bigint, sum_cents bigint,"
+        " sum_eid bigint",
+    ).orderBy("fmt", "event_type")

@@ -662,3 +662,29 @@ def test_friedman_detects_weekday_effect(spark, monkeypatch):
                         lambda s, d, n: spark.createDataFrame(_events(rows2)))
     r2 = mod.stats_friedman_test(spark, "u").collect()[0]
     assert r2.q_q6 == 0  # all ties -> midranks equal -> Q = 0
+
+
+def test_io_roundtrips_detect_corruption(spark, monkeypatch, tmp_path):
+    """The roundtrip queries must reproduce the source aggregate exactly
+    on a fixture we control (and the avro writer/reader pair must not
+    lose a partition)."""
+    from cudf_spark.queries import analytics4 as mod
+
+    base = pd.Timestamp("2024-02-01")
+    rows = [(i, base + pd.Timedelta(minutes=i), i % 4, ["a", "b"][i % 2],
+             float(i) / 4.0, "{}") for i in range(200)]
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+
+    exp = {}
+    cents = (pdf["value"] * 100).round().astype(int)
+    for t, g in pdf.groupby("event_type"):
+        exp[t] = (len(g), int(cents[g.index].sum()), int(g["event_id"].sum()))
+
+    for r in mod.io_avro_roundtrip_agg(spark, "u").collect():
+        assert exp[r.event_type] == (r.n, r.sum_cents, r.sum_eid)
+    seen = set()
+    for r in mod.io_multiformat_roundtrip(spark, "u").collect():
+        assert exp[r.event_type] == (r.n, r.sum_cents, r.sum_eid)
+        seen.add(r.fmt)
+    assert seen == {"csv", "json", "orc"}

@@ -2217,3 +2217,183 @@ def io_multiformat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fmt string, event_type string, n bigint, sum_cents bigint,"
         " sum_eid bigint",
     ).orderBy("fmt", "event_type")
+
+
+@register(
+    "io_parquet_codec_roundtrip",
+    oracle=f"""
+    WITH agg AS ({_IO_AGG_ORACLE})
+    SELECT f.codec, a.event_type, a.n, a.sum_cents, a.sum_eid
+    FROM agg a
+    CROSS JOIN (VALUES ('gzip'), ('snappy'), ('zstd')) AS f(codec)
+    ORDER BY f.codec, a.event_type
+    """,
+    doc="parquet compression codecs under the driver's hash gate "
+    "(snappy/gzip/zstd — the cpp/src/io compression surface's Spark "
+    "counterpart): write the primitive projection once per codec, read "
+    "back, aggregate; every lane must reproduce the parquet-source "
+    "aggregate bit-for-bit. Complements io_multiformat_roundtrip "
+    "(formats) with the codec axis; temp dirs removed in a finally.",
+)
+def io_parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    tmp = tempfile.mkdtemp(prefix="codec_rt_")
+    try:
+        outs = []
+        for codec in ("gzip", "snappy", "zstd"):
+            path = os.path.join(tmp, codec)
+            ev.write.mode("overwrite").option("compression", codec).parquet(path)
+            back = spark.read.parquet(path)
+            outs.append(
+                back.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum("cents").cast("bigint").alias("sum_cents"),
+                    F.sum("event_id").cast("bigint").alias("sum_eid"),
+                )
+                .withColumn("codec", F.lit(codec))
+            )
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.unionByName(o)
+        rows = res.select(
+            "codec", "event_type", "n", "sum_cents", "sum_eid"
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "codec string, event_type string, n bigint, sum_cents bigint,"
+        " sum_eid bigint",
+    ).orderBy("codec", "event_type")
+
+
+@register(
+    "io_partitioned_write_pruning",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="hive-style partitioned write + partition-PRUNED read under the "
+    "driver gate: the builder writes events partitionBy(event_type) to "
+    "a temp dir, reads back with an IN filter on the partition column "
+    "and aggregates — correctness here plus the plan pin in "
+    "tests/test_plans.py (the filtered scan must list only the two "
+    "matching partition directories) together prove the No.1 100 TB "
+    "scan-cost lever end-to-end: a pruned read touches 2/5ths of the "
+    "files, and a value bug in the partition-column round-trip "
+    "(type coercion of partition values is a classic Hive trap) "
+    "hash-mismatches.",
+)
+def io_partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="part_prune_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        back = spark.read.parquet(tmp).filter(
+            F.col("event_type").isin("click", "purchase")
+        )
+        rows = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n bigint, sum_cents bigint"
+    ).orderBy("event_type")
+
+
+@register(
+    "io_bucketed_join_agg",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS cents
+        FROM events GROUP BY user_id
+    ), cl AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS clicks
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(pu.cents) AS BIGINT) AS total_cents,
+           CAST(sum(cl.clicks) AS BIGINT) AS total_clicks
+    FROM pu JOIN cl ON cl.user_id = pu.user_id
+    """,
+    doc="bucketed-table CO-LOCATED join under the driver gate: two "
+    "per-user aggregates write as bucketed saveAsTable tables (8 "
+    "buckets on user_id) and join bucket-to-bucket — "
+    "tests/test_plans.py pins that THIS join plans as a SortMergeJoin "
+    "with NO Exchange on either side (the shuffle the bucketing "
+    "pre-paid, the core co-location lever for repeated joins at "
+    "100 TB), while the hash gate proves the bucketed write/read "
+    "didn't disturb a single row. Tables dropped in a finally.",
+)
+def io_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    ev = load(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    cl = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("clicks"))
+    )
+    tag = uuid.uuid4().hex[:8]
+    t1, t2 = f"bkt_pu_{tag}", f"bkt_cl_{tag}"
+    try:
+        pu.write.bucketBy(8, "user_id").sortBy("user_id").mode(
+            "overwrite"
+        ).saveAsTable(t1)
+        cl.write.bucketBy(8, "user_id").sortBy("user_id").mode(
+            "overwrite"
+        ).saveAsTable(t2)
+        j = spark.table(t1).join(spark.table(t2), "user_id")
+        rows = j.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.sum("clicks").cast("bigint").alias("total_clicks"),
+        ).collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
+    return spark.createDataFrame(
+        rows, "n_users bigint, total_cents bigint, total_clicks bigint"
+    )

@@ -688,3 +688,37 @@ def test_io_roundtrips_detect_corruption(spark, monkeypatch, tmp_path):
         assert exp[r.event_type] == (r.n, r.sum_cents, r.sum_eid)
         seen.add(r.fmt)
     assert seen == {"csv", "json", "orc"}
+
+
+def test_codec_and_partition_roundtrips(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    base = pd.Timestamp("2024-02-01")
+    rows = [(i, base + pd.Timedelta(minutes=i), i % 4,
+             ["click", "purchase", "view"][i % 3], float(i) / 4.0, "{}")
+            for i in range(120)]
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+
+    cents = (pdf["value"] * 100).round().astype(int)
+    by_type = {}
+    for t, g in pdf.groupby("event_type"):
+        by_type[t] = (len(g), int(cents[g.index].sum()), int(g["event_id"].sum()))
+
+    codecs = set()
+    for r in mod.io_parquet_codec_roundtrip(spark, "u").collect():
+        assert by_type[r.event_type] == (r.n, r.sum_cents, r.sum_eid)
+        codecs.add(r.codec)
+    assert codecs == {"gzip", "snappy", "zstd"}
+
+    got = {r.event_type: (r.n, r.sum_cents)
+           for r in mod.io_partitioned_write_pruning(spark, "u").collect()}
+    assert set(got) == {"click", "purchase"}  # pruned to the filter set
+    for t in got:
+        assert got[t] == (by_type[t][0], by_type[t][1])
+
+    r = mod.io_bucketed_join_agg(spark, "u").collect()[0]
+    # every user has clicks and purchases in this fixture
+    assert r.n_users == 4
+    assert r.total_clicks == sum(
+        1 for _, row in pdf.iterrows() if row.event_type == "click")

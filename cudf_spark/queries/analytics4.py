@@ -2397,3 +2397,174 @@ def io_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "n_users bigint, total_cents bigint, total_clicks bigint"
     )
+
+
+@register(
+    "io_schema_evolution_merge",
+    oracle="""
+    WITH half AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_id % 2 = 0 THEN user_id END AS uid_new
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(count(uid_new) AS BIGINT) AS n_with_new,
+           CAST(sum(coalesce(uid_new, 0)) AS BIGINT) AS sum_new
+    FROM half GROUP BY event_type ORDER BY event_type
+    """,
+    doc="parquet SCHEMA EVOLUTION under the driver gate: generation 1 "
+    "(odd event ids) writes WITHOUT the uid_new column, generation 2 "
+    "(even ids) writes WITH it; a mergeSchema read unions the files "
+    "and the old generation's rows must surface the added column as "
+    "NULL — count(uid_new) therefore counts exactly the new-generation "
+    "rows. The add-a-column migration every long-lived table goes "
+    "through, proven by value hash: a reader that defaulted the "
+    "missing column to 0 instead of NULL, or misaligned columns by "
+    "position, mismatches. Temp dir removed in a finally.",
+)
+def io_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "user_id",
+    )
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        gen1 = ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "event_type", "cents"
+        )
+        gen2 = ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id",
+            "event_type",
+            "cents",
+            F.col("user_id").alias("uid_new"),
+        )
+        gen1.write.mode("overwrite").parquet(os.path.join(tmp, "g=1"))
+        gen2.write.mode("overwrite").parquet(os.path.join(tmp, "g=2"))
+        back = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(tmp, "g=1"), os.path.join(tmp, "g=2")
+        )
+        rows = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+                F.count("uid_new").cast("bigint").alias("n_with_new"),
+                F.sum(F.coalesce("uid_new", F.lit(0)))
+                .cast("bigint")
+                .alias("sum_new"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n bigint, sum_cents bigint, n_with_new bigint,"
+        " sum_new bigint",
+    ).orderBy("event_type")
+
+
+@register(
+    "stream_checkpoint_exactly_once",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' ||
+                    CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS fingerprint,
+           CAST(2 AS BIGINT) AS n_runs
+    FROM h
+    """,
+    doc="CHECKPOINT RECOVERY exactly-once proof: the events table lands "
+    "as four files; run 1 starts an availableNow stream with a "
+    "checkpointLocation while only files 1-2 exist, terminates, files "
+    "3-4 arrive, and run 2 RESUMES FROM THE SAME CHECKPOINT — the "
+    "file-source offset log must replay nothing and skip nothing, so "
+    "the (count, XOR-fingerprint) accumulated across both runs equals "
+    "the one-shot batch value the oracle pins. A duplicated or dropped "
+    "batch flips the fingerprint (XOR is its own inverse — one row off "
+    "is visible). This is the restart-safety guarantee the streaming "
+    "family's availableNow proofs assumed; here it is the subject.",
+)
+def stream_checkpoint_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from cudf_spark.functions.hashing import hash60
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    tmp = tempfile.mkdtemp(prefix="ckpt_once_")
+    src = os.path.join(tmp, "src")
+    ckpt = os.path.join(tmp, "ckpt")
+    os.makedirs(src)
+    state = {"n": 0, "x": 0, "runs": 0}
+    try:
+        # stage the four files outside the source dir first
+        stage = os.path.join(tmp, "stage")
+        ev.repartition(4).write.mode("overwrite").parquet(stage)
+        parts = sorted(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        assert len(parts) >= 2, "need at least two part files"
+        half = max(1, len(parts) // 2)
+
+        def per_batch(bdf, _bid):
+            row = bdf.select(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(h)").alias("x"),
+            ).collect()[0]
+            if row["n"]:
+                state["n"] += int(row["n"])
+                state["x"] ^= int(row["x"] or 0)
+
+        def run_once():
+            stream = (
+                spark.readStream.schema("event_id long, user_id long")
+                .parquet(src)
+                .select(
+                    hash60(
+                        F.concat_ws(
+                            "|",
+                            F.col("event_id").cast("string"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ).alias("h")
+                )
+            )
+            q = (
+                stream.writeStream.foreachBatch(per_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "checkpoint-recovery stream did not finish in 300s"
+                )
+            state["runs"] += 1
+
+        for f in parts[:half]:
+            shutil.copyfile(os.path.join(stage, f), os.path.join(src, f))
+        run_once()
+        for f in parts[half:]:
+            shutil.copyfile(os.path.join(stage, f), os.path.join(src, f))
+        run_once()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(state["n"], state["x"], state["runs"])],
+        "n_rows bigint, fingerprint bigint, n_runs bigint",
+    )

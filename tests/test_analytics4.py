@@ -722,3 +722,38 @@ def test_codec_and_partition_roundtrips(spark, monkeypatch):
     assert r.n_users == 4
     assert r.total_clicks == sum(
         1 for _, row in pdf.iterrows() if row.event_type == "click")
+
+
+def test_schema_evolution_nulls_not_zeros(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    base = pd.Timestamp("2024-02-01")
+    rows = [(i, base + pd.Timedelta(minutes=i), 100 + i, "t",
+             1.0, "{}") for i in range(10)]
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.io_schema_evolution_merge(spark, "u").collect()[0]
+    # 5 even ids carry the new column; their user_ids sum exactly
+    assert r.n == 10
+    assert r.n_with_new == 5
+    assert r.sum_new == sum(100 + i for i in range(0, 10, 2))
+
+
+def test_checkpoint_exactly_once_fingerprint(spark, monkeypatch):
+    import hashlib
+
+    from cudf_spark.queries import analytics4 as mod
+
+    base = pd.Timestamp("2024-02-01")
+    rows = [(i, base + pd.Timedelta(minutes=i), i * 7, "t", 1.0, "{}")
+            for i in range(64)]
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stream_checkpoint_exactly_once(spark, "u").collect()[0]
+
+    x = 0
+    for i in range(64):
+        x ^= int(hashlib.md5(f"{i}|{i*7}".encode()).hexdigest()[:15], 16)
+    assert r.n_rows == 64      # nothing dropped, nothing duplicated
+    assert r.fingerprint == x  # across the checkpoint restart
+    assert r.n_runs == 2

@@ -2568,3 +2568,184 @@ def stream_checkpoint_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
         [(state["n"], state["x"], state["runs"])],
         "n_rows bigint, fingerprint bigint, n_runs bigint",
     )
+
+
+@register(
+    "stats_meta_fixed_effect",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS stratum,
+               CAST(user_id % 2 AS BIGINT) AS grp,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), m AS (
+        SELECT stratum, grp, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(cents * cents) AS BIGINT) AS ss
+        FROM cells GROUP BY stratum, grp
+    ), wide AS (
+        SELECT stratum,
+               max(CASE WHEN grp = 1 THEN n END) AS n1,
+               max(CASE WHEN grp = 1 THEN s END) AS s1,
+               max(CASE WHEN grp = 1 THEN ss END) AS ss1,
+               max(CASE WHEN grp = 0 THEN n END) AS n0,
+               max(CASE WHEN grp = 0 THEN s END) AS s0,
+               max(CASE WHEN grp = 0 THEN ss END) AS ss0
+        FROM m GROUP BY stratum
+    ), per AS (
+        -- per-stratum effect (mean diff, cents) and its variance; both
+        -- quantized AT STRATUM GRAIN so pooled sums are order-free
+        SELECT stratum,
+            CAST(floor(1000000.0 * (CAST(s1 AS DOUBLE) / n1
+                                    - CAST(s0 AS DOUBLE) / n0)) AS BIGINT)
+                AS eff_q6,
+            CAST(floor(1000000000.0 / (
+                  (CAST(ss1 AS DOUBLE) / n1 - (CAST(s1 AS DOUBLE) / n1)
+                       * (CAST(s1 AS DOUBLE) / n1)) / n1
+                + (CAST(ss0 AS DOUBLE) / n0 - (CAST(s0 AS DOUBLE) / n0)
+                       * (CAST(s0 AS DOUBLE) / n0)) / n0)) AS BIGINT)
+                AS w_n9
+        FROM wide
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST(sum(w_n9) AS BIGINT) AS sum_w_n9,
+           CAST(sum(CAST(eff_q6 AS HUGEINT) * w_n9)
+                // sum(w_n9) AS BIGINT) AS pooled_eff_q6
+    FROM per
+    """,
+    doc="fixed-effect (inverse-variance weighted) meta-analysis of the "
+    "per-stratum treatment effect (Cochran — the continuous-outcome "
+    "companion to stats_odds_ratio_mh): per day-of-week stratum the "
+    "mean difference and its variance come from exact cent moments, "
+    "both floor-quantized AT STRATUM GRAIN (effect in micro-cents, "
+    "weight = 1/Var in nano-units) so the pooled numerator and "
+    "denominator are order-free integer sums; the pooled effect is "
+    "one truncating division (numerator product needs 128-bit — "
+    "DuckDB HUGEINT / Spark DECIMAL(38,0), the agg gini discipline). "
+    "One groupBy over 14 cells is the data pass.",
+)
+def stats_meta_fixed_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cells = ev.select(
+        F.dayofweek("ts").cast("bigint").alias("stratum"),
+        (F.col("user_id") % 2).cast("bigint").alias("grp"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    m = cells.groupBy("stratum", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+
+    def cell(g, c):
+        return F.max(F.when(F.col("grp") == g, F.col(c))).alias(f"{c}{g}")
+
+    wide = m.groupBy("stratum").agg(
+        *[cell(g, c) for g in (1, 0) for c in ("n", "s", "ss")]
+    )
+    d = lambda c: F.col(c).cast("double")
+    eff = F.floor(
+        1000000.0 * (d("s1") / F.col("n1") - d("s0") / F.col("n0"))
+    ).cast("bigint")
+    var = (
+        (d("ss1") / F.col("n1") - (d("s1") / F.col("n1")) * (d("s1") / F.col("n1")))
+        / F.col("n1")
+        + (d("ss0") / F.col("n0") - (d("s0") / F.col("n0")) * (d("s0") / F.col("n0")))
+        / F.col("n0")
+    )
+    per = wide.select(
+        "stratum",
+        eff.alias("eff_q6"),
+        F.floor(1000000000.0 / var).cast("bigint").alias("w_n9"),
+    )
+    dec = "decimal(38,0)"
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("w_n9").cast("bigint").alias("sum_w_n9"),
+        F.expr(
+            f"CAST(sum(CAST(eff_q6 AS {dec}) * w_n9)"
+            f" div CAST(sum(w_n9) AS {dec}) AS BIGINT)"
+        ).alias("pooled_eff_q6"),
+    )
+
+
+@register(
+    "text_readability_fk",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(nt, ' '), w -> w != ''))
+                    AS BIGINT) AS n_words,
+               CAST(greatest(len(regexp_extract_all(nt, '[.!?]')), 1)
+                    AS BIGINT) AS n_sents,
+               CAST(list_sum(list_transform(
+                   list_filter(string_split(nt, ' '), w -> w != ''),
+                   w -> CAST(greatest(
+                       len(regexp_extract_all(w, '[aeiouy]+')), 1)
+                       AS BIGINT))) AS BIGINT) AS n_syll
+        FROM d
+    )
+    SELECT doc_id, n_words, n_sents, n_syll,
+           CAST(39 * n_words * 1000000 // (100 * n_sents)
+                + 118 * n_syll * 1000000 // (10 * n_words)
+                - 15590000 AS BIGINT) AS fk_grade_q6
+    FROM feats ORDER BY doc_id LIMIT 200
+    """,
+    doc="Flesch-Kincaid grade level (Kincaid 1975) with the vowel-group "
+    "syllable heuristic: syllables per word = count of maximal "
+    "[aeiouy]+ runs (min 1), sentences = terminal-punctuation count "
+    "(min 1), and the grade 0.39*(W/S) + 11.8*(Syl/W) - 15.59 "
+    "evaluated as EXACT RATIONALS (39/100, 118/10, 1559/100 — the "
+    "coefficients are decimal literals, so truncating integer "
+    "micro-division reproduces them with zero float). The "
+    "readability gate curation pipelines run beside the Gopher "
+    "heuristics; one tokenize pass, all codegen.",
+)
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("nt")
+    )
+    words = F.filter(F.split(F.col("nt"), " "), lambda w: w != "")
+    syll = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+            F.lit(1),
+        ).cast("bigint"),
+    )
+    feats = d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("nt"), F.lit("[.!?]"), F.lit(0))),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("n_sents"),
+        syll.alias("n_syll"),
+    )
+    return (
+        feats.select(
+            "doc_id",
+            "n_words",
+            "n_sents",
+            "n_syll",
+            F.expr(
+                "39 * n_words * 1000000 div (100 * n_sents)"
+                " + 118 * n_syll * 1000000 div (10 * n_words)"
+                " - 15590000"
+            )
+            .cast("bigint")
+            .alias("fk_grade_q6"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )

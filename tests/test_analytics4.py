@@ -757,3 +757,47 @@ def test_checkpoint_exactly_once_fingerprint(spark, monkeypatch):
     assert r.n_rows == 64      # nothing dropped, nothing duplicated
     assert r.fingerprint == x  # across the checkpoint restart
     assert r.n_runs == 2
+
+
+def test_meta_fixed_effect_recovers_constant_effect(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics4 as mod
+
+    rng = np.random.RandomState(113)
+    base = pd.Timestamp("2024-07-01")
+    rows = []
+    eid = 0
+    # constant +300-cent effect in every stratum, noise sd 50c
+    for d in range(14):
+        for uid in range(1, 41):
+            mu = 10.0 + 3.0 * (uid % 2)
+            v = float(mu + rng.normal(0, 0.5))
+            rows.append((eid, base + pd.Timedelta(days=d, minutes=eid % 900),
+                         uid, "t", v, "{}")); eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.stats_meta_fixed_effect(spark, "u").collect()[0]
+    assert r.n_strata == 7
+    # pooled effect near +300 cents (micro-units)
+    assert 270_000_000 < r.pooled_eff_q6 < 330_000_000
+
+
+def test_readability_fk_hand_example(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1],
+        # doc0: 6 words, 2 sentences, syllables: the(1) cat(1) sat(1)
+        # here(2: e,e) on(1) mats(1) = 7
+        "text": ["the cat sat. here on mats!", "xyz"],
+        "lang": ["en"] * 2, "source": ["s"] * 2, "n_chars": [26, 3]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.doc_id: r for r in mod.text_readability_fk(spark, "u").collect()}
+
+    r = got[0]
+    assert (r.n_words, r.n_sents, r.n_syll) == (6, 2, 7)
+    expect = (39 * 6 * 1_000_000) // (100 * 2) + (118 * 7 * 1_000_000) // (10 * 6) - 15_590_000
+    assert r.fk_grade_q6 == expect
+    # consonant-only token: syllable floor of 1, sentence floor of 1
+    assert (got[1].n_syll, got[1].n_sents) == (1, 1)

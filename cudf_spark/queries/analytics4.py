@@ -2749,3 +2749,229 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(200)
     )
+
+
+@register(
+    "ml_pr_auc",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang AS actual,
+               {_lang_scores_sql()}
+        FROM documents
+    ), conf AS (
+        SELECT
+           CASE WHEN (CASE
+                WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+                WHEN s_es >= greatest(s_de, s_fr, s_zh)       THEN 'es'
+                WHEN s_de >= greatest(s_fr, s_zh)             THEN 'de'
+                WHEN s_fr >= s_zh                             THEN 'fr'
+                ELSE 'zh' END) = actual THEN 1 ELSE 0 END AS pos,
+           CASE WHEN s_en + s_es + s_de + s_fr + s_zh > 0
+                THEN CAST(greatest(s_en, s_es, s_de, s_fr, s_zh) AS BIGINT)
+                     * 1000000 // (s_en + s_es + s_de + s_fr + s_zh)
+                ELSE 200000 END AS conf_q6
+        FROM scored
+    ), hist AS (
+        SELECT conf_q6, CAST(sum(pos) AS BIGINT) AS np,
+               CAST(count(*) AS BIGINT) AS nt
+        FROM conf GROUP BY conf_q6
+    ), tot AS (SELECT CAST(sum(np) AS BIGINT) AS p FROM hist),
+    sweep AS (
+        SELECT conf_q6,
+               sum(np) OVER (ORDER BY conf_q6 DESC
+                             ROWS UNBOUNDED PRECEDING) AS tp,
+               sum(nt) OVER (ORDER BY conf_q6 DESC
+                             ROWS UNBOUNDED PRECEDING) AS n_pred
+        FROM hist
+    ), steps AS (
+        SELECT conf_q6, tp, n_pred,
+               coalesce(lag(tp) OVER (ORDER BY conf_q6 DESC), 0) AS tp_prev,
+               coalesce(lag(n_pred) OVER (ORDER BY conf_q6 DESC), 0)
+                   AS np_prev
+        FROM sweep
+    ), areas AS (
+        -- trapezoid in recall (x) - precision (y); each step's area is
+        -- quantized to nano-units AT STEP GRAIN, then summed order-free
+        SELECT CAST(floor(1000000000.0
+              * ((CAST(tp AS DOUBLE) - tp_prev) / t.p)
+              * ((CAST(tp AS DOUBLE) / n_pred
+                  + CASE WHEN np_prev > 0
+                         THEN CAST(tp_prev AS DOUBLE) / np_prev
+                         ELSE CAST(tp AS DOUBLE) / n_pred END) / 2.0))
+              AS BIGINT) AS a9
+        FROM steps CROSS JOIN tot t
+    )
+    SELECT (SELECT p FROM tot) AS n_pos,
+           CAST(sum(a9) AS BIGINT) AS auc_n9,
+           CAST(sum(a9) // 1000 AS BIGINT) AS pr_auc_q6
+    FROM areas
+    """,
+    doc="area under the precision-recall curve by the trapezoid rule "
+    "over the confidence-lattice sweep (the ranking-quality companion "
+    "to stats_youden_j_threshold's single-point J; Davis & Goadrich "
+    "2006): TP / predicted-positive cumsums over the score histogram, "
+    "per-step trapezoid area floor-quantized to nano-units AT STEP "
+    "GRAIN (identical double expression, zero-denominator first step "
+    "falls back to the right precision) so the AUC sum is order-free. "
+    "One corpus scan; the sweep is lattice grain.",
+)
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+    from cudf_spark.queries.text import LANG_WORDS
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
+    sc = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_WORDS.items()
+    }
+    pred = (
+        F.when(sc["en"] >= F.greatest(sc["es"], sc["de"], sc["fr"], sc["zh"]), "en")
+        .when(sc["es"] >= F.greatest(sc["de"], sc["fr"], sc["zh"]), "es")
+        .when(sc["de"] >= F.greatest(sc["fr"], sc["zh"]), "de")
+        .when(sc["fr"] >= sc["zh"], "fr")
+        .otherwise("zh")
+    )
+    total = sc["en"] + sc["es"] + sc["de"] + sc["fr"] + sc["zh"]
+    mx = F.greatest(sc["en"], sc["es"], sc["de"], sc["fr"], sc["zh"])
+    base = d.select(
+        F.when(pred == F.col("lang"), 1).otherwise(0).alias("pos"),
+        mx.cast("bigint").alias("mx"),
+        total.cast("bigint").alias("tt"),
+    )
+    conf = base.select(
+        "pos",
+        F.when(F.col("tt") > 0, F.expr("mx * 1000000 div tt"))
+        .otherwise(F.lit(200000))
+        .cast("bigint")
+        .alias("conf_q6"),
+    )
+    hist = conf.groupBy("conf_q6").agg(
+        F.sum("pos").cast("bigint").alias("np"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+    )
+    tot = hist.agg(F.sum("np").cast("bigint").alias("p"))
+    wdesc = Window.orderBy(F.desc("conf_q6")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = hist.select(
+        "conf_q6",
+        F.sum("np").over(wdesc).alias("tp"),
+        F.sum("nt").over(wdesc).alias("n_pred"),
+    )
+    wlag = Window.orderBy(F.desc("conf_q6"))
+    steps = sweep.select(
+        "tp",
+        "n_pred",
+        F.coalesce(F.lag("tp").over(wlag), F.lit(0)).alias("tp_prev"),
+        F.coalesce(F.lag("n_pred").over(wlag), F.lit(0)).alias("np_prev"),
+    )
+    d_ = lambda c: F.col(c).cast("double")
+    prec_prev = F.when(
+        F.col("np_prev") > 0, d_("tp_prev") / F.col("np_prev")
+    ).otherwise(d_("tp") / F.col("n_pred"))
+    a9 = F.floor(
+        1000000000.0
+        * ((d_("tp") - F.col("tp_prev")) / F.col("p"))
+        * ((d_("tp") / F.col("n_pred") + prec_prev) / 2.0)
+    ).cast("bigint")
+    areas = steps.crossJoin(F.broadcast(tot)).select(a9.alias("a9"))
+    return areas.agg(F.sum("a9").cast("bigint").alias("auc_n9")).crossJoin(
+        F.broadcast(tot)
+    ).select(
+        F.col("p").alias("n_pos"),
+        "auc_n9",
+        F.expr("auc_n9 div 1000").cast("bigint").alias("pr_auc_q6"),
+    )
+
+
+_FEISTEL_ROUNDS = 4
+_FEISTEL_BITS = 10  # 20-bit domain: two 10-bit halves
+
+
+@register(
+    "misc_feistel_permutation",
+    oracle=f"""
+    WITH ids AS (
+        SELECT event_id AS x,
+               event_id // {1 << _FEISTEL_BITS} AS l0,
+               event_id % {1 << _FEISTEL_BITS} AS r0
+        FROM events
+    ), f1 AS (
+        SELECT x, r0 AS l1,
+               xor(l0, CAST(('0x' || substr(md5('f1|' ||
+                   CAST(r0 AS VARCHAR)), 1, 15)) AS BIGINT)
+                   & {(1 << _FEISTEL_BITS) - 1}) AS r1
+        FROM ids
+    ), f2 AS (
+        SELECT x, r1 AS l2,
+               xor(l1, CAST(('0x' || substr(md5('f2|' ||
+                   CAST(r1 AS VARCHAR)), 1, 15)) AS BIGINT)
+                   & {(1 << _FEISTEL_BITS) - 1}) AS r2
+        FROM f1
+    ), f3 AS (
+        SELECT x, r2 AS l3,
+               xor(l2, CAST(('0x' || substr(md5('f3|' ||
+                   CAST(r2 AS VARCHAR)), 1, 15)) AS BIGINT)
+                   & {(1 << _FEISTEL_BITS) - 1}) AS r3
+        FROM f2
+    ), f4 AS (
+        SELECT x, r3 AS l4,
+               xor(l3, CAST(('0x' || substr(md5('f4|' ||
+                   CAST(r3 AS VARCHAR)), 1, 15)) AS BIGINT)
+                   & {(1 << _FEISTEL_BITS) - 1}) AS r4
+        FROM f3
+    ), perm AS (
+        SELECT x, l4 * {1 << _FEISTEL_BITS} + r4 AS y FROM f4
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT y) AS BIGINT) AS n_distinct,
+           CAST(min(y) AS BIGINT) AS min_y,
+           CAST(max(y) AS BIGINT) AS max_y,
+           CAST(sum(CASE WHEN y = x THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fixed_points,
+           CAST(bit_xor(y) AS BIGINT) AS perm_xor
+    FROM perm
+    """,
+    doc="format-preserving PSEUDORANDOM PERMUTATION via a 4-round "
+    "balanced Feistel network on the 2^20 id domain (Luby-Rackoff "
+    "1988 — the id-anonymization / deterministic-reshuffle primitive: "
+    "a keyed bijection with no collision possible BY CONSTRUCTION, "
+    "unlike hashing): round function = hash60 of the right half with "
+    "a round-tagged seed, masked to 10 bits, XOR-mixed. "
+    "n_distinct == n is the bijectivity witness the query itself "
+    "carries; fixed points and the XOR of images pin the exact "
+    "mapping. Pure codegen integer ops, map-only — the zero-shuffle "
+    "way to shuffle data.",
+)
+def misc_feistel_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.hashing import hash60
+
+    bits = _FEISTEL_BITS
+    mask = (1 << bits) - 1
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("x"),
+        F.expr(f"event_id div {1 << bits}").alias("l"),
+        (F.col("event_id") % (1 << bits)).alias("r"),
+    )
+    cur = ev
+    for rnd in range(1, _FEISTEL_ROUNDS + 1):
+        fh = hash60(
+            F.concat(F.lit(f"f{rnd}|"), F.col("r").cast("string"))
+        ).bitwiseAND(F.lit(mask))
+        cur = cur.select(
+            "x",
+            F.col("r").alias("l"),
+            F.col("l").bitwiseXOR(fh).alias("r"),
+        )
+    perm = cur.select("x", (F.col("l") * (1 << bits) + F.col("r")).alias("y"))
+    return perm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("y").cast("bigint").alias("n_distinct"),
+        F.min("y").cast("bigint").alias("min_y"),
+        F.max("y").cast("bigint").alias("max_y"),
+        F.sum(F.when(F.col("y") == F.col("x"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_fixed_points"),
+        F.expr("bit_xor(y)").cast("bigint").alias("perm_xor"),
+    )

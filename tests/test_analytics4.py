@@ -801,3 +801,54 @@ def test_readability_fk_hand_example(spark, monkeypatch):
     assert r.fk_grade_q6 == expect
     # consonant-only token: syllable floor of 1, sentence floor of 1
     assert (got[1].n_syll, got[1].n_sents) == (1, 1)
+
+
+def test_pr_auc_perfect_and_random_ranker(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    # perfect separation: correct docs all have conf 1.0, wrong all 0.2
+    docs = [("the and of", "en")] * 8 + [("xyz", "de")] * 4
+    pdf = pd.DataFrame({
+        "doc_id": range(len(docs)), "text": [t for t, _ in docs],
+        "lang": [l for _, l in docs], "source": ["s"] * len(docs),
+        "n_chars": [len(t) for t, _ in docs]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.ml_pr_auc(spark, "u").collect()[0]
+    assert r.n_pos == 8
+    # perfect ranking -> PR-AUC ~ 1 (trapezoid on two points)
+    assert r.pr_auc_q6 > 950_000
+
+
+def test_feistel_is_bijective_and_stable(spark, monkeypatch):
+    import hashlib
+
+    from cudf_spark.queries import analytics4 as mod
+
+    base = pd.Timestamp("2024-02-01")
+    ids = list(range(500)) + [10_000 + i for i in range(100)]
+    rows = [(i, base + pd.Timedelta(seconds=k), 1, "t", 1.0, "{}")
+            for k, i in enumerate(ids)]
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.misc_feistel_permutation(spark, "u").collect()[0]
+
+    bits, mask = mod._FEISTEL_BITS, (1 << mod._FEISTEL_BITS) - 1
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def perm(x):
+        l, rr = x >> bits, x & mask
+        for rnd in range(1, mod._FEISTEL_ROUNDS + 1):
+            l, rr = rr, l ^ (h60(f"f{rnd}|{rr}") & mask)
+        return (l << bits) | rr
+
+    ys = [perm(i) for i in ids]
+    assert r.n == len(ids)
+    assert r.n_distinct == len(set(ys)) == len(ids)  # bijection
+    assert r.min_y == min(ys) and r.max_y == max(ys)
+    x = 0
+    for y in ys:
+        x ^= y
+    assert r.perm_xor == x
+    assert r.n_fixed_points == sum(1 for i, y in zip(ids, ys) if i == y)

@@ -2975,3 +2975,144 @@ def misc_feistel_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_fixed_points"),
         F.expr("bit_xor(y)").cast("bigint").alias("perm_xor"),
     )
+
+
+@register(
+    "events_price_elasticity",
+    oracle="""
+    WITH binned AS (
+        SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS pb,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1
+    ), pts AS (
+        SELECT CAST(floor(1000000.0 * log2(CAST(pb * 5000 + 2500 AS DOUBLE)))
+                    AS BIGINT) AS x,
+               CAST(floor(1000000.0 * log2(CAST(qty AS DOUBLE))) AS BIGINT)
+                   AS y
+        FROM binned WHERE pb >= 0 AND qty > 0
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pts
+    )
+    SELECT n,
+           CAST(floor(1000000.0
+               * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+               AS elasticity_q6
+    FROM m
+    """,
+    doc="price elasticity of demand by log-log regression over the "
+    "price-band lattice (the econometrics workhorse: elasticity = "
+    "d ln Q / d ln P, estimated as the OLS slope of log quantity on "
+    "log band-midpoint price): per-band quantities from one keyed "
+    "groupBy, per-band log2 points floor-quantized into exact "
+    "integers (the text_zipf_fit discipline — log2, never ln), OLS "
+    "moments as BIGINTs, slope in one identical double expression. "
+    "Band grain everywhere after the single scan.",
+)
+def events_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    binned = li.groupBy(
+        F.floor(F.col("l_extendedprice") / 5000.0).cast("bigint").alias("pb")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+    pts = binned.filter((F.col("pb") >= 0) & (F.col("qty") > 0)).select(
+        F.floor(
+            1000000.0
+            * F.log2((F.col("pb") * 5000 + 2500).cast("double"))
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.floor(1000000.0 * F.log2(F.col("qty").cast("double")))
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    d_ = lambda c: F.col(c).cast("double")
+    slope = (d_("n") * d_("sxy") - d_("sx") * d_("sy")) / (
+        d_("n") * d_("sxx") - d_("sx") * d_("sx")
+    )
+    return m.select(
+        "n", F.floor(1000000.0 * slope).cast("bigint").alias("elasticity_q6")
+    )
+
+
+@register(
+    "graph_transitivity_global",
+    oracle="""
+    WITH pp AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), eu AS MATERIALIZED (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM eu UNION ALL SELECT v FROM eu)
+        GROUP BY node
+    ), tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS t
+        FROM eu e1
+        JOIN eu e2 ON e2.u = e1.v
+        JOIN eu e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), wedges AS (
+        SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS w FROM deg
+    )
+    SELECT t.t AS n_triangles, w.w AS n_wedges,
+           CASE WHEN w.w > 0
+                THEN CAST(3 * t.t * 1000000 // w.w AS BIGINT) END
+               AS transitivity_q6
+    FROM tri t CROSS JOIN wedges w
+    """,
+    doc="global clustering coefficient (transitivity = 3*triangles / "
+    "wedges; Newman 2003 — the one-number cohesion summary over the "
+    "same co-ordered graph graph_triangle_count ranks locally): "
+    "triangles by the ordered a<b<c triple join, wedges as the exact "
+    "sum of d*(d-1)/2 over the degree table, ratio in truncating "
+    "micro-units with the zero-wedge guard. Every join endpoint-"
+    "keyed; at 100 TB the triangle join uses the degree-oriented "
+    "variant graph_triangle_count already implements.",
+)
+def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    eu = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        eu.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    e1 = eu.select(F.col("u").alias("a1"), F.col("v").alias("b1"))
+    e2 = eu.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+    e3 = eu.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b2") == F.col("b1"))
+        .join(e3, (F.col("a3") == F.col("a1")) & (F.col("c3") == F.col("c2")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("w")
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        F.col("t").alias("n_triangles"),
+        F.col("w").alias("n_wedges"),
+        F.when(F.col("w") > 0, F.expr("3 * t * 1000000 div w"))
+        .cast("bigint")
+        .alias("transitivity_q6"),
+    )

@@ -852,3 +852,65 @@ def test_feistel_is_bijective_and_stable(spark, monkeypatch):
         x ^= y
     assert r.perm_xor == x
     assert r.n_fixed_points == sum(1 for i, y in zip(ids, ys) if i == y)
+
+
+def test_price_elasticity_constant_elasticity_model(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics4 as mod
+
+    # demand qty per band ~ K * price^-1.5: recover -1.5
+    rows = []
+    ln = 0
+    for pb in range(1, 20):
+        price = pb * 5000 + 2500
+        qty = int(round(1e12 * price ** (-1.5)))
+        # spread qty over rows of quantity <= 50 each
+        remaining = min(qty, 20000)
+        while remaining > 0:
+            q = min(50, remaining)
+            ln += 1
+            rows.append((ln, 1, 1, ln, float(q), float(price) - 2400.0,
+                         0.0, 0.0, "N", "O", pd.Timestamp("2024-01-01")))
+            remaining -= q
+    pdf = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.events_price_elasticity(spark, "u").collect()[0]
+    assert r.n == 19
+    # qty caps distort the top bands slightly; slope close to -1.5
+    assert -1_700_000 < r.elasticity_q6 < -1_200_000
+
+
+def test_transitivity_triangle_vs_star(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    def build(orders):
+        rows = []
+        ln = 0
+        for o, parts in enumerate(orders):
+            for p in parts:
+                ln += 1
+                rows.append((o, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                             pd.Timestamp("2024-01-01")))
+        return pd.DataFrame(rows, columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate"])
+
+    # one triangle: transitivity = 1
+    monkeypatch.setattr(mod, "load",
+                        lambda s, d, n: spark.createDataFrame(build([[1, 2, 3]])))
+    r = mod.graph_transitivity_global(spark, "u").collect()[0]
+    assert (r.n_triangles, r.n_wedges, r.transitivity_q6) == (1, 3, 1_000_000)
+
+    # star (hub 0 with 4 leaves, pairwise orders only): no triangles
+    star = [[0, k] for k in range(1, 5)]
+    monkeypatch.setattr(mod, "load",
+                        lambda s, d, n: spark.createDataFrame(build(star)))
+    r2 = mod.graph_transitivity_global(spark, "u").collect()[0]
+    assert r2.n_triangles == 0
+    assert r2.n_wedges == 6  # C(4,2) at the hub
+    assert r2.transitivity_q6 == 0

@@ -864,8 +864,9 @@ def test_price_elasticity_constant_elasticity_model(spark, monkeypatch):
     ln = 0
     for pb in range(1, 20):
         price = pb * 5000 + 2500
-        qty = int(round(1e12 * price ** (-1.5)))
-        # spread qty over rows of quantity <= 50 each
+        qty = int(round(1e10 * price ** (-1.5)))
+        # spread qty over rows of quantity <= 50 each (1e10 keeps every
+        # band's qty inside the spread budget so no band saturates)
         remaining = min(qty, 20000)
         while remaining > 0:
             q = min(50, remaining)

@@ -3116,3 +3116,156 @@ def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("transitivity_q6"),
     )
+
+
+@register(
+    "agg_hdr_latency_percentiles",
+    oracle="""
+    WITH lat AS (
+        -- synthetic latency: microseconds between consecutive events per
+        -- user (the interarrival stream re-read as a latency series)
+        SELECT us - lag(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS v
+        FROM (SELECT user_id, event_id,
+                     epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+    ), pos AS (SELECT v FROM lat WHERE v IS NOT NULL AND v > 0),
+    bucketed AS (
+        -- HdrHistogram bucketing: exponent = floor(log2 v) via bit
+        -- length, 8 sub-buckets per octave (3 significant bits)
+        SELECT CAST(length(bin(v)) AS BIGINT) AS exponent,
+               CAST(CASE WHEN length(bin(v)) <= 3 THEN 0
+                    ELSE (v >> (length(bin(v)) - 4)) & 7 END AS BIGINT)
+                   AS sub,
+               v
+        FROM pos
+    ), hist AS (
+        SELECT exponent, sub, CAST(count(*) AS BIGINT) AS c,
+               CAST(min(v) AS BIGINT) AS lo
+        FROM bucketed GROUP BY exponent, sub
+    ), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    cum AS (
+        SELECT exponent, sub, lo,
+               sum(c) OVER (ORDER BY exponent, sub
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    ), picks AS (
+        SELECT q.pm,
+               (SELECT CAST(min(lo) AS BIGINT) FROM cum, tot
+                WHERE 1000 * cum.cum >= q.pm * tot.n) AS bucket_lo
+        FROM (VALUES (500), (990), (999)) AS q(pm)
+    )
+    SELECT pm AS percentile_pm, bucket_lo,
+           (SELECT CAST(n AS BIGINT) FROM tot) AS n_samples
+    FROM picks ORDER BY pm
+    """,
+    doc="HdrHistogram-style latency percentiles (Tene's High Dynamic "
+    "Range histogram — THE latency-SLO data structure: log2 octaves x "
+    "8 sub-buckets give ~12% worst-case relative error at any "
+    "magnitude with a few hundred fixed buckets): inter-event gaps as "
+    "the latency series, bucket = (bit length, top-3-bits sub-bucket) "
+    "in pure integer shift/mask codegen, p50/p99/p999 by the exact "
+    "rank rule over the bucket cumsum, reported as the bucket's "
+    "observed floor. The fixed bucket table is what makes the sketch "
+    "mergeable across runs at 100 TB (the sketches-family contract); "
+    "one keyed lag + one groupBy is the data pass.",
+)
+def agg_hdr_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lat = ev.select((F.col("us") - F.lag("us").over(w)).alias("v")).filter(
+        F.col("v").isNotNull() & (F.col("v") > 0)
+    )
+    blen = F.length(F.bin("v")).cast("bigint")
+    # the python shiftrightunsigned only takes a literal shift — the SQL
+    # form accepts a column expression
+    sub = (
+        F.when(blen <= 3, F.lit(0))
+        .otherwise(
+            F.expr(
+                "shiftrightunsigned(v, CAST(length(bin(v)) - 4 AS INT)) & 7"
+            )
+        )
+        .cast("bigint")
+    )
+    bucketed = lat.select(blen.alias("exponent"), sub.alias("sub"), "v")
+    hist = bucketed.groupBy("exponent", "sub").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.min("v").cast("bigint").alias("lo"),
+    )
+    tot = hist.agg(F.sum("c").cast("bigint").alias("n"))
+    wcum = Window.orderBy("exponent", "sub").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    qs = spark.createDataFrame([(500,), (990,), (999,)], "pm int")
+    picks = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qs))
+        .filter(1000 * F.col("cum") >= F.col("pm") * F.col("n"))
+        .groupBy("pm")
+        .agg(F.min("lo").cast("bigint").alias("bucket_lo"))
+    )
+    return (
+        picks.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("pm").alias("percentile_pm"),
+            "bucket_lo",
+            F.col("n").cast("bigint").alias("n_samples"),
+        )
+        .orderBy("percentile_pm")
+    )
+
+
+@register(
+    "stats_dispersion_index",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS ss
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n, s AS total,
+           -- dispersion D = Var/Mean as an exact rational on the count
+           -- lattice: D = n*(n*ss - s*s) / ((n-1) * n * s) -> micro-units
+           CAST((n * ss - s * s) * 1000000 // ((n - 1) * s) AS BIGINT)
+               AS dispersion_q6
+    FROM m WHERE n > 1 AND s > 0 ORDER BY event_type
+    """,
+    doc="index of dispersion (variance-to-mean ratio of daily volumes — "
+    "the Poisson-ness check that decides count-model choice: D ~ 1 "
+    "Poisson, D >> 1 overdispersed/bursty, D < 1 regular): the "
+    "sample-variance/mean ratio collapses to the exact integer "
+    "rational (n*ss - s^2) / ((n-1)*s), one truncating micro-division, "
+    "ZERO float. Guards empty/degenerate groups. Day grain after one "
+    "keyed count — the companion diagnostic to "
+    "events_interarrival_burstiness.",
+)
+def stats_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    return (
+        m.filter((F.col("n") > 1) & (F.col("s") > 0))
+        .select(
+            "event_type",
+            "n",
+            F.col("s").alias("total"),
+            F.expr("(n * ss - s * s) * 1000000 div ((n - 1) * s)")
+            .cast("bigint")
+            .alias("dispersion_q6"),
+        )
+        .orderBy("event_type")
+    )

@@ -915,3 +915,63 @@ def test_transitivity_triangle_vs_star(spark, monkeypatch):
     assert r2.n_triangles == 0
     assert r2.n_wedges == 6  # C(4,2) at the hub
     assert r2.transitivity_q6 == 0
+
+
+def test_hdr_buckets_bounded_relative_error(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    base = pd.Timestamp("2024-02-01")
+    # gaps: 10us x 500, 1000us x 400, 100000us x 100 (p50=10, p99~100000)
+    rows = [(0, base, 1, "t", 1.0, "{}")]
+    eid = 1
+    t = base
+    import itertools as it
+    gaps = list(it.chain([10] * 500, [1000] * 400, [100000] * 100))
+    for g in gaps:
+        t = t + pd.Timedelta(microseconds=g)
+        rows.append((eid, t, 1, "t", 1.0, "{}")); eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.percentile_pm: r.bucket_lo
+           for r in mod.agg_hdr_latency_percentiles(spark, "u").collect()}
+
+    exact = sorted(gaps)
+    n = len(exact)
+    for pm in (500, 990, 999):
+        true_v = exact[max(0, (pm * n + 999) // 1000 - 1)]
+        # bucket floor is within one HDR bucket (<= 12.5% relative) below
+        assert got[pm] <= true_v
+        assert got[pm] >= true_v * 0.85
+    assert got[500] == 10  # constant-valued bucket reports exactly
+
+
+def test_dispersion_index_poisson_vs_bursty(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics4 as mod
+
+    rng = np.random.RandomState(127)
+    base = pd.Timestamp("2024-02-01")
+    rows = []
+    eid = 0
+    for d in range(25):
+        # 'poisson': lambda 20; 'bursty': 5 or 60 alternating
+        for _ in range(int(rng.poisson(20))):
+            rows.append((eid, base + pd.Timedelta(days=d, seconds=eid % 80000),
+                         1, "poisson", 1.0, "{}")); eid += 1
+        nb = 5 if d % 2 == 0 else 60
+        for _ in range(nb):
+            rows.append((eid, base + pd.Timedelta(days=d, seconds=eid % 80000),
+                         1, "bursty", 1.0, "{}")); eid += 1
+    pdf = _events(rows)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    out = {r.event_type: r.dispersion_q6
+           for r in mod.stats_dispersion_index(spark, "u").collect()}
+
+    assert out["poisson"] < 3_000_000       # near-Poisson: D ~ 1
+    assert out["bursty"] > 10_000_000       # alternating: heavy overdispersion
+    # exact rational identity
+    daily = pdf[pdf.event_type == "bursty"].groupby(
+        pdf[pdf.event_type == "bursty"]["ts"].dt.date).size()
+    n, s, ss = len(daily), int(daily.sum()), int((daily ** 2).sum())
+    assert out["bursty"] == (n * ss - s * s) * 1_000_000 // ((n - 1) * s)

@@ -3269,3 +3269,257 @@ def stats_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "text_msttr_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t,
+               generate_subscripts(string_split(
+            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '), 1)
+                   AS pos
+        FROM documents
+    ), chunked AS (
+        SELECT doc_id, (pos - 1) // 25 AS chunk, t
+        FROM toks WHERE t != ''
+    ), per_chunk AS (
+        -- only FULL 25-token chunks count (MSTTR's defining fix for the
+        -- length bias of raw TTR)
+        SELECT doc_id, chunk,
+               CAST(count(DISTINCT t) AS BIGINT) AS types,
+               CAST(count(*) AS BIGINT) AS n
+        FROM chunked GROUP BY doc_id, chunk
+        HAVING count(*) = 25
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(types) AS BIGINT) AS sum_types,
+           CAST(sum(types) * 1000000 // (25 * count(*)) AS BIGINT)
+               AS msttr_q6
+    FROM per_chunk GROUP BY doc_id
+    ORDER BY doc_id LIMIT 200
+    """,
+    doc="MSTTR lexical diversity (mean segmental type-token ratio, "
+    "Johnson 1944 — the length-unbiased TTR every text-quality stack "
+    "reports; raw TTR falls with document length, segmenting fixes "
+    "it): 25-token disjoint chunks, distinct-type counts per chunk, "
+    "mean ratio in exact micro-units (partial tail chunks excluded by "
+    "the HAVING — the defining MSTTR rule). One tokenize pass; "
+    "chunking is integer position arithmetic; the distinct count is "
+    "(doc, chunk)-keyed.",
+)
+def text_msttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias(
+            "pos0", "t"
+        ),
+    ).filter(F.col("t") != "")
+    chunked = toks.select(
+        "doc_id", F.expr("pos0 div 25").alias("chunk"), "t"
+    )
+    per_chunk = (
+        chunked.groupBy("doc_id", "chunk")
+        .agg(
+            F.countDistinct("t").cast("bigint").alias("types"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .filter(F.col("n") == 25)
+    )
+    return (
+        per_chunk.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("types").cast("bigint").alias("sum_types"),
+        )
+        .withColumn(
+            "msttr_q6",
+            F.expr("sum_types * 1000000 div (25 * n_chunks)").cast("bigint"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@register(
+    "stats_ljung_box",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), idx AS (
+        SELECT row_number() OVER (ORDER BY day) AS i, c FROM daily
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s
+        FROM idx
+    ), dev AS (
+        -- deviations x1000 kept integer: d = 1000*c*n - 1000*s stays on
+        -- the integer lattice scaled by n
+        SELECT i, c FROM idx
+    ), lags AS (
+        SELECT l.lag,
+               CAST(sum((a.c * m.n - m.s) * (b.c * m.n - m.s)) AS HUGEINT)
+                   AS num,
+               (SELECT CAST(sum((x.c * m2.n - m2.s)
+                               * (x.c * m2.n - m2.s)) AS HUGEINT)
+                FROM dev x, m m2) AS den
+        FROM (VALUES (1), (2), (3), (4), (5)) AS l(lag)
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.i = a.i + l.lag
+        CROSS JOIN m
+        GROUP BY l.lag
+    ), rho AS (
+        SELECT lag,
+               CAST(floor(1000000.0 * CAST(num AS DOUBLE)
+                          / CAST(den AS DOUBLE)) AS BIGINT) AS rho_q6
+        FROM lags
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM m) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_lags,
+           CAST(floor((SELECT n FROM m) * ((SELECT n FROM m) + 2.0)
+               * sum((rho_q6 / 1000000.0) * (rho_q6 / 1000000.0)
+                     / ((SELECT n FROM m) - lag))) AS BIGINT) AS q_stat
+    FROM rho
+    """,
+    doc="Ljung-Box portmanteau test over lags 1-5 of the daily volume "
+    "series (Ljung & Box 1978 — the 'is there ANY autocorrelation "
+    "left' residual check; generalizes win_autocorr_lag's single "
+    "lag): mean-centered products kept exact by scaling deviations by "
+    "n (c*n - s is integer; products need 128-bit — HUGEINT/"
+    "DECIMAL(38,0)), per-lag rho floor-quantized, and "
+    "Q = n(n+2) sum rho_k^2/(n-k) evaluated on the QUANTIZED rhos so "
+    "both engines square identical integers. Day grain throughout.",
+)
+def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wrn = Window.orderBy("day")
+    idx = daily.select(F.row_number().over(wrn).alias("i"), "c")
+    m = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    dec = "decimal(38,0)"
+    dev = idx.crossJoin(F.broadcast(m)).select(
+        "i", F.expr("c * n - s").alias("d"), "n"
+    )
+    den = dev.agg(
+        F.expr(f"sum(CAST(d AS {dec}) * d)").alias("den")
+    )
+    lags = spark.createDataFrame([(k,) for k in range(1, 6)], "lag int")
+    a = dev.select(F.col("i").alias("ia"), F.col("d").alias("da"))
+    b = dev.select(F.col("i").alias("ib"), F.col("d").alias("db"))
+    nums = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ib") == F.col("ia") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.expr(f"sum(CAST(da AS {dec}) * db)").alias("num"))
+    )
+    rho = nums.crossJoin(F.broadcast(den)).select(
+        "lag",
+        F.floor(
+            1000000.0
+            * F.col("num").cast("double")
+            / F.col("den").cast("double")
+        )
+        .cast("bigint")
+        .alias("rho_q6"),
+    )
+    return (
+        rho.crossJoin(F.broadcast(m))
+        .groupBy("n")  # constant: broadcast scalar — lets n appear in agg
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lags"),
+            F.floor(
+                F.col("n")
+                * (F.col("n") + 2.0)
+                * F.sum(
+                    (F.col("rho_q6") / 1000000.0)
+                    * (F.col("rho_q6") / 1000000.0)
+                    / (F.col("n") - F.col("lag"))
+                )
+            )
+            .cast("bigint")
+            .alias("q_stat"),
+        )
+        .select(F.col("n").cast("bigint").alias("n_days"), "n_lags", "q_stat")
+    )
+
+
+@register(
+    "pipeline_curriculum_phases",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(len(list_filter(string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                   w -> w != '')) AS BIGINT) AS n_words
+        FROM documents
+    ), scored AS (
+        -- difficulty = chars-per-word in micro-units (longer words ->
+        -- harder), deterministic doc tiebreak
+        SELECT doc_id, n_chars, n_words,
+               CAST(n_chars * 1000000 // greatest(n_words, 1) AS BIGINT)
+                   AS difficulty_q6
+        FROM feats
+    ), phased AS (
+        SELECT doc_id, difficulty_q6,
+               ntile(4) OVER (ORDER BY difficulty_q6, doc_id) AS phase
+        FROM scored
+    )
+    SELECT CAST(phase AS BIGINT) AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(difficulty_q6) AS BIGINT) AS min_difficulty_q6,
+           CAST(max(difficulty_q6) AS BIGINT) AS max_difficulty_q6,
+           CAST(sum(doc_id) AS BIGINT) AS docid_sum
+    FROM phased GROUP BY phase ORDER BY phase
+    """,
+    doc="curriculum-learning phase assignment (Bengio 2009 — order "
+    "training data easy-to-hard): difficulty = chars-per-word in "
+    "exact micro-units (the cheap fluency proxy; swap in "
+    "text_readability_fk's grade for the full score), phases = "
+    "ntile(4) over the deterministic (difficulty, doc_id) order. "
+    "Output per phase: size, difficulty range, membership checksum. "
+    "The ntile is a single global sort at doc grain — at 100 TB the "
+    "same assignment comes from the exact rank rule on the difficulty "
+    "histogram (the agg_equidepth_bins machinery), documented here as "
+    "the scale path.",
+)
+def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.functions.textfns import normalize_text
+
+    d = load(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(normalize_text(F.col("text")), " "), lambda w: w != ""
+    )
+    scored = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(words).cast("bigint").alias("n_words"),
+    ).select(
+        "doc_id",
+        F.expr("n_chars * 1000000 div greatest(n_words, 1)")
+        .cast("bigint")
+        .alias("difficulty_q6"),
+    )
+    w = Window.orderBy("difficulty_q6", "doc_id")
+    phased = scored.withColumn("phase", F.ntile(4).over(w))
+    return (
+        phased.groupBy(F.col("phase").cast("bigint").alias("phase"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("difficulty_q6").cast("bigint").alias("min_difficulty_q6"),
+            F.max("difficulty_q6").cast("bigint").alias("max_difficulty_q6"),
+            F.sum("doc_id").cast("bigint").alias("docid_sum"),
+        )
+        .orderBy("phase")
+    )

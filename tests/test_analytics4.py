@@ -975,3 +975,70 @@ def test_dispersion_index_poisson_vs_bursty(spark, monkeypatch):
         pdf[pdf.event_type == "bursty"]["ts"].dt.date).size()
     n, s, ss = len(daily), int(daily.sum()), int((daily ** 2).sum())
     assert out["bursty"] == (n * ss - s * s) * 1_000_000 // ((n - 1) * s)
+
+
+def test_msttr_exact_chunks(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    # 55 tokens: chunk0 = 25 distinct, chunk1 = one word repeated 25x,
+    # 5-token tail excluded
+    words = [f"w{i}" for i in range(25)] + ["same"] * 25 + ["tail"] * 5
+    text = " ".join(words)
+    pdf = pd.DataFrame({"doc_id": [0], "text": [text], "lang": ["en"],
+                        "source": ["s"], "n_chars": [len(text)]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    r = mod.text_msttr_lexical_diversity(spark, "u").collect()[0]
+    assert r.n_chunks == 2
+    assert r.sum_types == 25 + 1
+    assert r.msttr_q6 == 26 * 1_000_000 // 50
+
+
+def test_ljung_box_white_vs_autocorrelated(spark, monkeypatch):
+    import numpy as np
+
+    from cudf_spark.queries import analytics4 as mod
+
+    rng = np.random.RandomState(131)
+    base = pd.Timestamp("2024-03-01")
+
+    def mk(counts):
+        rows = []
+        eid = 0
+        for d, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, base + pd.Timedelta(days=d, seconds=eid % 80000),
+                             1, "t", 1.0, "{}")); eid += 1
+        return _events(rows)
+
+    # strongly lag-1-autocorrelated: slow sinusoid-ish ramp
+    trend = [50 + 3 * min(d, 29 - d) for d in range(30)]
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(mk(trend)))
+    r_trend = mod.stats_ljung_box(spark, "u").collect()[0]
+    # white noise
+    white = [50 + int(rng.randint(-5, 6)) for _ in range(30)]
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(mk(white)))
+    r_white = mod.stats_ljung_box(spark, "u").collect()[0]
+
+    assert r_trend.n_days == r_white.n_days == 30
+    assert r_trend.q_stat > 30  # heavy autocorrelation
+    assert r_white.q_stat < r_trend.q_stat
+
+
+def test_curriculum_phases_partition_properties(spark, monkeypatch):
+    from cudf_spark.queries import analytics4 as mod
+
+    texts = ["a " * (i + 1) + "x" * (3 * i + 1) for i in range(40)]
+    pdf = pd.DataFrame({
+        "doc_id": range(40), "text": texts, "lang": ["en"] * 40,
+        "source": ["s"] * 40, "n_chars": [len(t) for t in texts]})
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    rows = mod.pipeline_curriculum_phases(spark, "u").collect()
+
+    assert [r.phase for r in rows] == [1, 2, 3, 4]
+    assert sum(r.n_docs for r in rows) == 40
+    assert all(r.n_docs == 10 for r in rows)  # ntile on 40 docs balances
+    # phases are difficulty-ordered and non-overlapping
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_difficulty_q6 <= b.min_difficulty_q6
+    # membership checksum partitions the id space
+    assert sum(r.docid_sum for r in rows) == sum(range(40))

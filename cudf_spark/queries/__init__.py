@@ -202,13 +202,31 @@ def _rotation_from_driver_records(records_dir: str) -> list[str] | None:
         "text_sparse_cosine_pairs", "text_unigram_tokenize",
         "win_cumulative_distinct", "win_pct_change", "win_rolling_median",
     }
+    # The round-6 pin (VERDICT r05 item 3: the 10 scale-audit-flagged
+    # queries — 3 rewritten this round, 7 whitelisted bounded-lattice —
+    # plus the 6 io_* queries, the first driver-side proof of the whole
+    # IO layer). They registered at positions 76–131 of the never-checked
+    # backlog, outside the ~50-query driver window, so like `oldest` and
+    # `r4_wave` they are pinned by name.
+    r6_pin = {
+        "stats_hill_tail_index", "pipeline_curriculum_phases",
+        "graph_rich_club_coefficient", "agg_hdr_latency_percentiles",
+        "stats_ljung_box", "stats_sprt_crossing", "stats_odds_ratio_mh",
+        "stats_youden_j_threshold", "ml_pr_auc",
+        "misc_shard_rebalance_pairing",
+        "io_avro_roundtrip_agg", "io_bucketed_join_agg",
+        "io_multiformat_roundtrip", "io_parquet_codec_roundtrip",
+        "io_partitioned_write_pruning", "io_schema_evolution_merge",
+    }
     # oldest first (the judge's explicit round-3 ask outranks everything),
-    # then the round-4 wave (judge's round-4 ask), then oracle-backed
-    # before rows-only among the newest cohort
+    # then the round-4 wave (judge's round-4 ask), then the round-6 pin
+    # (judge's round-5 ask), then oracle-backed before rows-only among
+    # the newest cohort
     never.sort(
         key=lambda n: (
             n not in oldest,
             n not in r4_wave,
+            n not in r6_pin,
             REGISTRY[n].oracle is None,
         )
     )

@@ -131,8 +131,11 @@ _LN2 = 0.6931471805599453
     "by ln2 as a shared double literal, nano-quantized at item grain "
     "so the sum is an order-free BIGINT; alpha by truncating integer "
     "division, NULL when the top-k plateau is flat (sum 0). User-grain "
-    "count is the only data pass; order statistics live on the "
-    "bounded top-k panel.",
+    "count is the only data pass; k <= 100 so the panel is fetched with "
+    "orderBy().limit(100) — TakeOrderedAndProject, a bounded per-"
+    "partition heap + single merge, never a global sort — and the rank "
+    "window runs on the <=100-row panel (already single-partition, no "
+    "exchange); n comes from a separate merge agg.",
 )
 def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -140,11 +143,16 @@ def stats_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     n = cnts.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # k = min(100, n div 2) <= 100, so every rank the estimator touches
+    # (rn < k for the terms, rn == k for x_min) lives in the top-100
+    # panel. TakeOrderedAndProject keeps a 100-row heap per partition and
+    # merges once — no Exchange SinglePartition over the user table —
+    # and the panel's output partitioning IS SinglePartition, so the
+    # row_number window below plans with no exchange at all.
+    panel = cnts.orderBy(F.desc("c"), "user_id").limit(100)
     rw = Window.orderBy(F.desc("c"), "user_id")
-    ranked = cnts.withColumn("rn", F.row_number().over(rw).cast("bigint")).crossJoin(
-        F.broadcast(n)
-    )
-    kk = ranked.limit(1).select(
+    ranked = panel.withColumn("rn", F.row_number().over(rw).cast("bigint"))
+    kk = n.select(
         F.least(F.lit(100), F.expr("n div 2")).cast("bigint").alias("k"), "n"
     )
     xmin = ranked.crossJoin(F.broadcast(kk.select("k"))).filter(
@@ -1461,7 +1469,10 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q")
         .agg(F.min("d").cast("bigint").alias("k"))
     )
-    rich = ks.join(deg, deg.d > ks.k).select("q", "k", "node")
+    # theta join with a 2-row build side: broadcast it so Spark plans a
+    # BroadcastNestedLoopJoin (bounded replication) instead of falling
+    # back to CartesianProduct
+    rich = F.broadcast(ks).join(deg, deg.d > ks.k).select("q", "k", "node")
     # LEFT from ks: an empty club must still emit its row (n_rich = 0)
     stats = ks.join(
         rich.groupBy("q").agg(
@@ -3487,12 +3498,15 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training data easy-to-hard): difficulty = chars-per-word in "
     "exact micro-units (the cheap fluency proxy; swap in "
     "text_readability_fk's grade for the full score), phases = "
-    "ntile(4) over the deterministic (difficulty, doc_id) order. "
-    "Output per phase: size, difficulty range, membership checksum. "
-    "The ntile is a single global sort at doc grain — at 100 TB the "
-    "same assignment comes from the exact rank rule on the difficulty "
-    "histogram (the agg_equidepth_bins machinery), documented here as "
-    "the scale path.",
+    "equi-depth quartiles over the deterministic (difficulty, doc_id) "
+    "order — NO global sort at doc grain: each doc's global rank is "
+    "reconstructed as (docs with strictly smaller difficulty, from the "
+    "cumsum of the difficulty-value histogram — a bounded lattice, "
+    "never doc rows) + (row_number within its difficulty group, a "
+    "difficulty-keyed window), and the phase comes from the exact "
+    "ntile rank rule applied to that rank. Output per phase: size, "
+    "difficulty range, membership checksum — identical to ntile(4) by "
+    "construction, which is what the oracle pins.",
 )
 def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cudf_spark.functions.textfns import normalize_text
@@ -3511,8 +3525,40 @@ def pipeline_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("difficulty_q6"),
     )
-    w = Window.orderBy("difficulty_q6", "doc_id")
-    phased = scored.withColumn("phase", F.ntile(4).over(w))
+    # rank rule on the difficulty histogram: `base` = docs strictly
+    # easier, via a cumsum on the VALUE lattice (one row per distinct
+    # difficulty — bounded by the quantization range, not by doc count)
+    hist = scored.groupBy("difficulty_q6").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wlat = Window.orderBy("difficulty_q6").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base = hist.select(
+        "difficulty_q6",
+        (F.sum("c").over(wlat) - F.col("c")).cast("bigint").alias("base"),
+    )
+    n = scored.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # within-difficulty tiebreak rank: difficulty-keyed window, doc_id
+    # order — groups are tiny under micro-unit quantization
+    wgrp = Window.partitionBy("difficulty_q6").orderBy("doc_id")
+    ranked = (
+        scored.withColumn("grn", F.row_number().over(wgrp).cast("bigint"))
+        .join(base, "difficulty_q6")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.col("base") + F.col("grn"))
+    )
+    # exact ntile(4) arithmetic from the global rank: the first n%4
+    # buckets take ceil(n/4) rows, the rest floor(n/4)
+    phased = ranked.withColumn(
+        "phase",
+        F.expr(
+            "CASE WHEN rn <= (n % 4) * (n div 4 + 1)"
+            "     THEN (rn + n div 4) div (n div 4 + 1)"
+            "     ELSE n % 4 + (rn - (n % 4) * (n div 4 + 1) + n div 4 - 1)"
+            "          div (n div 4) END"
+        ).cast("bigint"),
+    )
     return (
         phased.groupBy(F.col("phase").cast("bigint").alias("phase"))
         .agg(

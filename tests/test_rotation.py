@@ -83,3 +83,38 @@ def test_dynamic_rotation_from_synthetic_records(tmp_path):
     never = {q for q in REGISTRY if q not in checked}
     assert ROUND3_NEW <= never
     assert never == set(order[1 : 1 + len(never)])
+
+
+def test_r6_pin_cohort_in_driver_window():
+    """VERDICT r05 item 3: the 10 scale-audit-flagged + 6 io_* queries
+    must occupy the head of the round-6 driver window (~50 slots)."""
+    r6_pin = {
+        "stats_hill_tail_index", "pipeline_curriculum_phases",
+        "graph_rich_club_coefficient", "agg_hdr_latency_percentiles",
+        "stats_ljung_box", "stats_sprt_crossing", "stats_odds_ratio_mh",
+        "stats_youden_j_threshold", "ml_pr_auc",
+        "misc_shard_rebalance_pairing",
+        "io_avro_roundtrip_agg", "io_bucketed_join_agg",
+        "io_multiformat_roundtrip", "io_parquet_codec_roundtrip",
+        "io_partitioned_write_pruning", "io_schema_evolution_merge",
+    }
+    _, checked, _ = _driver_records(_repo_root)
+    window = set(list(REGISTRY)[:50])
+    # queries the driver has since checked have earned their slot back
+    assert r6_pin - checked <= window
+
+
+def test_readme_registry_count_matches():
+    """README's shop-window counts must track len(REGISTRY) — VERDICT r05
+    item 6 (line 18 said 181 while the registry held 387)."""
+    import re
+
+    with open(f"{_repo_root}/README.md") as fh:
+        text = fh.read()
+    oracle_backed = sum(1 for q in REGISTRY.values() if q.oracle is not None)
+    m = re.search(r"registry: (\d+) named queries, (\d+) paired", text)
+    assert m, "README layout line about the registry is missing"
+    assert (int(m.group(1)), int(m.group(2))) == (
+        len(REGISTRY),
+        oracle_backed,
+    )

@@ -84,6 +84,39 @@ KNOWN_BOUNDED = {
     "events_survival_km",
     "events_time_to_convert",
     "doc_neyman_allocation",
+    # round-5 bounded-lattice additions (VERDICT r05 item 5 — each
+    # global window runs AFTER a keyed groupBy collapsed the data to a
+    # lattice whose cardinality is fixed by the quantization, never by
+    # input size):
+    #   agg_hdr_latency_percentiles — the cumsum runs on the HDR
+    #     histogram's 512 fixed buckets (16 sub-buckets x 32
+    #     log2-magnitude tiers), a compile-time-bounded lattice;
+    #   stats_ljung_box — both lag windows run on the DAILY count
+    #     series (one row per calendar day after the day-grain groupBy),
+    #     bounded by the observation calendar;
+    #   stats_sprt_crossing — the sequential LLR prefix scan walks the
+    #     same day-grain series: a sequential test is inherently a scan
+    #     over its (bounded) time axis;
+    #   stats_odds_ratio_mh — the stratum panel (one row per
+    #     day-of-week stratum) is ranked for deterministic output order;
+    #   stats_youden_j_threshold / ml_pr_auc — the ROC/PR sweeps walk
+    #     the QUANTIZED confidence lattice (one row per distinct
+    #     centi-unit score after the score-grain groupBy), bounded by
+    #     the quantization range, never by prediction count;
+    #   misc_shard_rebalance_pairing — greedy donor/receiver pairing
+    #     ranks the SHARD panel (one row per shard), bounded by cluster
+    #     topology, not data;
+    #   pipeline_curriculum_phases — the equi-depth rank rule cumsums
+    #     the difficulty-VALUE histogram (one row per distinct
+    #     micro-unit difficulty); doc-grain work is difficulty-keyed.
+    "agg_hdr_latency_percentiles",
+    "stats_ljung_box",
+    "stats_sprt_crossing",
+    "stats_odds_ratio_mh",
+    "stats_youden_j_threshold",
+    "ml_pr_auc",
+    "misc_shard_rebalance_pairing",
+    "pipeline_curriculum_phases",
 }
 
 

@@ -85,7 +85,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = None
-        for _ in range(2):
+        # One UNTIMED warm-up execution, then two timed runs (min).
+        # Measured round 6: q18's per-run times in a warm JVM decay
+        # 0.94 -> 0.67 -> 0.60 -> 0.55 s — the first two executions still
+        # pay whole-stage-codegen compilation + JIT warm-up of the
+        # generated classes, so min-of-2-with-no-warmup sampled warm-up,
+        # not steady state (the source of q18's phantom r3->r5 "regression"
+        # on unchanged code). On a long-lived cluster every query past its
+        # first few runs is steady-state; that is what the basket measures.
+        for run in range(3):
             if name in iterative:
                 t0 = time.perf_counter()
                 df = REGISTRY[name].build(spark, sf_dir)
@@ -94,7 +102,8 @@ def main() -> None:
                 t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
+            if run > 0:
+                best = elapsed if best is None else min(best, elapsed)
             # operators may persist small intermediates (LSH bands); drop
             # them so queries don't pay each other's cache memory
             spark.catalog.clearCache()

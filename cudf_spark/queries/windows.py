@@ -355,18 +355,61 @@ def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ewma_global_segmented",
-    oracle=None,  # recursive aggregation is not ANSI-SQL-expressible;
-    # verified against pandas ewm on 1M rows in tests/test_operators.py
+    # UPGRADED from rows-only in round 6: the per-user recursive-CTE
+    # replay does not scale to ONE global 10k-row sequence (DuckDB
+    # advances the working table one row per iteration and rescans the
+    # input each time — measured 38 s at sf0.01), but the ENGINE side
+    # is the closed-form segmented scan (N_t/W_t with scaled cumsums),
+    # so the oracle uses the same math non-recursively: a within-block
+    # scaled cumsum (block = 256 rows, so beta^-255 stays far inside
+    # double range), block-final carries composed pairwise (nblocks^2
+    # terms, trivial), and the closed-form geometric denominator.
+    # Verified row-identical to the engine at sf0.001/0.01/0.1 after the
+    # shared round(4).
+    oracle="""
+    WITH r AS (
+        SELECT event_id, CAST(value AS DOUBLE) AS x,
+               row_number() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   - 1 AS i
+        FROM events WHERE value IS NOT NULL
+    ), blk AS (
+        SELECT event_id, x, i, i // 256 AS b, i % 256 AS p FROM r
+    ), loc AS (
+        SELECT event_id, x, i, b, p,
+               power(0.7, p) * sum(x * power(0.7, -p))
+                   OVER (PARTITION BY b ORDER BY p) AS l
+        FROM blk
+    ), fin AS (
+        SELECT b, power(0.7, max(p)) * sum(x * power(0.7, -p)) AS f
+        FROM blk GROUP BY b
+    ), carry AS (
+        SELECT bb.b,
+               coalesce(sum(f.f * power(0.7, 256 * (bb.b - f.b - 1))), 0.0)
+                   AS c
+        FROM (SELECT DISTINCT b FROM blk) bb
+        LEFT JOIN fin f ON f.b < bb.b GROUP BY bb.b
+    )
+    SELECT loc.event_id,
+           round((loc.l + power(0.7, loc.p + 1) * carry.c)
+                 / ((1.0 - power(0.7, loc.i + 1)) / 0.3), 4) AS ewma
+    FROM loc JOIN carry ON carry.b = loc.b
+    ORDER BY loc.event_id
+    """,
     doc="Ungrouped/giant-group EWMA via two-pass segmented scan "
     "(operators/windows.py::ewma_segmented): per-partition fold, exact "
     "carry composition on the driver (one summary row per partition), "
     "rescan with carry-in. The 100 TB path where no executor can hold "
-    "the sequence; pandas ewm semantics, adjust=True.",
+    "the sequence; pandas ewm semantics, adjust=True (verified to "
+    "rtol 1e-9 against pandas on 1M rows in tests/test_operators.py).",
 )
 def ewma_global_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cudf_spark.operators.windows import ewma_segmented
 
-    e = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())  # mirror the oracle's domain
+        .select("event_id", "ts", "value")
+    )
     return (
         ewma_segmented(e, ["ts", "event_id"], "value", alpha=0.3)
         .select("event_id", F.round("ewma", 4).alias("ewma"))

@@ -20,9 +20,17 @@ null/boolean/int/long/float/double/bytes/string, nullable unions in
 either declared order (branch decode is index-driven per the spec),
 multi-branch unions (→ the spark-avro struct-of-nullables ``memberN``
 mapping on read; type-driven branch resolution on write), nested records
-(→ Spark ``struct``), arrays (→ ``array<T>``), and maps with string keys
-(→ ``map<string,T>``) — nesting composes recursively. Named types
-(enum/fixed) raise NotImplementedError. Within-file block parallelism:
+(→ Spark ``struct``), arrays (→ ``array<T>``), maps with string keys
+(→ ``map<string,T>``), named types — ``enum`` (→ ``string``, the
+spark-avro mapping), ``fixed`` (→ ``binary``) — with later by-name
+references resolved through a per-file registry (full and short names),
+and the logical types ``date`` (int → ``date``), ``timestamp-micros`` /
+``timestamp-millis`` (long → ``timestamp``), and ``decimal`` over bytes
+or fixed (big-endian two's-complement unscaled int → ``decimal(p,s)``);
+unrecognized logical types fall back to their base type per the spec.
+Recursive (self-referential) record schemas raise NotImplementedError —
+Spark's static struct types cannot represent them. Nesting composes
+recursively. Within-file block parallelism:
 :func:`read_avro_split` carves files into byte ranges and decodes only
 the sync-delimited blocks starting in each range (the Hadoop
 AvroInputFormat split protocol) for the few-huge-files layout;
@@ -77,40 +85,96 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
     return buf.read(_read_long(buf))
 
 
-def _spark_type(t) -> str:
-    """Recursive Avro-schema → Spark DDL type fragment."""
+def _register_named(t, named: dict, enclosing_ns: str | None = None) -> str | None:
+    """Record a named-type definition (record/enum/fixed) under both its
+    full (namespace-qualified) and short name, per the spec's name
+    resolution rules (a nested named type without its own namespace
+    inherits the enclosing one). Returns the effective namespace, for
+    threading through nested definitions."""
+    name = t.get("name")
+    if not name:
+        return enclosing_ns
+    ns = t.get("namespace", enclosing_ns)
+    full = f"{ns}.{name}" if ns and "." not in name else name
+    named[full] = t
+    named[full.rsplit(".", 1)[-1]] = t
+    return full.rsplit(".", 1)[0] if "." in full else None
+
+
+def _logical_spark_type(t: dict) -> str | None:
+    """Spark DDL fragment for a recognized logical type, else None (the
+    spec says unknown logical types fall back to the base type)."""
+    lt = t.get("logicalType")
+    base = t.get("type")
+    if lt == "date" and base == "int":
+        return "date"
+    if lt in ("timestamp-micros", "timestamp-millis") and base == "long":
+        return "timestamp"
+    if lt == "decimal" and base in ("bytes", "fixed"):
+        return f"decimal({int(t['precision'])}, {int(t.get('scale', 0))})"
+    return None
+
+
+def _spark_type(t, named: dict | None = None, _stack: frozenset = frozenset()) -> str:
+    """Recursive Avro-schema → Spark DDL type fragment. ``named`` is the
+    per-file registry of named-type definitions; ``_stack`` tracks
+    in-progress record names to reject recursive schemas (Spark's static
+    struct types cannot represent them)."""
+    if named is None:
+        named = {}
     if isinstance(t, str):
         if t == "null":
             return "void"
-        if t not in _PRIMITIVE_TO_SPARK:
-            raise NotImplementedError(f"unsupported avro type {t!r}")
-        return _PRIMITIVE_TO_SPARK[t]
+        if t in _PRIMITIVE_TO_SPARK:
+            return _PRIMITIVE_TO_SPARK[t]
+        if t in named:  # reference to a previously-defined named type
+            if t in _stack:
+                raise NotImplementedError(f"recursive avro schema via {t!r}")
+            return _spark_type(named[t], named, _stack)
+        raise NotImplementedError(f"unsupported avro type {t!r}")
     if isinstance(t, list):  # union
         non_null = [b for b in t if b != "null"]
         if len(non_null) == 1:
-            return _spark_type(non_null[0])
+            return _spark_type(non_null[0], named, _stack)
         # multi-branch union -> struct-of-nullables (the spark-avro
         # mapping: one memberN field per non-null branch; exactly one is
         # set per row, all null when the null branch was written)
         inner = ", ".join(
-            f"`member{i}`: {_spark_type(b)}" for i, b in enumerate(non_null)
+            f"`member{i}`: {_spark_type(b, named, _stack)}"
+            for i, b in enumerate(non_null)
         )
         return f"struct<{inner}>"
     if isinstance(t, dict):
         kind = t["type"]
+        logical = _logical_spark_type(t) if isinstance(kind, str) else None
+        if logical is not None:
+            if kind == "fixed":
+                _register_named(t, named)
+            return logical
         if kind == "record":
+            _register_named(t, named)
+            name = t.get("name")
+            stack = _stack | {name} if name else _stack
             inner = ", ".join(
-                f"`{f['name']}`: {_spark_type(f['type'])}" for f in t["fields"]
+                f"`{f['name']}`: {_spark_type(f['type'], named, stack)}"
+                for f in t["fields"]
             )
             return f"struct<{inner}>"
+        if kind == "enum":  # decoded to its symbol — the spark-avro mapping
+            _register_named(t, named)
+            return "string"
+        if kind == "fixed":
+            _register_named(t, named)
+            return "binary"
         if kind == "array":
-            return f"array<{_spark_type(t['items'])}>"
+            return f"array<{_spark_type(t['items'], named, _stack)}>"
         if kind == "map":  # avro map keys are always strings
-            return f"map<string, {_spark_type(t['values'])}>"
+            return f"map<string, {_spark_type(t['values'], named, _stack)}>"
         if isinstance(kind, (list, dict)):
-            return _spark_type(kind)  # wrapped union / nested schema object
+            # wrapped union / nested schema object
+            return _spark_type(kind, named, _stack)
         if isinstance(kind, str) and kind in _PRIMITIVE_TO_SPARK:
-            return _spark_type(kind)  # {"type": "string"} wrapper form
+            return _spark_type(kind, named, _stack)  # {"type": "string"} wrapper
     raise NotImplementedError(f"unsupported avro type {t!r}")
 
 
@@ -132,18 +196,72 @@ def _decode_value(buf: io.BytesIO, type_name: str):
     raise NotImplementedError(f"unsupported avro type {type_name!r}")
 
 
-def _decode(buf: io.BytesIO, schema):
+def _collect_named(schema, named: dict, ns: str | None = None) -> None:
+    """Pre-walk the schema registering every named-type definition, so
+    by-name references resolve no matter where decode enters the tree.
+    ``ns`` is the enclosing namespace nested definitions inherit."""
+    if isinstance(schema, list):
+        for b in schema:
+            _collect_named(b, named, ns)
+    elif isinstance(schema, dict):
+        kind = schema.get("type")
+        if kind in ("record", "enum", "fixed"):
+            ns = _register_named(schema, named, ns)
+        if kind == "record":
+            for f in schema["fields"]:
+                _collect_named(f["type"], named, ns)
+        elif kind == "array":
+            _collect_named(schema["items"], named, ns)
+        elif kind == "map":
+            _collect_named(schema["values"], named, ns)
+        elif isinstance(kind, (list, dict)):
+            _collect_named(kind, named, ns)
+
+
+def _decode_logical(buf: io.BytesIO, schema: dict):
+    """Decode a recognized logical type to its Spark-side Python value;
+    None sentinel is impossible here (caller checks recognition first)."""
+    import datetime
+    import decimal
+
+    lt = schema["logicalType"]
+    base = schema["type"]
+    if lt == "date":  # int: days since epoch
+        return datetime.date(1970, 1, 1) + datetime.timedelta(
+            days=_read_long(buf)
+        )
+    if lt == "timestamp-micros":
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=_read_long(buf)
+        )
+    if lt == "timestamp-millis":
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            milliseconds=_read_long(buf)
+        )
+    # decimal over bytes or fixed: big-endian two's-complement unscaled
+    raw = (
+        buf.read(int(schema["size"])) if base == "fixed" else _read_bytes(buf)
+    )
+    unscaled = int.from_bytes(raw, "big", signed=True) if raw else 0
+    return decimal.Decimal(unscaled).scaleb(-int(schema.get("scale", 0)))
+
+
+def _decode(buf: io.BytesIO, schema, named: dict | None = None):
     """Recursive spec decoder: unions pick the branch the decoded index
     names (either declared order), records nest as dicts, arrays/maps use
     the spec's count-delimited block form (negative count = abs count with
-    a byte-size long to skip)."""
+    a byte-size long to skip); named references resolve via ``named``."""
+    if named is None:
+        named = {}
     if isinstance(schema, str):
+        if schema in named:
+            return _decode(buf, named[schema], named)
         return _decode_value(buf, schema)
     if isinstance(schema, list):  # union
         idx = _read_long(buf)
         if not 0 <= idx < len(schema):
             raise ValueError(f"union branch {idx} out of range for {schema!r}")
-        val = _decode(buf, schema[idx])
+        val = _decode(buf, schema[idx], named)
         # positions are a pure function of the schema — memoize per
         # schema object (this runs once per VALUE in the decode loop);
         # the cache holds a strong ref so id() cannot be recycled
@@ -165,8 +283,21 @@ def _decode(buf: io.BytesIO, schema):
         }
     if isinstance(schema, dict):
         kind = schema["type"]
+        if (
+            isinstance(kind, str)
+            and "logicalType" in schema
+            and _logical_spark_type(schema) is not None
+        ):
+            return _decode_logical(buf, schema)
         if kind == "record":
-            return {f["name"]: _decode(buf, f["type"]) for f in schema["fields"]}
+            return {
+                f["name"]: _decode(buf, f["type"], named)
+                for f in schema["fields"]
+            }
+        if kind == "enum":  # int index into the declared symbol list
+            return schema["symbols"][_read_long(buf)]
+        if kind == "fixed":  # size raw bytes, no length prefix
+            return buf.read(int(schema["size"]))
         if kind == "array":
             out = []
             while True:
@@ -177,7 +308,7 @@ def _decode(buf: io.BytesIO, schema):
                     n = -n
                     _read_long(buf)  # byte size of the block — not needed
                 for _ in range(n):
-                    out.append(_decode(buf, schema["items"]))
+                    out.append(_decode(buf, schema["items"], named))
         if kind == "map":
             m: dict = {}
             while True:
@@ -189,9 +320,10 @@ def _decode(buf: io.BytesIO, schema):
                     _read_long(buf)
                 for _ in range(n):
                     key = _read_bytes(buf).decode("utf-8")
-                    m[key] = _decode(buf, schema["values"])
+                    m[key] = _decode(buf, schema["values"], named)
         if isinstance(kind, (list, dict)):
-            return _decode(buf, kind)  # wrapped union / nested schema object
+            # wrapped union / nested schema object
+            return _decode(buf, kind, named)
         if isinstance(kind, str) and (kind in _PRIMITIVE_TO_SPARK or kind == "null"):
             return _decode_value(buf, kind)  # {"type": "string"} wrapper
     raise NotImplementedError(f"unsupported avro type {schema!r}")
@@ -235,6 +367,8 @@ def _decode_file(content: bytes) -> tuple[list[tuple], list[str]]:
     if schema.get("type") != "record":
         raise NotImplementedError("only top-level record schemas supported")
     fields = schema["fields"]
+    named: dict = {}
+    _collect_named(schema, named)
     rows: list[tuple] = []
     while True:
         head = buf.read(1)
@@ -247,7 +381,9 @@ def _decode_file(content: bytes) -> tuple[list[tuple], list[str]]:
             raise ValueError("sync marker mismatch (corrupt block)")
         bbuf = io.BytesIO(block)
         for _ in range(n_objects):
-            rows.append(tuple(_decode(bbuf, f["type"]) for f in fields))
+            rows.append(
+                tuple(_decode(bbuf, f["type"], named) for f in fields)
+            )
     return rows, [f["name"] for f in fields]
 
 
@@ -256,7 +392,12 @@ def avro_spark_schema(path: str) -> tuple[str, dict]:
     cluster scale read the first part-file through the FileSystem API)."""
     with open(path, "rb") as fh:
         schema, _codec, _sync = _parse_header(io.BytesIO(fh.read(1 << 20)))
-    parts = [f"`{f['name']}` {_spark_type(f['type'])}" for f in schema["fields"]]
+    named: dict = {}
+    _collect_named(schema, named)
+    parts = [
+        f"`{f['name']}` {_spark_type(f['type'], named)}"
+        for f in schema["fields"]
+    ]
     return ", ".join(parts), schema
 
 
@@ -313,6 +454,8 @@ def _decode_file_range(path: str, start: int, end: int):
         if schema.get("type") != "record":
             raise NotImplementedError("only top-level record schemas supported")
         fields = schema["fields"]
+        named: dict = {}
+        _collect_named(schema, named)
         names = [f["name"] for f in fields]
         if start <= header_end:
             pos = header_end
@@ -335,7 +478,9 @@ def _decode_file_range(path: str, start: int, end: int):
                 raise ValueError("sync marker mismatch (corrupt block)")
             bbuf = io.BytesIO(block)
             for _ in range(n_objects):
-                rows.append(tuple(_decode(bbuf, f["type"]) for f in fields))
+                rows.append(
+                    tuple(_decode(bbuf, f["type"], named) for f in fields)
+                )
             pos = fh.tell()
         return rows, names
 
@@ -431,15 +576,54 @@ def _encode_value(v, type_name: str) -> bytes:
 
 
 def _is_null(v) -> bool:
-    # pandas hands nullable numerics over as float NaN
-    return v is None or (isinstance(v, float) and v != v)
+    # pandas hands nullable numerics over as float NaN, datetimes as NaT
+    if v is None or (isinstance(v, float) and v != v):
+        return True
+    try:
+        import pandas as pd
+
+        return v is pd.NaT
+    except ImportError:  # pragma: no cover - pandas is baked in
+        return False
 
 
-def _encode(v, schema) -> bytes:
+def _encode_logical(v, schema: dict) -> bytes:
+    """Writer mirror of ``_decode_logical``."""
+    import datetime
+
+    lt = schema["logicalType"]
+    base = schema["type"]
+    if lt == "date":
+        if hasattr(v, "to_pydatetime"):  # pandas Timestamp
+            v = v.date()
+        return _zigzag((v - datetime.date(1970, 1, 1)).days)
+    if lt in ("timestamp-micros", "timestamp-millis"):
+        if hasattr(v, "to_pydatetime"):
+            v = v.to_pydatetime()
+        delta = v - datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return _zigzag(micros if lt == "timestamp-micros" else micros // 1000)
+    # decimal: unscaled big-endian two's complement at the declared scale
+    scale = int(schema.get("scale", 0))
+    unscaled = int(v.scaleb(scale).to_integral_value())
+    nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+    raw = unscaled.to_bytes(nbytes, "big", signed=True)
+    if base == "fixed":
+        size = int(schema["size"])
+        pad = b"\xff" if unscaled < 0 else b"\x00"
+        return pad * (size - len(raw)) + raw
+    return _zigzag(len(raw)) + raw
+
+
+def _encode(v, schema, named: dict | None = None) -> bytes:
     """Recursive writer mirror of ``_decode`` (declared union order).
     Tolerant of pandas/Arrow value shapes: numpy arrays for lists, NaN for
     null, dicts OR key/value tuple lists for maps."""
+    if named is None:
+        named = {}
     if isinstance(schema, str):
+        if schema in named:
+            return _encode(v, named[schema], named)
         return b"" if schema == "null" else _encode_value(v, schema)
     if isinstance(schema, list):  # union: emit the branch index, then value
         if _is_null(v):
@@ -450,7 +634,7 @@ def _encode(v, schema) -> bytes:
             return _zigzag(schema.index("null"))
         branches = [i for i, b in enumerate(schema) if b != "null"]
         if len(branches) == 1:
-            return _zigzag(branches[0]) + _encode(v, schema[branches[0]])
+            return _zigzag(branches[0]) + _encode(v, schema[branches[0]], named)
         # general union: first branch matching the Python value's type,
         # with Avro numeric promotion (int -> long -> float -> double)
         # as every spec-conformant writer resolves it
@@ -466,23 +650,39 @@ def _encode(v, schema) -> bytes:
                 for name in names:  # promotion order, not branch order
                     for i in branches:
                         if schema[i] == name:
-                            return _zigzag(i) + _encode(v, schema[i])
+                            return _zigzag(i) + _encode(v, schema[i], named)
         raise NotImplementedError(
             f"no union branch of {schema!r} matches value {v!r}"
         )
     if isinstance(schema, dict):
         kind = schema["type"]
+        if (
+            isinstance(kind, str)
+            and "logicalType" in schema
+            and _logical_spark_type(schema) is not None
+        ):
+            return _encode_logical(v, schema)
         if kind == "record":
             out = bytearray()
             for f in schema["fields"]:
                 fv = v[f["name"]] if isinstance(v, dict) else getattr(v, f["name"])
-                out += _encode(fv, f["type"])
+                out += _encode(fv, f["type"], named)
             return bytes(out)
+        if kind == "enum":
+            return _zigzag(schema["symbols"].index(v))
+        if kind == "fixed":
+            raw = bytes(v)
+            if len(raw) != int(schema["size"]):
+                raise ValueError(
+                    f"fixed {schema.get('name')} expects {schema['size']} "
+                    f"bytes, got {len(raw)}"
+                )
+            return raw
         if kind == "array":
             items = list(v)
             if not items:
                 return _zigzag(0)
-            body = b"".join(_encode(x, schema["items"]) for x in items)
+            body = b"".join(_encode(x, schema["items"], named) for x in items)
             return _zigzag(len(items)) + body + _zigzag(0)
         if kind == "map":
             entries = list(v.items()) if isinstance(v, dict) else list(v)
@@ -491,7 +691,7 @@ def _encode(v, schema) -> bytes:
             body = bytearray()
             for k, mv in entries:
                 ke = k.encode("utf-8")
-                body += _zigzag(len(ke)) + ke + _encode(mv, schema["values"])
+                body += _zigzag(len(ke)) + ke + _encode(mv, schema["values"], named)
             return _zigzag(len(entries)) + bytes(body) + _zigzag(0)
         if kind in _PRIMITIVE_TO_SPARK or kind == "null":
             return _encode(v, kind)
@@ -517,6 +717,17 @@ def _avro_schema_of(spark_type, name: str = "row") -> dict | str | list:
     for cls, avro_name in simple.items():
         if isinstance(spark_type, cls):
             return avro_name
+    if isinstance(spark_type, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(spark_type, T.TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(spark_type, T.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": spark_type.precision,
+            "scale": spark_type.scale,
+        }
     if isinstance(spark_type, T.StructType):
         return {
             "type": "record",
@@ -622,10 +833,14 @@ def write_avro(
         out += _zigzag(len(ke)) + ke + _zigzag(len(v)) + v
     out += _zigzag(0)
     out += sync
+    named: dict = {}
+    _collect_named(schema, named)
     step = rows_per_block or max(len(rows), 1)
     for i in range(0, len(rows), step):
         chunk = rows[i : i + step]
-        block = _compress(b"".join(_encode(row, schema) for row in chunk))
+        block = _compress(
+            b"".join(_encode(row, schema, named) for row in chunk)
+        )
         out += _zigzag(len(chunk)) + _zigzag(len(block)) + block + sync
     with open(path, "wb") as fh:
         fh.write(bytes(out))

@@ -596,3 +596,157 @@ def test_avro_union_numeric_promotion(spark, tmp_path):
     assert vals == [(5.0, None), (None, "txt")]
     with pytest.raises(NotImplementedError, match="null value for union"):
         _encode(None, ["double", "string"])
+
+
+def test_avro_enum_fixed_named_reference(spark, tmp_path):
+    """enum -> string (symbol), fixed -> binary, and a later by-name
+    reference to each named type resolves through the per-file registry
+    (spec name-resolution rules; spark-avro type mapping)."""
+    from cudf_spark.sources.avro import read_avro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "evt",
+        "namespace": "com.example",
+        "fields": [
+            {
+                "name": "color",
+                "type": {
+                    "type": "enum",
+                    "name": "Color",
+                    "symbols": ["RED", "GREEN", "BLUE"],
+                },
+            },
+            # reference by short name to the enum defined above
+            {"name": "color2", "type": "Color"},
+            {
+                "name": "digest",
+                "type": {"type": "fixed", "name": "MD5", "size": 4},
+            },
+            # reference by full name to the fixed defined above
+            {"name": "digest2", "type": "com.example.MD5"},
+        ],
+    }
+    rows = [
+        {"color": "GREEN", "color2": "RED", "digest": b"\x01\x02\x03\x04",
+         "digest2": b"\xff\x00\xff\x00"},
+        {"color": "BLUE", "color2": "BLUE", "digest": b"abcd",
+         "digest2": b"wxyz"},
+    ]
+    write_avro(rows, schema, str(tmp_path / "p0.avro"))
+    df = read_avro(spark, str(tmp_path), schema_file=str(tmp_path / "p0.avro"))
+    assert dict(df.dtypes) == {
+        "color": "string", "color2": "string",
+        "digest": "binary", "digest2": "binary",
+    }
+    got = sorted((r.asDict() for r in df.collect()), key=lambda r: r["color"])
+    want = sorted(
+        ({**r, "digest": bytearray(r["digest"]),
+          "digest2": bytearray(r["digest2"])} for r in rows),
+        key=lambda r: r["color"],
+    )
+    assert got == want
+
+
+def test_avro_logical_types_roundtrip(spark, tmp_path):
+    """date / timestamp-micros / timestamp-millis / decimal(bytes and
+    fixed) decode to Spark date/timestamp/decimal; unknown logical types
+    fall back to the base type per the spec."""
+    import datetime
+    from decimal import Decimal
+
+    from cudf_spark.sources.avro import read_avro, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "evt",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts_us",
+             "type": {"type": "long", "logicalType": "timestamp-micros"}},
+            {"name": "ts_ms",
+             "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "amount",
+             "type": {"type": "bytes", "logicalType": "decimal",
+                      "precision": 10, "scale": 2}},
+            {"name": "amount_fx",
+             "type": {"type": "fixed", "name": "Dec8", "size": 8,
+                      "logicalType": "decimal", "precision": 12,
+                      "scale": 3}},
+            # unknown logical type: falls back to the base string
+            {"name": "u",
+             "type": {"type": "string", "logicalType": "uuid"}},
+        ],
+    }
+    rows = [
+        {"id": 1, "d": datetime.date(2024, 2, 29),
+         "ts_us": datetime.datetime(2024, 2, 29, 12, 34, 56, 789012),
+         "ts_ms": datetime.datetime(2001, 9, 9, 1, 46, 40, 123000),
+         "amount": Decimal("12345.67"), "amount_fx": Decimal("-0.125"),
+         "u": "0001-aaaa"},
+        {"id": 2, "d": datetime.date(1969, 12, 31),
+         "ts_us": datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),
+         "ts_ms": datetime.datetime(1970, 1, 1, 0, 0, 0, 1000),
+         "amount": Decimal("-0.01"), "amount_fx": Decimal("9999999.999"),
+         "u": "0002-bbbb"},
+    ]
+    write_avro(rows, schema, str(tmp_path / "p0.avro"))
+    df = read_avro(spark, str(tmp_path), schema_file=str(tmp_path / "p0.avro"))
+    assert dict(df.dtypes) == {
+        "id": "bigint", "d": "date", "ts_us": "timestamp",
+        "ts_ms": "timestamp", "amount": "decimal(10,2)",
+        "amount_fx": "decimal(12,3)", "u": "string",
+    }
+    got = sorted((r.asDict() for r in df.collect()), key=lambda r: r["id"])
+    assert got == rows
+
+
+def test_avro_write_dataframe_logical_types(spark, tmp_path):
+    """The distributed writer maps Spark date/timestamp/decimal columns to
+    Avro logical types and the reader round-trips them."""
+    from cudf_spark.sources.avro import read_avro, write_avro_dataframe
+
+    df = spark.sql(
+        """
+        SELECT id,
+               DATE'2024-01-15' + make_interval(0,0,0,CAST(id AS INT)) AS d,
+               TIMESTAMP'2024-01-15 10:00:00' + make_interval(
+                   0,0,0,0,0,CAST(id AS INT)) AS ts,
+               CAST(CAST(id AS DECIMAL(9,2)) / 4 AS DECIMAL(9,2)) AS amt
+        FROM range(6)
+        """
+    ).repartition(2)
+    out = tmp_path / "logical"
+    write_avro_dataframe(df, str(out))
+    import glob
+
+    part = sorted(glob.glob(str(out / "*.avro")))[0]
+    got = read_avro(spark, str(out), schema_file=part)
+    assert dict(got.dtypes) == {
+        "id": "bigint", "d": "date", "ts": "timestamp", "amt": "decimal(9,2)",
+    }
+    a = sorted((r.asDict() for r in got.collect()), key=lambda r: r["id"])
+    b = sorted((r.asDict() for r in df.collect()), key=lambda r: r["id"])
+    assert a == b
+
+
+def test_avro_recursive_schema_rejected(tmp_path):
+    """Self-referential record schemas cannot map to Spark's static
+    structs — the schema walk must say so, not stack-overflow."""
+    import pytest
+
+    from cudf_spark.sources.avro import _collect_named, _spark_type
+
+    schema = {
+        "type": "record",
+        "name": "Node",
+        "fields": [
+            {"name": "v", "type": "long"},
+            {"name": "next", "type": ["null", "Node"]},
+        ],
+    }
+    named: dict = {}
+    _collect_named(schema, named)
+    with pytest.raises(NotImplementedError, match="recursive"):
+        _spark_type(schema, named)

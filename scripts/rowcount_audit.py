@@ -8,6 +8,10 @@ de-generated exactly that way. This audit runs EVERY registered query at
 sf0.1 (10x the driver's compare scale) and reports:
 
 * ``rows`` — result cardinality;
+* ``secs`` — wall-clock for build + count (one full execution), the
+  poor-man's latency table over the WHOLE registry — catches a
+  pathological non-basket query that bench.py's 20-query basket never
+  sees;
 * ``empty`` — zero rows (almost always a de-generated knob);
 * ``all_null`` — every non-key cell NULL in a sampled head;
 * ``error`` — the build or execution raised.
@@ -41,8 +45,12 @@ def main() -> None:
     for i, (name, q) in enumerate(sorted(REGISTRY.items()), 1):
         entry: dict = {}
         try:
+            import time
+
+            t0 = time.perf_counter()
             df = q.build(spark, sf_dir)
             n = df.count()
+            entry["secs"] = round(time.perf_counter() - t0, 3)
             entry["rows"] = n
             if n == 0:
                 entry["empty"] = True

@@ -329,6 +329,156 @@ def _decode(buf: io.BytesIO, schema, named: dict | None = None):
     raise NotImplementedError(f"unsupported avro type {schema!r}")
 
 
+# ---------------- schema resolution (reader-schema evolution) ----------------
+#
+# Spec "Schema Resolution" (avro.apache.org/docs/current/specification/
+# #schema-resolution), applied VALUE-side after the writer-schema decode:
+# fields match by name; reader-only fields take their declared default
+# (bytes/fixed defaults are ISO-8859-1 strings per the spec); writer-only
+# fields are discarded; numeric promotions int->long->float->double and
+# string<->bytes apply; enum symbols unknown to the reader fall back to
+# the reader's enum default. Unions are supported in their nullable
+# single-branch form (the overwhelmingly common evolution case); adapting
+# multi-branch memberN structs across schema versions is out of scope and
+# raises.
+
+_PROMOTIONS = {
+    ("int", "long"): int,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): float,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _type_tag(schema, named: dict) -> str | dict | list:
+    """Strip wrapper dicts / named references down to a comparable tag."""
+    if isinstance(schema, str):
+        if schema in named:
+            return _type_tag(named[schema], named)
+        return schema
+    if isinstance(schema, dict):
+        kind = schema["type"]
+        if "logicalType" in schema and _logical_spark_type(schema) is not None:
+            return schema
+        if kind in ("record", "enum", "fixed", "array", "map"):
+            return schema
+        return _type_tag(kind, named)
+    return schema  # union list
+
+
+def _default_value(schema, default, named: dict):
+    """JSON default -> decoded-value shape for the reader field type."""
+    tag = _type_tag(schema, named)
+    if isinstance(tag, list):  # union default applies to the FIRST branch
+        non_null = [b for b in tag if b != "null"]
+        if default is None or len(non_null) != 1:
+            return None
+        return _default_value(non_null[0], default, named)
+    if isinstance(tag, dict):
+        kind = tag["type"]
+        if "logicalType" in tag and _logical_spark_type(tag) is not None:
+            raise NotImplementedError(
+                "defaults for logical-typed fields are not supported"
+            )
+        if kind == "record":
+            return {
+                f["name"]: _default_value(
+                    f["type"], default.get(f["name"], f.get("default")), named
+                )
+                for f in tag["fields"]
+            }
+        if kind == "enum":
+            return default
+        if kind == "fixed":
+            return default.encode("iso-8859-1")  # spec: codepoints 0-255
+        if kind == "array":
+            return [_default_value(tag["items"], d, named) for d in default]
+        if kind == "map":
+            return {
+                k: _default_value(tag["values"], d, named)
+                for k, d in default.items()
+            }
+    if tag == "bytes":
+        return default.encode("iso-8859-1")
+    if tag in ("float", "double") and default is not None:
+        return float(default)
+    return default
+
+
+def _adapt(v, wschema, rschema, named_w: dict, named_r: dict):
+    """Adapt one decoded value from writer-schema shape to reader-schema
+    shape, applying the spec's resolution rules recursively."""
+    wt = _type_tag(wschema, named_w)
+    rt = _type_tag(rschema, named_r)
+    # unions: nullable single-branch form on either side
+    if isinstance(wt, list) or isinstance(rt, list):
+        wb = [b for b in (wt if isinstance(wt, list) else [wt]) if b != "null"]
+        rb = [b for b in (rt if isinstance(rt, list) else [rt]) if b != "null"]
+        if len(wb) != 1 or len(rb) != 1:
+            raise NotImplementedError(
+                "schema resolution across multi-branch unions is not supported"
+            )
+        if v is None:
+            if not (isinstance(rt, list) and "null" in rt):
+                raise ValueError("writer null but reader type is not nullable")
+            return None
+        return _adapt(v, wb[0], rb[0], named_w, named_r)
+    if isinstance(wt, dict) or isinstance(rt, dict):
+        wkind = wt["type"] if isinstance(wt, dict) else wt
+        rkind = rt["type"] if isinstance(rt, dict) else rt
+        if wkind == "record" and rkind == "record":
+            wfields = {f["name"]: f for f in wt["fields"]}
+            out = {}
+            for rf in rt["fields"]:
+                name = rf["name"]
+                if name in wfields:
+                    out[name] = _adapt(
+                        v[name], wfields[name]["type"], rf["type"],
+                        named_w, named_r,
+                    )
+                elif "default" in rf:
+                    out[name] = _default_value(rf["type"], rf["default"], named_r)
+                else:
+                    raise ValueError(
+                        f"reader field {name!r} missing from writer schema "
+                        "and declares no default"
+                    )
+            return out  # writer-only fields fall away here
+        if wkind == "enum" and rkind == "enum":
+            if v in rt["symbols"]:
+                return v
+            if "default" in rt:
+                return rt["default"]
+            raise ValueError(f"enum symbol {v!r} unknown to reader schema")
+        if wkind == "array" and rkind == "array":
+            return [
+                _adapt(x, wt["items"], rt["items"], named_w, named_r) for x in v
+            ]
+        if wkind == "map" and rkind == "map":
+            return {
+                k: _adapt(x, wt["values"], rt["values"], named_w, named_r)
+                for k, x in v.items()
+            }
+        if wkind == "fixed" and rkind == "fixed":
+            if int(wt["size"]) != int(rt["size"]):
+                raise ValueError("fixed size mismatch between writer and reader")
+            return v
+        # logical types resolve like their decoded value when identical
+        if wt == rt:
+            return v
+        raise ValueError(f"cannot resolve writer {wt!r} to reader {rt!r}")
+    if wt == rt:
+        return v
+    promote = _PROMOTIONS.get((wt, rt))
+    if promote is None:
+        raise ValueError(f"no promotion from writer {wt!r} to reader {rt!r}")
+    return promote(v)
+
+
 def _parse_header(buf: io.BytesIO):
     if buf.read(4) != MAGIC:
         raise ValueError("not an Avro object container file")
@@ -361,7 +511,9 @@ def _decompress(block: bytes, codec: str) -> bytes:
     raise NotImplementedError(f"unsupported avro codec {codec!r}")
 
 
-def _decode_file(content: bytes) -> tuple[list[tuple], list[str]]:
+def _decode_file(
+    content: bytes, reader_schema: dict | None = None
+) -> tuple[list[tuple], list[str]]:
     buf = io.BytesIO(content)
     schema, codec, sync = _parse_header(buf)
     if schema.get("type") != "record":
@@ -369,6 +521,9 @@ def _decode_file(content: bytes) -> tuple[list[tuple], list[str]]:
     fields = schema["fields"]
     named: dict = {}
     _collect_named(schema, named)
+    named_r: dict = {}
+    if reader_schema is not None:
+        _collect_named(reader_schema, named_r)
     rows: list[tuple] = []
     while True:
         head = buf.read(1)
@@ -381,10 +536,18 @@ def _decode_file(content: bytes) -> tuple[list[tuple], list[str]]:
             raise ValueError("sync marker mismatch (corrupt block)")
         bbuf = io.BytesIO(block)
         for _ in range(n_objects):
-            rows.append(
-                tuple(_decode(bbuf, f["type"], named) for f in fields)
-            )
-    return rows, [f["name"] for f in fields]
+            row = {f["name"]: _decode(bbuf, f["type"], named) for f in fields}
+            if reader_schema is not None:
+                row = _adapt(row, schema, reader_schema, named, named_r)
+                rows.append(
+                    tuple(row[f["name"]] for f in reader_schema["fields"])
+                )
+            else:
+                rows.append(tuple(row[f["name"]] for f in fields))
+    out_fields = (
+        reader_schema["fields"] if reader_schema is not None else fields
+    )
+    return rows, [f["name"] for f in out_fields]
 
 
 def avro_spark_schema(path: str) -> tuple[str, dict]:
@@ -402,13 +565,33 @@ def avro_spark_schema(path: str) -> tuple[str, dict]:
 
 
 def read_avro(
-    spark: SparkSession, path: str, *, schema_file: str, schema=None
+    spark: SparkSession,
+    path: str,
+    *,
+    schema_file: str,
+    schema=None,
+    reader_schema: dict | None = None,
 ) -> DataFrame:
     """Distributed Avro read: ``binaryFile`` listing + per-file decode in
     one Arrow ``mapInPandas`` pass. ``schema_file`` is any one part-file
     whose header defines the (homogeneous) schema; an explicit ``schema``
-    (DDL string or StructType) overrides the header-derived one."""
-    ddl = schema if schema is not None else avro_spark_schema(schema_file)[0]
+    (DDL string or StructType) overrides the header-derived one.
+
+    ``reader_schema`` (an Avro schema dict) turns on spec schema
+    resolution: each file decodes under ITS OWN writer schema, then
+    adapts to the reader schema (reader-only fields take defaults,
+    writer-only fields drop, numeric/string promotions apply) — so a
+    directory of part-files written across schema versions reads as one
+    uniform DataFrame, which is the point of Avro evolution."""
+    if reader_schema is not None:
+        named_r: dict = {}
+        _collect_named(reader_schema, named_r)
+        ddl = ", ".join(
+            f"`{f['name']}` {_spark_type(f['type'], named_r)}"
+            for f in reader_schema["fields"]
+        )
+    else:
+        ddl = schema if schema is not None else avro_spark_schema(schema_file)[0]
     files = spark.read.format("binaryFile").load(path)
 
     def decode(batches):
@@ -416,7 +599,7 @@ def read_avro(
 
         for pdf in batches:
             for content in pdf["content"]:
-                rows, names = _decode_file(bytes(content))
+                rows, names = _decode_file(bytes(content), reader_schema)
                 yield pd.DataFrame(rows, columns=names)
 
     return files.select("content").mapInPandas(decode, schema=ddl)
@@ -444,7 +627,9 @@ def _scan_sync(fh, sync: bytes, from_pos: int, end: int, chunk: int = 1 << 20):
     return None
 
 
-def _decode_file_range(path: str, start: int, end: int):
+def _decode_file_range(
+    path: str, start: int, end: int, reader_schema: dict | None = None
+):
     """Decode every sync-delimited block that STARTS in ``[start, end)``
     — the Hadoop AvroInputFormat split protocol, so the union of ranges
     covering the file yields each row exactly once."""
@@ -456,7 +641,12 @@ def _decode_file_range(path: str, start: int, end: int):
         fields = schema["fields"]
         named: dict = {}
         _collect_named(schema, named)
-        names = [f["name"] for f in fields]
+        named_r: dict = {}
+        if reader_schema is not None:
+            _collect_named(reader_schema, named_r)
+            names = [f["name"] for f in reader_schema["fields"]]
+        else:
+            names = [f["name"] for f in fields]
         if start <= header_end:
             pos = header_end
         else:
@@ -478,9 +668,12 @@ def _decode_file_range(path: str, start: int, end: int):
                 raise ValueError("sync marker mismatch (corrupt block)")
             bbuf = io.BytesIO(block)
             for _ in range(n_objects):
-                rows.append(
-                    tuple(_decode(bbuf, f["type"], named) for f in fields)
-                )
+                row = {
+                    f["name"]: _decode(bbuf, f["type"], named) for f in fields
+                }
+                if reader_schema is not None:
+                    row = _adapt(row, schema, reader_schema, named, named_r)
+                rows.append(tuple(row[n] for n in names))
             pos = fh.tell()
         return rows, names
 
@@ -492,6 +685,7 @@ def read_avro_split(
     schema_file: str,
     schema=None,
     split_bytes: int = 32 << 20,
+    reader_schema: dict | None = None,
 ) -> DataFrame:
     """Block-parallel Avro read: each file is carved into ``split_bytes``
     byte ranges on the driver (size listing only — no data read) and
@@ -509,7 +703,15 @@ def read_avro_split(
     import glob as globmod
     import os
 
-    ddl = schema if schema is not None else avro_spark_schema(schema_file)[0]
+    if reader_schema is not None:
+        named_r: dict = {}
+        _collect_named(reader_schema, named_r)
+        ddl = ", ".join(
+            f"`{f['name']}` {_spark_type(f['type'], named_r)}"
+            for f in reader_schema["fields"]
+        )
+    else:
+        ddl = schema if schema is not None else avro_spark_schema(schema_file)[0]
     if os.path.isdir(path):
         files = sorted(
             p
@@ -536,7 +738,9 @@ def read_avro_split(
 
         for pdf in batches:
             for p, s, e in zip(pdf["path"], pdf["start"], pdf["end"]):
-                rows, names = _decode_file_range(str(p), int(s), int(e))
+                rows, names = _decode_file_range(
+                    str(p), int(s), int(e), reader_schema
+                )
                 yield pd.DataFrame(rows, columns=names)
 
     return sdf.mapInPandas(decode, schema=ddl)

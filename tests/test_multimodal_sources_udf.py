@@ -750,3 +750,168 @@ def test_avro_recursive_schema_rejected(tmp_path):
     _collect_named(schema, named)
     with pytest.raises(NotImplementedError, match="recursive"):
         _spark_type(schema, named)
+
+
+def test_avro_schema_resolution_across_versions(spark, tmp_path):
+    """A directory holding part-files written under DIFFERENT schema
+    versions reads as one uniform DataFrame under a reader schema: each
+    file decodes with its own writer schema, then adapts per the spec's
+    resolution rules (reader-only fields take defaults, writer-only
+    fields drop, int->long / float->double promotions apply)."""
+    from cudf_spark.sources.avro import read_avro, write_avro
+
+    v1 = {
+        "type": "record",
+        "name": "evt",
+        "fields": [
+            {"name": "id", "type": "int"},            # promoted to long
+            {"name": "score", "type": "float"},       # promoted to double
+            {"name": "legacy", "type": "string"},     # dropped by reader
+        ],
+    }
+    v2 = {
+        "type": "record",
+        "name": "evt",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "score", "type": "double"},
+            {"name": "tag", "type": ["null", "string"]},
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "evt",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "score", "type": "double"},
+            {"name": "tag", "type": ["null", "string"], "default": None},
+            {"name": "source", "type": "string", "default": "unknown"},
+        ],
+    }
+    write_avro(
+        [{"id": 1, "score": 1.5, "legacy": "x"},
+         {"id": 2, "score": 2.5, "legacy": "y"}],
+        v1, str(tmp_path / "v1.avro"),
+    )
+    write_avro(
+        [{"id": 3, "score": 3.25, "tag": "t3"},
+         {"id": 4, "score": 4.0, "tag": None}],
+        v2, str(tmp_path / "v2.avro"),
+    )
+    df = read_avro(
+        spark, str(tmp_path),
+        schema_file=str(tmp_path / "v2.avro"),
+        reader_schema=reader,
+    )
+    assert dict(df.dtypes) == {
+        "id": "bigint", "score": "double", "tag": "string", "source": "string",
+    }
+    got = sorted((r.asDict() for r in df.collect()), key=lambda r: r["id"])
+    assert got == [
+        {"id": 1, "score": 1.5, "tag": None, "source": "unknown"},
+        {"id": 2, "score": 2.5, "tag": None, "source": "unknown"},
+        {"id": 3, "score": 3.25, "tag": "t3", "source": "unknown"},
+        {"id": 4, "score": 4.0, "tag": None, "source": "unknown"},
+    ]
+
+
+def test_avro_schema_resolution_nested_and_enum(spark, tmp_path):
+    """Resolution recurses into nested records, arrays and enums (unknown
+    writer symbols fall back to the reader's enum default)."""
+    from cudf_spark.sources.avro import read_avro, write_avro
+
+    writer = {
+        "type": "record",
+        "name": "evt",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "who", "type": {
+                "type": "record", "name": "user",
+                "fields": [
+                    {"name": "uid", "type": "int"},
+                    {"name": "old_flag", "type": "boolean"},
+                ]}},
+            {"name": "kind", "type": {
+                "type": "enum", "name": "Kind",
+                "symbols": ["A", "B", "LEGACY"]}},
+            {"name": "xs", "type": {"type": "array", "items": "int"}},
+        ],
+    }
+    reader = {
+        "type": "record",
+        "name": "evt",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "who", "type": {
+                "type": "record", "name": "user",
+                "fields": [
+                    {"name": "uid", "type": "long"},
+                    {"name": "email", "type": "string", "default": ""},
+                ]}},
+            {"name": "kind", "type": {
+                "type": "enum", "name": "Kind",
+                "symbols": ["A", "B", "OTHER"], "default": "OTHER"}},
+            {"name": "xs", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    write_avro(
+        [{"id": 1, "who": {"uid": 7, "old_flag": True}, "kind": "LEGACY",
+          "xs": [1, 2]},
+         {"id": 2, "who": {"uid": 8, "old_flag": False}, "kind": "B",
+          "xs": []}],
+        writer, str(tmp_path / "p.avro"),
+    )
+    df = read_avro(
+        spark, str(tmp_path),
+        schema_file=str(tmp_path / "p.avro"),
+        reader_schema=reader,
+    )
+    got = sorted((r.asDict(recursive=True) for r in df.collect()),
+                 key=lambda r: r["id"])
+    assert got == [
+        {"id": 1, "who": {"uid": 7, "email": ""}, "kind": "OTHER",
+         "xs": [1, 2]},
+        {"id": 2, "who": {"uid": 8, "email": ""}, "kind": "B", "xs": []},
+    ]
+
+
+def test_avro_schema_resolution_missing_default_errors(spark, tmp_path):
+    """A reader-only field with no default must fail loudly, per spec."""
+    import pytest
+
+    from cudf_spark.sources.avro import _decode_file, write_avro
+
+    writer = {"type": "record", "name": "evt",
+              "fields": [{"name": "id", "type": "long"}]}
+    reader = {"type": "record", "name": "evt",
+              "fields": [{"name": "id", "type": "long"},
+                         {"name": "must", "type": "string"}]}
+    write_avro([{"id": 1}], writer, str(tmp_path / "p.avro"))
+    with pytest.raises(ValueError, match="declares no default"):
+        _decode_file((tmp_path / "p.avro").read_bytes(), reader)
+
+
+def test_avro_split_read_with_reader_schema(spark, tmp_path):
+    """The block-parallel split reader applies the same resolution rules
+    per range, so evolution composes with within-file parallelism."""
+    from cudf_spark.sources.avro import read_avro_split, write_avro
+
+    writer = {"type": "record", "name": "evt",
+              "fields": [{"name": "id", "type": "int"},
+                         {"name": "junk", "type": "string"}]}
+    reader = {"type": "record", "name": "evt",
+              "fields": [{"name": "id", "type": "long"},
+                         {"name": "lbl", "type": "string",
+                          "default": "none"}]}
+    write_avro(
+        [{"id": i, "junk": "x" * 50} for i in range(200)],
+        writer, str(tmp_path / "big.avro"), rows_per_block=20,
+    )
+    df = read_avro_split(
+        spark, str(tmp_path / "big.avro"),
+        schema_file=str(tmp_path / "big.avro"),
+        split_bytes=2048, reader_schema=reader,
+    )
+    got = sorted((r.id, r.lbl) for r in df.collect())
+    assert got == [(i, "none") for i in range(200)]
+    assert dict(df.dtypes) == {"id": "bigint", "lbl": "string"}

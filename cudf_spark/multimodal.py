@@ -6,13 +6,19 @@ asset id / shard, never collect). Decode / feature-extract / resize /
 frame-sample run as Arrow-batched ``mapInPandas`` operators so codec work
 is vectorized per batch and scales with partitions.
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so the
-decode kernels are stubbed two ways:
+The compressed-format codecs (PIL/ffmpeg/soundfile) are NOT in this
+container, so those decode kernels are stubbed two ways:
 - ``decode_image_meta`` parses our deterministic fake header (magic
   ``FIMG`` + big-endian u32 width/height) — real Spark plumbing (schema,
   batching, null handling) with a fake codec;
 - ``decode_image_pixels`` raises ``NotImplementedError`` exactly where a
   real decoder plugs in.
+
+Two UNCOMPRESSED production formats need no external codec at all and are
+decoded for real: 24-bit BMP (``decode_bmp_pixels`` — the struct layout
+is the whole spec) and PCM WAV (``decode_wav_audio`` — stdlib ``wave``).
+Their bytes open in any viewer/player; only JPEG/PNG/MP3-class formats
+remain behind the seam.
 """
 
 from __future__ import annotations
@@ -71,8 +77,10 @@ def decode_image_meta(assets: DataFrame) -> DataFrame:
 def decode_image_pixels(assets: DataFrame) -> DataFrame:
     """Full pixel decode — requires a real codec (PIL/libjpeg), absent here."""
     raise NotImplementedError(
-        "pixel decode needs an image codec (PIL) not present in this "
-        "container; decode_image_meta exercises the Spark-side plumbing"
+        "compressed-format pixel decode needs an image codec (PIL) not "
+        "present in this container; decode_bmp_pixels is the REAL no-"
+        "dependency decode path (uncompressed 24-bit BMP) and "
+        "decode_image_meta exercises the rest of the Spark-side plumbing"
     )
 
 
@@ -371,4 +379,166 @@ def audio_frame_energies(assets: DataFrame, *, frame: int = 10) -> DataFrame:
 
     return assets.mapInPandas(
         batches, "asset_id long, frame_idx long, energy long"
+    )
+
+
+# ----------------- real stdlib codecs: BMP and WAV -----------------
+#
+# PIL/ffmpeg are absent from this container, but two production formats
+# need no external codec at all: uncompressed 24-bit BMP (fixed struct
+# layout) and PCM WAV (stdlib ``wave``). These decoders are REAL — any
+# image viewer / audio player reads the bytes the test helpers emit —
+# so the codec seam is closed for the uncompressed formats and the
+# NotImplementedError stub now covers only compressed codecs
+# (JPEG/PNG/MP3/...).
+
+BMP_PIXEL_SCHEMA = (
+    "asset_id long, width int, height int, mean_b double, mean_g double, "
+    "mean_r double, valid boolean"
+)
+
+
+def make_bmp_bytes(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+    """Spec-conformant uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding). ``pixels`` is row-major
+    top-to-bottom (r, g, b) triples — what a viewer shows."""
+    stride = (width * 3 + 3) // 4 * 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        body += row
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header) + dib + bytes(body)
+
+
+def decode_bmp_pixels(assets: DataFrame) -> DataFrame:
+    """REAL image decode, no external codec: parse uncompressed 24-bit
+    BMP payloads (the struct layout is the whole spec) and emit exact
+    per-channel means in one Arrow pass. Bottom-up and top-down
+    (negative height) row orders both handled; palette/compressed/other
+    bit depths surface as valid=false rows, never task failures. Channel
+    means are int64 sums divided once in IEEE double, so a SQL oracle
+    can reproduce them bit-for-bit."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for aid, data in zip(pdf["asset_id"], pdf["data"]):
+                b = bytes(data) if data is not None else b""
+                out = (aid, None, None, None, None, None, False)
+                if len(b) >= 54 and b[:2] == b"BM":
+                    offset = struct.unpack_from("<I", b, 10)[0]
+                    hdr_sz, w, h = struct.unpack_from("<Iii", b, 14)
+                    planes, bpp, comp = struct.unpack_from("<HHI", b, 26)
+                    flip = h > 0  # positive height = bottom-up storage
+                    h = abs(h)
+                    stride = (w * 3 + 3) // 4 * 4
+                    if (
+                        hdr_sz >= 40 and planes == 1 and bpp == 24
+                        and comp == 0 and w > 0 and h > 0
+                        and len(b) >= offset + stride * h
+                    ):
+                        px = np.frombuffer(
+                            b, dtype=np.uint8, offset=offset, count=stride * h
+                        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+                        if flip:
+                            px = px[::-1]
+                        sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                        n = float(w * h)
+                        out = (
+                            aid, int(w), int(h),
+                            int(sums[0]) / n, int(sums[1]) / n, int(sums[2]) / n,
+                            True,
+                        )
+                rows.append(out)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height",
+                    "mean_b", "mean_g", "mean_r", "valid",
+                ],
+            )
+
+    return assets.select("asset_id", "data").mapInPandas(
+        batches, schema=BMP_PIXEL_SCHEMA
+    )
+
+
+WAV_FEATURE_SCHEMA = (
+    "asset_id long, sample_rate int, n_channels int, sample_width int, "
+    "n_frames long, duration_ms long, peak int, rms double, valid boolean"
+)
+
+
+def make_wav_bytes(sample_rate: int, samples: list[int], n_channels: int = 1) -> bytes:
+    """Spec-conformant PCM16 WAV via the stdlib ``wave`` writer —
+    playable bytes, not a fake container."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def decode_wav_audio(assets: DataFrame) -> DataFrame:
+    """REAL audio decode, no external codec: stdlib ``wave`` parses the
+    RIFF container and the PCM16 payload vectorizes through numpy in one
+    Arrow pass — rate/channels/width/frames plus exact peak and RMS
+    (int64 energy sum, one IEEE division + sqrt). Non-RIFF, truncated,
+    or non-16-bit payloads surface as valid=false rows."""
+    import math
+
+    def batches(it: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for aid, data in zip(pdf["asset_id"], pdf["data"]):
+                b = bytes(data) if data is not None else b""
+                try:
+                    with wave.open(io.BytesIO(b)) as w:
+                        rate, nch, width, nframes = (
+                            w.getframerate(), w.getnchannels(),
+                            w.getsampwidth(), w.getnframes(),
+                        )
+                        pcm = w.readframes(nframes)
+                    if width != 2 or rate <= 0:
+                        raise ValueError("unsupported wav shape")
+                    x = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                    n = x.size
+                    peak = int(np.abs(x).max()) if n else 0
+                    rms = math.sqrt(int((x * x).sum()) / n) if n else 0.0
+                    rows.append((
+                        aid, int(rate), int(nch), int(width), int(nframes),
+                        nframes * 1000 // rate, peak, rms, True,
+                    ))
+                except Exception:  # noqa: BLE001 - malformed rows, not failures
+                    rows.append((aid, None, None, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "n_channels", "sample_width",
+                    "n_frames", "duration_ms", "peak", "rms", "valid",
+                ],
+            )
+
+    return assets.select("asset_id", "data").mapInPandas(
+        batches, schema=WAV_FEATURE_SCHEMA
     )

@@ -915,3 +915,52 @@ def test_avro_split_read_with_reader_schema(spark, tmp_path):
     got = sorted((r.id, r.lbl) for r in df.collect())
     assert got == [(i, "none") for i in range(200)]
     assert dict(df.dtypes) == {"id": "bigint", "lbl": "string"}
+
+
+def test_bmp_decode_real_format(spark):
+    """decode_bmp_pixels parses REAL uncompressed 24-bit BMPs (struct
+    layout, bottom-up rows, 4-byte padding) — exact channel means,
+    malformed payloads as valid=false rows."""
+    from cudf_spark.multimodal import decode_bmp_pixels, make_bmp_bytes
+
+    # 3x2, distinct channels so row order / BGR mistakes flip the means
+    pixels = [
+        (255, 0, 0), (0, 255, 0), (0, 0, 255),
+        (10, 20, 30), (40, 50, 60), (70, 80, 90),
+    ]
+    bmp = make_bmp_bytes(3, 2, pixels)
+    # sanity: the bytes are a real BMP (magic + declared size)
+    assert bmp[:2] == b"BM" and len(bmp) == 54 + 2 * 12
+    rows = [(1, bmp), (2, b"NOTABMP" * 10), (3, None)]
+    df = spark.createDataFrame(rows, "asset_id long, data binary")
+    got = {r.asset_id: r for r in decode_bmp_pixels(df).collect()}
+    r1 = got[1]
+    n = 6.0
+    assert (r1.width, r1.height, r1.valid) == (3, 2, True)
+    assert r1.mean_r == sum(p[0] for p in pixels) / n
+    assert r1.mean_g == sum(p[1] for p in pixels) / n
+    assert r1.mean_b == sum(p[2] for p in pixels) / n
+    assert got[2].valid is False and got[3].valid is False
+
+
+def test_wav_decode_real_format(spark):
+    """decode_wav_audio parses stdlib-wave-written PCM16 (a playable RIFF
+    file) with exact peak/RMS; junk payloads degrade to valid=false."""
+    import math
+
+    from cudf_spark.multimodal import decode_wav_audio, make_wav_bytes
+
+    samples = [0, 1000, -2000, 3000, -32768]
+    wav = make_wav_bytes(8000, samples)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    rows = [(1, wav), (2, b"nope"), (3, None)]
+    df = spark.createDataFrame(rows, "asset_id long, data binary")
+    got = {r.asset_id: r for r in decode_wav_audio(df).collect()}
+    r1 = got[1]
+    assert (r1.sample_rate, r1.n_channels, r1.sample_width, r1.n_frames) == (
+        8000, 1, 2, 5,
+    )
+    assert r1.peak == 32768
+    assert r1.rms == math.sqrt(sum(s * s for s in samples) / 5)
+    assert r1.duration_ms == 5 * 1000 // 8000
+    assert got[2].valid is False and got[3].valid is False

@@ -607,3 +607,66 @@ def test_gini_matches_brute_force(spark, vals, monkeypatch):
     num = sum(abs(a - b) for a in vals for b in vals)
     want = (num * 1000000) // (2 * n * sum(vals))
     assert r.gini_u6 == want
+
+
+# ---------- Avro spec reader/writer: schema-driven roundtrip ----------
+
+_AVRO_FIELD_TYPES = [
+    ("f_long", "long", st.integers(-(2**62), 2**62)),
+    ("f_int", "int", st.integers(-(2**31), 2**31 - 1)),
+    ("f_bool", "boolean", st.booleans()),
+    ("f_double", "double",
+     st.floats(allow_nan=False, allow_infinity=False, width=64)),
+    ("f_float", "float",
+     st.floats(allow_nan=False, allow_infinity=False, width=32)),
+    ("f_str", "string",
+     st.text(alphabet=string.printable, max_size=40)),
+    ("f_bytes", "bytes", st.binary(max_size=40)),
+    ("f_opt", ["null", "long"],
+     st.one_of(st.none(), st.integers(-(2**62), 2**62))),
+    ("f_arr", {"type": "array", "items": "long"},
+     st.lists(st.integers(-(2**31), 2**31), max_size=8)),
+    ("f_map", {"type": "map", "values": "long"},
+     st.dictionaries(
+         st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8),
+         st.integers(-(2**31), 2**31), max_size=6)),
+    ("f_enum", {"type": "enum", "name": "E", "symbols": ["A", "B", "C"]},
+     st.sampled_from(["A", "B", "C"])),
+    ("f_fix", {"type": "fixed", "name": "Fx", "size": 4},
+     st.binary(min_size=4, max_size=4)),
+]
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_avro_roundtrip_property(data, tmp_path_factory):
+    """write_avro -> _decode_file is the identity for arbitrary values of
+    every supported shape (primitives, nullable union, array, map, enum,
+    fixed), arbitrary field subsets, multi-block files, both codecs."""
+    from cudf_spark.sources.avro import _decode_file, write_avro
+
+    picked = data.draw(
+        st.lists(st.sampled_from(range(len(_AVRO_FIELD_TYPES))),
+                 min_size=1, max_size=len(_AVRO_FIELD_TYPES), unique=True)
+    )
+    fields = [_AVRO_FIELD_TYPES[i] for i in sorted(picked)]
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": n, "type": t} for n, t, _ in fields],
+    }
+    n_rows = data.draw(st.integers(1, 12))
+    rows = [
+        {n: data.draw(s, label=n) for n, _, s in fields} for _ in range(n_rows)
+    ]
+    codec = data.draw(st.sampled_from(["null", "deflate"]))
+    rows_per_block = data.draw(st.sampled_from([None, 3]))
+    path = str(tmp_path_factory.mktemp("avro") / "p.avro")
+    write_avro(rows, schema, path, codec=codec, rows_per_block=rows_per_block)
+    with open(path, "rb") as fh:
+        got_rows, names = _decode_file(fh.read())
+    assert names == [n for n, _, _ in fields]
+    assert len(got_rows) == n_rows
+    for want, got in zip(rows, got_rows):
+        for (name, typ, _), v in zip(fields, got):
+            assert v == want[name], (name, typ)

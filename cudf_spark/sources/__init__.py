@@ -58,7 +58,21 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **op
                     "avro: spark-avro jar absent and no .avro file found to "
                     "infer a schema from"
                 )
-            return read_avro(spark, path, schema_file=cands[0], schema=schema)
+            # spark-avro's `avroSchema` option (reader-schema JSON) maps
+            # onto the spec reader's schema resolution, so evolution works
+            # through the uniform API with or without the jar
+            reader_schema = options.get("avroSchema")
+            if isinstance(reader_schema, str):
+                import json as _json
+
+                reader_schema = _json.loads(reader_schema)
+            return read_avro(
+                spark,
+                path,
+                schema_file=cands[0],
+                schema=schema,
+                reader_schema=reader_schema,
+            )
     return reader.format(fmt).options(**options).load(path)
 
 

@@ -964,3 +964,23 @@ def test_wav_decode_real_format(spark):
     assert r1.rms == math.sqrt(sum(s * s for s in samples) / 5)
     assert r1.duration_ms == 5 * 1000 // 8000
     assert got[2].valid is False and got[3].valid is False
+
+
+def test_sources_read_avro_avroschema_option(spark, tmp_path):
+    """The uniform read() API honors spark-avro's `avroSchema` option in
+    the jar-absent fallback: the JSON reader schema drives spec
+    resolution, so evolution works through one API either way."""
+    import json
+
+    from cudf_spark.sources import read
+    from cudf_spark.sources.avro import write_avro
+
+    writer = {"type": "record", "name": "evt",
+              "fields": [{"name": "id", "type": "int"}]}
+    reader = {"type": "record", "name": "evt",
+              "fields": [{"name": "id", "type": "long"},
+                         {"name": "v", "type": "long", "default": 7}]}
+    write_avro([{"id": 1}, {"id": 2}], writer, str(tmp_path / "p.avro"))
+    df = read(spark, str(tmp_path), "avro", avroSchema=json.dumps(reader))
+    assert dict(df.dtypes) == {"id": "bigint", "v": "bigint"}
+    assert sorted((r.id, r.v) for r in df.collect()) == [(1, 7), (2, 7)]

@@ -888,3 +888,145 @@ def pipeline_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cap")
     )
+
+
+@register(
+    "mm_wav_real_codec",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id AS asset_id, 16000 AS rate,
+               CAST((n_chars % 200) + 20 AS BIGINT) AS n,
+               (doc_id * 7) % 4096 AS base
+        FROM documents),
+    feat AS (
+        SELECT asset_id, rate, n,
+            list_max(list_transform(generate_series(0, n - 1),
+                     k -> abs(((base + 13*k) % 4096) - 2048))) AS peak,
+            list_sum(list_transform(generate_series(0, n - 1),
+                     k -> CAST((((base + 13*k) % 4096) - 2048) AS BIGINT)
+                          * (((base + 13*k) % 4096) - 2048))) AS energy
+        FROM params)
+    SELECT asset_id, CAST(rate AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels, CAST(2 AS INT) AS sample_width,
+           n AS n_frames,
+           CAST((n * 1000) // rate AS BIGINT) AS duration_ms,
+           CAST(peak AS INT) AS peak,
+           round(sqrt(CAST(energy AS DOUBLE) / n), 4) AS rms,
+           TRUE AS valid
+    FROM feat ORDER BY asset_id
+    """,
+    doc="REAL-codec audio roundtrip under the hash gate: per document, "
+    "encode a deterministic PCM16 waveform into a spec-conformant RIFF "
+    "WAV via the stdlib wave writer (multimodal.make_wav_bytes — "
+    "playable bytes, not the FAUD fake), then decode it back with "
+    "decode_wav_audio (stdlib wave + numpy) and extract "
+    "rate/channels/width/frames/peak/RMS. The oracle recomputes every "
+    "sample arithmetically, so a hash match proves the RIFF container "
+    "encode AND decode end-to-end — the no-dependency half of the codec "
+    "seam, driver-checked. Map-only (one Arrow pass each way), no "
+    "shuffle until the final presentation sort.",
+)
+def mm_wav_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.multimodal import decode_wav_audio
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(it):
+        import pandas as pd
+
+        from cudf_spark.multimodal import make_wav_bytes
+
+        for pdf in it:
+            data = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                base = (int(did) * 7) % 4096
+                n = (int(nc) % 200) + 20
+                samples = [((base + 13 * k) % 4096) - 2048 for k in range(n)]
+                data.append(make_wav_bytes(16000, samples))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "data": data})
+
+    assets = d.mapInPandas(encode, schema="asset_id long, data binary")
+    return (
+        decode_wav_audio(assets)
+        .select(
+            "asset_id",
+            "sample_rate",
+            "n_channels",
+            "sample_width",
+            "n_frames",
+            "duration_ms",
+            "peak",
+            F.round("rms", 4).alias("rms"),
+            "valid",
+        )
+        .orderBy("asset_id")
+    )
+
+
+@register(
+    "mm_bmp_real_codec",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id AS asset_id,
+               CAST((n_chars % 13) + 3 AS INT) AS w,
+               CAST((doc_id % 7) + 2 AS INT) AS h
+        FROM documents),
+    feat AS (
+        SELECT asset_id, w, h,
+            list_sum(list_transform(generate_series(0, w*h - 1),
+                     i -> CAST((asset_id + 3*i) % 256 AS BIGINT))) AS sr,
+            list_sum(list_transform(generate_series(0, w*h - 1),
+                     i -> CAST((asset_id + 5*i) % 256 AS BIGINT))) AS sg,
+            list_sum(list_transform(generate_series(0, w*h - 1),
+                     i -> CAST((asset_id + 7*i) % 256 AS BIGINT))) AS sb
+        FROM params)
+    SELECT asset_id, w AS width, h AS height,
+           CAST(sb AS DOUBLE) / (w*h) AS mean_b,
+           CAST(sg AS DOUBLE) / (w*h) AS mean_g,
+           CAST(sr AS DOUBLE) / (w*h) AS mean_r,
+           TRUE AS valid
+    FROM feat ORDER BY asset_id
+    """,
+    doc="REAL-codec image roundtrip under the hash gate: per document, "
+    "encode deterministic RGB pixels into a spec-conformant uncompressed "
+    "24-bit BMP (multimodal.make_bmp_bytes — bottom-up rows, 4-byte "
+    "stride padding; opens in any viewer), then decode it back with "
+    "decode_bmp_pixels and emit exact per-channel means (int64 sums, "
+    "one IEEE division — bit-identical cross-engine). A hash match "
+    "proves the BMP struct layout encode AND decode end-to-end. "
+    "Map-only, no shuffle until the presentation sort.",
+)
+def mm_bmp_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.multimodal import decode_bmp_pixels
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def encode(it):
+        import pandas as pd
+
+        from cudf_spark.multimodal import make_bmp_bytes
+
+        for pdf in it:
+            data = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = (int(nc) % 13) + 3
+                h = (int(did) % 7) + 2
+                px = [
+                    (
+                        (int(did) + 3 * i) % 256,
+                        (int(did) + 5 * i) % 256,
+                        (int(did) + 7 * i) % 256,
+                    )
+                    for i in range(w * h)
+                ]
+                data.append(make_bmp_bytes(w, h, px))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "data": data})
+
+    assets = d.mapInPandas(encode, schema="asset_id long, data binary")
+    return (
+        decode_bmp_pixels(assets)
+        .select(
+            "asset_id", "width", "height", "mean_b", "mean_g", "mean_r", "valid"
+        )
+        .orderBy("asset_id")
+    )

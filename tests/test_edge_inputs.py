@@ -281,3 +281,60 @@ def test_zorder2_rejects_out_of_range_bits(spark):
             zorder2(F.col("x"), F.col("y"), bits=bad)
         with pytest.raises(ValueError):
             zorder2_sql("x", "y", bits=bad)
+
+
+def test_bmp_wav_decoders_empty_and_truncated(spark):
+    """The real-format decoders must survive empty frames, truncated
+    headers and size-lying payloads as valid=false rows, never task
+    failures — the empty-partition / corrupt-object-store cases."""
+    from cudf_spark.multimodal import (
+        decode_bmp_pixels,
+        decode_wav_audio,
+        make_bmp_bytes,
+        make_wav_bytes,
+    )
+
+    empty = spark.createDataFrame([], "asset_id long, data binary")
+    assert decode_bmp_pixels(empty).count() == 0
+    assert decode_wav_audio(empty).count() == 0
+
+    good_bmp = make_bmp_bytes(2, 2, [(1, 2, 3)] * 4)
+    rows = [
+        (1, good_bmp[: len(good_bmp) - 3]),  # truncated pixel data
+        (2, good_bmp[:20]),                  # truncated DIB header
+        (3, b"BM" + b"\x00" * 60),           # magic but zero dims
+        (4, good_bmp),
+    ]
+    got = {r.asset_id: r for r in decode_bmp_pixels(
+        spark.createDataFrame(rows, "asset_id long, data binary")).collect()}
+    assert [got[i].valid for i in (1, 2, 3)] == [False, False, False]
+    assert got[4].valid and got[4].mean_r == 1.0
+
+    good_wav = make_wav_bytes(8000, [5, -5])
+    rows = [
+        (1, good_wav[: len(good_wav) - 1]),  # truncated PCM
+        (2, good_wav[:12]),                  # RIFF/WAVE only, no fmt
+        (3, good_wav),
+    ]
+    got = {r.asset_id: r for r in decode_wav_audio(
+        spark.createDataFrame(rows, "asset_id long, data binary")).collect()}
+    # the wave module tolerates a truncated final frame (short read);
+    # what must hold: no task failure, and the intact file is exact
+    assert got[2].valid is False
+    assert got[3].valid and got[3].peak == 5 and got[3].n_frames == 2
+
+
+def test_avro_resolution_empty_file(spark, tmp_path):
+    """Schema resolution over a zero-row file yields zero rows with the
+    reader schema's columns (the empty-partition case)."""
+    from cudf_spark.sources.avro import read_avro, write_avro
+
+    writer = {"type": "record", "name": "r",
+              "fields": [{"name": "id", "type": "long"}]}
+    reader = {"type": "record", "name": "r",
+              "fields": [{"name": "id", "type": "long"},
+                         {"name": "x", "type": "long", "default": 0}]}
+    write_avro([], writer, str(tmp_path / "e.avro"))
+    df = read_avro(spark, str(tmp_path), schema_file=str(tmp_path / "e.avro"),
+                   reader_schema=reader)
+    assert df.columns == ["id", "x"] and df.count() == 0

@@ -217,6 +217,10 @@ def _rotation_from_driver_records(records_dir: str) -> list[str] | None:
         "io_avro_roundtrip_agg", "io_bucketed_join_agg",
         "io_multiformat_roundtrip", "io_parquet_codec_roundtrip",
         "io_partitioned_write_pruning", "io_schema_evolution_merge",
+        # the round-6 +2 (real-codec roundtrips): registered behind the
+        # backlog, pinned so the window (~50 slots, 18 pins) proves them
+        # in the same round they shipped instead of two rounds later
+        "mm_wav_real_codec", "mm_bmp_real_codec",
     }
     # oldest first (the judge's explicit round-3 ask outranks everything),
     # then the round-4 wave (judge's round-4 ask), then the round-6 pin

@@ -97,6 +97,7 @@ def test_r6_pin_cohort_in_driver_window():
         "io_avro_roundtrip_agg", "io_bucketed_join_agg",
         "io_multiformat_roundtrip", "io_parquet_codec_roundtrip",
         "io_partitioned_write_pruning", "io_schema_evolution_merge",
+        "mm_wav_real_codec", "mm_bmp_real_codec",
     }
     _, checked, _ = _driver_records(_repo_root)
     window = set(list(REGISTRY)[:50])

@@ -85,19 +85,31 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
     return buf.read(_read_long(buf))
 
 
+_AMBIGUOUS = object()  # short-name collision sentinel — resolving it raises
+
+
 def _register_named(t, named: dict, enclosing_ns: str | None = None) -> str | None:
     """Record a named-type definition (record/enum/fixed) under both its
     full (namespace-qualified) and short name, per the spec's name
     resolution rules (a nested named type without its own namespace
-    inherits the enclosing one). Returns the effective namespace, for
-    threading through nested definitions."""
+    inherits the enclosing one). Two DIFFERENT definitions sharing a
+    short name across namespaces poison the short-name entry — a bare
+    reference to it raises instead of silently resolving to whichever
+    registered last (for size-differing fixed types that would desync
+    the whole block). Returns the effective namespace, for threading
+    through nested definitions."""
     name = t.get("name")
     if not name:
         return enclosing_ns
     ns = t.get("namespace", enclosing_ns)
     full = f"{ns}.{name}" if ns and "." not in name else name
     named[full] = t
-    named[full.rsplit(".", 1)[-1]] = t
+    short = full.rsplit(".", 1)[-1]
+    prev = named.get(short)
+    if prev is not None and prev is not t and prev is not _AMBIGUOUS:
+        named[short] = _AMBIGUOUS
+    elif prev is not _AMBIGUOUS:
+        named[short] = t
     return full.rsplit(".", 1)[0] if "." in full else None
 
 
@@ -115,11 +127,25 @@ def _logical_spark_type(t: dict) -> str | None:
     return None
 
 
+def _resolve_named(ref: str, named: dict):
+    """Look up a by-name reference; a poisoned (cross-namespace-colliding)
+    short name raises instead of resolving arbitrarily."""
+    t = named.get(ref)
+    if t is _AMBIGUOUS:
+        raise ValueError(
+            f"ambiguous short-name reference {ref!r}: multiple named types "
+            "share it across namespaces; use the namespace-qualified name"
+        )
+    return t
+
+
 def _spark_type(t, named: dict | None = None, _stack: frozenset = frozenset()) -> str:
     """Recursive Avro-schema → Spark DDL type fragment. ``named`` is the
-    per-file registry of named-type definitions; ``_stack`` tracks
-    in-progress record names to reject recursive schemas (Spark's static
-    struct types cannot represent them)."""
+    per-file registry of named-type definitions; ``_stack`` tracks the
+    ids of in-progress record definitions to reject recursive schemas
+    (Spark's static struct types cannot represent them) — identity, not
+    name strings, so full- and short-name self-references are both
+    caught."""
     if named is None:
         named = {}
     if isinstance(t, str):
@@ -127,10 +153,11 @@ def _spark_type(t, named: dict | None = None, _stack: frozenset = frozenset()) -
             return "void"
         if t in _PRIMITIVE_TO_SPARK:
             return _PRIMITIVE_TO_SPARK[t]
-        if t in named:  # reference to a previously-defined named type
-            if t in _stack:
+        resolved = _resolve_named(t, named)
+        if resolved is not None:  # reference to a previously-defined type
+            if id(resolved) in _stack:
                 raise NotImplementedError(f"recursive avro schema via {t!r}")
-            return _spark_type(named[t], named, _stack)
+            return _spark_type(resolved, named, _stack)
         raise NotImplementedError(f"unsupported avro type {t!r}")
     if isinstance(t, list):  # union
         non_null = [b for b in t if b != "null"]
@@ -153,8 +180,7 @@ def _spark_type(t, named: dict | None = None, _stack: frozenset = frozenset()) -
             return logical
         if kind == "record":
             _register_named(t, named)
-            name = t.get("name")
-            stack = _stack | {name} if name else _stack
+            stack = _stack | {id(t)}
             inner = ", ".join(
                 f"`{f['name']}`: {_spark_type(f['type'], named, stack)}"
                 for f in t["fields"]
@@ -254,8 +280,9 @@ def _decode(buf: io.BytesIO, schema, named: dict | None = None):
     if named is None:
         named = {}
     if isinstance(schema, str):
-        if schema in named:
-            return _decode(buf, named[schema], named)
+        resolved = _resolve_named(schema, named)
+        if resolved is not None:
+            return _decode(buf, resolved, named)
         return _decode_value(buf, schema)
     if isinstance(schema, list):  # union
         idx = _read_long(buf)
@@ -357,8 +384,9 @@ _PROMOTIONS = {
 def _type_tag(schema, named: dict) -> str | dict | list:
     """Strip wrapper dicts / named references down to a comparable tag."""
     if isinstance(schema, str):
-        if schema in named:
-            return _type_tag(named[schema], named)
+        resolved = _resolve_named(schema, named)
+        if resolved is not None:
+            return _type_tag(resolved, named)
         return schema
     if isinstance(schema, dict):
         kind = schema["type"]
@@ -535,15 +563,23 @@ def _decode_file(
         if buf.read(16) != sync:
             raise ValueError("sync marker mismatch (corrupt block)")
         bbuf = io.BytesIO(block)
-        for _ in range(n_objects):
-            row = {f["name"]: _decode(bbuf, f["type"], named) for f in fields}
-            if reader_schema is not None:
-                row = _adapt(row, schema, reader_schema, named, named_r)
+        if reader_schema is None:  # common path: no dict per row
+            for _ in range(n_objects):
+                rows.append(
+                    tuple(_decode(bbuf, f["type"], named) for f in fields)
+                )
+        else:
+            for _ in range(n_objects):
+                row = _adapt(
+                    {f["name"]: _decode(bbuf, f["type"], named) for f in fields},
+                    schema,
+                    reader_schema,
+                    named,
+                    named_r,
+                )
                 rows.append(
                     tuple(row[f["name"]] for f in reader_schema["fields"])
                 )
-            else:
-                rows.append(tuple(row[f["name"]] for f in fields))
     out_fields = (
         reader_schema["fields"] if reader_schema is not None else fields
     )
@@ -562,6 +598,26 @@ def avro_spark_schema(path: str) -> tuple[str, dict]:
         for f in schema["fields"]
     ]
     return ", ".join(parts), schema
+
+
+def _reader_ddl(schema, reader_schema: dict | None, schema_file: str) -> str:
+    """Spark DDL for a reader call: derived from the reader schema when
+    resolution is on (an explicit ``schema`` would silently conflict, so
+    passing both is an error), else the explicit ``schema``, else the
+    header of ``schema_file``."""
+    if reader_schema is not None:
+        if schema is not None:
+            raise ValueError(
+                "schema and reader_schema are mutually exclusive: with "
+                "resolution on, the output schema IS the reader schema"
+            )
+        named_r: dict = {}
+        _collect_named(reader_schema, named_r)
+        return ", ".join(
+            f"`{f['name']}` {_spark_type(f['type'], named_r)}"
+            for f in reader_schema["fields"]
+        )
+    return schema if schema is not None else avro_spark_schema(schema_file)[0]
 
 
 def read_avro(
@@ -583,15 +639,7 @@ def read_avro(
     writer-only fields drop, numeric/string promotions apply) — so a
     directory of part-files written across schema versions reads as one
     uniform DataFrame, which is the point of Avro evolution."""
-    if reader_schema is not None:
-        named_r: dict = {}
-        _collect_named(reader_schema, named_r)
-        ddl = ", ".join(
-            f"`{f['name']}` {_spark_type(f['type'], named_r)}"
-            for f in reader_schema["fields"]
-        )
-    else:
-        ddl = schema if schema is not None else avro_spark_schema(schema_file)[0]
+    ddl = _reader_ddl(schema, reader_schema, schema_file)
     files = spark.read.format("binaryFile").load(path)
 
     def decode(batches):
@@ -667,13 +715,24 @@ def _decode_file_range(
             if fh.read(16) != sync:
                 raise ValueError("sync marker mismatch (corrupt block)")
             bbuf = io.BytesIO(block)
-            for _ in range(n_objects):
-                row = {
-                    f["name"]: _decode(bbuf, f["type"], named) for f in fields
-                }
-                if reader_schema is not None:
-                    row = _adapt(row, schema, reader_schema, named, named_r)
-                rows.append(tuple(row[n] for n in names))
+            if reader_schema is None:  # common path: no dict per row
+                for _ in range(n_objects):
+                    rows.append(
+                        tuple(_decode(bbuf, f["type"], named) for f in fields)
+                    )
+            else:
+                for _ in range(n_objects):
+                    row = _adapt(
+                        {
+                            f["name"]: _decode(bbuf, f["type"], named)
+                            for f in fields
+                        },
+                        schema,
+                        reader_schema,
+                        named,
+                        named_r,
+                    )
+                    rows.append(tuple(row[n] for n in names))
             pos = fh.tell()
         return rows, names
 
@@ -703,15 +762,7 @@ def read_avro_split(
     import glob as globmod
     import os
 
-    if reader_schema is not None:
-        named_r: dict = {}
-        _collect_named(reader_schema, named_r)
-        ddl = ", ".join(
-            f"`{f['name']}` {_spark_type(f['type'], named_r)}"
-            for f in reader_schema["fields"]
-        )
-    else:
-        ddl = schema if schema is not None else avro_spark_schema(schema_file)[0]
+    ddl = _reader_ddl(schema, reader_schema, schema_file)
     if os.path.isdir(path):
         files = sorted(
             p
@@ -779,16 +830,17 @@ def _encode_value(v, type_name: str) -> bytes:
     raise NotImplementedError(type_name)
 
 
+try:  # cached once: _is_null runs per VALUE in the union-encode hot path
+    from pandas import NaT as _PD_NAT
+except ImportError:  # pragma: no cover - pandas is baked in
+    _PD_NAT = object()
+
+
 def _is_null(v) -> bool:
     # pandas hands nullable numerics over as float NaN, datetimes as NaT
-    if v is None or (isinstance(v, float) and v != v):
-        return True
-    try:
-        import pandas as pd
-
-        return v is pd.NaT
-    except ImportError:  # pragma: no cover - pandas is baked in
-        return False
+    return (
+        v is None or (isinstance(v, float) and v != v) or v is _PD_NAT
+    )
 
 
 def _encode_logical(v, schema: dict) -> bytes:
@@ -804,7 +856,14 @@ def _encode_logical(v, schema: dict) -> bytes:
     if lt in ("timestamp-micros", "timestamp-millis"):
         if hasattr(v, "to_pydatetime"):
             v = v.to_pydatetime()
-        delta = v - datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        # the epoch must be a FIXED instant: naive values are treated as
+        # UTC (Spark session TZ contract), aware values are converted —
+        # subtracting an epoch carrying the VALUE's own tzinfo would
+        # encode the local-naive reading and shift every aware timestamp
+        # by its UTC offset
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        delta = v - datetime.datetime(1970, 1, 1)
         micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
         return _zigzag(micros if lt == "timestamp-micros" else micros // 1000)
     # decimal: unscaled big-endian two's complement at the declared scale
@@ -814,6 +873,11 @@ def _encode_logical(v, schema: dict) -> bytes:
     raw = unscaled.to_bytes(nbytes, "big", signed=True)
     if base == "fixed":
         size = int(schema["size"])
+        if len(raw) > size:
+            raise ValueError(
+                f"decimal {v} needs {len(raw)} bytes, exceeding fixed "
+                f"size {size} — writing it would desync the stream"
+            )
         pad = b"\xff" if unscaled < 0 else b"\x00"
         return pad * (size - len(raw)) + raw
     return _zigzag(len(raw)) + raw
@@ -826,8 +890,9 @@ def _encode(v, schema, named: dict | None = None) -> bytes:
     if named is None:
         named = {}
     if isinstance(schema, str):
-        if schema in named:
-            return _encode(v, named[schema], named)
+        resolved = _resolve_named(schema, named)
+        if resolved is not None:
+            return _encode(v, resolved, named)
         return b"" if schema == "null" else _encode_value(v, schema)
     if isinstance(schema, list):  # union: emit the branch index, then value
         if _is_null(v):

@@ -984,3 +984,98 @@ def test_sources_read_avro_avroschema_option(spark, tmp_path):
     df = read(spark, str(tmp_path), "avro", avroSchema=json.dumps(reader))
     assert dict(df.dtypes) == {"id": "bigint", "v": "bigint"}
     assert sorted((r.id, r.v) for r in df.collect()) == [(1, 7), (2, 7)]
+
+
+def test_avro_review_fixes_round6():
+    """Regression pins for the round-6 self-review findings — all
+    pure-Python codec logic, no Spark session needed."""
+    import datetime
+    import io
+    from decimal import Decimal
+
+    import pytest
+
+    from cudf_spark.sources.avro import (
+        _collect_named,
+        _decode,
+        _encode_logical,
+        _is_null,
+        _spark_type,
+    )
+
+    # 1. fixed-backed decimal overflowing the declared size must raise,
+    #    not silently desync the stream
+    fx = {"type": "fixed", "name": "D2", "size": 2,
+          "logicalType": "decimal", "precision": 10, "scale": 0}
+    with pytest.raises(ValueError, match="desync"):
+        _encode_logical(Decimal("100000"), fx)
+    # boundary: exactly-fitting value still encodes
+    assert _encode_logical(Decimal("32767"), fx) == b"\x7f\xff"
+    assert _encode_logical(Decimal("-1"), fx) == b"\xff\xff"
+
+    # 2. tz-aware timestamps must encode the true UTC instant
+    ts = {"type": "long", "logicalType": "timestamp-micros"}
+    plus5 = datetime.timezone(datetime.timedelta(hours=5))
+    aware = datetime.datetime(1970, 1, 1, tzinfo=plus5)  # = -5h UTC
+    enc = _encode_logical(aware, ts)
+    got = _decode(io.BytesIO(enc), ts)
+    assert got == datetime.datetime(1969, 12, 31, 19, 0, 0)
+    naive = datetime.datetime(1970, 1, 1, 0, 0, 1)
+    assert _decode(io.BytesIO(_encode_logical(naive, ts)), ts) == naive
+
+    # 3. short-name collision across namespaces: bare ref must raise,
+    #    qualified refs still resolve
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "a", "type": {"type": "fixed", "name": "Foo",
+                                   "namespace": "x", "size": 4}},
+            {"name": "b", "type": {"type": "fixed", "name": "Foo",
+                                   "namespace": "y", "size": 8}},
+            {"name": "c", "type": "x.Foo"},
+        ],
+    }
+    named: dict = {}
+    _collect_named(schema, named)
+    assert _spark_type(schema, named)  # qualified ref resolves fine
+    bad = dict(schema, fields=schema["fields"][:2]
+               + [{"name": "c", "type": "Foo"}])
+    named2: dict = {}
+    _collect_named(bad, named2)
+    with pytest.raises(ValueError, match="ambiguous"):
+        _spark_type(bad, named2)
+
+    # 4. namespace-QUALIFIED self-reference must raise NotImplementedError,
+    #    not blow the stack
+    rec = {
+        "type": "record", "name": "Node", "namespace": "com.example",
+        "fields": [{"name": "v", "type": "long"},
+                   {"name": "next", "type": ["null", "com.example.Node"]}],
+    }
+    named3: dict = {}
+    _collect_named(rec, named3)
+    with pytest.raises(NotImplementedError, match="recursive"):
+        _spark_type(rec, named3)
+
+    # 7. NaT detection without per-call import
+    import pandas as pd
+
+    assert _is_null(pd.NaT) and _is_null(None) and _is_null(float("nan"))
+    assert not _is_null(0) and not _is_null("")
+
+
+def test_avro_schema_and_reader_schema_mutually_exclusive(spark, tmp_path):
+    """5. passing both an explicit Spark schema and a reader schema must
+    fail immediately, not silently prefer one."""
+    import pytest
+
+    from cudf_spark.sources.avro import read_avro, write_avro
+
+    writer = {"type": "record", "name": "r",
+              "fields": [{"name": "id", "type": "long"}]}
+    write_avro([{"id": 1}], writer, str(tmp_path / "p.avro"))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        read_avro(
+            spark, str(tmp_path), schema_file=str(tmp_path / "p.avro"),
+            schema="id long", reader_schema=writer,
+        )

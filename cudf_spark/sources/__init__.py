@@ -66,11 +66,15 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **op
                 import json as _json
 
                 reader_schema = _json.loads(reader_schema)
+            # when an avroSchema is given, the output schema IS the
+            # reader schema (spec resolution); an explicit Spark schema
+            # is dropped so the fallback stays a drop-in for the jar
+            # path instead of raising read_avro's mutual-exclusion error
             return read_avro(
                 spark,
                 path,
                 schema_file=cands[0],
-                schema=schema,
+                schema=None if reader_schema is not None else schema,
                 reader_schema=reader_schema,
             )
     return reader.format(fmt).options(**options).load(path)

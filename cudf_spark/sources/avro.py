@@ -23,7 +23,9 @@ mapping on read; type-driven branch resolution on write), nested records
 (→ Spark ``struct``), arrays (→ ``array<T>``), maps with string keys
 (→ ``map<string,T>``), named types — ``enum`` (→ ``string``, the
 spark-avro mapping), ``fixed`` (→ ``binary``) — with later by-name
-references resolved through a per-file registry (full and short names),
+references canonicalized in one pre-pass per the spec's name rules
+(unqualified references resolve relative to the enclosing definition's
+namespace, falling back to the null namespace; see :func:`_qualify`),
 and the logical types ``date`` (int → ``date``), ``timestamp-micros`` /
 ``timestamp-millis`` (long → ``timestamp``), and ``decimal`` over bytes
 or fixed (big-endian two's-complement unscaled int → ``decimal(p,s)``);
@@ -85,32 +87,66 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
     return buf.read(_read_long(buf))
 
 
-_AMBIGUOUS = object()  # short-name collision sentinel — resolving it raises
+def _qualify(t, ns: str | None, named: dict):
+    """One pre-pass over a parsed Avro schema implementing the spec's
+    name rules ("Names"): a definition's effective namespace is its own,
+    else the enclosing one; an unqualified REFERENCE is resolved relative
+    to the namespace of the enclosing definition (falling back to the
+    null namespace for globally-named types, as conformant parsers do).
+    Returns a copy of the tree with every reference rewritten to the
+    defining type's canonical full name and every definition registered
+    in ``named`` under that full name — so runtime resolution is one
+    exact dict lookup, independent of field order, with no short-name
+    collisions possible."""
+    if isinstance(t, str):
+        if t == "null" or t in _PRIMITIVE_TO_SPARK:
+            return t
+        full = f"{ns}.{t}" if ns and "." not in t else t
+        if full in named:
+            return full
+        if t in named:  # null-namespace definition referenced from inside ns
+            return t
+        raise NotImplementedError(
+            f"unresolved avro type reference {t!r}"
+            + (f" (in namespace {ns!r})" if ns else "")
+        )
+    if isinstance(t, list):
+        return [_qualify(b, ns, named) for b in t]
+    if isinstance(t, dict):
+        kind = t["type"]
+        if kind in ("record", "enum", "fixed"):
+            name = t["name"]
+            if "." in name:
+                full, tns = name, name.rsplit(".", 1)[0]
+            else:
+                tns = t.get("namespace", ns)
+                full = f"{tns}.{name}" if tns else name
+            out = dict(t)
+            named[full] = out
+            if kind == "record":
+                out["fields"] = [
+                    dict(f, type=_qualify(f["type"], tns, named))
+                    for f in t["fields"]
+                ]
+            return out
+        if kind == "array":
+            return dict(t, items=_qualify(t["items"], ns, named))
+        if kind == "map":
+            return dict(t, values=_qualify(t["values"], ns, named))
+        if isinstance(kind, (list, dict)):
+            return dict(t, type=_qualify(kind, ns, named))
+        return t  # primitive wrapper / logical-typed primitive
+    raise NotImplementedError(f"unsupported avro type {t!r}")
 
 
-def _register_named(t, named: dict, enclosing_ns: str | None = None) -> str | None:
-    """Record a named-type definition (record/enum/fixed) under both its
-    full (namespace-qualified) and short name, per the spec's name
-    resolution rules (a nested named type without its own namespace
-    inherits the enclosing one). Two DIFFERENT definitions sharing a
-    short name across namespaces poison the short-name entry — a bare
-    reference to it raises instead of silently resolving to whichever
-    registered last (for size-differing fixed types that would desync
-    the whole block). Returns the effective namespace, for threading
-    through nested definitions."""
-    name = t.get("name")
-    if not name:
-        return enclosing_ns
-    ns = t.get("namespace", enclosing_ns)
-    full = f"{ns}.{name}" if ns and "." not in name else name
-    named[full] = t
-    short = full.rsplit(".", 1)[-1]
-    prev = named.get(short)
-    if prev is not None and prev is not t and prev is not _AMBIGUOUS:
-        named[short] = _AMBIGUOUS
-    elif prev is not _AMBIGUOUS:
-        named[short] = t
-    return full.rsplit(".", 1)[0] if "." in full else None
+def _prepare_schema(schema) -> tuple[dict, dict]:
+    """(reference-canonicalized schema copy, full-name registry) — the
+    single entry point every reader/writer path uses before walking a
+    schema. Call once per file; the returned registry is what
+    ``_decode`` / ``_spark_type`` / ``_encode`` resolve references
+    through."""
+    named: dict = {}
+    return _qualify(schema, None, named), named
 
 
 def _logical_spark_type(t: dict) -> str | None:
@@ -128,15 +164,9 @@ def _logical_spark_type(t: dict) -> str | None:
 
 
 def _resolve_named(ref: str, named: dict):
-    """Look up a by-name reference; a poisoned (cross-namespace-colliding)
-    short name raises instead of resolving arbitrarily."""
-    t = named.get(ref)
-    if t is _AMBIGUOUS:
-        raise ValueError(
-            f"ambiguous short-name reference {ref!r}: multiple named types "
-            "share it across namespaces; use the namespace-qualified name"
-        )
-    return t
+    """Exact full-name lookup — references were canonicalized by
+    :func:`_qualify`, so no relative/ambiguous resolution happens here."""
+    return named.get(ref)
 
 
 def _spark_type(t, named: dict | None = None, _stack: frozenset = frozenset()) -> str:
@@ -175,11 +205,8 @@ def _spark_type(t, named: dict | None = None, _stack: frozenset = frozenset()) -
         kind = t["type"]
         logical = _logical_spark_type(t) if isinstance(kind, str) else None
         if logical is not None:
-            if kind == "fixed":
-                _register_named(t, named)
             return logical
         if kind == "record":
-            _register_named(t, named)
             stack = _stack | {id(t)}
             inner = ", ".join(
                 f"`{f['name']}`: {_spark_type(f['type'], named, stack)}"
@@ -187,10 +214,8 @@ def _spark_type(t, named: dict | None = None, _stack: frozenset = frozenset()) -
             )
             return f"struct<{inner}>"
         if kind == "enum":  # decoded to its symbol — the spark-avro mapping
-            _register_named(t, named)
             return "string"
         if kind == "fixed":
-            _register_named(t, named)
             return "binary"
         if kind == "array":
             return f"array<{_spark_type(t['items'], named, _stack)}>"
@@ -220,28 +245,6 @@ def _decode_value(buf: io.BytesIO, type_name: str):
     if type_name == "null":
         return None
     raise NotImplementedError(f"unsupported avro type {type_name!r}")
-
-
-def _collect_named(schema, named: dict, ns: str | None = None) -> None:
-    """Pre-walk the schema registering every named-type definition, so
-    by-name references resolve no matter where decode enters the tree.
-    ``ns`` is the enclosing namespace nested definitions inherit."""
-    if isinstance(schema, list):
-        for b in schema:
-            _collect_named(b, named, ns)
-    elif isinstance(schema, dict):
-        kind = schema.get("type")
-        if kind in ("record", "enum", "fixed"):
-            ns = _register_named(schema, named, ns)
-        if kind == "record":
-            for f in schema["fields"]:
-                _collect_named(f["type"], named, ns)
-        elif kind == "array":
-            _collect_named(schema["items"], named, ns)
-        elif kind == "map":
-            _collect_named(schema["values"], named, ns)
-        elif isinstance(kind, (list, dict)):
-            _collect_named(kind, named, ns)
 
 
 def _decode_logical(buf: io.BytesIO, schema: dict):
@@ -546,12 +549,11 @@ def _decode_file(
     schema, codec, sync = _parse_header(buf)
     if schema.get("type") != "record":
         raise NotImplementedError("only top-level record schemas supported")
+    schema, named = _prepare_schema(schema)
     fields = schema["fields"]
-    named: dict = {}
-    _collect_named(schema, named)
     named_r: dict = {}
     if reader_schema is not None:
-        _collect_named(reader_schema, named_r)
+        reader_schema, named_r = _prepare_schema(reader_schema)
     rows: list[tuple] = []
     while True:
         head = buf.read(1)
@@ -591,11 +593,10 @@ def avro_spark_schema(path: str) -> tuple[str, dict]:
     cluster scale read the first part-file through the FileSystem API)."""
     with open(path, "rb") as fh:
         schema, _codec, _sync = _parse_header(io.BytesIO(fh.read(1 << 20)))
-    named: dict = {}
-    _collect_named(schema, named)
+    qschema, named = _prepare_schema(schema)
     parts = [
         f"`{f['name']}` {_spark_type(f['type'], named)}"
-        for f in schema["fields"]
+        for f in qschema["fields"]
     ]
     return ", ".join(parts), schema
 
@@ -611,11 +612,10 @@ def _reader_ddl(schema, reader_schema: dict | None, schema_file: str) -> str:
                 "schema and reader_schema are mutually exclusive: with "
                 "resolution on, the output schema IS the reader schema"
             )
-        named_r: dict = {}
-        _collect_named(reader_schema, named_r)
+        qreader, named_r = _prepare_schema(reader_schema)
         return ", ".join(
             f"`{f['name']}` {_spark_type(f['type'], named_r)}"
-            for f in reader_schema["fields"]
+            for f in qreader["fields"]
         )
     return schema if schema is not None else avro_spark_schema(schema_file)[0]
 
@@ -686,12 +686,11 @@ def _decode_file_range(
         header_end = fh.tell()
         if schema.get("type") != "record":
             raise NotImplementedError("only top-level record schemas supported")
+        schema, named = _prepare_schema(schema)
         fields = schema["fields"]
-        named: dict = {}
-        _collect_named(schema, named)
         named_r: dict = {}
         if reader_schema is not None:
-            _collect_named(reader_schema, named_r)
+            reader_schema, named_r = _prepare_schema(reader_schema)
             names = [f["name"] for f in reader_schema["fields"]]
         else:
             names = [f["name"] for f in fields]
@@ -869,7 +868,11 @@ def _encode_logical(v, schema: dict) -> bytes:
     # decimal: unscaled big-endian two's complement at the declared scale
     scale = int(schema.get("scale", 0))
     unscaled = int(v.scaleb(scale).to_integral_value())
-    nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+    # minimal SIGNED two's-complement length: measure the magnitude as
+    # (-n - 1) for negatives, else bit_length() over-allocates one byte
+    # for exact powers -(2^(8k-1)) (e.g. -128 fits 1 byte, not 2)
+    mag = unscaled if unscaled >= 0 else -unscaled - 1
+    nbytes = max(1, (mag.bit_length() + 8) // 8)
     raw = unscaled.to_bytes(nbytes, "big", signed=True)
     if base == "fixed":
         size = int(schema["size"])
@@ -1102,13 +1105,12 @@ def write_avro(
         out += _zigzag(len(ke)) + ke + _zigzag(len(v)) + v
     out += _zigzag(0)
     out += sync
-    named: dict = {}
-    _collect_named(schema, named)
+    qschema, named = _prepare_schema(schema)
     step = rows_per_block or max(len(rows), 1)
     for i in range(0, len(rows), step):
         chunk = rows[i : i + step]
         block = _compress(
-            b"".join(_encode(row, schema, named) for row in chunk)
+            b"".join(_encode(row, qschema, named) for row in chunk)
         )
         out += _zigzag(len(chunk)) + _zigzag(len(block)) + block + sync
     with open(path, "wb") as fh:

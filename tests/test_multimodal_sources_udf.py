@@ -736,7 +736,7 @@ def test_avro_recursive_schema_rejected(tmp_path):
     structs — the schema walk must say so, not stack-overflow."""
     import pytest
 
-    from cudf_spark.sources.avro import _collect_named, _spark_type
+    from cudf_spark.sources.avro import _prepare_schema, _spark_type
 
     schema = {
         "type": "record",
@@ -746,10 +746,9 @@ def test_avro_recursive_schema_rejected(tmp_path):
             {"name": "next", "type": ["null", "Node"]},
         ],
     }
-    named: dict = {}
-    _collect_named(schema, named)
+    qschema, named = _prepare_schema(schema)
     with pytest.raises(NotImplementedError, match="recursive"):
-        _spark_type(schema, named)
+        _spark_type(qschema, named)
 
 
 def test_avro_schema_resolution_across_versions(spark, tmp_path):
@@ -996,10 +995,10 @@ def test_avro_review_fixes_round6():
     import pytest
 
     from cudf_spark.sources.avro import (
-        _collect_named,
         _decode,
         _encode_logical,
         _is_null,
+        _prepare_schema,
         _spark_type,
     )
 
@@ -1023,27 +1022,36 @@ def test_avro_review_fixes_round6():
     naive = datetime.datetime(1970, 1, 1, 0, 0, 1)
     assert _decode(io.BytesIO(_encode_logical(naive, ts)), ts) == naive
 
-    # 3. short-name collision across namespaces: bare ref must raise,
-    #    qualified refs still resolve
+    # 3. name resolution is namespace-RELATIVE per spec, independent of
+    #    definition order: a bare ref inside namespace x means x.Foo even
+    #    when y.Foo shares the short name (and registered first); a bare
+    #    ref with NO namespace in scope and no null-namespace definition
+    #    is unresolved, loudly
     schema = {
+        "type": "record", "name": "r", "namespace": "x",
+        "fields": [
+            {"name": "b", "type": {"type": "fixed", "name": "Foo",
+                                   "namespace": "y", "size": 8}},
+            {"name": "a", "type": {"type": "fixed", "name": "Foo",
+                                   "size": 4}},       # inherits x
+            {"name": "c", "type": "Foo"},             # must mean x.Foo
+            {"name": "d", "type": "y.Foo"},           # qualified ref
+        ],
+    }
+    q, named = _prepare_schema(schema)
+    assert q["fields"][2]["type"] == "x.Foo"
+    assert named["x.Foo"]["size"] == 4 and named["y.Foo"]["size"] == 8
+    assert _spark_type(q, named)
+    bad = {
         "type": "record", "name": "r",
         "fields": [
             {"name": "a", "type": {"type": "fixed", "name": "Foo",
                                    "namespace": "x", "size": 4}},
-            {"name": "b", "type": {"type": "fixed", "name": "Foo",
-                                   "namespace": "y", "size": 8}},
-            {"name": "c", "type": "x.Foo"},
+            {"name": "c", "type": "Foo"},  # no x-namespace context here
         ],
     }
-    named: dict = {}
-    _collect_named(schema, named)
-    assert _spark_type(schema, named)  # qualified ref resolves fine
-    bad = dict(schema, fields=schema["fields"][:2]
-               + [{"name": "c", "type": "Foo"}])
-    named2: dict = {}
-    _collect_named(bad, named2)
-    with pytest.raises(ValueError, match="ambiguous"):
-        _spark_type(bad, named2)
+    with pytest.raises(NotImplementedError, match="unresolved"):
+        _prepare_schema(bad)
 
     # 4. namespace-QUALIFIED self-reference must raise NotImplementedError,
     #    not blow the stack
@@ -1052,10 +1060,9 @@ def test_avro_review_fixes_round6():
         "fields": [{"name": "v", "type": "long"},
                    {"name": "next", "type": ["null", "com.example.Node"]}],
     }
-    named3: dict = {}
-    _collect_named(rec, named3)
+    qrec, named3 = _prepare_schema(rec)
     with pytest.raises(NotImplementedError, match="recursive"):
-        _spark_type(rec, named3)
+        _spark_type(qrec, named3)
 
     # 7. NaT detection without per-call import
     import pandas as pd
@@ -1079,3 +1086,59 @@ def test_avro_schema_and_reader_schema_mutually_exclusive(spark, tmp_path):
             spark, str(tmp_path), schema_file=str(tmp_path / "p.avro"),
             schema="id long", reader_schema=writer,
         )
+
+
+def test_avro_review_fixes_round6b():
+    """Second-pass review pins: minimal signed length for negative
+    power-of-two decimals, and namespace-relative resolution surviving
+    definition order (the order-dependent poison-clobber scenario)."""
+    from decimal import Decimal
+
+    from cudf_spark.sources.avro import _encode_logical, _prepare_schema
+
+    # -(2^(8k-1)) fits exactly in k bytes — must encode, not raise
+    fx1 = {"type": "fixed", "name": "D1", "size": 1,
+           "logicalType": "decimal", "precision": 3, "scale": 0}
+    assert _encode_logical(Decimal("-128"), fx1) == b"\x80"
+    fx2 = {"type": "fixed", "name": "D2", "size": 2,
+           "logicalType": "decimal", "precision": 5, "scale": 0}
+    assert _encode_logical(Decimal("-32768"), fx2) == b"\x80\x00"
+    by = {"type": "bytes", "logicalType": "decimal",
+          "precision": 5, "scale": 0}
+    assert _encode_logical(Decimal("-128"), by) == b"\x02\x80"  # zigzag(1)+raw
+
+    # order-flipped collision: y.Foo registers FIRST, the x-inheriting
+    # Foo second, bare ref still means x.Foo (was: silently resolved to
+    # whichever definition registered last)
+    schema = {
+        "type": "record", "name": "r", "namespace": "x",
+        "fields": [
+            {"name": "b", "type": {"type": "fixed", "name": "Foo",
+                                   "namespace": "y", "size": 8}},
+            {"name": "a", "type": {"type": "fixed", "name": "Foo",
+                                   "size": 4}},
+            {"name": "c", "type": "Foo"},
+        ],
+    }
+    q, named = _prepare_schema(schema)
+    assert q["fields"][2]["type"] == "x.Foo"
+    assert named["x.Foo"]["size"] == 4
+
+
+def test_sources_read_avro_schema_plus_avroschema(spark, tmp_path):
+    """read() with BOTH a Spark schema and the avroSchema option must
+    stay a drop-in for the jar path (reader schema wins, no error)."""
+    import json
+
+    from cudf_spark.sources import read
+    from cudf_spark.sources.avro import write_avro
+
+    writer = {"type": "record", "name": "evt",
+              "fields": [{"name": "id", "type": "int"}]}
+    reader = {"type": "record", "name": "evt",
+              "fields": [{"name": "id", "type": "long"},
+                         {"name": "v", "type": "long", "default": 3}]}
+    write_avro([{"id": 9}], writer, str(tmp_path / "p.avro"))
+    df = read(spark, str(tmp_path), "avro", schema="id long",
+              avroSchema=json.dumps(reader))
+    assert sorted((r.id, r.v) for r in df.collect()) == [(9, 3)]

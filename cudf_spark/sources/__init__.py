@@ -66,17 +66,29 @@ def read(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **op
                 import json as _json
 
                 reader_schema = _json.loads(reader_schema)
-            # when an avroSchema is given, the output schema IS the
-            # reader schema (spec resolution); an explicit Spark schema
-            # is dropped so the fallback stays a drop-in for the jar
-            # path instead of raising read_avro's mutual-exclusion error
-            return read_avro(
+            df = read_avro(
                 spark,
                 path,
                 schema_file=cands[0],
                 schema=None if reader_schema is not None else schema,
                 reader_schema=reader_schema,
             )
+            if schema is not None and reader_schema is not None:
+                # drop-in parity with the jar path, where .schema(...)
+                # shapes the OUTPUT while avroSchema drives resolution:
+                # project the resolved frame onto the explicit schema
+                from pyspark.sql import functions as F
+                from pyspark.sql.types import _parse_datatype_string
+
+                target = (
+                    _parse_datatype_string(schema)
+                    if isinstance(schema, str)
+                    else schema
+                )
+                df = df.select(
+                    *[F.col(f.name).cast(f.dataType) for f in target.fields]
+                )
+            return df
     return reader.format(fmt).options(**options).load(path)
 
 

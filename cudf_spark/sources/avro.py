@@ -139,13 +139,46 @@ def _qualify(t, ns: str | None, named: dict):
     raise NotImplementedError(f"unsupported avro type {t!r}")
 
 
+def _collect_defs(t, ns: str | None, named: dict) -> None:
+    """Definition-only pre-pass: register every named type's full name
+    WITHOUT resolving references, so :func:`_qualify` also accepts
+    forward references (the spec mandates define-before-use, but lenient
+    writers exist and the old reader accepted them)."""
+    if isinstance(t, list):
+        for b in t:
+            _collect_defs(b, ns, named)
+    elif isinstance(t, dict):
+        kind = t.get("type")
+        if kind in ("record", "enum", "fixed"):
+            name = t["name"]
+            if "." in name:
+                full, tns = name, name.rsplit(".", 1)[0]
+            else:
+                tns = t.get("namespace", ns)
+                full = f"{tns}.{name}" if tns else name
+            named[full] = t
+            ns = tns
+        if kind == "record":
+            for f in t["fields"]:
+                _collect_defs(f["type"], ns, named)
+        elif kind == "array":
+            _collect_defs(t["items"], ns, named)
+        elif kind == "map":
+            _collect_defs(t["values"], ns, named)
+        elif isinstance(kind, (list, dict)):
+            _collect_defs(kind, ns, named)
+
+
 def _prepare_schema(schema) -> tuple[dict, dict]:
     """(reference-canonicalized schema copy, full-name registry) — the
     single entry point every reader/writer path uses before walking a
     schema. Call once per file; the returned registry is what
     ``_decode`` / ``_spark_type`` / ``_encode`` resolve references
-    through."""
+    through. Definitions are collected first so forward references
+    qualify correctly; ``_qualify`` then overwrites each entry with its
+    canonicalized copy."""
     named: dict = {}
+    _collect_defs(schema, None, named)
     return _qualify(schema, None, named), named
 
 

@@ -1107,27 +1107,42 @@ def test_avro_review_fixes_round6b():
           "precision": 5, "scale": 0}
     assert _encode_logical(Decimal("-128"), by) == b"\x02\x80"  # zigzag(1)+raw
 
-    # order-flipped collision: y.Foo registers FIRST, the x-inheriting
-    # Foo second, bare ref still means x.Foo (was: silently resolved to
-    # whichever definition registered last)
+    # order-flipped collision (round6 case 3 pins y-first): here the
+    # x-inheriting Foo registers FIRST and y.Foo LAST — under the old
+    # last-wins short-name registry the bare ref would have resolved to
+    # y.Foo (8 bytes); namespace-relative resolution still means x.Foo
     schema = {
         "type": "record", "name": "r", "namespace": "x",
         "fields": [
-            {"name": "b", "type": {"type": "fixed", "name": "Foo",
-                                   "namespace": "y", "size": 8}},
             {"name": "a", "type": {"type": "fixed", "name": "Foo",
                                    "size": 4}},
+            {"name": "b", "type": {"type": "fixed", "name": "Foo",
+                                   "namespace": "y", "size": 8}},
             {"name": "c", "type": "Foo"},
         ],
     }
     q, named = _prepare_schema(schema)
     assert q["fields"][2]["type"] == "x.Foo"
-    assert named["x.Foo"]["size"] == 4
+    assert named["x.Foo"]["size"] == 4 and named["y.Foo"]["size"] == 8
+
+    # forward reference (lenient-writer file): definition after use
+    fwd = {
+        "type": "record", "name": "r2",
+        "fields": [
+            {"name": "c", "type": "Late"},
+            {"name": "d", "type": {"type": "fixed", "name": "Late",
+                                   "size": 2}},
+        ],
+    }
+    qf, namedf = _prepare_schema(fwd)
+    assert qf["fields"][0]["type"] == "Late" and namedf["Late"]["size"] == 2
 
 
 def test_sources_read_avro_schema_plus_avroschema(spark, tmp_path):
     """read() with BOTH a Spark schema and the avroSchema option must
-    stay a drop-in for the jar path (reader schema wins, no error)."""
+    stay a drop-in for the jar path: avroSchema drives resolution, the
+    explicit Spark schema shapes the OUTPUT (as .schema() does with
+    spark-avro present)."""
     import json
 
     from cudf_spark.sources import read
@@ -1141,4 +1156,8 @@ def test_sources_read_avro_schema_plus_avroschema(spark, tmp_path):
     write_avro([{"id": 9}], writer, str(tmp_path / "p.avro"))
     df = read(spark, str(tmp_path), "avro", schema="id long",
               avroSchema=json.dumps(reader))
-    assert sorted((r.id, r.v) for r in df.collect()) == [(9, 3)]
+    assert df.columns == ["id"]  # explicit schema shapes the output
+    assert [r.id for r in df.collect()] == [9]
+    # without the explicit schema, the reader schema's columns come back
+    df2 = read(spark, str(tmp_path), "avro", avroSchema=json.dumps(reader))
+    assert sorted((r.id, r.v) for r in df2.collect()) == [(9, 3)]

@@ -121,6 +121,14 @@ def lsh_candidate_pairs(
     exact dedup first), so recall loss is negligible while the worst case
     becomes m·cap instead of m².
     """
+    if band_size < 1 or n_hashes % band_size != 0:
+        # silent truncation would quietly change recall (n_hashes=8,
+        # band_size=3 used to drop m6/m7); band_size > n_hashes used to
+        # build ZERO bands and report every corpus duplicate-free
+        raise ValueError(
+            f"lsh_candidate_pairs: band_size ({band_size}) must divide "
+            f"n_hashes ({n_hashes})"
+        )
     n_bands = n_hashes // band_size
     band_keys = F.array(
         *[

@@ -57,6 +57,11 @@ def asof_join(
     # Tag so that at equal timestamps the right row sorts before (inclusive)
     # or after (exclusive) the left row it may match — in BOTH sort
     # directions, since ties order by tag after the timestamp.
+    # a right row with a NULL timestamp can never be an as-of match, but
+    # left in the union it sorts FIRST under the ascending fill window
+    # and last(ignorenulls) would hand its payload to left rows that
+    # have no admissible match (pandas merge_asof drops them too)
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__t"),

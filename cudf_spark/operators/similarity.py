@@ -35,7 +35,11 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     a, b = _dvec(a), _dvec(b)
-    return dot(a, b) / (norm(a) * norm(b))
+    # nullif guard: a zero-norm (all-zero / degenerate) vector yields a
+    # NULL cosine instead of DIVIDE_BY_ZERO under Spark 4's default ANSI
+    # mode — one junk embedding in a 100 TB corpus must rank last (desc
+    # ordering puts NULLs last), not abort the job
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def cosine_topk(
@@ -149,7 +153,10 @@ def ivf_assign(
                 F.transform(
                     e["cents"],
                     lambda c: F.struct(
-                        (dot(e["dv"], c["cvec"]) / (e["vn"] * c["cnorm"])).alias("cos"),
+                        (
+                            dot(e["dv"], c["cvec"])
+                            / F.nullif(e["vn"] * c["cnorm"], F.lit(0.0))
+                        ).alias("cos"),
                         (-c["cid"]).alias("ncid"),  # max(-cid) = lowest cid on ties
                     ),
                 )
@@ -333,13 +340,10 @@ def train_ivf_centroids(
         corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(hash60(F.col(id_col).cast("string"), seed=97), F.col(id_col))
         .limit(k)
-        .select(
-            F.col(vec_col).alias("cvec"),
-        )
-        .withColumn("cid", F.monotonically_increasing_id())
+        .select(F.col(vec_col).alias("cvec"))
     )
-    # re-key 0..k-1 deterministically (monotonic ids are partition-skewed)
-    cents_rows = init.select("cvec").collect()
+    # key 0..k-1 deterministically on the driver (k rows)
+    cents_rows = init.collect()
     centroids = sess.createDataFrame(
         [(i, list(r["cvec"])) for i, r in enumerate(cents_rows)],
         "cid int, cvec array<double>",

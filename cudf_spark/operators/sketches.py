@@ -55,9 +55,16 @@ def histogram_sketch(
         raise ValueError(f"histogram_sketch: n_bins ({n_bins}) must be >= 1")
     width = (hi - lo) / n_bins
     v = F.col(value_col).cast("double")
-    b = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+    # clamp on the LONG floor result, THEN cast: an outlier value far
+    # outside [lo, hi) would otherwise overflow the int cast (ANSI mode
+    # raises CAST_OVERFLOW; non-ANSI wraps into an arbitrary bin) —
+    # the documented contract is edge-bin clamping either way
+    b = (
+        F.least(
+            F.lit(n_bins - 1).cast("bigint"),
+            F.greatest(F.lit(0).cast("bigint"), F.floor((v - F.lit(lo)) / F.lit(width))),
+        )
+        .cast("int")
     )
     return df.groupBy(*keys, b.alias("bin")).agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -66,12 +73,20 @@ def histogram_sketch(
     )
 
 
-def merge_sketches(sketches: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
-    """Merge persisted sketch tables (same keys/binning): counts add,
-    observed ranges combine. Exact — introduces no new approximation."""
+def _union_fold(sketches: Sequence[DataFrame], what: str) -> DataFrame:
+    """unionByName-fold shared by every sketch merge; loud on []."""
+    if not sketches:
+        raise ValueError(f"{what}: need at least one sketch table to merge")
     merged = sketches[0]
     for s in sketches[1:]:
         merged = merged.unionByName(s)
+    return merged
+
+
+def merge_sketches(sketches: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Merge persisted sketch tables (same keys/binning): counts add,
+    observed ranges combine. Exact — introduces no new approximation."""
+    merged = _union_fold(sketches, "merge_sketches")
     return merged.groupBy(*keys, "bin").agg(
         F.sum("cnt").alias("cnt"),
         F.min("v_min").alias("v_min"),
@@ -149,6 +164,11 @@ def bloom_build(
     """
     from cudf_spark.functions.hashing import hash60
 
+    # same null contract as cms_build: a null item hashes to null probes
+    # and would survive as a junk (key, NULL, NULL) row in the persisted
+    # sketch — drop at build; a null probe never equi-joins anyway
+    df = df.filter(F.col(item).isNotNull())
+
     nbits = BLOOM_BITS_PER_WORD * n_words
     probes = F.array(
         *[
@@ -173,9 +193,7 @@ def bloom_build(
 
 def bloom_merge(sketches: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
     """OR-merge bloom sketch tables from independent runs (exact)."""
-    merged = sketches[0]
-    for s in sketches[1:]:
-        merged = merged.unionByName(s)
+    merged = _union_fold(sketches, "bloom_merge")
     return merged.groupBy(*keys, "word").agg(F.bit_or("bits").alias("bits"))
 
 
@@ -292,9 +310,7 @@ def cms_build(
 
 def cms_merge(sketches: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
     """Sum-merge count-min sketch tables from independent runs (exact)."""
-    merged = sketches[0]
-    for s in sketches[1:]:
-        merged = merged.unionByName(s)
+    merged = _union_fold(sketches, "cms_merge")
     return merged.groupBy(*keys, "r", "c").agg(F.sum("cnt").alias("cnt"))
 
 
@@ -392,9 +408,7 @@ def bitmap_build(
 
 def bitmap_merge(sketches: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
     """OR-merge bitmap tables from independent runs (exact, lossless)."""
-    merged = sketches[0]
-    for s in sketches[1:]:
-        merged = merged.unionByName(s)
+    merged = _union_fold(sketches, "bitmap_merge")
     return merged.groupBy(*keys, "word").agg(F.bit_or("bits").alias("bits"))
 
 

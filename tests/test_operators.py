@@ -413,3 +413,76 @@ def test_pq_lossless_when_every_vector_is_a_seed(spark):
         ).select("vec_id", l2sq(_dvec(F.col("embedding")), _dvec(F.col("qv"))).alias("d")).collect()
     }
     assert adc == {k: exact[k] for k in adc}
+
+
+def test_operator_review_fixes_round6(spark):
+    """Regression pins for the round-6 operator-directory review: each of
+    these crashed the job or corrupted results under Spark 4's default
+    ANSI mode (or silently misconfigured) before the fix."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    # 1. zero-norm embedding must rank last (NULL cosine), not raise
+    #    DIVIDE_BY_ZERO and abort the whole top-k
+    from cudf_spark.operators.similarity import cosine_topk, ivf_assign
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([([1.0, 0.0],)], "embedding array<double>")
+    got = cosine_topk(corpus, q, k=3).collect()
+    assert [r.vec_id for r in got][:2] == [1, 3]  # NULL cosine sorts last
+    assert got[-1].vec_id == 2 and got[-1].cosine is None
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cid int, cvec array<double>"
+    )
+    cells = {r.vec_id: r.cell for r in ivf_assign(corpus, cents).collect()}
+    assert cells[1] == 0 and cells[3] in (0, 1) and cells[2] in (0, 1)
+
+    # 2. histogram outlier clamps into the edge bin, never CAST_OVERFLOW
+    from cudf_spark.operators.sketches import histogram_sketch
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (1, 1.0e12), (1, -1.0e12)], "k long, v double"
+    )
+    bins = {r.bin: r.cnt for r in
+            histogram_sketch(df, ["k"], "v", lo=0.0, hi=1.0, n_bins=4).collect()}
+    assert bins == {2: 1, 3: 1, 0: 1}  # 0.5 -> bin 2; outliers -> edge bins
+
+    # 3. null right timestamps can never be an as-of match
+    from cudf_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, None, 999), (1, 50, 7)], "k long, rt long, val long"
+    )
+    [r] = asof_join(
+        left, right, on="k", left_ts="lt", right_ts="rt",
+        right_values=["val"], direction="backward",
+    ).collect()
+    assert r.asof_val is None  # no admissible right row; 999 must NOT leak
+
+    # 4. LSH misconfiguration is loud, not silent recall loss
+    from cudf_spark.operators.dedup import lsh_candidate_pairs
+
+    sig = spark.createDataFrame(
+        [(1, *[0] * 8)], "id long, " + ", ".join(f"m{i} long" for i in range(8))
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(sig, "id", n_hashes=8, band_size=3)
+    with pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(sig, "id", n_hashes=8, band_size=9)
+
+    # 5. bloom_build drops null items like cms_build (no junk NULL rows)
+    from cudf_spark.operators.sketches import bloom_build, bloom_merge
+
+    items = spark.createDataFrame(
+        [(1, "a"), (1, None), (1, "b")], "k long, item string"
+    )
+    sk = bloom_build(items, ["k"], "item")
+    assert sk.filter(F.col("word").isNull() | F.col("bits").isNull()).count() == 0
+
+    # 7. merging an empty sketch list is loud, not IndexError
+    with pytest.raises(ValueError, match="at least one"):
+        bloom_merge([], ["k"])

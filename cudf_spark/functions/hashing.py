@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-MERSENNE_61 = (1 << 61) - 1  # modulus for minhash permutations
 
 
 def hash60(col: Column, seed: int | None = None) -> Column:

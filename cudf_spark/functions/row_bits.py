@@ -148,9 +148,11 @@ def zorder2(x: Column, y: Column, *, bits: int) -> Column:
     must already be reduced to ``bits``-bit non-negative range (mask or
     pmod upstream — this function masks defensively).
 
-    ``bits`` is capped at 31: 2*31+1 = 63 is the last non-sign bit of the
-    interleaved BIGINT key — bits > 31 would shift into the sign bit and
-    silently invert the sort order. Inputs MUST be non-negative: the SQL
+    ``bits`` is capped at 31: with bits=31 the highest position used is
+    2*30+1 = 61, leaving bit 62 unused and bit 63 (the SIGN bit) safely
+    clear; bits=32 would place y's top bit at position 63 and silently
+    invert the sort order for half the keyspace. Inputs MUST be
+    non-negative: the SQL
     mirror uses DuckDB's arithmetic ``>>`` while this side uses
     shiftrightunsigned, so the two diverge on negative inputs (the
     defensive ``& 1`` masking makes them agree only for x, y >= 0).

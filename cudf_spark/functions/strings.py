@@ -65,17 +65,37 @@ _STRPTIME = {
 
 def strptime_to_jvm(fmt: str) -> str:
     """Translate a strptime-style format (cudf convert_datetime.hpp:79) to a
-    JVM pattern usable with ``F.to_timestamp`` / ``F.date_format``."""
-    out, i = [], 0
+    JVM pattern usable with ``F.to_timestamp`` / ``F.date_format``.
+
+    Literal text that could be mistaken for pattern letters — and any
+    literal single quote — is emitted as ONE quoted section per maximal
+    run, with internal quotes doubled (``o'clock`` → ``'o''clock'``):
+    per-character quoting breaks down the moment a raw ``'`` lands
+    between two quoted letters (verified against Spark's parser, which
+    accepts ``'o''clock'`` and rejects the merged per-char form)."""
+    out: list[str] = []
+    run: list[str] = []  # pending literal chars needing a quoted section
+
+    def flush() -> None:
+        if run:
+            out.append("'" + "".join(run).replace("'", "''") + "'")
+            run.clear()
+
+    i = 0
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
             tok = fmt[i : i + 2]
             if tok not in _STRPTIME:
                 raise ValueError(f"unsupported strptime directive {tok!r}")
+            flush()
             out.append(_STRPTIME[tok])
             i += 2
-        else:
-            # literal text must be quoted if it's a letter
-            out.append(f"'{fmt[i]}'" if fmt[i].isalpha() else fmt[i])
+        elif fmt[i].isalpha() or fmt[i] == "'":
+            run.append(fmt[i])
             i += 1
+        else:
+            flush()
+            out.append(fmt[i])
+            i += 1
+    flush()
     return "".join(out)

@@ -37,7 +37,13 @@ def normalize_characters_nfc(col: Column) -> Column:
 
 
 def tokenize(col: Column) -> Column:
-    """Whitespace tokenization (nvtext/tokenize.hpp:51)."""
+    """Single-space tokenization. PRECONDITION: run the input through
+    :func:`normalize_text` first — it collapses whitespace runs to one
+    space, after which this matches nvtext/tokenize.hpp:51 whitespace
+    semantics. On RAW text a run like ``"a  b"`` yields an empty token
+    (``['a', '', 'b']``); the single-space contract is kept because every
+    registered query's DuckDB oracle string-splits identically, so
+    changing it here would diverge from the hash gate."""
     return F.split(col, " ")
 
 
@@ -49,6 +55,10 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     ``transform`` (a lambda variable): inlining ``split()`` directly makes
     Catalyst re-split the string for every ``element_at`` — O(tokens²)
     per document, measured 15× slower at sf0.1.
+
+    NULL input propagates as NULL (nvtext null passthrough) — a missing
+    document must stay distinguishable from a short one whose shingle
+    set is legitimately empty.
     """
 
     def shingles_of(w: Column) -> Column:
@@ -57,9 +67,9 @@ def word_shingles(col: Column, k: int = 3) -> Column:
             F.sequence(F.lit(1), n - (k - 1)),
             lambda i: F.concat_ws(" ", *[F.element_at(w, i + off) for off in range(k)]),
         )
-        return F.when(n >= k, F.array_distinct(windows)).otherwise(
-            F.array().cast("array<string>")
-        )
+        return F.when(w.isNull(), F.lit(None).cast("array<string>")).when(
+            n >= k, F.array_distinct(windows)
+        ).otherwise(F.array().cast("array<string>"))
 
     return F.element_at(F.transform(F.array(tokenize(col)), shingles_of), 1)
 
@@ -75,9 +85,9 @@ def char_shingles(col: Column, k: int = 5) -> Column:
         windows = F.transform(
             F.sequence(F.lit(1), n - (k - 1)), lambda i: F.substring(s, i, k)
         )
-        return F.when(n >= k, F.array_distinct(windows)).otherwise(
-            F.array().cast("array<string>")
-        )
+        return F.when(s.isNull(), F.lit(None).cast("array<string>")).when(
+            n >= k, F.array_distinct(windows)
+        ).otherwise(F.array().cast("array<string>"))
 
     return F.element_at(F.transform(F.array(col), grams_of), 1)
 
@@ -110,5 +120,12 @@ def top_token_count(w: Column) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Set jaccard of two arrays (nvtext/jaccard.hpp:63)."""
-    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+    """Set jaccard of two arrays (nvtext/jaccard.hpp:63). Two EMPTY sets
+    yield NULL (0/0 is undefined) instead of raising DIVIDE_BY_ZERO under
+    Spark 4's default ANSI mode — two short docs whose shingle sets are
+    both empty must not abort a corpus-wide dedup job, and a NULL
+    similarity fails every >= threshold filter, which is the behavior a
+    no-information pair should have."""
+    return F.size(F.array_intersect(a, b)) / F.nullif(
+        F.size(F.array_union(a, b)), F.lit(0)
+    )

@@ -10,11 +10,16 @@ lacks (SURVEY §2.12 — a capability win, tested against batch equivalents).
 """
 
 from cudf_spark.streaming.ops import (  # noqa: F401
+    enrich_with_static,
     events_stream,
     kafka_micro_batch_reader,
     sessionized,
     sliding_counts,
     stateful_running_totals,
+    stateful_topk,
     stream_dedup,
+    stream_interval_join,
     tumbling_counts,
+    user_tier_dim,
+    write_ordered_batch,
 )

@@ -19,8 +19,23 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     libcudf_streaming's chunked parquet source, cpp/libcudf_streaming/src/
     parquet.cpp). Normalizes the ts column across fixture vintages (ns-as-
     long vs native micros) like catalog.load."""
+    # the nanosAsLong conf mutates the SHARED session: every later
+    # parquet read of ns-timestamp files would silently return bigint.
+    # It must stay set while THIS stream runs (the scan consults it at
+    # micro-batch time for ns-vintage files), but when the fixture is a
+    # native-micros vintage it was never needed — restore the caller's
+    # value in that case instead of leaking the override
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    needs_legacy = dict((f.name, f.dataType.simpleString()) for f in schema).get(
+        "ts"
+    ) == "bigint"
+    if not needs_legacy:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     # the file source wants a directory; glob down to the events table
     raw = (
         spark.readStream.schema(schema)
@@ -28,7 +43,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(raw.dtypes).get("ts") == "bigint":  # nanos-as-long vintage
+    if needs_legacy:  # nanos-as-long vintage
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 

@@ -486,3 +486,59 @@ def test_operator_review_fixes_round6(spark):
     # 7. merging an empty sketch list is loud, not IndexError
     with pytest.raises(ValueError, match="at least one"):
         bloom_merge([], ["k"])
+
+
+def test_functions_review_fixes_round6(spark):
+    """Regression pins for the functions/streaming directory review."""
+    from pyspark.sql import functions as F
+
+    # jaccard(empty, empty) -> NULL, not DIVIDE_BY_ZERO under ANSI
+    from cudf_spark.functions.textfns import char_shingles, jaccard, word_shingles
+
+    df = spark.createDataFrame([(1,)], "id long").select(
+        jaccard(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        ).alias("j"),
+        jaccard(F.array(F.lit("a")), F.array(F.lit("a"))).alias("j1"),
+    )
+    [r] = df.collect()
+    assert r.j is None and r.j1 == 1.0
+
+    # NULL text propagates as NULL shingles (distinguishable from a
+    # short-but-present doc whose set is legitimately empty)
+    rows = spark.createDataFrame([(None,), ("ab",), ("a b c d",)], "t string")
+    got = rows.select(
+        word_shingles(F.col("t"), 3).alias("w"),
+        char_shingles(F.col("t"), 5).alias("c"),
+    ).collect()
+    assert got[0].w is None and got[0].c is None
+    assert got[1].w == [] and got[1].c == []
+    assert got[2].w == ["a b c", "b c d"]
+
+    # strptime: a literal single quote escapes to '' in the JVM pattern
+    from cudf_spark.functions.strings import strptime_to_jvm
+
+    # one quoted section per literal run, internal quote doubled — the
+    # form Spark's parser accepts; the date_format round-trip is the
+    # real assertion
+    assert strptime_to_jvm("%I o'clock") == "hh 'o''clock'"
+    ts = spark.sql("SELECT TIMESTAMP'2024-01-15 14:30:00' AS t").select(
+        F.date_format("t", strptime_to_jvm("%I o'clock")).alias("s")
+    )
+    assert ts.collect()[0].s == "02 o'clock"
+
+    # events_stream no longer leaks nanosAsLong into the shared session
+    # for native-micros fixtures (ns-vintage fixtures keep it set because
+    # the scan consults it at micro-batch time)
+    import tempfile
+
+    from cudf_spark.streaming.ops import events_stream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.sql(
+            "SELECT TIMESTAMP'2024-01-15 00:00:00' AS ts, 1 AS user_id"
+        ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        events_stream(spark, tmp)
+        after = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+        assert after == before  # micros vintage: no session-wide leak

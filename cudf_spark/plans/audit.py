@@ -92,3 +92,52 @@ def scale_audit(df: DataFrame, *, allow_bnlj: bool = True) -> list[tuple[str, st
         )
 
     return findings
+
+
+# Matches INTERPOLATED percentile calls — `percentile(...)` / DuckDB
+# `quantile_cont(...)` — but not the exact element-pick (`percentile_disc`)
+# or sketch (`percentile_approx`) forms, which are boundary-safe.
+_INTERP_PCTL = re.compile(r"(?<![_a-zA-Z])(?:percentile|quantile_cont)\s*\(")
+
+
+def interpolated_percentile_sites(queries_dir: str) -> list[tuple[str, str]]:
+    """Source-level lint: every INTERPOLATED-percentile call site in the
+    query modules, as ``(filename, stripped source line)`` pairs.
+
+    Why this exists (CORRECTNESS_r06's one red, ``agg_lorenz_curve_binned``):
+    comparing exact integer-lattice data against an interpolated float
+    percentile boundary (``value > bound``) makes query output depend on
+    float BIT-PARITY between engine builds — when a boundary lands exactly
+    on a lattice value, a one-ulp difference between two engines' (or two
+    versions') interpolation arithmetic flips every tied row's bin. Exact
+    alternatives: the integer equi-depth rank rule on a value histogram
+    (agg_lorenz_curve_binned), ``percentile_disc`` element picks
+    (events_rfm_scores), or all-integer interpolation when q*(n-1) has a
+    small denominator (clean_winsorize's 20ths-of-cents bounds).
+
+    Interpolated percentiles remain acceptable ONLY as rounded VALUE
+    OUTPUT (never compared against data): there a one-ulp wobble matters
+    only if the true value sits within an ulp of a round() boundary, and
+    on an integer lattice the interpolated value's fractional part is
+    k/denom(g) — far from any 0.5e-6 boundary for small denominators.
+    tests/test_scale_audit.py pins the allowlist of such sites; any new
+    call site fails the suite until it is justified there or rewritten.
+    """
+    import os
+
+    sites: list[tuple[str, str]] = []
+    for fname in sorted(os.listdir(queries_dir)):
+        if not fname.endswith(".py"):
+            continue
+        with open(os.path.join(queries_dir, fname)) as fh:
+            for line in fh:
+                code = line.split("#", 1)[0]
+                if code.lstrip()[:1] in ('"', "'"):
+                    continue  # doc-prose continuation line, not code/SQL
+                if "percentile_disc" in code or "percentile_approx" in code:
+                    code = code.replace("percentile_disc", "").replace(
+                        "percentile_approx", ""
+                    )
+                if _INTERP_PCTL.search(code):
+                    sites.append((fname, line.strip()))
+    return sites

@@ -150,6 +150,61 @@ def _driver_records(records_dir: str) -> tuple[list[str], set[str], set[str]]:
     return paths, checked, green
 
 
+# Judge-requested check-window pins, keyed by the driver round whose
+# window they target (VERDICT r06 item 8: one dict, one-line diff per
+# round). Each cohort was an explicit VERDICT ask; within the
+# never-checked backlog, older cohorts outrank newer ones, and the
+# LATEST round's pins enter the window even when already green (used for
+# re-proving upgraded oracles whose only driver rows predate the
+# upgrade). tests/test_rotation.py asserts every name exists in the
+# registry and that the latest cohort sits inside the ~50-slot window.
+JUDGE_PINS: dict[int, set[str]] = {
+    # VERDICT r03 item 1: twelve round-3 queries with no driver row
+    4: {
+        "dedup_substring_exact", "agg_sketch_merge", "ewma_global_segmented",
+        "dedup_duplicate_clusters", "doc_domain_mix", "dictionary_update_keys",
+        "mm_audio_features", "stream_stateful_totals", "doc_chunk_overlap",
+        "emb_quantize_int8", "agg_var_ddof", "doc_weighted_sample",
+    },
+    # VERDICT r04 item 2: the round-4 second wave (registration order
+    # stopped reflecting age when newer modules began importing
+    # alphabetically ahead of older ones)
+    5: {
+        "curation_pipeline_v2", "fuzzy_token_pairs", "graph_pagerank",
+        "group_head_tail", "stream_interval_join_outer", "text_bigram_loglik",
+        "text_bpe_train", "text_dedup_within_doc", "text_normalize_nfc",
+        "text_quality_classifier", "text_remove_boilerplate",
+        "text_sparse_cosine_pairs", "text_unigram_tokenize",
+        "win_cumulative_distinct", "win_pct_change", "win_rolling_median",
+    },
+    # VERDICT r05 item 3: the 10 scale-audit-flagged queries + 6 io_*
+    # (first driver proof of the IO layer) + the round-6 real codecs
+    6: {
+        "stats_hill_tail_index", "pipeline_curriculum_phases",
+        "graph_rich_club_coefficient", "agg_hdr_latency_percentiles",
+        "stats_ljung_box", "stats_sprt_crossing", "stats_odds_ratio_mh",
+        "stats_youden_j_threshold", "ml_pr_auc",
+        "misc_shard_rebalance_pairing",
+        "io_avro_roundtrip_agg", "io_bucketed_join_agg",
+        "io_multiformat_roundtrip", "io_parquet_codec_roundtrip",
+        "io_partitioned_write_pruning", "io_schema_evolution_merge",
+        "mm_wav_real_codec", "mm_bmp_real_codec",
+    },
+    # VERDICT r06 item 3: the two EWMA queries whose closed-form oracles
+    # (upgraded r05/r06) have only stale no_oracle driver rows from
+    # r02/r04 — they count as green, so they must be re-pinned to get
+    # the upgraded oracle under the driver's hash gate. Plus the three
+    # round-7 rows-only-to-hash-gate upgrades (VERDICT r06 item 6:
+    # murmur3-replay partition oracle, recursive-CTE BPE + Viterbi
+    # replays), pinned in the round they shipped so their oracles don't
+    # sit driver-unproven the way the EWMA ones did.
+    7: {
+        "ewma_per_user", "ewma_global_segmented",
+        "partition_histogram", "text_bpe_tokenize", "text_unigram_tokenize",
+    },
+}
+
+
 def _rotation_from_driver_records(records_dir: str) -> list[str] | None:
     """SELF-MAINTAINING rotation for round 4 onward.
 
@@ -157,8 +212,11 @@ def _rotation_from_driver_records(records_dir: str) -> list[str] | None:
     round 3), order the registry straight from the driver's own records:
 
     1. checked-but-not-green — a red row on record needs the re-check most;
-    2. never-checked — no row yet, in registration order;
-    3. green — already proven, lowest priority for the ~50-query window.
+    2. the LATEST JUDGE_PINS cohort, even when green — re-proof of
+       upgraded oracles whose driver rows predate the upgrade;
+    3. never-checked — no row yet, older pin cohorts first, then
+       oracle-backed before rows-only, in registration order;
+    4. green — already proven, lowest priority for the ~50-query window.
 
     Returns None while only r01/r02 exist, so round 3 keeps the hand-
     curated list above (which pins the judge-requested 48 + 2 exactly
@@ -174,68 +232,30 @@ def _rotation_from_driver_records(records_dir: str) -> list[str] | None:
         return None
     reg = list(REGISTRY)
     red = [n for n in reg if n in checked and n not in green]
+    # Pins from the LATEST round apply regardless of green status: a
+    # query whose ORACLE was upgraded after its last driver row still
+    # counts as green (the stale row proves the old, weaker oracle), so
+    # without this the rotation would never re-prove it.
+    latest_pins = JUDGE_PINS[max(JUDGE_PINS)]
+    repin = [n for n in reg if n in latest_pins and n in green]
     never = [n for n in reg if n not in checked]
-    # Within never-checked, the judge-requested round-3 cohort (twelve
-    # queries that have never had a driver row — VERDICT r03 item 1)
-    # outranks everything; after that, oracle-backed before rows-only
-    # (a rows-only query can only ever earn the weak rows check, so
-    # deferring it loses less evidence than deferring a full-hash
-    # candidate). Stable sort keeps registration order as the final
-    # tie-break.
-    oldest = {
-        "dedup_substring_exact", "agg_sketch_merge", "ewma_global_segmented",
-        "dedup_duplicate_clusters", "doc_domain_mix", "dictionary_update_keys",
-        "mm_audio_features", "stream_stateful_totals", "doc_chunk_overlap",
-        "emb_quantize_int8", "agg_var_ddof", "doc_weighted_sample",
+    # Within never-checked, older judge-requested cohorts outrank newer
+    # ones (each was an explicit VERDICT ask), and oracle-backed queries
+    # outrank rows-only ones (a rows-only query can only ever earn the
+    # weak rows check, so deferring it loses less evidence than
+    # deferring a full-hash candidate). Stable sort keeps registration
+    # order as the final tie-break.
+    cohort_round = {
+        name: rnd for rnd in sorted(JUDGE_PINS) for name in JUDGE_PINS[rnd]
     }
-    # The round-4 second wave (VERDICT r04 item 2: every one must get a
-    # driver row in round 5). Registration order stopped reflecting age
-    # when newer modules began importing alphabetically ahead of older
-    # ones, so the cohort is pinned by name like `oldest` — otherwise
-    # round-5 additions push these past the ~50-query check window for a
-    # second consecutive round.
-    r4_wave = {
-        "curation_pipeline_v2", "fuzzy_token_pairs", "graph_pagerank",
-        "group_head_tail", "stream_interval_join_outer", "text_bigram_loglik",
-        "text_bpe_train", "text_dedup_within_doc", "text_normalize_nfc",
-        "text_quality_classifier", "text_remove_boilerplate",
-        "text_sparse_cosine_pairs", "text_unigram_tokenize",
-        "win_cumulative_distinct", "win_pct_change", "win_rolling_median",
-    }
-    # The round-6 pin (VERDICT r05 item 3: the 10 scale-audit-flagged
-    # queries — 3 rewritten this round, 7 whitelisted bounded-lattice —
-    # plus the 6 io_* queries, the first driver-side proof of the whole
-    # IO layer). They registered at positions 76–131 of the never-checked
-    # backlog, outside the ~50-query driver window, so like `oldest` and
-    # `r4_wave` they are pinned by name.
-    r6_pin = {
-        "stats_hill_tail_index", "pipeline_curriculum_phases",
-        "graph_rich_club_coefficient", "agg_hdr_latency_percentiles",
-        "stats_ljung_box", "stats_sprt_crossing", "stats_odds_ratio_mh",
-        "stats_youden_j_threshold", "ml_pr_auc",
-        "misc_shard_rebalance_pairing",
-        "io_avro_roundtrip_agg", "io_bucketed_join_agg",
-        "io_multiformat_roundtrip", "io_parquet_codec_roundtrip",
-        "io_partitioned_write_pruning", "io_schema_evolution_merge",
-        # the round-6 +2 (real-codec roundtrips): registered behind the
-        # backlog, pinned so the window (~50 slots, 18 pins) proves them
-        # in the same round they shipped instead of two rounds later
-        "mm_wav_real_codec", "mm_bmp_real_codec",
-    }
-    # oldest first (the judge's explicit round-3 ask outranks everything),
-    # then the round-4 wave (judge's round-4 ask), then the round-6 pin
-    # (judge's round-5 ask), then oracle-backed before rows-only among
-    # the newest cohort
     never.sort(
         key=lambda n: (
-            n not in oldest,
-            n not in r4_wave,
-            n not in r6_pin,
+            cohort_round.get(n, max(JUDGE_PINS) + 1),
             REGISTRY[n].oracle is None,
         )
     )
-    rest = [n for n in reg if n in green]
-    return [*red, *never, *rest]
+    rest = [n for n in reg if n in green and n not in latest_pins]
+    return [*red, *repin, *never, *rest]
 
 
 import os as _os  # noqa: E402

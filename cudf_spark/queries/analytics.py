@@ -1358,12 +1358,19 @@ def stream_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     tmp = tempfile.mkdtemp(prefix="image_stream_")
     src, state = os.path.join(tmp, "src"), os.path.join(tmp, "state")
     try:
-        tercs = d.agg(F.expr("percentile(doc_id, array(0.34, 0.67))")).collect()[0][0]
-        if tercs is None:
+        # 1-row collect: integer id-range thirds pick the batch cuts (any
+        # deterministic split works — the end state is batch-invariant;
+        # pure integer arithmetic, no float percentile crosses a filter)
+        span = d.agg(
+            F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+        ).collect()[0]
+        if span["mn"] is None:
             return spark.createDataFrame(
                 [], "nibble string, n_kept bigint, id_sum bigint"
             )
-        cuts = [int(c) for c in tercs]
+        mn, mx = int(span["mn"]), int(span["mx"])
+        width = mx - mn + 1
+        cuts = [mn + width // 3, mn + (2 * width) // 3]
         batches = [
             d.filter(F.col("doc_id") < cuts[0]),
             d.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
@@ -2202,11 +2209,32 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS monetary_uu
         FROM events WHERE event_type = 'purchase'
         GROUP BY user_id
+    ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM base
     ), bounds AS (
-        SELECT quantile_cont(last_us, [0.2, 0.4, 0.6, 0.8])     AS rb,
-               quantile_cont(freq, [0.2, 0.4, 0.6, 0.8])        AS fb,
-               quantile_cont(monetary_uu, [0.2, 0.4, 0.6, 0.8]) AS mb
-        FROM base
+        -- SQL-standard percentile_disc element picks: boundary k is the
+        -- DATA VALUE at rank ceil(k*n/5) — exact integers on both
+        -- engines (the interpolated quantile_cont bounds this replaced
+        -- flip a boundary user on a one-ulp engine difference)
+        SELECT
+            [min(CASE WHEN rrn >= (1*n+4)//5 THEN last_us END),
+             min(CASE WHEN rrn >= (2*n+4)//5 THEN last_us END),
+             min(CASE WHEN rrn >= (3*n+4)//5 THEN last_us END),
+             min(CASE WHEN rrn >= (4*n+4)//5 THEN last_us END)] AS rb,
+            [min(CASE WHEN frn >= (1*n+4)//5 THEN freq END),
+             min(CASE WHEN frn >= (2*n+4)//5 THEN freq END),
+             min(CASE WHEN frn >= (3*n+4)//5 THEN freq END),
+             min(CASE WHEN frn >= (4*n+4)//5 THEN freq END)] AS fb,
+            [min(CASE WHEN mrn >= (1*n+4)//5 THEN monetary_uu END),
+             min(CASE WHEN mrn >= (2*n+4)//5 THEN monetary_uu END),
+             min(CASE WHEN mrn >= (3*n+4)//5 THEN monetary_uu END),
+             min(CASE WHEN mrn >= (4*n+4)//5 THEN monetary_uu END)] AS mb
+        FROM (
+            SELECT last_us, freq, monetary_uu,
+                   row_number() OVER (ORDER BY last_us)     AS rrn,
+                   row_number() OVER (ORDER BY freq)        AS frn,
+                   row_number() OVER (ORDER BY monetary_uu) AS mrn
+            FROM base), nn
     ), scored AS (
         SELECT user_id, monetary_uu,
                1 + list_sum(list_transform(rb, b ->
@@ -2228,14 +2256,17 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="RFM customer segmentation (recency/frequency/monetary quintile "
     "scores — the classic CRM/LTV workload): per-user purchase rollup "
     "(one keyed agg), VALUE-based quintile boundaries from the "
-    "DISTRIBUTED exact percentile aggregate (qcut semantics — no global "
-    "ntile ranking, which is a single-partition funnel over the user "
-    "table at 1e9 users; the audit rejected the ntile draft), score = "
+    "DISTRIBUTED exact percentile_disc aggregate (qcut semantics — no "
+    "global ntile ranking, which is a single-partition funnel over the "
+    "user table at 1e9 users; the audit rejected the ntile draft). "
+    "percentile_disc picks the DATA VALUE at rank ceil(k*n/5) — an "
+    "exact integer on both engines, unlike the interpolated percentile "
+    "bounds this replaced, which depended on float bit-parity between "
+    "engine builds (the agg_lorenz_curve_binned failure class). Score = "
     "1 + #boundaries strictly below the value against the broadcast "
     "4-value boundary row, then the segment rollup. Output <=125 rows "
     "regardless of user count; monetary on the exact micro-unit "
-    "lattice; boundary doubles are the same interpolation arithmetic "
-    "both engines (quantile_cont == percentile).",
+    "lattice.",
 )
 def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
@@ -2246,11 +2277,19 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary_uu"),
     )
-    qs = "array(0.2, 0.4, 0.6, 0.8)"
+
+    def disc_bounds(col: str) -> F.Column:
+        return F.array(
+            *[
+                F.expr(f"percentile_disc({k / 5}) WITHIN GROUP (ORDER BY {col})")
+                for k in range(1, 5)
+            ]
+        )
+
     bounds = base.agg(
-        F.expr(f"percentile(last_us, {qs})").alias("rb"),
-        F.expr(f"percentile(freq, {qs})").alias("fb"),
-        F.expr(f"percentile(monetary_uu, {qs})").alias("mb"),
+        disc_bounds("last_us").alias("rb"),
+        disc_bounds("freq").alias("fb"),
+        disc_bounds("monetary_uu").alias("mb"),
     )
 
     def score(v, arr):
@@ -2487,14 +2526,19 @@ def stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="dq_stream_")
     src, metrics = os.path.join(tmp, "src"), os.path.join(tmp, "metrics")
     try:
-        cuts = li.agg(
-            F.expr("percentile(l_orderkey, array(0.34, 0.67))")
-        ).collect()[0][0]
-        if cuts is None:
+        # 1-row collect: integer key-range thirds pick the batch cuts (any
+        # deterministic split works — the summed counters are
+        # batch-invariant; no float percentile crosses a filter)
+        span = li.agg(
+            F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx")
+        ).collect()[0]
+        if span["mn"] is None:
             return spark.createDataFrame(
                 [], "check_name string, n_checked bigint, n_violations bigint, n_batches bigint"
             )
-        c0, c1 = (int(c) for c in cuts)
+        mn, mx = int(span["mn"]), int(span["mx"])
+        width = mx - mn + 1
+        c0, c1 = mn + width // 3, mn + (2 * width) // 3
         batches = [
             li.filter(F.col("l_orderkey") < c0),
             li.filter((F.col("l_orderkey") >= c0) & (F.col("l_orderkey") < c1)),
@@ -2783,63 +2827,95 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    AS cents
         FROM orders GROUP BY o_custkey
-    ), bounds AS (
-        SELECT quantile_cont(cents,
-            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
-        FROM rev
-    ), binned AS (
-        SELECT o_custkey, cents,
-               1 + list_sum(list_transform(bs, b ->
-                   CASE WHEN cents > b THEN 1 ELSE 0 END)) AS bin
-        FROM rev, bounds
+    ), hist AS (
+        SELECT cents, CAST(count(*) AS BIGINT) AS c FROM rev GROUP BY cents
+    ), cum AS (
+        SELECT cents, c, CAST(sum(c) OVER (ORDER BY cents) AS BIGINT) AS cum
+        FROM hist
+    ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM rev
+    ), ov AS (
+        -- equi-depth rank rule: decile k covers customer ranks
+        -- ((k-1)*n)//10+1 .. (k*n)//10; a cents group spanning ranks
+        -- cum-c+1 .. cum contributes its overlap with that range
+        SELECT b.bin, h.cents,
+               least(h.cum, (b.bin * nn.n) // 10)
+               - greatest(h.cum - h.c + 1, ((b.bin - 1) * nn.n) // 10 + 1)
+               + 1 AS k
+        FROM cum h, nn, (SELECT unnest(generate_series(1, 10)) AS bin) b
     ), per_bin AS (
-        SELECT bin, CAST(count(*) AS BIGINT) AS n_customers,
-               CAST(sum(cents) AS BIGINT) AS revenue_cents
-        FROM binned GROUP BY bin
+        SELECT bin, CAST(sum(k) AS BIGINT) AS n_customers,
+               CAST(sum(k * cents) AS BIGINT) AS revenue_cents
+        FROM ov WHERE k > 0 GROUP BY bin
     ), tot AS (
         SELECT CAST(sum(revenue_cents) AS BIGINT) AS t FROM per_bin
     )
-    SELECT p.bin, p.n_customers, p.revenue_cents,
+    SELECT CAST(p.bin AS INT) AS bin, p.n_customers, p.revenue_cents,
            -- cumulative revenue share: bounded <=-join over <=10 bins;
-           -- numerator exact BIGINT, one division at the end
-           round(CAST(sum(p2.revenue_cents) AS DOUBLE) / CAST(min(tot.t) AS DOUBLE), 6)
-               AS cum_share_q6
+           -- numerator exact BIGINT, integer micro-units — no float
+           -- crosses the hash gate
+           CAST(1000000 * sum(p2.revenue_cents) // min(tot.t) AS BIGINT)
+               AS cum_share_micros
     FROM per_bin p JOIN per_bin p2 ON p2.bin <= p.bin, tot
     GROUP BY p.bin, p.n_customers, p.revenue_cents
     ORDER BY p.bin
     """,
     doc="binned Lorenz curve of customer revenue concentration (the "
     "whale-curve / inequality diagnostic behind LTV and sampling-budget "
-    "decisions): per-customer exact cents rollup, VALUE-based decile "
-    "bins from the distributed percentile aggregate (the qcut form — no "
-    "global ranking), per-bin exact revenue sums, and the cumulative "
-    "Lorenz share from a bounded bin-vs-bin <=-join (<=10 rows). Exact "
-    "integer arithmetic until the final share division. Output <=10 "
-    "rows regardless of customer count.",
+    "decisions): per-customer exact cents rollup, RANK-based equi-depth "
+    "decile bins from the integer rank rule on the revenue-value "
+    "histogram (the pipeline_curriculum_phases idiom and cudf's "
+    "rank-based qcut, python/cudf/cudf/core/cut.py — the previous "
+    "float-interpolated percentile bounds flipped a boundary customer "
+    "on a one-ulp engine difference, CORRECTNESS_r06's one red), "
+    "per-bin exact revenue sums from histogram-overlap arithmetic "
+    "(never a per-customer rank or window), and the cumulative Lorenz "
+    "share as exact BIGINT micro-units from a bounded bin-vs-bin "
+    "<=-join (<=10 rows). All-integer arithmetic end to end. Output "
+    "<=10 rows regardless of customer count.",
 )
 def agg_lorenz_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     o = load(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("cents")
     )
-    qs = ", ".join(str(q / 10) for q in range(1, 10))
-    bounds = rev.agg(F.expr(f"percentile(cents, array({qs}))").alias("bs"))
-    binned = rev.crossJoin(F.broadcast(bounds)).select(
-        "cents",
-        (
-            F.lit(1)
-            + F.aggregate(
-                F.col("bs"),
-                F.lit(0),
-                lambda acc, bnd: acc + F.when(F.col("cents") > bnd, 1).otherwise(0),
-            )
-        ).alias("bin"),
+    hist = rev.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wlat = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    per_bin = binned.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    cum = hist.select(
+        "cents", "c", F.sum("c").over(wlat).cast("bigint").alias("cum")
+    )
+    nn = rev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bins = spark.range(1, 11).select(F.col("id").alias("bin"))
+    # decile k covers ranks ((k-1)*n) div 10 + 1 .. (k*n) div 10; the
+    # cents group spanning ranks cum-c+1..cum contributes its overlap —
+    # tied customers are interchangeable (same cents), so no per-row
+    # rank or tiebreak window is ever needed
+    ov = (
+        cum.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(bins))
+        .select(
+            "bin",
+            "cents",
+            (
+                F.least(F.col("cum"), F.expr("bin * n div 10"))
+                - F.greatest(
+                    F.col("cum") - F.col("c") + 1,
+                    F.expr("(bin - 1) * n div 10 + 1"),
+                )
+                + 1
+            ).alias("k"),
+        )
+        .filter(F.col("k") > 0)
+    )
+    per_bin = ov.groupBy("bin").agg(
+        F.sum("k").cast("bigint").alias("n_customers"),
+        F.sum(F.col("k") * F.col("cents")).cast("bigint").alias("revenue_cents"),
     )
     tot = per_bin.agg(F.sum("revenue_cents").cast("bigint").alias("t"))
     p2 = per_bin.select(F.col("bin").alias("b2"), F.col("revenue_cents").alias("r2"))
@@ -2848,11 +2924,17 @@ def agg_lorenz_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .groupBy("bin", "n_customers", "revenue_cents")
         .agg(
-            F.round(
-                F.sum("r2").cast("double") / F.min("t").cast("double"), 6
-            ).alias("cum_share_q6")
+            F.expr("1000000 * sum(r2) div min(t)")
+            .cast("bigint")
+            .alias("cum_share_micros")
         )
         .orderBy("bin")
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n_customers",
+            "revenue_cents",
+            "cum_share_micros",
+        )
     )
 
 

@@ -195,9 +195,46 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "partition_histogram",
-    oracle=None,  # spark_partition_id has no cross-engine analogue
+    # Spark's HashPartitioning is DETERMINISTIC: pid = pmod(murmur3_32(key,
+    # seed=42), 8) with Murmur3_x86_32.hashLong over the BIGINT's two
+    # 32-bit halves. The oracle replays that hash bit-for-bit in DuckDB
+    # (HUGEINT multiplies reduced mod 2^32, explicit rotates, final fmix)
+    # — upgrading this query from rows-only to the full hash gate
+    # (VERDICT r06 item 6).
+    oracle="""
+    WITH h AS (
+      SELECT
+        o_custkey & 4294967295 AS lo,
+        (o_custkey >> 32) & 4294967295 AS hi,
+        CAST((CAST(lo AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k1a,
+        ((k1a << 15) | (k1a >> 17)) & 4294967295 AS k1b,
+        CAST((CAST(k1b AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k1,
+        xor(42, k1) AS h1a,
+        ((h1a << 13) | (h1a >> 19)) & 4294967295 AS h1b,
+        (h1b * 5 + 3864292196) % 4294967296 AS h1,
+        CAST((CAST(hi AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k2a,
+        ((k2a << 15) | (k2a >> 17)) & 4294967295 AS k2b,
+        CAST((CAST(k2b AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k2,
+        xor(h1, k2) AS h2a,
+        ((h2a << 13) | (h2a >> 19)) & 4294967295 AS h2b,
+        (h2b * 5 + 3864292196) % 4294967296 AS h2,
+        xor(h2, 8) AS f0,
+        xor(f0, f0 >> 16) AS f1,
+        CAST((CAST(f1 AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS f2,
+        xor(f2, f2 >> 13) AS f3,
+        CAST((CAST(f3 AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS f4,
+        xor(f4, f4 >> 16) AS f5,
+        CASE WHEN f5 >= 2147483648 THEN f5 - 4294967296 ELSE f5 END AS h32
+      FROM orders)
+    SELECT CAST(((h32 % 8) + 8) % 8 AS INT) AS pid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM h GROUP BY pid ORDER BY pid
+    """,
     doc="hash_partition (partitioning.hpp:103) — repartition(8, key) then "
-    "per-partition row histogram; asserts placement, not values (rows-only).",
+    "per-partition row histogram. pid is pmod(Murmur3Hash(key, 42), 8) — "
+    "deterministic per Spark's HashPartitioning contract — and the oracle "
+    "replays the exact Murmur3_x86_32 hashLong arithmetic, so placement "
+    "is pinned under the VALUE hash gate, not just row counts.",
 )
 def partition_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")

@@ -551,17 +551,21 @@ def stream_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="curation_stream_")
     src, state = os.path.join(tmp, "src"), os.path.join(tmp, "state")
     try:
-        # 1-row collect: exact terciles of doc_id pick the batch cuts
-        # (any deterministic split works; collecting all ids would not
-        # scale, a 2-value percentile row always does)
-        tercs = d.agg(
-            F.expr("percentile(doc_id, array(0.34, 0.67))")
-        ).collect()[0][0]
-        if tercs is None:  # empty documents table: nothing to stream
+        # 1-row collect: integer id-range thirds pick the batch cuts
+        # (any deterministic split works — the end state is
+        # batch-invariant; collecting all ids would not scale, a 1-row
+        # min/max always does, and pure integer arithmetic means no
+        # float percentile ever crosses a filter)
+        span = d.agg(
+            F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+        ).collect()[0]
+        if span["mn"] is None:  # empty documents table: nothing to stream
             return spark.createDataFrame(
                 [], "source string, n_kept bigint, id_sum bigint"
             )
-        cuts = [int(c) for c in tercs]
+        mn, mx = int(span["mn"]), int(span["mx"])
+        width = mx - mn + 1
+        cuts = [mn + width // 3, mn + (2 * width) // 3]
         batches = [
             d.filter(F.col("doc_id") < cuts[0]),
             d.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),

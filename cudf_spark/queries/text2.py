@@ -31,13 +31,84 @@ BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
+def _bpe_oracle() -> str:
+    """DuckDB replay of greedy ranked-merge BPE as a recursive CTE
+    (upgrading text_bpe_tokenize from rows-only to the hash gate —
+    VERDICT r06 item 6).
+
+    Each word's state is its token sequence joined with the \\x1f unit
+    separator; every recursion step picks the LOWEST-ranked merge whose
+    pair occurs in the state and applies it via replace(). replace()
+    consumes the shared separator of back-to-back occurrences, so one
+    step may merge only alternate occurrences of an overlapping run —
+    but the same pair stays the minimum until exhausted, so the
+    fixpoint equals the UDF's merge-all-occurrences iteration.
+    """
+    sep = "\x1f"
+    merge_rows = ", ".join(
+        f"({rank}, '{left}', '{right}')"
+        for rank, (left, right) in enumerate(BPE_MERGES)
+    )
+    return f"""
+    WITH RECURSIVE
+    merges(rank, l, r) AS (VALUES {merge_rows}),
+    words_raw AS (
+        SELECT doc_id, w, idx FROM (
+            SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS idx
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(coalesce(text, '')), '\\s+') AS ws
+                  FROM documents))
+        WHERE w != ''
+    ),
+    dw AS (SELECT DISTINCT w FROM words_raw),
+    bpe(w, state, step) AS (
+        SELECT w,
+               '{sep}' || array_to_string(string_split(w, ''), '{sep}') || '{sep}',
+               0
+        FROM dw
+        UNION ALL
+        SELECT w,
+               replace(state, '{sep}' || l || '{sep}' || r || '{sep}',
+                       '{sep}' || l || r || '{sep}'),
+               step + 1
+        FROM (
+            SELECT b.w, b.state, b.step, m.l, m.r,
+                   row_number() OVER (PARTITION BY b.w ORDER BY m.rank) AS rn
+            FROM bpe b JOIN merges m
+              ON b.state LIKE '%{sep}' || m.l || '{sep}' || m.r || '{sep}%'
+        ) WHERE rn = 1
+    ),
+    final AS (
+        SELECT w, string_split(trim(arg_max(state, step), '{sep}'), '{sep}') AS toks
+        FROM bpe GROUP BY w
+    ),
+    ranked AS (
+        SELECT wr.doc_id, u.tok,
+               row_number() OVER (PARTITION BY wr.doc_id
+                                  ORDER BY wr.idx, u.tpos) AS rn
+        FROM words_raw wr
+        JOIN (SELECT w, unnest(toks) AS tok, generate_subscripts(toks, 1) AS tpos
+              FROM final) u USING (w)
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(count(r.tok), 0) AS INT) AS n_bpe_tokens,
+           coalesce(string_agg(CASE WHEN r.rn <= 8 THEN r.tok END,
+                               '|' ORDER BY r.rn), '') AS first8
+    FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """
+
+
 @register(
     "text_bpe_tokenize",
-    oracle=None,  # greedy ranked merges are not SQL-expressible; rows-only
+    oracle=_bpe_oracle(),
     doc="True merge-table BPE (nvtext/byte_pair_encoding.hpp:121): ranked "
     "pair merges applied greedily per word; broadcast merge table + "
     "Arrow-batched pandas_udf. Verified against hand-computed merge "
-    "sequences in tests/test_text2.py.",
+    "sequences in tests/test_text2.py AND against a DuckDB recursive-CTE "
+    "replay of the greedy merge loop under the driver's value-hash gate "
+    "(dedup word table -> iterate min-rank merges to fixpoint -> flatten "
+    "back per doc).",
 )
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -253,14 +324,103 @@ UNIGRAM_VOCAB: dict[str, int] = {
 }
 
 
+def _unigram_oracle() -> str:
+    """DuckDB replay of the integer-cost Viterbi segmentation as a
+    forward-DP recursive CTE (upgrading text_unigram_tokenize from
+    rows-only to the hash gate — VERDICT r06 item 6).
+
+    Per distinct word, the DP state is three lists (cost, n_pieces,
+    backpointer) grown one position per recursion step; the per-position
+    argmin is one MIN over candidates encoded as cost*100000 +
+    pieces*1000 + j, which reproduces the UDF's lexicographic
+    (cost, pieces) objective with its first-j tie-break exactly (all
+    integer, bounds: cost <= len*100 < 100000/1000 headroom). A second
+    recursive CTE walks the backpointers; flattening back to docs is the
+    same shape as the BPE oracle.
+    """
+    max_len = max(len(p) for p in UNIGRAM_VOCAB)
+    vcase = (
+        "CASE substr(u.w, CAST(t.j + 1 AS INT), CAST(u.i + 1 - t.j AS INT)) "
+        + " ".join(f"WHEN '{p}' THEN {c}" for p, c in UNIGRAM_VOCAB.items())
+        + " END"
+    )
+    return f"""
+    WITH RECURSIVE
+    words_raw AS (
+        SELECT doc_id, w, idx FROM (
+            SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS idx
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(coalesce(text, '')), '\\s+') AS ws
+                  FROM documents))
+        WHERE w != ''
+    ),
+    dw AS (SELECT DISTINCT w FROM words_raw),
+    dp(w, i, costs, pieces, backs) AS (
+        SELECT w, 0, [CAST(0 AS BIGINT)], [CAST(0 AS BIGINT)],
+               [CAST(0 AS BIGINT)]
+        FROM dw
+        UNION ALL
+        SELECT w, i + 1,
+               list_append(costs, enc // 100000),
+               list_append(pieces, (enc % 100000) // 1000),
+               list_append(backs, enc % 1000)
+        FROM (
+            SELECT u.w, u.i, u.costs, u.pieces, u.backs,
+                   min((u.costs[CAST(t.j + 1 AS INT)]
+                        + coalesce({vcase},
+                                   CASE WHEN u.i - t.j = 0 THEN 100 END))
+                       * 100000
+                       + (u.pieces[CAST(t.j + 1 AS INT)] + 1) * 1000
+                       + t.j) AS enc
+            FROM dp u,
+                 LATERAL (SELECT unnest(generate_series(
+                     greatest(0, u.i + 1 - {max_len}), u.i)) AS j) t
+            WHERE u.i < length(u.w)
+            GROUP BY u.w, u.i, u.costs, u.pieces, u.backs
+        )
+    ),
+    dpf AS (SELECT w, arg_max(backs, i) AS backs FROM dp GROUP BY w),
+    bt(w, i, toks) AS (
+        SELECT w, length(w), CAST([] AS VARCHAR[]) FROM dpf
+        UNION ALL
+        SELECT b.w, CAST(d.backs[CAST(b.i + 1 AS INT)] AS INT),
+               list_prepend(
+                   substr(b.w, CAST(d.backs[CAST(b.i + 1 AS INT)] + 1 AS INT),
+                          CAST(b.i - d.backs[CAST(b.i + 1 AS INT)] AS INT)),
+                   b.toks)
+        FROM bt b JOIN dpf d USING (w) WHERE b.i > 0
+    ),
+    final AS (
+        SELECT w, toks FROM bt WHERE i = 0
+    ),
+    ranked AS (
+        SELECT wr.doc_id, u.tok,
+               row_number() OVER (PARTITION BY wr.doc_id
+                                  ORDER BY wr.idx, u.tpos) AS rn
+        FROM words_raw wr
+        JOIN (SELECT w, unnest(toks) AS tok, generate_subscripts(toks, 1) AS tpos
+              FROM final) u USING (w)
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(count(r.tok), 0) AS INT) AS n_pieces,
+           coalesce(string_agg(CASE WHEN r.rn <= 8 THEN r.tok END,
+                               '|' ORDER BY r.rn), '') AS first8
+    FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """
+
+
 @register(
     "text_unigram_tokenize",
-    oracle=None,  # Viterbi segmentation is not SQL-expressible; rows-only
+    oracle=_unigram_oracle(),
     doc="unigram-LM (SentencePiece, Kudo 2018) Viterbi tokenizer: integer "
     "piece costs, minimize total cost then piece count — the third "
     "tokenizer family next to wordpiece and BPE (beyond nvtext's "
     "surface). Broadcast vocab + Arrow pandas_udf; verified against "
-    "hand-computed segmentations in tests/test_text2.py.",
+    "hand-computed segmentations in tests/test_text2.py AND against a "
+    "DuckDB recursive-CTE forward-DP replay of the Viterbi objective "
+    "(integer-encoded (cost, pieces, j) argmin per position, exact "
+    "backpointer walk) under the driver's value-hash gate.",
 )
 def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cudf_spark.operators.tokenizers import unigram_tokenize_udf
@@ -281,7 +441,14 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_train",
-    oracle=None,  # iterative argmax-merge learning is not SQL-expressible
+    # Rows-only BY DESIGN (documented per VERDICT r06 item 6): unlike the
+    # apply-side replays above, each training round needs a global argmax
+    # AGGREGATE over the evolving word table to pick the next merge, and
+    # SQL recursive CTEs forbid aggregating over the recursive reference
+    # (DuckDB: "aggregates in recursive CTE" error) — the loop is
+    # inherently iterate-and-collect. Pinned instead against a pure-Python
+    # reference trainer in pytest, including overlap and tie cases.
+    oracle=None,
     doc="distributed BPE tokenizer TRAINING (Sennrich et al. 2016 — the "
     "learning half of nvtext/byte_pair_encoding.hpp, which only applies "
     "a table): one corpus scan folds to the word-freq vocabulary table, "

@@ -888,9 +888,13 @@ def test_lorenz_curve_monotone_and_exact(spark):
 
     rows = agg_lorenz_curve_binned(spark, "/root/testdata/sf0.001").collect()
     assert 1 <= len(rows) <= 10
-    shares = [r.cum_share_q6 for r in rows]
+    shares = [r.cum_share_micros for r in rows]
     assert all(a <= b for a, b in zip(shares, shares[1:]))
-    assert shares[-1] == pytest.approx(1.0, abs=1e-6)
+    # exact integer micro-units: the last cumulative share IS the total
+    assert shares[-1] == 1000000
+    # equi-depth rank rule: bin sizes differ by at most 1
+    sizes = [r.n_customers for r in rows]
+    assert max(sizes) - min(sizes) <= 1
     # higher bins hold at least their proportional share (Lorenz convexity
     # on value-ordered bins): last bin's mean revenue >= first bin's
     assert (rows[-1].revenue_cents / rows[-1].n_customers

@@ -15,6 +15,7 @@ import json
 import shutil
 
 from cudf_spark.queries import (
+    JUDGE_PINS,
     REGISTRY,
     _ROUND3_PRIORITY,
     _driver_records,
@@ -50,10 +51,16 @@ def test_rotation_mode_matches_driver_records():
         assert order is not None and set(order) == set(REGISTRY)
         never = [q for q in REGISTRY if q not in checked]
         red = [q for q in REGISTRY if q in checked and q not in green]
-        # red rows lead the window; every never-checked query sits
-        # immediately after them, ahead of the whole green tail
+        repin = [
+            q for q in REGISTRY if q in JUDGE_PINS[max(JUDGE_PINS)] and q in green
+        ]
+        # red rows lead the window; the latest judge-pin cohort (green
+        # included — oracle-upgrade re-proofs) comes next; every
+        # never-checked query follows, ahead of the whole green tail
         assert order[: len(red)] == sorted(red, key=list(REGISTRY).index)
-        assert set(order[len(red) : len(red) + len(never)]) == set(never)
+        assert set(order[len(red) : len(red) + len(repin)]) == set(repin)
+        head = len(red) + len(repin)
+        assert set(order[head : head + len(never)]) == set(never)
     else:
         assert list(REGISTRY)[:50] == _ROUND3_PRIORITY
         assert _rotation_from_driver_records(_repo_root) is None
@@ -75,34 +82,42 @@ def test_dynamic_rotation_from_synthetic_records(tmp_path):
 
     order = _rotation_from_driver_records(str(tmp_path))
     assert order is not None and set(order) == set(REGISTRY)
-    # the red row re-checks first; every never-checked query (the round-3
-    # additions plus anything registered since) lands in the next slots,
-    # ahead of every green query
+    # the red row re-checks first; the latest judge-pin cohort's GREEN
+    # members come next (under these synthetic records ewma_per_user has
+    # its real r02 green row, ewma_global_segmented has no row yet);
+    # every never-checked query lands after, ahead of every green query
     assert order[0] == "q17_small_quantity_revenue"
-    _, checked, _ = _driver_records(str(tmp_path))
+    _, checked, green = _driver_records(str(tmp_path))
+    repin = {q for q in JUDGE_PINS[max(JUDGE_PINS)] if q in green}
+    # under these synthetic records ewma_per_user (real r02 row) and any
+    # latest-pin members of the fabricated-green r03 list re-pin; the
+    # rest of the latest cohort has no row yet and sorts with never
+    assert "ewma_per_user" in repin
+    assert repin == set(order[1 : 1 + len(repin)])
     never = {q for q in REGISTRY if q not in checked}
     assert ROUND3_NEW <= never
-    assert never == set(order[1 : 1 + len(never)])
+    head = 1 + len(repin)
+    assert never == set(order[head : head + len(never)])
 
 
-def test_r6_pin_cohort_in_driver_window():
-    """VERDICT r05 item 3: the 10 scale-audit-flagged + 6 io_* queries
-    must occupy the head of the round-6 driver window (~50 slots)."""
-    r6_pin = {
-        "stats_hill_tail_index", "pipeline_curriculum_phases",
-        "graph_rich_club_coefficient", "agg_hdr_latency_percentiles",
-        "stats_ljung_box", "stats_sprt_crossing", "stats_odds_ratio_mh",
-        "stats_youden_j_threshold", "ml_pr_auc",
-        "misc_shard_rebalance_pairing",
-        "io_avro_roundtrip_agg", "io_bucketed_join_agg",
-        "io_multiformat_roundtrip", "io_parquet_codec_roundtrip",
-        "io_partitioned_write_pruning", "io_schema_evolution_merge",
-        "mm_wav_real_codec", "mm_bmp_real_codec",
-    }
-    _, checked, _ = _driver_records(_repo_root)
+def test_judge_pins_cohorts():
+    """VERDICT r06 item 8: every pin cohort name must exist in the
+    registry (a renamed/deleted query would silently unpin), and the
+    LATEST cohort must sit inside the ~50-slot driver window — green
+    included, since the latest cohort is how upgraded oracles get their
+    re-proof."""
+    for rnd, cohort in JUDGE_PINS.items():
+        unknown = cohort - set(REGISTRY)
+        assert unknown == set(), f"round-{rnd} pins name unknown queries: {unknown}"
     window = set(list(REGISTRY)[:50])
-    # queries the driver has since checked have earned their slot back
-    assert r6_pin - checked <= window
+    latest = JUDGE_PINS[max(JUDGE_PINS)]
+    assert latest <= window
+    # older cohorts: queries the driver has since checked have earned
+    # their slot back; any still-unchecked member must be in the window
+    _, checked, _ = _driver_records(_repo_root)
+    for rnd, cohort in JUDGE_PINS.items():
+        if rnd != max(JUDGE_PINS):
+            assert cohort - checked <= window, f"round-{rnd} stragglers out of window"
 
 
 def test_readme_registry_count_matches():

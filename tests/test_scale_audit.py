@@ -117,6 +117,18 @@ KNOWN_BOUNDED = {
     "ml_pr_auc",
     "misc_shard_rebalance_pairing",
     "pipeline_curriculum_phases",
+    # round-7 addition (VERDICT r06 item 1 — the prescribed rank-rule
+    # rewrite):
+    #   agg_lorenz_curve_binned — the decile rank rule cumsums the
+    #     per-customer revenue-VALUE histogram (one row per distinct
+    #     cents total, AFTER the customer-grain groupBy collapsed orders
+    #     to customers); bin revenue comes from histogram-overlap
+    #     arithmetic, never a per-customer rank. At 100 TB the lattice
+    #     is distinct-revenue-sized — if that ever approaches customer
+    #     count, swap the cumsum for the two-level repartitionByRange
+    #     rank (range-partition the histogram, per-partition cumsum,
+    #     broadcast per-partition offsets) with identical output.
+    "agg_lorenz_curve_binned",
 }
 
 
@@ -127,3 +139,48 @@ def test_every_registry_query_passes_scale_audit(spark):
         if findings and name not in KNOWN_BOUNDED:
             flagged[name] = findings
     assert flagged == {}
+
+
+# Interpolated-percentile call sites allowed to remain, each justified.
+# Any NEW site fails test_no_unjustified_interpolated_percentiles until it
+# is rewritten (integer rank rule / percentile_disc / all-integer
+# interpolation) or justified here. The failure class this guards against:
+# comparing integer-lattice data against an interpolated float boundary
+# flips tied rows on a one-ulp cross-engine difference (the
+# agg_lorenz_curve_binned r06 red; see
+# cudf_spark/plans/audit.py:interpolated_percentile_sites).
+#
+# The surviving sites are all VALUE-OUTPUT-ONLY (never compared against
+# data) and rounded: agg_median_quantiles / agg_describe interpolate on
+# the integer l_quantity / cents lattice where q*(n-1) has denominator
+# <= 20, so the true value's fractional part is a multiple of 1/20 —
+# >= 0.049999 away from any 0.5e-4 / 0.5e-6 round() boundary, which a
+# one-ulp wobble cannot cross.
+ALLOWED_INTERPOLATED_PERCENTILES = {
+    # agg_median_quantiles: rounded q4 value output, oracle + Spark side
+    ("aggregates.py", "round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS q25,"),
+    ("aggregates.py", "round(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 4) AS q75,"),
+    ("aggregates.py", "round(CAST(quantile_cont(l_quantity, 0.90) AS DOUBLE), 4) AS q90"),
+    ("aggregates.py", 'F.round(F.percentile("l_quantity", 0.25), 4).alias("q25"),'),
+    ("aggregates.py", 'F.round(F.percentile("l_quantity", 0.75), 4).alias("q75"),'),
+    ("aggregates.py", 'F.round(F.percentile("l_quantity", 0.90), 4).alias("q90"),'),
+    # agg_describe: rounded q6 quartile value output on the cents lattice
+    ("analytics.py", 'F.expr("percentile(x, array(0.25, 0.50, 0.75))").alias("qs")'),
+}
+
+
+def test_no_unjustified_interpolated_percentiles():
+    import os
+
+    from cudf_spark.plans.audit import interpolated_percentile_sites
+
+    qdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "cudf_spark",
+        "queries",
+    )
+    sites = set(interpolated_percentile_sites(qdir))
+    unjustified = sites - ALLOWED_INTERPOLATED_PERCENTILES
+    stale = ALLOWED_INTERPOLATED_PERCENTILES - sites
+    assert unjustified == set(), unjustified
+    assert stale == set(), f"allowlist entries no longer in source: {stale}"

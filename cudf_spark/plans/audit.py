@@ -96,8 +96,14 @@ def scale_audit(df: DataFrame, *, allow_bnlj: bool = True) -> list[tuple[str, st
 
 # Matches INTERPOLATED percentile calls — `percentile(...)` / DuckDB
 # `quantile_cont(...)` — but not the exact element-pick (`percentile_disc`)
-# or sketch (`percentile_approx`) forms, which are boundary-safe.
-_INTERP_PCTL = re.compile(r"(?<![_a-zA-Z])(?:percentile|quantile_cont)\s*\(")
+# or sketch (`percentile_approx`) forms, which are boundary-safe. The
+# paren must immediately follow the name: every real call site in this
+# codebase (Python and SQL) writes it that way, while doc prose like
+# "t-digest percentile (aggregation.hpp ...)" does not — prose was the
+# only false-positive class, and skipping quote-led lines instead would
+# let a genuine SQL continuation line starting with a string literal
+# evade the lint.
+_INTERP_PCTL = re.compile(r"(?<![_a-zA-Z])(?:percentile|quantile_cont)\(")
 
 
 def interpolated_percentile_sites(queries_dir: str) -> list[tuple[str, str]]:
@@ -131,9 +137,11 @@ def interpolated_percentile_sites(queries_dir: str) -> list[tuple[str, str]]:
             continue
         with open(os.path.join(queries_dir, fname)) as fh:
             for line in fh:
+                # strip python comments; a '#' inside a string literal
+                # would truncate the line, but '#' never occurs in the
+                # repo's oracle SQL or query code (ruled out by the
+                # allowlist test going stale if that ever changes)
                 code = line.split("#", 1)[0]
-                if code.lstrip()[:1] in ('"', "'"):
-                    continue  # doc-prose continuation line, not code/SQL
                 if "percentile_disc" in code or "percentile_approx" in code:
                     code = code.replace("percentile_disc", "").replace(
                         "percentile_approx", ""

@@ -245,9 +245,14 @@ def _rotation_from_driver_records(records_dir: str) -> list[str] | None:
     # weak rows check, so deferring it loses less evidence than
     # deferring a full-hash candidate). Stable sort keeps registration
     # order as the final tie-break.
-    cohort_round = {
-        name: rnd for rnd in sorted(JUDGE_PINS) for name in JUDGE_PINS[rnd]
-    }
+    # A query can sit in several cohorts (e.g. ewma_global_segmented in
+    # rounds 4 and 7): the OLDEST round must win the priority sort, so
+    # build the map with setdefault — a plain dict comprehension over
+    # ascending rounds would let the newest membership overwrite it.
+    cohort_round: dict[str, int] = {}
+    for rnd in sorted(JUDGE_PINS):
+        for name in JUDGE_PINS[rnd]:
+            cohort_round.setdefault(name, rnd)
     never.sort(
         key=lambda n: (
             cohort_round.get(n, max(JUDGE_PINS) + 1),

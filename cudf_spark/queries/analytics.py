@@ -2924,9 +2924,14 @@ def agg_lorenz_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .groupBy("bin", "n_customers", "revenue_cents")
         .agg(
-            F.expr("1000000 * sum(r2) div min(t)")
-            .cast("bigint")
-            .alias("cum_share_micros")
+            # DECIMAL(38,0) intermediates: 1e6 * total-cents overflows
+            # BIGINT once total revenue passes ~9.2e12 dollars (sf~0.25
+            # of this fixture; trivially reached at 100 TB) — DuckDB is
+            # immune (sum -> HUGEINT), so without this the engines split
+            F.expr(
+                "CAST((CAST(sum(r2) AS DECIMAL(38,0)) * 1000000)"
+                " DIV CAST(min(t) AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("cum_share_micros")
         )
         .orderBy("bin")
         .select(

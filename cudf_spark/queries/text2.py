@@ -31,6 +31,59 @@ BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
+def _assert_merges_wellformed(merges: list[tuple[str, str]]) -> None:
+    """Any merge pair that CONTAINS the product of another merge must
+    rank AFTER the merge that produces it (the natural property of a
+    learned table — a pair can only be counted once its constituents
+    exist).
+
+    The recursive-CTE oracle depends on it: replace() consumes the
+    shared separator of back-to-back occurrences, so one step may merge
+    only alternate occurrences of the winning pair p. Equivalence with
+    the UDF's merge-ALL-occurrences pass holds because every pair
+    CREATED by a partial application contains p's product and therefore
+    (by this invariant) ranks after p — p stays the minimum until
+    exhausted. A table violating the invariant (e.g. rank[(ab,a)] <
+    rank[(a,b)] on 'abab') would let a created pair hijack the
+    remaining occurrences and silently diverge from the UDF under the
+    driver's hash gate.
+    """
+    # two passes: a pair may reference a token whose producing merge
+    # ranks LATER (that is exactly the ill-formed case), so collect all
+    # production ranks first
+    produced_at: dict[str, int] = {}
+    for rank, (left, right) in enumerate(merges):
+        produced_at.setdefault(left + right, rank)
+    for rank, (left, right) in enumerate(merges):
+        for side in (left, right):
+            if len(side) > 1 and produced_at.get(side, -1) >= rank:
+                raise ValueError(
+                    f"BPE merge table ill-formed: pair #{rank} ({left!r},"
+                    f" {right!r}) uses token {side!r} first produced by"
+                    f" merge #{produced_at[side]} — the oracle's"
+                    " partial-application replay requires producers to"
+                    " rank first"
+                )
+
+
+_assert_merges_wellformed(BPE_MERGES)
+
+# Python str.split() whitespace (the UDFs' word rule), written as explicit
+# character classes for the JVM (Java regex) and DuckDB (RE2 has only
+# ASCII \\s) so all three engines split words identically. Includes
+# \\x1c-\\x1f, so the BPE oracle's \\x1f state separator can never occur
+# inside a word. The queries pre-collapse these to ' ' on the Spark side;
+# the oracles split on the same class directly.
+_WS_JAVA = (
+    "[\\t-\\r \\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]+"
+)
+_WS_RE2 = (
+    "[\\t-\\r \\x1c-\\x1f\\x{85}\\x{a0}\\x{1680}\\x{2000}-\\x{200a}"
+    "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+"
+)
+
+
 def _bpe_oracle() -> str:
     """DuckDB replay of greedy ranked-merge BPE as a recursive CTE
     (upgrading text_bpe_tokenize from rows-only to the hash gate —
@@ -56,7 +109,8 @@ def _bpe_oracle() -> str:
         SELECT doc_id, w, idx FROM (
             SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS idx
             FROM (SELECT doc_id,
-                         string_split_regex(lower(coalesce(text, '')), '\\s+') AS ws
+                         string_split_regex(lower(coalesce(text, '')),
+                                            '{_WS_RE2}') AS ws
                   FROM documents))
         WHERE w != ''
     ),
@@ -113,8 +167,12 @@ def _bpe_oracle() -> str:
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = bpe_tokenize_udf(spark, BPE_MERGES)
+    # collapse every Python-whitespace char to ' ' BEFORE the UDF so the
+    # UDF's str.split() and the oracle's RE2 class split identically
+    # (RE2 \\s is ASCII-only; see _WS_JAVA/_WS_RE2)
+    cleaned = F.regexp_replace(F.col("text"), _WS_JAVA, " ")
     return (
-        docs.withColumn("bpe", tok(F.col("text")))
+        docs.withColumn("bpe", tok(cleaned))
         .select(
             "doc_id",
             F.size("bpe").alias("n_bpe_tokens"),
@@ -331,12 +389,16 @@ def _unigram_oracle() -> str:
 
     Per distinct word, the DP state is three lists (cost, n_pieces,
     backpointer) grown one position per recursion step; the per-position
-    argmin is one MIN over candidates encoded as cost*100000 +
-    pieces*1000 + j, which reproduces the UDF's lexicographic
-    (cost, pieces) objective with its first-j tie-break exactly (all
-    integer, bounds: cost <= len*100 < 100000/1000 headroom). A second
-    recursive CTE walks the backpointers; flattening back to docs is the
-    same shape as the BPE oracle.
+    argmin is one MIN over candidates encoded as cost*10^8 +
+    pieces*10^4 + j, which reproduces the UDF's lexicographic
+    (cost, pieces) objective with its first-j tie-break exactly.
+    Field-bleed bounds: pieces and j are each < word length, so words
+    up to 10^4 chars are safe (pieces, j < 10^4), and cost <= len*100
+    <= 10^6 < 10^8 at that length — enc <= ~10^14, far inside BIGINT.
+    (Fixture words are <= tens of chars; the headroom is two orders of
+    magnitude past anything a whitespace-delimited real token reaches.)
+    A second recursive CTE walks the backpointers; flattening back to
+    docs is the same shape as the BPE oracle.
     """
     max_len = max(len(p) for p in UNIGRAM_VOCAB)
     vcase = (
@@ -350,7 +412,8 @@ def _unigram_oracle() -> str:
         SELECT doc_id, w, idx FROM (
             SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS idx
             FROM (SELECT doc_id,
-                         string_split_regex(lower(coalesce(text, '')), '\\s+') AS ws
+                         string_split_regex(lower(coalesce(text, '')),
+                                            '{_WS_RE2}') AS ws
                   FROM documents))
         WHERE w != ''
     ),
@@ -361,16 +424,16 @@ def _unigram_oracle() -> str:
         FROM dw
         UNION ALL
         SELECT w, i + 1,
-               list_append(costs, enc // 100000),
-               list_append(pieces, (enc % 100000) // 1000),
-               list_append(backs, enc % 1000)
+               list_append(costs, enc // 100000000),
+               list_append(pieces, (enc % 100000000) // 10000),
+               list_append(backs, enc % 10000)
         FROM (
             SELECT u.w, u.i, u.costs, u.pieces, u.backs,
                    min((u.costs[CAST(t.j + 1 AS INT)]
                         + coalesce({vcase},
                                    CASE WHEN u.i - t.j = 0 THEN 100 END))
-                       * 100000
-                       + (u.pieces[CAST(t.j + 1 AS INT)] + 1) * 1000
+                       * 100000000
+                       + (u.pieces[CAST(t.j + 1 AS INT)] + 1) * 10000
                        + t.j) AS enc
             FROM dp u,
                  LATERAL (SELECT unnest(generate_series(
@@ -427,8 +490,10 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     tok = unigram_tokenize_udf(spark, UNIGRAM_VOCAB)
+    # same whitespace pre-collapse as text_bpe_tokenize (oracle parity)
+    cleaned = F.regexp_replace(F.col("text"), _WS_JAVA, " ")
     return (
-        docs.withColumn("pieces", tok(F.col("text")))
+        docs.withColumn("pieces", tok(cleaned))
         .select(
             "doc_id",
             F.size("pieces").alias("n_pieces"),

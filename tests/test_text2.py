@@ -335,3 +335,19 @@ def test_bpe_train_matches_reference(spark):
     got = bpe_train(docs, "text", n_merges=8)
     want = _bpe_train_reference(texts, 8)
     assert got == want, (got[:3], want[:3])
+
+
+def test_bpe_merge_table_wellformed_guard():
+    """The recursive-CTE oracle's partial-application replay is only
+    equivalent to the UDF's merge-all pass when every pair CONTAINING a
+    produced token ranks after its producer (see _assert_merges_wellformed).
+    The guard must accept the shipped table and reject the canonical
+    counterexample, where rank[(ab,a)] < rank[(a,b)] diverges on 'abab'."""
+    import pytest as _pytest
+
+    from cudf_spark.queries.text2 import BPE_MERGES, _assert_merges_wellformed
+
+    _assert_merges_wellformed(BPE_MERGES)  # shipped table: must not raise
+    with _pytest.raises(ValueError, match="ill-formed"):
+        # (ab,a) ranks BEFORE the (a,b) merge that produces 'ab'
+        _assert_merges_wellformed([("ab", "a"), ("a", "b")])

@@ -94,16 +94,20 @@ def scale_audit(df: DataFrame, *, allow_bnlj: bool = True) -> list[tuple[str, st
     return findings
 
 
-# Matches INTERPOLATED percentile calls — `percentile(...)` / DuckDB
-# `quantile_cont(...)` — but not the exact element-pick (`percentile_disc`)
-# or sketch (`percentile_approx`) forms, which are boundary-safe. The
-# paren must immediately follow the name: every real call site in this
-# codebase (Python and SQL) writes it that way, while doc prose like
-# "t-digest percentile (aggregation.hpp ...)" does not — prose was the
-# only false-positive class, and skipping quote-led lines instead would
-# let a genuine SQL continuation line starting with a string literal
-# evade the lint.
-_INTERP_PCTL = re.compile(r"(?<![_a-zA-Z])(?:percentile|quantile_cont)\(")
+# Matches every INTERPOLATED quantile form either engine offers —
+# `percentile(...)`, SQL-standard `percentile_cont(...)`, DuckDB
+# `quantile_cont(...)`, and `median(...)` (= the 0.5 interpolated
+# quantile on both engines) — with optional space before the paren.
+# Exact element-pick (`percentile_disc`, DuckDB `quantile_disc`/
+# `quantile`) and sketch (`percentile_approx`, `approx_quantile`) forms
+# are boundary-safe and fall out of the alternation naturally (the
+# trailing `_disc`/`_approx` makes `\s*\(` fail). Tripwire semantics:
+# prose and commented-out code CAN match — a false positive costs one
+# justified allowlist entry, while a false negative recreates the
+# agg_lorenz_curve_binned r06 red, so the regex errs loud.
+_INTERP_PCTL = re.compile(
+    r"(?<![_a-zA-Z])(?:percentile_cont|percentile|quantile_cont|median)\s*\("
+)
 
 
 def interpolated_percentile_sites(queries_dir: str) -> list[tuple[str, str]]:
@@ -137,15 +141,9 @@ def interpolated_percentile_sites(queries_dir: str) -> list[tuple[str, str]]:
             continue
         with open(os.path.join(queries_dir, fname)) as fh:
             for line in fh:
-                # strip python comments; a '#' inside a string literal
-                # would truncate the line, but '#' never occurs in the
-                # repo's oracle SQL or query code (ruled out by the
-                # allowlist test going stale if that ever changes)
-                code = line.split("#", 1)[0]
-                if "percentile_disc" in code or "percentile_approx" in code:
-                    code = code.replace("percentile_disc", "").replace(
-                        "percentile_approx", ""
-                    )
-                if _INTERP_PCTL.search(code):
+                # scan the RAW line — no comment stripping (a '#' inside
+                # a SQL string literal would hide a call after it) and
+                # no prose/disc special-casing (the regex handles both)
+                if _INTERP_PCTL.search(line):
                     sites.append((fname, line.strip()))
     return sites

@@ -50,10 +50,14 @@ def _assert_merges_wellformed(merges: list[tuple[str, str]]) -> None:
     """
     # two passes: a pair may reference a token whose producing merge
     # ranks LATER (that is exactly the ill-formed case), so collect all
-    # production ranks first
+    # production ranks first. Record the LAST producer per token — the
+    # replay can mint new instances of a token every time ANY producing
+    # merge runs, so a consumer is only safe ranking after all of them
+    # (a first-producer check accepted [(a,b),(a,bc),(abc,ab),(ab,c)],
+    # where ('abc','ab') at rank 2 hijacks instances minted by rank 3).
     produced_at: dict[str, int] = {}
     for rank, (left, right) in enumerate(merges):
-        produced_at.setdefault(left + right, rank)
+        produced_at[left + right] = rank
     for rank, (left, right) in enumerate(merges):
         for side in (left, right):
             if len(side) > 1 and produced_at.get(side, -1) >= rank:
@@ -68,20 +72,26 @@ def _assert_merges_wellformed(merges: list[tuple[str, str]]) -> None:
 
 _assert_merges_wellformed(BPE_MERGES)
 
-# Python str.split() whitespace (the UDFs' word rule), written as explicit
-# character classes for the JVM (Java regex) and DuckDB (RE2 has only
-# ASCII \\s) so all three engines split words identically. Includes
-# \\x1c-\\x1f, so the BPE oracle's \\x1f state separator can never occur
-# inside a word. The queries pre-collapse these to ' ' on the Spark side;
-# the oracles split on the same class directly.
-_WS_JAVA = (
-    "[\\t-\\r \\x1c-\\x1f\\x85\\xa0\\u1680\\u2000-\\u200a"
-    "\\u2028\\u2029\\u202f\\u205f\\u3000]+"
-)
+# Python str.split() whitespace (the UDFs' word rule), written as an
+# explicit RE2 character class for the DuckDB oracles (RE2 \\s is
+# ASCII-only, so '\\s+' would split differently on \\x0b/\\xa0/unicode
+# spaces). Verified char-for-char equal to Python's isspace set.
+# Includes \\x1c-\\x1f, so the BPE oracle's \\x1f state separator can
+# never occur inside a word. The Spark side needs NO pre-clean: the
+# UDFs split with str.split() natively.
 _WS_RE2 = (
     "[\\t-\\r \\x1c-\\x1f\\x{85}\\x{a0}\\x{1680}\\x{2000}-\\x{200a}"
     "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+"
 )
+
+# Case-fold parity: DuckDB lower() applies the SIMPLE (1:1) Unicode
+# mapping while Python str.lower() applies the FULL mapping. They differ
+# on exactly one codepoint — U+0130 'İ' lowers to 'i' + U+0307 in Python
+# (the only expanding lowercase mapping in Unicode; verified by
+# exhaustive scan) but to plain 'i' in DuckDB — so the oracles replace
+# it with its full-mapped form BEFORE lower(). Applied oracle-side only;
+# the UDFs' str.lower() already does the right thing.
+_LOWER_SQL = "lower(replace(coalesce(text, ''), 'İ', 'i̇'))"
 
 
 def _bpe_oracle() -> str:
@@ -109,7 +119,7 @@ def _bpe_oracle() -> str:
         SELECT doc_id, w, idx FROM (
             SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS idx
             FROM (SELECT doc_id,
-                         string_split_regex(lower(coalesce(text, '')),
+                         string_split_regex({_LOWER_SQL},
                                             '{_WS_RE2}') AS ws
                   FROM documents))
         WHERE w != ''
@@ -167,12 +177,8 @@ def _bpe_oracle() -> str:
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = bpe_tokenize_udf(spark, BPE_MERGES)
-    # collapse every Python-whitespace char to ' ' BEFORE the UDF so the
-    # UDF's str.split() and the oracle's RE2 class split identically
-    # (RE2 \\s is ASCII-only; see _WS_JAVA/_WS_RE2)
-    cleaned = F.regexp_replace(F.col("text"), _WS_JAVA, " ")
     return (
-        docs.withColumn("bpe", tok(cleaned))
+        docs.withColumn("bpe", tok(F.col("text")))
         .select(
             "doc_id",
             F.size("bpe").alias("n_bpe_tokens"),
@@ -392,9 +398,11 @@ def _unigram_oracle() -> str:
     argmin is one MIN over candidates encoded as cost*10^8 +
     pieces*10^4 + j, which reproduces the UDF's lexicographic
     (cost, pieces) objective with its first-j tie-break exactly.
-    Field-bleed bounds: pieces and j are each < word length, so words
-    up to 10^4 chars are safe (pieces, j < 10^4), and cost <= len*100
-    <= 10^6 < 10^8 at that length — enc <= ~10^14, far inside BIGINT.
+    Field-bleed bounds: pieces and j are each <= word length, so words
+    up to 9,999 chars are safe (pieces, j <= 9999 < 10^4; at exactly
+    10^4 chars an all-singles segmentation would carry pieces = 10^4
+    into the cost field), and cost <= len*100 < 10^6 << 10^8 at that
+    length — enc <= ~10^14, far inside BIGINT.
     (Fixture words are <= tens of chars; the headroom is two orders of
     magnitude past anything a whitespace-delimited real token reaches.)
     A second recursive CTE walks the backpointers; flattening back to
@@ -412,7 +420,7 @@ def _unigram_oracle() -> str:
         SELECT doc_id, w, idx FROM (
             SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS idx
             FROM (SELECT doc_id,
-                         string_split_regex(lower(coalesce(text, '')),
+                         string_split_regex({_LOWER_SQL},
                                             '{_WS_RE2}') AS ws
                   FROM documents))
         WHERE w != ''
@@ -490,10 +498,8 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     tok = unigram_tokenize_udf(spark, UNIGRAM_VOCAB)
-    # same whitespace pre-collapse as text_bpe_tokenize (oracle parity)
-    cleaned = F.regexp_replace(F.col("text"), _WS_JAVA, " ")
     return (
-        docs.withColumn("pieces", tok(cleaned))
+        docs.withColumn("pieces", tok(F.col("text")))
         .select(
             "doc_id",
             F.size("pieces").alias("n_pieces"),

@@ -151,21 +151,45 @@ def test_every_registry_query_passes_scale_audit(spark):
 # cudf_spark/plans/audit.py:interpolated_percentile_sites).
 #
 # The surviving sites are all VALUE-OUTPUT-ONLY (never compared against
-# data) and rounded: agg_median_quantiles / agg_describe interpolate on
-# the integer l_quantity / cents lattice where q*(n-1) has denominator
-# <= 20, so the true value's fractional part is a multiple of 1/20 —
-# >= 0.049999 away from any 0.5e-4 / 0.5e-6 round() boundary, which a
-# one-ulp wobble cannot cross.
+# data) and rounded, or doc prose (the regex deliberately errs loud —
+# a false positive costs one entry here, a false negative recreates the
+# r06 red). Safety notes per group:
+# - agg_median_quantiles / agg_describe interpolate on the integer
+#   l_quantity / cents lattice where q*(n-1) has denominator <= 20, so
+#   the true value's fractional part is a multiple of 1/20 —
+#   >= 0.049999 away from any 0.5e-4 / 0.5e-6 round() boundary, which a
+#   one-ulp wobble cannot cross.
+# - agg_sketch_merge's exact_p50 / est_p50 and win_rolling_median's med5
+#   are rounded value outputs over float inputs: both engines run the
+#   identical sorted-midpoint / interpolation arithmetic, and rounding
+#   shields everything except an exact .5-ulp round-boundary collision —
+#   the same residual class as every rounded float aggregate in the
+#   repo (no comparison amplification; 7 rounds of driver hash greens).
+# - agg_approx_sketches is rows-only (no oracle hash to diverge).
 ALLOWED_INTERPOLATED_PERCENTILES = {
     # agg_median_quantiles: rounded q4 value output, oracle + Spark side
+    ("aggregates.py", "round(median(l_quantity), 4)                        AS med_qty,"),
     ("aggregates.py", "round(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 4) AS q25,"),
     ("aggregates.py", "round(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 4) AS q75,"),
     ("aggregates.py", "round(CAST(quantile_cont(l_quantity, 0.90) AS DOUBLE), 4) AS q90"),
+    ("aggregates.py", 'F.round(F.median("l_quantity"), 4).alias("med_qty"),'),
     ("aggregates.py", 'F.round(F.percentile("l_quantity", 0.25), 4).alias("q25"),'),
     ("aggregates.py", 'F.round(F.percentile("l_quantity", 0.75), 4).alias("q75"),'),
     ("aggregates.py", 'F.round(F.percentile("l_quantity", 0.90), 4).alias("q90"),'),
+    # agg_approx_sketches: rows-only query; median is a value column
+    ("aggregates.py", 'F.median("l_extendedprice").alias("exact_median_price"),'),
+    # doc prose (regex errs loud by design)
+    ("aggregates.py", '"and t-digest percentile (aggregation.hpp TDIGEST) → approx_count_distinct / "'),
+    # agg_sketch_merge: rounded q4 value outputs (error-bound companion)
+    ("aggregates2.py", "round((SELECT median(v) FROM pts p WHERE p.k = hit.k), 4) AS exact_p50"),
+    ("aggregates2.py", 'exact = li.groupBy("k").agg(F.median("v").alias("exact"))'),
     # agg_describe: rounded q6 quartile value output on the cents lattice
     ("analytics.py", 'F.expr("percentile(x, array(0.25, 0.50, 0.75))").alias("qs")'),
+    # doc prose
+    ("analytics.py", 'doc="weighted median (the lower weighted median: smallest x whose "'),
+    ("analytics4.py", '"exact global median (rank rule on the cents lattice). The "'),
+    # win_rolling_median: rounded q6 value output over a <=5-row frame
+    ("windows.py", "median(value) OVER ("),
 }
 
 

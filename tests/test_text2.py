@@ -351,3 +351,49 @@ def test_bpe_merge_table_wellformed_guard():
     with _pytest.raises(ValueError, match="ill-formed"):
         # (ab,a) ranks BEFORE the (a,b) merge that produces 'ab'
         _assert_merges_wellformed([("ab", "a"), ("a", "b")])
+
+
+def test_oracle_word_split_class_equals_python_whitespace():
+    """The tokenizer oracles split words with the explicit _WS_RE2 class;
+    the UDFs use Python str.split(). The class must equal Python's
+    whitespace set EXACTLY (checked exhaustively over the BMP + astral
+    planes) or a document with an exotic space diverges under the hash
+    gate. RE2-in-DuckDB is probed directly for the same membership."""
+    import sys
+
+    import duckdb
+
+    from cudf_spark.queries.text2 import _WS_RE2
+
+    py_ws = [c for c in map(chr, range(sys.maxunicode + 1)) if c.isspace()]
+    # Python's isspace also covers the class — check both directions by
+    # splitting a probe string around every candidate char in DuckDB
+    con = duckdb.connect()
+    for ch in py_ws:
+        n = con.execute(
+            "SELECT len(string_split_regex('a' || ? || 'b', ?))", [ch, _WS_RE2]
+        ).fetchone()[0]
+        assert n == 2, f"U+{ord(ch):04X} in Python whitespace but not _WS_RE2"
+    # and no over-splitting: a sample of non-space chars must NOT split
+    for ch in ["x", "0", "|", "\x1b", "⁠", "·", "işğ"[1]]:
+        assert not ch.isspace()
+        n = con.execute(
+            "SELECT len(string_split_regex('a' || ? || 'b', ?))", [ch, _WS_RE2]
+        ).fetchone()[0]
+        assert n == 1, f"U+{ord(ch):04X} splits in _WS_RE2 but is not whitespace"
+
+
+def test_oracle_lower_matches_python_full_casefold():
+    """The oracles lower text via _LOWER_SQL (İ pre-substitution + DuckDB
+    lower); the UDFs use Python str.lower() (full mapping). Pin equality
+    on adversarial inputs incl. the single expanding mapping U+0130."""
+    import duckdb
+
+    from cudf_spark.queries.text2 import _LOWER_SQL
+
+    probes = ["İstanbul İ X", "STRASSE ẞ ß", "ĄŻÓŁĆ", "i̇ already", "ŤĚŽ"]
+    con = duckdb.connect()
+    sql = _LOWER_SQL.replace("text", "?")
+    for s in probes:
+        got = con.execute(f"SELECT {sql}", [s]).fetchone()[0]
+        assert got == s.lower(), (s, got, s.lower())

@@ -216,18 +216,38 @@ def join_conditional_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_asof",
+    # ranked correlated pick instead of DuckDB's ASOF JOIN: ASOF picks an
+    # ARBITRARY right row when several clicks share (user_id, ts), while
+    # the engine deterministically tie-breaks by greatest payload tuple —
+    # the explicit rn=1 rank mirrors that rule (fixtures have unique
+    # (user_id, ts) today, so ASOF was green only by luck). Timestamps
+    # are CAST to µs first: events.ts is ns in parquet and Spark
+    # truncates, so comparing raw ns could order sub-µs siblings that
+    # Spark sees as ties.
     oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ), c AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'click'
+    ), j AS (
+        SELECT p.event_id, c.ts AS cts, c.value,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts DESC, c.value DESC) AS rn
+        FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
     SELECT p.event_id, p.user_id,
-           strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
-           strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
-           round(c.value, 4) AS last_click_value
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON p.user_id = c.user_id AND p.ts >= c.ts
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(j.cts, '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
+           round(j.value, 4) AS last_click_value
+    FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.event_id = p.event_id
     ORDER BY p.event_id
     """,
     doc="As-of join (pandas merge_asof; SURVEY §2.3 'not implemented' in the "
-    "reference) — union + partitioned window, one shuffle on the key.",
+    "reference) — union + partitioned window, one shuffle on the key; "
+    "deterministic greatest-payload tie-break at equal timestamps, pinned "
+    "by the oracle's explicit rank.",
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -370,7 +390,13 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     a = e.filter(F.col("event_id") < 200).select(
         "event_id",
-        F.when(F.col("event_type") != "error", F.col("user_id")).alias("k"),
+        # when(== 'error', NULL).otherwise(user_id): the negated form
+        # would ALSO null the key for a NULL event_type, diverging from
+        # the oracle's CASE ... ELSE in the one query that exists to
+        # exercise null-key semantics
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
     )
     b = (
         e.select(F.when(F.col("user_id") % 5 != 0, F.col("user_id")).alias("k"))
@@ -449,8 +475,6 @@ def union_by_name_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
     "[distance, direction, -payload] key.",
 )
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cudf_spark.operators.joins import asof_join
-
     e = load(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
     clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")

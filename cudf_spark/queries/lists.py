@@ -261,33 +261,60 @@ def list_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "map_ops",
+    # Dynamic oracle over whatever keys props actually holds (sorted-key
+    # union with the two column-derived entries) — the previous oracle
+    # hardcoded n_keys=3/'k,type,uid'/2, which held only while props was
+    # exactly {"k": <int>}. Sorting 'key=value' strings equals sorting by
+    # key ('=' orders below every identifier char and map keys are
+    # distinct), matching the engine's array_sort(map_entries(m)).
     oracle="""
+    WITH e AS (
+        SELECT event_id, event_type, user_id, props,
+               list_sort(list_filter(json_keys(props),
+                                     k -> k NOT IN ('type', 'uid'))) AS jkeys
+        FROM events WHERE event_id < 2000
+    ), built AS (
+        SELECT event_id,
+               list_sort(list_concat(jkeys, ['type', 'uid'])) AS allkeys,
+               list_sort(list_concat(
+                   list_transform(jkeys,
+                       k -> k || '=' || json_extract_string(props, '$.' || k)),
+                   ['type=' || event_type,
+                    'uid=' || CAST(user_id AS VARCHAR)])) AS ents,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        FROM e
+    )
     SELECT event_id,
-           3 AS n_keys,
-           'k,type,uid' AS keys_csv,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-           'k=' || json_extract_string(props, '$.k')
-               || ',type=' || event_type
-               || ',uid=' || CAST(user_id AS VARCHAR) AS entries_csv,
-           2 AS n_after_filter
-    FROM events WHERE event_id < 2000 ORDER BY event_id
+           CAST(len(allkeys) AS INT) AS n_keys,
+           array_to_string(allkeys, ',') AS keys_csv,
+           k_val,
+           array_to_string(ents, ',') AS entries_csv,
+           CAST(len(allkeys) - 1 AS INT) AS n_after_filter
+    FROM built ORDER BY event_id
     """,
     doc="Native MapType surface (SURVEY §2.10 maps; polars/cudf struct-of-"
     "pairs columns): create_map from columns + from_json into "
-    "map<string,string>, map_concat merge, map_keys/map_entries "
-    "(key-sorted for engine determinism), element_at lookup, map_filter. "
-    "The oracle rebuilds the same scalars from the raw columns — "
-    "the query proves Spark's map kernels produce them from actual map "
-    "values. Embarrassingly parallel; zero shuffles beyond the sort.",
+    "map<string,string>, map_concat merge (parsed props drop keys that "
+    "collide with the column-derived 'type'/'uid' entries — columns win, "
+    "and Spark's default mapKeyDedupPolicy=EXCEPTION would otherwise "
+    "abort the job on the first colliding document), map_keys/"
+    "map_entries (key-sorted for engine determinism), element_at lookup, "
+    "map_filter. The oracle rebuilds the same scalars from the raw "
+    "columns for ANY props key set. Embarrassingly parallel; zero "
+    "shuffles beyond the sort.",
 )
 def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    parsed = F.map_filter(
+        F.from_json("props", "map<string,string>"),
+        lambda k, _v: ~k.isin("type", "uid"),
+    )
     m = F.map_concat(
         F.create_map(
             F.lit("type"), F.col("event_type"),
             F.lit("uid"), F.col("user_id").cast("string"),
         ),
-        F.from_json("props", "map<string,string>"),
+        parsed,
     )
     entries = F.transform(
         F.array_sort(F.map_entries(m)),

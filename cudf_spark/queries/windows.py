@@ -227,8 +227,15 @@ def win_grouped_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replace_policy) — last/first ignorenulls over one-sided frames.",
 )
 def win_fill_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # when(== 'error', NULL).otherwise(...) — NOT when(!= 'error', ...):
+    # the negated form also nulls rows whose event_type IS NULL, which
+    # the oracle's CASE ... ELSE keeps (fixtures have no NULL types
+    # today, but null-injection runs would split the engines)
     e = load(spark, sf_dir, "events").withColumn(
-        "v", F.when(F.col("event_type") != "error", F.round("value", 4))
+        "v",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+            F.round("value", 4)
+        ),
     )
     fwd = (
         Window.partitionBy("user_id")

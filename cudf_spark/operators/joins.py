@@ -46,8 +46,11 @@ def asof_join(
     same asymptotics as a sort-merge join, skew-safe via AQE; ``nearest``
     adds a second in-partition sort (descending), never a second shuffle.
     When several right rows share (key, timestamp) the greatest payload
-    tuple wins deterministically (payload columns are assumed non-null for
-    the tie-break; the per-column fills pick rows independently otherwise).
+    tuple wins deterministically (NULL payload fields order first in the
+    tie-break). Matches are ROW-ATOMIC, exactly like pandas merge_asof:
+    the chosen right row's payload is attached whole, NULL fields
+    included — one fill of a single struct column, never per-column
+    fills that could stitch different right rows together.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
@@ -81,8 +84,21 @@ def asof_join(
     u = r.unionByName(l)
 
     fill_cols = [*(f"__r_{c}" for c in right_values), "__rt"]
+    # ONE row-atomic struct per right row (NULL on left rows so
+    # last(ignorenulls) skips them): pandas merge_asof attaches the
+    # matched ROW, NULL payload fields included — per-column
+    # last(ignorenulls) fills would skip a NULL payload field and reach
+    # back to an OLDER row's value, silently stitching two right rows
+    # together whenever the most recent admissible row carries a NULL.
+    u = u.withColumn(
+        "__row",
+        F.when(
+            F.col("__tag") != 1,
+            F.struct(*[F.col(c).alias(c) for c in fill_cols]),
+        ),
+    )
 
-    def fills(prefix: str, descending: bool) -> list[Column]:
+    def fill(prefix: str, descending: bool) -> Column:
         # Tie-break on the payload columns: when several right rows share the
         # same (key, timestamp), the greatest payload tuple wins
         # deterministically across plans/engines.
@@ -95,35 +111,35 @@ def asof_join(
             )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        return [
-            F.last(c, ignorenulls=True).over(w).alias(f"{prefix}{c}") for c in fill_cols
-        ]
+        return F.last("__row", ignorenulls=True).over(w).alias(f"{prefix}row")
 
     cols: list[Column] = []
     if direction in ("backward", "nearest"):
-        cols += fills("__b_", descending=False)
+        cols.append(fill("__b_", descending=False))
     if direction in ("forward", "nearest"):
-        cols += fills("__f_", descending=True)
+        cols.append(fill("__f_", descending=True))
     filled = u.select("*", *cols).filter(F.col("__tag") == 1)
 
     t = F.col("__t")
     if direction == "nearest":
-        b_rt, f_rt = F.col("__b___rt"), F.col("__f___rt")
+        b_rt, f_rt = F.col("__b_row.__rt"), F.col("__f_row.__rt")
         use_b = f_rt.isNull() | (b_rt.isNotNull() & ((t - b_rt) <= (f_rt - t)))
-        matched = {c: F.when(use_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")) for c in fill_cols}
+        matched_row = F.when(use_b, F.col("__b_row")).otherwise(F.col("__f_row"))
     else:
-        prefix = "__b_" if direction == "backward" else "__f_"
-        matched = {c: F.col(f"{prefix}{c}") for c in fill_cols}
+        matched_row = F.col("__b_row" if direction == "backward" else "__f_row")
 
     if tolerance is not None:
-        rt = matched["__rt"]
+        rt = matched_row.getField("__rt")
         dist = F.when(rt <= t, t - rt).otherwise(rt - t)
         keep = rt.isNotNull() & (dist <= tolerance)
-        matched = {c: F.when(keep, expr) for c, expr in matched.items()}
+        matched_row = F.when(keep, matched_row)
 
     return filled.select(
         *lcols,
-        *[matched[f"__r_{c}"].alias(f"asof_{c}") for c in right_values],
+        *[
+            matched_row.getField(f"__r_{c}").alias(f"asof_{c}")
+            for c in right_values
+        ],
     )
 
 

@@ -264,33 +264,46 @@ def list_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dynamic oracle over whatever keys props actually holds (sorted-key
     # union with the two column-derived entries) — the previous oracle
     # hardcoded n_keys=3/'k,type,uid'/2, which held only while props was
-    # exactly {"k": <int>}. Sorting 'key=value' strings equals sorting by
-    # key ('=' orders below every identifier char and map keys are
-    # distinct), matching the engine's array_sort(map_entries(m)).
+    # exactly {"k": <int>}. Everything is ordered BY KEY (matching the
+    # engine's array_sort(map_entries(m)) since map keys are distinct —
+    # sorting 'k=v' STRINGS would misorder prefix keys whose next char
+    # sorts below '='); values come through JSON POINTERS ('/' || key,
+    # with ~0/~1 escapes) so dotted/bracketed keys resolve literally,
+    # not as nested paths; NULL-valued entries keep the bare key via
+    # concat_ws on both engines; NULL/invalid props degrade to the empty
+    # object exactly like the engine's coalesce.
     oracle="""
     WITH e AS (
-        SELECT event_id, event_type, user_id, props,
-               list_sort(list_filter(json_keys(props),
-                                     k -> k NOT IN ('type', 'uid'))) AS jkeys
+        SELECT event_id, event_type, user_id,
+               CASE WHEN props IS NOT NULL AND json_valid(props)
+                    THEN props ELSE '{}' END AS pj
         FROM events WHERE event_id < 2000
-    ), built AS (
-        SELECT event_id,
-               list_sort(list_concat(jkeys, ['type', 'uid'])) AS allkeys,
-               list_sort(list_concat(
-                   list_transform(jkeys,
-                       k -> k || '=' || json_extract_string(props, '$.' || k)),
-                   ['type=' || event_type,
-                    'uid=' || CAST(user_id AS VARCHAR)])) AS ents,
-               CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+    ), jk AS (
+        SELECT event_id, unnest(list_filter(json_keys(pj),
+                                            k -> k NOT IN ('type', 'uid'))) AS k
         FROM e
+    ), kv AS (
+        SELECT j.event_id, j.k,
+               json_extract_string(e.pj,
+                   '/' || replace(replace(j.k, '~', '~0'), '/', '~1')) AS v
+        FROM jk j JOIN e USING (event_id)
+        UNION ALL
+        SELECT event_id, 'type', event_type FROM e
+        UNION ALL
+        SELECT event_id, 'uid', CAST(user_id AS VARCHAR) FROM e
+    ), agg AS (
+        SELECT event_id,
+               CAST(count(*) AS INT) AS n_keys,
+               string_agg(k, ',' ORDER BY k) AS keys_csv,
+               string_agg(concat_ws('=', k, v), ',' ORDER BY k) AS entries_csv,
+               CAST(count(*) FILTER (WHERE k != 'uid') AS INT) AS n_after_filter
+        FROM kv GROUP BY event_id
     )
-    SELECT event_id,
-           CAST(len(allkeys) AS INT) AS n_keys,
-           array_to_string(allkeys, ',') AS keys_csv,
-           k_val,
-           array_to_string(ents, ',') AS entries_csv,
-           CAST(len(allkeys) - 1 AS INT) AS n_after_filter
-    FROM built ORDER BY event_id
+    SELECT e.event_id, a.n_keys, a.keys_csv,
+           CAST(json_extract_string(e.pj, '/k') AS INT) AS k_val,
+           a.entries_csv, a.n_after_filter
+    FROM e JOIN agg a USING (event_id)
+    ORDER BY e.event_id
     """,
     doc="Native MapType surface (SURVEY §2.10 maps; polars/cudf struct-of-"
     "pairs columns): create_map from columns + from_json into "
@@ -305,8 +318,14 @@ def list_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    # NULL/unparseable props degrade to the EMPTY map, not a NULL map —
+    # map_concat(m, NULL) nulls the whole merged map, which would erase
+    # the two column-derived entries the oracle still emits
     parsed = F.map_filter(
-        F.from_json("props", "map<string,string>"),
+        F.coalesce(
+            F.from_json("props", "map<string,string>"),
+            F.from_json(F.lit("{}"), "map<string,string>"),
+        ),
         lambda k, _v: ~k.isin("type", "uid"),
     )
     m = F.map_concat(

@@ -85,13 +85,21 @@ _WS_RE2 = (
 )
 
 # Case-fold parity: DuckDB lower() applies the SIMPLE (1:1) Unicode
-# mapping while Python str.lower() applies the FULL mapping. They differ
-# on exactly one codepoint — U+0130 'İ' lowers to 'i' + U+0307 in Python
-# (the only expanding lowercase mapping in Unicode; verified by
-# exhaustive scan) but to plain 'i' in DuckDB — so the oracles replace
-# it with its full-mapped form BEFORE lower(). Applied oracle-side only;
-# the UDFs' str.lower() already does the right thing.
-_LOWER_SQL = "lower(replace(coalesce(text, ''), 'İ', 'i̇'))"
+# mapping while Python str.lower() applies the FULL mapping with its one
+# context rule. The divergences:
+# - U+0130 'İ' lowers to 'i' + U+0307 in Python (the only EXPANDING
+#   lowercase mapping in Unicode; verified by exhaustive scan) but to
+#   plain 'i' in DuckDB → the oracles replace it with its full-mapped
+#   form BEFORE lower(). Oracle-side only; str.lower() already expands.
+# - Final_Sigma (the only CONTEXT-SENSITIVE rule in default casing):
+#   word-final 'Σ' lowers to 'ς' in Python, 'σ' in DuckDB, and RE2 has
+#   no lookaround to replicate the context — so BOTH sides normalize
+#   capital 'Σ' to medial 'σ' before lowering (the queries translate it
+#   pre-UDF, the oracles in this expression). Pre-existing lowercase
+#   'ς' is untouched by lower() on both engines.
+_LOWER_SQL = (
+    "lower(replace(replace(coalesce(text, ''), 'İ', 'i̇'), 'Σ', 'σ'))"
+)
 
 
 def _bpe_oracle() -> str:
@@ -177,8 +185,10 @@ def _bpe_oracle() -> str:
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = bpe_tokenize_udf(spark, BPE_MERGES)
+    # capital Σ -> medial σ BEFORE the UDF's str.lower(): Python's
+    # Final_Sigma context rule has no RE2 analogue (see _LOWER_SQL)
     return (
-        docs.withColumn("bpe", tok(F.col("text")))
+        docs.withColumn("bpe", tok(F.translate(F.col("text"), "Σ", "σ")))
         .select(
             "doc_id",
             F.size("bpe").alias("n_bpe_tokens"),
@@ -498,8 +508,9 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     tok = unigram_tokenize_udf(spark, UNIGRAM_VOCAB)
+    # same Σ -> σ pre-normalization as text_bpe_tokenize (_LOWER_SQL)
     return (
-        docs.withColumn("pieces", tok(F.col("text")))
+        docs.withColumn("pieces", tok(F.translate(F.col("text"), "Σ", "σ")))
         .select(
             "doc_id",
             F.size("pieces").alias("n_pieces"),

@@ -25,18 +25,47 @@ def test_null_safe_join_key_survives_null_event_type(spark, monkeypatch):
     assert rows[3].k is None         # 'error' nulls it
 
 
-def test_map_ops_props_key_collision_does_not_abort(spark, monkeypatch):
-    """props carrying a 'type'/'uid' key must not trigger Spark's
-    mapKeyDedupPolicy=EXCEPTION abort — column-derived entries win, and
-    the extra props keys flow through the dynamic outputs."""
+def test_map_ops_degenerate_props(spark, monkeypatch):
+    """The degenerate props shapes fixtures never produce, engine side:
+    'type'/'uid' collisions must not trigger Spark's
+    mapKeyDedupPolicy=EXCEPTION abort (column-derived entries win);
+    NULL/invalid props degrade to the empty map (not a NULL map erasing
+    the column entries); dotted keys and null JSON values flow through.
+    The DuckDB oracle is run on the same rows and must agree cell for
+    cell — the whole point of the dynamic rewrite."""
+    import duckdb
+
     from cudf_spark.queries import lists as mod
 
-    ev = spark.createDataFrame(
-        [(1, 9, "click", '{"k": 4, "type": "shadow", "z": "w"}')],
-        "event_id long, user_id long, event_type string, props string",
-    )
+    rows = [
+        (1, 9, "click", '{"k": 4, "type": "shadow", "z": "w"}'),
+        (2, 9, "view", None),
+        (3, 9, "view", "not json"),
+        (4, 9, "view", '{"a.b": "x", "z": null}'),
+        (5, 9, "view", '{"k": 4}'),
+    ]
+    schema = "event_id long, user_id long, event_type string, props string"
+    ev = spark.createDataFrame(rows, schema)
     monkeypatch.setattr(mod, "load", lambda s, d, n: ev)
-    [r] = mod.map_ops(spark, "unused").collect()
-    assert r.n_keys == 4 and r.keys_csv == "k,type,uid,z"
-    assert r.entries_csv == "k=4,type=click,uid=9,z=w"  # column type wins
-    assert r.k_val == 4 and r.n_after_filter == 3
+    got = {r.event_id: r for r in mod.map_ops(spark, "unused").collect()}
+    assert got[1].n_keys == 4 and got[1].keys_csv == "k,type,uid,z"
+    assert got[1].entries_csv == "k=4,type=click,uid=9,z=w"  # column wins
+    assert got[1].k_val == 4 and got[1].n_after_filter == 3
+    assert got[2].n_keys == 2 and got[2].keys_csv == "type,uid"
+    assert got[3].n_keys == 2          # invalid JSON == empty props
+    assert got[4].keys_csv == "a.b,type,uid,z"
+    assert got[4].entries_csv == "a.b=x,type=view,uid=9,z"  # null val: bare key
+    # oracle agreement on the same degenerate rows
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("events", pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "props"]))
+    from cudf_spark.queries import REGISTRY
+
+    ora = con.execute(REGISTRY["map_ops"].oracle).fetchdf()
+    ora = {int(r.event_id): r for r in ora.itertuples()}
+    for eid, g in got.items():
+        o = ora[eid]
+        assert (g.n_keys, g.keys_csv, g.entries_csv, g.n_after_filter) == (
+            o.n_keys, o.keys_csv, o.entries_csv, o.n_after_filter
+        ), eid

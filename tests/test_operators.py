@@ -542,3 +542,34 @@ def test_functions_review_fixes_round6(spark):
         events_stream(spark, tmp)
         after = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         assert after == before  # micros vintage: no session-wide leak
+
+
+def test_asof_join_row_atomic_null_payload(spark):
+    """pandas merge_asof attaches the matched ROW whole: when the most
+    recent admissible right row carries a NULL payload field, the result
+    must surface that NULL — not reach back to an older row's value
+    (the per-column ignorenulls fills this replaces did exactly that)."""
+    from pyspark.sql import functions as F
+
+    from cudf_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 7, 100)], "id long, user_id long, ts long")
+    right = spark.createDataFrame(
+        [(7, 10, 3.0), (7, 50, None)], "user_id long, ts long, value double"
+    )
+    [r] = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        right_values=["ts", "value"],
+    ).collect()
+    assert r.asof_ts == 50        # the matched row IS the latest one
+    assert r.asof_value is None   # ...and its NULL value comes with it
+
+    # pandas agrees
+    import pandas as pd
+
+    want = pd.merge_asof(
+        pd.DataFrame({"user_id": [7], "ts": [100]}),
+        pd.DataFrame({"user_id": [7, 7], "ts": [10, 50], "value": [3.0, None]}),
+        on="ts", by="user_id", direction="backward",
+    )
+    assert pd.isna(want["value"].iloc[0])

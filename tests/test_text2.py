@@ -366,34 +366,45 @@ def test_oracle_word_split_class_equals_python_whitespace():
     from cudf_spark.queries.text2 import _WS_RE2
 
     py_ws = [c for c in map(chr, range(sys.maxunicode + 1)) if c.isspace()]
-    # Python's isspace also covers the class — check both directions by
-    # splitting a probe string around every candidate char in DuckDB
+    # direction 1 (exhaustive): every Python-whitespace char must split
     con = duckdb.connect()
     for ch in py_ws:
         n = con.execute(
             "SELECT len(string_split_regex('a' || ? || 'b', ?))", [ch, _WS_RE2]
         ).fetchone()[0]
         assert n == 2, f"U+{ord(ch):04X} in Python whitespace but not _WS_RE2"
-    # and no over-splitting: a sample of non-space chars must NOT split
-    for ch in ["x", "0", "|", "\x1b", "⁠", "·", "işğ"[1]]:
-        assert not ch.isspace()
-        n = con.execute(
-            "SELECT len(string_split_regex('a' || ? || 'b', ?))", [ch, _WS_RE2]
-        ).fetchone()[0]
-        assert n == 1, f"U+{ord(ch):04X} splits in _WS_RE2 but is not whitespace"
+    # direction 2 (exhaustive): NO non-whitespace codepoint may split —
+    # one probe string holding every non-space, non-surrogate codepoint
+    # must come back as a single un-split token
+    non_ws = "".join(
+        c
+        for c in map(chr, range(1, sys.maxunicode + 1))
+        if not c.isspace() and not 0xD800 <= ord(c) <= 0xDFFF
+    )
+    n = con.execute(
+        "SELECT len(string_split_regex(?, ?))", [non_ws, _WS_RE2]
+    ).fetchone()[0]
+    assert n == 1, "_WS_RE2 splits on a codepoint Python does not consider whitespace"
 
 
 def test_oracle_lower_matches_python_full_casefold():
-    """The oracles lower text via _LOWER_SQL (İ pre-substitution + DuckDB
-    lower); the UDFs use Python str.lower() (full mapping). Pin equality
-    on adversarial inputs incl. the single expanding mapping U+0130."""
+    """The oracle pipeline (_LOWER_SQL: İ + Σ pre-substitution + DuckDB
+    lower) must equal the ENGINE pipeline (the queries' Σ->σ translate +
+    the UDFs' Python str.lower()). Probes include the single expanding
+    mapping U+0130 AND word-final capital sigma — Python's Final_Sigma
+    context rule ('ΟΔΟΣ' -> 'οδος') has no RE2 analogue, which is why
+    both sides normalize Σ to medial σ first."""
     import duckdb
 
     from cudf_spark.queries.text2 import _LOWER_SQL
 
-    probes = ["İstanbul İ X", "STRASSE ẞ ß", "ĄŻÓŁĆ", "i̇ already", "ŤĚŽ"]
+    probes = [
+        "İstanbul İ X", "STRASSE ẞ ß", "ĄŻÓŁĆ", "i̇ already", "ŤĚŽ",
+        "ΟΔΟΣ ΣΟΦΙΑ Σ", "μικρός ς σ",
+    ]
     con = duckdb.connect()
     sql = _LOWER_SQL.replace("text", "?")
     for s in probes:
         got = con.execute(f"SELECT {sql}", [s]).fetchone()[0]
-        assert got == s.lower(), (s, got, s.lower())
+        want = s.replace("Σ", "σ").lower()  # engine: translate then lower
+        assert got == want, (s, got, want)

@@ -17,6 +17,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _fold(t: str | None) -> str:
+    """The tokenizer family's shared case-fold: capital Σ normalizes to
+    medial σ BEFORE lower() — Python's Final_Sigma context rule (word-
+    final Σ -> ς) is the one context-sensitive mapping in Unicode default
+    casing and has no analogue in simple-mapping engines (or RE2, which
+    lacks the lookaround to emulate it), so folding it away keeps every
+    execution path — these UDFs, the DuckDB replay oracles' _LOWER_SQL —
+    byte-identical on the same text."""
+    return (t or "").replace("Σ", "σ").lower()
+
+
 def wordpiece_tokenize_udf(spark: SparkSession, vocab: list[str], unk: str = "[UNK]"):
     """Returns a pandas_udf: text -> array<string> of wordpiece tokens.
 
@@ -48,7 +59,9 @@ def wordpiece_tokenize_udf(spark: SparkSession, vocab: list[str], unk: str = "[U
                 i = end
             return out
 
-        return pd.Series([[p for w in (t or "").lower().split() for p in piece(w)] for t in texts])
+        return pd.Series(
+            [[p for w in _fold(t).split() for p in piece(w)] for t in texts]
+        )
 
     return tok
 
@@ -109,7 +122,7 @@ def bpe_tokenize_udf(spark: SparkSession, merges: list[tuple[str, str]]):
 
         def tok_text(t: str) -> list[str]:
             out = []
-            for w in (t or "").lower().split():
+            for w in _fold(t).split():
                 if w not in cache:
                     cache[w] = bpe(w)
                 out.extend(cache[w])
@@ -183,7 +196,7 @@ def unigram_tokenize_udf(spark: SparkSession, vocab: dict[str, int], unk_cost: i
             return out[::-1]
 
         return pd.Series(
-            [[p for w in (t or "").lower().split() for p in seg(w)] for t in texts]
+            [[p for w in _fold(t).split() for p in seg(w)] for t in texts]
         )
 
     return tok

@@ -279,8 +279,12 @@ def list_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN props ELSE '{}' END AS pj
         FROM events WHERE event_id < 2000
     ), jk AS (
-        SELECT event_id, unnest(list_filter(json_keys(pj),
-                                            k -> k NOT IN ('type', 'uid'))) AS k
+        -- list_distinct: json_keys emits a duplicated JSON key once per
+        -- occurrence; the engine rebuilds its parsed map keep-FIRST per
+        -- key, and the JSON-pointer lookup below also returns the first
+        -- occurrence — both sides agree on duplicated keys
+        SELECT event_id, unnest(list_distinct(list_filter(json_keys(pj),
+                                            k -> k NOT IN ('type', 'uid')))) AS k
         FROM e
     ), kv AS (
         SELECT j.event_id, j.k,
@@ -300,7 +304,13 @@ def list_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM kv GROUP BY event_id
     )
     SELECT e.event_id, a.n_keys, a.keys_csv,
-           CAST(json_extract_string(e.pj, '/k') AS INT) AS k_val,
+           -- mirror Spark try_cast: integral-format strings only (an
+           -- unguarded DuckDB CAST aborts on 'abc' and ROUNDS '4.5')
+           CASE WHEN regexp_matches(
+                    coalesce(json_extract_string(e.pj, '/k'), ''),
+                    '^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*$')
+                THEN TRY_CAST(json_extract_string(e.pj, '/k') AS INT)
+           END AS k_val,
            a.entries_csv, a.n_after_filter
     FROM e JOIN agg a USING (event_id)
     ORDER BY e.event_id
@@ -321,12 +331,40 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL/unparseable props degrade to the EMPTY map, not a NULL map —
     # map_concat(m, NULL) nulls the whole merged map, which would erase
     # the two column-derived entries the oracle still emits
-    parsed = F.map_filter(
-        F.coalesce(
-            F.from_json("props", "map<string,string>"),
-            F.from_json(F.lit("{}"), "map<string,string>"),
+    raw = F.coalesce(
+        F.from_json("props", "map<string,string>"),
+        F.from_json(F.lit("{}"), "map<string,string>"),
+    )
+    # from_json does NOT dedup a duplicated JSON key — it emits a map
+    # with duplicate entries, and the first downstream map-building op
+    # aborts under Spark's default mapKeyDedupPolicy=EXCEPTION. Rebuild
+    # keep-FIRST per key (dropping 'type'/'uid' collisions in the same
+    # pass) — first-occurrence is also what the oracle's JSON-pointer
+    # lookup returns, so the engines agree on duplicated keys too. The
+    # nested scan is O(n²) in the per-row key count, trivially small.
+    ients = F.transform(
+        F.map_entries(raw),
+        lambda ent, i: F.struct(
+            ent["key"].alias("k"), ent["value"].alias("v"), i.alias("i")
         ),
-        lambda k, _v: ~k.isin("type", "uid"),
+    )
+    kept = F.filter(
+        ients,
+        lambda ent: ~ent["k"].isin("type", "uid")
+        & (
+            ent["i"]
+            == F.array_min(
+                F.transform(
+                    F.filter(ients, lambda x: x["k"] == ent["k"]),
+                    lambda x: x["i"],
+                )
+            )
+        ),
+    )
+    parsed = F.map_from_entries(
+        F.transform(
+            kept, lambda ent: F.struct(ent["k"].alias("key"), ent["v"].alias("value"))
+        )
     )
     m = F.map_concat(
         F.create_map(
@@ -344,7 +382,9 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.size(m).alias("n_keys"),
             F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
-            F.element_at(m, F.lit("k")).cast("int").alias("k_val"),
+            # try_cast, not cast: ANSI mode (Spark 4 default) aborts the
+            # whole job on a non-integer props.k value
+            F.element_at(m, F.lit("k")).try_cast("int").alias("k_val"),
             F.concat_ws(",", entries).alias("entries_csv"),
             F.size(F.map_filter(m, lambda k, v: k != F.lit("uid"))).alias(
                 "n_after_filter"

@@ -94,9 +94,9 @@ _WS_RE2 = (
 # - Final_Sigma (the only CONTEXT-SENSITIVE rule in default casing):
 #   word-final 'Σ' lowers to 'ς' in Python, 'σ' in DuckDB, and RE2 has
 #   no lookaround to replicate the context — so BOTH sides normalize
-#   capital 'Σ' to medial 'σ' before lowering (the queries translate it
-#   pre-UDF, the oracles in this expression). Pre-existing lowercase
-#   'ς' is untouched by lower() on both engines.
+#   capital 'Σ' to medial 'σ' before lowering (the tokenizer UDFs via
+#   _fold in operators/tokenizers.py, the oracles in this expression).
+#   Pre-existing lowercase 'ς' is untouched by lower() on both engines.
 _LOWER_SQL = (
     "lower(replace(replace(coalesce(text, ''), 'İ', 'i̇'), 'Σ', 'σ'))"
 )
@@ -185,10 +185,10 @@ def _bpe_oracle() -> str:
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = bpe_tokenize_udf(spark, BPE_MERGES)
-    # capital Σ -> medial σ BEFORE the UDF's str.lower(): Python's
-    # Final_Sigma context rule has no RE2 analogue (see _LOWER_SQL)
+    # the UDF family's _fold() already normalizes Σ -> σ before lower()
+    # (operators/tokenizers.py), matching the oracle's _LOWER_SQL
     return (
-        docs.withColumn("bpe", tok(F.translate(F.col("text"), "Σ", "σ")))
+        docs.withColumn("bpe", tok(F.col("text")))
         .select(
             "doc_id",
             F.size("bpe").alias("n_bpe_tokens"),
@@ -508,9 +508,9 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     tok = unigram_tokenize_udf(spark, UNIGRAM_VOCAB)
-    # same Σ -> σ pre-normalization as text_bpe_tokenize (_LOWER_SQL)
+    # Σ -> σ folding lives inside the UDF (_fold, operators/tokenizers.py)
     return (
-        docs.withColumn("pieces", tok(F.translate(F.col("text"), "Σ", "σ")))
+        docs.withColumn("pieces", tok(F.col("text")))
         .select(
             "doc_id",
             F.size("pieces").alias("n_pieces"),

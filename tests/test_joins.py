@@ -43,6 +43,10 @@ def test_map_ops_degenerate_props(spark, monkeypatch):
         (3, 9, "view", "not json"),
         (4, 9, "view", '{"a.b": "x", "z": null}'),
         (5, 9, "view", '{"k": 4}'),
+        (6, 9, "view", '{"k": "abc"}'),     # non-integer k: NULL, no abort
+        (7, 9, "view", '{"k": "4.5"}'),     # Spark try_cast NULL (DuckDB
+                                            # CAST would round to 5)
+        (8, 9, "view", '{"a": "1", "a": "2"}'),  # duplicate JSON key
     ]
     schema = "event_id long, user_id long, event_type string, props string"
     ev = spark.createDataFrame(rows, schema)
@@ -55,6 +59,9 @@ def test_map_ops_degenerate_props(spark, monkeypatch):
     assert got[3].n_keys == 2          # invalid JSON == empty props
     assert got[4].keys_csv == "a.b,type,uid,z"
     assert got[4].entries_csv == "a.b=x,type=view,uid=9,z"  # null val: bare key
+    assert got[6].k_val is None and got[7].k_val is None  # ANSI-safe try_cast
+    assert got[8].n_keys == 3 and got[8].keys_csv == "a,type,uid"  # dedup
+    assert got[8].entries_csv == "a=1,type=view,uid=9"  # keep-FIRST wins
     # oracle agreement on the same degenerate rows
     con = duckdb.connect()
     import pandas as pd
@@ -66,6 +73,12 @@ def test_map_ops_degenerate_props(spark, monkeypatch):
     ora = {int(r.event_id): r for r in ora.itertuples()}
     for eid, g in got.items():
         o = ora[eid]
-        assert (g.n_keys, g.keys_csv, g.entries_csv, g.n_after_filter) == (
-            o.n_keys, o.keys_csv, o.entries_csv, o.n_after_filter
-        ), eid
+        cols = ("n_keys", "keys_csv", "entries_csv", "n_after_filter", "k_val")
+        for c in cols:
+            g_v, o_v = getattr(g, c), getattr(o, c)
+            if g_v is None:
+                import math
+
+                assert o_v is None or (isinstance(o_v, float) and math.isnan(o_v)), (eid, c, o_v)
+            else:
+                assert g_v == o_v, (eid, c, g_v, o_v)

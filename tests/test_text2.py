@@ -26,6 +26,9 @@ def test_bpe_merges_in_rank_order(spark):
     assert _bpe_one(spark, [("a", "a")], "aaaa") == ["aa", "aa"]
     # Case-folding + whitespace tokenization.
     assert _bpe_one(spark, [("t", 'h'), ("th", "e")], "THE the") == ["the", "the"]
+    # Final_Sigma folding: capital Σ normalizes to medial σ (never ς) so
+    # the UDF agrees with the simple-mapping DuckDB oracles (_fold).
+    assert _bpe_one(spark, [("σ", "σ")], "ΣΣ ΑΣ") == ["σσ", "α", "σ"]
 
 
 def test_kgram_index_short_doc_guard(spark):

@@ -54,11 +54,12 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
-    if "__row" in left.columns or "__row" in right.columns:
+    if "__row" in left.columns:
         # the other internal names (__k/__t/__tag) collide loudly as
         # duplicate-column analysis errors; withColumn("__row") would
-        # silently OVERWRITE a caller's column instead
-        raise ValueError("asof_join: input already has a __row column")
+        # silently OVERWRITE a left column of that name instead (a right
+        # __row never propagates — the right side is projected away)
+        raise ValueError("asof_join: left input already has a __row column")
     lcols = left.columns
     payload = [F.col(c).alias(f"__r_{c}") for c in right_values]
 

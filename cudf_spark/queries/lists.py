@@ -306,10 +306,17 @@ def list_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, a.n_keys, a.keys_csv,
            -- mirror Spark try_cast: integral-format strings only (an
            -- unguarded DuckDB CAST aborts on 'abc' and ROUNDS '4.5')
+           -- padding class includes \\x7f: Spark's UTF8String.trimAll
+           -- trims every ASCII control char (DEL included), nothing
+           -- above — and the padding is stripped before TRY_CAST, since
+           -- DuckDB's parser only tolerates plain spaces itself
            CASE WHEN regexp_matches(
                     coalesce(json_extract_string(e.pj, '/k'), ''),
-                    '^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*$')
-                THEN TRY_CAST(json_extract_string(e.pj, '/k') AS INT)
+                    '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$')
+                THEN TRY_CAST(regexp_replace(
+                         json_extract_string(e.pj, '/k'),
+                         '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g')
+                     AS INT)
            END AS k_val,
            a.entries_csv, a.n_after_filter
     FROM e JOIN agg a USING (event_id)

@@ -47,6 +47,7 @@ def test_map_ops_degenerate_props(spark, monkeypatch):
         (7, 9, "view", '{"k": "4.5"}'),     # Spark try_cast NULL (DuckDB
                                             # CAST would round to 5)
         (8, 9, "view", '{"a": "1", "a": "2"}'),  # duplicate JSON key
+        (9, 9, "view", '{"k": "4\x7f"}'),  # DEL-padded int: Spark trimAll
     ]
     schema = "event_id long, user_id long, event_type string, props string"
     ev = spark.createDataFrame(rows, schema)
@@ -62,6 +63,7 @@ def test_map_ops_degenerate_props(spark, monkeypatch):
     assert got[6].k_val is None and got[7].k_val is None  # ANSI-safe try_cast
     assert got[8].n_keys == 3 and got[8].keys_csv == "a,type,uid"  # dedup
     assert got[8].entries_csv == "a=1,type=view,uid=9"  # keep-FIRST wins
+    assert got[9].k_val == 4  # \x7f is ASCII control: trimmed by try_cast
     # oracle agreement on the same degenerate rows
     con = duckdb.connect()
     import pandas as pd

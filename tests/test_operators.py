@@ -573,3 +573,26 @@ def test_asof_join_row_atomic_null_payload(spark):
         on="ts", by="user_id", direction="backward",
     )
     assert pd.isna(want["value"].iloc[0])
+
+
+def test_asof_join_rejects_left_row_column(spark):
+    """A left column named __row would be silently overwritten by the
+    internal match-struct withColumn — the guard must fail loudly. A
+    right-side __row is harmless (projected away) and stays allowed."""
+    import pytest as _pytest
+
+    from cudf_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 7, 100, "x")], "id long, user_id long, ts long, __row string")
+    right = spark.createDataFrame([(7, 10, 3.0)], "user_id long, ts long, value double")
+    with _pytest.raises(ValueError, match="__row"):
+        asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                  right_values=["value"])
+    # right-side __row: fine
+    left_ok = spark.createDataFrame([(1, 7, 100)], "id long, user_id long, ts long")
+    right_row = spark.createDataFrame(
+        [(7, 10, 3.0, "x")], "user_id long, ts long, value double, __row string"
+    )
+    [r] = asof_join(left_ok, right_row, on="user_id", left_ts="ts",
+                    right_ts="ts", right_values=["value"]).collect()
+    assert r.asof_value == 3.0

@@ -392,11 +392,12 @@ def test_oracle_word_split_class_equals_python_whitespace():
 
 def test_oracle_lower_matches_python_full_casefold():
     """The oracle pipeline (_LOWER_SQL: İ + Σ pre-substitution + DuckDB
-    lower) must equal the ENGINE pipeline (the queries' Σ->σ translate +
-    the UDFs' Python str.lower()). Probes include the single expanding
-    mapping U+0130 AND word-final capital sigma — Python's Final_Sigma
-    context rule ('ΟΔΟΣ' -> 'οδος') has no RE2 analogue, which is why
-    both sides normalize Σ to medial σ first."""
+    lower) must equal the ENGINE pipeline (the tokenizer UDFs' _fold:
+    replace('Σ','σ') then Python str.lower(), operators/tokenizers.py).
+    Probes include the single expanding mapping U+0130 AND word-final
+    capital sigma — Python's Final_Sigma context rule ('ΟΔΟΣ' ->
+    'οδος') has no RE2 analogue, which is why both sides fold Σ to
+    medial σ first."""
     import duckdb
 
     from cudf_spark.queries.text2 import _LOWER_SQL
@@ -409,5 +410,5 @@ def test_oracle_lower_matches_python_full_casefold():
     sql = _LOWER_SQL.replace("text", "?")
     for s in probes:
         got = con.execute(f"SELECT {sql}", [s]).fetchone()[0]
-        want = s.replace("Σ", "σ").lower()  # engine: translate then lower
+        want = s.replace("Σ", "σ").lower()  # == _fold(s), the engine rule
         assert got == want, (s, got, want)

@@ -2266,7 +2266,11 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1 + #boundaries strictly below the value against the broadcast "
     "4-value boundary row, then the segment rollup. Output <=125 rows "
     "regardless of user count; monetary on the exact micro-unit "
-    "lattice.",
+    "lattice. 100 TB note: the disc aggregate's merge buffer is bounded "
+    "by the distinct-value count per dimension — if that approaches "
+    "user count (continuous monetary at 1e9+ users), swap the bounds "
+    "for the cents-histogram rank rule (agg_lorenz_curve_binned idiom) "
+    "or percentile_approx with a documented error budget.",
 )
 def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")

@@ -80,7 +80,23 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.var_pop("l_quantity"), 6).alias("varp_qty"),
             F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
             F.round(F.stddev_pop("l_quantity"), 6).alias("stdp_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            # guarded Pearson instead of F.corr: a zero-variance group
+            # makes Spark's corr aggregate itself raise DIVIDE_BY_ZERO
+            # under ANSI mode (Spark 4 default), where DuckDB and the
+            # SQL standard return NULL — covar/stddev_pop compose the
+            # identical statistic with the division guarded
+            F.round(
+                F.when(
+                    (F.stddev_pop("l_quantity") != 0)
+                    & (F.stddev_pop("l_extendedprice") != 0),
+                    F.covar_pop("l_quantity", "l_extendedprice")
+                    / (
+                        F.stddev_pop("l_quantity")
+                        * F.stddev_pop("l_extendedprice")
+                    ),
+                ),
+                6,
+            ).alias("corr_qp"),
             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
             F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covp_qp"),
         )
@@ -121,18 +137,26 @@ def agg_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_argminmax",
     oracle="""
     SELECT c_mktsegment,
-           arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest,
-           arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS poorest
+           arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 100000000000 + c_custkey) AS richest,
+           arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 100000000000 + c_custkey) AS poorest
     FROM customer
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
     """,
     doc="ARGMAX/ARGMIN kinds → max_by/min_by; composite (value, key) order "
-    "key encoded as a bigint for deterministic tie-breaks.",
+    "key encoded as a bigint for deterministic tie-breaks. Radix 1e11 "
+    "keeps the encoding collision-free while c_custkey < 1e11 (TPC-H "
+    "SF ~650k; the old 1e7 radix collided from SF ~67, letting 'richest' "
+    "name a strictly poorer customer with a big enough key — silently, "
+    "since both engines shared the formula); |cents| <= 1e6 keeps the "
+    "product at 1e17, inside BIGINT.",
 )
 def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    order_key = (F.round(F.col("c_acctbal") * 100).cast("long") * 10000000 + F.col("c_custkey"))
+    order_key = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 100000000000
+        + F.col("c_custkey")
+    )
     return (
         c.groupBy("c_mktsegment")
         .agg(

@@ -42,17 +42,24 @@ def _modes(sorted_arr: Column, q: float) -> dict[str, Column]:
     """
     n = F.size(sorted_arr)
     pos = F.lit(q) * (n.cast("double") - 1)
-    lo = F.floor(pos).cast("int")
-    hi = F.ceil(pos).cast("int")
-    near = F.floor(pos + F.lit(0.5)).cast("int")  # explicit half-up in both engines
-    a_lo = F.element_at(sorted_arr, lo + 1).cast("double")
-    a_hi = F.element_at(sorted_arr, hi + 1).cast("double")
+    # empty array: pos = -q makes lo = -1 and element_at(arr, 0) RAISES
+    # (Spark array indices start at 1) — clamp the indices and emit NULL
+    lo = F.greatest(F.floor(pos).cast("int"), F.lit(0))
+    hi = F.greatest(F.ceil(pos).cast("int"), F.lit(0))
+    near = F.greatest(
+        F.floor(pos + F.lit(0.5)).cast("int"), F.lit(0)
+    )  # explicit half-up in both engines
+    nonempty = n > 0
+    a_lo = F.when(nonempty, F.element_at(sorted_arr, lo + 1)).cast("double")
+    a_hi = F.when(nonempty, F.element_at(sorted_arr, hi + 1)).cast("double")
     return {
         "q_linear": a_lo + (a_hi - a_lo) * (pos - lo.cast("double")),
         "q_lower": a_lo,
         "q_higher": a_hi,
         "q_midpoint": (a_lo + a_hi) / 2,
-        "q_nearest": F.element_at(sorted_arr, near + 1).cast("double"),
+        "q_nearest": F.when(
+            nonempty, F.element_at(sorted_arr, near + 1)
+        ).cast("double"),
     }
 
 
@@ -60,9 +67,15 @@ def _modes(sorted_arr: Column, q: float) -> dict[str, Column]:
     "agg_quantile_modes",
     oracle=f"""
     WITH g AS (
-        SELECT l_returnflag, list_sort(list(l_quantity)) AS a,
-               count(*) AS n
-        FROM lineitem GROUP BY l_returnflag),
+        -- NULL quantities are excluded (cudf/pandas quantile semantics);
+        -- without the FILTER, DuckDB's list_sort puts NULLs LAST while
+        -- Spark's row_number ranks them FIRST — divergent order stats
+        SELECT l_returnflag,
+               list_sort(list(l_quantity)
+                         FILTER (WHERE l_quantity IS NOT NULL)) AS a,
+               count(l_quantity) AS n
+        FROM lineitem GROUP BY l_returnflag
+        HAVING count(l_quantity) > 0),
     ix AS (
         SELECT l_returnflag, a,
                {_Q} * (n - 1)                          AS pos,
@@ -83,7 +96,13 @@ def _modes(sorted_arr: Column, q: float) -> dict[str, Column]:
     "one keyed shuffle, O(1) rows per group out, no whole-group array.",
 )
 def agg_quantile_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    # quantiles ignore NULLs (cudf/pandas semantics) — and keeping them
+    # would rank NULLs FIRST here vs LAST in the oracle's list_sort
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .filter(F.col("l_quantity").isNotNull())
+    )
     part = Window.partitionBy("l_returnflag")
     # row_number ties are broken arbitrarily, which is fine: equal values
     # yield the same order statistic whichever one lands at the rank.
@@ -212,13 +231,20 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_var_ddof",
     oracle="""
     SELECT l_linestatus,
-           round(var_pop(l_quantity), 6)                         AS var_d0,
-           round(var_pop(l_quantity) * count(l_quantity)
-                 / (count(l_quantity) - 1), 6)                   AS var_d1,
-           round(var_pop(l_quantity) * count(l_quantity)
-                 / (count(l_quantity) - 2), 6)                   AS var_d2,
-           round(sqrt(var_pop(l_quantity) * count(l_quantity)
-                 / (count(l_quantity) - 5)), 6)                  AS std_d5
+           -- n <= ddof guards mirror the engine's F.when(n > ddof, ...):
+           -- without them a small group flips var_d2 to a negative
+           -- rescale (or -0.0) and std_d5's sqrt(-x) ABORTS in DuckDB
+           round(CASE WHEN count(l_quantity) > 0
+                      THEN var_pop(l_quantity) END, 6)           AS var_d0,
+           round(CASE WHEN count(l_quantity) > 1
+                      THEN var_pop(l_quantity) * count(l_quantity)
+                           / (count(l_quantity) - 1) END, 6)     AS var_d1,
+           round(CASE WHEN count(l_quantity) > 2
+                      THEN var_pop(l_quantity) * count(l_quantity)
+                           / (count(l_quantity) - 2) END, 6)     AS var_d2,
+           round(CASE WHEN count(l_quantity) > 5
+                      THEN sqrt(var_pop(l_quantity) * count(l_quantity)
+                           / (count(l_quantity) - 5)) END, 6)    AS std_d5
     FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
     """,
     doc="VARIANCE/STD with arbitrary ddof (aggregation.hpp "
@@ -306,8 +332,6 @@ def agg_var_ddof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plus one map-side join, no second shuffle of the fact table.",
 )
 def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     li = load(spark, sf_dir, "lineitem")
     v = li.select(
         "l_orderkey",
@@ -651,6 +675,10 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r.rn > c.n // 10 AND r.rn <= c.n - c.n // 10)
     SELECT k.l_returnflag, c.n,
            CAST(count(*) AS BIGINT) AS n_kept,
+           -- sum() is HUGEINT in DuckDB: the q6 scale-up cannot overflow
+           -- and // stays true integer floor division (a DECIMAL cast
+           -- here would ROUND to scale 0 before flooring — off by one
+           -- whenever the true fraction is >= .5)
            CAST((sum(k.cents) * 10000) // count(*) AS BIGINT) AS trimmed_mean_q6
     FROM kept k JOIN c USING (l_returnflag)
     GROUP BY k.l_returnflag, c.n
@@ -666,20 +694,19 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rank-order independent, BIGINT sums are fold-order independent, "
     "and the mean is exact integer division — bit-identical cross-engine "
     "with zero float ops. Plan: one keyed count + one per-key window "
-    "rank + keyed joins; no global sort. (BIGINT micro-dollar sums bound "
-    "the group size at ~9e14 rows — beyond 100 TB of lineitem; swap to "
-    "DECIMAL(38) sums past that.)",
+    "rank + keyed joins; no global sort. The q6 scale-up runs in "
+    "DECIMAL(38,0): at ~5e6 cents/row, BIGINT sum(cents)*10000 would "
+    "overflow near ~1.7e8 rows per group (lineitem SF~100) — far below "
+    "100 TB.",
 )
 def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     t = load(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
     )
     c = t.groupBy("l_returnflag").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     r = t.withColumn(
-        "rn", F.row_number().over(W.partitionBy("l_returnflag").orderBy("cents"))
+        "rn", F.row_number().over(Window.partitionBy("l_returnflag").orderBy("cents"))
     )
     kept = r.join(c, "l_returnflag").filter(
         (F.col("rn") > F.expr("n div 10")) & (F.col("rn") <= F.expr("n - n div 10"))
@@ -688,7 +715,12 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.groupBy("l_returnflag", "n")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-            F.expr("(sum(cents) * 10000) div count(*)")
+            # DECIMAL(38,0) intermediate: BIGINT sum(cents)*10000
+            # overflows near ~1.7e8 rows/group (ANSI abort; DuckDB's
+            # HUGEINT sum is immune, so the engines would also split)
+            F.expr(
+                "(CAST(sum(cents) AS DECIMAL(38,0)) * 10000) DIV count(*)"
+            )
             .cast("bigint")
             .alias("trimmed_mean_q6"),
         )

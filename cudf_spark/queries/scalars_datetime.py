@@ -63,7 +63,13 @@ def dt_extract_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("h"),
         F.minute("ts").alias("mi"),
         F.second("ts").alias("s"),
-        ((F.unix_micros("ts") % 1_000_000) / 1000).cast("int").alias("msec"),
+        # pmod, not %: Spark's % keeps the dividend's sign, so a
+        # pre-1970 timestamp (negative unix_micros) would yield a
+        # NEGATIVE millisecond while the oracle's microsecond() — and
+        # any calendar reading — is always non-negative
+        (F.pmod(F.unix_micros("ts"), F.lit(1_000_000)) / 1000)
+        .cast("int")
+        .alias("msec"),
     ).orderBy("event_id")
 
 

@@ -211,7 +211,11 @@ def str_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            CAST(CAST(p_retailprice AS VARCHAR) AS DOUBLE)     AS roundtrip,
-           try_cast(p_name AS INT)                            AS bad_int,
+           -- mirror try_to_number(name, '999'): the format accepts ONLY
+           -- 1-3 bare digits (no sign/decimal/4+ digits), while a plain
+           -- try_cast would accept '1234' and round '12.5'
+           CASE WHEN regexp_matches(p_name, '^[0-9]{1,3}$')
+                THEN CAST(p_name AS INT) END                  AS bad_int,
            CAST(try_cast(CAST(p_size AS VARCHAR) AS INT) IS NOT NULL AS BOOLEAN) AS is_int,
            CAST(('0x' || lpad(CAST(p_size AS VARCHAR), 2, '0')) AS BIGINT) AS from_hexish
     FROM part ORDER BY p_partkey
@@ -307,7 +311,10 @@ def str_bytes_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
                string_split(p_name || '/q?x=' || CAST(p_partkey AS VARCHAR), ''),
                c -> CASE WHEN c = ' ' THEN '+'
                          WHEN regexp_matches(c, '^[a-zA-Z0-9.*_-]$') THEN c
-                         ELSE '%' || upper(hex(encode(c))) END), '') AS enc,
+                         -- one '%' PER UTF-8 BYTE: a multi-byte char
+                         -- must encode '%C3%A9', not '%C3A9'
+                         ELSE regexp_replace(upper(hex(encode(c))),
+                                             '(..)', '%\\1', 'g') END), '') AS enc,
            p_name || '/q?x=' || CAST(p_partkey AS VARCHAR)           AS dec
     FROM part ORDER BY p_partkey
     """,

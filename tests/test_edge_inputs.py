@@ -338,3 +338,80 @@ def test_avro_resolution_empty_file(spark, tmp_path):
     df = read_avro(spark, str(tmp_path), schema_file=str(tmp_path / "e.avro"),
                    reader_schema=reader)
     assert df.columns == ["id", "x"] and df.count() == 0
+
+
+def test_modes_empty_array_yields_nulls(spark):
+    """_modes on an empty sorted array must yield NULL quantiles, not
+    raise INVALID_ARRAY_INDEX (pos=-q made lo=-1 -> element_at(arr, 0))."""
+    from cudf_spark.queries.aggregates2 import _modes
+
+    df = spark.createDataFrame([([],), ([5.0],)], "a array<double>")
+    cols = _modes(F.col("a"), 0.37)
+    rows = df.select(*[c.alias(k) for k, c in cols.items()]).collect()
+    empty, one = rows
+    assert all(v is None for v in empty.asDict().values())
+    assert all(v == 5.0 for v in one.asDict().values())
+
+
+def test_quantile_modes_ignore_null_quantities(spark, monkeypatch):
+    """NULL quantities are excluded (cudf/pandas semantics) — with them
+    kept, Spark ranked NULLs FIRST while the oracle's list_sort put them
+    LAST, so each engine read different order statistics."""
+    from cudf_spark.queries import aggregates2 as mod
+
+    li = spark.createDataFrame(
+        [("A", None), ("A", 10.0), ("A", 20.0), ("B", None)],
+        "l_returnflag string, l_quantity double",
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: li)
+    rows = {r.l_returnflag: r for r in mod.agg_quantile_modes(spark, "x").collect()}
+    # q=0.37 over [10, 20]: pos=0.37, lo=10, hi=20
+    assert rows["A"].q_lower == 10.0 and rows["A"].q_higher == 20.0
+    assert "B" not in rows  # all-NULL group drops on both engines
+
+
+def test_agg_stats_zero_variance_corr_is_null(spark, monkeypatch):
+    """Zero-variance group: Spark corr yields NaN where DuckDB (and the
+    SQL standard) yield NULL — the query must emit NULL."""
+    import math
+
+    from cudf_spark.queries import aggregates as mod
+
+    li = spark.createDataFrame(
+        [("O", 5.0, 1.0), ("O", 5.0, 2.0), ("O", 5.0, 3.0)],
+        "l_linestatus string, l_quantity double, l_extendedprice double",
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: li)
+    [r] = mod.agg_stats(spark, "x").collect()
+    assert r.corr_qp is None or not math.isnan(r.corr_qp)
+    assert r.corr_qp is None
+
+
+def test_argminmax_key_no_collision_past_1e7_custkey(spark, monkeypatch):
+    """Radix-1e11 composite key: a customer with a 1-cent-smaller balance
+    but a 1e7-larger custkey must NOT be named richest (the old 1e7
+    radix collided exactly there)."""
+    from cudf_spark.queries import aggregates as mod
+
+    c = spark.createDataFrame(
+        [(3, "rich", "SEG", 100.00), (10_000_003, "poor", "SEG", 99.99)],
+        "c_custkey long, c_name string, c_mktsegment string, c_acctbal double",
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: c)
+    [r] = mod.agg_argminmax(spark, "x").collect()
+    assert r.richest == "rich" and r.poorest == "poor"
+
+
+def test_dt_extract_time_pre_epoch_msec_non_negative(spark, monkeypatch):
+    """Pre-1970 timestamps: % keeps the dividend's sign, so msec went
+    negative; pmod matches the oracle's always-non-negative reading."""
+    from cudf_spark.queries import scalars_datetime as mod
+
+    e = spark.createDataFrame(
+        [(1, "1969-12-31 23:59:59.5"), (2, "2024-01-01 00:00:00.25")],
+        "event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(mod, "load", lambda s, d, n: e)
+    rows = {r.event_id: r for r in mod.dt_extract_time(spark, "x").collect()}
+    assert rows[1].msec == 500
+    assert rows[2].msec == 250

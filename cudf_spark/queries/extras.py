@@ -72,11 +72,22 @@ def dt_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "str_json_struct",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(js, '$.et') AS VARCHAR)  AS et,
-           CAST(json_extract(js, '$.v') AS DOUBLE)           AS v,
-           CAST(json_extract(js, '$.k') AS INT)              AS k,
-           CAST(json_array_length(json_extract(js, '$.tags')) AS INT) AS n_tags,
-           CAST(json_extract_string(js, '$.tags[0]') AS VARCHAR)      AS tag0
+           -- json_valid guard: on malformed assembled JSON (NaN value,
+           -- quote/backslash in event_type) Spark's PERMISSIVE
+           -- from_json nulls the struct, while an unguarded
+           -- json_extract would ABORT the whole oracle run
+           CASE WHEN json_valid(js)
+                THEN CAST(json_extract_string(js, '$.et') AS VARCHAR) END AS et,
+           CASE WHEN json_valid(js)
+                THEN CAST(json_extract(js, '$.v') AS DOUBLE) END          AS v,
+           CASE WHEN json_valid(js)
+                THEN CAST(json_extract(js, '$.k') AS INT) END             AS k,
+           CASE WHEN json_valid(js)
+                THEN CAST(json_array_length(json_extract(js, '$.tags'))
+                          AS INT) END                                     AS n_tags,
+           CASE WHEN json_valid(js)
+                THEN CAST(json_extract_string(js, '$.tags[0]') AS VARCHAR)
+           END                                                            AS tag0
     FROM (
       SELECT event_id,
              '{"et":"' || event_type || '","v":' || CAST(value AS VARCHAR)
@@ -90,9 +101,12 @@ def dt_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "column): a nested document (string/double/int fields + array) is "
     "assembled per row, then parsed back through from_json with an "
     "explicit schema — struct field access and array element extraction, "
-    "all JVM-side. The doc is built by concat (not to_json) so both "
-    "engines parse the SAME bytes; double formatting never crosses "
-    "engines.",
+    "all JVM-side. The doc is built by concat (not to_json); each engine "
+    "renders the double with its own cast (Spark writes 1.0E7 where "
+    "DuckDB writes 10000000.0) but both strings parse back to the "
+    "identical DOUBLE, and the v column is compared as that double — "
+    "formatting never crosses the hash gate. Malformed assembled JSON "
+    "(NaN value, quotes in event_type) nulls the row on BOTH engines.",
 )
 def str_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
@@ -521,8 +535,6 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "surface with interpolation=NEAREST.",
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     e = (
         load(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -531,7 +543,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
 
     def disc_median(df, col, out):
-        w = W.partitionBy("event_type").orderBy(col)
+        w = Window.partitionBy("event_type").orderBy(col)
         return (
             df.withColumn("rn", F.row_number().over(w))
             .join(c, "event_type")
@@ -596,15 +608,13 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engagement metric retention dashboards use.",
 )
 def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     days = (
         load(spark, sf_dir, "events")
         .select("user_id", F.to_date("ts").alias("d"))
         .distinct()
     )
     r = days.withColumn(
-        "rn", F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+        "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
     )
     isl = r.select("user_id", F.expr("date_sub(d, rn)").alias("anchor"))
     g = isl.groupBy("user_id", "anchor").agg(

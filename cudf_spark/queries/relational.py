@@ -111,9 +111,11 @@ def q03_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n.n_name
-    ORDER BY revenue DESC
+    ORDER BY revenue DESC, n.n_name
     """,
-    doc="TPC-H Q5: 6-way join chain with broadcast dims.",
+    doc="TPC-H Q5: 6-way join chain with broadcast dims. n_name "
+    "tiebreaker keeps the order total even if two nations tie on "
+    "rounded revenue.",
 )
 def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -138,7 +140,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
     )
 
 

@@ -337,12 +337,23 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_global_sales_opportunity",
+    # the avg threshold is evaluated as the CROSS-MULTIPLIED integer
+    # comparison cents*n > sum_cents — exactly TPC-H's c_acctbal >
+    # avg(...) on the cents lattice, but with zero float arithmetic: a
+    # raw float avg differs in the last ULPs between Spark's
+    # partition-ordered partial sums and DuckDB's sequential scan, and a
+    # customer inside that drift window flips in/out of the result
     oracle="""
+    WITH t AS (
+        SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer WHERE c_acctbal > 0
+    )
     SELECT c.c_nationkey,
            count(*)                    AS numcust,
            round(sum(c.c_acctbal), 2)  AS totacctbal
-    FROM customer c
-    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    FROM customer c, t
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * t.n > t.s
       AND NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
@@ -350,17 +361,25 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c.c_nationkey
     """,
     doc="TPC-H Q22 (adapted): uncorrelated scalar subquery threshold + "
-    "anti-join on recent orders.",
+    "anti-join on recent orders. The average-balance membership test "
+    "runs as an exact integer cross-multiplication on the cents lattice "
+    "(cents*n > sum_cents) — the only fold-order-sensitive float "
+    "threshold in the TPC-H set, removed the same way the lattice "
+    "discipline handles every other boundary comparison.",
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
     )
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
     return (
-        c.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("ab"))
+        c.join(F.broadcast(stats))
+        .filter(cents * F.col("n") > F.col("s"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))

@@ -31,8 +31,10 @@ from cudf_spark.functions.textfns import (
 )
 from cudf_spark.queries.registry import register
 
-SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-SQL_TOKS = f"string_split({SQL_NORM}, ' ')"
+# single source of truth for the oracle-side normalization contract —
+# a local copy here could silently diverge from text/text4/retrieval
+from cudf_spark.queries.text import SQL_NORM, SQL_TOKS  # noqa: F401
+
 STOPWORDS = ("the", "a", "of", "to", "and")
 
 
@@ -75,9 +77,12 @@ def _sql_grams(k: int) -> str:
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # materialize: both the eval_grams branch and the hits branch consume
+    # this subtree, and Catalyst has no cross-branch CSE — without the
+    # checkpoint the corpus-wide normalize+shingle+explode runs twice
     grams = d.select(
         "doc_id", F.explode(word_shingles(normalize_text(F.col("text")), k=5)).alias("g")
-    )
+    ).localCheckpoint(eager=False)
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
     hits = (
         grams.filter(F.col("doc_id") % 10 != 0)
@@ -264,8 +269,7 @@ def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         "n_chars",
-        F.expr("-1 + sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id "
-               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)").alias("cum0"),
+        (F.sum("n_chars").over(w) - 1).alias("cum0"),
     ).select(
         "source", "doc_id", "n_chars", F.expr("cum0 div 2048").alias("pack_id")
     )
@@ -392,7 +396,6 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     "which is exactly the plan you want over 100 TB of raw text.",
 )
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
     base = d.select(

@@ -82,9 +82,14 @@ SQL_BM25_CTES = f"""toks AS (
 def bm25_scored(docs: DataFrame) -> DataFrame:
     """(doc_id, bm25): the BM25 score table (rounded 6) for the fixed
     query-term set — the Spark mirror of :data:`SQL_BM25_CTES`."""
-    toks = _tokens(docs)
+    # Catalyst has no cross-branch CSE: without materialization the
+    # corpus-wide tokenize+explode subtree runs ~4x (dl join, avgdl,
+    # dfreq, tf) — same fix as text_tfidf_topk's checkpoint
+    toks = _tokens(docs).localCheckpoint(eager=False)
     q = F.lit(list(BM25_QUERY_TERMS))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl")
+    ).localCheckpoint(eager=False)
     qtoks = toks.filter(F.array_contains(q, F.col("token")))
     dfreq = qtoks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -260,7 +265,12 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.array_max(F.transform(F.col("sents"), F.length)), F.lit(0)
         ).alias("max_sent_chars"),
-        F.coalesce(F.element_at("sents", 1), F.lit("")).alias("first_sentence"),
+        # try_element_at: plain element_at on an empty sents array (a
+        # whitespace/punctuation-only doc) RAISES under Spark 4 ANSI —
+        # coalesce cannot catch a thrown error
+        F.coalesce(F.try_element_at("sents", F.lit(1)), F.lit("")).alias(
+            "first_sentence"
+        ),
     ).orderBy("doc_id")
 
 
@@ -286,8 +296,12 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = _tokens(docs)
-    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    # materialize: toks feeds freq AND the scoring join (and freq feeds
+    # tot) — without the checkpoints the corpus explode runs ~3x
+    toks = _tokens(docs).localCheckpoint(eager=False)
+    freq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("f")
+    ).localCheckpoint(eager=False)
     tot = freq.agg(F.sum("f").cast("double").alias("n"))
     return (
         toks.join(freq, "token")

@@ -202,6 +202,20 @@ JUDGE_PINS: dict[int, set[str]] = {
         "ewma_per_user", "ewma_global_segmented",
         "partition_histogram", "text_bpe_tokenize", "text_unigram_tokenize",
     },
+    # VERDICT r07 item 1: the 13 queries whose ORACLE SQL changed during
+    # round 7 AFTER their last driver row (judge diffed oracles_dict()
+    # between the r6 and r7 trees). Their stale green rows prove the OLD
+    # oracle only, so they must re-enter the window for a fresh hash row
+    # under the rewritten oracle. tests/test_oracle_proof.py now turns
+    # this rule into a mechanical invariant: any oracle edit without a
+    # same-round pin fails the suite.
+    8: {
+        "agg_argminmax", "agg_quantile_modes", "agg_var_ddof",
+        "agg_trimmed_mean", "clean_winsorize", "events_rfm_scores",
+        "str_json_struct", "str_casts", "str_url", "join_asof",
+        "map_ops", "q05_local_supplier_volume",
+        "q22_global_sales_opportunity",
+    },
 }
 
 

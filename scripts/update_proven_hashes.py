@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Maintain ``scripts/oracle_proven_hashes.json`` — the last DRIVER-PROVEN
+sha256 of each query's oracle SQL.
+
+VERDICT r07 item 8: an oracle rewrite whose only driver rows predate it
+counts green under the rotation while the new oracle is unproven (the
+r06 Lorenz red and the r07 13-query pin cohort were both this class).
+The committed hash file plus tests/test_oracle_proof.py turn the "edit
+an oracle → pin it the same round" rule into a mechanical invariant.
+
+Run this ONCE at the start of each round, right after the driver commits
+a new ``CORRECTNESS_r{N}.json`` and BEFORE editing any oracle: every
+query hash-green in that newest record gets its current oracle hash
+recorded (the driver ran the oracle exactly as committed at the end of
+the previous round, so at round start current == proven). Entries for
+unregistered names are dropped.
+
+``--seed`` additionally records every ever-green oracle-backed query NOT
+in the latest JUDGE_PINS cohort — used once in round 8 to bootstrap the
+file (the judge's r6-vs-r7 ``oracles_dict()`` diff established that only
+the 13 pinned queries' oracles changed since their last proof).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cudf_spark.queries import (  # noqa: E402
+    JUDGE_PINS,
+    REGISTRY,
+    _driver_records,
+    _repo_root,
+)
+
+HASH_PATH = os.path.join(_repo_root, "scripts", "oracle_proven_hashes.json")
+
+
+def oracle_hash(sql: str) -> str:
+    return hashlib.sha256(sql.encode("utf-8")).hexdigest()
+
+
+def main(argv: list[str]) -> int:
+    seed = "--seed" in argv
+    proven: dict[str, str] = {}
+    if os.path.exists(HASH_PATH):
+        with open(HASH_PATH) as fh:
+            proven = json.load(fh)
+
+    records = sorted(glob.glob(os.path.join(_repo_root, "CORRECTNESS_r*.json")))
+    if records:
+        with open(records[-1]) as fh:
+            newest = json.load(fh)
+        for name, row in newest.items():
+            q = REGISTRY.get(name)
+            if q is not None and q.oracle is not None and row.get("hash_match"):
+                proven[name] = oracle_hash(q.oracle)
+
+    if seed:
+        _, _, green = _driver_records(_repo_root)
+        latest_pins = JUDGE_PINS[max(JUDGE_PINS)]
+        for name in green - latest_pins:
+            q = REGISTRY.get(name)
+            if q is not None and q.oracle is not None and name not in proven:
+                proven[name] = oracle_hash(q.oracle)
+
+    proven = {n: h for n, h in sorted(proven.items()) if n in REGISTRY}
+    with open(HASH_PATH, "w") as fh:
+        json.dump(proven, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"recorded {len(proven)} proven oracle hashes -> {HASH_PATH}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -89,10 +89,11 @@ def test_dynamic_rotation_from_synthetic_records(tmp_path):
     assert order[0] == "q17_small_quantity_revenue"
     _, checked, green = _driver_records(str(tmp_path))
     repin = {q for q in JUDGE_PINS[max(JUDGE_PINS)] if q in green}
-    # under these synthetic records ewma_per_user (real r02 row) and any
-    # latest-pin members of the fabricated-green r03 list re-pin; the
-    # rest of the latest cohort has no row yet and sorts with never
-    assert "ewma_per_user" in repin
+    # under these synthetic records the latest-pin members that carry a
+    # real r01/r02 row or sit in the fabricated-green r03 list re-pin
+    # (e.g. agg_quantile_modes / str_json_struct from _ROUND3_PRIORITY);
+    # the rest of the latest cohort has no row yet and sorts with never
+    assert "agg_quantile_modes" in repin
     assert repin == set(order[1 : 1 + len(repin)])
     never = {q for q in REGISTRY if q not in checked}
     assert ROUND3_NEW <= never

@@ -300,6 +300,77 @@ def bounded_global_rank(
     return bounded.withColumn(rank_col, F.row_number().over(w).cast("int"))
 
 
+def cumsum_two_level(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    *,
+    num_buckets: int = 32,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Global running sum of ``value_col`` ordered by ``order_col`` WITHOUT
+    the single-partition window funnel (the reference's inclusive-scan,
+    cpp/include/cudf/reductions.hpp scan; segmented two-pass form).
+
+    ``sum() OVER (ORDER BY ...)`` with no PARTITION BY plans as
+    ``Exchange SinglePartition`` + Window — every row through ONE task,
+    the classic scale killer. Two-level form instead:
+
+    1. one bounded pre-pass collects <= ``num_buckets``-1 approximate
+       equi-depth splitters of ``order_col`` (``percentile_approx``
+       sketch; a 1-row driver collect, same bounded-collect idiom as the
+       streaming batch splitters). Collecting — rather than cross-joining
+       the 1-row agg — guarantees both consumers below see IDENTICAL
+       splitters; as two plan subtrees the sketch could merge partials in
+       different orders and disagree;
+    2. rows bucket by splitter comparisons (buckets are order-CONTIGUOUS:
+       x <= y implies bucket(x) <= bucket(y), ties share a bucket), and a
+       KEYED window cumsums within each bucket — ``num_buckets``-way
+       parallel;
+    3. per-bucket totals (<= ``num_buckets`` rows) broadcast-join as
+       prior-bucket offsets.
+
+    Output is identical to the global window for any splitter values —
+    the splitters only steer partitioning, so ``percentile_approx``'s
+    approximation can never change a result. Degenerate inputs fall back
+    gracefully: constant/tiny ``order_col`` yields one bucket (the data
+    itself is that small or that skewed). ``order_col`` must be non-null;
+    ties are deterministic because the frame is RANGE-based — every row
+    of a tie group gets the post-group total (sum over all keys <=
+    current key), independent of physical row order. Callers cumsumming
+    a value histogram (distinct keys) see the classic running sum.
+    """
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    row = df.agg(
+        F.percentile_approx(order_col, probs, accuracy).alias("s")
+    ).first()
+    splitters = sorted(set(row["s"] or []))
+    bucket = F.lit(0)
+    for s in splitters:
+        bucket = bucket + F.when(F.col(order_col) > F.lit(s), 1).otherwise(0)
+    b = df.withColumn("_bucket", bucket)
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(order_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = b.withColumn("_lcum", F.sum(value_col).over(w_in))
+    btot = b.groupBy("_bucket").agg(F.sum(value_col).alias("_ptot"))
+    prior = btot.select(F.col("_bucket").alias("_b2"), "_ptot")
+    off = (
+        btot.select("_bucket")
+        .join(F.broadcast(prior), F.col("_b2") < F.col("_bucket"), "left")
+        .groupBy("_bucket")
+        .agg(F.sum("_ptot").alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(off), "_bucket", "left")
+        .withColumn(out_col, F.col("_lcum") + F.coalesce(F.col("_off"), F.lit(0)))
+        .drop("_bucket", "_lcum", "_off")
+    )
+
+
 def rolling_median(
     value: Column | str,
     partition_by: list,

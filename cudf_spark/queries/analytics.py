@@ -2879,7 +2879,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "<=10 rows regardless of customer count.",
 )
 def agg_lorenz_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from cudf_spark.operators.windows import cumsum_two_level
 
     o = load(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
@@ -2888,11 +2888,12 @@ def agg_lorenz_curve_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     hist = rev.groupBy("cents").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    wlat = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.select(
-        "cents", "c", F.sum("c").over(wlat).cast("bigint").alias("cum")
+    # the histogram lattice is distinct-revenue-sized (per-customer SUMS
+    # are near-unique), so at 100 TB a global-ordered window here would
+    # funnel ~n_customers rows through one task — cumsum_two_level keeps
+    # the rank-rule cumsum 32-way parallel (VERDICT r07 item 2)
+    cum = cumsum_two_level(hist, "cents", "c", "cum").select(
+        "cents", "c", F.col("cum").cast("bigint").alias("cum")
     )
     nn = rev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     bins = spark.range(1, 11).select(F.col("id").alias("bin"))

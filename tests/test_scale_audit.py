@@ -117,18 +117,10 @@ KNOWN_BOUNDED = {
     "ml_pr_auc",
     "misc_shard_rebalance_pairing",
     "pipeline_curriculum_phases",
-    # round-7 addition (VERDICT r06 item 1 — the prescribed rank-rule
-    # rewrite):
-    #   agg_lorenz_curve_binned — the decile rank rule cumsums the
-    #     per-customer revenue-VALUE histogram (one row per distinct
-    #     cents total, AFTER the customer-grain groupBy collapsed orders
-    #     to customers); bin revenue comes from histogram-overlap
-    #     arithmetic, never a per-customer rank. At 100 TB the lattice
-    #     is distinct-revenue-sized — if that ever approaches customer
-    #     count, swap the cumsum for the two-level repartitionByRange
-    #     rank (range-partition the histogram, per-partition cumsum,
-    #     broadcast per-partition offsets) with identical output.
-    "agg_lorenz_curve_binned",
+    # agg_lorenz_curve_binned left this whitelist in round 8 (VERDICT
+    # r07 item 2): its distinct-revenue-sized histogram cumsum now runs
+    # through operators/windows.py:cumsum_two_level (bucketed keyed
+    # window + broadcast offsets) and passes the audit unaided.
 }
 
 

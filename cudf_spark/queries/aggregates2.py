@@ -310,13 +310,21 @@ def agg_var_ddof(spark: SparkSession, sf_dir: str) -> DataFrame:
                20 * a95 + g95 * (coalesce(b95, a95) - a95) AS p95_20
         FROM bd
     )
-    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
-           round(l.l_extendedprice, 2) AS price,
-           CAST((greatest(b.p05_20, least(b.p95_20, l.cents * 20)) + 10) // 20
-                AS BIGINT) / 100.0 AS winsorized,
-           (l.cents * 20 < b.p05_20 OR l.cents * 20 > b.p95_20) AS clamped
-    FROM v l JOIN bounds b USING (l_returnflag)
-    ORDER BY l.l_orderkey, l.l_linenumber
+    SELECT l_orderkey, l_linenumber, l_returnflag, price,
+           -- FLOOR division sign-safely: DuckDB // truncates toward
+           -- zero, which would move an exact negative cent value (e.g.
+           -- -0.55 -> -0.54); subtracting the non-negative pmod first
+           -- makes w10 an exact multiple of 20, where trunc == floor
+           CAST((w10 - ((w10 % 20) + 20) % 20) // 20 AS BIGINT) / 100.0
+               AS winsorized,
+           clamped
+    FROM (
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+               round(l.l_extendedprice, 2) AS price,
+               greatest(b.p05_20, least(b.p95_20, l.cents * 20)) + 10 AS w10,
+               (l.cents * 20 < b.p05_20 OR l.cents * 20 > b.p95_20) AS clamped
+        FROM v l JOIN bounds b USING (l_returnflag))
+    ORDER BY l_orderkey, l_linenumber
     """,
     doc="Per-group winsorization — the outlier-clamping cleanup a feature "
     "pipeline runs before training: exact linear-interpolated p05/p95 per "
@@ -389,10 +397,19 @@ def clean_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             F.round(F.col("l_extendedprice"), 2).alias("price"),
             # half-up rounding of win20/20 to whole cents in pure integer
-            # arithmetic, then ONE bigint->double division at the end
-            (F.expr("(win20 + 10) div 20").cast("bigint") / F.lit(100.0)).alias(
-                "winsorized"
-            ),
+            # arithmetic, then ONE bigint->double division at the end.
+            # FLOOR division, sign-safely: Spark `div` truncates toward
+            # zero while the oracle's `//` floors — subtracting pmod
+            # first makes the numerator an exact multiple of 20, where
+            # the two agree for NEGATIVE values too (fixture prices are
+            # positive, but a refund/credit feed is not; the
+            # range_join_binned idiom)
+            (
+                F.expr(
+                    "(win20 + 10 - pmod(win20 + 10, 20)) div 20"
+                ).cast("bigint")
+                / F.lit(100.0)
+            ).alias("winsorized"),
             ((c20 < F.col("p05_20")) | (c20 > F.col("p95_20"))).alias("clamped"),
         )
         .orderBy("l_orderkey", "l_linenumber")

@@ -31,6 +31,30 @@ BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
+_SAFE_TOKEN_RE = None  # populated below; module-level for test access
+
+
+def _assert_token_sql_safe(token: str, what: str) -> None:
+    """Merge-table and vocab tokens are interpolated VERBATIM into the
+    recursive-CTE oracles — LIKE patterns, quoted string literals, and
+    the \\x1f separator encoding. A token containing ``%``/``_`` (LIKE
+    wildcards), a quote, a backslash, or the separator byte would
+    silently corrupt the pattern (wrong matches) or the SQL itself, so
+    any token outside the conservative ``[a-z0-9]+`` charset fails LOUD
+    at import time rather than under the driver's hash gate."""
+    import re
+
+    global _SAFE_TOKEN_RE
+    if _SAFE_TOKEN_RE is None:
+        _SAFE_TOKEN_RE = re.compile(r"^[a-z0-9]+$")
+    if not _SAFE_TOKEN_RE.fullmatch(token):
+        raise ValueError(
+            f"{what}: token {token!r} outside the SQL-interpolation-safe"
+            " charset [a-z0-9]+ — the recursive-CTE oracle splices tokens"
+            " into LIKE patterns and string literals verbatim"
+        )
+
+
 def _assert_merges_wellformed(merges: list[tuple[str, str]]) -> None:
     """Any merge pair that CONTAINS the product of another merge must
     rank AFTER the merge that produces it (the natural property of a
@@ -57,6 +81,8 @@ def _assert_merges_wellformed(merges: list[tuple[str, str]]) -> None:
     # where ('abc','ab') at rank 2 hijacks instances minted by rank 3).
     produced_at: dict[str, int] = {}
     for rank, (left, right) in enumerate(merges):
+        _assert_token_sql_safe(left, f"BPE merge #{rank} left")
+        _assert_token_sql_safe(right, f"BPE merge #{rank} right")
         produced_at[left + right] = rank
     for rank, (left, right) in enumerate(merges):
         for side in (left, right):
@@ -396,6 +422,11 @@ UNIGRAM_VOCAB: dict[str, int] = {
     "data": 3, "da": 4,
     "row": 3, "agg": 3, "the": 2, "a": 6, "e": 6, "s": 6, "t": 6,
 }
+
+# the Viterbi oracle splices pieces into CASE WHEN '...' literals — same
+# SQL-interpolation exposure as the BPE merge table, same loud guard
+for _p in UNIGRAM_VOCAB:
+    _assert_token_sql_safe(_p, "UNIGRAM_VOCAB piece")
 
 
 def _unigram_oracle() -> str:

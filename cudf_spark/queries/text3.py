@@ -18,6 +18,7 @@ both engines.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -79,10 +80,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # materialize: both the eval_grams branch and the hits branch consume
     # this subtree, and Catalyst has no cross-branch CSE — without the
-    # checkpoint the corpus-wide normalize+shingle+explode runs twice
+    # persist the corpus-wide normalize+shingle+explode runs twice
+    # (persist, not localCheckpoint: keeps lineage for executor-loss
+    # recompute and spills to disk instead of pinning — ADVICE r07)
     grams = d.select(
         "doc_id", F.explode(word_shingles(normalize_text(F.col("text")), k=5)).alias("g")
-    ).localCheckpoint(eager=False)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
     hits = (
         grams.filter(F.col("doc_id") % 10 != 0)
@@ -210,7 +213,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         tok.groupBy("doc_id", "t")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
     score = F.col("tf") * F.col("n_docs") / F.col("df")

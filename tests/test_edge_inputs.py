@@ -415,3 +415,50 @@ def test_dt_extract_time_pre_epoch_msec_non_negative(spark, monkeypatch):
     rows = {r.event_id: r for r in mod.dt_extract_time(spark, "x").collect()}
     assert rows[1].msec == 500
     assert rows[2].msec == 250
+
+
+def test_winsorize_negative_values_floor_division(spark, monkeypatch):
+    """ADVICE r07: the half-up cent rounding `(win20+10) div 20` relied
+    on Spark's truncate-toward-zero `div` agreeing with the oracle's
+    floor `//` — true only for non-negative win20. Fixture prices are
+    positive; a refund/credit feed is not. Pins the sign-safe pmod form
+    against BOTH a hand computation and the registered DuckDB oracle on
+    the same negative-price table."""
+    import duckdb
+    import pandas as pd
+
+    from cudf_spark.queries import REGISTRY
+    from cudf_spark.queries import aggregates2 as mod
+
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 3, 4, 5],
+            "l_linenumber": [1, 1, 1, 1, 1],
+            "l_returnflag": ["N"] * 5,
+            "l_extendedprice": [-1.11, -0.55, -0.03, 0.24, 1.00],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: sdf)
+    got = {
+        r.l_orderkey: (r.winsorized, r.clamped)
+        for r in mod.clean_winsorize(spark, "unused").collect()
+    }
+    # p05 = -99.8 cents, p95 = 84.8 cents (exact 20ths); half-up cent
+    # rounding of -99.8 must be -100 (floor of -99.3), NOT -99 (truncate)
+    expect = {
+        1: (-1.00, True),
+        2: (-0.55, False),
+        3: (-0.03, False),
+        4: (0.24, False),
+        5: (0.85, True),
+    }
+    assert got == expect
+
+    con = duckdb.connect()
+    con.register("lineitem", pdf)
+    oracle = {
+        row[0]: (float(row[4]), row[5])
+        for row in con.execute(REGISTRY["clean_winsorize"].oracle).fetchall()
+    }
+    assert oracle == expect

@@ -412,3 +412,27 @@ def test_oracle_lower_matches_python_full_casefold():
         got = con.execute(f"SELECT {sql}", [s]).fetchone()[0]
         want = s.replace("Σ", "σ").lower()  # == _fold(s), the engine rule
         assert got == want, (s, got, want)
+
+
+def test_merge_and_vocab_tokens_sql_safe():
+    """ADVICE r07: merge/vocab tokens are interpolated verbatim into the
+    recursive-CTE oracles (LIKE patterns, quoted literals, the \\x1f
+    separator). The import-time guard must reject every character that
+    could corrupt the SQL — loud at import, not wrong under the gate."""
+    import pytest
+
+    from cudf_spark.queries.text2 import (
+        BPE_MERGES,
+        UNIGRAM_VOCAB,
+        _assert_merges_wellformed,
+        _assert_token_sql_safe,
+    )
+
+    for tok in [t for pair in BPE_MERGES for t in pair] + list(UNIGRAM_VOCAB):
+        _assert_token_sql_safe(tok, "probe")  # current tables all pass
+
+    for bad in ["a%b", "a_b", "a'b", "a\\b", "a\x1fb", "A", "é", "a b", ""]:
+        with pytest.raises(ValueError, match="SQL-interpolation-safe"):
+            _assert_token_sql_safe(bad, "probe")
+        with pytest.raises(ValueError):
+            _assert_merges_wellformed([("x", bad)])

@@ -209,12 +209,14 @@ JUDGE_PINS: dict[int, set[str]] = {
     # under the rewritten oracle. tests/test_oracle_proof.py now turns
     # this rule into a mechanical invariant: any oracle edit without a
     # same-round pin fails the suite.
+    # Plus agg_approx_sketches: its rows-only -> hash-gate upgrade
+    # (VERDICT r07 item 5) ships a brand-new oracle this round.
     8: {
         "agg_argminmax", "agg_quantile_modes", "agg_var_ddof",
         "agg_trimmed_mean", "clean_winsorize", "events_rfm_scores",
         "str_json_struct", "str_casts", "str_url", "join_asof",
         "map_ops", "q05_local_supplier_volume",
-        "q22_global_sales_opportunity",
+        "q22_global_sales_opportunity", "agg_approx_sketches",
     },
 }
 

@@ -339,43 +339,151 @@ def distinct_stable_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_sketches",
-    # Rows-only BY DESIGN (documented per VERDICT r06 item 6): the output
-    # VALUES are approximate by contract — Spark's HLL++ register layout
-    # and t-digest compression differ from DuckDB's HLL/approx machinery
-    # by construction, so no cross-engine oracle can hash-match them.
-    # The meaningful check is the accuracy envelope vs exact answers,
-    # which pytest asserts (and the exact_median column IS hash-gated
-    # via agg_median_quantiles' family).
-    oracle=None,
-    doc="Approx sketches: HLL distinct (cudf_streaming approx_distinct_count.hpp:42) "
-    "and t-digest percentile (aggregation.hpp TDIGEST) → approx_count_distinct / "
-    "percentile_approx. Accuracy asserted against exact values in pytest.",
+    # Upgraded rows-only -> HASH GATE in round 8 (VERDICT r07 item 5):
+    # the sketch VALUES stay engine-side (Spark HLL++ register layout
+    # and the GK/t-digest summary have no DuckDB counterpart by
+    # construction), but the hashed output is the exact NDV, the exact
+    # median on the half-cents integer lattice, and two ALL-INTEGER
+    # accuracy-envelope flags the oracle asserts TRUE — the
+    # agg_hll_error_envelope idiom. If either sketch ever drifts past
+    # its bound on this deterministic data the query goes red instead of
+    # silently lying.
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag, l_partkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), hist AS (
+        SELECT l_returnflag, cents, CAST(count(*) AS BIGINT) AS c
+        FROM v GROUP BY l_returnflag, cents
+    ), cum AS (
+        SELECT l_returnflag, cents, c,
+               CAST(sum(c) OVER (PARTITION BY l_returnflag
+                                 ORDER BY cents) AS BIGINT) AS cum
+        FROM hist
+    ), th AS (
+        -- median rank rule, denominator 2: rank r and fractional g*2
+        -- are exact integers
+        SELECT l_returnflag,
+               (sum(c) - 1) // 2 + 1 AS r,
+               (sum(c) - 1) % 2      AS g
+        FROM hist GROUP BY l_returnflag
+    ), bd AS (
+        SELECT c.l_returnflag,
+               min(CASE WHEN c.cum >= t.r THEN c.cents END)     AS a,
+               min(CASE WHEN c.cum >= t.r + 1 THEN c.cents END) AS b,
+               min(t.g) AS g
+        FROM cum c JOIN th t USING (l_returnflag) GROUP BY c.l_returnflag
+    ), nd AS (
+        SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT)
+               AS exact_parts
+        FROM v GROUP BY l_returnflag
+    )
+    SELECT n.l_returnflag, n.exact_parts,
+           TRUE AS parts_within_10pct,
+           CAST(2 * d.a + d.g * (coalesce(d.b, d.a) - d.a) AS BIGINT)
+               AS median_halfcents,
+           TRUE AS median_rank_within_5pct
+    FROM nd n JOIN bd d USING (l_returnflag)
+    ORDER BY n.l_returnflag
+    """,
+    doc="Approx sketches under the hash gate: HLL distinct (cudf_streaming "
+    "approx_distinct_count.hpp:42) and the t-digest quantile sketch "
+    "(aggregation.hpp TDIGEST kind) -> approx_count_distinct / "
+    "percentile_approx, both engine-specific by contract. Hashed output: "
+    "exact NDV (own two-level distinct agg), exact median as half-cents "
+    "integers from the rank rule on the cents histogram (keyed cumsum "
+    "window, never global), and two integer envelope flags — "
+    "10*|hll - exact| <= exact (5 sigma at rsd 0.02) and the approx "
+    "median's rank bracket 100*cnt_lt < 55*n AND 100*cnt_le >= 45*n "
+    "(GK accuracy 1000 => rank error <= 0.1%% << the 5%% bracket; "
+    "cnt_lt/cnt_le bracketing is tie-proof where a single rank check is "
+    "not). No float ever crosses the gate or a comparison.",
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
     # countDistinct must NOT share the aggregate with the percentile buffers:
     # the single-distinct rewrite Expands the stream 2x and drags the t-digest
     # / exact-percentile buffers over it (measured 18s -> 1s at sf0.1).
     # Exact distinct goes through its own two-level agg and a 3-row join.
-    sketches = li.groupBy("l_returnflag").agg(
+    sk = v.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
-        F.median("l_extendedprice").alias("exact_median_price"),
+        F.percentile_approx("cents", 0.5, 1000).alias("approx_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     exact = (
-        li.select("l_returnflag", "l_partkey")
+        v.select("l_returnflag", "l_partkey")
         .distinct()
         .groupBy("l_returnflag")
-        .agg(F.count("*").alias("exact_parts"))
+        .agg(F.count("*").cast("bigint").alias("exact_parts"))
     )
-    return (
-        sketches.join(exact, "l_returnflag")
+    # exact median in half-cents: the clean_winsorize rank-rule idiom
+    # (keyed histogram, group-KEYED cumsum window, 3-row bound table)
+    hist = v.groupBy("l_returnflag", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wk = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wk).cast("bigint"))
+    th = hist.groupBy("l_returnflag").agg(
+        F.expr("(sum(c) - 1) div 2 + 1").alias("r"),
+        F.expr("(sum(c) - 1) % 2").alias("g"),
+    )
+    bd = (
+        cum.join(th, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("r"), F.col("cents"))).alias("a"),
+            F.min(F.when(F.col("cum") >= F.col("r") + 1, F.col("cents"))).alias("b"),
+            F.min("g").alias("g"),
+        )
         .select(
             "l_returnflag",
-            "approx_parts",
+            (
+                 2 * F.col("a")
+                 + F.col("g") * (F.coalesce("b", "a") - F.col("a"))
+            ).cast("bigint").alias("median_halfcents"),
+        )
+    )
+    # rank bracket of the approx median: one more keyed pass over the
+    # fact scan against the broadcast 3-row sketch table — integer
+    # counts, tie-proof two-sided check
+    rk = (
+        v.join(F.broadcast(sk.select("l_returnflag", "approx_cents")), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("cents") < F.col("approx_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_lt"),
+            F.sum(F.when(F.col("cents") <= F.col("approx_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cnt_le"),
+        )
+    )
+    return (
+        sk.join(exact, "l_returnflag")
+        .join(F.broadcast(bd), "l_returnflag")
+        .join(F.broadcast(rk), "l_returnflag")
+        .select(
+            "l_returnflag",
             "exact_parts",
-            "approx_median_price",
-            "exact_median_price",
+            (
+                10 * F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= F.col("exact_parts")
+            ).alias("parts_within_10pct"),
+            "median_halfcents",
+            (
+                (100 * F.col("cnt_lt") < 55 * F.col("n"))
+                & (100 * F.col("cnt_le") >= 45 * F.col("n"))
+            ).alias("median_rank_within_5pct"),
         )
         .orderBy("l_returnflag")
     )

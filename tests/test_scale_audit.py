@@ -168,10 +168,6 @@ ALLOWED_INTERPOLATED_PERCENTILES = {
     ("aggregates.py", 'F.round(F.percentile("l_quantity", 0.25), 4).alias("q25"),'),
     ("aggregates.py", 'F.round(F.percentile("l_quantity", 0.75), 4).alias("q75"),'),
     ("aggregates.py", 'F.round(F.percentile("l_quantity", 0.90), 4).alias("q90"),'),
-    # agg_approx_sketches: rows-only query; median is a value column
-    ("aggregates.py", 'F.median("l_extendedprice").alias("exact_median_price"),'),
-    # doc prose (regex errs loud by design)
-    ("aggregates.py", '"and t-digest percentile (aggregation.hpp TDIGEST) → approx_count_distinct / "'),
     # agg_sketch_merge: rounded q4 value outputs (error-bound companion)
     ("aggregates2.py", "round((SELECT median(v) FROM pts p WHERE p.k = hit.k), 4) AS exact_p50"),
     ("aggregates2.py", 'exact = li.groupBy("k").agg(F.median("v").alias("exact"))'),

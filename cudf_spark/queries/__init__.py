@@ -210,13 +210,21 @@ JUDGE_PINS: dict[int, set[str]] = {
     # this rule into a mechanical invariant: any oracle edit without a
     # same-round pin fails the suite.
     # Plus agg_approx_sketches: its rows-only -> hash-gate upgrade
-    # (VERDICT r07 item 5) ships a brand-new oracle this round.
+    # (VERDICT r07 item 5) ships a brand-new oracle this round. Plus the
+    # four driver-green queries whose oracles gained degenerate-input
+    # guards / ordered float folds in the round-8 analytics2-4
+    # self-review (stats_youden_j_threshold, ml_pr_auc,
+    # stats_kendall_tau_binned, stats_ljung_box) — pinned in the SAME
+    # round as the edit, the rule tests/test_oracle_proof.py enforces.
     8: {
         "agg_argminmax", "agg_quantile_modes", "agg_var_ddof",
         "agg_trimmed_mean", "clean_winsorize", "events_rfm_scores",
         "str_json_struct", "str_casts", "str_url", "join_asof",
         "map_ops", "q05_local_supplier_volume",
         "q22_global_sales_opportunity", "agg_approx_sketches",
+        "stats_youden_j_threshold", "ml_pr_auc",
+        "stats_kendall_tau_binned", "stats_ljung_box",
+        "doc_neyman_allocation",
     },
 }
 

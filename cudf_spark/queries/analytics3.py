@@ -225,10 +225,15 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY flag
     )
     SELECT t.flag, t.n, cd.nc, cd.nd, mx.n1, my.n2,
+           -- zero-variance guard: a group with all-tied x (or y) zeroes
+           -- the tie-corrected denominator; tau is undefined there and
+           -- the Infinity -> BIGINT cast would abort both engines
+           CASE WHEN t.n * (t.n - 1) / 2 - mx.n1 > 0
+                 AND t.n * (t.n - 1) / 2 - my.n2 > 0 THEN
            CAST(floor(1000000.0 * CAST(cd.nc - cd.nd AS DOUBLE)
                 / (sqrt(CAST(t.n * (t.n - 1) / 2 - mx.n1 AS DOUBLE))
                    * sqrt(CAST(t.n * (t.n - 1) / 2 - my.n2 AS DOUBLE))))
-                AS BIGINT) AS tau_b_q6
+                AS BIGINT) END AS tau_b_q6
     FROM tot t
     JOIN cd ON cd.flag = t.flag
     JOIN mx ON mx.flag = t.flag
@@ -295,14 +300,19 @@ def stats_kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.expr("cy * (cy - 1) div 2")).cast("bigint").alias("n2"))
     )
     n0 = F.expr("n * (n - 1) div 2")
-    tau = F.floor(
-        1000000.0
-        * (F.col("nc") - F.col("nd")).cast("double")
-        / (
-            F.sqrt((n0 - F.col("n1")).cast("double"))
-            * F.sqrt((n0 - F.col("n2")).cast("double"))
-        )
-    ).cast("bigint")
+    # zero-variance guard (all-tied x or y): tau undefined, NULL — the
+    # Infinity -> BIGINT cast would abort under ANSI (oracle mirrors)
+    tau = F.when(
+        (n0 - F.col("n1") > 0) & (n0 - F.col("n2") > 0),
+        F.floor(
+            1000000.0
+            * (F.col("nc") - F.col("nd")).cast("double")
+            / (
+                F.sqrt((n0 - F.col("n1")).cast("double"))
+                * F.sqrt((n0 - F.col("n2")).cast("double"))
+            )
+        ).cast("bigint"),
+    )
     return (
         tot.join(cd, "flag")
         .join(mx, "flag")
@@ -1929,8 +1939,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE))) AS w
         FROM m
     ), q AS (
+        -- SORTED double fold for the weight total (the repo's
+        -- cross-engine float-sum discipline): quotas feed floor() and a
+        -- largest-remainder rank, so a final-ULP difference in tw from
+        -- an unordered sum could flip an allocation between engines
         SELECT source, nh, w,
-               1000.0 * w / (SELECT sum(w) FROM wgt) AS quota
+               1000.0 * w / (SELECT list_reduce(list_sort(list(w)),
+                                                (a, b) -> a + b)
+                             FROM wgt) AS quota
         FROM wgt
     ), base AS (
         SELECT source, nh, quota,
@@ -1972,7 +1988,16 @@ def doc_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dd("nh") * dd("s2") - dd("s1") * dd("s1")) / (dd("nh") * dd("nh"))
     )
     wgt = m.select("source", "nh", w.alias("w"))
-    tot = wgt.agg(F.sum("w").alias("tw"))
+    # sorted fold, not F.sum: quotas feed floor() and the remainder
+    # rank, so the weight total must accumulate in the same (ascending)
+    # order on both engines — the repo's float-sum discipline
+    tot = wgt.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("w")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("tw")
+    )
     q = wgt.crossJoin(F.broadcast(tot)).select(
         "source",
         "nh",
@@ -3124,6 +3149,13 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ed
     )
     SELECT m, CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+           -- zero-variance guard (REGULAR graph: all degrees equal) —
+           -- r is undefined and the Infinity -> BIGINT cast aborts;
+           -- guard in DOUBLE (the BIGINT product would overflow first)
+           CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
            CAST(floor(1000000.0
                * (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
@@ -3131,7 +3163,7 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                   * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
-               AS BIGINT) AS assortativity_q6
+               AS BIGINT) END AS assortativity_q6
     FROM s
     """,
     doc="degree assortativity (Newman 2002): the Pearson correlation of "
@@ -3174,14 +3206,20 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
     )
     d = lambda c: F.col(c).cast("double")
-    r = F.floor(
-        1000000.0
-        * (d("m") * d("sxy") - d("sx") * d("sy"))
-        / (
-            F.sqrt(d("m") * d("sxx") - d("sx") * d("sx"))
-            * F.sqrt(d("m") * d("syy") - d("sy") * d("sy"))
-        )
-    ).cast("bigint")
+    # zero-variance guard (regular graph): r undefined -> NULL; guard in
+    # DOUBLE — a BIGINT m*sxx product would itself overflow-abort first
+    r = F.when(
+        (d("m") * d("sxx") - d("sx") * d("sx") > 0)
+        & (d("m") * d("syy") - d("sy") * d("sy") > 0),
+        F.floor(
+            1000000.0
+            * (d("m") * d("sxy") - d("sx") * d("sy"))
+            / (
+                F.sqrt(d("m") * d("sxx") - d("sx") * d("sx"))
+                * F.sqrt(d("m") * d("syy") - d("sy") * d("sy"))
+            )
+        ).cast("bigint"),
+    )
     return s.crossJoin(F.broadcast(nn)).select(
         "m", "n_nodes", r.alias("assortativity_q6")
     )

@@ -594,13 +594,19 @@ _LC_M = 4096  # linear-counting bitmap bits
         SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events
     )
     SELECT o.n_set, {_LC_M} AS m, e.n_exact,
-           CAST(floor(-{_LC_M}.0
-               * log2(CAST({_LC_M} - o.n_set AS DOUBLE) / {_LC_M}.0)
-               * 0.6931471805599453) AS BIGINT) AS lc_estimate,
-           CAST(abs(floor(-{_LC_M}.0
-               * log2(CAST({_LC_M} - o.n_set AS DOUBLE) / {_LC_M}.0)
-               * 0.6931471805599453) - e.n_exact) * 1000000 // e.n_exact
-               AS BIGINT) AS rel_err_q6
+           -- saturated bitmap (n_set = m): log2(0) is -inf and the
+           -- BIGINT cast of +inf ABORTS both engines — linear counting
+           -- is undefined there, so the estimate goes NULL (Whang's
+           -- validity precondition V > 0)
+           CASE WHEN o.n_set < {_LC_M} THEN
+               CAST(floor(-{_LC_M}.0
+                   * log2(CAST({_LC_M} - o.n_set AS DOUBLE) / {_LC_M}.0)
+                   * 0.6931471805599453) AS BIGINT) END AS lc_estimate,
+           CASE WHEN o.n_set < {_LC_M} AND e.n_exact > 0 THEN
+               CAST(abs(floor(-{_LC_M}.0
+                   * log2(CAST({_LC_M} - o.n_set AS DOUBLE) / {_LC_M}.0)
+                   * 0.6931471805599453) - e.n_exact) * 1000000 // e.n_exact
+                   AS BIGINT) END AS rel_err_q6
     FROM occ o CROSS JOIN exact e
     """,
     doc="linear counting cardinality estimate (Whang 1990 — the "
@@ -622,11 +628,17 @@ def agg_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     occ = h.agg(F.count(F.lit(1)).cast("bigint").alias("n_set"))
     exact = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
-    est = F.floor(
-        -float(_LC_M)
-        * F.log2((_LC_M - F.col("n_set")).cast("double") / float(_LC_M))
-        * 0.6931471805599453
-    ).cast("bigint")
+    # saturation guard (n_set = m): log2(0) -> -inf, BIGINT cast of the
+    # resulting +inf aborts under ANSI — estimate is NULL past Whang's
+    # V > 0 validity bound; rel_err also guards the empty-table n_exact=0
+    est = F.when(
+        F.col("n_set") < _LC_M,
+        F.floor(
+            -float(_LC_M)
+            * F.log2((_LC_M - F.col("n_set")).cast("double") / float(_LC_M))
+            * 0.6931471805599453
+        ).cast("bigint"),
+    )
     return (
         occ.crossJoin(F.broadcast(exact))
         .select(
@@ -634,10 +646,13 @@ def agg_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_LC_M).cast("bigint").alias("m"),
             "n_exact",
             est.alias("lc_estimate"),
-            F.expr(
-                f"abs(CAST(floor(-{_LC_M}.0 * log2(CAST({_LC_M} - n_set AS"
-                f" DOUBLE) / {_LC_M}.0) * 0.6931471805599453) AS BIGINT)"
-                " - n_exact) * 1000000 div n_exact"
+            F.when(
+                (F.col("n_set") < _LC_M) & (F.col("n_exact") > 0),
+                F.expr(
+                    f"abs(CAST(floor(-{_LC_M}.0 * log2(CAST({_LC_M} - n_set AS"
+                    f" DOUBLE) / {_LC_M}.0) * 0.6931471805599453) AS BIGINT)"
+                    " - n_exact) * 1000000 div n_exact"
+                ),
             )
             .cast("bigint")
             .alias("rel_err_q6"),
@@ -800,7 +815,7 @@ def misc_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFram
                event_id
         FROM events
     ), flagged AS (
-        SELECT user_id, st, en,
+        SELECT user_id, st, en, event_id,
                CASE WHEN st > coalesce(max(en) OVER (
                         PARTITION BY user_id ORDER BY st, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -808,8 +823,13 @@ def misc_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFram
                     THEN 1 ELSE 0 END AS brk
         FROM iv
     ), islands AS (
+        -- island cumsum MUST replay the brk window's (st, event_id)
+        -- total order: en = st + const gives no tiebreak, and two
+        -- same-microsecond events would otherwise let the ROWS-frame
+        -- cumsum absorb the brk=0 twin into the PRIOR island
+        -- nondeterministically on both engines
         SELECT user_id, st, en,
-               sum(brk) OVER (PARTITION BY user_id ORDER BY st, en
+               sum(brk) OVER (PARTITION BY user_id ORDER BY st, event_id
                               ROWS UNBOUNDED PRECEDING) AS island
         FROM flagged
     ), merged AS (
@@ -855,9 +875,12 @@ def events_interval_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0),
     )
+    # same (st, event_id) total order as the brk window — (st, en) has
+    # no tiebreak (en = st + const) and same-µs twins would merge
+    # nondeterministically
     wisl = (
         Window.partitionBy("user_id")
-        .orderBy("st", "en")
+        .orderBy("st", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = flagged.withColumn("island", F.sum("brk").over(wisl))
@@ -1645,19 +1668,26 @@ def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pts
     )
     SELECT n,
+           -- degenerate corpus (n <= 1 rank point: zero x-variance):
+           -- the OLS denominator is 0 and the NaN/Infinity -> BIGINT
+           -- cast would abort; slope/intercept are undefined -> NULL
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
            CAST(floor(1000000.0
                * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
-               AS slope_q6,
+           END AS slope_q6,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
            CAST(floor((CAST(sy AS DOUBLE)
                - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT)
-               AS intercept_q6
+           END AS intercept_q6
     FROM m
     """,
     doc="Zipf rank-frequency fit: log-log OLS over the top-50 word "
@@ -1705,11 +1735,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (d_("n") * d_("sxy") - d_("sx") * d_("sy")) / (
         d_("n") * d_("sxx") - d_("sx") * d_("sx")
     )
+    # degenerate corpus (<= 1 rank point): zero x-variance makes the OLS
+    # denominator 0 — undefined fit goes NULL instead of an ANSI abort
+    ok = d_("n") * d_("sxx") - d_("sx") * d_("sx") > 0
     return m.select(
         "n",
-        F.floor(1000000.0 * slope).cast("bigint").alias("slope_q6"),
-        F.floor((d_("sy") - slope * d_("sx")) / d_("n"))
-        .cast("bigint")
+        F.when(ok, F.floor(1000000.0 * slope).cast("bigint")).alias("slope_q6"),
+        F.when(ok, F.floor((d_("sy") - slope * d_("sx")) / d_("n")).cast("bigint"))
         .alias("intercept_q6"),
     )
 
@@ -1750,10 +1782,13 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ROWS UNBOUNDED PRECEDING) AS fp
         FROM hist
     ), j AS (
+        -- a degenerate predictor (zero positives or zero negatives)
+        -- must yield a 0 rate term, not a DIVIDE_BY_ZERO abort
         SELECT s.threshold, CAST(s.tp AS BIGINT) AS tp,
                CAST(s.fp AS BIGINT) AS fp,
-               CAST(s.tp * 1000000 // t.p
-                    - s.fp * 1000000 // t.neg AS BIGINT) AS j_q6,
+               CAST(CASE WHEN t.p > 0 THEN s.tp * 1000000 // t.p ELSE 0 END
+                    - CASE WHEN t.neg > 0 THEN s.fp * 1000000 // t.neg
+                           ELSE 0 END AS BIGINT) AS j_q6,
                t.p, t.neg
         FROM sweep s CROSS JOIN tot t
     )
@@ -1818,13 +1853,18 @@ def stats_youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_corr").over(wdesc).cast("bigint").alias("tp"),
         F.sum("n_inc").over(wdesc).cast("bigint").alias("fp"),
     )
+    # degenerate predictor (p = 0 or neg = 0): rate term is 0, never an
+    # ANSI DIVIDE_BY_ZERO abort — mirrors the oracle's CASE guards
     j = sweep.crossJoin(F.broadcast(tot)).select(
         "threshold",
         "tp",
         "fp",
         F.col("p").alias("n_pos"),
         F.col("neg").alias("n_neg"),
-        F.expr("tp * 1000000 div p - fp * 1000000 div neg")
+        (
+            F.when(F.col("p") > 0, F.expr("tp * 1000000 div p")).otherwise(0)
+            - F.when(F.col("neg") > 0, F.expr("fp * 1000000 div neg")).otherwise(0)
+        )
         .cast("bigint")
         .alias("j_q6"),
     )
@@ -2802,14 +2842,18 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sweep
     ), areas AS (
         -- trapezoid in recall (x) - precision (y); each step's area is
-        -- quantized to nano-units AT STEP GRAIN, then summed order-free
-        SELECT CAST(floor(1000000000.0
+        -- quantized to nano-units AT STEP GRAIN, then summed order-free.
+        -- p = 0 (a predictor with zero positives) would make recall
+        -- 0/0 = NaN and abort the BIGINT cast — the curve is undefined,
+        -- so the area goes NULL instead
+        SELECT CASE WHEN t.p > 0 THEN
+               CAST(floor(1000000000.0
               * ((CAST(tp AS DOUBLE) - tp_prev) / t.p)
               * ((CAST(tp AS DOUBLE) / n_pred
                   + CASE WHEN np_prev > 0
                          THEN CAST(tp_prev AS DOUBLE) / np_prev
                          ELSE CAST(tp AS DOUBLE) / n_pred END) / 2.0))
-              AS BIGINT) AS a9
+              AS BIGINT) END AS a9
         FROM steps CROSS JOIN tot t
     )
     SELECT (SELECT p FROM tot) AS n_pos,
@@ -2881,11 +2925,16 @@ def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     prec_prev = F.when(
         F.col("np_prev") > 0, d_("tp_prev") / F.col("np_prev")
     ).otherwise(d_("tp") / F.col("n_pred"))
-    a9 = F.floor(
-        1000000000.0
-        * ((d_("tp") - F.col("tp_prev")) / F.col("p"))
-        * ((d_("tp") / F.col("n_pred") + prec_prev) / 2.0)
-    ).cast("bigint")
+    # p = 0 (zero positives): recall is 0/0 = NaN and floor(NaN) aborts
+    # the BIGINT cast under ANSI — the PR curve is undefined, area NULL
+    a9 = F.when(
+        F.col("p") > 0,
+        F.floor(
+            1000000000.0
+            * ((d_("tp") - F.col("tp_prev")) / F.col("p"))
+            * ((d_("tp") / F.col("n_pred") + prec_prev) / 2.0)
+        ).cast("bigint"),
+    )
     areas = steps.crossJoin(F.broadcast(tot)).select(a9.alias("a9"))
     return areas.agg(F.sum("a9").cast("bigint").alias("auc_n9")).crossJoin(
         F.broadcast(tot)
@@ -3009,12 +3058,16 @@ def misc_feistel_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pts
     )
     SELECT n,
+           -- single-band degenerate (zero x-variance): slope undefined,
+           -- NULL — never a NaN/Infinity -> BIGINT abort
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
            CAST(floor(1000000.0
                * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
-               AS elasticity_q6
+           END AS elasticity_q6
     FROM m
     """,
     doc="price elasticity of demand by log-log regression over the "
@@ -3053,8 +3106,13 @@ def events_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (d_("n") * d_("sxy") - d_("sx") * d_("sy")) / (
         d_("n") * d_("sxx") - d_("sx") * d_("sx")
     )
+    # single-band degenerate: zero x-variance -> slope undefined -> NULL
     return m.select(
-        "n", F.floor(1000000.0 * slope).cast("bigint").alias("elasticity_q6")
+        "n",
+        F.when(
+            d_("n") * d_("sxx") - d_("sx") * d_("sx") > 0,
+            F.floor(1000000.0 * slope).cast("bigint"),
+        ).alias("elasticity_q6"),
     )
 
 
@@ -3393,9 +3451,16 @@ def text_msttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT (SELECT CAST(n AS BIGINT) FROM m) AS n_days,
            CAST(count(*) AS BIGINT) AS n_lags,
+           -- LAG-ORDERED fold of the five double terms (the repo's
+           -- float-sum discipline): an unordered sum(...) could
+           -- associate differently across engines and flip floor() by
+           -- one when Q sits within an ULP of an integer
            CAST(floor((SELECT n FROM m) * ((SELECT n FROM m) + 2.0)
-               * sum((rho_q6 / 1000000.0) * (rho_q6 / 1000000.0)
-                     / ((SELECT n FROM m) - lag))) AS BIGINT) AS q_stat
+               * list_reduce(list((rho_q6 / 1000000.0)
+                                  * (rho_q6 / 1000000.0)
+                                  / ((SELECT n FROM m) - lag)
+                                  ORDER BY lag),
+                             (a, b) -> a + b)) AS BIGINT) AS q_stat
     FROM rho
     """,
     doc="Ljung-Box portmanteau test over lags 1-5 of the daily volume "
@@ -3449,13 +3514,27 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n")  # constant: broadcast scalar — lets n appear in agg
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lags"),
+            # lag-ordered fold of the 5 double terms, mirroring the
+            # oracle's list_reduce(... ORDER BY lag) — never an
+            # unordered float sum in front of a floor()
             F.floor(
                 F.col("n")
                 * (F.col("n") + 2.0)
-                * F.sum(
-                    (F.col("rho_q6") / 1000000.0)
-                    * (F.col("rho_q6") / 1000000.0)
-                    / (F.col("n") - F.col("lag"))
+                * F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("lag").alias("lag"),
+                                (
+                                    (F.col("rho_q6") / 1000000.0)
+                                    * (F.col("rho_q6") / 1000000.0)
+                                    / (F.col("n") - F.col("lag"))
+                                ).alias("t"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["t"],
                 )
             )
             .cast("bigint")

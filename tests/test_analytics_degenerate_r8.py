@@ -1,0 +1,153 @@
+"""Round-8 self-review regressions (analytics2/3/4 directory sweep):
+degenerate inputs the parquet fixtures never produce, each of which
+previously aborted under ANSI mode, split the engines, or merged
+nondeterministically. Pinned via monkeypatched loads."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_interval_union_same_microsecond_twins(spark, monkeypatch):
+    """Two same-µs events must land in ONE island deterministically —
+    the island cumsum previously ordered by (st, en), which has no
+    tiebreak (en = st + const), so the brk=0 twin could be absorbed
+    into the PRIOR island depending on physical row order."""
+    from cudf_spark.queries import analytics4 as mod
+
+    ev = _events(
+        spark,
+        [
+            (1, 7, "2024-01-01 00:00:00", "a"),
+            # 10 minutes later (clear of the 5-min window): a new island
+            # opened by two events sharing the exact same timestamp
+            (2, 7, "2024-01-01 00:10:00", "a"),
+            (3, 7, "2024-01-01 00:10:00", "a"),
+        ],
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: ev)
+    [r] = mod.events_interval_union_merge(spark, "unused").collect()
+    assert r.n_merged == 2 and r.n_source == 3
+    # island 1: 5 min; island 2: 5 min (twins fully overlap)
+    assert r.busy_us == 2 * 300_000_000 and r.longest_us == 300_000_000
+
+
+def test_curation_v4_whitespace_doc_flags_zero_not_null(spark, monkeypatch):
+    """An all-whitespace doc produces no char-histogram rows; ent comes
+    back NULL through the left join and ent_ok must be 0 (the oracle's
+    CASE ELSE 0), never NULL."""
+    from cudf_spark.queries import analytics2 as mod
+
+    docs = spark.createDataFrame(
+        [(1, "   \n\t  ", "en"), (2, "the and for are with data table", "en")],
+        "doc_id long, text string, lang string",
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: docs)
+    rows = {r.doc_id: r for r in mod.curation_pipeline_v4(spark, "unused").collect()}
+    assert rows[1].ent_ok == 0 and rows[1].keep == 0
+    assert rows[1].ent_ok is not None and rows[1].keep is not None
+
+
+def test_youden_and_pr_auc_degenerate_predictor_no_abort(spark, monkeypatch):
+    """All-correct (zero negatives) and all-wrong (zero positives)
+    corpora previously hit ANSI DIVIDE_BY_ZERO / floor(NaN) aborts."""
+    from cudf_spark.queries import analytics4 as mod
+
+    all_correct = spark.createDataFrame(
+        [(1, "the and for are with", "en"), (2, "the of to in and", "en")],
+        "doc_id long, text string, lang string",
+    )
+    all_wrong = spark.createDataFrame(
+        [(1, "the and for are with", "zh"), (2, "the of to in and", "zh")],
+        "doc_id long, text string, lang string",
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: all_correct)
+    [r] = mod.stats_youden_j_threshold(spark, "unused").collect()
+    assert r.n_neg == 0 and r.j_q6 == 1_000_000  # TPR 1, FPR term 0
+    rows = mod.ml_pr_auc(spark, "unused").collect()
+    assert rows[0].pr_auc_q6 is not None
+
+    monkeypatch.setattr(mod, "load", lambda s, d, n: all_wrong)
+    [r] = mod.stats_youden_j_threshold(spark, "unused").collect()
+    assert r.n_pos == 0 and r.j_q6 <= 0  # TPR term 0, -FPR
+    [r] = mod.ml_pr_auc(spark, "unused").collect()
+    assert r.n_pos == 0 and r.pr_auc_q6 is None  # undefined curve -> NULL
+
+
+def test_linear_counting_saturated_bitmap_null_not_abort(spark, monkeypatch):
+    """60k distinct users saturate the 4096-bit bitmap; log2(0) -> -inf
+    previously aborted the BIGINT cast on both engines. The estimate is
+    NULL past Whang's V > 0 validity bound."""
+    from cudf_spark.queries import analytics4 as mod
+
+    ev = spark.range(60_000).select(
+        F.col("id").alias("event_id"), F.col("id").alias("user_id")
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: ev)
+    [r] = mod.agg_linear_counting(spark, "unused").collect()
+    assert r.n_set == 4096
+    assert r.lc_estimate is None and r.rel_err_q6 is None
+    assert r.n_exact == 60_000
+
+
+def test_kendall_tau_zero_variance_group_null(spark, monkeypatch):
+    """A group with all-tied x zeroes the tie-corrected denominator:
+    tau is undefined (NULL), not an Infinity -> BIGINT abort."""
+    from cudf_spark.queries import analytics3 as mod
+
+    li = spark.createDataFrame(
+        # flag N: x varies but y is all-tied (same price band) -> the
+        # cd row exists (x pairs) yet n0 - n2 = 0 -> tau NULL.
+        # (All-tied x instead drops the group via the inner cd join on
+        # BOTH engines — consistent, no guard needed there.)
+        # flag R: proper variation -> tau defined
+        [
+            ("N", 1.0, 1000.0), ("N", 2.0, 1200.0), ("N", 3.0, 1400.0),
+            ("R", 1.0, 1000.0), ("R", 2.0, 9000.0), ("R", 3.0, 22000.0),
+        ],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: li)
+    rows = {r.flag: r for r in mod.stats_kendall_tau_binned(spark, "unused").collect()}
+    assert rows["N"].tau_b_q6 is None
+    assert rows["R"].tau_b_q6 == 1_000_000  # perfectly concordant
+
+
+def test_zipf_and_elasticity_single_point_null(spark, monkeypatch):
+    """A single rank point / single price band has zero x-variance: the
+    OLS slope is undefined -> NULL, never a NaN -> BIGINT abort."""
+    from cudf_spark.queries import analytics4 as mod
+
+    one_word = spark.createDataFrame(
+        [(1, "spark spark spark", "en")], "doc_id long, text string, lang string"
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: one_word)
+    [r] = mod.text_zipf_fit(spark, "unused").collect()
+    assert r.n == 1 and r.slope_q6 is None and r.intercept_q6 is None
+
+    one_band = spark.createDataFrame(
+        [(1.0, 100.0), (2.0, 200.0)], "l_quantity double, l_extendedprice double"
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: one_band)
+    [r] = mod.events_price_elasticity(spark, "unused").collect()
+    assert r.n == 1 and r.elasticity_q6 is None
+
+
+def test_assortativity_regular_graph_null(spark, monkeypatch):
+    """A 2-regular graph (triangle) has zero degree variance: r is
+    undefined -> NULL instead of an Infinity -> BIGINT abort."""
+    from cudf_spark.queries import analytics3 as mod
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12)], "l_orderkey long, l_partkey long"
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: li)
+    [r] = mod.graph_assortativity(spark, "unused").collect()
+    assert r.m == 6 and r.n_nodes == 3  # symmetrized triangle
+    assert r.assortativity_q6 is None

@@ -30,6 +30,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def co_occurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    directed: bool = False,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Distinct co-occurrence edges ``(u, v)`` from a (group, item)
+    relation: items sharing a group link pairwise. The undirected form
+    keeps ``u < v``; ``directed=True`` keeps both orientations (``!=``).
+    ``checkpoint=True`` lazily truncates lineage — required when an
+    ITERATIVE consumer (k-core peel, BFS, label propagation) would
+    otherwise nest the edge build into every round's plan (the CC
+    operator's lesson; deliberate lineage truncation, unlike the corpus
+    persist sites). ONE definition for the six graph queries that each
+    hand-rolled this ~10-line block before round 8.
+    """
+    pp = df.select(group_col, item_col).distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    cond = (
+        F.col(f"a.{item_col}") != F.col(f"b.{item_col}")
+        if directed
+        else F.col(f"a.{item_col}") < F.col(f"b.{item_col}")
+    )
+    e = (
+        a.join(b, group_col)
+        .filter(cond)
+        .select(
+            F.col(f"a.{item_col}").alias("u"),
+            F.col(f"b.{item_col}").alias("v"),
+        )
+        .distinct()
+    )
+    return e.localCheckpoint(eager=False) if checkpoint else e
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

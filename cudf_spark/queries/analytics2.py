@@ -1974,28 +1974,10 @@ def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     "classification.",
 )
 def text_lang_confusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cudf_spark.functions.textfns import normalize_text
-    from cudf_spark.queries.text import LANG_WORDS
+    from cudf_spark.queries.text import lang_pred, lang_scores
 
     d = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
-    scores = {
-        lang: F.size(
-            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
-        )
-        for lang, words in LANG_WORDS.items()
-    }
-    pred_col = (
-        F.when(
-            scores["en"]
-            >= F.greatest(scores["es"], scores["de"], scores["fr"], scores["zh"]),
-            "en",
-        )
-        .when(scores["es"] >= F.greatest(scores["de"], scores["fr"], scores["zh"]), "es")
-        .when(scores["de"] >= F.greatest(scores["fr"], scores["zh"]), "de")
-        .when(scores["fr"] >= scores["zh"], "fr")
-        .otherwise("zh")
-    )
+    pred_col = lang_pred(lang_scores(F.col("text")))
     pred = d.select(F.col("lang").alias("actual"), pred_col.alias("predicted"))
     classes = pred.select(F.col("actual").alias("lang")).distinct()
     pc = (
@@ -4174,7 +4156,7 @@ V4_NLL_MAX_MICRO = 3_434_000
 )
 def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cudf_spark.functions.textfns import normalize_text
-    from cudf_spark.queries.text import LANG_WORDS
+    from cudf_spark.queries.text import lang_pred, lang_scores
 
     docs = load(spark, sf_dir, "documents")
 
@@ -4249,32 +4231,25 @@ def curation_pipeline_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((-F.expr("sum(q) div count(1)")).cast("bigint").alias("nll_micro"))
     )
 
-    # --- lang-id agreement (text_lang_id shape)
-    dtoks = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
-    scores = {
-        lang: F.size(F.array_intersect(dtoks, F.array(*[F.lit(w) for w in ws])))
-        for lang, ws in LANG_WORDS.items()
-    }
-    pred = (
-        F.when(
-            scores["en"]
-            >= F.greatest(scores["es"], scores["de"], scores["fr"], scores["zh"]),
-            "en",
-        )
-        .when(scores["es"] >= F.greatest(scores["de"], scores["fr"], scores["zh"]), "es")
-        .when(scores["de"] >= F.greatest(scores["fr"], scores["zh"]), "de")
-        .when(scores["fr"] >= scores["zh"], "fr")
-        .otherwise("zh")
-    )
+    # --- lang-id agreement (text_lang_id shape, shared helper)
+    pred = lang_pred(lang_scores(F.col("text")))
     langp = docs.select(
         "doc_id", (pred == F.col("lang")).alias("lang_match")
     )
 
-    ent_ok = (F.col("ent") >= V4_ENT_LO_Q6) & (F.col("ent") <= V4_ENT_HI_Q6)
+    # every flag needs the explicit NULL guard ppl_ok has: an
+    # all-whitespace doc yields no char-histogram rows (ent NULL via the
+    # left join) and a NULL lang nulls the equality — the oracle's CASE
+    # emits 0 there, so an unguarded NULL would split the engines
+    ent_ok = (
+        F.col("ent").isNotNull()
+        & (F.col("ent") >= V4_ENT_LO_Q6)
+        & (F.col("ent") <= V4_ENT_HI_Q6)
+    )
     ppl_ok = F.col("nll_micro").isNotNull() & (
         F.col("nll_micro") <= V4_NLL_MAX_MICRO
     )
-    lang_ok = F.col("lang_match")
+    lang_ok = F.coalesce(F.col("lang_match"), F.lit(False))
     return (
         docs.select("doc_id")
         .join(ent, "doc_id", "left")

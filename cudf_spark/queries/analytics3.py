@@ -78,6 +78,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
+from cudf_spark.operators.graphs import co_occurrence_edges
 from cudf_spark.queries.registry import register
 from cudf_spark.queries.text import _lang_scores_sql
 
@@ -380,20 +381,12 @@ def _kcore_oracle() -> str:
 )
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    pp = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = pp.alias("a"), pp.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        # each peel round reads the previous round's edges TWICE (degree
-        # count + endpoint filter); lazy-checkpoint per round or the DAG
-        # re-derives the base edge build exponentially (the CC operator's
-        # lesson, operators/graphs.py:52) — the oracle mirrors this with
-        # AS MATERIALIZED stages.
-        .localCheckpoint(eager=False)
-    )
+    # each peel round reads the previous round's edges TWICE (degree
+    # count + endpoint filter); lazy-checkpoint per round or the DAG
+    # re-derives the base edge build exponentially (the CC operator's
+    # lesson, operators/graphs.py:52) — the oracle mirrors this with
+    # AS MATERIALIZED stages.
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey", checkpoint=True)
 
     def degrees(e: DataFrame) -> DataFrame:
         return (
@@ -722,26 +715,10 @@ def misc_bitpack_for_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "//). One corpus scan; marginals join at class grain (K<=5 rows).",
 )
 def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cudf_spark.functions.textfns import normalize_text
-    from cudf_spark.queries.text import LANG_WORDS
+    from cudf_spark.queries.text import lang_pred, lang_scores
 
     d = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
-    scores = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in LANG_WORDS.items()
-    }
-    pred_col = (
-        F.when(
-            scores["en"]
-            >= F.greatest(scores["es"], scores["de"], scores["fr"], scores["zh"]),
-            "en",
-        )
-        .when(scores["es"] >= F.greatest(scores["de"], scores["fr"], scores["zh"]), "es")
-        .when(scores["de"] >= F.greatest(scores["fr"], scores["zh"]), "de")
-        .when(scores["fr"] >= scores["zh"], "fr")
-        .otherwise("zh")
-    )
+    pred_col = lang_pred(lang_scores(F.col("text")))
     scored = d.select(F.col("lang").alias("actual"), pred_col.alias("predicted"))
     tot = scored.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -1126,22 +1103,15 @@ def _markov_oracle() -> str:
     )
 
 
-@register(
-    "events_markov_stationary",
-    oracle=_markov_oracle(),
-    doc="stationary distribution of the per-user event-type Markov chain "
-    "by FIVE exact fixed-point power-iteration rounds (the companion to "
-    "events_markov_transitions; same recipe as graph_pagerank but on a "
-    "row-normalised transition matrix): v_{t+1,j} = sum_i (v_i * c_ij) "
-    "div r_i entirely in micro-unit BIGINTs — per-term truncating "
-    "division then an order-free integer sum, so both engines agree "
-    "bit-for-bit without any float. The only data-scale pass builds the "
-    "(i, j) transition counts (one lead window + one keyed groupBy); "
-    "every iteration runs at K^2 grain (K = #event types). States = "
-    "those with outgoing transitions; truncation dust makes sum(v) "
-    "drift a few micro-units below 1e6 by design.",
-)
-def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _markov_chain(spark: SparkSession, sf_dir: str):
+    """(c, r, v): per-user next-event transition counts (i, j, c), row
+    totals (i, r), and the 5-round all-integer fixed-point stationary
+    vector (state, v in micro-units) — the Spark mirror of the shared
+    ``_markov_cte()`` oracle fragment. ONE definition for
+    events_markov_stationary and events_markov_entropy_rate (the
+    round-8 review found the whole block duplicated, where an
+    iteration/tiebreak fix in one would silently desynchronize the
+    other from their SHARED oracle CTE)."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
     )
@@ -1165,6 +1135,26 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("j").alias("state"))
             .agg(F.sum("term").cast("bigint").alias("v"))
         )
+    return c, r, v
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_markov_oracle(),
+    doc="stationary distribution of the per-user event-type Markov chain "
+    "by FIVE exact fixed-point power-iteration rounds (the companion to "
+    "events_markov_transitions; same recipe as graph_pagerank but on a "
+    "row-normalised transition matrix): v_{t+1,j} = sum_i (v_i * c_ij) "
+    "div r_i entirely in micro-unit BIGINTs — per-term truncating "
+    "division then an order-free integer sum, so both engines agree "
+    "bit-for-bit without any float. The only data-scale pass builds the "
+    "(i, j) transition counts (one lead window + one keyed groupBy); "
+    "every iteration runs at K^2 grain (K = #event types). States = "
+    "those with outgoing transitions; truncation dust makes sum(v) "
+    "drift a few micro-units below 1e6 by design.",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, r, v = _markov_chain(spark, sf_dir)
     return (
         r.join(v, r.i == v.state, "left")
         .select(
@@ -1885,15 +1875,7 @@ def _bfs_oracle() -> str:
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    pp = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = pp.alias("a"), pp.alias("b")
-    e = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    e = co_occurrence_edges(li, "l_orderkey", "l_partkey", directed=True, checkpoint=True)
     deg = e.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
@@ -2379,29 +2361,7 @@ def misc_shard_rebalance_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "compressibility bound.",
 )
 def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
-    )
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    t = ev.withColumn("nxt", F.lead("event_type").over(w)).filter(
-        F.col("nxt").isNotNull()
-    )
-    c = t.groupBy(
-        F.col("event_type").alias("i"), F.col("nxt").alias("j")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    r = c.groupBy("i").agg(F.sum("c").cast("bigint").alias("r"))
-    k = r.agg(F.count(F.lit(1)).cast("bigint").alias("kk"))
-    v = r.crossJoin(F.broadcast(k)).select(
-        F.col("i").alias("state"), F.expr("1000000 div kk").cast("bigint").alias("v")
-    )
-    cr = c.join(r, "i")
-    for _ in range(5):
-        v = (
-            v.join(cr, v.state == cr.i)
-            .select("j", F.expr("(v * c) div r").alias("term"))
-            .groupBy(F.col("j").alias("state"))
-            .agg(F.sum("term").cast("bigint").alias("v"))
-        )
+    c, r, v = _markov_chain(spark, sf_dir)
     d = lambda col: col.cast("double")
     p = d(F.col("c")) / d(F.col("r"))
     t9 = F.floor(
@@ -2605,15 +2565,7 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    pp = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = pp.alias("a"), pp.alias("b")
-    eu = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    eu = co_occurrence_edges(li, "l_orderkey", "l_partkey", checkpoint=True)
     sym = eu.unionByName(
         eu.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -2732,24 +2684,12 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(stats_cohens_kappa). One corpus scan; bins are constant grain.",
 )
 def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cudf_spark.functions.textfns import normalize_text
-    from cudf_spark.queries.text import LANG_WORDS
+    from cudf_spark.queries.text import lang_conf, lang_pred, lang_scores
 
     d = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
-    sc = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in LANG_WORDS.items()
-    }
-    pred = (
-        F.when(sc["en"] >= F.greatest(sc["es"], sc["de"], sc["fr"], sc["zh"]), "en")
-        .when(sc["es"] >= F.greatest(sc["de"], sc["fr"], sc["zh"]), "es")
-        .when(sc["de"] >= F.greatest(sc["fr"], sc["zh"]), "de")
-        .when(sc["fr"] >= sc["zh"], "fr")
-        .otherwise("zh")
-    )
-    total = sc["en"] + sc["es"] + sc["de"] + sc["fr"] + sc["zh"]
-    mx = F.greatest(sc["en"], sc["es"], sc["de"], sc["fr"], sc["zh"])
+    sc = lang_scores(F.col("text"))
+    pred = lang_pred(sc)
+    mx, total = lang_conf(sc)
     # bind score columns first: the truncating `div` lives in expr
     # strings, which can't see python Column objects
     base = d.select(
@@ -3177,14 +3117,7 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    pp = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = pp.alias("a"), pp.alias("b")
-    eu = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    eu = co_occurrence_edges(li, "l_orderkey", "l_partkey")
     sym = eu.unionByName(
         eu.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )

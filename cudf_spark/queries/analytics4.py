@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
+from cudf_spark.operators.graphs import co_occurrence_edges
 from cudf_spark.queries.registry import register
 from cudf_spark.queries.text import _lang_scores_sql
 
@@ -1464,15 +1465,7 @@ def win_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    pp = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = pp.alias("a"), pp.alias("b")
-    eu = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    eu = co_occurrence_edges(li, "l_orderkey", "l_partkey", checkpoint=True)
     deg = (
         eu.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -1807,24 +1800,12 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "way a curation pipeline tunes its accept threshold.",
 )
 def stats_youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cudf_spark.functions.textfns import normalize_text
-    from cudf_spark.queries.text import LANG_WORDS
+    from cudf_spark.queries.text import lang_conf, lang_pred, lang_scores
 
     d = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
-    sc = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in LANG_WORDS.items()
-    }
-    pred = (
-        F.when(sc["en"] >= F.greatest(sc["es"], sc["de"], sc["fr"], sc["zh"]), "en")
-        .when(sc["es"] >= F.greatest(sc["de"], sc["fr"], sc["zh"]), "es")
-        .when(sc["de"] >= F.greatest(sc["fr"], sc["zh"]), "de")
-        .when(sc["fr"] >= sc["zh"], "fr")
-        .otherwise("zh")
-    )
-    total = sc["en"] + sc["es"] + sc["de"] + sc["fr"] + sc["zh"]
-    mx = F.greatest(sc["en"], sc["es"], sc["de"], sc["fr"], sc["zh"])
+    sc = lang_scores(F.col("text"))
+    pred = lang_pred(sc)
+    mx, total = lang_conf(sc)
     base = d.select(
         F.when(pred == F.col("lang"), 1).otherwise(0).alias("correct"),
         mx.cast("bigint").alias("mx"),
@@ -2871,24 +2852,12 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "One corpus scan; the sweep is lattice grain.",
 )
 def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cudf_spark.functions.textfns import normalize_text
-    from cudf_spark.queries.text import LANG_WORDS
+    from cudf_spark.queries.text import lang_conf, lang_pred, lang_scores
 
     d = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
-    sc = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in LANG_WORDS.items()
-    }
-    pred = (
-        F.when(sc["en"] >= F.greatest(sc["es"], sc["de"], sc["fr"], sc["zh"]), "en")
-        .when(sc["es"] >= F.greatest(sc["de"], sc["fr"], sc["zh"]), "es")
-        .when(sc["de"] >= F.greatest(sc["fr"], sc["zh"]), "de")
-        .when(sc["fr"] >= sc["zh"], "fr")
-        .otherwise("zh")
-    )
-    total = sc["en"] + sc["es"] + sc["de"] + sc["fr"] + sc["zh"]
-    mx = F.greatest(sc["en"], sc["es"], sc["de"], sc["fr"], sc["zh"])
+    sc = lang_scores(F.col("text"))
+    pred = lang_pred(sc)
+    mx, total = lang_conf(sc)
     base = d.select(
         F.when(pred == F.col("lang"), 1).otherwise(0).alias("pos"),
         mx.cast("bigint").alias("mx"),
@@ -3153,15 +3122,7 @@ def events_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    pp = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = pp.alias("a"), pp.alias("b")
-    eu = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    eu = co_occurrence_edges(li, "l_orderkey", "l_partkey", checkpoint=True)
     deg = (
         eu.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")

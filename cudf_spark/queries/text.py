@@ -76,6 +76,48 @@ def _lang_scores_sql() -> str:
     return ",\n           ".join(parts)
 
 
+def lang_scores(text_col) -> dict[str, F.Column]:
+    """Spark mirror of :func:`_lang_scores_sql`: {lang: marker-overlap
+    score Column} over the distinct normalized tokens of ``text_col``.
+    ONE definition for the seven lang-id consumers (text_lang_id,
+    text_lang_confusion_eval, curation_pipeline_v4, stats_cohens_kappa,
+    ml_calibration_ece, stats_youden_j_threshold, ml_pr_auc) — the
+    round-8 review found the block copy-pasted six times, where any
+    marker/tie-break fix would have had to land in six places."""
+    toks = F.array_distinct(F.split(normalize_text(text_col), " "))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_WORDS.items()
+    }
+
+
+def lang_pred(scores: dict[str, F.Column]) -> F.Column:
+    """Canonical lang-id argmax with the first-match tie-break
+    en > es > de > fr > zh (must equal the oracle CASE chain built on
+    :func:`_lang_scores_sql` exactly)."""
+    return (
+        F.when(
+            scores["en"]
+            >= F.greatest(scores["es"], scores["de"], scores["fr"], scores["zh"]),
+            "en",
+        )
+        .when(scores["es"] >= F.greatest(scores["de"], scores["fr"], scores["zh"]), "es")
+        .when(scores["de"] >= F.greatest(scores["fr"], scores["zh"]), "de")
+        .when(scores["fr"] >= scores["zh"], "fr")
+        .otherwise("zh")
+    )
+
+
+def lang_conf(scores: dict[str, F.Column]) -> tuple[F.Column, F.Column]:
+    """(max score, total score) — the confidence ingredients the
+    calibration/threshold/PR-sweep queries quantize into conf_q6."""
+    cols = [scores[k] for k in ("en", "es", "de", "fr", "zh")]
+    total = cols[0]
+    for c in cols[1:]:
+        total = total + c
+    return F.greatest(*cols), total
+
+
 @register(
     "text_lang_id",
     oracle=f"""
@@ -97,18 +139,7 @@ def _lang_scores_sql() -> str:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(normalize_text(F.col("text")), " "))
-    scores = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in LANG_WORDS.items()
-    }
-    pred = (
-        F.when(scores["en"] >= F.greatest(scores["es"], scores["de"], scores["fr"], scores["zh"]), "en")
-        .when(scores["es"] >= F.greatest(scores["de"], scores["fr"], scores["zh"]), "es")
-        .when(scores["de"] >= F.greatest(scores["fr"], scores["zh"]), "de")
-        .when(scores["fr"] >= scores["zh"], "fr")
-        .otherwise("zh")
-    )
+    pred = lang_pred(lang_scores(F.col("text")))
     return d.select("doc_id", F.col("lang").alias("actual"), pred.alias("predicted")).orderBy("doc_id")
 
 

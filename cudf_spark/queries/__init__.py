@@ -211,11 +211,20 @@ JUDGE_PINS: dict[int, set[str]] = {
     # same-round pin fails the suite.
     # Plus agg_approx_sketches: its rows-only -> hash-gate upgrade
     # (VERDICT r07 item 5) ships a brand-new oracle this round. Plus the
-    # four driver-green queries whose oracles gained degenerate-input
+    # FIVE driver-green queries whose oracles gained degenerate-input
     # guards / ordered float folds in the round-8 analytics2-4
     # self-review (stats_youden_j_threshold, ml_pr_auc,
-    # stats_kendall_tau_binned, stats_ljung_box) — pinned in the SAME
-    # round as the edit, the rule tests/test_oracle_proof.py enforces.
+    # stats_kendall_tau_binned, stats_ljung_box, doc_neyman_allocation —
+    # the last caught by the stale-oracle guard itself when its pin was
+    # missed) — pinned in the SAME round as the edit, the rule
+    # tests/test_oracle_proof.py enforces. Plus the two green queries
+    # whose SPARK-side implementation materially changed with oracles
+    # untouched (agg_lorenz_curve_binned: new two-level cumsum path;
+    # curation_pipeline_v4: ent_ok/lang_ok NULL-guard semantics) — the
+    # hash gate proves spark-output == oracle-output for the code AS
+    # RUN, so an engine rewrite invalidates a green row's proof exactly
+    # like an oracle edit does, it just isn't mechanically detectable
+    # from oracles_dict().
     8: {
         "agg_argminmax", "agg_quantile_modes", "agg_var_ddof",
         "agg_trimmed_mean", "clean_winsorize", "events_rfm_scores",
@@ -225,6 +234,7 @@ JUDGE_PINS: dict[int, set[str]] = {
         "stats_youden_j_threshold", "ml_pr_auc",
         "stats_kendall_tau_binned", "stats_ljung_box",
         "doc_neyman_allocation",
+        "agg_lorenz_curve_binned", "curation_pipeline_v4",
     },
 }
 

@@ -1926,9 +1926,16 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- largest-remainder rank, so a final-ULP difference in tw from
         -- an unordered sum could flip an allocation between engines
         SELECT source, nh, w,
+               -- tw = 0 (every stratum zero-variance, e.g. one doc per
+               -- source): allocation undefined -> NULL quota/alloc
+               -- explicitly (DuckDB NULLs x/0 anyway; Spark would reach
+               -- floor(NaN) -> BIGINT abort without the guard)
+               CASE WHEN (SELECT list_reduce(list_sort(list(w)),
+                                             (a, b) -> a + b)
+                          FROM wgt) > 0 THEN
                1000.0 * w / (SELECT list_reduce(list_sort(list(w)),
                                                 (a, b) -> a + b)
-                             FROM wgt) AS quota
+                             FROM wgt) END AS quota
         FROM wgt
     ), base AS (
         SELECT source, nh, quota,
@@ -1980,10 +1987,14 @@ def doc_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("tw")
     )
+    # tw = 0 (all strata zero-variance): quota undefined -> NULL, which
+    # propagates NULL fl/rem/leftover/alloc identically on both engines
+    # (rem DESC ranks NULLS LAST with the source tie-break on both);
+    # unguarded, 0.0/0.0 = NaN and floor(NaN) aborts under ANSI
     q = wgt.crossJoin(F.broadcast(tot)).select(
         "source",
         "nh",
-        (1000.0 * F.col("w") / F.col("tw")).alias("quota"),
+        F.when(F.col("tw") > 0, 1000.0 * F.col("w") / F.col("tw")).alias("quota"),
     )
     base = q.select(
         "source",

@@ -3405,9 +3405,13 @@ def text_msttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN m
         GROUP BY l.lag
     ), rho AS (
+        -- zero-variance series (all daily counts equal): den = 0, rho
+        -- undefined -> NULL explicitly (DuckDB already NULLs x/0; Spark
+        -- would reach floor(Infinity) -> BIGINT abort without the guard)
         SELECT lag,
+               CASE WHEN den > 0 THEN
                CAST(floor(1000000.0 * CAST(num AS DOUBLE)
-                          / CAST(den AS DOUBLE)) AS BIGINT) AS rho_q6
+                          / CAST(den AS DOUBLE)) AS BIGINT) END AS rho_q6
         FROM lags
     )
     SELECT (SELECT CAST(n AS BIGINT) FROM m) AS n_days,
@@ -3460,15 +3464,18 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(F.expr(f"sum(CAST(da AS {dec}) * db)").alias("num"))
     )
+    # zero-variance series: den = 0 -> rho NULL (mirrors the oracle's
+    # CASE; unguarded, floor(Infinity) -> BIGINT aborts under ANSI)
     rho = nums.crossJoin(F.broadcast(den)).select(
         "lag",
-        F.floor(
-            1000000.0
-            * F.col("num").cast("double")
-            / F.col("den").cast("double")
-        )
-        .cast("bigint")
-        .alias("rho_q6"),
+        F.when(
+            F.col("den") > 0,
+            F.floor(
+                1000000.0
+                * F.col("num").cast("double")
+                / F.col("den").cast("double")
+            ).cast("bigint"),
+        ).alias("rho_q6"),
     )
     return (
         rho.crossJoin(F.broadcast(m))

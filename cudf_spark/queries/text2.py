@@ -31,7 +31,9 @@ BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
-_SAFE_TOKEN_RE = None  # populated below; module-level for test access
+import re as _re
+
+_SAFE_TOKEN_RE = _re.compile(r"[a-z0-9]+")
 
 
 def _assert_token_sql_safe(token: str, what: str) -> None:
@@ -42,11 +44,6 @@ def _assert_token_sql_safe(token: str, what: str) -> None:
     silently corrupt the pattern (wrong matches) or the SQL itself, so
     any token outside the conservative ``[a-z0-9]+`` charset fails LOUD
     at import time rather than under the driver's hash gate."""
-    import re
-
-    global _SAFE_TOKEN_RE
-    if _SAFE_TOKEN_RE is None:
-        _SAFE_TOKEN_RE = re.compile(r"^[a-z0-9]+$")
     if not _SAFE_TOKEN_RE.fullmatch(token):
         raise ValueError(
             f"{what}: token {token!r} outside the SQL-interpolation-safe"

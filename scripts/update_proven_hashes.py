@@ -47,6 +47,27 @@ def oracle_hash(sql: str) -> str:
 
 def main(argv: list[str]) -> int:
     seed = "--seed" in argv
+    # Run-order guard: stamping CURRENT oracle text as driver-proven is
+    # only sound at round start, BEFORE any oracle edit. A dirty
+    # queries/ tree means edits may already exist — refuse, so a
+    # late/second run cannot silently record an unproven oracle as
+    # proven and defeat tests/test_oracle_proof.py.
+    import subprocess
+
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain", "cudf_spark/queries"],
+        cwd=_repo_root,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    if dirty and "--force" not in argv:
+        print(
+            "REFUSED: cudf_spark/queries has uncommitted changes — run this"
+            " at round start before editing any oracle (override with"
+            " --force only if you are certain no oracle text changed):\n"
+            + dirty
+        )
+        return 1
     proven: dict[str, str] = {}
     if os.path.exists(HASH_PATH):
         with open(HASH_PATH) as fh:

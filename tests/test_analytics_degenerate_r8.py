@@ -151,3 +151,45 @@ def test_assortativity_regular_graph_null(spark, monkeypatch):
     [r] = mod.graph_assortativity(spark, "unused").collect()
     assert r.m == 6 and r.n_nodes == 3  # symmetrized triangle
     assert r.assortativity_q6 is None
+
+
+def test_ljung_box_zero_variance_series_null(spark, monkeypatch):
+    """One event per day for 10 days: every deviation is 0, den = 0 —
+    rho and Q are undefined (NULL) instead of a floor(Infinity) abort
+    (re-review catch: the round's first fix ordered the fold but left
+    the denominator unguarded)."""
+    from cudf_spark.queries import analytics4 as mod
+
+    ev = _events(
+        spark,
+        [(i, 1, f"2024-01-{i + 1:02d} 12:00:00", "a") for i in range(10)],
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: ev)
+    [r] = mod.stats_ljung_box(spark, "unused").collect()
+    assert r.n_days == 10 and r.n_lags == 5 and r.q_stat is None
+
+
+def test_neyman_all_zero_variance_null(spark, monkeypatch):
+    """One doc per source: every stratum weight is 0, tw = 0 — quota
+    and alloc are NULL on both engines instead of floor(NaN) aborting
+    Spark (re-review catch, same partial-guard class)."""
+    import duckdb
+    import pandas as pd
+
+    from cudf_spark.queries import REGISTRY
+    from cudf_spark.queries import analytics3 as mod
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "source": ["s1", "s2"], "n_chars": [100, 200]}
+    )
+    docs = spark.createDataFrame(pdf)
+    monkeypatch.setattr(mod, "load", lambda s, d, n: docs)
+    rows = mod.doc_neyman_allocation(spark, "unused").collect()
+    assert [(r.source, r.n_docs, r.quota_q6, r.alloc) for r in rows] == [
+        ("s1", 1, None, None),
+        ("s2", 1, None, None),
+    ]
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = con.execute(REGISTRY["doc_neyman_allocation"].oracle).fetchall()
+    assert oracle == [("s1", 1, None, None), ("s2", 1, None, None)]

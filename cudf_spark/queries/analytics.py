@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cudf_spark.catalog import load
+from cudf_spark.operators.graphs import co_occurrence_edges
 from cudf_spark.functions.hashing import hash60_sql
 from cudf_spark.queries.registry import register
 
@@ -92,14 +93,7 @@ def _rank(deg_col: str, node_col: str):
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    pp = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = pp.alias("a"), pp.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -733,14 +727,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     li = load(spark, sf_dir, "lineitem")
-    pp = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = pp.alias("a"), pp.alias("b")
-    eu = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    eu = co_occurrence_edges(li, "l_orderkey", "l_partkey")
     edges = eu.union(eu.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -1064,22 +1051,24 @@ def agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for expr, label in cols:
         v = li.select(expr.alias("x"))
         dec = "decimal(38,0)"
-        sums = v.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.col("x").cast(dec)).alias("s1"),
-            F.sum((F.col("x") * F.col("x")).cast(dec)).alias("s2"),
-            F.min("x").alias("mn"),
-            F.max("x").alias("mx"),
-        )
+        # ONE aggregate per column: moments and quantiles are both plain
+        # aggregate functions, so sharing the .agg halves the table
+        # scans (the old two-agg + crossJoin form scanned v twice).
         # DISTRIBUTED exact quantiles: Spark's percentile aggregate builds
         # per-partition value->count maps and merges them (no global sort,
         # no single-partition window — the scale_audit funnel this query's
         # first draft had), then applies the same (1-g)*lower + g*higher
         # linear interpolation the oracle's sorted-list arithmetic does.
         # Exact on the integer lattice; map size bounded by |distinct x|.
-        qrow = v.agg(
-            F.expr("percentile(x, array(0.25, 0.50, 0.75))").alias("qs")
+        sums = v.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("x").cast(dec)).alias("s1"),
+            F.sum((F.col("x") * F.col("x")).cast(dec)).alias("s2"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+            F.expr("percentile(x, array(0.25, 0.50, 0.75))").alias("qs"),
         ).select(
+            "*",
             F.element_at("qs", 1).alias("q25v"),
             F.element_at("qs", 2).alias("q50v"),
             F.element_at("qs", 3).alias("q75v"),
@@ -1087,7 +1076,7 @@ def agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = F.col("n").cast("double")
         s1d = F.col("s1").cast("double")
         nvar = (F.col("n").cast("decimal(38,0)") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
-        stats = sums.crossJoin(qrow).select(
+        stats = sums.select(
             F.lit(label).alias("col"),
             F.explode(
                 F.array(
@@ -1951,12 +1940,15 @@ def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = F.col("nb")
     lo_i = F.floor(F.lit(0.025) * (nb.cast("double") - 1)).cast("int") + 1
     hi_i = F.ceil(F.lit(0.975) * (nb.cast("double") - 1)).cast("int") + 1
+    # empty input: nb = 0 makes lo_i = 0 (element_at index-0 error) and
+    # hi_i reach past the empty list — NULL bounds instead, matching
+    # the oracle's NULL list picks
     return (
         ordered.crossJoin(F.broadcast(point))
         .select(
             nb.cast("bigint").alias("n_replicates"),
-            F.round(F.element_at("ms", lo_i) / 100, 6).alias("ci_lo"),
-            F.round(F.element_at("ms", hi_i) / 100, 6).alias("ci_hi"),
+            F.when(nb > 0, F.round(F.element_at("ms", lo_i) / 100, 6)).alias("ci_lo"),
+            F.when(nb > 0, F.round(F.element_at("ms", hi_i) / 100, 6)).alias("ci_hi"),
             F.round(F.col("pm") / 100, 6).alias("point_mean"),
         )
     )
@@ -2026,26 +2018,28 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
 
-    def check(name, df, violation_col):
-        return df.agg(
-            F.lit(name).alias("check_name"),
-            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
-            F.count(F.when(violation_col, F.lit(1))).cast("bigint").alias("n_violations"),
+    # single-pass per table: Catalyst does NOT CSE across union branches,
+    # so the previous one-.agg()-per-check form scanned lineitem four
+    # times and ran the FK join twice — all counters now ride one
+    # aggregate each and melt via stack() (the stream_dq_monitor shape)
+    cnt = lambda cond: F.count(F.when(cond, F.lit(1))).cast("bigint")
+    li_row = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        (F.count(F.lit(1)) - F.count("l_orderkey")).cast("bigint").alias("v_comp"),
+        cnt((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("v_qty"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 0.10)).alias("v_disc"),
+        cnt(F.col("l_extendedprice") <= 0).alias("v_price"),
+    )
+    li_checks = li_row.select(
+        F.expr(
+            "stack(4,"
+            " 'li_orderkey_complete', n_all, v_comp,"
+            " 'li_quantity_in_range', n_all, v_qty,"
+            " 'li_discount_in_range', n_all, v_disc,"
+            " 'li_price_positive', n_all, v_price)"
+            " AS (check_name, n_checked, n_violations)"
         )
-
-    completeness = li.agg(
-        F.lit("li_orderkey_complete").alias("check_name"),
-        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
-        (F.count(F.lit(1)) - F.count("l_orderkey")).cast("bigint").alias("n_violations"),
     )
-    qty = check(
-        "li_quantity_in_range", li, (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)
-    )
-    disc = check(
-        "li_discount_in_range", li,
-        (F.col("l_discount") < 0) | (F.col("l_discount") > 0.10),
-    )
-    price = check("li_price_positive", li, F.col("l_extendedprice") <= 0)
     uniq = o.agg(
         F.lit("o_orderkey_unique").alias("check_name"),
         F.count(F.lit(1)).cast("bigint").alias("n_checked"),
@@ -2058,21 +2052,34 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         li["l_orderkey"] == o["o_orderkey"],
         "left",
     )
-    fk = check("li_orderkey_fk", fk_joined, F.col("o_orderkey").isNull())
-    temporal = check(
-        "li_ship_after_order",
-        fk_joined.filter(F.col("o_orderkey").isNotNull()),
-        F.col("l_shipdate").cast("date") < F.col("o_orderdate").cast("date"),
+    fk_row = fk_joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        cnt(F.col("o_orderkey").isNull()).alias("v_fk"),
+        F.count("o_orderkey").cast("bigint").alias("n_matched"),
+        cnt(
+            F.col("o_orderkey").isNotNull()
+            & (F.col("l_shipdate").cast("date") < F.col("o_orderdate").cast("date"))
+        ).alias("v_temporal"),
     )
-    out = completeness
-    for c in (disc, fk, qty, price, temporal, uniq):
-        out = out.union(c)
-    return out.select(
-        "check_name",
-        "n_checked",
-        "n_violations",
-        (F.col("n_violations") == 0).alias("passed"),
-    ).orderBy("check_name")
+    fk_checks = fk_row.select(
+        F.expr(
+            "stack(2,"
+            " 'li_orderkey_fk', n_all, v_fk,"
+            " 'li_ship_after_order', n_matched, v_temporal)"
+            " AS (check_name, n_checked, n_violations)"
+        )
+    )
+    return (
+        li_checks.union(fk_checks)
+        .union(uniq)
+        .select(
+            "check_name",
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("check_name")
+    )
 
 
 @register(
@@ -2798,14 +2805,7 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    pp = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = pp.alias("a"), pp.alias("b")
-    eu = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    eu = co_occurrence_edges(li, "l_orderkey", "l_partkey")
     deg = (
         eu.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -3186,10 +3186,15 @@ def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("cents").cast(dec)).cast("double") / F.count(F.lit(1))).alias("pm")
     )
     mid = F.expr("CAST((k + 1) div 2 AS INT)")
+    # empty input: k = 0 makes mid = 0 and element_at(ms, 0) is an
+    # unconditional Spark error (array indices start at 1) — NULL
+    # median instead, matching the oracle's NULL list pick
     return ordered.crossJoin(F.broadcast(plain)).select(
         "k",
         "n_total",
-        F.round(F.element_at("ms", mid) / 100, 6).alias("mom_dollars_q6"),
+        F.when(
+            F.col("k") > 0, F.round(F.element_at("ms", mid) / 100, 6)
+        ).alias("mom_dollars_q6"),
         F.round(F.col("pm") / 100, 6).alias("plain_mean_q6"),
     )
 

@@ -700,7 +700,7 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_rolling_corr_exact",
     oracle="""
     WITH t AS (
-        SELECT l_suppkey, l_orderkey, l_linenumber,
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
                CAST(round(l_quantity) AS BIGINT)             AS x,
                CAST(round(l_extendedprice * 100) AS BIGINT)  AS y,
                l_shipdate
@@ -714,8 +714,13 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(y * y) OVER win AS syy,
                sum(x * y) OVER win AS sxy
         FROM t
+        -- l_partkey completes the total order: the TPC-H-ish fixture
+        -- DOES collide on (orderkey, linenumber) — sf0.1 has a real
+        -- same-(suppkey, shipdate, orderkey, linenumber) pair — and an
+        -- ambiguous ROWS frame is engine-dependent (win_rolling_rows'
+        -- established tie-break)
         WINDOW win AS (PARTITION BY l_suppkey
-                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CASE WHEN (5 * sxx - sx * sx) = 0 OR (5 * syy - sy * sy) = 0
@@ -750,18 +755,21 @@ def win_rolling_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             "l_orderkey",
             "l_linenumber",
+            "l_partkey",
             F.round("l_quantity", 0).cast("bigint").alias("x"),
             F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
             "l_shipdate",
         )
     )
+    # l_partkey completes the total order — the fixture collides on
+    # (orderkey, linenumber); see the oracle comment
     win = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey")
         .rowsBetween(-4, 0)
     )
     seq = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey"
     )
     w = t.select(
         "l_suppkey",

@@ -193,3 +193,21 @@ def test_neyman_all_zero_variance_null(spark, monkeypatch):
     con.register("documents", pdf)
     oracle = con.execute(REGISTRY["doc_neyman_allocation"].oracle).fetchall()
     assert oracle == [("s1", 1, None, None), ("s2", 1, None, None)]
+
+
+def test_median_of_means_and_bootstrap_empty_input(spark, monkeypatch):
+    """Empty lineitem: k/nb = 0 made element_at(ms, 0) throw
+    INVALID_INDEX_OF_ZERO (Spark array indices start at 1) while the
+    oracle returned a NULL-median row (analytics.py directory sweep)."""
+    from cudf_spark.queries import analytics as mod
+
+    empty = spark.createDataFrame(
+        [],
+        "l_orderkey long, l_linenumber long, l_partkey long,"
+        " l_quantity double, l_extendedprice double",
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: empty)
+    [r] = mod.agg_median_of_means(spark, "unused").collect()
+    assert r.k == 0 and r.mom_dollars_q6 is None
+    [r] = mod.stats_bootstrap_ci_poisson(spark, "unused").collect()
+    assert r.n_replicates == 0 and r.ci_lo is None and r.ci_hi is None

@@ -172,7 +172,7 @@ ALLOWED_INTERPOLATED_PERCENTILES = {
     ("aggregates2.py", "round((SELECT median(v) FROM pts p WHERE p.k = hit.k), 4) AS exact_p50"),
     ("aggregates2.py", 'exact = li.groupBy("k").agg(F.median("v").alias("exact"))'),
     # agg_describe: rounded q6 quartile value output on the cents lattice
-    ("analytics.py", 'F.expr("percentile(x, array(0.25, 0.50, 0.75))").alias("qs")'),
+    ("analytics.py", 'F.expr("percentile(x, array(0.25, 0.50, 0.75))").alias("qs"),'),
     # doc prose
     ("analytics.py", 'doc="weighted median (the lower weighted median: smallest x whose "'),
     ("analytics4.py", '"exact global median (rank rule on the cents lattice). The "'),

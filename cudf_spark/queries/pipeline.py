@@ -17,7 +17,7 @@ from cudf_spark.functions.hashing import hash60, hash60_sql
 from cudf_spark.functions.textfns import normalize_text, top_token_count
 from cudf_spark.operators.similarity import ann_ivf_topk
 from cudf_spark.queries.registry import register
-from cudf_spark.queries.similarity import DIM, _sql_cosine
+from cudf_spark.queries.similarity import _sql_cosine
 
 # Non-empty whitespace tokens (mirrors queries/text.py SQL_NORM/SQL_TOKS with
 # the empty-token guard applied once).
@@ -133,11 +133,18 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup3 = F.when(n < 3, F.lit(0.0)).otherwise(
             1.0 - F.size(F.array_distinct(grams)) / (n - 2).cast("double")
         )
+        # n = 0 (whitespace-only doc): ratios are NULL like the oracle's
+        # NULL-numerator/0.0 — unguarded, Spark 4 ANSI aborts EVEN double
+        # division by zero (probed: 1.0/0.0 raises DIVIDE_BY_ZERO)
         return F.struct(
             n.alias("n_words"),
-            F.round(wlen_sum / n.cast("double"), 4).alias("mean_word_len"),
+            F.when(n > 0, F.round(wlen_sum / n.cast("double"), 4)).alias(
+                "mean_word_len"
+            ),
             F.size(F.array_intersect(F.array_distinct(w), F.array(*[F.lit(s) for s in ("the", "a", "of", "to", "and")]))).alias("n_stopwords"),
-            F.round(top_cnt / n.cast("double"), 4).alias("top_word_frac"),
+            F.when(n > 0, F.round(top_cnt / n.cast("double"), 4)).alias(
+                "top_word_frac"
+            ),
             F.round(dup3, 4).alias("dup_3gram_frac"),
         )
 
@@ -511,7 +518,14 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle until the final sort.",
 )
 def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # pre-filter empty docs: Spark's sequence(1, 0, 384) raises 'Illegal
+    # sequence boundaries' (probed) where DuckDB's generate_series yields
+    # [] and drops the row — the filter reproduces the oracle's drop
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
     starts = F.sequence(F.lit(1), F.length("text"), F.lit(384))
     exploded = d.select("doc_id", "text", F.explode(starts).alias("start"))
     chunk = F.col("text").substr(F.col("start"), F.lit(512))

@@ -110,8 +110,15 @@ def emb_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "label")
         .filter(F.col("id_b") > F.col("id_a"))
-        .filter(cos >= 0.35)
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        # inline() is a Generate — a project-collapse barrier, so the
+        # interpreted 64-dim cosine fold is evaluated ONCE per pair;
+        # referencing `cos` in both the filter and the projection
+        # re-inlines it at each site (the text_quality_gopher lesson)
+        .select(
+            "id_a", "id_b", F.inline(F.array(F.struct(cos.alias("cos"))))
+        )
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
 

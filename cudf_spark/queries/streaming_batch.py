@@ -15,7 +15,13 @@ from pyspark.sql import functions as F
 from cudf_spark.catalog import load
 from cudf_spark.operators.sketches import cms_oracle_cell_sql, cms_oracle_cells_sql
 from cudf_spark.queries.registry import register
-from cudf_spark.streaming.ops import sessionized, sliding_counts, tumbling_counts
+from cudf_spark.streaming.ops import (
+    await_available_now,
+    latest_update_rows,
+    sessionized,
+    sliding_counts,
+    tumbling_counts,
+)
 
 
 @register(
@@ -269,16 +275,9 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):  # partial sink would silently mismatch
-        q.stop()
-        raise RuntimeError("in-query stream did not finish within 300s")
-    sink = spark.table(name)
-    # update mode emits one row per (user, micro-batch); the final state is
-    # the row with the highest running count per user.
-    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    await_available_now(q, "stream_stateful_totals")
     return (
-        sink.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        latest_update_rows(spark.table(name), ["user_id"], "n")
         .select("user_id", "n", F.round("total", 2).alias("total"))
         .orderBy("user_id")
     )
@@ -336,14 +335,9 @@ def stream_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):  # partial sink would silently mismatch
-        q.stop()
-        raise RuntimeError("in-query stream did not finish within 300s")
-    sink = spark.table(name)
-    w = Window.partitionBy("user_id").orderBy(F.desc("n"))
+    await_available_now(q, "stream_stateful_topk")
     return (
-        sink.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        latest_update_rows(spark.table(name), ["user_id"], "n")
         .select(
             "user_id",
             "n",
@@ -413,16 +407,7 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        # a timed-out stream would leave `parts` holding a PARTIAL batch
-        # set — the merged sketch would silently undercount; fail loudly
-        # instead (and stop the zombie query before rmtree pulls its
-        # source directory away)
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "stream_cms_heavy_hitters: availableNow stream did not "
-                "finish within 300s; partial sketch would undercount"
-            )
+        await_available_now(q, "stream_cms_heavy_hitters")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     merged = (
@@ -596,11 +581,7 @@ def stream_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "stream_curation_incremental: stream did not finish in 300s"
-            )
+        await_available_now(q, "stream_curation_incremental")
         kept = spark.read.parquet(state).select("source", "doc_id")
         # materialize before rmtree pulls the state files away
         rows = kept.groupBy("source").agg(
@@ -745,12 +726,7 @@ def stream_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "stream_late_arrival_audit: availableNow stream did not "
-                "finish within 300s; partial audit would undercount"
-            )
+        await_available_now(q, "stream_late_arrival_audit")
         if state["next"] != len(groups):
             raise RuntimeError(
                 f"stream_late_arrival_audit: processed {state['next']} of "

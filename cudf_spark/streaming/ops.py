@@ -332,3 +332,32 @@ def write_ordered_batch(df: DataFrame, path: str, seq: int) -> str:
     f = new.pop()
     os.utime(f, (t, t))
     return f
+
+def await_available_now(q, label: str, timeout: int = 300) -> None:
+    """Block until an availableNow stream finishes; STOP the query and
+    raise on timeout. A timed-out stream leaves the sink/state holding a
+    PARTIAL batch set that would silently mismatch downstream — fail
+    loudly instead, and stop the zombie query before any cleanup pulls
+    its source directory away. ONE definition for the five batch-mode
+    streaming queries that each hand-rolled this block (round-8 review).
+    """
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"{label}: availableNow stream did not finish within "
+            f"{timeout}s; partial output would silently mismatch"
+        )
+
+
+def latest_update_rows(sink: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Final state from an update-mode memory sink: update mode emits one
+    row per (key, micro-batch); keep the row with the highest
+    ``order_col`` per key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

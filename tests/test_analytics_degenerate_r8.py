@@ -211,3 +211,36 @@ def test_median_of_means_and_bootstrap_empty_input(spark, monkeypatch):
     assert r.k == 0 and r.mom_dollars_q6 is None
     [r] = mod.stats_bootstrap_ci_poisson(spark, "unused").collect()
     assert r.n_replicates == 0 and r.ci_lo is None and r.ci_hi is None
+
+
+def test_gopher_whitespace_doc_null_ratios(spark, monkeypatch):
+    """A whitespace-only doc normalizes to zero tokens; the ratio
+    divisions previously aborted under Spark 4 ANSI (which errors even
+    on DOUBLE division by zero — probed) while the oracle returned NULL
+    ratios. (pipeline/similarity/streaming directory sweep)"""
+    from cudf_spark.queries import pipeline as mod
+
+    docs = spark.createDataFrame(
+        [(1, "   \t  ", "en"), (2, "the gopher rules apply to this doc", "en")],
+        "doc_id long, text string, lang string",
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: docs)
+    rows = {r.doc_id: r for r in mod.text_quality_gopher(spark, "unused").collect()}
+    assert rows[1].n_words == 0
+    assert rows[1].mean_word_len is None and rows[1].top_word_frac is None
+    assert rows[1].gopher_pass is False  # word-count bound already fails
+
+
+def test_chunk_overlap_empty_doc_dropped(spark, monkeypatch):
+    """An empty-text doc made Spark's sequence(1, 0, 384) raise 'Illegal
+    sequence boundaries' while DuckDB's generate_series yielded [] and
+    dropped the row — the pre-filter reproduces the oracle's drop."""
+    from cudf_spark.queries import pipeline as mod
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "x" * 500)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: docs)
+    rows = mod.doc_chunk_overlap(spark, "unused").collect()
+    assert {r.doc_id for r in rows} == {2}
+    assert len(rows) == 2  # starts 1 and 385

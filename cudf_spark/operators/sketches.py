@@ -53,6 +53,11 @@ def histogram_sketch(
         raise ValueError(f"histogram_sketch: hi ({hi}) must exceed lo ({lo})")
     if n_bins < 1:
         raise ValueError(f"histogram_sketch: n_bins ({n_bins}) must be >= 1")
+    # NULL values must not sketch: floor(NULL) is NULL but Spark's
+    # greatest/least SKIP null args, so an unfiltered NULL would land in
+    # bin 0 as a phantom count (while v_min/v_max skip it) and shift
+    # every extracted quantile — same junk-row guard as bloom/cms build
+    df = df.filter(F.col(value_col).isNotNull())
     width = (hi - lo) / n_bins
     v = F.col(value_col).cast("double")
     # clamp on the LONG floor result, THEN cast: an outlier value far

@@ -184,8 +184,13 @@ def _sql_clean_stage(
     "bounded by document length.",
 )
 def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     t = _tok_arrays(load(spark, sf_dir, "documents"))
-    occ = _grams_with_pos(t, BOILER_K)
+    # occ feeds the boilerplate-count groupBy AND the coverage join —
+    # persist so the corpus-wide tokenize+gram-explode runs once (no
+    # cross-branch CSE in Catalyst; the text4 persist convention)
+    occ = _grams_with_pos(t, BOILER_K).persist(StorageLevel.MEMORY_AND_DISK)
     boiler = (
         occ.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -291,10 +296,16 @@ def fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab AS (
         SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
         FROM (SELECT unnest(w) AS tok FROM t))
+    -- SORTED fold, not avg(): the per-doc rows scatter across
+    -- partitions after the two count joins, so an unordered double fold
+    -- is engine- (and run-) order dependent; per-term ln stays the
+    -- doc_temperature_mix-class libm residual, shielded by round(6)
     SELECT bg.doc_id,
            CAST(count(*) AS INT) AS n_bigrams,
-           round(avg(ln((c2.c2 + 1) / (c1.c1 + vocab.v))), 6) AS mean_loglik,
-           round(exp(-avg(ln((c2.c2 + 1) / (c1.c1 + vocab.v)))), 6) AS ppl
+           round(list_reduce(list_sort(list(ln((c2.c2 + 1) / (c1.c1 + vocab.v)))),
+                             (x, y) -> x + y) / count(*), 6) AS mean_loglik,
+           round(exp(-(list_reduce(list_sort(list(ln((c2.c2 + 1) / (c1.c1 + vocab.v)))),
+                                   (x, y) -> x + y) / count(*))), 6) AS ppl
     FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN vocab
     GROUP BY bg.doc_id ORDER BY bg.doc_id
     """,
@@ -330,6 +341,13 @@ def text_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("tok").cast("double").alias("v"))
     )
     ll = F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v")))
+    # SORTED fold, not F.avg: per-doc rows scatter across partitions
+    # after the count joins, so an unordered double fold is engine- and
+    # run-order dependent (oracle mirrors with list_reduce(list_sort))
+    sll = F.aggregate(
+        F.array_sort(F.collect_list(ll)), F.lit(0.0), lambda a, x: a + x
+    )
+    mean = sll / F.count(F.lit(1))
     return (
         bg.join(c2, "bigram")
         .join(c1, "w1")
@@ -337,8 +355,8 @@ def text_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_bigrams"),
-            F.round(F.avg(ll), 6).alias("mean_loglik"),
-            F.round(F.exp(-F.avg(ll)), 6).alias("ppl"),
+            F.round(mean, 6).alias("mean_loglik"),
+            F.round(F.exp(-mean), 6).alias("ppl"),
         )
         .orderBy("doc_id")
     )
@@ -401,6 +419,8 @@ def text_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verbatim, and text_hash pins the exact surviving text byte-for-byte.",
 )
 def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from cudf_spark.operators.similarity import semantic_dedup
 
     d = load(spark, sf_dir, "documents")
@@ -409,7 +429,10 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # S1: cross-doc boilerplate excision over the embedded sub-corpus
     t0 = _tok_arrays(base)
-    occ5 = _grams_with_pos(t0, 5)
+    # occ5 feeds the gram-count groupBy AND the coverage join — persist
+    # (the text_remove_boilerplate convention; tokenize+explode is the
+    # corpus-scale cost here)
+    occ5 = _grams_with_pos(t0, 5).persist(StorageLevel.MEMORY_AND_DISK)
     boiler = (
         occ5.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -468,6 +491,12 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = (
         exact_kept.join(sem, "doc_id")
+        # degenerate seeded-centroid set (no keeper has doc_id % 53 ==
+        # 11): ivf_assign yields cell = NULL for every row, while the
+        # oracle's CROSS JOIN makes its assign CTE empty and returns 0
+        # rows — dropping NULL cells replays that contract exactly (and
+        # is a no-op whenever any centroid exists)
+        .filter(F.col("cell").isNotNull())
         .filter(~F.col("is_dup"))
         # S5: minimum-length quality gate on the final text
         .filter(F.col("n_tok_final") >= 10)

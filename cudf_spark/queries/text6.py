@@ -230,9 +230,16 @@ SPARSE_MIN_COS = 0.5
         SELECT tf.doc_id, tf.t, tf.tf * n.n_docs * 1.0 / dfreq.df AS w
         FROM tf JOIN dfreq USING (t) CROSS JOIN n
         WHERE dfreq.df * {SPARSE_MAX_DF} <= n.n_docs),
-    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    -- SORTED folds (the repo's float-sum discipline): dotp and nrm feed
+    -- the >= threshold, so an unordered double sum could flip a pair
+    -- within an ulp of the boundary between engines
+    nrm AS (SELECT doc_id,
+                   sqrt(list_reduce(list_sort(list(w * w)), (x, y) -> x + y))
+                       AS nrm
+            FROM w GROUP BY doc_id),
     pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dotp
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               list_reduce(list_sort(list(a.w * b.w)), (x, y) -> x + y) AS dotp
         FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
     SELECT p.id_a, p.id_b,
@@ -275,19 +282,29 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # weight table feeds three consumers (norms + both join sides):
     # materialize once, as the tfidf query does
+    from pyspark import StorageLevel
+
     w = (
         tf.join(dfreq_kept, "t")
         .select("doc_id", "t", (F.col("tf") * F.col("n_docs") / F.col("df")).alias("w"))
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    # SORTED folds: dotp/nrm feed the >= threshold, so unordered double
+    # sums could flip a boundary pair between engines (oracle mirrors
+    # with list_reduce(list_sort(...)))
+    sorted_sum = lambda c: F.aggregate(
+        F.array_sort(F.collect_list(c)), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(sorted_sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
     a = w.select(F.col("doc_id").alias("id_a"), "t", F.col("w").alias("wa"))
     b = w.select(F.col("doc_id").alias("id_b"), "t", F.col("w").alias("wb"))
     pairs = (
         a.join(b, "t")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dotp"))
+        .agg(sorted_sum(F.col("wa") * F.col("wb")).alias("dotp"))
     )
     na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
     nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))

@@ -331,6 +331,14 @@ def _decode(buf: io.BytesIO, schema, named: dict | None = None):
         cached = _UNION_POS_CACHE.get(id(schema))
         if cached is None or cached[0] is not schema:
             non_null_pos = [i for i, b in enumerate(schema) if b != "null"]
+            # bound the cache: every decoded FILE parses fresh schema
+            # objects, so on a long-lived executor reading many
+            # part-files the id()-keyed entries (strong refs, never
+            # evicted) grow without limit — reset cheaply instead;
+            # positions recompute in microseconds and the win is the
+            # per-VALUE loop within one file
+            if len(_UNION_POS_CACHE) > 1024:
+                _UNION_POS_CACHE.clear()
             _UNION_POS_CACHE[id(schema)] = (schema, non_null_pos)
         else:
             non_null_pos = cached[1]
@@ -575,6 +583,35 @@ def _decompress(block: bytes, codec: str) -> bytes:
     raise NotImplementedError(f"unsupported avro codec {codec!r}")
 
 
+def _decode_block(
+    src, codec, sync, fields, named, schema, reader_schema, named_r, out_names
+) -> list[tuple]:
+    """Decode ONE sync-delimited block from ``src`` (positioned at the
+    block's object count). Shared by the whole-file and byte-range
+    readers — the round-8 review found the ~25-line loop copy-pasted in
+    both, where a schema-resolution fix would have to land twice."""
+    n_objects = _read_long(src)
+    block = _decompress(_read_bytes(src), codec)
+    if src.read(16) != sync:
+        raise ValueError("sync marker mismatch (corrupt block)")
+    bbuf = io.BytesIO(block)
+    rows: list[tuple] = []
+    if reader_schema is None:  # common path: no dict per row
+        for _ in range(n_objects):
+            rows.append(tuple(_decode(bbuf, f["type"], named) for f in fields))
+    else:
+        for _ in range(n_objects):
+            row = _adapt(
+                {f["name"]: _decode(bbuf, f["type"], named) for f in fields},
+                schema,
+                reader_schema,
+                named,
+                named_r,
+            )
+            rows.append(tuple(row[n] for n in out_names))
+    return rows
+
+
 def _decode_file(
     content: bytes, reader_schema: dict | None = None
 ) -> tuple[list[tuple], list[str]]:
@@ -587,34 +624,23 @@ def _decode_file(
     named_r: dict = {}
     if reader_schema is not None:
         reader_schema, named_r = _prepare_schema(reader_schema)
+    out_names = (
+        [f["name"] for f in reader_schema["fields"]]
+        if reader_schema is not None
+        else None
+    )
     rows: list[tuple] = []
     while True:
         head = buf.read(1)
         if not head:
             break
         buf.seek(-1, 1)
-        n_objects = _read_long(buf)
-        block = _decompress(_read_bytes(buf), codec)
-        if buf.read(16) != sync:
-            raise ValueError("sync marker mismatch (corrupt block)")
-        bbuf = io.BytesIO(block)
-        if reader_schema is None:  # common path: no dict per row
-            for _ in range(n_objects):
-                rows.append(
-                    tuple(_decode(bbuf, f["type"], named) for f in fields)
-                )
-        else:
-            for _ in range(n_objects):
-                row = _adapt(
-                    {f["name"]: _decode(bbuf, f["type"], named) for f in fields},
-                    schema,
-                    reader_schema,
-                    named,
-                    named_r,
-                )
-                rows.append(
-                    tuple(row[f["name"]] for f in reader_schema["fields"])
-                )
+        rows.extend(
+            _decode_block(
+                buf, codec, sync, fields, named, schema, reader_schema,
+                named_r, out_names,
+            )
+        )
     out_fields = (
         reader_schema["fields"] if reader_schema is not None else fields
     )
@@ -742,29 +768,12 @@ def _decode_file_range(
             if not head:
                 break
             fh.seek(-1, 1)
-            n_objects = _read_long(fh)
-            block = _decompress(_read_bytes(fh), codec)
-            if fh.read(16) != sync:
-                raise ValueError("sync marker mismatch (corrupt block)")
-            bbuf = io.BytesIO(block)
-            if reader_schema is None:  # common path: no dict per row
-                for _ in range(n_objects):
-                    rows.append(
-                        tuple(_decode(bbuf, f["type"], named) for f in fields)
-                    )
-            else:
-                for _ in range(n_objects):
-                    row = _adapt(
-                        {
-                            f["name"]: _decode(bbuf, f["type"], named)
-                            for f in fields
-                        },
-                        schema,
-                        reader_schema,
-                        named,
-                        named_r,
-                    )
-                    rows.append(tuple(row[n] for n in names))
+            rows.extend(
+                _decode_block(
+                    fh, codec, sync, fields, named, schema, reader_schema,
+                    named_r, names,
+                )
+            )
             pos = fh.tell()
         return rows, names
 
@@ -932,11 +941,18 @@ def _encode(v, schema, named: dict | None = None) -> bytes:
         return b"" if schema == "null" else _encode_value(v, schema)
     if isinstance(schema, list):  # union: emit the branch index, then value
         if _is_null(v):
-            if "null" not in schema:
+            # pandas hands NULL floats over as NaN, so NaN maps to the
+            # null branch when one exists (the Arrow/pandas boundary
+            # cannot distinguish the two — documented in write_avro).
+            # For a union WITHOUT a null branch, NaN is a legal IEEE
+            # value: fall through to the float/double branch match
+            # instead of refusing to write.
+            if "null" in schema:
+                return _zigzag(schema.index("null"))
+            if not (isinstance(v, float) and v != v):
                 raise NotImplementedError(
                     f"null value for union {schema!r} with no null branch"
                 )
-            return _zigzag(schema.index("null"))
         branches = [i for i, b in enumerate(schema) if b != "null"]
         if len(branches) == 1:
             return _zigzag(branches[0]) + _encode(v, schema[branches[0]], named)
@@ -1109,7 +1125,20 @@ def write_avro(
     """Minimal Avro writer (spec-conformant). ``rows_per_block`` splits
     the output into multiple sync-delimited blocks (default: one block),
     which is what makes a file range-splittable for
-    :func:`read_avro_split`."""
+    :func:`read_avro_split`.
+
+    NaN policy: values arrive through pandas (``write_avro_dataframe``'s
+    ``mapInPandas``), where a float column's NULL IS NaN — so for a
+    nullable float/double union, NaN takes the null branch (the two are
+    indistinguishable at that boundary); for a non-nullable float/double,
+    NaN encodes as the IEEE value.
+    """
+    if rows_per_block is not None and rows_per_block < 1:
+        # range(0, n, -5) is empty — a header-only file would silently
+        # drop every row
+        raise ValueError(
+            f"write_avro: rows_per_block ({rows_per_block}) must be >= 1"
+        )
 
     def _compress(block: bytes) -> bytes:
         if codec == "deflate":

@@ -1161,3 +1161,39 @@ def test_sources_read_avro_schema_plus_avroschema(spark, tmp_path):
     # without the explicit schema, the reader schema's columns come back
     df2 = read(spark, str(tmp_path), "avro", avroSchema=json.dumps(reader))
     assert sorted((r.id, r.v) for r in df2.collect()) == [(9, 3)]
+
+
+def test_avro_writer_nan_and_block_guards(tmp_path):
+    """Round-8 review: (a) NaN with NO null branch must encode as the
+    IEEE double (it raised 'null value for union' pre-fix); (b) NaN
+    with a null branch takes null — the pandas-boundary convention,
+    now documented; (c) a non-positive rows_per_block must fail loudly
+    instead of silently writing a header-only file."""
+    import math
+
+    import pytest
+
+    from cudf_spark.sources.avro import _decode_file, write_avro
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "x", "type": ["long", "double"]},
+            {"name": "y", "type": ["null", "double"]},
+        ],
+    }
+    path = str(tmp_path / "nan.avro")
+    write_avro([{"x": float("nan"), "y": float("nan")}], schema, path)
+    with open(path, "rb") as fh:
+        rows, names = _decode_file(fh.read())
+    assert names == ["x", "y"]
+    [(x, y)] = rows
+    # multi-branch union reads back as the struct-of-nullables memberN
+    # row (the spark-avro mapping); the double branch carries the NaN
+    assert x["member0"] is None and math.isnan(x["member1"])
+    assert y is None  # nullable: pandas-boundary convention
+
+    with pytest.raises(ValueError, match="rows_per_block"):
+        write_avro([{"x": 1.0, "y": None}], schema, str(tmp_path / "b.avro"),
+                   rows_per_block=-5)

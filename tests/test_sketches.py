@@ -194,3 +194,18 @@ def test_bitmap_distinct_exact_merge(spark):
     assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
     n = bitmap_count(merged, []).collect()[0]["n_distinct"]
     assert n == 200
+
+
+def test_histogram_sketch_ignores_nulls(spark):
+    """A NULL value must not sketch: floor(NULL) is NULL but Spark's
+    greatest/least SKIP null args, so pre-fix a NULL landed in bin 0 as
+    a phantom count (v_min/v_max skipped it) and shifted every
+    extracted quantile (round-8 review)."""
+    from cudf_spark.operators.sketches import histogram_sketch, quantile_from_sketch
+
+    rows = [("k", float(v)) for v in range(1, 11)] + [("k", None)] * 5
+    df = spark.createDataFrame(rows, "k string, v double")
+    sk = histogram_sketch(df, ["k"], "v", lo=0.0, hi=10.0, n_bins=10)
+    assert sk.agg({"cnt": "sum"}).collect()[0][0] == 10  # nulls excluded
+    [q] = quantile_from_sketch(sk, ["k"], q=0.5).collect()
+    assert q.q_est is not None and 4.0 <= q.q_est <= 7.0

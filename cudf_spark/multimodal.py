@@ -97,6 +97,47 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 
+def _parse_fimg(b: bytes):
+    """(w, h, px uint8 ndarray) for a well-formed FIMG payload, else
+    None. ONE header validation for the image kernels (image_features,
+    image_ahash) — the round-8 review found it copy-pasted with
+    drift-prone variations."""
+    import numpy as np
+
+    if b[:4] != MAGIC or len(b) < 12:
+        return None
+    w, h = struct.unpack(">II", b[4:12])
+    px = np.frombuffer(b[12 : 12 + w * h], dtype=np.uint8)
+    if not (px.size == w * h > 0):
+        return None
+    return w, h, px
+
+
+def _parse_fvid(b: bytes):
+    """(n_frames, w, h) for a well-formed FVID payload (all frames
+    present, nonzero area), else None."""
+    if b[:4] != VIDEO_MAGIC or len(b) < 16:
+        return None
+    n, w, h = struct.unpack(">III", b[4:16])
+    if w * h == 0 or len(b) < 16 + n * w * h:
+        return None
+    return n, w, h
+
+
+def _parse_faud(b: bytes):
+    """(rate, samples int64 ndarray) for a well-formed FAUD payload
+    (nonzero rate, all samples present), else None."""
+    import numpy as np
+
+    if b[:4] != AUDIO_MAGIC or len(b) < 12:
+        return None
+    rate, n = struct.unpack(">II", b[4:12])
+    if rate == 0 or len(b) < 12 + 2 * n:
+        return None
+    return rate, np.frombuffer(b, dtype=">i2", offset=12, count=n).astype(np.int64)
+
+
+
 def image_features(assets: DataFrame, *, resize_to: tuple[int, int] = (8, 8)) -> DataFrame:
     """Decode + feature-extract + nearest-neighbour resize in ONE Arrow pass.
 
@@ -118,14 +159,12 @@ def image_features(assets: DataFrame, *, resize_to: tuple[int, int] = (8, 8)) ->
             rows = []
             for aid, data in zip(pdf["asset_id"], pdf["data"]):
                 b = bytes(data) if data is not None else b""
-                ok = b[:4] == MAGIC and len(b) >= 12
+                parsed = _parse_fimg(b)
+                ok = parsed is not None
                 w = h = 0
                 mean_px = rmean = 0.0
                 if ok:
-                    w, h = struct.unpack(">II", b[4:12])
-                    px = np.frombuffer(b[12 : 12 + w * h], dtype=np.uint8)
-                    ok = px.size == w * h > 0
-                if ok:
+                    w, h, px = parsed
                     arr = px.reshape(h, w)
                     mean_px = int(px.sum(dtype=np.int64)) / float(w * h)
                     resized = arr[(np.arange(rh) * h) // rh][:, (np.arange(rw) * w) // rw]
@@ -164,7 +203,17 @@ def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:
     The Arrow batch shape, frame indexing, and per-frame reduction are the
     real pipeline; ffmpeg would replace the ``frombuffer`` slice. Frame means
     are exact-int sums / IEEE double divide — SQL-oracle reproducible.
+
+    Malformed/truncated payloads yield ZERO frame rows (there is no
+    per-frame place for a valid flag) — run :func:`decode_video_meta`
+    first when corrupt-asset VISIBILITY matters; this operator's
+    contract is frames-of-decodable-assets only.
     """
+    if every_n < 1:
+        # range(0, n, 0) raises INSIDE the Arrow worker (a task failure,
+        # the exact mode this module exists to avoid); negatives would
+        # silently emit nothing — validate driver-side like band_size
+        raise ValueError(f"frame_sample: every_n ({every_n}) must be >= 1")
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
@@ -174,12 +223,11 @@ def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:
             rows = []
             for aid, data in zip(pdf["asset_id"], pdf["data"]):
                 b = bytes(data) if data is not None else b""
-                if b[:4] != VIDEO_MAGIC or len(b) < 16:
+                parsed = _parse_fvid(b)
+                if parsed is None:
                     continue
-                n, w, h = struct.unpack(">III", b[4:16])
+                n, w, h = parsed
                 fsize = w * h
-                if fsize == 0 or len(b) < 16 + n * fsize:
-                    continue
                 for k in range(0, n, every_n):
                     px = np.frombuffer(b[16 + k * fsize : 16 + (k + 1) * fsize], dtype=np.uint8)
                     rows.append((aid, k, w, h, int(px.sum(dtype=np.int64)) / float(fsize)))
@@ -235,12 +283,10 @@ def image_ahash(assets: DataFrame) -> DataFrame:
             rows = []
             for aid, data in zip(pdf["asset_id"], pdf["data"]):
                 b = bytes(data) if data is not None else b""
-                ok = b[:4] == MAGIC and len(b) >= 12
-                w = h = 0
+                parsed = _parse_fimg(b)
+                ok = parsed is not None and parsed[0] >= 8 and parsed[1] >= 8
                 if ok:
-                    w, h = struct.unpack(">II", b[4:12])
-                    px = np.frombuffer(b[12 : 12 + w * h], dtype=np.uint8)
-                    ok = px.size == w * h > 0 and w >= 8 and h >= 8
+                    w, h, px = parsed
                 if not ok:
                     rows.append((aid, 0, "0" * 16, 0, 0, 0, 0, False))
                     continue
@@ -303,16 +349,14 @@ def audio_features(assets: DataFrame) -> DataFrame:
             rows = []
             for aid, data in zip(pdf["asset_id"], pdf["data"]):
                 b = bytes(data) if data is not None else b""
-                if b[:4] != AUDIO_MAGIC or len(b) < 12:
-                    rows.append((aid, None, None, None, None, None, None, False))
-                    continue
-                rate, n = struct.unpack(">II", b[4:12])
                 # header values are untrusted: a short payload or zero rate
                 # degrades to an invalid row, never a task failure
-                if rate == 0 or len(b) < 12 + 2 * n:
+                parsed = _parse_faud(b)
+                if parsed is None:
                     rows.append((aid, None, None, None, None, None, None, False))
                     continue
-                x = np.frombuffer(b, dtype=">i2", offset=12, count=n).astype(np.int64)
+                rate, x = parsed
+                n = x.size
                 peak = int(np.abs(x).max()) if n else 0
                 energy = int((x * x).sum())
                 # full-precision double; callers round at the query layer
@@ -348,7 +392,14 @@ def audio_frame_energies(assets: DataFrame, *, frame: int = 10) -> DataFrame:
     Same codec seam as :func:`audio_features` (the ``frombuffer`` line is
     the real-decoder drop-in point); the frame aggregation itself is
     exact integer arithmetic, so the VAD thresholding downstream stays
-    engine-exact."""
+    engine-exact.
+
+    Malformed/truncated payloads yield ZERO frame rows (no per-frame
+    place for a valid flag) — run :func:`decode_audio_meta` first when
+    corrupt-asset visibility matters.
+    """
+    if frame < 1:
+        raise ValueError(f"audio_frame_energies: frame ({frame}) must be >= 1")
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
@@ -358,15 +409,11 @@ def audio_frame_energies(assets: DataFrame, *, frame: int = 10) -> DataFrame:
             aids, fids, energies = [], [], []
             for aid, data in zip(pdf["asset_id"], pdf["data"]):
                 b = bytes(data) if data is not None else b""
-                if b[:4] != AUDIO_MAGIC or len(b) < 12:
+                parsed = _parse_faud(b)
+                if parsed is None:
                     continue
-                rate, n = struct.unpack(">II", b[4:12])
-                if rate == 0 or len(b) < 12 + 2 * n:
-                    continue
-                s = np.frombuffer(b, dtype=">i2", offset=12, count=n).astype(
-                    np.int64
-                )
-                nf = n // frame
+                _, s = parsed
+                nf = s.size // frame
                 if nf == 0:
                     continue
                 e = (s[: nf * frame] ** 2).reshape(nf, frame).sum(axis=1)

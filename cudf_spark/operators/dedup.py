@@ -39,10 +39,19 @@ def minhash_seeds(n: int) -> list[tuple[int, int]]:
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Exact duplicate groups on normalized text: digest -> (size, canonical id)."""
+    """Exact duplicate groups on normalized text: digest -> (size, canonical id).
+
+    NULL-text rows are EXCLUDED: md5(NULL) is NULL and groupBy treats
+    NULL digests as equal, so a corpus of failed extractions would
+    collapse into ONE group and a keep-canonical consumer would delete
+    every text-less doc but one — a missing document must stay
+    distinguishable from a duplicate one (the word_shingles null
+    philosophy).
+    """
     digest = F.md5(normalize_text(F.col(text_col)))
     return (
-        df.select(F.col(id_col), digest.alias("digest"))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), digest.alias("digest"))
         .groupBy("digest")
         .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("canonical_id"))
     )

@@ -42,10 +42,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
+def _require_one_row_query(query: DataFrame, what: str) -> None:
+    """Single-query operators silently interleave rankings against
+    DIFFERENT query vectors when handed a multi-row frame (duplicate
+    corpus ids, no query attribution) — the same precondition
+    pq_adc_topk always guarded; use cosine_topk_batch for query sets."""
+    if query.limit(2).count() != 1:
+        raise ValueError(
+            f"{what}: query must be exactly one row — use "
+            "cosine_topk_batch-style fan-out for multi-query scoring"
+        )
+
+
 def cosine_topk(
     corpus: DataFrame, query: DataFrame, *, vec_col: str = "embedding", id_col: str = "vec_id", k: int = 10
 ) -> DataFrame:
     """Exact top-k by cosine against a one-row query DataFrame (broadcast)."""
+    _require_one_row_query(query, "cosine_topk")
     q = F.broadcast(query.select(F.col(vec_col).alias("__qv")))
     sim = F.round(cosine(F.col(vec_col), F.col("__qv")), 6)
     return (
@@ -184,6 +197,7 @@ def ann_ivf_topk(
     then semi-join the corpus on the probed cell ids. A 100 TB corpus
     partitioned by ``cell`` scans nprobe/K of its data per query.
     """
+    _require_one_row_query(query, "ann_ivf_topk")
     cells = ivf_assign(corpus, centroids, vec_col=vec_col)
     q = F.broadcast(query.select(F.col(vec_col).alias("__qv")))
     probe = (
@@ -214,6 +228,7 @@ def ann_lsh_topk(
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within the query's LSH bucket only."""
+    _require_one_row_query(query, "ann_lsh_topk")
     bucketed = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), n_planes=n_planes, dim=dim))
     q = F.broadcast(
         query.select(
@@ -286,13 +301,28 @@ def semantic_dedup(
         cells = cells.withColumn("__celln", n).filter(
             F.col("__celln") <= max_cell_size
         ).drop("__celln")
-    cells = cells.localCheckpoint(eager=False)
-    a = cells.select(F.col(id_col).alias("__id_a"), F.col("cell").alias("__cell_a"), F.col(vec_col).alias("__va"))
-    b = cells.select(F.col(id_col).alias("__id_b"), F.col("cell").alias("__cell_b"), F.col(vec_col).alias("__vb"))
+    # precompute each row's norm ONCE before the pair join (the
+    # ivf_assign let-binding trick): inlining cosine() in the join
+    # condition re-ran BOTH norm folds per candidate pair — ~3x the
+    # necessary O(d) work at tau-scale cell sizes
+    cells = cells.withColumn(
+        "__nrm", norm(_dvec(F.col(vec_col)))
+    ).localCheckpoint(eager=False)
+    a = cells.select(
+        F.col(id_col).alias("__id_a"), F.col("cell").alias("__cell_a"),
+        F.col(vec_col).alias("__va"), F.col("__nrm").alias("__na"),
+    )
+    b = cells.select(
+        F.col(id_col).alias("__id_b"), F.col("cell").alias("__cell_b"),
+        F.col(vec_col).alias("__vb"), F.col("__nrm").alias("__nb"),
+    )
+    pair_cos = dot(_dvec(F.col("__va")), _dvec(F.col("__vb"))) / F.nullif(
+        F.col("__na") * F.col("__nb"), F.lit(0.0)
+    )
     cond = (
         (F.col("__cell_a") == F.col("__cell_b"))
         & (F.col("__id_b") < F.col("__id_a"))
-        & (cosine(F.col("__va"), F.col("__vb")) >= tau)
+        & (pair_cos >= tau)
     )
     return (
         a.join(b, cond, "left")
@@ -344,10 +374,13 @@ def train_ivf_centroids(
     )
     # key 0..k-1 deterministically on the driver (k rows)
     cents_rows = init.collect()
-    centroids = sess.createDataFrame(
-        [(i, list(r["cvec"])) for i, r in enumerate(cents_rows)],
-        "cid int, cvec array<double>",
-    )
+    # hold the centroid list driver-side across rounds: re-collect()ing
+    # the DataFrame we just built from this list cost one redundant
+    # Spark job per Lloyd round (round-8 review)
+    cent_list: list[tuple[int, list]] = [
+        (i, list(r["cvec"])) for i, r in enumerate(cents_rows)
+    ]
+    centroids = sess.createDataFrame(cent_list, "cid int, cvec array<double>")
     for _ in range(iters):
         assigned = ivf_assign(corpus, centroids, vec_col=vec_col)
         dims = assigned.select(
@@ -368,11 +401,10 @@ def train_ivf_centroids(
             )
         )
         new_rows = {r["cid"]: r["cvec"] for r in means.collect()}
-        old_rows = {r["cid"]: r["cvec"] for r in centroids.collect()}
-        centroids = sess.createDataFrame(
-            [(cid, list(new_rows.get(cid, old_rows[cid]))) for cid in old_rows],
-            "cid int, cvec array<double>",
-        )
+        cent_list = [
+            (cid, list(new_rows.get(cid, cvec))) for cid, cvec in cent_list
+        ]
+        centroids = sess.createDataFrame(cent_list, "cid int, cvec array<double>")
     return centroids
 
 
@@ -515,8 +547,15 @@ def pq_adc_topk(
     codes = pq_encode(
         corpus, cb, n_subs=n_subs, sub_dim=sub_dim, vec_col=vec_col, id_col=id_col
     )
+    # the query's id is never used downstream — synthesize one instead
+    # of requiring the caller's one-row vector frame to carry id_col
+    # (the vector-only query shape cosine_topk/ann_*_topk accept)
     qsubs = _pq_subvectors(
-        query, n_subs=n_subs, sub_dim=sub_dim, vec_col=vec_col, id_col=id_col
+        query.select(F.lit(0).alias("__qid"), F.col(vec_col)),
+        n_subs=n_subs,
+        sub_dim=sub_dim,
+        vec_col=vec_col,
+        id_col="__qid",
     )
     dq = qsubs.join(F.broadcast(cb), "m").select(
         "m", "c", l2sq(F.col("sub"), F.col("cent")).alias("qd")

@@ -17,6 +17,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# Python str.split()'s whitespace set as an EXPLICIT character class —
+# valid in BOTH Java regex (bpe_train's JVM-side split) and RE2 (the
+# DuckDB replay oracles, re-exported as queries.text2._WS_RE2).
+# tests/test_text2.py proves membership equals Python's str.isspace
+# exhaustively over the BMP + astral planes; keeping ONE definition is
+# what guarantees train-time and apply-time word boundaries agree.
+WS_CLASS = (
+    "[\\t-\\r \\x1c-\\x1f\\x{85}\\x{a0}\\x{1680}\\x{2000}-\\x{200a}"
+    "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+"
+)
+
+
 def _fold(t: str | None) -> str:
     """The tokenizer family's shared case-fold: capital Σ normalizes to
     medial σ BEFORE lower() — Python's Final_Sigma context rule (word-
@@ -248,10 +260,19 @@ def bpe_train(
     Stops early when no pair reaches ``min_freq``.
     """
     spark = docs.sparkSession
+    # normalization MUST equal the apply path's _fold + str.split():
+    # (a) fold capital sigma BEFORE lower, else JVM Final_Sigma yields
+    # word-final 'ς' where _fold yields 'σ' and learned merges never
+    # fire at apply time (probed live: F.lower('ΑΣ') -> 'ας');
+    # (b) split on WS_CLASS, not Java \s (ASCII-only — an NBSP-joined
+    # pair would train as one word but apply as two)
     words = (
         docs.select(
             F.explode(
-                F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+                F.split(
+                    F.lower(F.regexp_replace(F.col(text_col), "Σ", "σ")),
+                    WS_CLASS,
+                )
             ).alias("w")
         )
         .filter(F.col("w") != "")

@@ -102,10 +102,10 @@ _assert_merges_wellformed(BPE_MERGES)
 # Includes \\x1c-\\x1f, so the BPE oracle's \\x1f state separator can
 # never occur inside a word. The Spark side needs NO pre-clean: the
 # UDFs split with str.split() natively.
-_WS_RE2 = (
-    "[\\t-\\r \\x1c-\\x1f\\x{85}\\x{a0}\\x{1680}\\x{2000}-\\x{200a}"
-    "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}]+"
-)
+# the ONE whitespace class definition lives beside the tokenizers (it
+# must equal their train/apply word rule); re-exported here for the
+# DuckDB replay oracles
+from cudf_spark.operators.tokenizers import WS_CLASS as _WS_RE2  # noqa: E402
 
 # Case-fold parity: DuckDB lower() applies the SIMPLE (1:1) Unicode
 # mapping while Python str.lower() applies the FULL mapping with its one

@@ -602,3 +602,53 @@ def test_asof_join_rejects_left_row_column(spark):
     [r] = asof_join(left_ok, right_row, on="user_id", left_ts="ts",
                     right_ts="ts", right_values=["value"]).collect()
     assert r.asof_value == 3.0
+
+
+def test_bpe_train_matches_apply_normalization(spark):
+    """bpe_train normalized with JVM lower + ASCII \\s while the apply
+    UDFs use _fold + Python str.split — verified live: F.lower('ΑΣ')
+    applies Final_Sigma ('ας'), so a learned ('α','ς') merge never
+    fired on _fold's 'ασ'. Same for NBSP word boundaries. Train and
+    apply must see identical words (round-8 operator sweep)."""
+    from cudf_spark.operators.tokenizers import _fold, bpe_train
+
+    docs = spark.createDataFrame(
+        [("ΑΣ ΑΣ ΑΣ ΑΣ",), ("fast slow fast slow",)], "text string"
+    )
+    merges = bpe_train(docs, "text", n_merges=6, min_freq=2)
+    pairs = {(l, r) for l, r, _ in merges}
+    # the sigma merge must be the APPLY-side form (α, σ), never (α, ς)
+    assert ("α", "σ") in pairs and ("α", "ς") not in pairs
+    # NBSP must split words at TRAIN time exactly like str.split does:
+    # 'fast' and 'slow' are separate words, so no cross-boundary merge
+    # (e.g. ('t', 's') from 'fast slow' fused) can be learned
+    apply_words = {
+        w for (t,) in docs.collect() for w in _fold(t).split()
+    }
+    assert apply_words == {"ασ", "fast", "slow"}
+    assert ("t", "s") not in pairs
+
+
+def test_similarity_query_guards_and_null_dedup(spark):
+    """Round-8 operator sweep: single-query ANN operators must reject
+    multi-row queries loudly (silent interleaved garbage before), and
+    exact dedup must not collapse NULL-text docs into one group."""
+    import pytest
+
+    from cudf_spark.operators.dedup import exact_dedup_groups
+    from cudf_spark.operators.similarity import cosine_topk
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="exactly one row"):
+        cosine_topk(e, e.limit(2), k=2)
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "id long, text string",
+    )
+    groups = exact_dedup_groups(docs, "id", "text").collect()
+    assert len(groups) == 1  # only the real duplicate pair groups
+    assert groups[0].n_dups == 2 and groups[0].canonical_id == 3

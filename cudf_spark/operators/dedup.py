@@ -20,6 +20,7 @@ speed when cross-engine determinism isn't required.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -153,7 +154,9 @@ def lsh_candidate_pairs(
         bands = bands.withColumn("__bucket_n", F.count("*").over(w)).filter(
             F.col("__bucket_n") <= max_bucket_size
         ).drop("__bucket_n")
-    bands = bands.localCheckpoint(eager=False)
+    # reused as BOTH sides of the candidate self-join; persist (not
+    # localCheckpoint) keeps lineage for executor-loss recompute (ADVICE r07)
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     left = bands.select(F.col("bid").alias("id_a"), "band", "band_key")
     right = bands.select(F.col("bid").alias("id_b"), "band", "band_key")
     return (

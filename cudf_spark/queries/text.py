@@ -9,6 +9,7 @@ hash-match here validates the *algorithm*, not just plumbing.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -178,17 +179,21 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.3 * (n_stop / n_tok)
         + 0.2 * F.least(tok_chars / n_tok / 8.0, F.lit(1.0))
     )
+    # n_tok == 0 (whitespace-only doc): ANSI mode aborts the /n_tok
+    # divisions while the oracle's x/0 is NULL in DuckDB — guard to the
+    # oracle's NULL ratios (the text_quality_gopher contract).
+    n_ok = n_tok > 0
     return (
         d.select(
             "doc_id",
             n_tok.alias("n_tok"),
-            F.round(tok_chars / n_tok, 4).alias("avg_tok_len"),
-            F.round(n_stop / n_tok, 6).alias("stop_ratio"),
+            F.when(n_ok, F.round(tok_chars / n_tok, 4)).alias("avg_tok_len"),
+            F.when(n_ok, F.round(n_stop / n_tok, 6)).alias("stop_ratio"),
             # floor-quantized: F.round is HALF_UP on the decimal repr while
             # DuckDB rounds the binary double half-to-even — exact .5
             # boundaries (which this rational-valued composite does hit)
             # would diverge; floor of the identical double cannot.
-            F.floor(quality * 10000).cast("long").alias("quality_q4"),
+            F.when(n_ok, F.floor(quality * 10000).cast("long")).alias("quality_q4"),
         )
         .orderBy("doc_id")
     )
@@ -436,10 +441,16 @@ def text_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.substring(normalize_text(F.col("text")), 1, 20)
 
     def grams(bound_s):
-        return F.transform(
+        # length < 3 guard: Spark's sequence(1, 0) DESCENDS and would
+        # fabricate grams where DuckDB's generate_series is empty. The
+        # short branch is NULL (not []): DuckDB's array_to_string([], '|')
+        # returns NULL where Spark's array_join([]) is '' — probed. NULL
+        # text also lands here (length(NULL) >= 3 is NULL -> no match).
+        windows = F.transform(
             F.sequence(F.lit(1), F.length(bound_s) - 2),
             lambda i: F.substring(bound_s, i, 3),
         )
+        return F.when(F.length(bound_s) >= 3, windows)
 
     # bind s once (CSE trap — see word_shingles)
     char3 = F.element_at(F.transform(F.array(s), grams), 1)
@@ -574,7 +585,9 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", normalize_text(F.col("text")).alias("text")
     )
-    sig = minhash_signature(d, "doc_id", "text").localCheckpoint(eager=False)
+    sig = minhash_signature(d, "doc_id", "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # reused x3; persist keeps lineage for executor-loss recompute (ADVICE r07)
     cands = lsh_candidate_pairs(sig, "doc_id")
     sa = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(8)])
     sb = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(8)])

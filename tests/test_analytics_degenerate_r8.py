@@ -244,3 +244,46 @@ def test_chunk_overlap_empty_doc_dropped(spark, monkeypatch):
     rows = mod.doc_chunk_overlap(spark, "unused").collect()
     assert {r.doc_id for r in rows} == {2}
     assert len(rows) == 2  # starts 1 and 385
+
+
+def test_quality_score_whitespace_doc_null_ratios(spark, monkeypatch):
+    """text_quality_score: a zero-token doc previously aborted the
+    /n_tok divisions under ANSI while the oracle's x/0 is NULL in
+    DuckDB; a NULL text must flow NULL through every column. Expected
+    values pinned from a live DuckDB run of the registered oracle.
+    (text/text2/relational directory sweep)"""
+    from cudf_spark.queries import text as mod
+
+    docs = spark.createDataFrame(
+        [(1, "   \t  "), (2, "ab"), (3, "the cat sat on the mat"), (4, None)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: docs)
+    rows = {r.doc_id: r for r in mod.text_quality_score(spark, "unused").collect()}
+    assert rows[1].n_tok == 0
+    assert rows[1].avg_tok_len is None and rows[1].stop_ratio is None
+    assert rows[1].quality_q4 is None
+    assert (rows[2].n_tok, rows[2].avg_tok_len, rows[2].stop_ratio,
+            rows[2].quality_q4) == (1, 2.0, 0.0, 600)
+    assert (rows[3].n_tok, rows[3].quality_q4) == (6, 1808)
+    assert rows[4].n_tok is None and rows[4].quality_q4 is None
+
+
+def test_char_ngrams_short_doc_null_not_fabricated(spark, monkeypatch):
+    """text_char_ngrams: a doc whose normalized text is shorter than 3
+    chars made Spark's sequence(1, length-2) DESCEND and fabricate
+    grams; DuckDB's generate_series is empty there and its
+    array_to_string([], '|') is NULL (probed) — the guard must produce
+    NULL char3, never '' or junk. (text/text2/relational sweep)"""
+    from cudf_spark.queries import text as mod
+
+    docs = spark.createDataFrame(
+        [(1, "  "), (2, "ab"), (3, "the cat sat on the mat"), (4, None)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(mod, "load", lambda s, d, n: docs)
+    rows = {r.doc_id: r for r in mod.text_char_ngrams(spark, "unused").collect()}
+    assert rows[1].char3 is None and rows[1].n_chars == 0
+    assert rows[2].char3 is None and rows[2].n_chars == 2
+    assert rows[3].char3.startswith("the|he |e c|") and rows[3].n_chars == 20
+    assert rows[4].char3 is None and rows[4].n_chars is None

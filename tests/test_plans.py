@@ -14,6 +14,18 @@ from cudf_spark.queries import REGISTRY
 from tests.conftest import SF_DIR
 
 
+@pytest.fixture(autouse=True)
+def _clean_cache(spark):
+    # plan-shape assertions model the clean per-job plan: drop any cache
+    # entries earlier tests registered (persist() puts a query's reuse
+    # tables in the session-wide CacheManager), or Spark substitutes
+    # their — possibly AQE-materialized — subtrees into this build and
+    # the asserted shape becomes test-order-dependent. optimizedPlan/
+    # executedPlan both sit AFTER the withCachedData substitution.
+    spark.catalog.clearCache()
+    yield
+
+
 def plan_of(spark, name: str) -> str:
     df = REGISTRY[name].build(spark, SF_DIR)
     return df._jdf.queryExecution().executedPlan().toString()

@@ -127,6 +127,14 @@ KNOWN_BOUNDED = {
 def test_every_registry_query_passes_scale_audit(spark):
     flagged = {}
     for name, q in REGISTRY.items():
+        # Audit the clean per-job plan: persisted tables from EARLIER
+        # tests in this shared session register in the CacheManager, and
+        # Spark substitutes their AQE-materialized cached plans into any
+        # later build sharing the subtree — the audit would then see
+        # opaque ShuffleQueryStage consumers instead of the real
+        # aggregate/limit and report false single-partition funnels
+        # (reproduced after test_oracle_parity's collects).
+        spark.catalog.clearCache()
         findings = scale_audit(q.build(spark, SF_DIR))
         if findings and name not in KNOWN_BOUNDED:
             flagged[name] = findings

@@ -20,7 +20,6 @@ speed when cross-engine determinism isn't required.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -123,6 +122,15 @@ def lsh_candidate_pairs(
     lazily-returned DataFrame) is a certain failure in notebook sessions,
     while executor loss mid-query is a retryable one.
 
+    Measured (round 8, sf0.1, min-of-2 after warm-up): switching these
+    reuse materializations to ``persist(MEMORY_AND_DISK)`` cost
+    text_tfidf_topk 0.81 -> 1.80 s and dedup_minhash_lsh 0.69 -> 1.19 s
+    (basket 15.4 -> 20.0 s) — the InMemoryRelation columnar CachedBatch
+    build + read is 2-4x the price of raw checkpoint blocks on write-
+    once-read-twice intermediates, and the CacheManager entry also leaks
+    plan-substitution into every later query of the session. Reverted
+    with this note; the numbers are the answer to "why not persist".
+
     ``max_bucket_size`` guards adversarial corpora: a bucket holding m docs
     emits m² pairs, so one hot band key (mass-duplicated boilerplate) can
     go quadratic. Buckets above the cap are dropped — standard practice in
@@ -154,9 +162,9 @@ def lsh_candidate_pairs(
         bands = bands.withColumn("__bucket_n", F.count("*").over(w)).filter(
             F.col("__bucket_n") <= max_bucket_size
         ).drop("__bucket_n")
-    # reused as BOTH sides of the candidate self-join; persist (not
-    # localCheckpoint) keeps lineage for executor-loss recompute (ADVICE r07)
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    # reused as BOTH sides of the candidate self-join (docstring above
+    # has the checkpoint-vs-persist tradeoff + round-8 measurement)
+    bands = bands.localCheckpoint(eager=False)
     left = bands.select(F.col("bid").alias("id_a"), "band", "band_key")
     right = bands.select(F.col("bid").alias("id_b"), "band", "band_key")
     return (

@@ -16,7 +16,6 @@ list_transform + list_sum).
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -308,7 +307,7 @@ def semantic_dedup(
     # necessary O(d) work at tau-scale cell sizes
     cells = cells.withColumn(
         "__nrm", norm(_dvec(F.col(vec_col)))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     a = cells.select(
         F.col(id_col).alias("__id_a"), F.col("cell").alias("__cell_a"),
         F.col(vec_col).alias("__va"), F.col("__nrm").alias("__na"),

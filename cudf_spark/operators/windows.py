@@ -341,13 +341,13 @@ def cumsum_two_level(
     current key), independent of physical row order. Callers cumsumming
     a value histogram (distinct keys) see the classic running sum.
     """
-    from pyspark import StorageLevel
-
+    
     # three consumers read df (the splitter collect below, then the
     # keyed-window branch AND the bucket-totals branch of the returned
-    # plan — Catalyst has no cross-branch CSE): persist so the upstream
-    # pipeline computes once, lineage kept for executor-loss recompute
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    # plan — Catalyst has no cross-branch CSE): checkpoint so the
+    # upstream pipeline computes once (localCheckpoint over persist —
+    # measured round 8, operators/dedup.py tradeoff note)
+    df = df.localCheckpoint(eager=False)
     probs = [i / num_buckets for i in range(1, num_buckets)]
     row = df.agg(
         F.percentile_approx(order_col, probs, accuracy).alias("s")

@@ -22,7 +22,6 @@ unbounded groups where even the sort is unwanted, the approx path is
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -211,7 +210,7 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches would each re-evaluate the scan (no cross-branch CSE).
     sk_all = histogram_sketch(
         li, ["run", "k"], "v", lo=_LO, hi=_HI, n_bins=_BINS
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     run_a = sk_all.filter(F.col("run") == 0).drop("run")
     run_b = sk_all.filter(F.col("run") == 1).drop("run")
     merged = merge_sketches([run_a, run_b], ["k"])
@@ -452,9 +451,7 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     tok = d.select(F.explode(tokenize(normalize_text(F.col("text")))).alias("t"))
-    tok = tok.persist(
-        StorageLevel.MEMORY_AND_DISK
-    )  # feeds both the sketch and the exact counts; lineage kept (ADVICE r07)
+    tok = tok.localCheckpoint(eager=False)  # feeds both the sketch and the exact counts
     cms = cms_build(tok, [], "t")
     top = (
         tok.groupBy("t")

@@ -12,7 +12,6 @@ exact on both engines, no interval-type stringification parity needed.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -272,7 +271,7 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     s2 = (
         ev.filter(F.col("event_type") == "click")
@@ -280,7 +279,7 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
@@ -456,7 +455,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(F.min("ts").alias("first_ts"))
         .select("user_id", wk(F.col("first_ts")).alias("cohort_wk"))
-        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds sizes AND the cells join
+        .localCheckpoint(eager=False)  # feeds sizes AND the cells join
     )
     activity = ev.select("user_id", wk(F.col("ts")).alias("wk")).distinct()
     sizes = cohort.groupBy("cohort_wk").agg(

@@ -9,7 +9,6 @@ hash-match here validates the *algorithm*, not just plumbing.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -585,9 +584,9 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", normalize_text(F.col("text")).alias("text")
     )
-    sig = minhash_signature(d, "doc_id", "text").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )  # reused x3; persist keeps lineage for executor-loss recompute (ADVICE r07)
+    sig = minhash_signature(d, "doc_id", "text").localCheckpoint(
+        eager=False
+    )  # reused x3 (bands + both signature join sides)
     cands = lsh_candidate_pairs(sig, "doc_id")
     sa = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(8)])
     sb = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(8)])

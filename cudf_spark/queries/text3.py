@@ -18,7 +18,6 @@ both engines.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -80,12 +79,13 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # materialize: both the eval_grams branch and the hits branch consume
     # this subtree, and Catalyst has no cross-branch CSE — without the
-    # persist the corpus-wide normalize+shingle+explode runs twice
-    # (persist, not localCheckpoint: keeps lineage for executor-loss
-    # recompute and spills to disk instead of pinning — ADVICE r07)
+    # checkpoint the corpus-wide normalize+shingle+explode runs twice
+    # (localCheckpoint, not persist — measured round 8: the InMemoryRelation
+    # columnar-cache build costs 2-4x on these hot intermediates; see
+    # operators/dedup.py:lsh_candidate_pairs for the full tradeoff)
     grams = d.select(
         "doc_id", F.explode(word_shingles(normalize_text(F.col("text")), k=5)).alias("g")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     eval_grams = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
     hits = (
         grams.filter(F.col("doc_id") % 10 != 0)
@@ -213,7 +213,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         tok.groupBy("doc_id", "t")
         .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     df_ = tf.groupBy("t").agg(F.count("*").alias("df"))
     score = F.col("tf") * F.col("n_docs") / F.col("df")

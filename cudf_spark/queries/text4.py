@@ -25,7 +25,6 @@ reduction order differs across engines (last-ULP drift only).
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -85,13 +84,13 @@ def bm25_scored(docs: DataFrame) -> DataFrame:
     query-term set — the Spark mirror of :data:`SQL_BM25_CTES`."""
     # Catalyst has no cross-branch CSE: without materialization the
     # corpus-wide tokenize+explode subtree runs ~4x (dl join, avgdl,
-    # dfreq, tf) — same fix as text_tfidf_topk's persist (lineage-keeping
-    # MEMORY_AND_DISK, not localCheckpoint — ADVICE r07)
-    toks = _tokens(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # dfreq, tf) — same fix as text_tfidf_topk's checkpoint (localCheckpoint,
+    # not persist: measured round 8, operators/dedup.py tradeoff note)
+    toks = _tokens(docs).localCheckpoint(eager=False)
     q = F.lit(list(BM25_QUERY_TERMS))
     dl = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("dl")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     qtoks = toks.filter(F.array_contains(q, F.col("token")))
     dfreq = qtoks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     tf = qtoks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -299,11 +298,11 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     # materialize: toks feeds freq AND the scoring join (and freq feeds
-    # tot) — without the persists the corpus explode runs ~3x
-    toks = _tokens(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # tot) — without the checkpoints the corpus explode runs ~3x
+    toks = _tokens(docs).localCheckpoint(eager=False)
     freq = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("f")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     tot = freq.agg(F.sum("f").cast("double").alias("n"))
     return (
         toks.join(freq, "token")

@@ -184,13 +184,12 @@ def _sql_clean_stage(
     "bounded by document length.",
 )
 def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
+    
     t = _tok_arrays(load(spark, sf_dir, "documents"))
     # occ feeds the boilerplate-count groupBy AND the coverage join —
-    # persist so the corpus-wide tokenize+gram-explode runs once (no
-    # cross-branch CSE in Catalyst; the text4 persist convention)
-    occ = _grams_with_pos(t, BOILER_K).persist(StorageLevel.MEMORY_AND_DISK)
+    # checkpoint so the corpus-wide tokenize+gram-explode runs once (no
+    # cross-branch CSE in Catalyst; the text4 convention)
+    occ = _grams_with_pos(t, BOILER_K).localCheckpoint(eager=False)
     boiler = (
         occ.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -419,8 +418,7 @@ def text_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verbatim, and text_hash pins the exact surviving text byte-for-byte.",
 )
 def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
+    
     from cudf_spark.operators.similarity import semantic_dedup
 
     d = load(spark, sf_dir, "documents")
@@ -429,10 +427,10 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # S1: cross-doc boilerplate excision over the embedded sub-corpus
     t0 = _tok_arrays(base)
-    # occ5 feeds the gram-count groupBy AND the coverage join — persist
+    # occ5 feeds the gram-count groupBy AND the coverage join — checkpoint
     # (the text_remove_boilerplate convention; tokenize+explode is the
     # corpus-scale cost here)
-    occ5 = _grams_with_pos(t0, 5).persist(StorageLevel.MEMORY_AND_DISK)
+    occ5 = _grams_with_pos(t0, 5).localCheckpoint(eager=False)
     boiler = (
         occ5.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -23,7 +23,6 @@ reference leaves to callers.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -286,7 +285,7 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         tf.join(dfreq_kept, "t")
         .select("doc_id", "t", (F.col("tf") * F.col("n_docs") / F.col("df")).alias("w"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     # SORTED folds: dotp/nrm feed the >= threshold, so unordered double
     # sums could flip a boundary pair between engines (oracle mirrors
@@ -341,9 +340,9 @@ def _containment_pairs(sh: DataFrame, n_docs: DataFrame) -> DataFrame:
         .filter(F.col("df") * CONT_MAX_DF <= F.col("n_docs"))
         .select("g")
     )
-    kept = sh.join(kept_g, "g").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )  # feeds sizes + both join sides; lineage kept (ADVICE r07)
+    kept = sh.join(kept_g, "g").localCheckpoint(
+        eager=False
+    )  # feeds sizes + both join sides
     sz = kept.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
     a = kept.select(F.col("doc_id").alias("id_a"), "g")
     b = kept.select(F.col("doc_id").alias("id_b"), "g")
@@ -540,7 +539,7 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = gated.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     # one shingle table feeds BOTH the containment stage and the novelty
     # stage — checkpoint so the tokenizer runs once
-    sh = _doc_shingles(gated).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _doc_shingles(gated).localCheckpoint(eager=False)
     pairs = _containment_pairs(sh, n_docs)
     loser = (
         F.when(F.col("sz_a") < F.col("sz_b"), F.col("id_a"))

@@ -147,3 +147,38 @@ def interpolated_percentile_sites(queries_dir: str) -> list[tuple[str, str]]:
                 if _INTERP_PCTL.search(line):
                     sites.append((fname, line.strip()))
     return sites
+
+
+_SQL_PERSIST = re.compile(r"\.persist\(")
+
+
+def persist_call_sites(package_dir: str) -> list[tuple[str, str]]:
+    """Source-level lint: every ``.persist(`` call site under the package,
+    as ``(relative path, stripped source line)`` pairs.
+
+    Why this exists (round-8 measurement, operators/dedup.py:
+    lsh_candidate_pairs): DataFrame ``persist`` builds compressed
+    columnar CachedBatches — measured 2-4x the cost of raw
+    ``localCheckpoint`` blocks on the write-once-read-twice reuse
+    intermediates this repo materializes (text_tfidf_topk 0.81 -> 1.80 s
+    at sf0.1) — and registers the plan in the session CacheManager,
+    which (a) substitutes possibly-AQE-materialized subtrees into every
+    later query of the session, making plan shapes order-dependent, and
+    (b) cannot be unpersisted from a lazily-returned DataFrame, leaking
+    across a long driver session. tests/test_scale_audit.py fails on any
+    new call site until it is measured and justified in its allowlist.
+    """
+    import os
+
+    sites: list[tuple[str, str]] = []
+    for root, _dirs, files in os.walk(package_dir):
+        for fname in sorted(files):
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, package_dir)
+            with open(path) as fh:
+                for line in fh:
+                    if _SQL_PERSIST.search(line):
+                        sites.append((rel, line.strip()))
+    return sites

@@ -204,3 +204,29 @@ def test_no_unjustified_interpolated_percentiles():
     stale = ALLOWED_INTERPOLATED_PERCENTILES - sites
     assert unjustified == set(), unjustified
     assert stale == set(), f"allowlist entries no longer in source: {stale}"
+
+
+def test_no_unjustified_persist_sites():
+    """Round-8 lesson, mechanized: DataFrame persist() measured 2-4x the
+    cost of localCheckpoint on this repo's reuse intermediates AND leaks
+    CacheManager plan substitution across the driver session (full
+    analysis: operators/dedup.py:lsh_candidate_pairs docstring). Any new
+    .persist( call site fails here until it is measured at sf0.1 against
+    the localCheckpoint form and justified in this allowlist."""
+    import os
+
+    from cudf_spark.plans.audit import persist_call_sites
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "cudf_spark")
+    allowed: set[tuple[str, str]] = set()  # none today — measurements say no
+    sites = {
+        (f, l)
+        for f, l in persist_call_sites(pkg)
+        if "persist(" in l.split("#")[0]
+        and f != os.path.join("plans", "audit.py")  # the lint's own docstring
+    }
+    unjustified = sites - allowed
+    assert unjustified == set(), (
+        "new .persist( call sites need a measured justification: "
+        f"{sorted(unjustified)}"
+    )

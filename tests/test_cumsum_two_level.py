@@ -77,3 +77,20 @@ def test_no_single_partition_window(spark):
     assert scale_audit(out) == []
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_bucket" in plan  # the keyed window actually keys on it
+
+
+def test_mixed_duplicate_order_keys(spark):
+    """Ties in order_col among OTHER keys (not the all-constant case):
+    every row of a tie group gets the post-group total, identical to the
+    naive RANGE window, and ties can never straddle a bucket boundary
+    (bucketing is by value comparison, so equal values share a bucket)."""
+    rows = [(1, 2), (1, 3), (5, 1), (5, 4), (5, 6), (9, 10), (12, -2), (12, 2)]
+    df = spark.createDataFrame(rows, "k int, c int")
+    got = sorted(
+        (r.k, r.cum)
+        for r in cumsum_two_level(df, "k", "c", "cum", num_buckets=4).collect()
+    )
+    # post-group totals: k=1 -> 5, k=5 -> 16, k=9 -> 26, k=12 -> 26
+    assert got == [(1, 5), (1, 5), (5, 16), (5, 16), (5, 16), (9, 26), (12, 26), (12, 26)]
+    naive = _naive(df.dropDuplicates(["k", "c"]), "k", "c")  # spot vs window form
+    assert naive[9] == 26 and naive[1] == 5

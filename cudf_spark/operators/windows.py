@@ -341,7 +341,7 @@ def cumsum_two_level(
     current key), independent of physical row order. Callers cumsumming
     a value histogram (distinct keys) see the classic running sum.
     """
-    
+
     # three consumers read df (the splitter collect below, then the
     # keyed-window branch AND the bucket-totals branch of the returned
     # plan — Catalyst has no cross-branch CSE): checkpoint so the

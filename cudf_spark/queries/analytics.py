@@ -3009,7 +3009,7 @@ def join_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = v1.union(v2)
     li = load(spark, sf_dir, "lineitem").select(
-        "l_partkey", F.col("l_shipdate").cast("date").alias("ship"), 
+        "l_partkey", F.col("l_shipdate").cast("date").alias("ship"),
         F.col("l_quantity").cast("bigint").alias("qty"),
     )
     j = li.join(

@@ -184,7 +184,7 @@ def _sql_clean_stage(
     "bounded by document length.",
 )
 def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    
+
     t = _tok_arrays(load(spark, sf_dir, "documents"))
     # occ feeds the boilerplate-count groupBy AND the coverage join —
     # checkpoint so the corpus-wide tokenize+gram-explode runs once (no
@@ -418,7 +418,7 @@ def text_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verbatim, and text_hash pins the exact surviving text byte-for-byte.",
 )
 def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    
+
     from cudf_spark.operators.similarity import semantic_dedup
 
     d = load(spark, sf_dir, "documents")

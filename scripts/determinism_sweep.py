@@ -1,0 +1,103 @@
+"""Partitioning-determinism sweep: every registry query's value hash must
+be IDENTICAL under different shuffle/scan partitioning.
+
+Why: Spark's partial aggregation folds in partition order, so any query
+whose output depends on float fold order (an unordered double sum feeding
+a threshold, a round() sitting within an ulp of a .5 boundary) or on
+physical row order (a non-total window order, a first()/limit without a
+total sort) will hash DIFFERENTLY when the partition count changes —
+exactly the silent-wrong-answer classes rounds 6-8 kept digging out by
+hand. The driver always runs one fixed layout, so its gate cannot see
+this; this sweep runs each query under two deliberately different
+layouts in two subprocesses and diffs the canonical value hashes.
+
+Usage: python scripts/determinism_sweep.py [sf_dir]
+Exit 1 if any query hashes differently across layouts.
+
+The worker mode (--worker N) is internal: prints one "name hash rows"
+line per query for a session with shuffle.partitions=N and a scan split
+size chosen to change file splits too.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DEFAULT = "/root/testdata/sf0.01"
+
+
+def worker(nparts: int, sf: str) -> int:
+    import hashlib
+    import json
+
+    from pyspark.sql import SparkSession
+
+    from cudf_spark.queries import REGISTRY
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", str(nparts))
+        # also perturb scan splits so map-side partial-agg order changes
+        .config("spark.sql.files.maxPartitionBytes", str(1 << (27 if nparts < 8 else 21)))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def vhash(cols, rows):
+        cols = list(cols)
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        norm = sorted([tuple(str(r[i]) for i in order) for r in rows])
+        return hashlib.md5(json.dumps(norm).encode()).hexdigest()[:12]
+
+    for name, q in sorted(REGISTRY.items()):
+        try:
+            df = q.build(spark, sf)
+            rows = [tuple(r) for r in df.collect()]
+            print(f"ROW {name} {vhash(df.columns, rows)} {len(rows)}", flush=True)
+        except Exception as e:  # pragma: no cover - surfaced in the diff
+            print(f"ROW {name} ERROR:{type(e).__name__} -1", flush=True)
+    return 0
+
+
+def main(argv: list[str]) -> int:
+    if argv and argv[0] == "--worker":
+        return worker(int(argv[1]), argv[2])
+    sf = argv[0] if argv else SF_DEFAULT
+    results = {}
+    for nparts in (4, 13):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(nparts), sf],
+            capture_output=True,
+            text=True,
+        )
+        rows = {}
+        for line in out.stdout.splitlines():
+            if line.startswith("ROW "):
+                _, name, h, n = line.split()
+                rows[name] = (h, n)
+        if not rows:
+            print(out.stdout[-2000:])
+            print(out.stderr[-2000:])
+            print(f"worker {nparts} produced no rows")
+            return 1
+        results[nparts] = rows
+        print(f"layout shuffle={nparts}: {len(rows)} queries hashed")
+    a, b = results[4], results[13]
+    bad = sorted(
+        name
+        for name in set(a) | set(b)
+        if a.get(name) != b.get(name)
+    )
+    for name in bad:
+        print(f"NONDETERMINISTIC {name}: {a.get(name)} vs {b.get(name)}")
+    print(f"RESULT checked={len(a)} nondeterministic={len(bad)}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

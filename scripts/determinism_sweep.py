@@ -8,15 +8,22 @@ physical row order (a non-total window order, a first()/limit without a
 total sort) will hash DIFFERENTLY when the partition count changes —
 exactly the silent-wrong-answer classes rounds 6-8 kept digging out by
 hand. The driver always runs one fixed layout, so its gate cannot see
-this; this sweep runs each query under two deliberately different
-layouts in two subprocesses and diffs the canonical value hashes.
+this; this sweep runs each query under THREE deliberately different
+layouts in separate subprocesses and diffs the canonical value hashes:
+
+1. shuffle=4,  scan splits 128 MB (the driver_sim baseline shape);
+2. shuffle=13, scan splits 2 MB (both map- and reduce-side fold orders
+   change);
+3. shuffle=7, AQE DISABLED, JVM default + session timezone set to
+   America/New_York (results must not depend on runtime re-planning or
+   on the host zone — catalog.load pins the session zone to UTC per
+   load, and this layout proves the pin holds end-to-end).
 
 Usage: python scripts/determinism_sweep.py [sf_dir]
 Exit 1 if any query hashes differently across layouts.
 
 The worker mode (--worker N) is internal: prints one "name hash rows"
-line per query for a session with shuffle.partitions=N and a scan split
-size chosen to change file splits too.
+line per query for a session with that layout.
 """
 
 from __future__ import annotations
@@ -38,14 +45,22 @@ def worker(nparts: int, sf: str) -> int:
 
     from cudf_spark.queries import REGISTRY
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[4]")
         .config("spark.sql.shuffle.partitions", str(nparts))
         # also perturb scan splits so map-side partial-agg order changes
         .config("spark.sql.files.maxPartitionBytes", str(1 << (27 if nparts < 8 else 21)))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if nparts == 7:
+        # third layout: AQE off (no runtime coalesce/skew re-plan) and a
+        # non-UTC JVM default zone — results must not depend on either
+        # (catalog.load pins the SESSION zone to UTC; this proves the pin
+        # holds end-to-end rather than riding the host's default)
+        builder = builder.config("spark.sql.adaptive.enabled", "false").config(
+            "spark.driver.extraJavaOptions", "-Duser.timezone=America/New_York"
+        ).config("spark.sql.session.timeZone", "America/New_York")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def vhash(cols, rows):
@@ -69,7 +84,7 @@ def main(argv: list[str]) -> int:
         return worker(int(argv[1]), argv[2])
     sf = argv[0] if argv else SF_DEFAULT
     results = {}
-    for nparts in (4, 13):
+    for nparts in (4, 13, 7):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(nparts), sf],
             capture_output=True,
@@ -87,15 +102,18 @@ def main(argv: list[str]) -> int:
             return 1
         results[nparts] = rows
         print(f"layout shuffle={nparts}: {len(rows)} queries hashed")
-    a, b = results[4], results[13]
+    base = results[4]
     bad = sorted(
         name
-        for name in set(a) | set(b)
-        if a.get(name) != b.get(name)
+        for name in set().union(*results.values())
+        if len({r.get(name) for r in results.values()}) > 1
     )
     for name in bad:
-        print(f"NONDETERMINISTIC {name}: {a.get(name)} vs {b.get(name)}")
-    print(f"RESULT checked={len(a)} nondeterministic={len(bad)}")
+        print(
+            f"NONDETERMINISTIC {name}: "
+            + " vs ".join(f"{n}:{r.get(name)}" for n, r in results.items())
+        )
+    print(f"RESULT checked={len(base)} nondeterministic={len(bad)}")
     return 1 if bad else 0
 
 

@@ -45,6 +45,83 @@ def oracle_hash(sql: str) -> str:
     return hashlib.sha256(sql.encode("utf-8")).hexdigest()
 
 
+def apply_record(proven: dict[str, str], newest: dict[str, dict], registry) -> dict[str, str]:
+    """Pure round-start step: every query hash-green in the newest driver
+    record gets its CURRENT oracle hash stamped as proven (sound only when
+    the current oracle text equals what the driver ran). Entries for
+    unregistered names are dropped."""
+    out = dict(proven)
+    for name, row in newest.items():
+        q = registry.get(name)
+        if q is not None and q.oracle is not None and row.get("hash_match"):
+            out[name] = oracle_hash(q.oracle)
+    return {n: h for n, h in sorted(out.items()) if n in registry}
+
+
+def _newest_record_path() -> str | None:
+    records = sorted(glob.glob(os.path.join(_repo_root, "CORRECTNESS_r*.json")))
+    return records[-1] if records else None
+
+
+def queries_unchanged_since_record() -> bool:
+    """True iff cudf_spark/queries is byte-identical to the tree the driver
+    proved: no commits touching it since the newest CORRECTNESS record
+    landed, and no uncommitted edits. Under this condition stamping the
+    CURRENT oracle hashes as driver-proven is sound."""
+    import subprocess
+
+    record = _newest_record_path()
+    if record is None:
+        return False
+    rel = os.path.relpath(record, _repo_root)
+    commit = subprocess.run(
+        ["git", "log", "-1", "--format=%H", "--", rel],
+        cwd=_repo_root,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    if not commit:
+        return False
+    committed_same = (
+        subprocess.run(
+            ["git", "diff", "--quiet", commit, "HEAD", "--", "cudf_spark/queries"],
+            cwd=_repo_root,
+        ).returncode
+        == 0
+    )
+    worktree_clean = not subprocess.run(
+        ["git", "status", "--porcelain", "cudf_spark/queries"],
+        cwd=_repo_root,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+    return committed_same and worktree_clean
+
+
+def self_heal() -> bool:
+    """Auto-run the round-start record step when (and only when) it is
+    sound (queries tree unchanged since the newest record landed — see
+    VERDICT r08 item 1: the driver commits CORRECTNESS after the builder's
+    final commit, so a fresh round otherwise starts red). Returns True if
+    the proven-hash file changed."""
+    record = _newest_record_path()
+    if record is None or not queries_unchanged_since_record():
+        return False
+    proven: dict[str, str] = {}
+    if os.path.exists(HASH_PATH):
+        with open(HASH_PATH) as fh:
+            proven = json.load(fh)
+    with open(record) as fh:
+        newest = json.load(fh)
+    healed = apply_record(proven, newest, REGISTRY)
+    if healed == proven:
+        return False
+    with open(HASH_PATH, "w") as fh:
+        json.dump(healed, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    return True
+
+
 def main(argv: list[str]) -> int:
     seed = "--seed" in argv
     # Run-order guard: stamping CURRENT oracle text as driver-proven is
@@ -73,14 +150,11 @@ def main(argv: list[str]) -> int:
         with open(HASH_PATH) as fh:
             proven = json.load(fh)
 
-    records = sorted(glob.glob(os.path.join(_repo_root, "CORRECTNESS_r*.json")))
-    if records:
-        with open(records[-1]) as fh:
+    record = _newest_record_path()
+    if record is not None:
+        with open(record) as fh:
             newest = json.load(fh)
-        for name, row in newest.items():
-            q = REGISTRY.get(name)
-            if q is not None and q.oracle is not None and row.get("hash_match"):
-                proven[name] = oracle_hash(q.oracle)
+        proven = apply_record(proven, newest, REGISTRY)
 
     if seed:
         _, _, green = _driver_records(_repo_root)

@@ -16,13 +16,33 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from cudf_spark.queries import (
     JUDGE_PINS,
     REGISTRY,
     _driver_records,
     _repo_root,
 )
-from scripts.update_proven_hashes import HASH_PATH, oracle_hash
+from scripts.update_proven_hashes import (
+    HASH_PATH,
+    apply_record,
+    oracle_hash,
+    self_heal,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _round_start_self_heal():
+    """VERDICT r08 item 1: the driver commits CORRECTNESS_r{N}.json AFTER
+    the builder's final commit, so the first pytest of a round would fail
+    for queries newly green in that record. When the queries tree is
+    byte-identical to what the driver proved (no commits or worktree edits
+    to cudf_spark/queries since the record landed), auto-running the
+    round-start updater is sound — do it here so a round can END green.
+    The hard failure below is preserved for the real defect: an oracle
+    edited after its last proof without a latest-cohort pin."""
+    self_heal()
 
 
 def _proven() -> dict[str, str]:
@@ -67,6 +87,56 @@ def test_every_green_oracle_is_proven_or_pinned():
         f"query to JUDGE_PINS[{max(JUDGE_PINS)}] (or a new cohort) in the "
         f"same commit: {stale}"
     )
+
+
+def test_self_heal_seeds_fresh_correctness_record():
+    """Regression for the r8 round-boundary red: simulate a CORRECTNESS
+    record landing after the final commit — a hash-green query absent from
+    the proven file must be seeded with its CURRENT oracle hash by the
+    pure round-start step, while a red or rows-only row must not be."""
+
+    class _Q:
+        def __init__(self, oracle):
+            self.oracle = oracle
+
+    registry = {
+        "fresh_green": _Q("SELECT 1 AS one"),
+        "still_red": _Q("SELECT 2 AS two"),
+        "rows_only": _Q(None),
+        "dropped": _Q("SELECT 3 AS three"),
+    }
+    proven = {"unregistered_name": "deadbeef"}
+    newest = {
+        "fresh_green": {"hash_match": True},
+        "still_red": {"hash_match": False},
+        "rows_only": {"hash_match": True},
+    }
+    healed = apply_record(proven, newest, registry)
+    assert healed == {"fresh_green": oracle_hash("SELECT 1 AS one")}
+
+
+def test_self_heal_updates_pinned_reproof():
+    """A pinned oracle rewrite that the driver just re-proved must have its
+    NEW hash stamped (present-and-different resolves at round start), while
+    an edit the driver has NOT re-proved keeps the old hash and therefore
+    stays a hard failure for the guard above."""
+
+    class _Q:
+        def __init__(self, oracle):
+            self.oracle = oracle
+
+    registry = {
+        "pinned_reproved": _Q("SELECT 10 AS v -- rewritten"),
+        "edited_unproved": _Q("SELECT 20 AS v -- rewritten"),
+    }
+    proven = {
+        "pinned_reproved": oracle_hash("SELECT 10 AS v"),
+        "edited_unproved": oracle_hash("SELECT 20 AS v"),
+    }
+    newest = {"pinned_reproved": {"hash_match": True}}
+    healed = apply_record(proven, newest, registry)
+    assert healed["pinned_reproved"] == oracle_hash("SELECT 10 AS v -- rewritten")
+    assert healed["edited_unproved"] == oracle_hash("SELECT 20 AS v")
 
 
 def test_latest_pins_cover_all_unproven_green_oracles():

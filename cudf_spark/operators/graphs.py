@@ -50,20 +50,20 @@ def co_occurrence_edges(
     """
     pp = df.select(group_col, item_col).distinct()
     a, b = pp.alias("a"), pp.alias("b")
-    cond = (
-        F.col(f"a.{item_col}") != F.col(f"b.{item_col}")
-        if directed
-        else F.col(f"a.{item_col}") < F.col(f"b.{item_col}")
-    )
     e = (
         a.join(b, group_col)
-        .filter(cond)
+        .filter(F.col(f"a.{item_col}") < F.col(f"b.{item_col}"))
         .select(
             F.col(f"a.{item_col}").alias("u"),
             F.col(f"b.{item_col}").alias("v"),
         )
         .distinct()
     )
+    if directed:
+        # mirror AFTER the distinct: dedup shuffles half the rows of the
+        # former `!=` self-join, and the union is shuffle-free (round-9
+        # constant-factor pass; identical edge set either way).
+        e = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     return e.localCheckpoint(eager=False) if checkpoint else e
 
 

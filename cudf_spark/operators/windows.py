@@ -169,7 +169,185 @@ def ewma_segmented(
 ) -> DataFrame:
     """GLOBAL (ungrouped / giant-group) EWMA — the segmented-scan scale
     path the grouped ``ewma`` above cannot cover: no single executor ever
-    holds the sequence.
+    holds the sequence. pandas ``ewm(alpha=alpha, adjust=adjust).mean()``
+    semantics for non-null doubles, both adjust modes.
+
+    Pure-JVM three-level scan (no Python workers — VERDICT r08 item 3:
+    the former two-pass mapInPandas shape spent ~90% of its wall-clock
+    spinning up 32 Arrow workers twice; this shape is whole-stage-codegen
+    end to end, the same block-composed cumsum the DuckDB oracle uses):
+
+    1. ``percentile_approx`` splitters bucket rows order-contiguously
+       (``cumsum_two_level`` idiom — splitters only steer partitioning,
+       any values give identical results);
+    2. within each bucket, rows split into fixed ``L``-row blocks with
+       ``L`` chosen so ``beta**-(L-1)`` stays far inside double range;
+       a keyed ROWS window computes the within-block scaled cumsum
+       ``l = beta^pos * sum(x*scale*beta^-pos)`` — exact, never a global
+       window;
+    3. block carries compose via a lag window over the per-(bucket,block)
+       summary table: ``cin = sum_k lag(f,k) * q^(k-1)`` with
+       ``q = beta**L``. The truncation depth is EXACT, not approximate —
+       lags stop where ``q^(k-1)`` underflows to 0.0 in IEEE double, i.e.
+       exactly where the sequential recurrence's own terms vanish;
+    4. per-bucket summaries (one row per bucket, bounded by
+       ``num_partitions``) collect to the driver and compose exactly —
+       the same bounded-collect idiom the Arrow path used per partition.
+
+    The adjust=False first-element y_0 = x_0 convention is injected via
+    bucket 0's carry; the adjust=True denominator is the closed-form
+    geometric sum of the GLOBAL prefix length (off_b + p).
+
+    For beta so close to 1 that the lag truncation would need > 32 terms
+    (alpha below ~1e-3 at the 64k block cap — decay horizon beyond any
+    block budget), falls back to the exact Arrow two-pass implementation
+    below.
+    """
+    import math
+
+    beta = 1.0 - alpha
+    if beta <= 0.0:  # alpha >= 1: no memory, ewma == x
+        return df.withColumn(out_col, F.col(value_col).cast("double"))
+    if beta >= 1.0:  # alpha <= 0 — degenerate; exact sequential path
+        return _ewma_segmented_arrow(
+            df, order_cols, value_col, alpha=alpha, adjust=adjust,
+            out_col=out_col, num_partitions=num_partitions,
+        )
+    # Block length: beta^-(L-1) <= ~1e200 so the scaled cumsum never
+    # overflows next to |x| (same headroom budget as _ewma_num_scan);
+    # capped so one block is always a bounded window partition.
+    L = max(2, min(65536, int(200.0 / max(1e-12, -math.log10(beta)))))
+    q = beta**L
+    lags, qk = 1, q
+    while qk != 0.0 and lags <= 32:
+        lags += 1
+        qk *= q
+    if lags > 32:  # decay horizon too long for exact truncation
+        return _ewma_segmented_arrow(
+            df, order_cols, value_col, alpha=alpha, adjust=adjust,
+            out_col=out_col, num_partitions=num_partitions,
+        )
+
+    sess = df.sparkSession
+    scale = 1.0 if adjust else alpha
+    nbuckets = num_partitions or sess.sparkContext.defaultParallelism
+    fields = [f.name for f in df.schema.fields]
+
+    # 1. order-contiguous buckets from a bounded splitter sketch
+    # (collected once so every consumer sees identical splitters). The
+    # sketch reads df once map-side; splitter values only steer
+    # partitioning, so a nondeterministic upstream cannot change results
+    # — the checkpoint below pins everything value-bearing.
+    skey = F.col(order_cols[0]).cast("double")
+    probs = [i / nbuckets for i in range(1, nbuckets)]
+    row = df.agg(
+        F.percentile_approx(skey, probs, 10_000).alias("s")
+    ).first()
+    splitters = sorted(set(row["s"] or []))
+    bucket = F.lit(0)
+    for s in splitters:
+        bucket = bucket + F.when(skey > F.lit(s), 1).otherwise(0)
+
+    # 2. within-bucket positions and within-block scaled cumsum
+    w_b = Window.partitionBy("_b").orderBy(*order_cols)
+    rows = (
+        df.withColumn("_b", bucket)
+        .withColumn("_p", F.row_number().over(w_b) - F.lit(1))
+        .withColumn("_blk", (F.col("_p") / L).cast("long"))
+        .withColumn("_pos", F.col("_p") % L)
+        .withColumn(
+            "_xs", F.col(value_col).cast("double") * F.lit(float(scale))
+        )
+    )
+    w_blk = (
+        Window.partitionBy("_b", "_blk")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    contrib = F.col("_xs") * F.pow(F.lit(beta), -F.col("_pos"))
+    rows = rows.withColumn(
+        "_l", F.pow(F.lit(beta), F.col("_pos")) * F.sum(contrib).over(w_blk)
+    )
+
+    # 3. block finals f and lag-composed within-bucket block carry-ins.
+    # All blocks between two blocks of the same bucket are FULL (length
+    # exactly L) by construction, so the gap exponent is q^(k-1) exactly.
+    blocks = rows.groupBy("_b", "_blk").agg(
+        (F.pow(F.lit(beta), F.max("_pos")) * F.sum(contrib)).alias("_f")
+    )
+    w_lag = Window.partitionBy("_b").orderBy("_blk")
+    cin = F.lit(0.0)
+    for k in range(1, lags + 1):
+        cin = cin + F.coalesce(
+            F.lag("_f", k).over(w_lag), F.lit(0.0)
+        ) * F.lit(q ** (k - 1))
+    blocks = blocks.withColumn("_cin", cin).drop("_f")
+
+    # numerator local to the bucket (zero bucket carry); checkpointed so
+    # the bucket-summary collect and the final projection read ONE
+    # materialization (localCheckpoint over persist — measured round 8,
+    # operators/dedup.py tradeoff note; executor loss => job retry).
+    numloc = (
+        rows.join(blocks, ["_b", "_blk"])
+        .withColumn(
+            "_numloc",
+            F.col("_l")
+            + F.pow(F.lit(beta), F.col("_pos") + 1) * F.col("_cin"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # 4. one summary row per bucket -> exact driver composition
+    summaries = numloc.groupBy("_b").agg(
+        F.count("*").alias("n"),
+        F.max_by("_numloc", "_p").alias("s_fin"),
+        F.min_by(F.col(value_col).cast("double"), "_p").alias("first"),
+    ).collect()  # <= nbuckets rows — bounded by requested parallelism
+
+    carries = []
+    S, N = 0.0, 0
+    for i, r in enumerate(sorted(summaries, key=lambda r: r["_b"])):
+        if not adjust and i == 0:
+            # pandas adjust=False pins y_0 = x_0: carry x_0 into
+            # y_0 = beta*carry + alpha*x_0 reproduces it exactly.
+            carries.append((r["_b"], r["first"], 0))
+            S = r["s_fin"] + (beta ** r["n"]) * r["first"]
+        else:
+            carries.append((r["_b"], S, N))
+            S = r["s_fin"] + (beta ** r["n"]) * S
+        N += r["n"]
+    if not carries:  # empty input
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    cdf = sess.createDataFrame(carries, "_b int, _carry double, _off long")
+
+    num = F.col("_numloc") + F.pow(F.lit(beta), F.col("_p") + 1) * F.col(
+        "_carry"
+    )
+    if adjust:
+        t = F.col("_off") + F.col("_p") + 1  # global 1-based prefix length
+        den = (F.lit(1.0) - F.pow(F.lit(beta), t)) / F.lit(1.0 - beta)
+        out = num / den
+    else:
+        out = num
+    return (
+        numloc.join(F.broadcast(cdf), "_b")
+        .withColumn(out_col, out)
+        .select(*fields, out_col)
+    )
+
+
+def _ewma_segmented_arrow(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    alpha: float,
+    adjust: bool = True,
+    out_col: str = "ewma",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact Arrow two-pass fallback for beta outside the JVM path's
+    truncation envelope (alpha ~< 1e-3 or alpha <= 0).
 
     Classic two-pass parallel scan over a linear recurrence
     (state_t = a_t + beta * state_{t-1} composes associatively across
@@ -184,12 +362,9 @@ def ewma_segmented(
     3. pass 2 (mapInPandas): each partition rescans with its true carry-in
        and emits every row's EWMA.
 
-    pandas ``ewm(alpha=alpha, adjust=adjust).mean()`` semantics for
-    non-null doubles (both adjust modes; the adjust=False first-element
-    y_0 = x_0 convention is injected via the pass-2 carry so the scan
-    kernel stays uniform). The numerator scan is the chunked scaled
-    cumsum above; the adjust=True denominator is the closed-form
-    geometric sum of the GLOBAL prefix length, so it costs nothing.
+    The numerator scan is the chunked scaled cumsum above; the
+    adjust=True denominator is the closed-form geometric sum of the
+    GLOBAL prefix length, so it costs nothing.
 
     The range-partitioned layout is materialized once (localCheckpoint):
     RangePartitioner SAMPLES to pick bounds, so two independent

@@ -149,12 +149,12 @@ def interpolated_percentile_sites(queries_dir: str) -> list[tuple[str, str]]:
     return sites
 
 
-_SQL_PERSIST = re.compile(r"\.persist\(")
-
-
 def persist_call_sites(package_dir: str) -> list[tuple[str, str]]:
-    """Source-level lint: every ``.persist(`` call site under the package,
-    as ``(relative path, stripped source line)`` pairs.
+    """Source-level lint: every ``.persist(...)`` CALL site under the
+    package, as ``(relative path, source line)`` pairs — found by walking
+    the AST (ADVICE r08: the former regex-over-lines matched the string
+    '.persist(' inside docstrings and comments, so documenting the
+    tradeoff anywhere in the package would have failed the lint).
 
     Why this exists (round-8 measurement, operators/dedup.py:
     lsh_candidate_pairs): DataFrame ``persist`` builds compressed
@@ -165,9 +165,14 @@ def persist_call_sites(package_dir: str) -> list[tuple[str, str]]:
     which (a) substitutes possibly-AQE-materialized subtrees into every
     later query of the session, making plan shapes order-dependent, and
     (b) cannot be unpersisted from a lazily-returned DataFrame, leaking
-    across a long driver session. tests/test_scale_audit.py fails on any
-    new call site until it is measured and justified in its allowlist.
+    across a long driver session. tests/test_scale_audit.py's allowlist
+    is the SANCTIONED escape: a new call site fails the suite until it
+    is measured and justified there (cluster deployments that need
+    executor-loss recoverability should instead set a reliable
+    checkpoint dir at the session level — operators/dedup.py tradeoff
+    note).
     """
+    import ast
     import os
 
     sites: list[tuple[str, str]] = []
@@ -178,7 +183,13 @@ def persist_call_sites(package_dir: str) -> list[tuple[str, str]]:
             path = os.path.join(root, fname)
             rel = os.path.relpath(path, package_dir)
             with open(path) as fh:
-                for line in fh:
-                    if _SQL_PERSIST.search(line):
-                        sites.append((rel, line.strip()))
+                src = fh.read()
+            lines = src.splitlines()
+            for node in ast.walk(ast.parse(src, filename=path)):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "persist"
+                ):
+                    sites.append((rel, lines[node.lineno - 1].strip()))
     return sites

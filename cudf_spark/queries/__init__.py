@@ -240,6 +240,25 @@ JUDGE_PINS: dict[int, set[str]] = {
         # replaced with sorted folds on BOTH engines
         "text_sparse_cosine_pairs", "text_bigram_loglik",
     },
+    # Round-9 engine rewrites with oracles untouched (the hash gate
+    # proves spark-output == oracle-output for the code AS RUN, so an
+    # engine rewrite invalidates a green row's proof exactly like an
+    # oracle edit — same rule as agg_lorenz_curve_binned in round 8):
+    # ewma_global_segmented moved from the Arrow two-pass to the
+    # pure-JVM three-level scan (VERDICT r08 item 3, 28s -> ~2s at
+    # sf0.1, hash re-verified at 3 SFs locally); the four graph queries
+    # got the constant-factor pass (VERDICT r08 item 4: max_by argmax
+    # replaces per-round windows, unified edge materialization, mirrored
+    # directed build — hashes re-verified at sf0.01 locally). Plus
+    # text_bpe_train, whose brand-new unrolled-CTE training oracle
+    # (VERDICT r08 item 6, the last rows-only -> hash upgrade) needs its
+    # first driver hash row.
+    9: {
+        "ewma_global_segmented",
+        "graph_label_propagation", "graph_modularity_score",
+        "graph_triangle_count", "graph_bfs_hops",
+        "text_bpe_train",
+    },
 }
 
 

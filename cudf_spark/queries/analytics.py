@@ -93,7 +93,11 @@ def _rank(deg_col: str, node_col: str):
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    # checkpoint: edges feeds the degree branch AND the orient join, and
+    # the oriented list e below feeds THREE plan branches (both wedge
+    # sides + the closing-edge probe) — without materialization the
+    # co-occurrence self-join re-nests into each (round-9 audit).
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey", checkpoint=True)
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
@@ -117,6 +121,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst_rank.node").alias("dst"),
             F.col("dst_rank.d").alias("ddst"),
         )
+        .localCheckpoint(eager=False)
     )
     o1, o2 = e.alias("o1"), e.alias("o2")
     wedges = (
@@ -717,31 +722,33 @@ def _lpa_oracle(rounds: int = 3) -> str:
     "across partitionings — the nondeterminism that makes textbook LPA "
     "unsuitable for a correctness gate is engineered out. Per round: one "
     "keyed join (neighbour lookup) + one keyed count + one per-node "
-    "rank — the same bounded-rounds keyed-only shape as graph_pagerank; "
-    "at 100 TB rounds are fixed and lineage is 3 deep (no checkpoint "
-    "needed; iterate-to-convergence variants should localCheckpoint like "
-    "operators/graphs.py connected_components). Oracle: the identical 3 "
-    "rounds unrolled as CTEs.",
+    "max_by argmax — round 9 replaced the row_number window (sort "
+    "exchange per round) with max_by(label, struct(c, -label)), a pure "
+    "hash aggregate with map-side partials and the identical (count "
+    "DESC, label ASC) winner, verified exceptAll-equal at sf0.1. The "
+    "symmetric edge list is localCheckpoint'ed once (the co-occurrence "
+    "self-join otherwise re-nests into every round's plan — the CC "
+    "operator's lesson). Oracle: the identical 3 rounds unrolled as "
+    "CTEs.",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     li = load(spark, sf_dir, "lineitem")
     eu = co_occurrence_edges(li, "l_orderkey", "l_partkey")
-    edges = eu.union(eu.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = eu.union(
+        eu.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    w = W.partitionBy("node").orderBy(F.desc("c"), "label")
     for _ in range(3):
         nb = edges.join(labels.withColumnRenamed("node", "v"), "v").select(
             F.col("u").alias("node"), "label"
         )
         cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+        labels = cnt.groupBy("node").agg(
+            F.max_by("label", F.struct(F.col("c"), -F.col("label"))).alias(
+                "label"
+            )
         )
     return labels.select("node", F.col("label").alias("community")).orderBy("node")
 

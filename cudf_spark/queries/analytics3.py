@@ -2576,25 +2576,34 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    eu = co_occurrence_edges(li, "l_orderkey", "l_partkey", checkpoint=True)
-    sym = eu.unionByName(
-        eu.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # ONE materialization: the symmetric table (checkpointed inside
+    # co_occurrence_edges) feeds the LPA rounds and the degree sum
+    # directly; the undirected list eu re-derives as a cheap u<v filter
+    # over the same blocks instead of a second materialization.
+    sym = co_occurrence_edges(
+        li, "l_orderkey", "l_partkey", directed=True, checkpoint=True
     )
+    eu = sym.filter(F.col("u") < F.col("v"))
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    rw = Window.partitionBy("node").orderBy(F.desc("c"), "label")
-    for _ in range(3):
+    # round 9: max_by argmax replaces the row_number window per round —
+    # pure hash aggregate (map-side partials, no sort exchange) with the
+    # identical (count DESC, label ASC) winner; see
+    # graph_label_propagation. Only the FINAL labels checkpoint remains:
+    # it is the table consumed three times below (eii twice + ai).
+    for r in range(3):
         nb = sym.join(labels.withColumnRenamed("node", "v"), "v").select(
             F.col("u").alias("node"), "label"
         )
         cnt = nb.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(rw))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint(eager=False)
+        labels = cnt.groupBy("node").agg(
+            F.max_by("label", F.struct(F.col("c"), -F.col("label"))).alias(
+                "label"
+            )
         )
+        if r == 2:
+            labels = labels.localCheckpoint(eager=False)
     m = eu.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     la = labels.withColumnRenamed("node", "u").withColumnRenamed("label", "lu")
     lb = labels.withColumnRenamed("node", "v").withColumnRenamed("label", "lv")

@@ -549,24 +549,98 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle(n_merges: int = 12, min_freq: int = 2) -> str:
+    """Full-hash DuckDB replay of BPE TRAINING (upgrading text_bpe_train
+    from rows-only — VERDICT r08 item 6, the last rows-only query).
+
+    The r06 blocker was real but aimed at the wrong tool: a RECURSIVE
+    CTE cannot aggregate over its recursive reference, but the training
+    loop is driver-bounded at ``n_merges`` rounds, so it UNROLLS into
+    plain sequential CTEs (the _lpa_oracle idiom) — round k computes the
+    weighted pair counts, takes the (freq DESC, l, r) argmax, and
+    applies the merge to every word state before round k+1.
+
+    Merge application is the sentinel-string trick: a word's token
+    sequence is kept as chr(31)^2 || t1 || chr(31)^2 || ... || tn ||
+    chr(31)^2, and merge (l, r) rewrites chr(31)+l+chr(31)^2+r+chr(31)
+    -> chr(31)+lr+chr(31). Each match consumes only the INNER halves of
+    the boundary separators, so back-to-back occurrences stay matchable,
+    and DuckDB replace() scans left-to-right non-overlapping — exactly
+    the engine fold's classic-trainer overlap rule ('aaaa' -> [aa, aa],
+    'aaa' -> [aa, a]; verified in tests/test_text2.py). chr(31) can
+    never occur inside a word: WS_CLASS includes \\x1c-\\x1f, so both
+    engines split on it. Early stop (top pair below min_freq) falls out:
+    round k's argmax CTE is empty, later rounds no-op via the EXISTS
+    guard, and the rank never emits.
+    """
+    # AS MATERIALIZED everywhere: DuckDB inlines plain CTEs, and each
+    # round references the previous state several times — unmaterialized,
+    # the 12-round chain expands exponentially (measured: planner opens
+    # the parquet view thousands of times -> EMFILE before executing).
+    S, D = "chr(31)", "(chr(31)||chr(31))"
+    parts = [
+        f"""vocab AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(string_split_regex({_LOWER_SQL},
+                                             '{_WS_RE2}')) AS w
+            FROM documents)
+        WHERE w != '' GROUP BY w
+    ), s0 AS MATERIALIZED (
+        SELECT {D} || regexp_replace(w, '(.)', '\\1' || {D}, 'g') AS s,
+               freq
+        FROM vocab
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""p{k} AS (
+        SELECT t.toks[g.i] AS l, t.toks[g.i + 1] AS r,
+               CAST(sum(t.freq) AS BIGINT) AS pf
+        FROM (SELECT list_filter(string_split(s, {D}),
+                                 x -> x != '') AS toks,
+                     freq
+              FROM s{k - 1}) t,
+             LATERAL (SELECT unnest(generate_series(
+                 1, len(t.toks) - 1)) AS i) g
+        GROUP BY l, r
+    ), m{k} AS MATERIALIZED (
+        SELECT l, r, pf FROM p{k} WHERE pf >= {min_freq}
+        ORDER BY pf DESC, l, r LIMIT 1
+    ), s{k} AS MATERIALIZED (
+        SELECT CASE WHEN EXISTS (SELECT 1 FROM m{k}) THEN
+                   replace(s,
+                           (SELECT {S}||l||{D}||r||{S} FROM m{k}),
+                           (SELECT {S}||l||r||{S} FROM m{k}))
+               ELSE s END AS s,
+               freq
+        FROM s{k - 1}
+    )"""
+        )
+    ranks = "\n        UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS rank, l AS \"left\","
+        f" r AS \"right\", pf AS pair_freq FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT * FROM ({ranks})\n    ORDER BY rank\n    "
+    )
+
+
 @register(
     "text_bpe_train",
-    # Rows-only BY DESIGN (documented per VERDICT r06 item 6): unlike the
-    # apply-side replays above, each training round needs a global argmax
-    # AGGREGATE over the evolving word table to pick the next merge, and
-    # SQL recursive CTEs forbid aggregating over the recursive reference
-    # (DuckDB: "aggregates in recursive CTE" error) — the loop is
-    # inherently iterate-and-collect. Pinned instead against a pure-Python
-    # reference trainer in pytest, including overlap and tie cases.
-    oracle=None,
+    oracle=_bpe_train_oracle(),
     doc="distributed BPE tokenizer TRAINING (Sennrich et al. 2016 — the "
     "learning half of nvtext/byte_pair_encoding.hpp, which only applies "
     "a table): one corpus scan folds to the word-freq vocabulary table, "
     "then every round runs over that table only — pair explode, keyed "
     "sum, deterministic global argmax, JVM-side fold merge (no Python "
-    "in the loop). Pinned == a pure-Python reference trainer in "
-    "tests/test_text2.py, including the overlap ('aaaa') and tie cases. "
-    "Rows-only: returns the ranked learned merge table.",
+    "in the loop). Pinned against a pure-Python reference trainer in "
+    "tests/test_text2.py (overlap 'aaaa' and tie cases) AND — round 9, "
+    "the last rows-only -> hash upgrade — against a DuckDB UNROLLED-CTE "
+    "replay of the full training loop (sentinel-string merge "
+    "application, per-round argmax; see _bpe_train_oracle).",
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cudf_spark.operators.tokenizers import bpe_train

@@ -113,8 +113,28 @@ def main(argv: list[str]) -> int:
             f"NONDETERMINISTIC {name}: "
             + " vs ".join(f"{n}:{r.get(name)}" for n, r in results.items())
         )
-    print(f"RESULT checked={len(base)} nondeterministic={len(bad)}")
-    return 1 if bad else 0
+    # ADVICE r08: a query that raises the SAME exception under every
+    # layout produces identical ERROR: pseudo-hashes and would otherwise
+    # count as checked/deterministic — an execution failure is a sweep
+    # failure regardless of cross-layout agreement.
+    errored = sorted(
+        name
+        for name in set().union(*results.values())
+        if any(
+            (r.get(name) or ("", ""))[0].startswith("ERROR:")
+            for r in results.values()
+        )
+    )
+    for name in errored:
+        print(
+            f"ERRORED {name}: "
+            + " vs ".join(f"{n}:{r.get(name)}" for n, r in results.items())
+        )
+    print(
+        f"RESULT checked={len(base)} nondeterministic={len(bad)} "
+        f"errored={len(errored)}"
+    )
+    return 1 if bad or errored else 0
 
 
 if __name__ == "__main__":

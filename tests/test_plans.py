@@ -270,19 +270,29 @@ def test_semantic_dedup_single_assign_no_cartesian(spark):
     # (zero FileScans, branches read ExistingRDD) or a cache (every
     # FileScan nested inside an InMemoryRelation description). A raw
     # top-level parquet scan means the assign subtree re-executes.
-    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
-    if scans:
-        cache_cols = [
-            l.index("InMemoryTableScan")
-            for l in plan.splitlines()
-            if "InMemoryTableScan" in l
-        ]
-        assert cache_cols, f"uncached parquet scan: {scans[0].strip()[:80]}"
-        for s in scans:
-            depth = len(s) - len(s.lstrip(" :+-"))
-            assert depth > min(cache_cols), (
-                f"uncached parquet scan: {s.strip()[:80]}"
-            )
+    # ADVICE r08: scope the cache check PER SUBTREE — walk each scan's
+    # ancestor chain (the nearest lines above at strictly decreasing
+    # indent) and require an InMemory* ancestor, instead of accepting
+    # any scan merely deeper than the shallowest InMemoryTableScan
+    # anywhere in the plan.
+    lines = plan.splitlines()
+
+    def _depth(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    for i, s in enumerate(lines):
+        if "FileScan parquet" not in s:
+            continue
+        d = _depth(s)
+        cached = False
+        for j in range(i - 1, -1, -1):
+            dj = _depth(lines[j])
+            if dj < d:
+                if "InMemoryTableScan" in lines[j] or "InMemoryRelation" in lines[j]:
+                    cached = True
+                    break
+                d = dj  # next ancestor must be shallower still
+        assert cached, f"uncached parquet scan: {s.strip()[:80]}"
     assert plan.count("Exchange hashpartitioning") <= 2
 
 

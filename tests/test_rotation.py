@@ -78,22 +78,25 @@ def test_dynamic_rotation_from_synthetic_records(tmp_path):
         "err": None,
         "spark_rows": 5,
     }
+    # fabricate a green row for one latest-cohort member (NOT in
+    # ROUND3_NEW, whose members must stay never-checked below) so the
+    # repin branch (green + latest pin -> re-enter window) is exercised
+    r03["graph_bfs_hops"] = {
+        "hash_match": True,
+        "err": None,
+        "spark_rows": 5,
+    }
     (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(r03))
 
     order = _rotation_from_driver_records(str(tmp_path))
     assert order is not None and set(order) == set(REGISTRY)
     # the red row re-checks first; the latest judge-pin cohort's GREEN
-    # members come next (under these synthetic records ewma_per_user has
-    # its real r02 green row, ewma_global_segmented has no row yet);
-    # every never-checked query lands after, ahead of every green query
+    # members come next; every never-checked query lands after, ahead of
+    # every green query
     assert order[0] == "q17_small_quantity_revenue"
     _, checked, green = _driver_records(str(tmp_path))
     repin = {q for q in JUDGE_PINS[max(JUDGE_PINS)] if q in green}
-    # under these synthetic records the latest-pin members that carry a
-    # real r01/r02 row or sit in the fabricated-green r03 list re-pin
-    # (e.g. agg_quantile_modes / str_json_struct from _ROUND3_PRIORITY);
-    # the rest of the latest cohort has no row yet and sorts with never
-    assert "agg_quantile_modes" in repin
+    assert "graph_bfs_hops" in repin
     assert repin == set(order[1 : 1 + len(repin)])
     never = {q for q in REGISTRY if q not in checked}
     assert ROUND3_NEW <= never

@@ -212,19 +212,18 @@ def test_no_unjustified_persist_sites():
     CacheManager plan substitution across the driver session (full
     analysis: operators/dedup.py:lsh_candidate_pairs docstring). Any new
     .persist( call site fails here until it is measured at sf0.1 against
-    the localCheckpoint form and justified in this allowlist."""
+    the localCheckpoint form and justified in this allowlist (the
+    SANCTIONED escape hatch — ADVICE r08; cluster deployments needing
+    executor-loss recoverability should set a reliable checkpoint dir
+    instead, per the dedup.py tradeoff note). The lint walks the AST, so
+    docstrings/comments mentioning .persist( no longer false-positive."""
     import os
 
     from cudf_spark.plans.audit import persist_call_sites
 
     pkg = os.path.join(os.path.dirname(__file__), "..", "cudf_spark")
     allowed: set[tuple[str, str]] = set()  # none today — measurements say no
-    sites = {
-        (f, l)
-        for f, l in persist_call_sites(pkg)
-        if "persist(" in l.split("#")[0]
-        and f != os.path.join("plans", "audit.py")  # the lint's own docstring
-    }
+    sites = set(persist_call_sites(pkg))
     unjustified = sites - allowed
     assert unjustified == set(), (
         "new .persist( call sites need a measured justification: "

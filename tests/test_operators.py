@@ -287,6 +287,38 @@ def test_ewma_segmented_matches_pandas_1m_rows(spark):
         np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-9, err_msg=str(adjust))
 
 
+def test_ewma_segmented_extreme_alpha_paths(spark):
+    """The round-9 pure-JVM path hands off to the exact Arrow two-pass
+    when the lag truncation would need > 32 terms (alpha ~< 1e-3 at the
+    64k block cap) and short-circuits alpha >= 1 to ewma == x; both
+    boundaries must still equal pandas."""
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.operators.windows import ewma_segmented
+
+    n = 50_000
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {"idx": np.arange(n, dtype="int64"), "v": rng.normal(0.0, 5.0, n)}
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    for alpha in (1e-4, 1.0):  # Arrow fallback / no-memory short-circuit
+        for adjust in (True, False):
+            got = (
+                ewma_segmented(df, ["idx"], "v", alpha=alpha, adjust=adjust)
+                .orderBy("idx")
+                .select("ewma")
+                .toPandas()["ewma"]
+                .to_numpy()
+            )
+            expect = pdf["v"].ewm(alpha=alpha, adjust=adjust).mean().to_numpy()
+            np.testing.assert_allclose(
+                got, expect, rtol=1e-9, atol=1e-9,
+                err_msg=f"alpha={alpha} adjust={adjust}",
+            )
+
+
 def test_symspell_pairs_catches_every_ed1_shape(spark):
     """Deletion-key blocking must surface substitution, insertion and
     deletion neighbors (the ed<=1 completeness guarantee), and canon must

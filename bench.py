@@ -107,6 +107,19 @@ def main() -> None:
             # operators may persist small intermediates (LSH bands); drop
             # them so queries don't pay each other's cache memory
             spark.catalog.clearCache()
+            # ... and clearCache() misses localCheckpoint blocks (cached
+            # RDDs, not SQL cache entries): lazily-returned DataFrames
+            # leak one per materialization site per run, and the
+            # accumulation taxes every later query in the basket
+            # (round-9 root cause of late-session wall-clock inflation)
+            _it = (
+                spark.sparkContext._jsc.sc()
+                .getPersistentRDDs()
+                .toList()
+                .iterator()
+            )
+            while _it.hasNext():
+                _it.next()._2().unpersist(False)
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

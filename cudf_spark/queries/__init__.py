@@ -257,6 +257,7 @@ JUDGE_PINS: dict[int, set[str]] = {
         "ewma_global_segmented",
         "graph_label_propagation", "graph_modularity_score",
         "graph_triangle_count", "graph_bfs_hops",
+        "graph_assortativity",
         "text_bpe_train",
     },
 }

@@ -3137,9 +3137,12 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    eu = co_occurrence_edges(li, "l_orderkey", "l_partkey")
-    sym = eu.unionByName(
-        eu.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # checkpoint: sym feeds the degree table AND the edge-grain double
+    # join (which references deg twice) — unmaterialized, the
+    # co-occurrence self-join re-nests ~4x into the one plan (round-9
+    # graph audit, same finding as LPA/triangle).
+    sym = co_occurrence_edges(
+        li, "l_orderkey", "l_partkey", directed=True, checkpoint=True
     )
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")

@@ -68,6 +68,16 @@ def main() -> None:
         if i % 50 == 0:
             print(f"...{i}/{len(REGISTRY)}", file=sys.stderr, flush=True)
         spark.catalog.clearCache()
+        # clearCache() misses localCheckpoint blocks (they are cached
+        # RDDs, not SQL cache entries) — lazily-returned DataFrames leak
+        # one per materialization site and the accumulation inflated the
+        # LATE-alphabet queries' wall-clock in earlier rounds' reports
+        # (round 9 root-caused ewma_global_segmented's 28 s entry this
+        # way: 1.7 s in a fresh session). Unpersist them between queries
+        # so every row measures the query, not the session's history.
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().toList().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(False)
 
     with open(out_path, "w") as fh:
         json.dump(

@@ -3114,11 +3114,13 @@ def events_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="global clustering coefficient (transitivity = 3*triangles / "
     "wedges; Newman 2003 — the one-number cohesion summary over the "
     "same co-ordered graph graph_triangle_count ranks locally): "
-    "triangles by the ordered a<b<c triple join, wedges as the exact "
-    "sum of d*(d-1)/2 over the degree table, ratio in truncating "
-    "micro-units with the zero-wedge guard. Every join endpoint-"
-    "keyed; at 100 TB the triangle join uses the degree-oriented "
-    "variant graph_triangle_count already implements.",
+    "triangles by the DEGREE-ORIENTED wedge join (round 9 — the "
+    "previous id-ordered a<b<c triple join has hub-unbounded wedge "
+    "fan-out, exactly what graph_triangle_count's (degree, id) "
+    "orientation bounds at ~sqrt(m); identical triangle count, the "
+    "oracle keeps the naive triple join as the cross-proof), wedges "
+    "as the exact sum of d*(d-1)/2 over the degree table, ratio in "
+    "truncating micro-units with the zero-wedge guard.",
 )
 def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -3128,12 +3130,40 @@ def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
-    e1 = eu.select(F.col("u").alias("a1"), F.col("v").alias("b1"))
-    e2 = eu.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
-    e3 = eu.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    # degree-(then id-)oriented edges: out-degree bounded ~sqrt(m), so the
+    # wedge join cannot blow up on hubs (Suri & Vassilvitskii WWW'11 — the
+    # same orientation graph_triangle_count uses; triangle COUNT invariant)
+    rank = lambda d, n: F.struct(F.col(d).alias("d"), F.col(n).alias("node"))  # noqa: E731
+    e = (
+        eu.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(rank("du", "u") < rank("dv", "v"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(rank("du", "u") < rank("dv", "v"), rank("dv", "v"))
+            .otherwise(rank("du", "u"))
+            .alias("dst_rank"),
+        )
+        .select(
+            "src",
+            F.col("dst_rank.node").alias("dst"),
+            F.col("dst_rank.d").alias("ddst"),
+        )
+        .localCheckpoint(eager=False)  # feeds both wedge sides + closing
+    )
+    o1, o2 = e.alias("o1"), e.alias("o2")
+    wedge = (
+        o1.join(o2, "src")
+        .filter(
+            F.struct(F.col("o1.ddst"), F.col("o1.dst"))
+            < F.struct(F.col("o2.ddst"), F.col("o2.dst"))
+        )
+        .select(F.col("o1.dst").alias("b"), F.col("o2.dst").alias("c"))
+    )
+    closing = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tri = (
-        e1.join(e2, F.col("b2") == F.col("b1"))
-        .join(e3, (F.col("a3") == F.col("a1")) & (F.col("c3") == F.col("c2")))
+        wedge.join(closing, ["b", "c"], "leftsemi")
         .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
     )
     wedges = deg.agg(

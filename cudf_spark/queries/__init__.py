@@ -259,6 +259,13 @@ JUDGE_PINS: dict[int, set[str]] = {
         "graph_triangle_count", "graph_bfs_hops",
         "graph_assortativity",
         "text_bpe_train",
+        # constant-factor engine rewrites, oracles untouched, values
+        # verified identical (hash MATCH at 2-3 SFs locally):
+        # stats_bootstrap_ci_poisson binds the md5 uniform behind a
+        # Generate barrier (8.4 -> 6.3 s). graph_transitivity_global is
+        # ALSO rewritten (degree-oriented wedges) but has no green row
+        # to invalidate — it is already in the window as never-checked.
+        "stats_bootstrap_ci_poisson",
     },
 }
 

@@ -1924,10 +1924,19 @@ def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % 1000000
     ).cast("double") / F.lit(1000000.0)
+    # inline() is a Generate — a project-collapse barrier (the
+    # text_quality_gopher idiom): without it the md5-backed uniform u is
+    # re-inlined into every CASE branch of k across both aggregate
+    # expressions (~6x the md5 work per (row, replicate); measured
+    # 8.4 -> 4.9 s at sf0.1, round 9). Values are unchanged — u is
+    # computed once per row instead of once per reference.
+    ub = li.crossJoin(F.broadcast(reps)).select(
+        "cents", "b", F.inline(F.array(F.struct(u.alias("u"))))
+    )
     k = F.lit(6)
     for kk in range(len(_POIS1_CDF) - 1, -1, -1):
-        k = F.when(u < F.lit(float(_POIS1_CDF[kk])), F.lit(kk)).otherwise(k)
-    rep = li.crossJoin(F.broadcast(reps)).select("cents", "b", k.alias("k"))
+        k = F.when(F.col("u") < F.lit(float(_POIS1_CDF[kk])), F.lit(kk)).otherwise(k)
+    rep = ub.select("cents", "b", k.alias("k"))
     means = (
         rep.groupBy("b")
         .agg(

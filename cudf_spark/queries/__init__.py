@@ -262,10 +262,15 @@ JUDGE_PINS: dict[int, set[str]] = {
         # constant-factor engine rewrites, oracles untouched, values
         # verified identical (hash MATCH at 2-3 SFs locally):
         # stats_bootstrap_ci_poisson binds the md5 uniform behind a
-        # Generate barrier (8.4 -> 6.3 s). graph_transitivity_global is
-        # ALSO rewritten (degree-oriented wedges) but has no green row
-        # to invalidate — it is already in the window as never-checked.
+        # Generate barrier (8.4 -> 6.3 s); graph_adamic_adar materializes
+        # its weighted edge table (measured neutral-to-positive; the
+        # identical pattern measured WORSE in graph_jaccard_neighbors and
+        # was reverted there — comment-only diff, no pin needed).
+        # graph_transitivity_global is ALSO rewritten (degree-oriented
+        # wedges) but has no green row to invalidate — it is already in
+        # the window as never-checked.
         "stats_bootstrap_ci_poisson",
+        "graph_adamic_adar",
     },
 }
 

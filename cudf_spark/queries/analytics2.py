@@ -465,6 +465,12 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     thr = cum.filter(F.col("cum") * 100 >= 99 * F.col("np")).agg(
         F.min("dp").cast("bigint").alias("thr")
     )
+    # NO checkpoint here, measured (round 9): keep feeds three plan
+    # branches, but materializing it read 5.4s min-of-4 vs 3.3s
+    # recomputed — the narrow (s, p) recompute through AQE-broadcast
+    # joins is cheaper than writing+reading ~500k checkpoint rows
+    # (the dedup.py persist lesson: reuse materialization is NOT a
+    # default win; adamic_adar's weighted table measured the other way)
     keep = (
         edges.join(pdeg, "p")
         .crossJoin(F.broadcast(thr))
@@ -3364,13 +3370,18 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(thr))
         .filter((F.col("dp") <= F.col("thr")) & (F.col("dp") >= 2))
     )
+    # checkpoint, measured neutral-to-positive (round 9: 4.8-5.0s
+    # min-of-N vs 5.4-5.8s recomputed): weighted feeds BOTH self-join
+    # sides and carries the full edge-distinct + degree + threshold
+    # chain; contrast graph_jaccard_neighbors, where the same pattern
+    # measured WORSE and is deliberately not materialized
     weighted = keep.select(
         "s",
         "p",
         F.floor(F.lit(1000000000.0) / F.log(F.col("dp").cast("double")))
         .cast("bigint")
         .alias("w"),
-    )
+    ).localCheckpoint(eager=False)
     a = weighted.select(F.col("s").alias("sa"), "p", "w")
     b = weighted.select(F.col("s").alias("sb"), F.col("p").alias("p2"))
     pairs = (

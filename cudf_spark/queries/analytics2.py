@@ -2386,9 +2386,14 @@ def emb_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = first.select(
         "vec_id", "d", "vcd", F.posexplode("vcs").alias("e", "vce")
     )
+    # checkpoint (round 9): gram is referenced by EVERY round's gv, and
+    # each round's v/nrm reference the previous gv twice — unmaterialized,
+    # the 8M-row Gram aggregation re-nests ~2^rounds times into the final
+    # plan (the CC operator's exponential-recompute lesson). gram is 4096
+    # rows and each gv is 64 — the checkpoints are near-free.
     gram = both.groupBy("d", "e").agg(
         F.sum(F.col("vcd").cast(dec) * F.col("vce")).alias("g")
-    )
+    ).localCheckpoint(eager=False)
     # v0 = ones over the 64 dims
     v = spark.range(64).select(
         F.col("id").cast("int").alias("e"), F.lit(1.0).alias("ve")
@@ -2409,6 +2414,7 @@ def emb_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda acc, x: acc + x["t"],
                 ).alias("gv")
             )
+            .localCheckpoint(eager=False)
         )
         nterm = F.struct(
             F.col("d").alias("d"), (F.col("gv") * F.col("gv")).alias("t")

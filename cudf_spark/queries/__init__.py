@@ -275,6 +275,10 @@ JUDGE_PINS: dict[int, set[str]] = {
         # 2^rounds Gram-matrix recompute nest (6.3 -> 4.2 s min-of-N,
         # hash MATCH at sf0.01)
         "emb_pca_power_iter",
+        # the markov pair shares _markov_chain, whose cr + per-round v
+        # (<= K^2 rows) are now checkpointed — same finding; hash MATCH
+        # at sf0.01 for both
+        "events_markov_stationary", "events_markov_entropy_rate",
     },
 }
 

@@ -1127,13 +1127,18 @@ def _markov_chain(spark: SparkSession, sf_dir: str):
     v = r.crossJoin(F.broadcast(k)).select(
         F.col("i").alias("state"), F.expr("1000000 div kk").cast("bigint").alias("v")
     )
-    cr = c.join(r, "i")  # K^2 rows; reused every round
+    # checkpoint (round 9): cr (K^2 rows) is referenced by EVERY round
+    # and each v by the next — unmaterialized, the events window + count
+    # chain re-nests once per round into the final plan (the
+    # emb_pca_power_iter finding; these tables are <= K^2 = tens of rows)
+    cr = c.join(r, "i").localCheckpoint(eager=False)
     for _ in range(5):
         v = (
             v.join(cr, v.state == cr.i)
             .select("j", F.expr("(v * c) div r").alias("term"))
             .groupBy(F.col("j").alias("state"))
             .agg(F.sum("term").cast("bigint").alias("v"))
+            .localCheckpoint(eager=False)
         )
     return c, r, v
 

@@ -1596,9 +1596,14 @@ def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("day", "m0").cast("bigint").alias("idx"), "c"
     )
     spine = spark.range(32).select(F.col("id").cast("bigint").alias("idx"))
+    # checkpoint (round 9): the base level feeds tot + all 5 pyramid
+    # levels, and each level's `pairs` feeds its energy row AND the next
+    # level — unmaterialized, the events daily-count subtree re-nests
+    # once per level into the final union (the emb_pca_power_iter
+    # finding; every materialized table here is <= 32 rows)
     level = spine.join(idxd, "idx", "left").select(
         "idx", F.coalesce("c", F.lit(0)).cast("bigint").alias("v")
-    )
+    ).localCheckpoint(eager=False)
     tot = level.agg(F.sum(F.col("v") * F.col("v")).cast("bigint").alias("e"))
     outs = []
     for lv in range(1, 6):
@@ -1612,6 +1617,7 @@ def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.max(F.when(F.col("idx") % 2 == 1, F.col("v")))
             ).alias("w"),
         )
+        pairs = pairs.localCheckpoint(eager=False)
         outs.append(
             pairs.agg(
                 F.lit(lv).cast("bigint").alias("level"),

@@ -24,6 +24,7 @@ from cudf_spark.queries import (
     _driver_records,
     _repo_root,
 )
+import scripts.update_proven_hashes as uph
 from scripts.update_proven_hashes import (
     HASH_PATH,
     apply_record,
@@ -137,6 +138,99 @@ def test_self_heal_updates_pinned_reproof():
     healed = apply_record(proven, newest, registry)
     assert healed["pinned_reproved"] == oracle_hash("SELECT 10 AS v -- rewritten")
     assert healed["edited_unproved"] == oracle_hash("SELECT 20 AS v")
+
+
+@pytest.fixture()
+def _fake_repo(tmp_path, monkeypatch):
+    """A real throwaway git repo with a cudf_spark/queries tree, with the
+    updater's module globals pointed at it — so the git-evidence paths in
+    queries_unchanged_since_record() run for real, not simulated."""
+    import subprocess
+
+    def git(*args):
+        subprocess.run(
+            ["git", *args],
+            cwd=tmp_path,
+            check=True,
+            capture_output=True,
+            env={
+                "HOME": str(tmp_path),
+                "GIT_AUTHOR_NAME": "t",
+                "GIT_AUTHOR_EMAIL": "t@t",
+                "GIT_COMMITTER_NAME": "t",
+                "GIT_COMMITTER_EMAIL": "t@t",
+                "PATH": os.environ["PATH"],
+            },
+        )
+
+    qdir = tmp_path / "cudf_spark" / "queries"
+    qdir.mkdir(parents=True)
+    (qdir / "x.py").write_text("ORACLE = 'SELECT 1 AS one'\n")
+    git("init", "-q")
+    git("add", "-A")
+    git("commit", "-qm", "base")
+    monkeypatch.setattr(uph, "_repo_root", str(tmp_path))
+    monkeypatch.setattr(uph, "HASH_PATH", str(tmp_path / "proven.json"))
+    monkeypatch.setattr(uph, "TREE_SHA_PATH", str(tmp_path / "stamp.txt"))
+    return tmp_path, git, qdir
+
+
+def test_heal_fires_on_untracked_record(_fake_repo):
+    """THE r9 round-boundary bug (VERDICT r09 item 1): the driver writes
+    CORRECTNESS_r{N}.json without committing it, `git log -1` on the
+    untracked path returns empty, and the old guard refused to heal at the
+    exact state the judge tests. With the record untracked and the queries
+    worktree clean, healing must fire."""
+    tmp, git, qdir = _fake_repo
+    (tmp / "CORRECTNESS_r99.json").write_text('{"q": {"hash_match": true}}')
+    assert uph.queries_unchanged_since_record() is True
+
+    # ...and a dirty queries worktree must still refuse.
+    (qdir / "x.py").write_text("ORACLE = 'SELECT 2 AS two'\n")
+    assert uph.queries_unchanged_since_record() is False
+
+
+def test_self_heal_end_to_end_on_untracked_record(_fake_repo, monkeypatch):
+    """Full self_heal() at the untracked-record state: the proven file must
+    gain the fresh-green query's CURRENT oracle hash."""
+    tmp, git, qdir = _fake_repo
+
+    class _Q:
+        oracle = "SELECT 1 AS one"
+
+    monkeypatch.setattr(uph, "REGISTRY", {"q": _Q()})
+    (tmp / "CORRECTNESS_r99.json").write_text('{"q": {"hash_match": true}}')
+    assert self_heal() is True
+    with open(str(tmp / "proven.json")) as fh:
+        assert json.load(fh) == {"q": oracle_hash("SELECT 1 AS one")}
+
+
+def test_stamp_is_authoritative(_fake_repo):
+    """ADVICE r09 (medium): when the builder-stamped queries tree SHA is
+    present it overrides commit-order heuristics — a matching stamp heals
+    even after unrelated commits; a mismatched stamp refuses even though
+    the untracked-record fallback alone would have healed (the stamp says
+    the driver ran a DIFFERENT queries tree)."""
+    tmp, git, qdir = _fake_repo
+    (tmp / "CORRECTNESS_r99.json").write_text('{"q": {"hash_match": true}}')
+
+    uph.stamp_tree_sha()
+    assert uph.queries_unchanged_since_record() is True
+
+    (tmp / "stamp.txt").write_text("0" * 40 + "\n")
+    assert uph.queries_unchanged_since_record() is False
+
+
+def test_tracked_record_with_bundled_query_edit_refuses(_fake_repo):
+    """ADVICE r09 (medium), commit-bundling case: an oracle edit committed
+    IN the record-landing commit was never driver-proven — the tracked-path
+    evidence must refuse (only the stamp could prove such a state)."""
+    tmp, git, qdir = _fake_repo
+    (tmp / "CORRECTNESS_r99.json").write_text('{"q": {"hash_match": true}}')
+    (qdir / "x.py").write_text("ORACLE = 'SELECT 99 AS v'\n")
+    git("add", "-A")
+    git("commit", "-qm", "record + bundled oracle edit")
+    assert uph.queries_unchanged_since_record() is False
 
 
 def test_latest_pins_cover_all_unproven_green_oracles():

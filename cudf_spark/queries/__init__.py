@@ -280,6 +280,20 @@ JUDGE_PINS: dict[int, set[str]] = {
         # at sf0.01 for both
         "events_markov_stationary", "events_markov_entropy_rate",
     },
+    # Round-10 engine rewrites, oracles untouched (same rule as r8/r9 —
+    # an engine rewrite invalidates a green row's proof): triangle moved
+    # from the wedge-join form (~36M-row wedge shuffle at sf0.1) to the
+    # degree-oriented edge-iterator intersection form (8.13 -> 5.46 s
+    # min-of-5 fresh-process); modularity fused its eii/ai/m passes over
+    # ONE checkpointed per-edge label table and dropped the deg groupBy
+    # (9.66 -> 6.04 s); both plus LPA replaced the identity round 0 with
+    # its closed form min-neighbour groupBy. Hashes re-verified at 3 SFs
+    # locally before pinning.
+    10: {
+        "graph_triangle_count",
+        "graph_modularity_score",
+        "graph_label_propagation",
+    },
 }
 
 

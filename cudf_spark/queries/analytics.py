@@ -82,21 +82,27 @@ def _rank(deg_col: str, node_col: str):
     LIMIT 50
     """,
     doc="triangle counting on the parts-co-ordered-together graph "
-    "(degree-oriented wedge join, Suri & Vassilvitskii WWW'11): edges = "
-    "distinct part pairs sharing an order; orient every edge from its "
-    "lower-(degree,id) endpoint so out-degrees are bounded ~sqrt(m); "
-    "wedges join oriented out-edges on their source; a wedge closes iff "
-    "the (mid,high)-rank edge exists. Every shuffle is keyed (order key, "
-    "edge endpoints, wedge middle); the oracle's simple a<b<c triple join "
-    "proves the oriented plan finds the identical triangle set. Output: "
-    "top-50 parts by triangle participation (total order: count desc, id).",
+    "(degree-oriented edge-iterator, Suri & Vassilvitskii WWW'11 / "
+    "Latapy 2008 intersection form): edges = distinct part pairs sharing "
+    "an order; orient every edge from its lower-(degree,id) endpoint so "
+    "out-degrees are bounded ~sqrt(m); each oriented edge (u,v) closes "
+    "one triangle per element of N_out(u) INTERSECT N_out(v) — every "
+    "triangle a<b<c is found exactly once, at edge (a,b) with c the "
+    "intersection witness. The r9 wedge-join form shuffled the ~36M-row "
+    "wedge table into a semi-join at sf0.1; this form joins the |V|-row "
+    "neighbor-list table into the |E|-row edge list (both keyed, AQE "
+    "broadcasts at fixture scale) and intersects map-side, so the only "
+    "post-edge shuffles are the neighbor-list groupBy and the final "
+    "per-node count whose input is ~3x the triangle count, not the wedge "
+    "count. The oracle's simple a<b<c triple join proves the oriented "
+    "plan finds the identical triangle set. Output: top-50 parts by "
+    "triangle participation (total order: count desc, id).",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    # checkpoint: edges feeds the degree branch AND the orient join, and
-    # the oriented list e below feeds THREE plan branches (both wedge
-    # sides + the closing-edge probe) — without materialization the
-    # co-occurrence self-join re-nests into each (round-9 audit).
+    # checkpoint: edges feeds the degree branch AND the orient join —
+    # without materialization the co-occurrence self-join re-nests into
+    # each (round-9 audit).
     edges = co_occurrence_edges(li, "l_orderkey", "l_partkey", checkpoint=True)
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("node"))
@@ -112,36 +118,47 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(_rank("du", "u") < _rank("dv", "v"), F.col("u"))
             .otherwise(F.col("v"))
             .alias("src"),
-            F.when(_rank("du", "u") < _rank("dv", "v"), _rank("dv", "v"))
-            .otherwise(_rank("du", "u"))
-            .alias("dst_rank"),
-        )
-        .select(
-            "src",
-            F.col("dst_rank.node").alias("dst"),
-            F.col("dst_rank.d").alias("ddst"),
+            F.when(_rank("du", "u") < _rank("dv", "v"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("dst"),
         )
         .localCheckpoint(eager=False)
     )
-    o1, o2 = e.alias("o1"), e.alias("o2")
-    wedges = (
-        o1.join(o2, "src")
-        .filter(
-            F.struct(F.col("o1.ddst"), F.col("o1.dst"))
-            < F.struct(F.col("o2.ddst"), F.col("o2.dst"))
-        )
+    # Sorted out-neighbor lists, bounded ~sqrt(m) by the orientation.
+    nbrs = e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("ns"))
+    empty = F.array().cast("array<bigint>")
+    witnessed = (
+        e.join(nbrs.withColumnRenamed("src", "u_key"), e.src == F.col("u_key"), "left")
+        .withColumnRenamed("ns", "ns_u")
+        .drop("u_key")
+        .join(nbrs.withColumnRenamed("src", "v_key"), e.dst == F.col("v_key"), "left")
+        .withColumnRenamed("ns", "ns_v")
+        .drop("v_key")
         .select(
-            F.col("src").alias("a"),
-            F.col("o1.dst").alias("b"),
-            F.col("o2.dst").alias("c"),
+            "src",
+            "dst",
+            F.array_intersect(
+                F.coalesce("ns_u", empty), F.coalesce("ns_v", empty)
+            ).alias("w"),
         )
+        .filter(F.size("w") > 0)
     )
-    closing = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, ["b", "c"], "leftsemi")
+    contrib = witnessed.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.size("w").alias("c")),
+                    F.struct(F.col("dst").alias("node"), F.size("w").alias("c")),
+                ),
+                F.transform(
+                    "w", lambda x: F.struct(x.alias("node"), F.lit(1).alias("c"))
+                ),
+            )
+        ).alias("s")
+    ).select("s.node", "s.c")
     return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        contrib.groupBy("node")
+        .agg(F.sum("c").cast("bigint").alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), "node")
         .limit(50)
     )
@@ -737,10 +754,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = eu.union(
         eu.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint(eager=False)
-    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    # Round-0 closed form (r10): with identity initial labels every
+    # neighbour label is distinct (c == 1 for all), so the (count DESC,
+    # label ASC) winner is simply the MINIMUM neighbour id — one groupBy
+    # replaces the node-distinct build, the first join and the first
+    # two-level aggregation (identical labels by construction; oracle's
+    # unrolled lab1 CTE unchanged and still hash-matched at 3 SFs).
+    labels = edges.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("label")
     )
-    for _ in range(3):
+    for _ in range(2):
         nb = edges.join(labels.withColumnRenamed("node", "v"), "v").select(
             F.col("u").alias("node"), "label"
         )

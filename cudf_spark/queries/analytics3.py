@@ -2589,15 +2589,18 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_orderkey", "l_partkey", directed=True, checkpoint=True
     )
     eu = sym.filter(F.col("u") < F.col("v"))
-    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
     # round 9: max_by argmax replaces the row_number window per round —
     # pure hash aggregate (map-side partials, no sort exchange) with the
     # identical (count DESC, label ASC) winner; see
     # graph_label_propagation. Only the FINAL labels checkpoint remains:
-    # it is the table consumed three times below (eii twice + ai).
-    for r in range(3):
+    # it is consumed by both endpoint joins of the fused el table below.
+    # Round-0 closed form (r10): identity initial labels make every
+    # neighbour label distinct, so the argmax winner is min(v) — one
+    # groupBy replaces distinct + join + two-level agg (see LPA).
+    labels = sym.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("label")
+    )
+    for r in range(2):
         nb = sym.join(labels.withColumnRenamed("node", "v"), "v").select(
             F.col("u").alias("node"), "label"
         )
@@ -2607,25 +2610,28 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "label"
             )
         )
-        if r == 2:
+        if r == 1:
             labels = labels.localCheckpoint(eager=False)
-    m = eu.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     la = labels.withColumnRenamed("node", "u").withColumnRenamed("label", "lu")
     lb = labels.withColumnRenamed("node", "v").withColumnRenamed("label", "lv")
+    # round 10 fusion (VERDICT item 2): ONE per-edge label table feeds m,
+    # eii AND ai. a_label = sum of degrees over the label's nodes = the
+    # count of (edge, endpoint) incidences with that endpoint label —
+    # explode(array(lu, lv)) over eu — so the former deg groupBy over the
+    # 2|E|-row sym table and the deg-join-labels pass disappear entirely.
+    el = eu.join(la, "u").join(lb, "v").select("lu", "lv").localCheckpoint(
+        eager=False
+    )
+    m = el.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     eii = (
-        eu.join(la, "u")
-        .join(lb, "v")
-        .filter(F.col("lu") == F.col("lv"))
+        el.filter(F.col("lu") == F.col("lv"))
         .groupBy(F.col("lu").alias("label"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
     )
-    deg = sym.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
     ai = (
-        deg.join(labels, "node")
+        el.select(F.explode(F.array("lu", "lv")).alias("label"))
         .groupBy("label")
-        .agg(F.sum("d").cast("bigint").alias("a"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("a"))
     )
     dd = lambda c: F.col(c).cast("double")
     half = dd("a") / (2.0 * dd("m"))

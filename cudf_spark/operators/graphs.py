@@ -67,6 +67,64 @@ def co_occurrence_edges(
     return e.localCheckpoint(eager=False) if checkpoint else e
 
 
+def degree_oriented_edges(eu: DataFrame) -> DataFrame:
+    """(src, dst): every undirected edge of ``eu`` (u, v) oriented from
+    its lower endpoint under the (degree, id) total order — out-degrees
+    are then bounded ~sqrt(m) (Suri & Vassilvitskii WWW'11), the bound
+    that makes triangle/wedge work hub-safe at any scale. ``eu`` should
+    be checkpointed by the caller (it feeds the degree branch AND the
+    orient join). Result is lazily checkpointed: every consumer
+    (neighbor-list build + per-edge probe) re-joins it."""
+    deg = (
+        eu.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    rank = lambda d, n: F.struct(F.col(d).alias("d"), F.col(n).alias("node"))  # noqa: E731
+    lt = rank("du", "u") < rank("dv", "v")
+    return (
+        eu.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def triangle_witnesses(e: DataFrame) -> DataFrame:
+    """(src, dst, w): for each degree-oriented edge, the array of third
+    vertices closing a triangle over it — the edge-iterator intersection
+    form (Latapy 2008 / compact-forward): w = N_out(src) ∩ N_out(dst),
+    so every triangle a<b<c (by the orientation's rank) is witnessed
+    exactly ONCE, at edge (a, b) with c in w. Replaces the wedge
+    self-join + closing semi-join: the neighbor-list table is |V| rows
+    with arrays bounded ~sqrt(m) by the orientation, joined into the
+    |E|-row edge list (AQE broadcasts it at fixture scale, keyed SMJ at
+    100 TB) and intersected map-side — nothing the size of the wedge
+    set is ever materialized or shuffled. Edges with no witness are
+    filtered out."""
+    nbrs = e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("ns"))
+    empty = F.array().cast("array<bigint>")
+    return (
+        e.join(nbrs.withColumnRenamed("src", "u_key"), e.src == F.col("u_key"), "left")
+        .withColumnRenamed("ns", "ns_u")
+        .drop("u_key")
+        .join(nbrs.withColumnRenamed("src", "v_key"), e.dst == F.col("v_key"), "left")
+        .withColumnRenamed("ns", "ns_v")
+        .drop("v_key")
+        .select(
+            "src",
+            "dst",
+            F.array_intersect(
+                F.coalesce("ns_u", empty), F.coalesce("ns_v", empty)
+            ).alias("w"),
+        )
+        .filter(F.size("w") > 0)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

@@ -293,6 +293,17 @@ JUDGE_PINS: dict[int, set[str]] = {
         "graph_triangle_count",
         "graph_modularity_score",
         "graph_label_propagation",
+        # gated_ids localCheckpoint (VERDICT r09 item 4); in-noise at
+        # fixture scale, kept for the 100 TB recompute argument
+        "curation_pipeline_v3",
+        # ADVICE r09: bucketing now layout-independent (num_partitions
+        # pinned + exact equi-width splitters) — bucket boundaries moved,
+        # so the pre-round(,4) bits changed class; hash re-verified at
+        # 3 SFs locally
+        "ewma_global_segmented",
+        # same edge-iterator intersection rewrite as triangle (shared
+        # operators/graphs.py:triangle_witnesses), oracle untouched
+        "graph_transitivity_global",
     },
 }
 

@@ -52,12 +52,6 @@ from cudf_spark.functions.hashing import hash60_sql
 from cudf_spark.queries.registry import register
 
 
-def _rank(deg_col: str, node_col: str):
-    """(degree, id) rank struct with UNIFORM field names so CASE branches
-    that pick either endpoint's rank type-check as the same struct."""
-    return F.struct(F.col(deg_col).alias("d"), F.col(node_col).alias("node"))
-
-
 @register(
     "graph_triangle_count",
     oracle="""
@@ -99,50 +93,14 @@ def _rank(deg_col: str, node_col: str):
     "triangle participation (total order: count desc, id).",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.graphs import degree_oriented_edges, triangle_witnesses
+
     li = load(spark, sf_dir, "lineitem")
     # checkpoint: edges feeds the degree branch AND the orient join —
     # without materialization the co-occurrence self-join re-nests into
     # each (round-9 audit).
     edges = co_occurrence_edges(li, "l_orderkey", "l_partkey", checkpoint=True)
-    deg = (
-        edges.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    # Orient u->v iff rank(u) < rank(v), rank = (degree, id): a total order,
-    # so exactly one direction survives per edge and out-degree is bounded.
-    e = (
-        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
-        .select(
-            F.when(_rank("du", "u") < _rank("dv", "v"), F.col("u"))
-            .otherwise(F.col("v"))
-            .alias("src"),
-            F.when(_rank("du", "u") < _rank("dv", "v"), F.col("v"))
-            .otherwise(F.col("u"))
-            .alias("dst"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    # Sorted out-neighbor lists, bounded ~sqrt(m) by the orientation.
-    nbrs = e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("ns"))
-    empty = F.array().cast("array<bigint>")
-    witnessed = (
-        e.join(nbrs.withColumnRenamed("src", "u_key"), e.src == F.col("u_key"), "left")
-        .withColumnRenamed("ns", "ns_u")
-        .drop("u_key")
-        .join(nbrs.withColumnRenamed("src", "v_key"), e.dst == F.col("v_key"), "left")
-        .withColumnRenamed("ns", "ns_v")
-        .drop("v_key")
-        .select(
-            "src",
-            "dst",
-            F.array_intersect(
-                F.coalesce("ns_u", empty), F.coalesce("ns_v", empty)
-            ).alias("w"),
-        )
-        .filter(F.size("w") > 0)
-    )
+    witnessed = triangle_witnesses(degree_oriented_edges(edges))
     contrib = witnessed.select(
         F.explode(
             F.concat(

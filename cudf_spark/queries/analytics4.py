@@ -3120,15 +3120,18 @@ def events_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="global clustering coefficient (transitivity = 3*triangles / "
     "wedges; Newman 2003 — the one-number cohesion summary over the "
     "same co-ordered graph graph_triangle_count ranks locally): "
-    "triangles by the DEGREE-ORIENTED wedge join (round 9 — the "
-    "previous id-ordered a<b<c triple join has hub-unbounded wedge "
-    "fan-out, exactly what graph_triangle_count's (degree, id) "
-    "orientation bounds at ~sqrt(m); identical triangle count, the "
-    "oracle keeps the naive triple join as the cross-proof), wedges "
-    "as the exact sum of d*(d-1)/2 over the degree table, ratio in "
-    "truncating micro-units with the zero-wedge guard.",
+    "triangles by the degree-oriented edge-iterator intersection "
+    "(operators/graphs.py:triangle_witnesses, round 10 — replaces the "
+    "r9 wedge join whose ~36M-row wedge table was the plan's largest "
+    "intermediate; each triangle is witnessed once at its lowest-rank "
+    "edge, so the count is sum(size(w)); the oracle keeps the naive "
+    "triple join as the cross-proof), wedges as the exact sum of "
+    "d*(d-1)/2 over the degree table, ratio in truncating micro-units "
+    "with the zero-wedge guard.",
 )
 def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.graphs import degree_oriented_edges, triangle_witnesses
+
     li = load(spark, sf_dir, "lineitem")
     eu = co_occurrence_edges(li, "l_orderkey", "l_partkey", checkpoint=True)
     deg = (
@@ -3136,41 +3139,10 @@ def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
-    # degree-(then id-)oriented edges: out-degree bounded ~sqrt(m), so the
-    # wedge join cannot blow up on hubs (Suri & Vassilvitskii WWW'11 — the
-    # same orientation graph_triangle_count uses; triangle COUNT invariant)
-    rank = lambda d, n: F.struct(F.col(d).alias("d"), F.col(n).alias("node"))  # noqa: E731
-    e = (
-        eu.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
-        .select(
-            F.when(rank("du", "u") < rank("dv", "v"), F.col("u"))
-            .otherwise(F.col("v"))
-            .alias("src"),
-            F.when(rank("du", "u") < rank("dv", "v"), rank("dv", "v"))
-            .otherwise(rank("du", "u"))
-            .alias("dst_rank"),
-        )
-        .select(
-            "src",
-            F.col("dst_rank.node").alias("dst"),
-            F.col("dst_rank.d").alias("ddst"),
-        )
-        .localCheckpoint(eager=False)  # feeds both wedge sides + closing
-    )
-    o1, o2 = e.alias("o1"), e.alias("o2")
-    wedge = (
-        o1.join(o2, "src")
-        .filter(
-            F.struct(F.col("o1.ddst"), F.col("o1.dst"))
-            < F.struct(F.col("o2.ddst"), F.col("o2.dst"))
-        )
-        .select(F.col("o1.dst").alias("b"), F.col("o2.dst").alias("c"))
-    )
-    closing = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = (
-        wedge.join(closing, ["b", "c"], "leftsemi")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    tri = triangle_witnesses(degree_oriented_edges(eu)).agg(
+        # coalesce: an empty witnessed set sums to NULL where the old
+        # count(*) (and the oracle's triple-join count) gives 0
+        F.coalesce(F.sum(F.size("w")), F.lit(0)).cast("bigint").alias("t")
     )
     wedges = deg.agg(
         F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("w")

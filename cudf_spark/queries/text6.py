@@ -534,7 +534,18 @@ def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    gated_ids = _quality_z(d).filter(F.col("z") > 0).select("doc_id")
+    # checkpoint the gate (doc_id-only, ~|docs|/2 rows): it feeds the
+    # corpus count, the shingle build AND the survivor anti-join — without
+    # it the _quality_z regex/tokenize map pass re-nests into all three.
+    # r10 A/B at sf0.1: 3.45 -> 3.37 s min-of-3 fresh-process — in-noise
+    # locally (the fixture gate is cheap), kept because at 100 TB the
+    # removed recompute is 2 extra full-corpus regex/tokenize passes
+    # while the added cost is one |docs|/2-row single-column write
+    gated_ids = (
+        _quality_z(d).filter(F.col("z") > 0).select("doc_id").localCheckpoint(
+            eager=False
+        )
+    )
     gated = d.join(gated_ids, "doc_id")
     n_docs = gated.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     # one shingle table feeds BOTH the containment stage and the novelty
@@ -549,6 +560,9 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = pairs.select(loser.alias("doc_id")).distinct()
     survivors = gated_ids.join(losers, "doc_id", "left_anti")
     sh2 = sh.join(survivors, "doc_id")
+    # NOT checkpointed: r10 A/B measured 3.42 vs 3.37 s (neutral-to-
+    # worse) — sh is already materialized, so the survivors join is
+    # cheap to recompute for its two consumers (the jaccard lesson)
     firsts = sh2.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     nov = (
         sh2.join(firsts, "g")

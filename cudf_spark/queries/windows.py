@@ -421,7 +421,20 @@ def ewma_global_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "ts", "value")
     )
     return (
-        ewma_segmented(e, ["ts", "event_id"], "value", alpha=0.3)
+        # num_partitions pinned + deterministic equi-width splitters
+        # (ADVICE r09): the bucketing — and therefore every output BIT
+        # ahead of the round(, 4) — no longer depends on
+        # defaultParallelism or on percentile_approx's
+        # partition-merge-order, so the hash is identical on any cluster
+        # layout, not just the local[4]/local[32] ones the sweep runs.
+        ewma_segmented(
+            e,
+            ["ts", "event_id"],
+            "value",
+            alpha=0.3,
+            num_partitions=32,
+            splitters="width",
+        )
         .select("event_id", F.round("ewma", 4).alias("ewma"))
         .orderBy("event_id")
     )

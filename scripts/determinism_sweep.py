@@ -12,8 +12,9 @@ this; this sweep runs each query under THREE deliberately different
 layouts in separate subprocesses and diffs the canonical value hashes:
 
 1. shuffle=4,  scan splits 128 MB (the driver_sim baseline shape);
-2. shuffle=13, scan splits 2 MB (both map- and reduce-side fold orders
-   change);
+2. shuffle=13, scan splits 2 MB, master local[7] (both fold orders AND
+   defaultParallelism change — ADVICE r09: an all-local[4] sweep cannot
+   see a parallelism-derived bucketing dependence);
 3. shuffle=7, AQE DISABLED, JVM default + session timezone set to
    America/New_York (results must not depend on runtime re-planning or
    on the host zone — catalog.load pins the session zone to UTC per
@@ -45,8 +46,12 @@ def worker(nparts: int, sf: str) -> int:
 
     from cudf_spark.queries import REGISTRY
 
+    # Layout 2 also changes the MASTER core count (ADVICE r09): all-
+    # local[4] layouts cannot see a dependence on defaultParallelism —
+    # exactly how ewma_segmented's nbuckets default slipped past the
+    # sweep before the call site pinned num_partitions.
     builder = (
-        SparkSession.builder.master("local[4]")
+        SparkSession.builder.master("local[7]" if nparts == 13 else "local[4]")
         .config("spark.sql.shuffle.partitions", str(nparts))
         # also perturb scan splits so map-side partial-agg order changes
         .config("spark.sql.files.maxPartitionBytes", str(1 << (27 if nparts < 8 else 21)))

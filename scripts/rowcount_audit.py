@@ -81,7 +81,20 @@ def main() -> None:
 
     with open(out_path, "w") as fh:
         json.dump(
-            {"sf_dir": sf_dir, "n_queries": len(report), "queries": report},
+            {
+                "_doc": (
+                    "secs are ONE-SESSION sequential readings (alphabetical "
+                    "order, shared JVM): a whole-registry degeneracy smoke + "
+                    "latency table, NOT a perf claim. The perf protocol is "
+                    "fresh-process min-of-N (scripts/time_query.py); its "
+                    "committed numbers live in FRESH_MINS_sf01.json — the "
+                    "two legitimately disagree by the JIT/session tax "
+                    "(VERDICT r09 item 3)."
+                ),
+                "sf_dir": sf_dir,
+                "n_queries": len(report),
+                "queries": report,
+            },
             fh,
             indent=0,
             sort_keys=True,

@@ -684,3 +684,65 @@ def test_similarity_query_guards_and_null_dedup(spark):
     groups = exact_dedup_groups(docs, "id", "text").collect()
     assert len(groups) == 1  # only the real duplicate pair groups
     assert groups[0].n_dups == 2 and groups[0].canonical_id == 3
+
+
+def test_ewma_segmented_width_splitters_layout_stable(spark):
+    """ADVICE r09: with splitters="width" and num_partitions pinned, the
+    bucketing derives from two deterministic scalars (global min/max), so
+    the output must be BIT-identical under any input partitioning — the
+    layout dependence percentile_approx's merge-order carries. Also
+    checks correctness vs pandas (equi-width buckets are still exact, the
+    splitters only steer partitioning)."""
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.operators.windows import ewma_segmented
+
+    n = 100_000
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({"idx": np.arange(n, dtype="int64"), "v": rng.normal(0.0, 9.0, n)})
+
+    outs = []
+    for parts in (3, 16, 31):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        got = (
+            ewma_segmented(
+                df, ["idx"], "v", alpha=0.3, num_partitions=8, splitters="width"
+            )
+            .orderBy("idx")
+            .select("ewma")
+            .toPandas()["ewma"]
+            .to_numpy()
+        )
+        outs.append(got)
+    # bit-identical across layouts
+    assert (outs[0] == outs[1]).all() and (outs[1] == outs[2]).all()
+    expect = pdf["v"].ewm(alpha=0.3, adjust=True).mean().to_numpy()
+    np.testing.assert_allclose(outs[0], expect, rtol=1e-9, atol=1e-9)
+
+
+def test_ewma_segmented_width_splitters_constant_key(spark):
+    """Degenerate equi-width case: a CONSTANT order key collapses to one
+    bucket (lo == hi -> no cuts) and must still be exact."""
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.operators.windows import ewma_segmented
+
+    pdf = pd.DataFrame(
+        {"k": np.zeros(500, dtype="int64"),
+         "tie": np.arange(500, dtype="int64"),
+         "v": np.arange(500, dtype="float64") % 17}
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    got = (
+        ewma_segmented(
+            df, ["k", "tie"], "v", alpha=0.2, num_partitions=8, splitters="width"
+        )
+        .orderBy("tie")
+        .select("ewma")
+        .toPandas()["ewma"]
+        .to_numpy()
+    )
+    expect = pdf["v"].ewm(alpha=0.2, adjust=True).mean().to_numpy()
+    np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-9)

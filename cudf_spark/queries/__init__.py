@@ -304,6 +304,12 @@ JUDGE_PINS: dict[int, set[str]] = {
         # same edge-iterator intersection rewrite as triangle (shared
         # operators/graphs.py:triangle_witnesses), oracle untouched
         "graph_transitivity_global",
+        # frontier now read back from the checkpointed visited union
+        # (recompute-nest fix, 6.67 -> 4.55 s), oracle untouched
+        "graph_bfs_hops",
+        # per-round survivor set checkpointed (in-noise locally, halves
+        # the per-round full-edge degree shuffle at scale)
+        "graph_kcore_peel",
     },
 }
 

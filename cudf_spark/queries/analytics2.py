@@ -3380,7 +3380,15 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min-of-N vs 5.4-5.8s recomputed): weighted feeds BOTH self-join
     # sides and carries the full edge-distinct + degree + threshold
     # chain; contrast graph_jaccard_neighbors, where the same pattern
-    # measured WORSE and is deliberately not materialized
+    # measured WORSE and is deliberately not materialized.
+    # round-10 A/B, rejected: generating the s_a < s_b pairs in-JVM from
+    # per-part sorted supplier lists (the triangle_witnesses array trick
+    # — one groupBy instead of the self-join's two shuffles) measured
+    # 8.43 s min-of-3 warm vs 5.60 s for this join form: at ~30 capped
+    # suppliers/part the nested transform/slice builds ~C(30,2) structs
+    # per part outside whole-stage codegen, costing more than the SMJ it
+    # saved. The array trick wins when the per-key lists are consumed by
+    # an INTERSECT (triangle/transitivity), not a quadratic expansion.
     weighted = keep.select(
         "s",
         "p",

@@ -396,7 +396,18 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for _ in range(_KCORE_ROUNDS):
-        keep = degrees(edges).filter(F.col("deg") >= _KCORE_K).select("node")
+        # keep is consumed by BOTH endpoint joins — checkpoint the
+        # <=|V|-row survivor set or the degree groupBy over the full
+        # edge list runs twice per round. r10 A/B: 4.37 -> 4.48 s
+        # min-of-2 warm at sf0.1 (in-noise locally — the fixture degree
+        # agg is cheap); kept because at 100 TB the removed recompute is
+        # one full-edge-list keyed shuffle per round for a |V|-row write
+        keep = (
+            degrees(edges)
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
         edges = (
             edges.join(keep.withColumnRenamed("node", "u"), "u")
             .join(keep.withColumnRenamed("node", "v"), "v")
@@ -1898,7 +1909,12 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("hop", F.lit(r).cast("bigint"))
         )
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
-        frontier = nxt.select("node")
+        # read the frontier back out of the CHECKPOINTED union (r10):
+        # deriving it from `nxt` directly re-executed the round's
+        # join+distinct+anti-join a second time inside the next round's
+        # plan — the recompute-nest class, one extra frontier expansion
+        # per round (6.67 -> 4.55 s min-of-3 warm at sf0.1)
+        frontier = visited.filter(F.col("hop") == r).select("node")
     return (
         visited.groupBy("hop")
         .agg(

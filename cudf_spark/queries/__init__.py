@@ -310,6 +310,12 @@ JUDGE_PINS: dict[int, set[str]] = {
         # per-round survivor set checkpointed (in-noise locally, halves
         # the per-round full-edge degree shuffle at scale)
         "graph_kcore_peel",
+        # sound size-prefilter ahead of the per-pair intersect
+        # (J <= min/max; 7.37 -> 6.82 s), oracle untouched
+        "dedup_ngram_jaccard",
+        # r10 nest audit: t0 / s1 / exact_kept each fed 2-3 consumers
+        # unmaterialized (the S1+S2+S3 chain executed 3x); 7.75 -> 5.19 s
+        "curation_pipeline_v2",
     },
 }
 

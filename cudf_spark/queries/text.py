@@ -276,10 +276,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = s.select(F.col("doc_id").alias("id_a"), "lang", "source", F.col("sh").alias("sh_a"))
     b = s.select(F.col("doc_id").alias("id_b"), "lang", "source", F.col("sh").alias("sh_b"))
     jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    # size prefilter AHEAD of the intersect: J <= min(|A|,|B|)/max(...)
+    # (the intersection fits in the smaller set, the union contains the
+    # larger), so 5*min < max proves J < 0.2 without touching elements.
+    # Codegen short-circuits the conjunction, skipping the O(|A|+|B|)
+    # intersect+union for size-mismatched pairs (r10 A/B at sf0.1:
+    # 7.37 -> 6.82 s min-of-2 warm — modest here because the synthetic
+    # docs have similar lengths; on a real corpus with heavy-tailed doc
+    # sizes the skip rate, and the win, grows. Result set unchanged,
+    # oracle untouched).
+    sz_a, sz_b = F.size("sh_a"), F.size("sh_b")
+    prefilter = 5 * F.least(sz_a, sz_b) >= F.greatest(sz_a, sz_b)
     return (
         a.join(b, ["lang", "source"])
         .filter(F.col("id_b") > F.col("id_a"))
-        .filter(jac >= 0.2)
+        .filter(prefilter & (jac >= 0.2))
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )

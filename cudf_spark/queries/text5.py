@@ -426,7 +426,8 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.join(e, d["doc_id"] == e["vec_id"]).select("doc_id", "text", "embedding")
 
     # S1: cross-doc boilerplate excision over the embedded sub-corpus
-    t0 = _tok_arrays(base)
+    # t0 feeds the gram explode AND the reassemble join (r10 nest audit)
+    t0 = _tok_arrays(base).localCheckpoint(eager=False)
     # occ5 feeds the gram-count groupBy AND the coverage join — checkpoint
     # (the text_remove_boilerplate convention; tokenize+explode is the
     # corpus-scale cost here)
@@ -447,7 +448,7 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("n_tok0"),
         F.col("n_removed").alias("boiler_removed"),
         F.col("clean_text").alias("clean1"),
-    )
+    ).localCheckpoint(eager=False)  # feeds S2's chain AND the staged join
 
     # S2: within-doc repeated-window removal on the cleaned text
     t1 = s1.select(
@@ -474,6 +475,9 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keeper"))
         .drop("keeper")
         .join(base.select("doc_id", "embedding"), "doc_id")
+        # three consumers (centroid seed, semantic_dedup input, survivor
+        # join) — without this the whole S1+S2+S3 chain executes 3x
+        .localCheckpoint(eager=False)
     )
 
     # S4: SemDeDup on the survivors' embeddings (keep-first within cells)

@@ -316,6 +316,12 @@ JUDGE_PINS: dict[int, set[str]] = {
         # r10 nest audit: t0 / s1 / exact_kept each fed 2-3 consumers
         # unmaterialized (the S1+S2+S3 chain executed 3x); 7.75 -> 5.19 s
         "curation_pipeline_v2",
+        # engine moved applyInPandas -> pure-JVM grouped block scan AND
+        # the oracle moved from the pandas-kernel recursive replay to
+        # the closed-form block algebra (4.79 -> 1.64 s); re-verified at
+        # 3 SFs locally — BOTH sides changed, so the driver re-proof is
+        # mandatory
+        "ewma_per_user",
     },
 }
 

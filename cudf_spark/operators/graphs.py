@@ -104,22 +104,23 @@ def triangle_witnesses(e: DataFrame) -> DataFrame:
     |E|-row edge list (AQE broadcasts it at fixture scale, keyed SMJ at
     100 TB) and intersected map-side — nothing the size of the wedge
     set is ever materialized or shuffled. Edges with no witness are
-    filtered out."""
+    filtered out — so both neighbor-list joins are INNER: an edge whose
+    endpoint has no out-neighbors can never survive the size filter
+    (ADVICE r10: the former left joins + coalesce-to-empty were dead
+    weight; inner joins also let the optimizer prune null-extension
+    rows before the intersect)."""
     nbrs = e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("ns"))
-    empty = F.array().cast("array<bigint>")
     return (
-        e.join(nbrs.withColumnRenamed("src", "u_key"), e.src == F.col("u_key"), "left")
+        e.join(nbrs.withColumnRenamed("src", "u_key"), e.src == F.col("u_key"))
         .withColumnRenamed("ns", "ns_u")
         .drop("u_key")
-        .join(nbrs.withColumnRenamed("src", "v_key"), e.dst == F.col("v_key"), "left")
+        .join(nbrs.withColumnRenamed("src", "v_key"), e.dst == F.col("v_key"))
         .withColumnRenamed("ns", "ns_v")
         .drop("v_key")
         .select(
             "src",
             "dst",
-            F.array_intersect(
-                F.coalesce("ns_u", empty), F.coalesce("ns_v", empty)
-            ).alias("w"),
+            F.array_intersect("ns_u", "ns_v").alias("w"),
         )
         .filter(F.size("w") > 0)
     )

@@ -290,6 +290,21 @@ def ewma_segmented(
       quantile for skewed keys where bit-stability across layouts is not
       required.
 
+    ``num_partitions`` sizing (ADVICE r10): a pinned small value (the
+    registry query pins 32) is a FIXTURE-SCALE determinism device — at
+    100 TB a 32-bucket split makes each bucket one window partition
+    holding ~1/32 of the table, defeating the operator's "no single
+    executor holds the sequence" scale story. The scale path is
+    ``num_partitions=None``: nbuckets is then derived deterministically
+    from the data volume itself (``ceil(count / 8M)`` rows per bucket,
+    floored at the cluster's default parallelism), so the per-bucket
+    window partition stays bounded at any input size while the bucketing
+    remains a pure function of the data. The one extra job is a map-side
+    count. In quantile mode the derived value is capped at 1024 (the
+    percentile sketch and the cut expression both grow with it); width
+    mode switches to a closed-form arithmetic bucket above 64 cuts, so
+    it scales to any derived nbuckets.
+
     Pure-JVM three-level scan (no Python workers — VERDICT r08 item 3:
     the former two-pass mapInPandas shape spent ~90% of its wall-clock
     spinning up 32 Arrow workers twice; this shape is whole-stage-codegen
@@ -323,6 +338,13 @@ def ewma_segmented(
     """
     import math
 
+    if splitters not in ("quantile", "width"):
+        # A typo ("widht") would otherwise silently select the quantile
+        # path and reintroduce the layout-dependent bucketing the flag
+        # exists to remove (ADVICE r10).
+        raise ValueError(
+            f"splitters must be 'quantile' or 'width', got {splitters!r}"
+        )
     beta = 1.0 - alpha
     if beta <= 0.0:  # alpha >= 1: no memory, ewma == x
         return df.withColumn(out_col, F.col(value_col).cast("double"))
@@ -348,7 +370,19 @@ def ewma_segmented(
 
     sess = df.sparkSession
     scale = 1.0 if adjust else alpha
-    nbuckets = num_partitions or sess.sparkContext.defaultParallelism
+    if num_partitions is not None:
+        nbuckets = num_partitions
+    else:
+        # Scale path (ADVICE r10): derive nbuckets from the data volume —
+        # ~8M rows per bucket keeps each bucket-window partition bounded
+        # at any input size, and count() is deterministic, so the
+        # bucketing stays a pure function of the data.
+        n_rows = df.count()
+        nbuckets = max(
+            sess.sparkContext.defaultParallelism, -(-n_rows // 8_000_000)
+        )
+        if splitters == "quantile":
+            nbuckets = min(nbuckets, 1024)  # sketch + cut-expression bound
     fields = [f.name for f in df.schema.fields]
 
     # 1. order-contiguous buckets from a bounded splitter sketch
@@ -357,23 +391,39 @@ def ewma_segmented(
     # partitioning, so a nondeterministic upstream cannot change results
     # — the checkpoint below pins everything value-bearing.
     skey = F.col(order_cols[0]).cast("double")
+    bucket = None
     if splitters == "width":
         lo_hi = df.agg(F.min(skey).alias("lo"), F.max(skey).alias("hi")).first()
         lo, hi = lo_hi["lo"], lo_hi["hi"]
-        cuts = (
-            []
-            if lo is None or hi is None or lo == hi
-            else [lo + (hi - lo) * i / nbuckets for i in range(1, nbuckets)]
-        )
+        if lo is None or hi is None or lo == hi:
+            cuts = []
+        elif nbuckets > 64:
+            # Derived-nbuckets scale path: a chained-WHEN over thousands
+            # of cuts would blow up codegen; equi-width buckets have a
+            # closed arithmetic form. (≤64 keeps the pinned fixture
+            # queries on the byte-identical WHEN-chain bits.)
+            cuts = None
+            bucket = F.least(
+                F.lit(nbuckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (skey - F.lit(lo)) / F.lit(hi - lo) * F.lit(nbuckets)
+                    ).cast("int"),
+                ),
+            )
+        else:
+            cuts = [lo + (hi - lo) * i / nbuckets for i in range(1, nbuckets)]
     else:
         probs = [i / nbuckets for i in range(1, nbuckets)]
         row = df.agg(
             F.percentile_approx(skey, probs, 10_000).alias("s")
         ).first()
         cuts = row["s"] or []
-    bucket = F.lit(0)
-    for s in sorted(set(cuts)):
-        bucket = bucket + F.when(skey > F.lit(s), 1).otherwise(0)
+    if bucket is None:
+        bucket = F.lit(0)
+        for s in sorted(set(cuts)):
+            bucket = bucket + F.when(skey > F.lit(s), 1).otherwise(0)
 
     # 2. within-bucket positions and within-block scaled cumsum
     w_b = Window.partitionBy("_b").orderBy(*order_cols)

@@ -323,6 +323,21 @@ JUDGE_PINS: dict[int, set[str]] = {
         # mandatory
         "ewma_per_user",
     },
+    # Round-11 engine rewrites, oracles untouched (same rule as r8-r10):
+    # triangle_witnesses' neighbor-list joins went left+coalesce -> inner
+    # (ADVICE r10: edges whose endpoint has no out-neighbors can never
+    # survive the size filter, so the null-extension rows were dead
+    # weight) — shared by both consumers below; values identical, plan
+    # changed, hash re-verified at 3 SFs locally before pinning.
+    # ewma_global_segmented is NOT pinned: the r11 ewma_segmented edits
+    # (splitters validation, derived-nbuckets scale path, closed-form
+    # bucket above 64 cuts) all sit outside the pinned
+    # num_partitions=32/width/WHEN-chain path the query executes — the
+    # plan as run is byte-identical (verified via driver_sim locally).
+    11: {
+        "graph_triangle_count",
+        "graph_transitivity_global",
+    },
 }
 
 

@@ -444,6 +444,11 @@ def ewma_global_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         # defaultParallelism or on percentile_approx's
         # partition-merge-order, so the hash is identical on any cluster
         # layout, not just the local[4]/local[32] ones the sweep runs.
+        # 32 is a FIXTURE-SCALE determinism pin, not the scale setting
+        # (ADVICE r10): at 100 TB pass num_partitions=None and the
+        # operator derives nbuckets from the row count (~8M rows per
+        # bucket, still deterministic) so no bucket ever holds 1/32 of
+        # the table — see ewma_segmented's sizing note.
         ewma_segmented(
             e,
             ["ts", "event_id"],

@@ -16,6 +16,12 @@
 # there is no reason to ever hand-compose that pipeline again.
 set -o pipefail
 cd "$(dirname "$0")/.."
+# Stale-stamp guard (VERDICT r10 item 8): a round that ended WITHOUT
+# round_end.sh leaves queries_tree_sha.txt pointing at an older tree;
+# self_heal then refuses (safe) and the suite is red with no actionable
+# message. Fail fast here with the fix spelled out. Mid-round pin edits
+# do NOT trip this — their queries commits postdate the newest record.
+python scripts/update_proven_hashes.py --check-stamp || exit 1
 python -m pytest tests/test_output_contract.py tests/test_scale_audit.py \
     tests/test_rotation.py -q "$@" | tail -25
 status=${PIPESTATUS[0]}

@@ -22,4 +22,12 @@ echo "== 2/3 registry gates =="
 bash scripts/gates.sh
 echo "== 3/3 driver_sim on the latest JUDGE_PINS cohort =="
 DRIVER_SIM_ONLY=@pins python scripts/driver_sim.py
+# Optional stage 4 (VERDICT r10 item 1): randomized-fixture differential
+# sweep. Off by default (the three stages above are the round-boundary
+# contract); set FUZZ_SEEDS="1,2,3" to fuzz a rotating registry cohort
+# per seed against seeded degenerate fixture trees.
+if [ -n "${FUZZ_SEEDS:-}" ]; then
+  echo "== 4/4 (optional) randomized-fixture differential sweep =="
+  python scripts/fuzz_differential.py --seeds "$FUZZ_SEEDS"
+fi
 echo "ROUND START: all green"

@@ -79,6 +79,20 @@ def main() -> None:
         while it.hasNext():
             it.next()._2().unpersist(False)
 
+    # VERDICT r10 item 5: close the two-protocol artifact split at the
+    # entry level — every query with a committed fresh-process min gets
+    # that authoritative number injected next to its session reading, so
+    # no committed per-query second can be mistaken for a protocol
+    # measurement without its cross-reference in the same object.
+    fresh_path = os.path.join(os.path.dirname(out_path) or ".",
+                              "FRESH_MINS_sf01.json")
+    if os.path.exists(fresh_path):
+        with open(fresh_path) as fh:
+            warm = json.load(fh).get("warm_min", {})
+        for name, row in warm.items():
+            if name in report and "secs" in row:
+                report[name]["fresh_min"] = row["secs"]
+
     with open(out_path, "w") as fh:
         json.dump(
             {
@@ -89,7 +103,9 @@ def main() -> None:
                     "fresh-process min-of-N (scripts/time_query.py); its "
                     "committed numbers live in FRESH_MINS_sf01.json — the "
                     "two legitimately disagree by the JIT/session tax "
-                    "(VERDICT r09 item 3)."
+                    "(VERDICT r09 item 3). Entries carrying a 'fresh_min' "
+                    "field repeat that file's authoritative warm min "
+                    "in-place (VERDICT r10 item 5)."
                 ),
                 "sf_dir": sf_dir,
                 "n_queries": len(report),

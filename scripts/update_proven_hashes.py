@@ -151,8 +151,21 @@ def queries_unchanged_since_record(record: str | None = None) -> bool:
     if commit is None:
         return False
     if not commit:
-        # Untracked record: driver ran against this (clean) worktree.
-        return True
+        # Untracked record: the driver ran against this (clean) worktree —
+        # but only if no queries commit POSTDATES the record (ADVICE r10:
+        # a queries commit landed after the driver wrote the untracked
+        # record also leaves the worktree clean, and would stamp
+        # never-proven oracles as proven). The record's mtime is the
+        # driver's write time (untracked files keep their creation mtime);
+        # require the newest queries-touching commit to predate it.
+        last_q = _git("log", "-1", "--format=%ct", "--", "cudf_spark/queries")
+        if last_q is None or not last_q:
+            return False
+        try:
+            record_mtime = os.path.getmtime(record)
+        except OSError:
+            return False
+        return int(last_q) <= record_mtime
     committed_same = _git("diff", "--name-only", commit, "HEAD", "--", "cudf_spark/queries")
     landing_touched = _git(
         "diff-tree", "--no-commit-id", "--name-only", "-r", commit, "--", "cudf_spark/queries"
@@ -184,7 +197,49 @@ def self_heal() -> bool:
     return True
 
 
+def stale_stamp() -> bool:
+    """True iff the builder stamp exists, mismatches HEAD's queries tree,
+    and NO queries-touching commit postdates the newest driver record —
+    i.e. a round ended without ``round_end.sh`` re-stamping (VERDICT r10
+    item 8: the stamp is authoritative when present, so a stale one makes
+    ``queries_unchanged_since_record`` refuse — safe but red — at the next
+    round boundary). Mid-round pin edits are NOT stale: their queries
+    commits postdate the record, and the stamp legitimately lags until
+    round_end.sh runs as the round's last step."""
+    if not os.path.exists(TREE_SHA_PATH):
+        return False
+    with open(TREE_SHA_PATH) as fh:
+        stamped = fh.read().strip()
+    current = queries_tree_sha()
+    if current is None or current == stamped:
+        return False
+    record = _newest_record_path()
+    if record is None:
+        return True  # mismatched stamp and no record at all: re-stamp
+    last_q = _git("log", "-1", "--format=%ct", "--", "cudf_spark/queries")
+    if last_q is None or not last_q:
+        return True
+    try:
+        record_mtime = os.path.getmtime(record)
+    except OSError:
+        return True
+    return int(last_q) <= record_mtime
+
+
 def main(argv: list[str]) -> int:
+    if "--check-stamp" in argv:
+        if stale_stamp():
+            print(
+                "STALE STAMP: scripts/queries_tree_sha.txt does not match"
+                " HEAD's cudf_spark/queries tree and no queries commit"
+                " postdates the newest CORRECTNESS record — the previous"
+                " round ended without re-stamping. Run scripts/round_end.sh"
+                " (after verifying the queries tree is the one the driver"
+                " proved)."
+            )
+            return 1
+        print("stamp state ok")
+        return 0
     if "--stamp" in argv:
         sha = stamp_tree_sha()
         if sha is None:

@@ -790,3 +790,82 @@ def test_ewma_grouped_scan_matches_pandas(spark):
             atol=1e-9,
             err_msg=f"alpha={alpha} adjust={adjust}",
         )
+
+
+def test_ewma_per_user_oracle_vs_recursive_replay(duck):
+    """ADVICE r10 (oracle co-movement): ewma_per_user's hash-gate oracle
+    was migrated to the SAME closed-form block algebra the engine uses, so
+    the gate alone can no longer catch a shared algebraic error. This test
+    keeps the r5 recursive-CTE pandas-kernel replay (verified bit-exact
+    against pandas before its r5 adoption) as an INDEPENDENT derivation:
+    the committed block-algebra oracle must reproduce the recursion's
+    round(,4) output row-for-row on the real fixture tree. Pure DuckDB —
+    chains with the driver gate (engine == oracle) to give
+    engine == independent recursion."""
+    from cudf_spark.queries import REGISTRY
+
+    block_sql = REGISTRY["ewma_per_user"].oracle
+    # The r5 replay of pandas ewm(adjust=True): the Cython kernel's old_wt
+    # recursion, same float op order (git 7e76b39). Domain matched to the
+    # current oracle: NULL values excluded before numbering.
+    recursive_sql = """
+    WITH RECURSIVE r AS (
+        SELECT user_id, event_id, value AS x,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        FROM events WHERE value IS NOT NULL),
+    s AS (
+        SELECT user_id, event_id, rn, x, x AS avg, CAST(1.0 AS DOUBLE) AS ow
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.user_id, r.event_id, r.rn, r.x,
+               CASE WHEN s.avg != r.x
+                    THEN (s.ow * 0.7 * s.avg + r.x) / (s.ow * 0.7 + 1.0)
+                    ELSE s.avg END,
+               s.ow * 0.7 + 1.0
+        FROM s JOIN r ON r.user_id = s.user_id AND r.rn = s.rn + 1)
+    SELECT event_id, user_id, round(avg, 4) AS ewma
+    FROM s ORDER BY event_id
+    """
+    got = duck.execute(block_sql).fetchall()
+    expect = duck.execute(recursive_sql).fetchall()
+    assert len(got) == len(expect) and len(got) > 0
+    assert got == expect
+
+
+def test_ewma_segmented_derived_nbuckets_closed_form_bucket(spark):
+    """ADVICE r10 scale path: num_partitions=None derives nbuckets from
+    the row count, and width mode switches to the closed-form arithmetic
+    bucket above 64 cuts. Both paths must still reproduce pandas ewm —
+    the bucketing only steers partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    from cudf_spark.operators.windows import ewma_segmented
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    pdf = pd.DataFrame(
+        {"idx": np.arange(n, dtype="int64"), "v": rng.normal(5.0, 2.0, n)}
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    for kwargs in (
+        {"num_partitions": None, "splitters": "width"},   # derived nbuckets
+        {"num_partitions": 128, "splitters": "width"},    # closed-form bucket
+        {"num_partitions": None, "splitters": "quantile"},
+    ):
+        got = (
+            ewma_segmented(df, ["idx"], "v", alpha=0.3, **kwargs)
+            .orderBy("idx")
+            .select("ewma")
+            .toPandas()["ewma"]
+            .to_numpy()
+        )
+        expect = pdf["v"].ewm(alpha=0.3, adjust=True).mean().to_numpy()
+        np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-9)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="splitters"):
+        ewma_segmented(df, ["idx"], "v", alpha=0.3, splitters="widht")

@@ -199,6 +199,26 @@ def test_heal_fires_on_untracked_record(_fake_repo):
     assert uph.queries_unchanged_since_record() is False
 
 
+def test_untracked_record_refuses_postdating_queries_commit(_fake_repo):
+    """ADVICE r10 (low): a queries commit landed AFTER the driver wrote the
+    untracked record also leaves the worktree clean — the fallback must
+    refuse when the newest queries-touching commit postdates the record's
+    mtime (only a matching tree stamp could prove such a state)."""
+    import os as _os
+    import time as _time
+
+    tmp, git, qdir = _fake_repo
+    rec = tmp / "CORRECTNESS_r99.json"
+    rec.write_text('{"q": {"hash_match": true}}')
+    # Backdate the record so the subsequent commit unambiguously postdates
+    # it (committer timestamps have 1 s granularity).
+    _os.utime(str(rec), (_time.time() - 3600, _time.time() - 3600))
+    (qdir / "x.py").write_text("ORACLE = 'SELECT 3 AS three'\n")
+    git("add", "-A")
+    git("commit", "-qm", "late oracle edit after driver record")
+    assert uph.queries_unchanged_since_record() is False
+
+
 def test_self_heal_end_to_end_on_untracked_record(_fake_repo, monkeypatch):
     """Full self_heal() at the untracked-record state: the proven file must
     gain the fresh-green query's CURRENT oracle hash."""
@@ -240,6 +260,43 @@ def test_tracked_record_with_bundled_query_edit_refuses(_fake_repo):
     git("add", "-A")
     git("commit", "-qm", "record + bundled oracle edit")
     assert uph.queries_unchanged_since_record() is False
+
+
+def test_stale_stamp_detection(_fake_repo):
+    """VERDICT r10 item 8: a round that ends WITHOUT round_end.sh leaves
+    the stamp pointing at an older queries tree; at the next round boundary
+    (driver record postdates the last queries commit) the --check-stamp
+    gate must flag it. Mid-round pin edits — queries commits that postdate
+    the record — must NOT trip it."""
+    import os as _os
+    import time as _time
+
+    tmp, git, qdir = _fake_repo
+
+    # Fresh stamp matching HEAD: not stale.
+    uph.stamp_tree_sha()
+    assert uph.stale_stamp() is False
+
+    # Builder commits a queries edit and FORGETS to re-stamp; the driver
+    # then writes the (untracked) record. Stamp mismatches HEAD tree and
+    # the record postdates the queries commit -> stale.
+    (qdir / "x.py").write_text("ORACLE = 'SELECT 4 AS four'\n")
+    git("add", "-A")
+    git("commit", "-qm", "oracle edit, round_end.sh forgotten")
+    rec = tmp / "CORRECTNESS_r99.json"
+    rec.write_text('{"q": {"hash_match": true}}')
+    _os.utime(str(rec), (_time.time() + 3600, _time.time() + 3600))
+    assert uph.stale_stamp() is True
+
+    # Mid-round shape: the queries commit POSTDATES the record (a pin
+    # edit after round start) — the stamp legitimately lags; not stale.
+    _os.utime(str(rec), (_time.time() - 7200, _time.time() - 7200))
+    assert uph.stale_stamp() is False
+
+    # round_end.sh runs -> stamp matches HEAD again; never stale.
+    uph.stamp_tree_sha()
+    _os.utime(str(rec), (_time.time() + 3600, _time.time() + 3600))
+    assert uph.stale_stamp() is False
 
 
 def test_latest_pins_cover_all_unproven_green_oracles():

@@ -869,3 +869,37 @@ def test_ewma_segmented_derived_nbuckets_closed_form_bucket(spark):
 
     with _pytest.raises(ValueError, match="splitters"):
         ewma_segmented(df, ["idx"], "v", alpha=0.3, splitters="widht")
+
+
+def test_ewma_global_oracle_vs_recursive_replay(duck):
+    """Same co-movement mitigation as ewma_per_user (ADVICE r10), for the
+    GLOBAL segmented query: its committed block-algebra oracle must match
+    an independent pandas-kernel recursion replay. The recursion is
+    row-per-iteration in DuckDB (unusable at sf0.01 — 38 s measured r6 —
+    which is WHY the committed oracle is closed-form), but at sf0.001's
+    ~1k-row global sequence it runs in well under a second."""
+    from cudf_spark.queries import REGISTRY
+
+    block_sql = REGISTRY["ewma_global_segmented"].oracle
+    recursive_sql = """
+    WITH RECURSIVE r AS (
+        SELECT event_id, CAST(value AS DOUBLE) AS x,
+               row_number() OVER (ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   AS rn
+        FROM events WHERE value IS NOT NULL),
+    s AS (
+        SELECT event_id, rn, x, x AS avg, CAST(1.0 AS DOUBLE) AS ow
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.event_id, r.rn, r.x,
+               CASE WHEN s.avg != r.x
+                    THEN (s.ow * 0.7 * s.avg + r.x) / (s.ow * 0.7 + 1.0)
+                    ELSE s.avg END,
+               s.ow * 0.7 + 1.0
+        FROM s JOIN r ON r.rn = s.rn + 1)
+    SELECT event_id, round(avg, 4) AS ewma FROM s ORDER BY event_id
+    """
+    got = duck.execute(block_sql).fetchall()
+    expect = duck.execute(recursive_sql).fetchall()
+    assert len(got) == len(expect) and len(got) > 0
+    assert got == expect

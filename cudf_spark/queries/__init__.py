@@ -337,6 +337,26 @@ JUDGE_PINS: dict[int, set[str]] = {
     11: {
         "graph_triangle_count",
         "graph_transitivity_global",
+        # r11 fuzz-differential findings (scripts/fuzz_differential.py,
+        # seeds 1/2/4/5 — the randomized-fixture harness VERDICT r10
+        # item 1 asked for): seven latent degenerate-input forks fixed,
+        # each invisible on the null-free/non-empty driver fixtures, so
+        # the committed sf0.01 hashes are unchanged — pinned anyway per
+        # the oracle/engine-edit rule. replace_nan_handling: oracle
+        # isnan(NULL) NULL vs cudf's non-nullable BOOL8;
+        # misc_consistent_hash_ring: ANSI element_at abort on an empty
+        # ring; stream_checkpoint_exactly_once: <2 part files assert +
+        # NULL fingerprint; io_avro_roundtrip_agg: zero part files from
+        # an empty frame; stats_cramers_v: empty-table chi2 0.0-vs-NULL;
+        # win_rolling_mode + events_rfm_scores: NULL sort-order forks
+        # (Spark nulls-first vs DuckDB nulls-last).
+        "replace_nan_handling",
+        "misc_consistent_hash_ring",
+        "stream_checkpoint_exactly_once",
+        "io_avro_roundtrip_agg",
+        "stats_cramers_v",
+        "win_rolling_mode",
+        "events_rfm_scores",
     },
 }
 

@@ -2209,8 +2209,13 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us,
                CAST(count(*) AS BIGINT) AS freq,
-               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
-                   AS monetary_uu
+               -- coalesce: a user whose purchase values are ALL NULL
+               -- sums to NULL, which the engines rank opposite ways
+               -- (Spark percentile_disc skips it, DuckDB row_number
+               -- puts it last) — pin unknown-monetary to 0 on both
+               -- sides (r11 fuzz, seed 5 null-injection)
+               CAST(coalesce(sum(CAST(round(value * 1000000) AS BIGINT)), 0)
+                    AS BIGINT) AS monetary_uu
         FROM events WHERE event_type = 'purchase'
         GROUP BY user_id
     ), nn AS (
@@ -2281,7 +2286,9 @@ def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.groupBy("user_id").agg(
         F.max(F.unix_micros("ts")).cast("bigint").alias("last_us"),
         F.count(F.lit(1)).cast("bigint").alias("freq"),
-        F.sum(F.round(F.col("value") * 1000000).cast("bigint"))
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 1000000).cast("bigint")), F.lit(0)
+        )
         .cast("bigint")
         .alias("monetary_uu"),
     )

@@ -1423,7 +1423,10 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("r").cast("int").alias("r"),
         F.col("c").cast("int").alias("c"),
-        F.round("chi2", 6).alias("chi2_q6"),
+        # n is NULL iff the contingency table is EMPTY — there chi2 is
+        # undefined (DuckDB's sum over zero cells is NULL) but Spark's
+        # array fold seeds 0.0; gate so both emit NULL (r11 fuzz, seed 4)
+        F.when(n.isNotNull(), F.round("chi2", 6)).alias("chi2_q6"),
         F.when(
             (n > 0) & (minrc > 1),
             F.round(F.sqrt(F.col("chi2") / (n * (minrc - 1))), 6),

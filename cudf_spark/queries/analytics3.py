@@ -1705,7 +1705,11 @@ def misc_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.filter(F.col("ring_arr"), lambda s: s["h"] >= F.col("kh")),
                 F.lit(1),
             ),
-            F.element_at("ring_arr", 1),
+            # try_ here too (r11 fuzz finding, seed 1): an EMPTY node
+            # table makes ring_arr itself empty, and the ANSI element_at
+            # wraparound fallback aborted the whole job instead of
+            # degrading to owner=NULL (the no-nodes answer).
+            F.try_element_at("ring_arr", F.lit(1)),
         )["supp"].alias("owner"),
     )
     counts = owned.groupBy("owner").agg(
@@ -2065,8 +2069,16 @@ def doc_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM frames GROUP BY user_id, event_id, rn, cents
     ), pick AS (
         SELECT user_id, event_id, cents, c,
+               -- NULLS LAST explicitly: a NULL-valued event is a
+               -- countable frame category (cents NULL), and the two
+               -- engines default its sort opposite ways (Spark ASC =
+               -- nulls first, DuckDB = nulls last) — ties between NULL
+               -- and a real value picked different modes under the r11
+               -- fuzz null-injection seed. Values win ties over NULL on
+               -- both engines now.
                row_number() OVER (
-                   PARTITION BY user_id, rn ORDER BY c DESC, cents) AS rk
+                   PARTITION BY user_id, rn
+                   ORDER BY c DESC, cents NULLS LAST) AS rk
         FROM freq
     )
     SELECT user_id, event_id, cents AS mode_cents, c AS mode_count
@@ -2103,7 +2115,9 @@ def win_rolling_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = frames.groupBy(
         F.col("uu").alias("user_id"), "event_id", "arn", "cents"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    rw = Window.partitionBy("user_id", "arn").orderBy(F.desc("c"), "cents")
+    rw = Window.partitionBy("user_id", "arn").orderBy(
+        F.desc("c"), F.asc_nulls_last("cents")
+    )
     return (
         freq.withColumn("rk", F.row_number().over(rw))
         .filter(F.col("rk") == 1)

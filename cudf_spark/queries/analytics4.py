@@ -2520,7 +2520,9 @@ def io_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(bit_xor(h) AS BIGINT) AS fingerprint,
+           -- coalesce: the engine's XOR accumulator starts at 0, so an
+           -- empty table fingerprints as 0, not NULL (r11 fuzz, seed 2)
+           CAST(coalesce(bit_xor(h), 0) AS BIGINT) AS fingerprint,
            CAST(2 AS BIGINT) AS n_runs
     FROM h
     """,
@@ -2555,8 +2557,14 @@ def stream_checkpoint_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
         parts = sorted(
             f for f in os.listdir(stage) if f.endswith(".parquet")
         )
-        assert len(parts) >= 2, "need at least two part files"
-        half = max(1, len(parts) // 2)
+        # r11 fuzz finding (seed 2, empty events table): repartition(4)
+        # of an EMPTY frame writes a single (or zero) part file and the
+        # former `assert len(parts) >= 2` aborted the query. The proof
+        # degrades gracefully instead: run 1 sees the first half (which
+        # may be everything, or nothing), run 2 the remainder — an
+        # availableNow restart over zero new files is itself a valid
+        # exactly-once case (offset log replays nothing, skips nothing).
+        half = max(1, len(parts) // 2) if parts else 0
 
         def per_batch(bdf, _bid):
             row = bdf.select(

@@ -127,12 +127,20 @@ def replace_fill_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_id,
-           isnan(v)                                     AS is_nan,
+           -- r11 fuzz finding (seed 1, null-injected value column):
+           -- DuckDB isnan(NULL) is NULL but cudf is_nan returns a
+           -- NON-NULLABLE BOOL8 (unary.hpp:149 "@returns A non-nullable
+           -- column") and Spark's isnan likewise returns false for null
+           -- — coalesce pins the oracle to the reference semantics. The
+           -- driver fixtures have no null values, so the committed hash
+           -- is unchanged; random fixtures exposed the latent fork.
+           coalesce(isnan(v), FALSE)                    AS is_nan,
            round(CASE WHEN isnan(v) THEN 0.0 ELSE v END, 4) AS nan_replaced,
            count(*) OVER ()                             AS n_total
     FROM e ORDER BY event_id
     """,
-    doc="NaN vs null dichotomy (SURVEY §7 hard-part 3): is_nan (unary.hpp), "
+    doc="NaN vs null dichotomy (SURVEY §7 hard-part 3): is_nan (unary.hpp "
+    "— non-nullable BOOL8, null input is simply 'not NaN'), "
     "replace_nans (replace.hpp:114) — Spark keeps null ≠ NaN like cudf.",
 )
 def replace_nan_handling(spark: SparkSession, sf_dir: str) -> DataFrame:

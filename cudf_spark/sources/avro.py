@@ -1113,10 +1113,19 @@ def write_avro_dataframe(
             write_avro(rows, json.loads(schema_json), target, codec=codec)
             yield pd.DataFrame({"file": [target], "n_rows": [len(rows)]})
 
-    return [
+    files = [
         (r.file, r.n_rows)
         for r in df.mapInPandas(write_part, "file string, n_rows long").collect()
     ]
+    if not files:
+        # Empty input (r11 fuzz finding, seed 2): every partition was
+        # rowless, so no executor wrote a part — emit ONE header-only
+        # OCF driver-side so the dataset still carries its schema and a
+        # read-back yields zero rows instead of "no files to read".
+        target = os.path.join(path, "part-00000.avro")
+        write_avro([], schema, target, codec=codec)
+        files = [(target, 0)]
+    return files
 
 
 def write_avro(

@@ -471,6 +471,21 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins is cheaper than writing+reading ~500k checkpoint rows
     # (the dedup.py persist lesson: reuse materialization is NOT a
     # default win; adamic_adar's weighted table measured the other way)
+    #
+    # round-11 A/B (VERDICT r10 item 4), REJECTED: the triangle-style
+    # edge-iterator INTERSECTION form — per-supplier sorted part arrays
+    # + array_intersect over the candidate pair set, deg riding in the
+    # array table — measured 14.0 s min-of-3 fresh-process warm vs
+    # 4.83 s for this join form (sf0.1, interleaved same-session-day;
+    # scripts/ab_graph_r11.py harness). Root cause, completing the r10
+    # boundary note: triangle gets its candidate pairs FOR FREE (they
+    # are the edges); in the bipartite common-neighbor shape the
+    # candidates ARE the quadratic expansion, so the variant pays the
+    # identical part-keyed self-join shuffle just to DISTINCT pair
+    # identities, then re-derives with array intersects the nab count
+    # the direct groupBy gets in that same shuffle's aggregate. The
+    # intersection form needs a given edge/pair set to win; it cannot
+    # manufacture one cheaper than the aggregate it replaces.
     keep = (
         edges.join(pdeg, "p")
         .crossJoin(F.broadcast(thr))
@@ -3392,6 +3407,18 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per part outside whole-stage codegen, costing more than the SMJ it
     # saved. The array trick wins when the per-key lists are consumed by
     # an INTERSECT (triangle/transitivity), not a quadratic expansion.
+    # round-11 A/B (VERDICT r10 item 4), ALSO rejected: the INTERSECT
+    # form itself — candidate pairs deduped from the part-keyed
+    # expansion, then array_intersect of per-supplier part arrays with
+    # shared-weight sums recovered via a broadcast (p, w) join on the
+    # exploded intersection — measured 14.1 s min-of-3 fresh-process
+    # warm vs 7.6 s for this form (scripts/ab_graph_r11.py). Same root cause
+    # as graph_jaccard_neighbors' r11 note: without a given pair set the
+    # candidates cost the full self-join shuffle before the intersect
+    # starts, so the variant is the base plan plus extra work. Both
+    # directions of the array trick are now measured dead ends here;
+    # the join+groupBy form stands as the optimum for bipartite
+    # common-neighbor statistics.
     weighted = keep.select(
         "s",
         "p",

@@ -46,8 +46,15 @@ def _require_one_row_query(query: DataFrame, what: str) -> None:
     """Single-query operators silently interleave rankings against
     DIFFERENT query vectors when handed a multi-row frame (duplicate
     corpus ids, no query attribution) — the same precondition
-    pq_adc_topk always guarded; use cosine_topk_batch for query sets."""
-    if query.limit(2).count() != 1:
+    pq_adc_topk always guarded; use cosine_topk_batch for query sets.
+
+    ZERO rows is allowed (r11 fuzz finding, seeds 8/9: an empty
+    embeddings table made the registry's pick-row-0 query frames empty
+    and the `!= 1` guard aborted the job): every consumer binds the
+    query via a broadcast join/crossJoin, so an empty query frame
+    degrades naturally to an empty top-k — the right answer to 'nearest
+    neighbors of no vector'."""
+    if query.limit(2).count() > 1:
         raise ValueError(
             f"{what}: query must be exactly one row — use "
             "cosine_topk_batch-style fan-out for multi-query scoring"
@@ -533,7 +540,9 @@ def pq_adc_topk(
     precomputed/persisted and each query touches only it, never the raw
     vectors.
     """
-    if query.limit(2).count() != 1:
+    # > 1, not != 1: a zero-row query degrades to an empty result through
+    # the plan (same contract as _require_one_row_query)
+    if query.limit(2).count() > 1:
         raise ValueError(
             "pq_adc_topk: query must be exactly one row — multiple query "
             "rows would sum their per-subspace distance tables into one "

@@ -357,6 +357,45 @@ JUDGE_PINS: dict[int, set[str]] = {
         "stats_cramers_v",
         "win_rolling_mode",
         "events_rfm_scores",
+        # second fuzz sweep (seeds 6-12): ann one-row-query guard now
+        # admits ZERO rows (empty embeddings degrades to empty top-k
+        # instead of aborting); text_bigram_cond_entropy's empty-corpus
+        # fold gated to NULL like stats_cramers_v; stream_stateful_totals'
+        # oracle declares the accumulator's 0.0 start for all-null users.
+        "ann_cosine_topk",
+        "ann_lsh_bucketed",
+        "text_bigram_cond_entropy",
+        "stream_stateful_totals",
+        # third wave — hostile full-registry sweeps (seeds 20-23: each
+        # core table empty in turn, plus an all-null value column).
+        # Classes: grouping-sets () row on empty input (Spark emits
+        # none, SQL engines emit one — oracles gain the HAVING mirror:
+        # agg_grouping_sets/rollup/cube, events_time_rollup,
+        # stream_dq_monitor); ANSI zero-division on empty/degenerate
+        # denominators (events_funnel_stages, events_haar_wavelet_energy,
+        # stats_theil_u, events_time_to_convert, text_vocab_stats);
+        # empty-fold 0.0-vs-NULL gates (stats_chi_square,
+        # stats_ljung_box); driver-side empty-input crashes
+        # (stream_table_fingerprint ^= None,
+        # io_partitioned_write_pruning schema inference); all-NULL
+        # trial coalesce (stats_wilson_ci). Fixture hashes unchanged,
+        # re-verified at 3 SFs before pinning.
+        "agg_grouping_sets",
+        "agg_rollup",
+        "agg_cube",
+        "stream_dq_monitor",
+        "agg_hdr_latency_percentiles",
+        "events_funnel_stages",
+        "events_haar_wavelet_energy",
+        "events_time_rollup",
+        "events_time_to_convert",
+        "stats_chi_square",
+        "stats_ljung_box",
+        "stream_table_fingerprint",
+        "io_partitioned_write_pruning",
+        "stats_theil_u",
+        "text_vocab_stats",
+        "stats_wilson_ci",
     },
 }
 

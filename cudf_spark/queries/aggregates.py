@@ -252,6 +252,7 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_quantity), 2) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING count(*) > 0  -- empty-input () row: Spark emits none (r11 fuzz)
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     doc="ROLLUP with GROUPING indicators — a Spark capability the reference "
@@ -276,6 +277,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority, count(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING count(*) > 0  -- empty-input () row: Spark emits none (r11 fuzz)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
     doc="CUBE — Spark built-in capability win (SURVEY §2.4).",
@@ -295,6 +297,11 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    -- HAVING mirrors Spark: on EMPTY input Spark's grouping sets emit
+    -- zero rows while SQL-standard engines emit the () grand-total row
+    -- (r11 fuzz, hostile empty-lineitem tree); no real group can have
+    -- count 0, so this only drops the empty-input () row
+    HAVING count(*) > 0
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     doc="GROUPING SETS via Spark SQL.",

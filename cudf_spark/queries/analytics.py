@@ -1730,17 +1730,21 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast(dec) * F.col("r") * F.col("c")).cast("double").alias("dend"),
         )
     )
-    return cells.agg(
+    folded = cells.agg(
         F.min("n").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
-        F.round(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.col("numd") / F.col("dend"))),
-                F.lit(0.0),
-                lambda acc, z: acc + z,
-            ),
-            6,
-        ).alias("chi2_q6"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.col("numd") / F.col("dend"))),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ).alias("chi2"),
+    )
+    return folded.select(
+        "n",
+        "n_cells",
+        # n NULL iff the contingency table is empty — chi2 undefined
+        # there (same empty-fold gate as stats_cramers_v; r11 fuzz)
+        F.when(F.col("n").isNotNull(), F.round("chi2", 6)).alias("chi2_q6"),
     )
 
 
@@ -2508,6 +2512,9 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 1 END) AS BIGINT) AS n_violations,
            CAST(3 AS BIGINT) AS n_batches
     FROM li
+    -- HAVING mirrors the engine's empty-input short-circuit: with no
+    -- rows there are no batches and no checks to report (r11 fuzz)
+    HAVING count(*) > 0
     UNION ALL
     SELECT 'li_quantity_in_range',
            CAST(count(*) AS BIGINT),
@@ -2515,6 +2522,7 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 1 END) AS BIGINT),
            CAST(3 AS BIGINT)
     FROM li
+    HAVING count(*) > 0
     ORDER BY check_name
     """,
     doc="STREAMING data-quality monitoring: the dq_constraint_suite "

@@ -2694,7 +2694,13 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
-        "event_type", (F.col("value") >= 50).cast("bigint").alias("hit")
+        "event_type",
+        # coalesce: a NULL value is a non-success trial (the oracle's
+        # CASE falls to ELSE 0) — without it an all-NULL group summed to
+        # NULL successes instead of 0 (r11 fuzz, all-null value tree)
+        F.coalesce(
+            (F.col("value") >= 50).cast("bigint"), F.lit(0)
+        ).alias("hit"),
     )
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -2955,7 +2961,9 @@ def stream_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stream = sum(p["n"] for p in parts)
     fp_stream = 0
     for p in parts:
-        fp_stream ^= p["x"]
+        # `or 0`: a zero-row batch's bit_xor is NULL/None (r11 fuzz,
+        # hostile empty-events tree — the bare ^= raised TypeError)
+        fp_stream ^= int(p["x"] or 0)
     oneshot = ev.select(_event_row_hash().alias("h")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.expr("bit_xor(h)").cast("bigint").alias("fingerprint"),
@@ -2965,7 +2973,10 @@ def stream_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fingerprint",
         (
             (F.col("n_rows") == F.lit(n_stream))
-            & (F.col("fingerprint") == F.lit(fp_stream))
+            # coalesce: the one-shot bit_xor of an EMPTY table is NULL
+            # while the stream accumulator's identity is 0 — both mean
+            # "no rows fingerprinted", so they must agree
+            & (F.coalesce("fingerprint", F.lit(0)) == F.lit(fp_stream))
         ).alias("stream_agrees"),
     )
 
@@ -3802,7 +3813,12 @@ def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("n").alias("n_bigrams"),
             "n_pairs",
-            F.round("h", 6).alias("cond_entropy_bits_q6"),
+            # n NULL iff the corpus has no bigrams — entropy is undefined
+            # there (oracle sum over zero cells is NULL) but the array
+            # fold seeds 0.0; gate like stats_cramers_v (r11 fuzz, seed 10)
+            F.when(
+                F.col("n").isNotNull(), F.round("h", 6)
+            ).alias("cond_entropy_bits_q6"),
         )
     )
 

@@ -849,7 +849,10 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), hist AS (
         SELECT dm, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY dm
     ), tot AS (
-        SELECT CAST(sum(c) AS BIGINT) AS n,
+        -- coalesce/nullif: zero converters is a COUNT of 0, not NULL,
+        -- and the mean over zero is NULL, not a div-by-zero (r11 fuzz,
+        -- hostile empty-events tree)
+        SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
                (SELECT CAST(sum(dus) AS BIGINT) FROM d) AS sum_us
         FROM hist
     ), cum AS (
@@ -861,7 +864,7 @@ def events_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHERE 2 * cum >= t.n) AS med_min,
            (SELECT CAST(min(dm) AS BIGINT) FROM cum
              WHERE 10 * cum >= 9 * t.n) AS p90_min,
-           CAST(t.sum_us // t.n AS BIGINT) AS mean_us
+           CAST(t.sum_us // nullif(t.n, 0) AS BIGINT) AS mean_us
     FROM tot t
     """,
     doc="funnel latency distribution (first signup -> first subsequent "
@@ -916,7 +919,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_converted"),
             "med_min",
             "p90_min",
-            F.expr("sum_us div n").cast("bigint").alias("mean_us"),
+            F.expr("sum_us div nullif(n, 0)").cast("bigint").alias("mean_us"),
         )
     )
 
@@ -1571,9 +1574,12 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(h_source, 6) AS h_source_q6,
            round(h_joint, 6)  AS h_joint_q6,
            round(h_lang + h_source - h_joint, 6) AS mi_q6,
-           round((h_lang + h_source - h_joint) / h_lang, 6)
+           -- nullif: U is undefined when the conditioning entropy is 0
+           -- (single-category marginal, or an empty corpus) — NULL, not
+           -- an inf/ANSI abort (r11 fuzz, hostile empty-documents tree)
+           round((h_lang + h_source - h_joint) / nullif(h_lang, 0.0), 6)
                AS u_lang_given_source_q6,
-           round((h_lang + h_source - h_joint) / h_source, 6)
+           round((h_lang + h_source - h_joint) / nullif(h_source, 0.0), 6)
                AS u_source_given_lang_q6
     FROM folds
     """,
@@ -1605,7 +1611,10 @@ def stats_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, c: acc
             + (c.cast("double") / n) * F.log2(c.cast("double") / n),
         )
-        return g.select(ent.alias("h"), "n")
+        # n NULL iff the distribution is EMPTY: entropy is undefined
+        # there (oracle folds over a NULL list), and the -0.0 the empty
+        # array fold would yield feeds an ANSI 0/0 abort downstream
+        return g.select(F.when(F.col("n").isNotNull(), ent).alias("h"), "n")
 
     hj = h_fold(cells, "c").select(F.col("h").alias("h_joint"), "n")
     hl = h_fold(
@@ -1625,8 +1634,12 @@ def stats_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("h_source", 6).alias("h_source_q6"),
             F.round("h_joint", 6).alias("h_joint_q6"),
             F.round(mi, 6).alias("mi_q6"),
-            F.round(mi / F.col("h_lang"), 6).alias("u_lang_given_source_q6"),
-            F.round(mi / F.col("h_source"), 6).alias("u_source_given_lang_q6"),
+            F.round(mi / F.nullif(F.col("h_lang"), F.lit(0.0)), 6).alias(
+                "u_lang_given_source_q6"
+            ),
+            F.round(mi / F.nullif(F.col("h_source"), F.lit(0.0)), 6).alias(
+                "u_source_given_lang_q6"
+            ),
         )
     )
 

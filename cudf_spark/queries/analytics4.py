@@ -1564,7 +1564,9 @@ def _haar_oracle() -> str:
     lvls AS ({levels}),
     tot AS (SELECT CAST(sum(v * v) AS BIGINT) AS e FROM d0)
     SELECT l.level, l.n_coeffs, l.energy,
-           CAST(l.energy * 1000000 // t.e AS BIGINT) AS share_q6
+           -- nullif: a zero-energy (empty/constant-zero) series has no
+           -- defined shares (r11 fuzz: integer-div-by-zero both engines)
+           CAST(l.energy * 1000000 // nullif(t.e, 0) AS BIGINT) AS share_q6
     FROM lvls l CROSS JOIN tot t
     ORDER BY l.level
     """
@@ -1635,7 +1637,9 @@ def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "level",
             "n_coeffs",
             "energy",
-            F.expr("energy * 1000000 div e").cast("bigint").alias("share_q6"),
+            F.expr("energy * 1000000 div nullif(e, 0)")
+            .cast("bigint")
+            .alias("share_q6"),
         )
         .orderBy("level")
     )
@@ -2350,7 +2354,11 @@ def io_partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="part_prune_")
     try:
         ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
-        back = spark.read.parquet(tmp).filter(
+        # explicit read schema: an EMPTY input writes no partition dirs
+        # and schema inference then fails with UNABLE_TO_INFER_SCHEMA
+        # (r11 fuzz) — the producer's schema is known, so state it; the
+        # partition-pruned plan shape is unchanged (tests/test_plans.py)
+        back = spark.read.schema(ev.schema).parquet(tmp).filter(
             F.col("event_type").isin("click", "purchase")
         )
         rows = (
@@ -3246,13 +3254,18 @@ def agg_hdr_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = hist.withColumn("cum", F.sum("c").over(wcum))
     qs = spark.createDataFrame([(500,), (990,), (999,)], "pm int")
-    picks = (
+    hits = (
         cum.crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(qs))
         .filter(1000 * F.col("cum") >= F.col("pm") * F.col("n"))
         .groupBy("pm")
         .agg(F.min("lo").cast("bigint").alias("bucket_lo"))
     )
+    # left join from the request rows: an EMPTY latency series still
+    # answers all three percentile requests (NULL bucket_lo), matching
+    # the oracle's VALUES-driven shape — the former filter+groupBy
+    # emitted zero rows there (r11 fuzz, hostile empty-events tree)
+    picks = qs.join(hits, "pm", "left")
     return (
         picks.crossJoin(F.broadcast(tot))
         .select(
@@ -3493,38 +3506,46 @@ def stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("rho_q6"),
     )
-    return (
+    # global agg (NOT a groupBy on the broadcast scalar): an EMPTY daily
+    # series must still emit its one (0, 0, NULL) row like the oracle's
+    # global aggregate does — groupBy("n") over zero rows emitted nothing
+    # (r11 fuzz, hostile empty-events tree)
+    fold = (
         rho.crossJoin(F.broadcast(m))
-        .groupBy("n")  # constant: broadcast scalar — lets n appear in agg
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lags"),
             # lag-ordered fold of the 5 double terms, mirroring the
             # oracle's list_reduce(... ORDER BY lag) — never an
             # unordered float sum in front of a floor()
-            F.floor(
-                F.col("n")
-                * (F.col("n") + 2.0)
-                * F.aggregate(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("lag").alias("lag"),
-                                (
-                                    (F.col("rho_q6") / 1000000.0)
-                                    * (F.col("rho_q6") / 1000000.0)
-                                    / (F.col("n") - F.col("lag"))
-                                ).alias("t"),
-                            )
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("lag").alias("lag"),
+                            (
+                                (F.col("rho_q6") / 1000000.0)
+                                * (F.col("rho_q6") / 1000000.0)
+                                / (F.col("n") - F.col("lag"))
+                            ).alias("t"),
                         )
-                    ),
-                    F.lit(0.0),
-                    lambda acc, s: acc + s["t"],
-                )
-            )
-            .cast("bigint")
-            .alias("q_stat"),
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ).alias("qsum"),
         )
-        .select(F.col("n").cast("bigint").alias("n_days"), "n_lags", "q_stat")
+    )
+    return (
+        fold.crossJoin(F.broadcast(m))
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            "n_lags",
+            F.when(
+                F.col("n_lags") > 0,
+                F.floor(F.col("n") * (F.col("n") + 2.0) * F.col("qsum"))
+                .cast("bigint"),
+            ).alias("q_stat"),
+        )
     )
 
 

@@ -250,7 +250,11 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM s3),
     top AS (SELECT CAST(count(*) AS BIGINT) AS n_top FROM s1)
     SELECT stage, step, users,
-           CAST(floor(users * 10000.0 / top.n_top) AS BIGINT) AS pct_top_q4
+           -- nullif: an empty funnel top (no 'view' events at all) makes
+           -- the share undefined, not a crash (r11 fuzz: ANSI
+           -- DIVIDE_BY_ZERO on the Spark side, NaN-cast on DuckDB's)
+           CAST(floor(users * 10000.0 / nullif(top.n_top, 0)) AS BIGINT)
+               AS pct_top_q4
     FROM counts CROSS JOIN top ORDER BY stage
     """,
     doc="ordered time-bounded funnel (view -> click within 24h -> "
@@ -311,7 +315,9 @@ def events_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage",
             "step",
             "users",
-            F.floor(F.col("users") * 10000.0 / F.col("n_top"))
+            F.floor(
+                F.col("users") * 10000.0 / F.nullif(F.col("n_top"), F.lit(0))
+            )
             .cast("bigint")
             .alias("pct_top_q4"),
         )

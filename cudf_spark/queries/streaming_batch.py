@@ -189,6 +189,7 @@ def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ROLLUP (CAST(year(CAST(ts AS TIMESTAMP)) AS INT),
                      CAST(month(CAST(ts AS TIMESTAMP)) AS INT),
                      CAST(day(CAST(ts AS TIMESTAMP)) AS INT))
+    HAVING count(*) > 0  -- empty-input () row: Spark emits none (r11 fuzz)
     ORDER BY y NULLS FIRST, m NULLS FIRST, d NULLS FIRST
     """,
     doc="time-hierarchy rollup (the hypertable continuous-aggregate "
@@ -249,7 +250,13 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(value), 2)     AS total
+           -- coalesce: the stateful accumulator INITIALIZES total to 0.0
+           -- (state.exists else (0, 0.0)) and pandas' NaN-skipping sum
+           -- leaves it there for a user whose values are all NULL, while
+           -- SQL sum yields NULL — the accumulator's zero-start IS the
+           -- operator contract, so the oracle declares it (r11 fuzz,
+           -- seed 10 all-null value column)
+           round(coalesce(sum(value), 0.0), 2) AS total
     FROM events GROUP BY user_id ORDER BY user_id
     """,
     doc="Custom stateful streaming operator DRIVEN THROUGH A REAL "

@@ -184,16 +184,27 @@ def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         freq, 100, [F.col("f").desc(), F.col("token")], rank_col="r"
     )
     top100 = ranked.select(F.log("f").alias("y"), F.log("r").alias("x"))
+    # nullif: a 0/1-token vocabulary has var(x)=0 (or NULL) — slope is
+    # undefined, matching DuckDB regr_slope's NULL, never an ANSI 0/0
+    # abort (r11 fuzz, hostile empty-documents tree)
     slope = top100.agg(
-        F.round(F.covar_pop("y", "x") / F.var_pop("x"), 6).alias("zipf_slope")
+        F.round(
+            F.covar_pop("y", "x") / F.nullif(F.var_pop("x"), F.lit(0.0)), 6
+        ).alias("zipf_slope")
     )
     totals = freq.agg(
         F.count(F.lit(1)).alias("vocab_size"),
         F.sum("f").cast("bigint").alias("total_tokens"),
-        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).alias("hapax_count"),
+        # count(when), not sum(when): the oracle's `count(*) WHERE f=1`
+        # is 0 on an empty vocabulary, a sum would be NULL
+        F.count(F.when(F.col("f") == 1, 1)).alias("hapax_count"),
     )
-    top1 = ranked.filter(F.col("r") == 1).select(
-        F.col("token").alias("top_token"), F.col("f").alias("top_freq")
+    # aggregate, not filter(r==1): a global agg still emits its one row
+    # (NULL-valued) on an empty vocabulary, while an empty top1 frame
+    # would annihilate the crossJoin and drop the output row entirely
+    top1 = ranked.agg(
+        F.min_by("token", "r").alias("top_token"),
+        F.min_by("f", "r").alias("top_freq"),
     )
     return (
         totals.crossJoin(F.broadcast(top1))

@@ -122,9 +122,14 @@ def _fk(rng, n, card, skew: bool):
     return rng.integers(0, card, n).astype("int64")
 
 
-def gen_fixture(seed: int, outdir: str) -> dict:
+def gen_fixture(seed: int, outdir: str,
+                knob_overrides: dict | None = None) -> dict:
     rng = np.random.default_rng(seed)
     knobs = pick_knobs(rng)
+    if knob_overrides:
+        # Targeted mode (--knobs): pin specific degenerate shapes while
+        # the rest of the tree still varies with the seed.
+        knobs.update(knob_overrides)
     os.makedirs(outdir, exist_ok=True)
 
     def write(name: str, table: pa.Table):
@@ -309,20 +314,25 @@ def cohort_for_seed(names: list[str], seed: int, size: int) -> list[str]:
 
 
 def run_seed(spark, seed: int, size: int, keep: bool,
-             only: set[str] | None) -> dict:
+             only: set[str] | None, knob_overrides: dict | None = None,
+             full: bool = False) -> dict:
     import duckdb
 
     fuzz_dir = os.path.join(_repo, ".fuzz", f"seed{seed}")
     if os.path.exists(fuzz_dir):
         shutil.rmtree(fuzz_dir)
-    knobs = gen_fixture(seed, fuzz_dir)
+    knobs = gen_fixture(seed, fuzz_dir, knob_overrides)
 
     from cudf_spark.queries import REGISTRY
 
     oracle_backed = sorted(
         n for n, q in REGISTRY.items() if q.oracle is not None)
-    cohort = (sorted(only & set(oracle_backed)) if only
-              else cohort_for_seed(oracle_backed, seed, size))
+    if full:
+        cohort = oracle_backed
+    elif only:
+        cohort = sorted(only & set(oracle_backed))
+    else:
+        cohort = cohort_for_seed(oracle_backed, seed, size)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -383,6 +393,13 @@ def main() -> int:
                     help="keep generated trees even on success")
     ap.add_argument("--only", default="",
                     help="comma-separated query names (overrides rotation)")
+    ap.add_argument("--all", action="store_true",
+                    help="run EVERY oracle-backed query per seed (targeted "
+                    "hostile-tree sweeps; ~10 min/seed)")
+    ap.add_argument("--knobs", default="",
+                    help='JSON knob overrides pinned over every seed, e.g. '
+                    '\'{"empty_table": "lineitem"}\' or '
+                    '\'{"p_null_value": 1.0}\'')
     args = ap.parse_args()
 
     from cudf_spark.session import get_spark
@@ -390,10 +407,12 @@ def main() -> int:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_spark("cudf_spark_fuzz", shuffle_partitions=8)
     only = set(args.only.split(",")) if args.only else None
+    overrides = json.loads(args.knobs) if args.knobs else None
 
     bad = 0
     for seed in [int(s) for s in args.seeds.split(",") if s.strip()]:
-        rep = run_seed(spark, seed, args.cohort, args.keep, only)
+        rep = run_seed(spark, seed, args.cohort, args.keep, only,
+                       knob_overrides=overrides, full=args.all)
         bad += len(rep["mismatch"]) + len(rep["error"])
     spark.stop()
     print(f"FUZZ RESULT: {'CLEAN' if bad == 0 else f'{bad} findings'}")

@@ -26,7 +26,46 @@ SEED_QUERIES = [
     (2, ["stream_checkpoint_exactly_once", "io_avro_roundtrip_agg"]),
     (4, ["stats_cramers_v"]),
     (5, ["win_rolling_mode", "events_rfm_scores"]),
+    # second sweep (seeds 6-12):
+    #   seed 8   ann_cosine_topk / ann_lsh_bucketed — empty embeddings
+    #            made the one-row-query guard abort on ZERO rows
+    #   seed 10  text_bigram_cond_entropy — empty-corpus fold 0.0 vs NULL
+    #            stream_stateful_totals — all-null user: accumulator 0.0
+    #            vs SQL-sum NULL (oracle now declares the zero start)
+    (8, ["ann_cosine_topk", "ann_lsh_bucketed"]),
+    (10, ["text_bigram_cond_entropy", "stream_stateful_totals"]),
 ]
+
+# Third wave: hostile full-registry sweeps — the knob is pinned, the rest
+# of the tree still varies with the seed (see JUDGE_PINS[11] for the
+# per-query defect classes).
+HOSTILE = [
+    (20, {"empty_table": "lineitem"},
+     ["agg_grouping_sets", "agg_rollup", "agg_cube", "stream_dq_monitor"]),
+    (21, {"empty_table": "events"},
+     ["agg_hdr_latency_percentiles", "events_funnel_stages",
+      "events_haar_wavelet_energy", "events_time_rollup",
+      "events_time_to_convert", "stats_chi_square", "stats_ljung_box",
+      "stream_table_fingerprint", "io_partitioned_write_pruning"]),
+    (22, {"empty_table": "documents"},
+     ["stats_theil_u", "text_vocab_stats", "text_bigram_cond_entropy"]),
+    (23, {"p_null_value": 1.0}, ["stats_wilson_ci"]),
+]
+
+
+@pytest.mark.parametrize("seed,knobs,names", HOSTILE, ids=lambda v: str(v))
+def test_fuzz_hostile_tree(spark, seed, knobs, names):
+    if not isinstance(seed, int):
+        pytest.skip("param order")
+    from scripts.fuzz_differential import run_seed
+
+    report = run_seed(
+        spark, seed, size=0, keep=False, only=set(names),
+        knob_overrides=knobs,
+    )
+    assert report["mismatch"] == [], report["mismatch"]
+    assert report["error"] == [], report["error"]
+    assert report["ok"] == len(names)
 
 
 @pytest.mark.parametrize("seed,names", SEED_QUERIES, ids=lambda v: str(v))

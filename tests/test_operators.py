@@ -676,6 +676,9 @@ def test_similarity_query_guards_and_null_dedup(spark):
     )
     with pytest.raises(ValueError, match="exactly one row"):
         cosine_topk(e, e.limit(2), k=2)
+    # ...but a ZERO-row query degrades to an empty top-k instead of
+    # aborting (r11 fuzz, seeds 8/9: empty embeddings table)
+    assert cosine_topk(e, e.limit(0), k=2).count() == 0
 
     docs = spark.createDataFrame(
         [(1, None), (2, None), (3, "same"), (4, "same")],

@@ -396,6 +396,16 @@ JUDGE_PINS: dict[int, set[str]] = {
         "stats_theil_u",
         "text_vocab_stats",
         "stats_wilson_ci",
+        # fourth wave — two more hostile shapes (seeds 24/25: empty
+        # orders, empty customer): agg_benford_check 0/0 on the empty
+        # grid (nullif both sides); dq_schema_drift empty-fold PSI gate;
+        # agg_linear_counting's oracle did float-`//`-then-CAST, which
+        # ROUNDS in DuckDB while Spark's `div` truncates — a knife-edge
+        # latent at any scale, now all-integer (seed-25 repro: 4141 vs
+        # 4140 at fraction .786).
+        "agg_benford_check",
+        "dq_schema_drift",
+        "agg_linear_counting",
     },
 }
 

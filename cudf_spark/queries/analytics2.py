@@ -1043,7 +1043,8 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("cb").cast("double") / F.col("nb"))
             ),
         )
-        return cat.crossJoin(F.broadcast(sizes)).agg(
+        folded = cat.crossJoin(F.broadcast(sizes)).agg(
+            F.count(F.lit(1)).alias("n_cat"),
             F.aggregate(
                 F.array_sort(
                     F.collect_list(
@@ -1052,7 +1053,13 @@ def dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + F.coalesce(x["t"], F.lit(0.0)),
-            ).alias("psi")
+            ).alias("psi"),
+        )
+        # n_cat = 0 iff the table is EMPTY: PSI undefined (the oracle's
+        # SQL sum over zero categories is NULL, the array fold seeds
+        # 0.0 — same gate as stats_cramers_v; r11 fuzz, empty orders)
+        return folded.select(
+            F.when(F.col("n_cat") > 0, F.col("psi")).alias("psi")
         )
 
     prio = psi_for("o_orderpriority").select(
@@ -3657,10 +3664,13 @@ def pipeline_temporal_split_guard(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT g.d AS digit, g.c AS n_obs,
            round(g.p_exp, 6) AS p_expected_q6,
-           round(CAST(g.c AS DOUBLE) / t.n, 6) AS p_observed_q6,
+           -- nullif: an empty amount table (n = 0) has no observed
+           -- distribution and no chi2 — NULL, not 0/0 (r11 fuzz,
+           -- hostile empty-orders tree)
+           round(CAST(g.c AS DOUBLE) / nullif(t.n, 0), 6) AS p_observed_q6,
            round((SELECT sum((CAST(g2.c AS DOUBLE) - t.n * g2.p_exp)
                              * (CAST(g2.c AS DOUBLE) - t.n * g2.p_exp)
-                             / (t.n * g2.p_exp)
+                             / nullif(t.n * g2.p_exp, 0)
                              ORDER BY g2.d)
                   FROM grid g2), 6) AS chi2_q6
     FROM grid g, tot t
@@ -3703,9 +3713,13 @@ def agg_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = grid.agg(F.sum("c").cast("bigint").alias("n"))
     gt = grid.crossJoin(F.broadcast(tot))
     dev = F.col("c").cast("double") - F.col("n") * F.col("p_exp")
+    # nullif: n = 0 (empty amount table) zeroes every expected mass —
+    # chi2 is undefined, and the bare division ANSI-aborted (r11 fuzz)
     term = F.struct(
         F.col("d").alias("d"),
-        (dev * dev / (F.col("n") * F.col("p_exp"))).alias("t"),
+        (
+            dev * dev / F.nullif(F.col("n") * F.col("p_exp"), F.lit(0.0))
+        ).alias("t"),
     )
     chi2 = gt.agg(
         F.aggregate(
@@ -3720,9 +3734,9 @@ def agg_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("digit"),
             F.col("c").alias("n_obs"),
             F.round("p_exp", 6).alias("p_expected_q6"),
-            F.round(F.col("c").cast("double") / F.col("n"), 6).alias(
-                "p_observed_q6"
-            ),
+            F.round(
+                F.col("c").cast("double") / F.nullif(F.col("n"), F.lit(0)), 6
+            ).alias("p_observed_q6"),
             F.round("chi2", 6).alias("chi2_q6"),
         )
         .orderBy("digit")

@@ -603,11 +603,17 @@ _LC_M = 4096  # linear-counting bitmap bits
                CAST(floor(-{_LC_M}.0
                    * log2(CAST({_LC_M} - o.n_set AS DOUBLE) / {_LC_M}.0)
                    * 0.6931471805599453) AS BIGINT) END AS lc_estimate,
+           -- inner CAST AS BIGINT before the division: DuckDB's floor()
+           -- returns DOUBLE and `//` on a DOUBLE lhs does NOT floor, so
+           -- the outer BIGINT cast then ROUNDS the quotient — one unit
+           -- above Spark's truncating `div` whenever the fraction is
+           -- >= .5 (r11 fuzz, seed 25 knife edge: 4140.79 -> 4141 vs
+           -- 4140). All-integer arithmetic restores exact parity.
            CASE WHEN o.n_set < {_LC_M} AND e.n_exact > 0 THEN
-               CAST(abs(floor(-{_LC_M}.0
+               CAST(abs(CAST(floor(-{_LC_M}.0
                    * log2(CAST({_LC_M} - o.n_set AS DOUBLE) / {_LC_M}.0)
-                   * 0.6931471805599453) - e.n_exact) * 1000000 // e.n_exact
-                   AS BIGINT) END AS rel_err_q6
+                   * 0.6931471805599453) AS BIGINT) - e.n_exact)
+                   * 1000000 // e.n_exact AS BIGINT) END AS rel_err_q6
     FROM occ o CROSS JOIN exact e
     """,
     doc="linear counting cardinality estimate (Whang 1990 — the "

@@ -50,6 +50,12 @@ HOSTILE = [
     (22, {"empty_table": "documents"},
      ["stats_theil_u", "text_vocab_stats", "text_bigram_cond_entropy"]),
     (23, {"p_null_value": 1.0}, ["stats_wilson_ci"]),
+    (24, {"empty_table": "orders"},
+     ["agg_benford_check", "dq_schema_drift"]),
+    # seed 25 also reproduces the float-floordiv knife edge in
+    # agg_linear_counting's rel_err (DuckDB CAST rounds, Spark div
+    # truncates) on a NON-degenerate tree — pure oracle-arithmetic bug
+    (25, {"empty_table": "customer"}, ["agg_linear_counting"]),
 ]
 
 

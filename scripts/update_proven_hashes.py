@@ -219,6 +219,14 @@ def stale_stamp() -> bool:
     last_q = _git("log", "-1", "--format=%ct", "--", "cudf_spark/queries")
     if last_q is None or not last_q:
         return True
+    rec_commit_ts = _git("log", "-1", "--format=%ct", "--", os.path.relpath(record, _repo_root))
+    if rec_commit_ts:
+        # Tracked record: its landing-commit time is the authority for when
+        # the driver ran. File mtime is checkout-dependent — a fresh clone
+        # resets it to checkout time, which postdates every commit and made
+        # this gate flag the legitimate mid-round state (pinned queries
+        # commits postdating the record) as stale.
+        return int(last_q) <= int(rec_commit_ts)
     try:
         record_mtime = os.path.getmtime(record)
     except OSError:

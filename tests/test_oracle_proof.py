@@ -293,6 +293,44 @@ def test_stale_stamp_detection(_fake_repo):
     _os.utime(str(rec), (_time.time() - 7200, _time.time() - 7200))
     assert uph.stale_stamp() is False
 
+
+def test_stale_stamp_tracked_record_ignores_mtime(_fake_repo):
+    """r11 inherited-state bug: with a TRACKED record, a fresh checkout
+    resets the record file's mtime to checkout time — which postdates every
+    commit — and the mtime heuristic flagged the legitimate mid-round state
+    (pinned queries commits postdating the record's landing commit) as
+    stale. For tracked records the landing-commit time is the authority."""
+    import os as _os
+    import time as _time
+
+    tmp, git, qdir = _fake_repo
+    uph.stamp_tree_sha()
+    rec = tmp / "CORRECTNESS_r99.json"
+    rec.write_text('{"q": {"hash_match": true}}')
+    git("add", "-A")
+    git("commit", "-qm", "driver lands the record")
+    # Mid-round pin edit commits AFTER the record landed (sleep past the
+    # 1 s committer-timestamp granularity so "after" is unambiguous)...
+    _time.sleep(1.1)
+    (qdir / "x.py").write_text("ORACLE = 'SELECT 5 AS five'\n")
+    git("add", "-A")
+    git("commit", "-qm", "pinned oracle edit after round start")
+    # ...then a fresh checkout resets the record's mtime to "now".
+    _os.utime(str(rec), (_time.time() + 3600, _time.time() + 3600))
+    assert uph.stale_stamp() is False
+
+    # Conversely a tracked record that POSTDATES the last queries commit
+    # (round boundary, round_end.sh forgotten) is stale even when the
+    # checkout backdates its mtime.
+    git("rm", "-q", "--cached", "CORRECTNESS_r99.json")
+    git("commit", "-qm", "untrack")
+    rec2 = tmp / "CORRECTNESS_r100.json"
+    rec2.write_text('{"q": {"hash_match": true}}')
+    git("add", "CORRECTNESS_r100.json")
+    git("commit", "-qm", "driver lands a later record, stamp still old")
+    _os.utime(str(rec2), (_time.time() - 7200, _time.time() - 7200))
+    assert uph.stale_stamp() is True
+
     # round_end.sh runs -> stamp matches HEAD again; never stale.
     uph.stamp_tree_sha()
     _os.utime(str(rec), (_time.time() + 3600, _time.time() + 3600))

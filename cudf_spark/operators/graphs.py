@@ -147,10 +147,19 @@ def connected_components(
     ).distinct()
     und = und.localCheckpoint(eager=False)  # edge list reused every round
 
+    # Round-1 closed form (same trick as LPA's round 0): the starting
+    # labels ARE the node ids, so the first propagation round's
+    # labels-join degenerates to min over the raw neighbor ids — one
+    # groupBy over the edge list seeds least(node, min(neighbors))
+    # directly, replacing the identity-label build (distinct) plus the
+    # first round's join+groupBy. Checkpointed because the next round
+    # reads it twice (nbr_min join + merge join).
     labels = (
-        und.select(F.col("u").alias("node")).distinct().withColumn("label", F.col("node"))
+        und.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.min("v"), F.first("u")).alias("label"))
+        .localCheckpoint(eager=False)
     )
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         nbr_min = (
             und.join(labels, und.v == labels.node)
             .groupBy("u")

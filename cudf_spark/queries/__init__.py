@@ -406,6 +406,29 @@ JUDGE_PINS: dict[int, set[str]] = {
         "agg_benford_check",
         "dq_schema_drift",
         "agg_linear_counting",
+        # r11 OPTIMIZATION-round engine rewrites, oracles untouched (same
+        # rule as r8-r10; all hash re-verified at 3 SFs + hostile fuzz
+        # seeds incl. empty orders/lineitem and all-null values before
+        # pinning — see OPTIMIZATION_r11.md):
+        # q18: semi-join + full lineitem re-scan/re-agg folded into the
+        # per-order sum it already computed (2 lineitem passes -> 1);
+        # q21: late/multi split folded into ONE joined groupBy with
+        # conditional min/max (2 lineitem passes + agg-agg join -> 1);
+        # q02: filtered part keys semi-joined below the (partkey,
+        # suppkey) supply aggregation (pre-filters the widest shuffle);
+        # agg_sketch_merge: exact median moved off the per-group
+        # value-spooling Percentile ObjectHashAggregate onto a two-level
+        # (value, count) + cumulative-rank form (bit-identical formula);
+        # the three connected-components consumers share the round-1
+        # closed-form seed in operators/graphs.py (identity-label join
+        # round replaced by one groupBy over the edge list).
+        "q18_large_volume_customer",
+        "q21_waiting_supplier",
+        "q02_min_cost_supplier",
+        "agg_sketch_merge",
+        "dedup_duplicate_clusters",
+        "dedup_cluster_survivor",
+        "er_cluster_entities",
     },
 }
 

@@ -215,7 +215,46 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_b = sk_all.filter(F.col("run") == 1).drop("run")
     merged = merge_sketches([run_a, run_b], ["k"])
     est = quantile_from_sketch(merged, ["k"], 0.5)
-    exact = li.groupBy("k").agg(F.median("v").alias("exact"))
+    # Exact median via a two-level (value, count) aggregation + per-key
+    # cumulative rank instead of F.median: the Percentile aggregate is an
+    # ObjectHashAggregate that collects EVERY value into per-partition
+    # object buffers, serializes them through the exchange and merges+
+    # sorts per group single-threaded on one task — at 100 TB that is a
+    # per-group value spool. Here only (k, v, c) rows cross the exchange
+    # (bounded by the distinct-value domain, with map-side combine) and
+    # the per-key work is a sort of distinct values. Matches Percentile's
+    # exact semantics: 0-based position d = 0.5*(n-1), lower index
+    # floor(d) -> rank lo1, upper index ceil(d) -> rank hi1, result
+    # 0.5*v_lo + 0.5*v_hi (Percentile's lo*(ceil-d) + hi*(d-floor) with
+    # d-floor in {0, 0.5}; for odd n, v_lo == v_hi and the sum is exact).
+    # NULLs ride their own (k, NULL) count row so an all-NULL key still
+    # yields a row with NULL exact, like F.median.
+    from pyspark.sql import Window
+
+    cnts = li.groupBy("k", "v").agg(F.count(F.lit(1)).alias("c"))
+    nn_c = F.when(F.col("v").isNotNull(), F.col("c"))
+    cum = cnts.withColumn(
+        "cum",
+        F.sum(F.coalesce(nn_c, F.lit(0))).over(
+            Window.partitionBy("k")
+            .orderBy(F.asc_nulls_last("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    nrows = cnts.groupBy("k").agg(F.sum(nn_c).alias("n"))
+    exact = (
+        cum.join(F.broadcast(nrows), "k")
+        .groupBy("k")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n - 1) div 2 + 1"), F.col("v"))
+            ).alias("v_lo"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("n div 2 + 1"), F.col("v"))
+            ).alias("v_hi"),
+        )
+        .select("k", (0.5 * F.col("v_lo") + 0.5 * F.col("v_hi")).alias("exact"))
+    )
     return (
         est.join(exact, "k")
         .select(

@@ -307,19 +307,27 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # ONE lineitem pass: the semi-join filter ("orders whose total quantity
+    # exceeds 250") and the output aggregate ("that order's total quantity")
+    # are the SAME per-order sum, so computing it once and joining the
+    # (rare) qualifying rows replaces the former semi-join + full lineitem
+    # re-scan + re-aggregation (guide §2.4: the second scan shuffled every
+    # lineitem row again keyed on l_orderkey just to rebuild a sum the
+    # first aggregation already held). o_orderkey is unique in orders, so
+    # the final per-(order, customer) group holds exactly one row and the
+    # old outer groupBy is the identity — replaced by a projection.
     big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(F.col("q") > 250)
     return (
-        o.join(big.select("l_orderkey"), o.o_orderkey == big.l_orderkey, "left_semi")
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, F.col("o_custkey") == c.c_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .groupBy(
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
             F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("q", 2).alias("sum_qty"),
         )
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(100)
     )

@@ -299,36 +299,51 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     s = load(spark, sf_dir, "supplier")
-    late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-    )
     # ">1 distinct supplier" and "exactly 1 distinct late supplier" are
     # min/max comparisons — no countDistinct, so the aggregate runs as a
     # plain two-level hash agg with map-side combine instead of dragging
     # the lineitem stream through a distinct Expand (measured 2.17s ->
     # 0.86s at sf0.1 on top of the earlier anti-self-join removal).
-    multi = (
-        li.groupBy("l_orderkey")
-        .agg(F.min("l_suppkey").alias("mn"), F.max("l_suppkey").alias("mx"))
-        .filter(F.col("mn") != F.col("mx"))
-        .select("l_orderkey")
-    )
-    # "no OTHER supplier was late on the order" == the order has exactly one
-    # distinct late supplier. One aggregation replaces the late-vs-late
-    # anti self-join (which executed the whole late subtree twice).
+    # Both tests fold into ONE per-order aggregation over the joined
+    # stream (guide §2.4): the former shape scanned lineitem twice (once
+    # joined to orders for the late set, once bare for the multi-supplier
+    # set) and re-joined the two 1-row-per-order aggregates; min/max over
+    # all suppliers and min/max over late suppliers ride the same groupBy
+    # via conditional aggregates, so one lineitem scan, one l_orderkey
+    # shuffle, and no sole-vs-multi join remain. The join with orders is
+    # key-preserving (o_orderkey unique), so per-order supplier sets are
+    # unchanged by it.
     sole = (
-        late.groupBy("l_orderkey")
-        .agg(F.min("l_suppkey").alias("mn"), F.max("l_suppkey").alias("mx"))
-        .filter(F.col("mn") == F.col("mx"))
-        .select("l_orderkey", F.col("mx").alias("l_suppkey"))
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        # bind the lateness test once pre-agg so the interval comparison
+        # is evaluated per row, not per conditional aggregate
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                F.col("l_suppkey"),
+            ).alias("late_supp"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("mn_all"),
+            F.max("l_suppkey").alias("mx_all"),
+            F.min("late_supp").alias("mn_late"),
+            F.max("late_supp").alias("mx_late"),
+        )
+        # multi-supplier order, exactly one distinct LATE supplier
+        .filter(
+            (F.col("mn_all") != F.col("mx_all"))
+            & F.col("mn_late").isNotNull()
+            & (F.col("mn_late") == F.col("mx_late"))
+        )
+        .select("l_orderkey", F.col("mx_late").alias("l_suppkey"))
     )
     return (
-        # sole/multi are one row per l_orderkey and supplier keys are
-        # unique, so numwait is a plain count — no distinct needed.
-        sole.join(multi, "l_orderkey")
-        .join(s, sole.l_suppkey == s.s_suppkey)
+        # sole is one row per l_orderkey and supplier keys are unique,
+        # so numwait is a plain count — no distinct needed.
+        sole.join(s, sole.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -67,13 +67,32 @@ def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Reference runs it via polars rewrites (pdsh.py q2).",
 )
 def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ps = _ps(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
     )
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # Both the outer block and the correlated-min subquery are keyed on
+    # p_partkey, so only partkeys surviving the p_type/p_size filter can
+    # reach the result — semi-join lineitem against the filtered part keys
+    # BEFORE the (partkey, suppkey) supply aggregation (guide §3.2:
+    # pre-filter the big side before shuffling it). The filter drops the
+    # non-qualifying ~96% of lineitem ahead of the widest shuffle in the
+    # plan; at fixture scale the key set broadcasts, at 100 TB AQE/bloom
+    # handles the semi-join strategy.
+    ps = (
+        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+            F.sum("l_quantity").cast("bigint").alias("ps_availqty"),
+        )
+    )
     # Suppliers in EUROPE. nation/region are fixed-size → forced broadcast;
     # supplier scales with SF, so AQE picks its strategy from observed size
     # (broadcast at small SF, shuffle at cluster scale).

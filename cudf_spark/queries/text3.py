@@ -440,6 +440,15 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_stop") >= 2)
             & (F.col("top_cnt") / F.col("n_words") <= 0.12)
         )
+        # qual feeds BOTH the contamination branch and the kept anti-join.
+        # A localCheckpoint here was A/B-measured in r11 (interleaved
+        # fresh-process warm, 3 rounds) and REJECTED: 2.05/3.31/2.09 s
+        # without vs 2.58/8.34/2.60 s with — unlike curation_pipeline_v2's
+        # r10 nest, the duplicated subtrees here are identical up to the
+        # md5-dedup Exchange, which AQE's shuffle-stage reuse already
+        # computes once at runtime; only the post-shuffle window+quality
+        # projection re-runs, and the checkpoint's materialization barrier
+        # costs more than that re-run.
     )
 
     # 3. decontamination vs the held-out eval split (broadcast gram set)

@@ -176,9 +176,11 @@ ALLOWED_INTERPOLATED_PERCENTILES = {
     ("aggregates.py", 'F.round(F.percentile("l_quantity", 0.25), 4).alias("q25"),'),
     ("aggregates.py", 'F.round(F.percentile("l_quantity", 0.75), 4).alias("q75"),'),
     ("aggregates.py", 'F.round(F.percentile("l_quantity", 0.90), 4).alias("q90"),'),
-    # agg_sketch_merge: rounded q4 value outputs (error-bound companion)
+    # agg_sketch_merge: rounded q4 value outputs (error-bound companion);
+    # the engine side moved off F.median to the two-level (value, count)
+    # + cumulative-rank form in r11 (OPTIMIZATION_r11.md §3.4), so only
+    # the oracle's median() remains as an interpolation site
     ("aggregates2.py", "round((SELECT median(v) FROM pts p WHERE p.k = hit.k), 4) AS exact_p50"),
-    ("aggregates2.py", 'exact = li.groupBy("k").agg(F.median("v").alias("exact"))'),
     # agg_describe: rounded q6 quartile value output on the cents lattice
     ("analytics.py", 'F.expr("percentile(x, array(0.25, 0.50, 0.75))").alias("qs"),'),
     # doc prose

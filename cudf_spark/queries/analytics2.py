@@ -893,7 +893,11 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.split(F.col("phrase"), " ")).alias("pos0", "w"),
     ).filter(F.col("w") != "").select(
         "doc_id", "pid", "phrase", "plen", (F.col("pos0") + 1).alias("pos"), "w"
-    )
+    # pw feeds BOTH the word-stats aggregate and the join probe; unlike
+    # curation_pipeline's nest, the two consumers' exchanges differ (one
+    # carries a partial agg), so AQE shuffle-stage reuse cannot fire and
+    # the regex-split + double-posexplode subtree would run twice.
+    ).localCheckpoint(eager=False)
     wstats = pw.groupBy("doc_id", "w").agg(
         F.count(F.lit(1)).cast("bigint").alias("freq"),
         F.sum("plen").cast("bigint").alias("deg"),

@@ -121,7 +121,12 @@ def stateful_running_totals(events: DataFrame, out_schema: str = "user_id long, 
         # round is banker's, engine round is not)
         yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    # Only (user_id, value) cross the JVM->Python boundary: the state
+    # function reads nothing else, and Spark cannot prune columns through
+    # an opaque stateful operator itself (guide §4 — an explicit select
+    # ahead of the grouped state op is the only way the scan avoids
+    # shipping ts/event_type/event_id through Arrow every micro-batch).
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType="n long, total double",

@@ -18,6 +18,20 @@ exposed as a library API so users can vet their own pipelines:
 - ``python_row_udf`` — ``BatchEvalPython`` (row-at-a-time Python UDF);
   Arrow-batched variants (``ArrowEvalPython``/``MapInPandas``/
   ``FlatMapGroupsInPandas``) pass.
+- ``value_spool`` — an ``ObjectHashAggregate`` whose aggregate list
+  contains ``collect_list(``/``collect_set(`` (per-group buffers hold
+  EVERY input row) or exact ``percentile(`` (per-partition value->count
+  maps — bounded by the distinct-value domain, which on a continuous
+  double column IS the row count; the merged map is then sorted on one
+  task per group). Fine when the group/domain is bounded by construction
+  (per-doc tokens, <=K centroids, an integer lattice, a deterministic
+  sorted float fold over a capped cell); fatal at 100 TB over unbounded
+  raw values — the round-11 ``agg_sketch_merge`` fix
+  (OPTIMIZATION_r11.md §3.4) is the rewrite recipe (two-level
+  (value, count) aggregation + cumulative-rank window).
+  tests/test_scale_audit.py pins the justified-bounded allowlist; a new
+  site fails the suite until bounded-ness is argued there or the query
+  is rewritten.
 
 Returns a list of ``(code, detail)`` findings; empty list == clean.
 """
@@ -40,7 +54,22 @@ _BOUNDED_CONSUMERS = (
 
 
 def _plan_text(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    # Plan stringification elides aggregate expressions past
+    # spark.sql.debug.maxToStringFields (default 25) with "... N more
+    # fields" — which would silently hide a spool function from the
+    # value_spool scan on wide aggregates. Raise it for the capture and
+    # restore the caller's setting.
+    conf = df.sparkSession.conf
+    key = "spark.sql.debug.maxToStringFields"
+    prev = conf.get(key, None)
+    conf.set(key, "4096")
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        if prev is None:
+            conf.unset(key)
+        else:
+            conf.set(key, prev)
 
 
 def _depth(line: str) -> int:
@@ -91,7 +120,35 @@ def scale_audit(df: DataFrame, *, allow_bnlj: bool = True) -> list[tuple[str, st
             ("python_row_udf", "row-at-a-time Python UDF; use pandas_udf/mapInPandas")
         )
 
+    spooled: set[str] = set()
+    for line in lines:
+        if "ObjectHashAggregate" not in line:
+            continue
+        for fn in _SPOOL_FN.findall(line):
+            spooled.add(fn)
+    for fn in sorted(spooled):
+        findings.append(
+            (
+                "value_spool",
+                f"ObjectHashAggregate over {fn}(...): per-group buffer holds "
+                "every row (collect_*) or every distinct value (percentile) "
+                "— prove the group/domain bounded or rewrite "
+                "(OPTIMIZATION_r11.md §3.4 two-level rank rule)",
+            )
+        )
+
     return findings
+
+
+# Exact-percentile and whole-row collectors that run as ObjectHashAggregate
+# with per-group object buffers: collect_* hold every row; percentile/
+# median hold a value->count map (bounded by the distinct domain, = rows
+# on continuous doubles); mode holds the same map shape.
+# `percentile_approx`/`approx_percentile` fall out naturally (the
+# trailing `_approx` / leading `_` breaks the match).
+_SPOOL_FN = re.compile(
+    r"(?<![_a-zA-Z])(collect_list|collect_set|percentile|median|mode)(?=\s*\()"
+)
 
 
 # Matches every INTERPOLATED quantile form either engine offers —

@@ -15,11 +15,14 @@ def test_engine_queries_are_clean(spark):
     for name in (
         "q05_local_supplier_volume",
         "dedup_minhash_lsh",
-        "ann_ivf_topk",
         "win_rolling_rows",
         "replace_nan_handling",  # its 1-row-broadcast BNLJ must pass by default
     ):
         assert scale_audit(REGISTRY[name].build(spark, SF_DIR)) == [], name
+    # ann_ivf_topk's one finding is the justified <=K centroid collect
+    # (KNOWN_BOUNDED_SPOOLS); nothing else may appear.
+    ivf = scale_audit(REGISTRY["ann_ivf_topk"].build(spark, SF_DIR))
+    assert [c for c, _ in ivf] == ["value_spool"]
 
 
 def test_flags_global_window(spark):
@@ -40,6 +43,43 @@ def test_flags_row_udf(spark):
     bad = load(spark, SF_DIR, "region").select(plus_one("r_regionkey").alias("x"))
     codes = [c for c, _ in scale_audit(bad)]
     assert "python_row_udf" in codes
+
+
+def test_flags_value_spool(spark):
+    from cudf_spark.catalog import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    bad = li.groupBy("l_returnflag").agg(
+        F.collect_list("l_extendedprice").alias("all_prices")
+    )
+    codes = [c for c, _ in scale_audit(bad)]
+    assert "value_spool" in codes
+    # exact percentile spools its value->count map; the sketch form does not
+    pctl = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("p50")
+    )
+    assert any(c == "value_spool" for c, _ in scale_audit(pctl))
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50")
+    )
+    assert all(c != "value_spool" for c, _ in scale_audit(approx))
+
+
+def test_value_spool_survives_wide_aggregates(spark):
+    """A spool function past the default 25-field stringification cutoff
+    must still be seen (audit raises maxToStringFields for the capture)."""
+    from cudf_spark.catalog import load
+
+    li = load(spark, SF_DIR, "lineitem")
+    aggs = [F.sum(F.col("l_quantity") + i).alias(f"s{i}") for i in range(30)]
+    aggs.append(F.collect_list("l_extendedprice").alias("spool"))
+    bad = li.groupBy("l_returnflag").agg(*aggs)
+    codes = [c for c, _ in scale_audit(bad)]
+    assert "value_spool" in codes
+    # and the conf is restored for the caller
+    assert (
+        spark.conf.get("spark.sql.debug.maxToStringFields", None) in (None, "25")
+    )
 
 
 def test_flags_cartesian(spark):
@@ -124,6 +164,87 @@ KNOWN_BOUNDED = {
 }
 
 
+# value_spool findings justified as bounded (round-11 mechanization of
+# the class the review rotation hunted by hand: ObjectHashAggregate whose
+# buffer is NOT O(group rows) at 100 TB because something else caps it).
+# Grouped by the bounding argument; each query's in-code doc carries the
+# full story. A NEW value_spool site fails the registry audit below until
+# its bound is argued here or the query is rewritten via the two-level
+# rank rule (agg_sketch_merge, OPTIMIZATION_r11.md §3.4).
+KNOWN_BOUNDED_SPOOLS = {
+    # The list IS the output contract (collect feeds a string/array
+    # column the oracle hashes): nations/keys per region, cluster
+    # members per entity, words per soundex code, reconstructed doc
+    # text, PQ code per vector (M subquantizer entries).
+    "agg_collect",
+    "er_cluster_entities",
+    "str_phonetic_soundex",
+    "text_dedup_within_doc",
+    "text_remove_boilerplate",
+    "ann_pq_topk",
+    # Bounded by the embedding dimensionality or the <=K centroid set
+    # (broadcast-fold ANN shapes; K and dim are model constants).
+    "ann_ivf_recall",
+    "ann_ivf_topk",
+    "emb_centroid_drift",
+    "emb_mean_pool",
+    "emb_pca_power_iter",
+    # Deterministic sorted-order float folds over a panel bounded by a
+    # fixed category/lattice domain, NOT by input rows (the collect is
+    # the cross-engine float-determinism contract — both engines fold
+    # bit-identical terms in the same order): Benford digits (9), event
+    # types per day-of-week, ANOVA/Levene group flags, chi-square /
+    # Cramers-V contingency cells, Ljung-Box lags, Theil-U categories,
+    # schema-drift categories, per-source mixing weights, strata,
+    # bootstrap replicates (B), median-of-means buckets (k), hash-ring
+    # vnodes (suppliers x vnodes topology), char-set entropy terms,
+    # char-bigram vocabulary.
+    "agg_benford_check",
+    "agg_entropy_gini",
+    "agg_median_of_means",
+    "stats_anova_oneway",
+    "stats_bootstrap_ci_poisson",
+    "stats_chi_square",
+    "stats_cramers_v",
+    "stats_levene_bf",
+    "stats_ljung_box",
+    "stats_theil_u",
+    "dq_schema_drift",
+    "doc_neyman_allocation",
+    "doc_temperature_mix",
+    "curation_pipeline_v3",
+    "curation_pipeline_v4",
+    "misc_consistent_hash_ring",
+    "text_bigram_cond_entropy",
+    "text_char_entropy",
+    # Per-document collects bounded by document length (the corpus
+    # scales by adding docs, not by growing one doc; same scale model
+    # as every tokenizer path).
+    "text_bigram_loglik",
+    "text_rake_keywords",
+    "text_sparse_cosine_pairs",
+    # Per-cell sorted cosine fold, bounded by cell size (corpus/K with
+    # K ~ N per the SemDeDup sizing note) — and the sorted order is the
+    # float-determinism contract (see emb_outlier_zscore in-code note).
+    "emb_outlier_zscore",
+    # Degree-oriented neighbor arrays, sqrt(m)-bounded by construction
+    # (Suri-Vassilvitskii compact-forward; operators/graphs.py:70).
+    "graph_triangle_count",
+    "graph_transitivity_global",
+    # Exact percentile over an INTEGER LATTICE: the Percentile buffer is
+    # a value->count map bounded by the lattice's distinct-value count
+    # (l_quantity: 50 values; describe's cents lattices), not by rows.
+    # agg_describe's in-code doc states the continuous-domain swap
+    # (t-digest) for 100 TB.
+    "agg_median_quantiles",
+    "agg_describe",
+    # Day-grain seasonal panels (one row per calendar day after the
+    # day-grain groupBy), bounded by the observation calendar.
+    "ts_dow_seasonal_decompose",
+    "ts_seasonal_naive_mase",
+}
+
+
 def test_every_registry_query_passes_scale_audit(spark):
     flagged = {}
     for name, q in REGISTRY.items():
@@ -135,8 +256,13 @@ def test_every_registry_query_passes_scale_audit(spark):
         # aggregate/limit and report false single-partition funnels
         # (reproduced after test_oracle_parity's collects).
         spark.catalog.clearCache()
-        findings = scale_audit(q.build(spark, SF_DIR))
-        if findings and name not in KNOWN_BOUNDED:
+        findings = [
+            (c, d)
+            for c, d in scale_audit(q.build(spark, SF_DIR))
+            if not (c == "single_partition_funnel" and name in KNOWN_BOUNDED)
+            and not (c == "value_spool" and name in KNOWN_BOUNDED_SPOOLS)
+        ]
+        if findings:
             flagged[name] = findings
     assert flagged == {}
 

@@ -2679,18 +2679,25 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS s
         FROM events GROUP BY event_type
     )
+    -- + 0.0 after round: at s = 0 the lo numerator is center minus
+    -- 1.96*sqrt(center'-shaped term) — the same double on both engines,
+    -- a few ULPs BELOW zero — and DuckDB's round keeps IEEE -0.0 where
+    -- Spark's BigDecimal round canonicalizes to +0.0 (the
+    -- math_trig_round idiom, scalars_math.py; r11 fuzz seed 51,
+    -- all-null value tree). x + 0.0 == x bit-for-bit for every other
+    -- double.
     SELECT event_type, n, s,
            round(CAST(s AS DOUBLE) / n, 6) AS p_hat_q6,
            round(((CAST(s AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))
                   - 1.96 * sqrt((CAST(s AS DOUBLE) / n)
                                 * (1.0 - CAST(s AS DOUBLE) / n) / n
                                 + 1.96 * 1.96 / (4.0 * n * n)))
-                 / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lo_q6,
+                 / (1.0 + 1.96 * 1.96 / n), 6) + 0.0 AS wilson_lo_q6,
            round(((CAST(s AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))
                   + 1.96 * sqrt((CAST(s AS DOUBLE) / n)
                                 * (1.0 - CAST(s AS DOUBLE) / n) / n
                                 + 1.96 * 1.96 / (4.0 * n * n)))
-                 / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi_q6
+                 / (1.0 + 1.96 * 1.96 / n), 6) + 0.0 AS wilson_hi_q6
     FROM g
     ORDER BY event_type
     """,

@@ -56,6 +56,19 @@ HOSTILE = [
     # agg_linear_counting's rel_err (DuckDB CAST rounds, Spark div
     # truncates) on a NON-degenerate tree — pure oracle-arithmetic bug
     (25, {"empty_table": "customer"}, ["agg_linear_counting"]),
+    # Fourth wave (end-of-round assurance sweep, seeds 50-52, cohort
+    # 100): seed 51's all-null + 1-row-group tree made stats_wilson_ci's
+    # s=0 lower bound a few ULPs below zero — the identical double on
+    # both engines, but DuckDB's round keeps IEEE -0.0 where Spark's
+    # BigDecimal round canonicalizes to +0.0 (oracle now adds the
+    # + 0.0 idiom from math_trig_round). Seed 50's q09 mismatch is NOT
+    # a defect and gets no fix: the group's exact profit sum is EXACTLY
+    # 362253.695 (verified by rational arithmetic over the fixture), a
+    # round(,2) half-boundary where float sum-order legitimately flips
+    # the last cent — the documented accepted residual class of every
+    # rounded float aggregate (test_scale_audit.py allowlist notes).
+    (51, {"p_null_value": 1.0, "one_row_groups": True},
+     ["stats_wilson_ci"]),
 ]
 
 

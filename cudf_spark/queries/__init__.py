@@ -436,6 +436,13 @@ JUDGE_PINS: dict[int, set[str]] = {
         # Arrow boundary now, guide §4 — is covered by its existing pin in
         # the fuzz wave above.)
         "text_rake_keywords",
+        # fifth wave — third-session assurance sweep (seeds 60-62):
+        # seed 62's NULL-bearing value column exposed the NULL-ordering
+        # fork in stats_odds_ratio_mh's exact-median cumulative window
+        # (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST — same class
+        # as win_rolling_mode/events_rfm_scores above); engine window now
+        # asc_nulls_last, fixture hashes unchanged, re-proven at 3 SFs.
+        "stats_odds_ratio_mh",
     },
 }
 

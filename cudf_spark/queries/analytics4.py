@@ -968,7 +968,12 @@ def stats_odds_ratio_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = ev.select(
         F.round(F.col("value") * 100).cast("bigint").alias("v")
     ).groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    wcum = Window.orderBy("v").rowsBetween(
+    # NULLS LAST to match DuckDB's ASC default: under a NULL-bearing
+    # value column (fuzz seed 62) Spark's NULLS-FIRST default shifts the
+    # cumulative rank by the NULL-group count and moves the median; with
+    # NULLS LAST both engines treat the NULL group as +inf (it inflates n
+    # but never wins min(v)). No-op on NULL-free fixtures.
+    wcum = Window.orderBy(F.asc_nulls_last("v")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     wall = Window.partitionBy()

@@ -69,12 +69,19 @@ HOSTILE = [
     # rounded float aggregate (test_scale_audit.py allowlist notes).
     (51, {"p_null_value": 1.0, "one_row_groups": True},
      ["stats_wilson_ci"]),
-    # Fifth wave (third-session assurance sweep, seeds 60-62, cohort
-    # 100): seed 62's NULL-bearing value column exposed a NULL-ordering
-    # fork in stats_odds_ratio_mh's exact-median window — Spark's ASC
-    # default is NULLS FIRST (the NULL histogram group shifted every
-    # cumulative rank), DuckDB's is NULLS LAST; the engine window now
-    # pins asc_nulls_last so both engines treat the NULL group as +inf.
+    # Fifth wave (third-session assurance sweep, seeds 60-66, cohort
+    # 100 + one --all sweep): seed 62's NULL-bearing value column
+    # exposed a NULL-ordering fork in stats_odds_ratio_mh's exact-median
+    # window — Spark's ASC default is NULLS FIRST (the NULL histogram
+    # group shifted every cumulative rank), DuckDB's is NULLS LAST; the
+    # engine window now pins asc_nulls_last so both engines treat the
+    # NULL group as +inf. Seed 66's q03 mismatch is NOT a defect and
+    # gets no fix: order 232's exact revenue over the seed tree is
+    # EXACTLY 289189.975 (verified by Fraction arithmetic on the
+    # 2-decimal lattice), a round(,2) half-boundary where float
+    # sum-order legitimately flips the last cent — the same accepted
+    # residual class as seed 50's q09 above. Seeds 60/61/63(-all)/64/65
+    # clean.
     (62, {"p_null_value": 0.08, "p_null_acctbal": 0.1,
           "p_null_props": 0.15},
      ["stats_odds_ratio_mh"]),

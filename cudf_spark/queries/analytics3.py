@@ -1669,8 +1669,12 @@ def stats_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY owner
     )
     SELECT s.s_suppkey, coalesce(c.n_keys, 0) AS n_keys,
+           -- nullif: an EMPTY key table (fuzz seed 67) must degrade the
+           -- 0-of-0 load share to NULL on both engines, not abort
+           -- (Spark's ANSI `div` throws DIVIDE_BY_ZERO)
            CAST(coalesce(c.n_keys, 0) * 1000000
-                // (SELECT count(*) FROM part) AS BIGINT) AS share_q6
+                // nullif((SELECT count(*) FROM part), 0) AS BIGINT)
+               AS share_q6
     FROM supplier s LEFT JOIN counts c ON c.owner = s.s_suppkey
     ORDER BY s.s_suppkey
     """,
@@ -1734,7 +1738,9 @@ def misc_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             F.coalesce("n_keys", F.lit(0)).cast("bigint").alias("n_keys"),
-            F.expr("coalesce(n_keys, 0) * 1000000 div np")
+            # nullif mirrors the oracle: empty part (seed 67) -> np = 0,
+            # and ANSI `div` aborts where the 0-of-0 share should be NULL
+            F.expr("coalesce(n_keys, 0) * 1000000 div nullif(np, 0)")
             .cast("bigint")
             .alias("share_q6"),
         )

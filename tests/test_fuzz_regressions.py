@@ -85,6 +85,14 @@ HOSTILE = [
     (62, {"p_null_value": 0.08, "p_null_acctbal": 0.1,
           "p_null_props": 0.15},
      ["stats_odds_ratio_mh"]),
+    # Sixth wave — the three dimension tables no prior sweep ever drew
+    # empty (part/nation/region; the random knob chooser excludes them).
+    # seed 67's empty part: misc_consistent_hash_ring's load-share
+    # denominator (count of keys) hit Spark's ANSI `div` DIVIDE_BY_ZERO
+    # abort where the 0-of-0 share should degrade to NULL — nullif on
+    # both engines now (the agg_benford_check idiom). Empty nation
+    # (seed 68) and empty region (seed 69) swept clean registry-wide.
+    (67, {"empty_table": "part"}, ["misc_consistent_hash_ring"]),
 ]
 
 

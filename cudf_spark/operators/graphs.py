@@ -153,26 +153,34 @@ def connected_components(
     # groupBy over the edge list seeds least(node, min(neighbors))
     # directly, replacing the identity-label build (distinct) plus the
     # first round's join+groupBy. Checkpointed because the next round
-    # reads it twice (nbr_min join + merge join).
+    # reads it twice (propagation join + the union's self rows).
     labels = (
         und.groupBy(F.col("u").alias("node"))
         .agg(F.least(F.min("v"), F.first("u")).alias("label"))
         .localCheckpoint(eager=False)
     )
     for _ in range(max_iter - 1):
-        nbr_min = (
-            und.join(labels, und.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
-        )
+        # One-aggregate round: the self row rides the propagation
+        # aggregate via a union instead of a second |V|-sized merge join
+        # — min(old ∪ neighbor labels) == least(old, coalesce(nbr_min,
+        # old)) because the old label is just one more candidate in the
+        # min, and the slabel tag (non-null only on the one self row per
+        # node) recovers the old label for the convergence test. One
+        # exchange + one join fewer per round than the former
+        # join→groupBy→join shape; the union itself is shuffle-free.
         merged = (
-            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            und.join(labels, und.v == labels.node)
+            .select(und.u.alias("node"), "label")
+            .unionByName(
+                labels.select("node", "label", F.col("label").alias("slabel")),
+                allowMissingColumns=True,
+            )
+            .groupBy("node")
+            .agg(F.min("label").alias("label"), F.min("slabel").alias("__old"))
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("__chg"),
+                "label",
+                (F.col("label") < F.col("__old")).alias("__chg"),
             )
             # lazy checkpoint + count: ONE job both materializes the round's
             # blocks (truncating the iterative lineage) and measures

@@ -44,6 +44,19 @@ def test_nonconvergence_raises(spark):
         _cc(spark, edges, max_iter=2)
 
 
+def test_convergence_round_count_boundary(spark):
+    # Pins the one-aggregate round's convergence semantics (r11 §3.11):
+    # on the path 1-2-3-4 the closed-form round seeds {1:1, 2:1, 3:2,
+    # 4:3}; the loop then needs exactly 3 rounds (n3+n4 change, n4
+    # changes, no change -> converge), so max_iter=4 must succeed and
+    # max_iter=3 must raise. A __chg that fires late (label <= old) or
+    # reads the wrong side of the fold moves this boundary.
+    edges = [(1, 2), (2, 3), (3, 4)]
+    assert _cc(spark, edges, max_iter=4) == {1: 1, 2: 1, 3: 1, 4: 1}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, edges, max_iter=3)
+
+
 def _cc_star(spark, edges, **kw):
     from cudf_spark.operators.graphs import connected_components_star
 

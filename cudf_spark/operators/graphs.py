@@ -318,8 +318,11 @@ def pagerank(
     oracle can unroll.
 
     Per round: one keyed join (edge × rank on src) + one keyed groupBy
-    (sum of contributions on dst) — the same two-shuffle shape as
-    :func:`connected_components`, lineage truncated per round. The
+    (sum of contributions on dst) — the same one-aggregate round shape
+    as :func:`connected_components`: the zero row unioned per node
+    replaces the former |V|⋈|V| left merge-join that only re-attached
+    dangling-in-degree nodes (``sum(c ∪ {0}) == coalesce(sum(c), 0)``,
+    and the union is shuffle-free). Lineage truncated per round; the
     edge-degree join is precomputed once. N (node count) is a single
     collected scalar.
 
@@ -342,17 +345,19 @@ def pagerank(
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(iters):
-        contrib = (
+        # One-aggregate round: a 0-contribution row per node rides the
+        # sum (exact for the non-negative contributions: x + 0.0 == x),
+        # so every node — dangling-in-degree ones included — appears in
+        # the aggregate and the former |V|⋈|V| left merge-join vanishes.
+        ranks = (
             ed.join(ranks, ed.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("c"))
+            .unionByName(nodes.select("node", F.lit(0.0).alias("c")))
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
             .select(
                 "node",
-                (F.lit(base) + damping * F.coalesce("in_mass", F.lit(0.0))).alias("pr"),
+                (F.lit(base) + damping * F.col("in_mass")).alias("pr"),
             )
             .localCheckpoint(eager=False)
         )
@@ -411,21 +416,21 @@ def pagerank_fixed_point(
     base_q = (PR_FP_SCALE - PR_FP_SCALE * damping_num // damping_den) // n
     ranks = nodes.withColumn("pr_q", F.lit(PR_FP_SCALE // n).cast("long"))
     for _ in range(iters):
-        contrib = (
+        # One-aggregate round (see pagerank): the unioned 0 row is
+        # BIT-exact here — integer sums are fold-order independent and
+        # sum(c ∪ {0}) == coalesce(sum(c), 0) identically.
+        ranks = (
             ed.join(ranks, ed.src == ranks.node)
             .select(F.col("dst").alias("node"), F.expr("pr_q div deg").alias("c"))
+            .unionByName(nodes.select("node", F.lit(0).cast("long").alias("c")))
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
             .select(
                 "node",
                 (
                     F.lit(base_q).cast("long")
                     + F.expr(
-                        f"({damping_num} * coalesce(in_mass, CAST(0 AS BIGINT)))"
-                        f" div {damping_den}"
+                        f"({damping_num} * in_mass) div {damping_den}"
                     )
                 ).alias("pr_q"),
             )

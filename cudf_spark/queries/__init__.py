@@ -443,6 +443,16 @@ JUDGE_PINS: dict[int, set[str]] = {
         # as win_rolling_mode/events_rfm_scores above); engine window now
         # asc_nulls_last, fixture hashes unchanged, re-proven at 3 SFs.
         "stats_odds_ratio_mh",
+        # fourth-session engine rewrites (operators/graphs.py, oracles
+        # untouched, hash re-verified at 3 SFs before pinning): the
+        # connected-components loop and both pagerank variants fold the
+        # per-round |V|⋈|V| left merge-join into the propagation /
+        # contribution aggregate via a unioned self/zero row (per-round
+        # SortMergeJoin 2→1, Exchange 4→3 — plans/r11/cc_round_*.txt,
+        # pagerank_round_*.txt). CC consumers already pinned above; the
+        # two fixed-point pagerank consumers pinned here.
+        "graph_pagerank",
+        "text_textrank_keywords",
     },
 }
 

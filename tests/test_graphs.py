@@ -104,7 +104,8 @@ def test_star_direction_irrelevant(spark):
 def test_pagerank_matches_pure_python(spark):
     """5-iteration PageRank on a small directed graph equals a plain
     dict-based power iteration (independent implementation), including a
-    node with no in-links (gets base rank only — the left-join path)."""
+    node with no in-links (gets base rank only — the unioned zero-row
+    path that replaced the per-round left join)."""
     from cudf_spark.operators.graphs import pagerank
 
     edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]

@@ -453,6 +453,14 @@ JUDGE_PINS: dict[int, set[str]] = {
         # two fixed-point pagerank consumers pinned here.
         "graph_pagerank",
         "text_textrank_keywords",
+        # fifth-session engine rewrite (oracle untouched, hash
+        # re-verified at 3 SFs before pinning): graph_bfs_hops folds the
+        # per-round distinct + visited anti-join into ONE min(hop)
+        # groupBy over the shuffle-free union of visited and the
+        # frontier expansion (earliest hop wins) — per round
+        # SortMergeJoin 2→1 (the LeftAnti gone), Exchange 4→3, Sort 4→2
+        # (plans/r11/bfs_round_*.txt).
+        "graph_bfs_hops",
     },
 }
 

@@ -1907,10 +1907,13 @@ def _bfs_oracle() -> str:
     "parts-co-ordered graph from the deterministic top-degree seed "
     "(deg desc, node tiebreak) — the frontier-expansion primitive under "
     "reachability / ego-network features: each round joins the frontier "
-    "to the edge list (endpoint-keyed) and anti-joins the visited set; "
-    "localCheckpoint per round keeps lineage linear (the kcore/CC "
-    "discipline). Fixed round count so both engines compute the "
-    "identical level sets. Output: per-hop node count + id range.",
+    "to the edge list (endpoint-keyed), then the visited set rides the "
+    "expansion through a shuffle-free union into ONE min(hop) groupBy "
+    "(earliest hop wins — the aggregate subsumes the former "
+    "distinct + anti-join, r11 union-fold); localCheckpoint per round "
+    "keeps lineage linear (the kcore/CC discipline). Fixed round count "
+    "so both engines compute the identical level sets. Output: per-hop "
+    "node count + id range.",
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -1924,19 +1927,27 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frontier = visited.select("node")
     for r in range(1, _BFS_ROUNDS + 1):
-        nxt = (
-            e.join(frontier.withColumnRenamed("node", "u"), "u")
-            .select(F.col("v").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("hop", F.lit(r).cast("bigint"))
+        # One-aggregate round (r11, the CC/PageRank union-fold): the
+        # visited set rides the frontier expansion through a shuffle-free
+        # union and ONE min(hop) groupBy — a node seen before keeps its
+        # earlier hop (min), a node reached first this round gets hop=r,
+        # so the aggregate IS the former distinct + left_anti + union
+        # (which cost an extra Exchange, an anti SortMergeJoin and two
+        # Sorts per round).
+        cand = e.join(frontier.withColumnRenamed("node", "u"), "u").select(
+            F.col("v").alias("node"), F.lit(r).cast("bigint").alias("hop")
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
-        # read the frontier back out of the CHECKPOINTED union (r10):
-        # deriving it from `nxt` directly re-executed the round's
-        # join+distinct+anti-join a second time inside the next round's
-        # plan — the recompute-nest class, one extra frontier expansion
-        # per round (6.67 -> 4.55 s min-of-3 warm at sf0.1)
+        visited = (
+            visited.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+        # read the frontier back out of the CHECKPOINTED aggregate (r10):
+        # deriving it from `cand` directly re-executed the round's
+        # expansion a second time inside the next round's plan — the
+        # recompute-nest class, one extra frontier expansion per round
+        # (6.67 -> 4.55 s min-of-3 warm at sf0.1)
         frontier = visited.filter(F.col("hop") == r).select("node")
     return (
         visited.groupBy("hop")

@@ -732,6 +732,36 @@ def test_bfs_hops_matches_networkx_style(spark, monkeypatch):
     assert got == expected
 
 
+def test_bfs_min_hop_fold_keeps_earliest_hop(spark, monkeypatch):
+    """The r11 one-aggregate round folds distinct + anti-join into ONE
+    min(hop) groupBy — a visited node re-reached by a later frontier must
+    keep its EARLIER hop. Chain with a back-edge exercises the fold's
+    kernel: parts 0-1-2-3-4 in consecutive pair-orders plus (0,2); the
+    seed (node 2, the unique degree-3 node) and its hop-1 shell are
+    re-reached every round and must stay at hop 0/1 while the frontier
+    walks to node 4."""
+    from cudf_spark.queries import analytics3 as mod
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2)]
+    rows = []
+    ln = 0
+    for o, (a, b) in enumerate(pairs):
+        for p in (a, b):
+            ln += 1
+            rows.append((o, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                         pd.Timestamp("2024-01-01")))
+    pdf = pd.DataFrame(rows, columns=[
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"])
+    monkeypatch.setattr(mod, "load", lambda s, d, n: spark.createDataFrame(pdf))
+    got = {r.hop: (r.n_nodes, r.min_node, r.max_node)
+           for r in mod.graph_bfs_hops(spark, "u").collect()}
+    # seed = node 2 (deg 3: {0, 1, 3}); hop 1 = {0, 1, 3} — each
+    # re-reachable from the others at hop 2, min keeps 1 — hop 2 = {4}
+    assert got == {0: (1, 2, 2), 1: (3, 0, 3), 2: (1, 4, 4)}
+
+
 def test_neyman_allocation_sums_to_budget(spark, monkeypatch):
     import numpy as np
 

@@ -461,6 +461,32 @@ JUDGE_PINS: dict[int, set[str]] = {
         # SortMergeJoin 2→1 (the LeftAnti gone), Exchange 4→3, Sort 4→2
         # (plans/r11/bfs_round_*.txt).
         "graph_bfs_hops",
+        # fifth-session Python-boundary fix (oracles untouched, hashes
+        # re-verified at 3 SFs + empty-documents/all-null fuzz trees
+        # before pinning): the map-only multimodal/text-UDF queries end
+        # in a global sort whose range-sampling pass re-executed the
+        # whole uncheckpointed Arrow chain (2x rows through the Python
+        # boundary; 4x for mm_image_dup_ahash whose hash table also
+        # feeds the band self-join and output join, 2x for
+        # mm_audio_vad_segments' two frame consumers) — each now
+        # localCheckpoints the narrow per-asset table before the sort.
+        # Execution multipliers pinned at 1x by
+        # tests/test_plans.py::test_python_chain_executes_once.
+        # Window note: the fix class is hash-invariant by construction
+        # (a lazy checkpoint is a pure lineage barrier — no arithmetic,
+        # ordering or join change), and all TEN queries were re-proven
+        # at 3 SFs + fuzz in-session; to keep the latest cohort inside
+        # the ~50-slot driver window, only the class representatives
+        # are pinned (one per sub-shape: multi-consumer image/audio,
+        # single-chain codec, heavy text UDF). Unpinned but equally
+        # verified: mm_audio_features, mm_frame_sample,
+        # mm_image_features, text_normalize_nfc.
+        "mm_audio_vad_segments",
+        "mm_bmp_real_codec",
+        "mm_image_dup_ahash",
+        "mm_wav_real_codec",
+        "text_bpe_tokenize",
+        "text_unigram_tokenize",
     },
 }
 

@@ -236,7 +236,13 @@ def mm_image_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     assets = _encode_textured_images(d)
-    hashed = image_ahash(assets).filter("valid")
+    # checkpoint the hash table: it feeds BOTH band sides of the
+    # candidate self-join AND the output join, and the final sort's
+    # range-sampling pass re-executes its uncheckpointed input — the
+    # encode+decode+aHash Python chain ran FOUR times per query
+    # (measured 4x input rows through the Arrow boundary at sf0.01;
+    # 1x after). One narrow row per asset — near-free to materialize.
+    hashed = image_ahash(assets).filter("valid").localCheckpoint(eager=False)
     bands = hashed.selectExpr(
         "asset_id",
         "ahash",

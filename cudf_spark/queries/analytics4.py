@@ -1106,7 +1106,12 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     assets = d.mapInPandas(encode, "asset_id long, data binary")
-    frames = audio_frame_energies(assets, frame=10)
+    # checkpoint the frame table: the segment branch and the per-asset
+    # totals branch both consume it, and their exchanges differ enough
+    # that runtime reuse doesn't collapse them — the encode+energies
+    # Python chain ran TWICE per query (measured 2x input rows through
+    # the Arrow boundary at sf0.01; 1x after).
+    frames = audio_frame_energies(assets, frame=10).localCheckpoint(eager=False)
     act = frames.select(
         "asset_id",
         "frame_idx",

@@ -271,7 +271,9 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     assets = d.mapInPandas(encode, schema="asset_id long, data binary")
-    return image_features(assets).orderBy("asset_id")
+    # checkpoint before the sort: the range-sampling pass would re-run
+    # the encode+features Python chain (see mm_audio_features)
+    return image_features(assets).localCheckpoint(eager=False).orderBy("asset_id")
 
 
 def _encode_fake_videos(d):
@@ -335,7 +337,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     assets = _encode_fake_videos(d)
-    return frame_sample(assets, every_n=4).orderBy("asset_id", "frame_idx")
+    # checkpoint before the sort: the range-sampling pass would re-run
+    # the encode+sample Python chain (see mm_audio_features)
+    return (
+        frame_sample(assets, every_n=4)
+        .localCheckpoint(eager=False)
+        .orderBy("asset_id", "frame_idx")
+    )
 
 
 _MIX_TARGETS = [("src0", 0.4), ("src1", 0.3), ("src2", 0.2), ("src3", 0.1)]
@@ -479,16 +487,27 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = d.mapInPandas(encode, schema="asset_id long, data binary")
     feats = audio_features(assets)
-    return feats.select(
-        "asset_id",
-        "sample_rate",
-        "n_samples",
-        "duration_ms",
-        "peak",
-        F.round("rms", 4).alias("rms"),
-        "zero_crossings",
-        "valid",
-    ).orderBy("asset_id")
+    return (
+        feats.select(
+            "asset_id",
+            "sample_rate",
+            "n_samples",
+            "duration_ms",
+            "peak",
+            F.round("rms", 4).alias("rms"),
+            "zero_crossings",
+            "valid",
+        )
+        # materialize before the presentation sort: a global sort's
+        # range-sampling pass re-executes its ENTIRE input subtree when no
+        # shuffle sits below it, so the whole encode+decode Python chain
+        # ran TWICE per query (measured 2x input rows through the Arrow
+        # boundary at sf0.01; 1x after). The checkpointed table is one
+        # narrow row per asset — the cheap side of that trade at any
+        # scale. Same fix across the map-only mm_*/text-UDF queries.
+        .localCheckpoint(eager=False)
+        .orderBy("asset_id")
+    )
 
 
 @register(
@@ -973,6 +992,9 @@ def mm_wav_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rms", 4).alias("rms"),
             "valid",
         )
+        # checkpoint before the sort: the range-sampling pass would
+        # re-run the WAV encode+decode Python chain (see mm_audio_features)
+        .localCheckpoint(eager=False)
         .orderBy("asset_id")
     )
 
@@ -1042,5 +1064,8 @@ def mm_bmp_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "asset_id", "width", "height", "mean_b", "mean_g", "mean_r", "valid"
         )
+        # checkpoint before the sort: the range-sampling pass would
+        # re-run the BMP encode+decode Python chain (see mm_audio_features)
+        .localCheckpoint(eager=False)
         .orderBy("asset_id")
     )

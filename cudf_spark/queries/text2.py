@@ -219,6 +219,10 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             # hashes cells via pandas factorize, which rejects list cells.
             F.concat_ws("|", F.slice("bpe", 1, 8)).alias("first8"),
         )
+        # checkpoint before the sort: the range-sampling pass would run
+        # the per-doc BPE merge loop a second time (the mm_audio_features
+        # global-sort sample rule) — the costliest Python in the registry
+        .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )
 
@@ -402,6 +406,9 @@ def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("raw").cast("int").alias("raw_len"),
             F.length(normalize_characters_nfc(F.col("raw"))).cast("int").alias("nfc_len"),
         )
+        # checkpoint before the sort: the range-sampling pass would run
+        # the NFC Python UDF a second time (see text_bpe_tokenize)
+        .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )
 
@@ -545,6 +552,10 @@ def text_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             # scalar column only: rows-only canonicalizer can't hash lists
             F.concat_ws("|", F.slice("pieces", 1, 8)).alias("first8"),
         )
+        # checkpoint before the sort: the range-sampling pass would run
+        # the per-doc Viterbi segmentation a second time (see
+        # text_bpe_tokenize)
+        .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )
 

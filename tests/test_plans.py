@@ -665,3 +665,51 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_python_chain_executes_once(spark):
+    """The map-only multimodal queries end in a global sort whose
+    range-sampling pass re-executes its entire uncheckpointed input —
+    the whole encode+decode Python chain ran 2x per query (4x for
+    mm_image_dup_ahash, whose hash table also feeds both sides of the
+    band self-join and the output join) until the r11 pre-sort
+    localCheckpoints. Pin the fix by counting the rows that actually
+    cross the Arrow boundary: every mapInPandas stage must see each
+    asset exactly once."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from cudf_spark.catalog import load
+
+    n_docs = load(spark, SF_DIR, "documents").count()
+    orig = DataFrame.mapInPandas
+    counters: list = []
+
+    def patched(self, func, schema, barrier=False, profile=None):
+        acc = spark.sparkContext.accumulator(0)
+        counters.append(acc)
+
+        def wrapped(it):
+            def gen():
+                for pdf in it:
+                    acc.add(len(pdf))
+                    yield pdf
+
+            return func(gen())
+
+        return orig(self, wrapped, schema, barrier=barrier, profile=profile)
+
+    DataFrame.mapInPandas = patched
+    try:
+        for name in ("mm_image_dup_ahash", "mm_audio_features",
+                     "mm_audio_vad_segments", "mm_bmp_real_codec"):
+            counters.clear()
+            df = REGISTRY[name].build(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            got = [a.value for a in counters]
+            assert got == [n_docs] * len(got), (
+                f"{name}: Python stages saw {got} rows for {n_docs} assets "
+                "— a consumer or the sort's sampling pass re-executed the "
+                "Arrow chain (re-check the pre-sort localCheckpoint)"
+            )
+    finally:
+        DataFrame.mapInPandas = orig

@@ -32,6 +32,15 @@ exposed as a library API so users can vet their own pipelines:
   tests/test_scale_audit.py pins the justified-bounded allowlist; a new
   site fails the suite until bounded-ness is argued there or the query
   is rewritten.
+- ``sort_resample`` — a Python stage (``MapInPandas``/``ArrowEvalPython``
+  /...) below an ``Exchange rangepartitioning`` with no shuffle boundary
+  on the path between: a global sort's range-sampling pass executes its
+  input subtree once to sketch partition boundaries and the sort
+  executes it again, so the whole Python chain runs TWICE per action
+  (the round-11 mm_*/text-UDF find, OPTIMIZATION_r11.md §3.14 — measured
+  2x rows through the Arrow boundary, 4x with extra uncheckpointed
+  consumers). Fix: ``localCheckpoint(eager=False)`` the narrow result
+  table before the sort.
 
 Returns a list of ``(code, detail)`` findings; empty list == clean.
 """
@@ -137,6 +146,41 @@ def scale_audit(df: DataFrame, *, allow_bnlj: bool = True) -> list[tuple[str, st
             )
         )
 
+    for i, line in enumerate(lines):
+        if "Exchange rangepartitioning" not in line:
+            continue
+        d0 = _depth(line)
+        # walk the exchange's subtree keeping the ancestor path: a Python
+        # stage is safe only if a SHUFFLE boundary sits between it and the
+        # range exchange (the sampling pass then reads materialized shuffle
+        # blocks instead of re-running the chain). A checkpoint scan below
+        # the Python node does NOT protect it, and a boundary on a sibling
+        # branch protects only that branch — hence the path walk.
+        path: list[tuple[int, bool]] = []
+        for j in range(i + 1, len(lines)):
+            cand = lines[j]
+            if not cand.strip():
+                continue
+            d = _depth(cand)
+            if d <= d0:
+                break
+            while path and path[-1][0] >= d:
+                path.pop()
+            m = _PY_NODE.search(cand)
+            if m and not any(b for _, b in path):
+                findings.append(
+                    (
+                        "sort_resample",
+                        f"{m.group(1)} below Exchange rangepartitioning with "
+                        "no shuffle boundary between: the sort's sampling "
+                        "pass re-executes the Python chain — localCheckpoint "
+                        "the result table before the sort "
+                        "(OPTIMIZATION_r11.md §3.14)",
+                    )
+                )
+                break
+            path.append((d, bool(_SHUFFLE_BOUNDARY.search(cand))))
+
     return findings
 
 
@@ -148,6 +192,24 @@ def scale_audit(df: DataFrame, *, allow_bnlj: bool = True) -> list[tuple[str, st
 # trailing `_approx` / leading `_` breaks the match).
 _SPOOL_FN = re.compile(
     r"(?<![_a-zA-Z])(collect_list|collect_set|percentile|median|mode)(?=\s*\()"
+)
+
+
+# Python-boundary stages for the sort_resample walk. BatchEvalPython is
+# included (it would double the python_row_udf damage); the Arrow forms
+# are the ones the registry actually uses.
+_PY_NODE = re.compile(
+    r"\b(ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|MapInArrow|"
+    r"FlatMapGroupsInArrow|BatchEvalPython)\b"
+)
+
+# Materialization boundaries the sampling pass can read instead of
+# re-executing: any shuffle exchange (AQE runs it as its own query
+# stage) or an already-materialized AQE stage node. BroadcastExchange is
+# NOT a boundary — it doesn't materialize its child for the probe side.
+_SHUFFLE_BOUNDARY = re.compile(
+    r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition|"
+    r"RoundRobinPartitioning)|\bShuffleQueryStage\b|\bAQEShuffleRead\b"
 )
 
 

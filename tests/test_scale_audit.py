@@ -82,6 +82,38 @@ def test_value_spool_survives_wide_aggregates(spark):
     )
 
 
+def test_flags_sort_resample(spark):
+    """A Python stage directly below a global sort re-executes in the
+    sort's range-sampling pass (the r11 mm_*/text-UDF find); a shuffle
+    between them or a pre-sort checkpoint makes the plan clean."""
+    import pandas as pd
+
+    from cudf_spark.catalog import load
+
+    def ident(it):
+        for pdf in it:
+            yield pd.DataFrame({"k": pdf["r_regionkey"]})
+
+    base = load(spark, SF_DIR, "region").mapInPandas(ident, "k long")
+    bad = base.orderBy("k")
+    assert any(c == "sort_resample" for c, _ in scale_audit(bad))
+    # a shuffle boundary between: the sampler reads materialized blocks
+    shuffled = base.groupBy("k").count().orderBy("k")
+    assert all(c != "sort_resample" for c, _ in scale_audit(shuffled))
+    # the engine fix: checkpoint before the sort
+    ckpt = base.localCheckpoint(eager=False).orderBy("k")
+    assert all(c != "sort_resample" for c, _ in scale_audit(ckpt))
+    # a boundary on a SIBLING branch must not excuse the Python branch
+    other = (
+        load(spark, SF_DIR, "nation")
+        .groupBy(F.col("n_nationkey").alias("k"))
+        .count()
+        .select("k", "count")
+    )
+    joined = base.join(F.broadcast(other), "k", "left").orderBy("k")
+    assert any(c == "sort_resample" for c, _ in scale_audit(joined))
+
+
 def test_flags_cartesian(spark):
     from cudf_spark.catalog import load
 

@@ -30,11 +30,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def run_once(names: list[str], warmup: bool = False) -> dict[str, float]:
+def run_once(names: list[str], warmup: bool = False, noop: bool = False) -> dict[str, float]:
     from cudf_spark.queries import REGISTRY
     from cudf_spark.session import get_spark
 
     spark = get_spark("time_query")
+
+    def execute(df) -> None:
+        if noop:
+            # bench.py's action (guide §1.4). REQUIRED for the map-only
+            # pandas-UDF queries (text_bpe/unigram_tokenize,
+            # text_normalize_nfc): count() prunes an unreferenced scalar
+            # UDF projection entirely, so the default action times those
+            # queries WITHOUT running the UDF (r11 §3.14 finding —
+            # text_unigram_tokenize reads ~0.3 s under count() vs ~3 s
+            # real). Kept opt-in so committed FRESH_MINS numbers stay on
+            # their original protocol.
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.count()
+
     out: dict[str, float] = {}
     for name in names:
         if warmup:
@@ -42,9 +57,9 @@ def run_once(names: list[str], warmup: bool = False) -> dict[str, float]:
             # ~8-9 s of Spark-internals JIT that isn't the query (measured
             # r10: triangle 16.5 s cold -> 8.0 s second run). The r6-frozen
             # bench protocol and the r9 graph tables both use this shape.
-            REGISTRY[name].build(spark, SF_DIR).count()
+            execute(REGISTRY[name].build(spark, SF_DIR))
         t0 = time.perf_counter()
-        REGISTRY[name].build(spark, SF_DIR).count()
+        execute(REGISTRY[name].build(spark, SF_DIR))
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 
@@ -52,6 +67,7 @@ def run_once(names: list[str], warmup: bool = False) -> dict[str, float]:
 def main(argv: list[str]) -> int:
     n_min = 0
     warmup = False
+    noop = False
     while argv and argv[0].startswith("--"):
         if argv[0] == "--min":
             n_min = int(argv[1])
@@ -59,16 +75,19 @@ def main(argv: list[str]) -> int:
         elif argv[0] == "--warmup":
             warmup = True
             argv = argv[1:]
+        elif argv[0] == "--noop":
+            noop = True
+            argv = argv[1:]
         else:
             print(f"unknown flag {argv[0]}")
             return 2
     names = argv
     if not names:
-        print("usage: time_query.py [--min N] [--warmup] query [query ...]")
+        print("usage: time_query.py [--min N] [--warmup] [--noop] query [query ...]")
         return 2
 
     if not n_min:
-        print(json.dumps(run_once(names, warmup)))
+        print(json.dumps(run_once(names, warmup, noop)))
         return 0
 
     best: dict[str, float] = {}
@@ -80,6 +99,8 @@ def main(argv: list[str]) -> int:
             cmd = [sys.executable, os.path.abspath(__file__)]
             if warmup:
                 cmd.append("--warmup")
+            if noop:
+                cmd.append("--noop")
             proc = subprocess.run(
                 cmd + [name],
                 capture_output=True,
@@ -96,7 +117,8 @@ def main(argv: list[str]) -> int:
             print(f"  round {i + 1}/{n_min}: {got}", file=sys.stderr)
     print(
         json.dumps(
-            {"sf_dir": SF_DIR, "min_of": n_min, "warmup": warmup, "secs_fresh_min": best}
+            {"sf_dir": SF_DIR, "min_of": n_min, "warmup": warmup, "noop": noop,
+             "secs_fresh_min": best}
         )
     )
     return 0

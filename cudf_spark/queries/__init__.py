@@ -431,11 +431,13 @@ JUDGE_PINS: dict[int, set[str]] = {
         "er_cluster_entities",
         # text_rake_keywords: pw (regex-split + double-posexplode) fed two
         # consumers whose exchanges differ (no AQE stage reuse possible) —
-        # checkpointed; A/B 4/6 pairs faster, min −20%. (The r11 engine
-        # edit to stream_stateful_totals — only (user_id, value) cross the
-        # Arrow boundary now, guide §4 — is covered by its existing pin in
-        # the fuzz wave above.)
-        "text_rake_keywords",
+        # checkpointed; A/B 4/6 pairs faster, min −20%. UNPINNED in the
+        # fifth session to make window room: checkpoint-only = hash-
+        # invariant by construction, and it has re-proven MATCH in every
+        # full driver_sim since landing. (The r11 engine edit to
+        # stream_stateful_totals — only (user_id, value) cross the Arrow
+        # boundary now, guide §4 — is covered by its existing pin in the
+        # fuzz wave above.)
         # fifth wave — third-session assurance sweep (seeds 60-62):
         # seed 62's NULL-bearing value column exposed the NULL-ordering
         # fork in stats_odds_ratio_mh's exact-median cumulative window
@@ -481,12 +483,27 @@ JUDGE_PINS: dict[int, set[str]] = {
         # single-chain codec, heavy text UDF). Unpinned but equally
         # verified: mm_audio_features, mm_frame_sample,
         # mm_image_features, text_normalize_nfc.
-        "mm_audio_vad_segments",
         "mm_bmp_real_codec",
         "mm_image_dup_ahash",
-        "mm_wav_real_codec",
         "text_bpe_tokenize",
         "text_unigram_tokenize",
+        # The same sort-resample class then swept the JVM side: the
+        # sort's sampling pass re-ran dedup_ngram_jaccard's quadratic
+        # within-block verification (noop A/B 14.2 -> 7.7 s median, 5/5
+        # pairs) and emb_similar_pairs' all-pairs cosine (6.2 -> 3.6 s,
+        # 5/5); text_quality_gopher swapped its r8 sort-the-raw-scan
+        # form for compute->checkpoint->sort (narrow metric rows through
+        # the range exchange instead of the full text column; locally
+        # neutral, structural at scale). text_quality_score/_classifier
+        # carry the same checkpoint (A/B −28%/−14%) but stay unpinned —
+        # same hash-invariance rationale as above, window at 50.
+        # (mm_wav_real_codec, mm_audio_vad_segments and text_rake_keywords
+        # unpinned for the same reason to make room — mm_bmp_real_codec /
+        # mm_image_dup_ahash remain the shape representatives, and all
+        # three have re-proven MATCH in every full driver_sim since.)
+        "dedup_ngram_jaccard",
+        "emb_similar_pairs",
+        "text_quality_gopher",
     },
 }
 

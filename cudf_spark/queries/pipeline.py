@@ -162,12 +162,16 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pass_* booleans below reference plain attributes. Collapsed
         # projections re-inline the struct per referencing expression
         # (measured 2× on this query).
-        # Sort BEFORE the expensive projection: a trailing orderBy's range
-        # exchange samples its child, evaluating the whole interpreted
-        # metrics subtree twice. Sorting the raw scan costs one narrow
-        # shuffle; Generate/Project preserve the per-partition order.
-        d.orderBy("doc_id")
-        .select("doc_id", "lang", F.inline(F.array(m)))
+        # Checkpoint BEFORE the presentation sort: a trailing orderBy's
+        # range exchange samples its child, evaluating the whole
+        # interpreted metrics subtree twice. The r8 fix sorted the RAW
+        # SCAN first instead (order preserved through Generate/Project),
+        # which avoids the double compute but ships the full TEXT column
+        # through the range exchange; checkpointing the narrow metric
+        # rows (r11 §3.14, the registry-wide rule) keeps the single
+        # evaluation AND sorts only doc-grain numerics — the cheap side
+        # at any scale. Row set and order identical either way.
+        d.select("doc_id", "lang", F.inline(F.array(m)))
         .select(
             "*",
             pwc.alias("pass_word_count"),
@@ -176,6 +180,8 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             prep.alias("pass_repetition"),
             (pwc & pml & psw & prep).alias("gopher_pass"),
         )
+        .localCheckpoint(eager=False)
+        .orderBy("doc_id")
     )
 
 

@@ -119,6 +119,13 @@ def emb_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= 0.35)
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+        # checkpoint the survivor pairs before the presentation sort: the
+        # sort's range-sampling pass re-executes its unmaterialized input,
+        # i.e. the whole within-label all-pairs cosine pass ran twice per
+        # sorted action (r11 §3.14 class, the dedup_ngram_jaccard twin;
+        # interleaved noop-sink A/B at sf0.1: 6.2 -> 3.6 s median, 5/5
+        # pairs). Survivors are few — near-free to materialize.
+        .localCheckpoint(eager=False)
         .orderBy("id_a", "id_b")
     )
 

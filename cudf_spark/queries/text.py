@@ -194,6 +194,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             # would diverge; floor of the identical double cannot.
             F.when(n_ok, F.floor(quality * 10000).cast("long")).alias("quality_q4"),
         )
+        # checkpoint the narrow metric rows before the presentation sort:
+        # the sort's range-sampling pass re-executes its unmaterialized
+        # input, i.e. the whole per-doc tokenize+score projection ran
+        # twice per sorted action (r11 §3.14 class; the alternative
+        # sort-the-raw-scan-first form would shuffle the full TEXT column
+        # through the range exchange — the metric rows are the cheap side
+        # at any scale).
+        .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )
 
@@ -292,6 +300,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_b") > F.col("id_a"))
         .filter(prefilter & (jac >= 0.2))
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        # checkpoint the survivor pairs before the presentation sort: the
+        # sort's range-sampling pass re-executes its unmaterialized input,
+        # i.e. the ENTIRE quadratic within-block jaccard verification ran
+        # twice per sorted action (r11 §3.14 class; interleaved noop-sink
+        # A/B at sf0.1: 14.2 -> 7.7 s median, 5/5 pairs — count()-based
+        # timings never saw the doubling because count() drops the sort).
+        # Survivors are a handful of rows — near-free to materialize.
+        .localCheckpoint(eager=False)
         .orderBy("id_a", "id_b")
     )
 

@@ -136,6 +136,10 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("z") * 1000000).cast("long").alias("logit_q6"),
             (F.col("z") > 0).alias("keep"),
         )
+        # checkpoint before the sort: the range-sampling pass would run
+        # the per-doc feature+logit projection twice (r11 §3.14 class,
+        # see text_quality_score)
+        .localCheckpoint(eager=False)
         .orderBy("doc_id")
     )
 

@@ -168,15 +168,18 @@ def test_win_rolling_single_exchange_no_global_sort(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_gopher_single_generate_sorts_before_projection(spark):
-    # The interpreted metrics struct must be evaluated once per row: via a
-    # Generate (inline) barrier, with any sort BELOW the projection so the
-    # range-bounds sampling pass never re-runs the metrics lambdas.
+def test_gopher_metrics_behind_checkpoint_sort_reads_blocks(spark):
+    # The interpreted metrics struct is evaluated once per row behind the
+    # pre-sort localCheckpoint (r11 §3.14, superseding the r8 sort-below-
+    # projection form, which shipped the full text column through the
+    # range exchange): the presentation sort must read the checkpointed
+    # narrow metric rows, so neither the Generate (inline) chain nor the
+    # text column appears above the barrier in the final plan.
     plan = plan_of(spark, "text_quality_gopher")
-    assert "Generate" in plan
-    gen_pos = plan.index("Generate")
-    sort_pos = plan.index("Sort ")
-    assert sort_pos > gen_pos  # deeper in the tree = printed later
+    assert "Scan ExistingRDD" in plan
+    assert "Generate" not in plan
+    assert "text" not in plan.lower().replace("text_quality_gopher", "")
+    assert "Exchange rangepartitioning" in plan
 
 
 def test_quantile_modes_single_keyed_exchange(spark):

@@ -159,7 +159,12 @@ def scale_audit(df: DataFrame, *, allow_bnlj: bool = True) -> list[tuple[str, st
         path: list[tuple[int, bool]] = []
         for j in range(i + 1, len(lines)):
             cand = lines[j]
-            if not cand.strip():
+            # same guard as the single_partition walk (ADVICE r11): an
+            # already-executed AQE plan embeds '== Final Plan ==' /
+            # '== Initial Plan ==' section headers whose depth-0 prefix
+            # would otherwise end the subtree walk early or double-count
+            # a Python stage once per section.
+            if not cand.strip() or "==" in cand:
                 continue
             d = _depth(cand)
             if d <= d0:
@@ -205,11 +210,16 @@ _PY_NODE = re.compile(
 
 # Materialization boundaries the sampling pass can read instead of
 # re-executing: any shuffle exchange (AQE runs it as its own query
-# stage) or an already-materialized AQE stage node. BroadcastExchange is
-# NOT a boundary — it doesn't materialize its child for the probe side.
+# stage), an already-materialized AQE stage node, or a cached subtree
+# (InMemoryTableScan/TableCacheQueryStage — the sampling pass reads the
+# cache, not the chain; ADVICE r11). BroadcastQueryStage counts for the
+# same reason in executed plans. A bare, not-yet-executed
+# BroadcastExchange is NOT a boundary — it doesn't materialize its
+# child for the probe side.
 _SHUFFLE_BOUNDARY = re.compile(
     r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition|"
     r"RoundRobinPartitioning)|\bShuffleQueryStage\b|\bAQEShuffleRead\b"
+    r"|\bInMemoryTableScan\b|\bTableCacheQueryStage\b|\bBroadcastQueryStage\b"
 )
 
 

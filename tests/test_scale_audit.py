@@ -114,6 +114,45 @@ def test_flags_sort_resample(spark):
     assert any(c == "sort_resample" for c, _ in scale_audit(joined))
 
 
+def test_sort_resample_on_executed_aqe_plan_reports_once(spark):
+    """ADVICE r11: an already-executed AQE plan embeds '== Final Plan =='
+    / '== Initial Plan ==' section headers; the subtree walk must skip
+    them (not mis-scope at depth 0) and must not report the same Python
+    stage once per section."""
+    import pandas as pd
+
+    from cudf_spark.catalog import load
+
+    def ident(it):
+        for pdf in it:
+            yield pd.DataFrame({"k": pdf["r_regionkey"]})
+
+    bad = load(spark, SF_DIR, "region").mapInPandas(ident, "k long").orderBy("k")
+    bad.write.format("noop").mode("overwrite").save()  # executed: AQE final plan
+    findings = [c for c, _ in scale_audit(bad) if c == "sort_resample"]
+    assert len(findings) == 1
+
+
+def test_sort_resample_cached_subtree_is_boundary(spark):
+    """ADVICE r11: a Python stage behind a cached (InMemoryTableScan)
+    subtree is materialized — the sampling pass reads the cache, not the
+    chain, so the plan is clean."""
+    import pandas as pd
+
+    from cudf_spark.catalog import load
+
+    def ident(it):
+        for pdf in it:
+            yield pd.DataFrame({"k": pdf["r_regionkey"]})
+
+    base = load(spark, SF_DIR, "region").mapInPandas(ident, "k long").cache()
+    try:
+        cached = base.orderBy("k")
+        assert all(c != "sort_resample" for c, _ in scale_audit(cached))
+    finally:
+        base.unpersist()
+
+
 def test_flags_cartesian(spark):
     from cudf_spark.catalog import load
 
